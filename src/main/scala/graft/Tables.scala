@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table readers over the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * Schemas are pinned here as `StructType`s — the reference declares its
+  * schemas by hand too (positional `resultSet.getX` calls,
+  * StreamGeneratorThread.java:59-65), and production paths must never rely
+  * on inference. Readers take the scale-factor directory so every query in
+  * [[SparkEntry.queries]] is parameterized by `sfDir`.
+  *
+  * Scale note (100 TB): these are plain `spark.read.parquet` scans, so
+  * Catalyst predicate pushdown + column pruning apply. Dimension-sized
+  * tables expose `broadcastable = true` intent via the `dim*` helpers used
+  * at join sites.
+  */
+object Tables {
+
+  /** events.ts is written as parquet ns-precision; Spark reads it at µs
+    * while DuckDB keeps ns. All oracle-compared timestamp logic goes
+    * through second truncation (`tss`) so both engines agree exactly.
+    */
+  def secTrunc(colName: String) = date_trunc("second", col(colName))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+  def part(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet")
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet")
+  def region(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/region.parquet")
+  /** Spark 4 refuses parquet TIMESTAMP(NANOS) outright; with
+    * `nanosAsLong` the `ts` column arrives as raw epoch-nanos LongType
+    * and [[graft.operators.TemporalOps]] derives second-truncated
+    * instants from it. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+}
+
+/** Shared numeric canonicalization for oracle-comparable results.
+  *
+  * Money math is carried in exact DECIMAL so sums are order-independent
+  * (SURVEY.md §7.4), then cast to DOUBLE at the output boundary: a decimal
+  * with unscaled value < 2^53 converts to the identical IEEE double in
+  * both Spark and DuckDB, giving bitwise-hashable results without decimal
+  * precision/scale drift between engines.
+  */
+object Canon {
+  import org.apache.spark.sql.Column
+
+  /** Exact money type for a single value. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Narrower operand type used inside products to keep result precision
+    * comfortably under 38 in both engines. */
+  def dec12(c: Column): Column = c.cast(DecimalType(12, 4))
+
+  /** Re-clamp an aggregated decimal to (18,4) before the double cast.
+    * Wide decimal sums (scale 8–12 from products) have unscaled values
+    * beyond 2^53; DuckDB converts those via int128→double→÷10^scale
+    * (double rounding) while Spark's BigDecimal.doubleValue rounds once
+    * — clamping the scale first makes both conversions exact. */
+  def outD(aggregated: Column): Column =
+    aggregated.cast(DecimalType(18, 4)).cast(DoubleType)
+
+  /** Order-independent exact sum, emitted as double. */
+  def dsum(c: Column): Column = outD(sum(dec(c)))
+
+  /** avg = exact-sum / count, computed in double on both engines. */
+  def davg(c: Column): Column =
+    outD(sum(dec(c))) / count(lit(1)).cast(DoubleType)
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata (training-data-pipeline
+  * mandate).
+  *
+  * The container has no media codecs, so the decode step is a STUB — a
+  * deterministic fake "decoder" ([[FakeMedia.decode]]) — but the
+  * Spark-side plumbing is real: a binary column, a typed batch decode
+  * over `mapPartitions` (one decoder init per partition, the same batch
+  * shape a JNI/FFI decoder would need), and a columnar metadata path
+  * that stays inside WholeStageCodegen.
+  */
+object MultimodalOps {
+
+  /** A decoded media record — what a real image decoder would yield. */
+  final case class MediaMeta(
+      doc_id: Long, byte_len: Long, width: Long, height: Long,
+      frames: Long, digest: String)
+
+  /** STUBBED decoder: a real implementation would parse the codec
+    * header / frames here (e.g. via a per-partition JNI handle). The
+    * fake derives deterministic "dimensions" from the payload so tests
+    * and oracles stay exact. */
+  object FakeMedia {
+    def decode(docId: Long, payload: Array[Byte], nChars: Long): MediaMeta = {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(payload).map("%02x".format(_)).mkString
+      MediaMeta(
+        doc_id = docId,
+        byte_len = payload.length.toLong,
+        width = payload.length.toLong % 640 + 1,
+        height = nChars % 480 + 1,
+        frames = docId % 30 + 1,
+        digest = digest)
+    }
+  }
+
+  /** Typed batch-decode path: binary payloads → `mapPartitions` decode
+    * (per-partition decoder lifecycle, vectorizable batch shape). Used
+    * by tests to prove the plumbing; q36 computes the same result
+    * columnar for the oracle. */
+  def decodeMedia(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("n_chars"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { rows =>
+        // one decoder init per partition would live here
+        rows.map { case (id, payload, nChars) => FakeMedia.decode(id, payload, nChars) }
+      }
+  }
+
+  /** Q36 — multimodal metadata extraction, columnar formulation (binary
+    * cast + octet_length + sha2 + the deterministic fake-decode
+    * arithmetic), hash-checked against DuckDB. */
+  val q36 = Query(
+    "q36_multimodal_meta",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long").as("byte_len"),
+          (octet_length(col("text").cast("binary")).cast("long") % 640 + 1).as("width"),
+          (col("n_chars") % 480 + 1).as("height"),
+          (col("doc_id") % 30 + 1).as("frames"),
+          sha2(col("text").cast("binary"), 256).as("digest"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 640 + 1 AS width,
+           |  n_chars % 480 + 1 AS height,
+           |  doc_id % 30 + 1 AS frames,
+           |  sha256(text) AS digest
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q36)
+}

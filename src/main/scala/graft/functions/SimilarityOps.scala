@@ -1,0 +1,158 @@
+package graft.functions
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64):
+  * brute-force cosine top-k as the correctness baseline (SURVEY.md §2.2
+  * Q24) and an LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Dot products use higher-order array functions (`zip_with` +
+  * `aggregate`) — no UDF, no per-row JVM closure dispatch. Elements are
+  * widened float→double before multiply/accumulate and both Spark and
+  * DuckDB fold the array left-to-right in index order, so the doubles
+  * are bit-identical across engines and safe to hash-compare.
+  */
+object SimilarityOps {
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Q24 — cosine top-5 neighbors of a fixed query vector (vec_id 0) per
+    * label. The one-row query side is broadcast; the scan side streams —
+    * a single pass, no shuffle except the final per-label top-k. */
+  val q24 = Query(
+    "q24_cosine_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qv = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe")))
+      val w = Window.partitionBy("label").orderBy(col("sim").desc, col("vec_id").asc)
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(qv)
+        .select(col("vec_id"), col("label"),
+          cosine(col("embedding"), col("qe")).as("sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select("label", "rn", "vec_id", "sim")
+        .orderBy("label", "rn")
+    },
+    Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            |sims AS (
+            |  SELECT vec_id, label,
+            |         ${cosineSql("e.embedding", "q.qe")} AS sim
+            |  FROM embeddings e CROSS JOIN q
+            |  WHERE vec_id <> 0)
+            |SELECT label, CAST(row_number() OVER w AS BIGINT) AS rn, vec_id, sim
+            |FROM sims
+            |WINDOW w AS (PARTITION BY label ORDER BY sim DESC, vec_id ASC)
+            |QUALIFY row_number() OVER w <= 5
+            |ORDER BY label, rn""".stripMargin)
+  )
+
+  /** Q31 — brute-force nearest neighbor for a probe set (vec_id < 50):
+    * the all-pairs baseline every ANN variant is validated against.
+    * Probe side is broadcast (it is the small side by construction). */
+  val q31 = Query(
+    "q31_knn_bruteforce",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = broadcast(emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea")))
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+      probes
+        .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
+          col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("a_id", "b_id", "sim")
+        .orderBy("a_id")
+    },
+    Some(s"""WITH probes AS (
+            |  SELECT vec_id AS a_id, embedding AS ea FROM embeddings WHERE vec_id < 50),
+            |sims AS (
+            |  SELECT a_id, e.vec_id AS b_id,
+            |         ${cosineSql("p.ea", "e.embedding")} AS sim
+            |  FROM probes p JOIN embeddings e ON e.vec_id <> p.a_id)
+            |SELECT a_id, b_id, sim
+            |FROM sims
+            |QUALIFY row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) = 1
+            |ORDER BY a_id""".stripMargin)
+  )
+
+  /** Q31b — LSH-bucketed ANN, the scale path: 8 random-hyperplane sign
+    * bits (deterministic pseudo-random projection weights) bucket the
+    * vectors; candidates come from an equi-join on the bucket id, so the
+    * cost is per-bucket quadratic instead of global quadratic. Recall is
+    * approximate by design → rows-only check (SURVEY.md §7.4 excludes
+    * approximate results from hash-matching). */
+  val q31b = Query(
+    "q31b_knn_lsh",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // sign bit h = 1 iff sum_d w(h,d) * v[d] > 0, with deterministic
+      // integer-derived weights w in (-0.5, 0.5).
+      def planeBit(h: Int): Column = {
+        val weights = array((0 until 64).map { d =>
+          lit((((h + 1) * 2654435761L + d * 40503L) % 1000003L).toDouble / 1000003.0 - 0.5)
+        }: _*)
+        when(dot(col("embedding"), weights) > 0, lit(1L << h)).otherwise(lit(0L))
+      }
+      val bucketed = emb.withColumn("bucket",
+        (0 until 8).map(planeBit).reduce(_ + _))
+      val probes = bucketed.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("bucket"))
+      val cands = bucketed
+        .select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("bucket"))
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+      probes.join(cands, Seq("bucket"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("a_id", "b_id", "sim")
+        .orderBy("a_id")
+    },
+    None
+  )
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold
+    * (dedup-by-embedding mandate). Brute force over the probe range —
+    * the LSH path (q31b) is the scale variant. */
+  val q31c = Query(
+    "q31c_embedding_neardup",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      a.filter(col("a_id") < 200)
+        .join(b.filter(col("b_id") < 200), col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("sim"))
+        .filter(col("sim") > 0.4)
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            |       ${cosineSql("a.embedding", "b.embedding")} AS sim
+            |FROM embeddings a JOIN embeddings b
+            |  ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+            |WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.4
+            |ORDER BY a_id, b_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q24, q31, q31b, q31c)
+}

@@ -1,0 +1,209 @@
+package graft.functions
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: tokenization +
+  * top-k words (SURVEY.md §2.2 Q23), language ID, quality scoring, token
+  * counting, and document fingerprinting (training-data-pipeline
+  * mandate).
+  *
+  * Everything is built from codegen'd `functions._` — split / explode /
+  * regexp — no UDFs, so the hot path stays inside WholeStageCodegen and
+  * the only shuffles are the final aggregations, keyed by (lang, word) /
+  * doc_id. Integer hashing is md5-derived (identical in Spark and
+  * DuckDB) with all modular arithmetic kept under 2^63.
+  */
+object TextOps {
+
+  /** Prime modulus for token hashing: fits products of two residues in
+    * an int64 ((p-1)^2 < 2^63). */
+  val P = 2147483647L
+
+  /** Tokens of lower-cased text, exploded with 1-based position. The
+    * empty-token filter runs after position assignment so Spark and
+    * DuckDB agree on indices for texts with leading whitespace. */
+  def tokensWithPos(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos0", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("pos", col("pos0") + 1)
+      .drop("pos0")
+
+  /** md5-derived 60-bit token hash reduced mod P — the cross-engine
+    * portable hash (Spark `xxhash64` and DuckDB `hash` use different
+    * algorithms, md5 is identical in both). */
+  def tokHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
+
+  /** Q23 — tokenize + explode + top-20 words per language. */
+  val q23 = Query(
+    "q23_text_topwords",
+    (s, dir) => {
+      val counts = tokensWithPos(Tables.documents(s, dir))
+        .groupBy("lang", "tok")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok").asc)
+      counts
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("tok").as("word"), col("cnt"), col("rn"))
+        .orderBy("lang", "rn")
+    },
+    Some("""WITH toks AS (
+           |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
+           |  FROM documents),
+           |counts AS (
+           |  SELECT lang, tok, COUNT(*) AS cnt FROM toks WHERE tok <> ''
+           |  GROUP BY lang, tok)
+           |SELECT lang, tok AS word, cnt,
+           |       CAST(row_number() OVER w AS BIGINT) AS rn
+           |FROM counts
+           |WINDOW w AS (PARTITION BY lang ORDER BY cnt DESC, tok ASC)
+           |QUALIFY row_number() OVER w <= 20
+           |ORDER BY lang, rn""".stripMargin)
+  )
+
+  /** Language markers for the n-gram/stopword language-ID heuristic.
+    * Deliberately tiny and deterministic — the point is the operator
+    * shape (token × marker join + per-doc argmax), not linguistic
+    * accuracy. */
+  val markers: Seq[(String, String)] = Seq(
+    "the" -> "en", "and" -> "en", "of" -> "en", "is" -> "en",
+    "el" -> "es", "los" -> "es", "de" -> "es", "que" -> "es",
+    "der" -> "de", "die" -> "de", "und" -> "de", "das" -> "de",
+    "le" -> "fr", "les" -> "fr", "est" -> "fr", "et" -> "fr")
+
+  private def markerValuesSql: String =
+    markers.map { case (t, l) => s"('$t', '$l')" }.mkString(", ")
+
+  /** Language ID: count marker-token hits per candidate language, pick
+    * the argmax (ties broken by language code). Docs with no hits are
+    * 'und'. The marker table is broadcast — it is constant-sized at any
+    * scale. */
+  val q32 = Query(
+    "q32_langid",
+    (s, dir) => {
+      import s.implicits._
+      val m = broadcast(markers.toDF("tok", "cand"))
+      val scores = tokensWithPos(Tables.documents(s, dir))
+        .join(m, "tok")
+        .groupBy("doc_id", "cand")
+        .agg(count(lit(1)).as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand").asc)
+      val best = scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      Tables.documents(s, dir).select("doc_id", "lang")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("cand"), lit("und")).as("pred_lang"),
+          coalesce(col("score"), lit(0L)).as("score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            |  FROM documents),
+            |m(tok, cand) AS (VALUES $markerValuesSql),
+            |scores AS (
+            |  SELECT doc_id, cand, COUNT(*) AS score
+            |  FROM toks JOIN m USING (tok)
+            |  GROUP BY doc_id, cand),
+            |best AS (
+            |  SELECT doc_id, cand, score FROM scores
+            |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) = 1)
+            |SELECT d.doc_id, d.lang,
+            |       COALESCE(b.cand, 'und') AS pred_lang,
+            |       COALESCE(b.score, 0) AS score
+            |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+            |ORDER BY d.doc_id""".stripMargin)
+  )
+
+  /** Quality scoring: length / punctuation / stopword ratios per doc.
+    * All ratios are int/int divisions done once in double, so both
+    * engines produce bit-identical values. */
+  val q33 = Query(
+    "q33_quality_score",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long").as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+            .cast("long").as("n_punct"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("\\b(the|and|of|to|a|in)\\b"), lit(0)))
+            .cast("long").as("n_stop"))
+        .withColumn("punct_ratio",
+          col("n_punct").cast("double") / col("n_chars_m").cast("double"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CAST(length(text) AS BIGINT) AS n_chars_m,
+           |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+           |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+           |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in)\b')) AS BIGINT) AS n_stop,
+           |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+           |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in)\b')) AS DOUBLE)
+           |    / CAST(nullif(len(regexp_extract_all(text, '\S+')), 0) AS DOUBLE) AS stop_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation). */
+  val q34 = Query(
+    "q34_token_count",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .cast("long").as("n_bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars_m"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           |  CAST(length(text) AS BIGINT) AS n_chars_m
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Document fingerprint: position-weighted modular hash over the token
+    * stream — sum_i (h(tok_i) * w(i)) mod P with w(i) = i*2654435761 mod
+    * P. Order-sensitive (unlike a bag-of-words hash) yet expressible as
+    * a plain aggregate: each term is independent, so the sum is
+    * map-side-combinable and shuffle-light at any scale. */
+  val q35 = Query(
+    "q35_fingerprint",
+    (s, dir) => {
+      val toks = tokensWithPos(Tables.documents(s, dir))
+      toks
+        .withColumn("term",
+          (tokHash(col("tok")) * ((col("pos") * lit(2654435761L)) % P)) % P)
+        .groupBy("doc_id")
+        .agg((sum(col("term")) % P).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, i AS pos, toks[i] AS tok FROM (
+           |    SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+           |    FROM documents) t, unnest(range(1, len(t.toks)+1)) u(i)
+           |  WHERE toks[i] <> '')
+           |SELECT doc_id,
+           |  CAST(SUM((CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) % 2147483647)
+           |           * ((pos * 2654435761) % 2147483647) % 2147483647) AS BIGINT)
+           |    % 2147483647 AS fingerprint
+           |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q23, q32, q33, q34, q35)
+}

@@ -1,0 +1,261 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import graft.functions.TextOps.{tokHash, tokensWithPos, P}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the training-data-pipeline
+  * mandate: exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: every variant is built so candidate generation is an
+  * EQUI-join on a hash/bucket key (never an all-pairs comparison):
+  *  - exact: hash-groupBy on a normalized-text digest;
+  *  - MinHash: banding → bucket equi-join (classic LSH);
+  *  - SimHash: 16-bit half-signature equi-join, Hamming filter after;
+  *  - n-gram Jaccard: shared-shingle equi-join, exact Jaccard after
+  *    (at 100 TB you run MinHash first and this only on candidates).
+  * All hashing is md5-derived modular arithmetic that DuckDB reproduces
+  * exactly, so the oracles are full hash-checks, not rows-only.
+  */
+object DedupOps {
+
+  /** Canonical text form shared by all dedup variants: lower-case,
+    * whitespace collapsed, trimmed. */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Exact dedup: group by digest of normalized text; per group emit the
+    * keeper (min doc_id) and the duplicate count. A plain hash-groupBy —
+    * one shuffle on the digest, map-side combinable. */
+  val q27 = Query(
+    "q27_dedup_exact",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(normText(col("text"))).as("digest"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("digest"),
+    Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest,
+           |       MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+           |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin)
+  )
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  val NumHashes = 16
+  val NumBands = 4 // 4 rows per band
+
+  /** Per-doc minhash signature rows (doc_id, i, mh), i in [0, 16). */
+  private def minhashes(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokensWithPos(Tables.documents(s, dir))
+      .select(col("doc_id"), col("tok")).distinct()
+      .withColumn("tv", tokHash(col("tok")))
+    toks
+      .withColumn("i", explode(sequence(lit(0), lit(NumHashes - 1))))
+      .withColumn("a", (lit(2654435761L) * (col("i") + 1)) % P)
+      .withColumn("b", (lit(40503L) * (col("i") + 7)) % P)
+      .groupBy("doc_id", "i")
+      .agg(min((col("a") * col("tv") + col("b")) % P).as("mh"))
+  }
+
+  private val minhashesSql =
+    """toks AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |    FROM documents) t
+      |  WHERE tok <> ''),
+      |th AS (
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) % 2147483647 AS tv
+      |  FROM toks),
+      |mh AS (
+      |  SELECT doc_id, i,
+      |         MIN((((2654435761 * (i+1)) % 2147483647) * tv
+      |              + ((40503 * (i+7)) % 2147483647)) % 2147483647) AS mh
+      |  FROM th, range(0, 16) r(i)
+      |  GROUP BY doc_id, i)""".stripMargin
+
+  /** MinHash+LSH near-dup candidates: shingle → minhash → band → bucket
+    * equi-join, then estimated Jaccard = matching-minhash fraction.
+    * The only non-key-equi work is the final signature compare on the
+    * (small) candidate set — exactly the plan that survives 100 TB.
+    */
+  val q28 = Query(
+    "q28_dedup_minhash",
+    (s, dir) => {
+      val mh = minhashes(s, dir).cache()
+      val bands = mh
+        .withColumn("band", floor(col("i") / (NumHashes / NumBands)))
+        .groupBy("doc_id", "band")
+        .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          x => x.getField("mh").cast("string")), ",").as("sig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+        .distinct()
+      val sigs = mh.groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          x => x.getField("mh")).as("sig"))
+      cand
+        .join(sigs.withColumnRenamed("doc_id", "a_doc").withColumnRenamed("sig", "sa"), "a_doc")
+        .join(sigs.withColumnRenamed("doc_id", "b_doc").withColumnRenamed("sig", "sb"), "b_doc")
+        .select(col("a_doc"), col("b_doc"),
+          (aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x).cast("double") / NumHashes)
+            .as("est_jaccard"))
+        .orderBy("a_doc", "b_doc")
+    },
+    Some(s"""WITH $minhashesSql,
+            |bands AS (
+            |  SELECT doc_id, i // 4 AS band,
+            |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+            |  FROM mh GROUP BY doc_id, i // 4),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            |sigs AS (
+            |  SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id)
+            |SELECT c.a_doc, c.b_doc,
+            |  CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+            |       x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est_jaccard
+            |FROM cand c
+            |JOIN sigs sa ON c.a_doc = sa.doc_id
+            |JOIN sigs sb ON c.b_doc = sb.doc_id
+            |ORDER BY a_doc, b_doc""".stripMargin)
+  )
+
+  // ---- SimHash -----------------------------------------------------------
+
+  val SimBits = 32
+
+  /** SimHash near-dup: 32-bit signature from signed per-bit votes of the
+    * distinct-token hashes; candidates share one of the two 16-bit
+    * halves (a pigeonhole guarantee for Hamming distance within a half),
+    * then exact Hamming filter <= 6.
+    */
+  val q29 = Query(
+    "q29_dedup_simhash",
+    (s, dir) => {
+      val toks = tokensWithPos(Tables.documents(s, dir))
+        .select(col("doc_id"), col("tok")).distinct()
+        .withColumn("tv", tokHash(col("tok")))
+      val sim = toks
+        .withColumn("i", explode(sequence(lit(0), lit(SimBits - 1))))
+        .withColumn("vote",
+          when(expr("shiftright(tv, cast(i as int)) & 1L") === 1L, lit(1L))
+            .otherwise(lit(-1L)))
+        .groupBy("doc_id", "i")
+        .agg(sum(col("vote")).as("v"))
+        .withColumn("bit", when(col("v") > 0, lit(1L)).otherwise(lit(0L)))
+        .groupBy("doc_id")
+        .agg(sum(col("bit") * expr("shiftleft(cast(1 as bigint), cast(i as int))"))
+          .as("simhash"))
+        .withColumn("h0", col("simhash").bitwiseAND(lit(65535L)))
+        .withColumn("h1", shiftright(col("simhash"), 16))
+      val a = sim.select(col("doc_id").as("a_doc"), col("simhash").as("sa"),
+        col("h0").as("a0"), col("h1").as("a1"))
+      val b = sim.select(col("doc_id").as("b_doc"), col("simhash").as("sb"),
+        col("h0").as("b0"), col("h1").as("b1"))
+      val cand = a.join(b, col("a_doc") < col("b_doc") &&
+          (col("a0") === col("b0") || col("a1") === col("b1")))
+      cand
+        .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+        .filter(col("hamming") <= 6)
+        .select("a_doc", "b_doc", "hamming")
+        .orderBy("a_doc", "b_doc")
+    },
+    Some("""WITH toks AS (
+           |  SELECT DISTINCT doc_id, tok FROM (
+           |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+           |    FROM documents) t
+           |  WHERE tok <> ''),
+           |th AS (
+           |  SELECT doc_id, CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) % 2147483647 AS tv
+           |  FROM toks),
+           |votes AS (
+           |  SELECT doc_id, i,
+           |         CAST(SUM(CASE WHEN ((tv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+           |  FROM th, range(0, 32) r(i)
+           |  GROUP BY doc_id, i),
+           |sim AS (
+           |  SELECT doc_id,
+           |         CAST(SUM((CASE WHEN v > 0 THEN 1 ELSE 0 END) * ((1::BIGINT) << i)) AS BIGINT) AS simhash
+           |  FROM votes GROUP BY doc_id),
+           |sh AS (
+           |  SELECT doc_id, simhash, simhash & 65535 AS h0, simhash >> 16 AS h1 FROM sim)
+           |SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM sh a JOIN sh b
+           |  ON a.doc_id < b.doc_id AND (a.h0 = b.h0 OR a.h1 = b.h1)
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+           |ORDER BY a_doc, b_doc""".stripMargin)
+  )
+
+  // ---- n-gram Jaccard ----------------------------------------------------
+
+  /** Exact 3-gram (token trigram) Jaccard similarity for pairs sharing at
+    * least one shingle. Candidate generation is the shared-shingle
+    * equi-join; at 100 TB this runs after MinHash banding (q28) has cut
+    * the candidate set.
+    */
+  val q30 = Query(
+    "q30_dedup_ngram_jaccard",
+    (s, dir) => {
+      val toks = tokensWithPos(Tables.documents(s, dir))
+      val wlead = Window.partitionBy("doc_id").orderBy("pos")
+      val shingles = toks
+        .withColumn("t2", lead(col("tok"), 1).over(wlead))
+        .withColumn("t3", lead(col("tok"), 2).over(wlead))
+        .filter(col("t3").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("tok"), col("t2"), col("t3")).as("sh"))
+        .distinct()
+      val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = shingles.as("a")
+        .join(shingles.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_doc"), col("n_sh").as("na")), "a_doc")
+        .join(sizes.select(col("doc_id").as("b_doc"), col("n_sh").as("nb")), "b_doc")
+        .withColumn("jaccard",
+          col("n_inter").cast("double") /
+            (col("na") + col("nb") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= 0.2)
+        .select("a_doc", "b_doc", "n_inter", "jaccard")
+        .orderBy("a_doc", "b_doc")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, i AS pos, toks[i] AS tok FROM (
+           |    SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+           |    FROM documents) t, unnest(range(1, len(t.toks)+1)) u(i)
+           |  WHERE toks[i] <> ''),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, concat(tok, ' ', t2, ' ', t3) AS sh FROM (
+           |    SELECT doc_id, tok,
+           |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+           |           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+           |    FROM toks) x
+           |  WHERE t3 IS NOT NULL),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, COUNT(*) AS n_inter
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a_doc, b_doc, n_inter,
+           |       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON a_doc = sa.doc_id
+           |JOIN sizes sb ON b_doc = sb.doc_id
+           |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+           |ORDER BY a_doc, b_doc""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q27, q28, q29, q30)
+}

@@ -1,0 +1,566 @@
+package graft.operators
+
+import graft.{Canon, Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational core: every batch operator the reference implements
+  * (scan, projection, cleaning, the HyperJoin, dedup/upsert, limits,
+  * side-output — SURVEY.md §2.1 O1–O27) plus the declared analytic
+  * generalizations (aggregates, windows, set ops, sorts — SURVEY.md §2.2
+  * Q1–Q17, Q25–Q26).
+  *
+  * Design rules (see SURVEY.md §7.4):
+  *  - every query ends in a total ORDER BY on a unique key so results are
+  *    deterministic and hash-comparable;
+  *  - money flows through DECIMAL(18,4) (exact, order-independent sums)
+  *    and is cast to DOUBLE only at the output boundary;
+  *  - derived integers are emitted as BIGINT on both engines (Spark int
+  *    vs DuckDB BIGINT would fail the schema compare);
+  *  - join strategy is left to Catalyst + AQE; explicit `broadcast()`
+  *    only on tables that stay dimension-sized at 100 TB (nation,
+  *    region, supplier, part).
+  */
+object RelationalOps {
+  import Canon._
+
+  /** Q1 — scan + projection + limit. Reference: SELECT * then client-side
+    * projection of 7 columns (StreamGeneratorThread.java:54-67); here the
+    * projection reaches the parquet scan (ReadSchema pruning).
+    */
+  val q01 = Query(
+    "q01_scan_project",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_returnflag")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture; the
+        // 6-column prefix is — required for a deterministic LIMIT.
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice")
+        .limit(100),
+    Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+           |       l_quantity, l_extendedprice, l_returnflag
+           |FROM lineitem
+           |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |         l_quantity, l_extendedprice
+           |LIMIT 100""".stripMargin)
+  )
+
+  /** Q2 — filter + clean. Reference: currency-strip + parse
+    * (MasterDataStreamGeneratorThread.java:46-49) and regex-validate id
+    * (createDW.sql:67-80).
+    */
+  val q02 = Query(
+    "q02_filter_clean",
+    (s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_size").cast("string").rlike("^[0-9]+$"))
+        .select(
+          col("p_partkey"),
+          col("p_name"),
+          regexp_replace(col("p_retailprice").cast("string"), "[$]", "")
+            .cast("decimal(18,4)").cast("double").as("price_norm"),
+          when(col("p_size").cast("string").rlike("^[0-9]+$"),
+            col("p_size").cast("long")).otherwise(lit(null)).as("size_valid"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_name,
+           |  CAST(CAST(regexp_replace(CAST(p_retailprice AS VARCHAR), '[$]', '') AS DECIMAL(18,4)) AS DOUBLE) AS price_norm,
+           |  CASE WHEN regexp_matches(CAST(p_size AS VARCHAR), '^[0-9]+$')
+           |       THEN CAST(p_size AS BIGINT) ELSE NULL END AS size_valid
+           |FROM part
+           |WHERE regexp_matches(CAST(p_size AS VARCHAR), '^[0-9]+$')
+           |ORDER BY p_partkey""".stripMargin)
+  )
+
+  /** Q3 — the HyperJoin: stream–relation equi inner join + derived sale
+    * (StreamGeneratorThread.java:104-144, price×qty at :118). Master side
+    * (`part`) is dimension-sized → broadcast; the reference ironically
+    * builds its hash on the big side and nested-loops the small one.
+    */
+  val q03 = Query(
+    "q03_hyperjoin",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"), "inner")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("p_name"),
+          (dec12(col("l_extendedprice")) * dec12(col("l_quantity")))
+            .cast("double").as("sales"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "sales"),
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, p_name,
+           |  CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4)) AS DOUBLE) AS sales
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, sales""".stripMargin)
+  )
+
+  /** Q4 — multi-way star join mirroring the 5-FK fact table
+    * (createDW.sql:83-98). Fact side stays shuffle-partitioned; the
+    * dimension sides that remain small at 100 TB are broadcast.
+    */
+  val q04 = Query(
+    "q04_star_join",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"),
+          col("c_name"), col("s_name"), col("p_name"),
+          (dec12(col("l_extendedprice")) * dec12(col("l_quantity")))
+            .cast("double").as("sales"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "sales"),
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+           |       c_name, s_name, p_name,
+           |  CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4)) AS DOUBLE) AS sales
+           |FROM lineitem
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN part     ON l_partkey = p_partkey
+           |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, sales""".stripMargin)
+  )
+
+  /** Q5 — last-write-wins keyed dedup/upsert, the intent of the
+    * reference's ON DUPLICATE KEY UPDATE loads (createDW.sql:23-26,46-49)
+    * and the five keyed dim writers (O17–O21; N1 bug corrected).
+    */
+  val q05 = Query(
+    "q05_dedup_upsert",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderkey")
+        .orderBy(col("o_orderdate").desc, col("o_totalprice").desc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_date"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+           |FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+           |            ORDER BY o_orderdate DESC, o_totalprice DESC) AS rn
+           |  FROM orders) t
+           |WHERE rn = 1
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
+  /** Q6 — output limit: first 50 joined outputs by key order
+    * (`while (outputCount < 50)`, StreamGeneratorThread.java:107).
+    */
+  val q06 = Query(
+    "q06_limit50",
+    (s, dir) => q03.build(s, dir).limit(50),
+    q03.oracle.map(_.replace("LIMIT 100", "").stripSuffix("\n") + " LIMIT 50")
+  )
+
+  /** Q7 — left outer join: unmatched masters survive with null fill
+    * (converse of the reference's inner semantics, O10 boundary).
+    * NULLS FIRST is stated explicitly: Spark default for ASC is
+    * nulls-first, DuckDB default is nulls-last.
+    */
+  val q07 = Query(
+    "q07_left_join",
+    (s, dir) =>
+      Tables.part(s, dir)
+        .join(Tables.lineitem(s, dir), col("p_partkey") === col("l_partkey"), "left")
+        .select(col("p_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .orderBy(col("p_partkey").asc,
+          col("l_orderkey").asc_nulls_first,
+          col("l_linenumber").asc_nulls_first,
+          col("l_quantity").asc_nulls_first),
+    Some("""SELECT p_partkey, l_orderkey, l_linenumber, l_quantity
+           |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+           |ORDER BY p_partkey ASC, l_orderkey ASC NULLS FIRST,
+           |         l_linenumber ASC NULLS FIRST, l_quantity ASC NULLS FIRST""".stripMargin)
+  )
+
+  /** Q8 — left semi join: "a matching record exists"
+    * (StreamGeneratorThread.java:116). */
+  val q08 = Query(
+    "q08_semi_join",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |ORDER BY c_custkey""".stripMargin)
+  )
+
+  /** Q9 — left anti join: FK-integrity audit (createDW.sql:93-97);
+    * customers that never ordered. */
+  val q09 = Query(
+    "q09_anti_join",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |ORDER BY c_custkey""".stripMargin)
+  )
+
+  /** Q10 — side-output accumulator: the sorted distinct matched product
+    * ids the reference collects into a static list
+    * (productIDsToUpdate, StreamGeneratorThread.java:132,396), emitted
+    * as rows (portable across engines, unlike array payloads).
+    */
+  val q10 = Query(
+    "q10_matched_keys",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey").as("matched_partkey"))
+        .distinct()
+        .orderBy("matched_partkey"),
+    Some("""SELECT DISTINCT l_partkey AS matched_partkey
+           |FROM lineitem WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+           |ORDER BY matched_partkey""".stripMargin)
+  )
+
+  /** Q11 — hash aggregate, TPC-H Q1 shape (the "customer shopping
+    * behavior analysis" mandate, README.md:6). Partial aggregation
+    * (map-side combine) is automatic for hash aggregates.
+    */
+  val q11 = Query(
+    "q11_groupby_agg",
+    (s, dir) => {
+      val one = lit(1).cast("decimal(8,4)")
+      val li = Tables.lineitem(s, dir)
+      val disc = one - col("l_discount").cast("decimal(8,4)")
+      val tax = one + col("l_tax").cast("decimal(8,4)")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          outD(sum(dec12(col("l_extendedprice")) * disc)).as("sum_disc_price"),
+          outD(sum(dec12(col("l_extendedprice")) * disc * tax)).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+           |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+           |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+           |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_charge,
+           |  CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+           |  COUNT(*) AS count_order
+           |FROM lineitem
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  )
+
+  /** Q12 — exact distinct aggregate. The HLL `approx_count_distinct`
+    * variant lives in q12b (rows-only check: approximation is
+    * engine-specific by design).
+    */
+  val q12 = Query(
+    "q12_distinct_agg",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  )
+
+  /** Q12b — approximate distinct (HyperLogLog++). Excluded from the hash
+    * oracle (SURVEY.md §7.4): sketches are engine-specific. */
+  val q12b = Query(
+    "q12b_approx_distinct",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+        .orderBy("o_orderpriority"),
+    None
+  )
+
+  private def ordersWithNation(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+
+  /** Q13a — ROLLUP. Null group keys are coalesced to a sentinel and the
+    * grouping level is materialized explicitly — null-ordering and
+    * grouping-id bit conventions differ across engines.
+    */
+  val q13a = Query(
+    "q13a_rollup",
+    (s, dir) => {
+      // DataFrame rollup + grouping() trips the ambiguous-self-join
+      // analyzer check on join outputs; the SQL surface resolves it
+      // cleanly (and exercises the engine's SQL entry point).
+      ordersWithNation(s, dir)
+        .select("n_name", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("rollup_base")
+      s.sql(
+        """SELECT COALESCE(n_name, 'ALL') AS grp_nation,
+          |       COALESCE(o_orderpriority, 'ALL') AS grp_prio,
+          |       CAST(grouping(n_name)*2 + grouping(o_orderpriority) AS BIGINT) AS lvl,
+          |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+          |       COUNT(*) AS n
+          |FROM rollup_base
+          |GROUP BY ROLLUP(n_name, o_orderpriority)
+          |ORDER BY lvl, grp_nation, grp_prio""".stripMargin)
+    },
+    Some("""SELECT COALESCE(n_name, 'ALL') AS grp_nation,
+           |       COALESCE(o_orderpriority, 'ALL') AS grp_prio,
+           |       CAST(GROUPING(n_name)*2 + GROUPING(o_orderpriority) AS BIGINT) AS lvl,
+           |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           |       COUNT(*) AS n
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation   ON c_nationkey = n_nationkey
+           |GROUP BY ROLLUP(n_name, o_orderpriority)
+           |ORDER BY lvl, grp_nation, grp_prio""".stripMargin)
+  )
+
+  /** Q13b — CUBE over lineitem flags. */
+  val q13b = Query(
+    "q13b_cube",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          (grouping(col("l_returnflag")).cast("long") * 2 +
+            grouping(col("l_linestatus")).cast("long")).as("lvl"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("grp_flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("grp_status"),
+          col("lvl"), col("sum_qty"), col("n"))
+        .orderBy("lvl", "grp_flag", "grp_status"),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS grp_flag,
+           |       COALESCE(l_linestatus, 'ALL') AS grp_status,
+           |       CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS lvl,
+           |       CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+           |       COUNT(*) AS n
+           |FROM lineitem
+           |GROUP BY CUBE(l_returnflag, l_linestatus)
+           |ORDER BY lvl, grp_flag, grp_status""".stripMargin)
+  )
+
+  /** Q14 — ranking window functions: top-3 customers by spend per nation.
+    * row_number gets a unique tiebreak (c_custkey) for determinism;
+    * rank/dense_rank are deterministic given the same ordering input.
+    * All rank outputs emitted as BIGINT on both engines.
+    */
+  val q14 = Query(
+    "q14_window_rank",
+    (s, dir) => {
+      val spend = ordersWithNation(s, dir)
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(dsum(col("o_totalprice")).as("spend"))
+      val w = Window.partitionBy("n_name")
+        .orderBy(col("spend").desc, col("c_custkey").asc)
+      spend
+        .withColumn("rk", rank().over(w).cast("long"))
+        .withColumn("drk", dense_rank().over(w).cast("long"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("n_name", "rn")
+    },
+    Some("""SELECT n_name, c_custkey, c_name, spend,
+           |       CAST(rank()       OVER w AS BIGINT) AS rk,
+           |       CAST(dense_rank() OVER w AS BIGINT) AS drk,
+           |       CAST(row_number() OVER w AS BIGINT) AS rn
+           |FROM (
+           |  SELECT n_name, c_custkey, c_name,
+           |         CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS spend
+           |  FROM orders
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation   ON c_nationkey = n_nationkey
+           |  GROUP BY n_name, c_custkey, c_name) t
+           |WINDOW w AS (PARTITION BY n_name ORDER BY spend DESC, c_custkey ASC)
+           |QUALIFY row_number() OVER w <= 3
+           |ORDER BY n_name, rn""".stripMargin)
+  )
+
+  /** Q15 — analytic window functions with an explicit ROWS frame:
+    * running revenue per customer. Frame order carries a unique
+    * tiebreak (o_orderkey) so lag/lead/running sums are deterministic.
+    */
+  val q15 = Query(
+    "q15_window_frames",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .withColumn("running",
+          outD(sum(dec(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+        .select("o_custkey", "o_orderkey", "o_totalprice",
+          "prev_price", "next_price", "running")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+           |  lag(o_totalprice)  OVER w AS prev_price,
+           |  lead(o_totalprice) OVER w AS next_price,
+           |  CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+           |       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DECIMAL(18,4)) AS DOUBLE) AS running
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  )
+
+  /** Q16 — global top-k: plans as TakeOrderedAndProject (no full sort at
+    * scale — each partition keeps k rows, driver merges). */
+  val q16 = Query(
+    "q16_topk",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)
+  )
+
+  /** Q17 — set operations over two customer-key predicates: rich
+    * accounts vs customers that actually ordered. One tagged output
+    * exercises UNION ALL / UNION / INTERSECT / EXCEPT at once.
+    */
+  val q17 = Query(
+    "q17_setops",
+    (s, dir) => {
+      val rich = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 5000).select("c_custkey")
+      val active = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+      rich.unionAll(active).select(lit("union_all").as("op"), col("c_custkey"))
+        .unionByName(rich.union(active).distinct()
+          .select(lit("union_distinct").as("op"), col("c_custkey")))
+        .unionByName(rich.intersect(active)
+          .select(lit("intersect").as("op"), col("c_custkey")))
+        .unionByName(rich.except(active)
+          .select(lit("except").as("op"), col("c_custkey")))
+        .orderBy("op", "c_custkey")
+    },
+    Some("""WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+           |active AS (SELECT c_custkey FROM customer
+           |           WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+           |SELECT 'union_all' AS op, c_custkey FROM (SELECT c_custkey FROM rich UNION ALL SELECT c_custkey FROM active) t
+           |UNION ALL SELECT 'union_distinct', c_custkey FROM (SELECT c_custkey FROM rich UNION SELECT c_custkey FROM active) t
+           |UNION ALL SELECT 'intersect', c_custkey FROM (SELECT c_custkey FROM rich INTERSECT SELECT c_custkey FROM active) t
+           |UNION ALL SELECT 'except', c_custkey FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM active) t
+           |ORDER BY op, c_custkey""".stripMargin)
+  )
+
+  /** Q25 — scalar-function battery: string / date / math / array
+    * built-ins in one projection (all codegen'd `functions._`, no UDFs).
+    * Derived ints as BIGINT; doubles restricted to exact passthrough or
+    * single IEEE ops so both engines agree bitwise.
+    */
+  val q25 = Query(
+    "q25_scalar_battery",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+          upper(substring(col("p_name"), 1, 5)).as("s_upper"),
+          concat_ws("_", trim(col("p_brand")), col("p_type")).as("s_concat"),
+          length(col("p_name")).cast("long").as("s_len"),
+          lpad(col("l_returnflag"), 3, "x").as("s_pad"),
+          year(col("l_shipdate")).cast("long").as("d_year"),
+          month(col("l_shipdate")).cast("long").as("d_month"),
+          dayofmonth(col("l_shipdate")).cast("long").as("d_day"),
+          date_trunc("month", col("l_shipdate")).cast("date").as("d_trunc"),
+          datediff(col("l_shipdate").cast("date"), lit("1994-01-01").cast("date"))
+            .cast("long").as("d_diff"),
+          abs(col("l_discount") - lit(0.05)).as("m_abs"),
+          floor(col("l_extendedprice")).cast("long").as("m_floor"),
+          ceil(col("l_extendedprice")).cast("long").as("m_ceil"),
+          pmod(col("l_orderkey"), lit(7)).cast("long").as("m_pmod"),
+          size(array(col("l_quantity"), col("l_tax"), col("l_discount")))
+            .cast("long").as("a_size"),
+          sort_array(array(col("l_quantity"), col("l_tax"), col("l_discount")))
+            .getItem(0).as("a_min"),
+          array_contains(array(col("l_returnflag"), col("l_linestatus")), "A")
+            .as("a_has_a"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice")
+        .limit(200),
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice,
+           |  upper(substr(p_name, 1, 5)) AS s_upper,
+           |  concat(trim(p_brand), '_', p_type) AS s_concat,
+           |  CAST(length(p_name) AS BIGINT) AS s_len,
+           |  lpad(l_returnflag, 3, 'x') AS s_pad,
+           |  CAST(EXTRACT(year  FROM l_shipdate) AS BIGINT) AS d_year,
+           |  CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS d_month,
+           |  CAST(EXTRACT(day   FROM l_shipdate) AS BIGINT) AS d_day,
+           |  CAST(date_trunc('month', l_shipdate) AS DATE) AS d_trunc,
+           |  CAST(datediff('day', DATE '1994-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS d_diff,
+           |  abs(l_discount - 0.05) AS m_abs,
+           |  CAST(floor(l_extendedprice) AS BIGINT) AS m_floor,
+           |  CAST(ceil(l_extendedprice) AS BIGINT) AS m_ceil,
+           |  CAST(l_orderkey % 7 AS BIGINT) AS m_pmod,
+           |  CAST(len([l_quantity, l_tax, l_discount]) AS BIGINT) AS a_size,
+           |  list_sort([l_quantity, l_tax, l_discount])[1] AS a_min,
+           |  list_contains([l_returnflag, l_linestatus], 'A') AS a_has_a
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |         l_quantity, l_extendedprice
+           |LIMIT 200""".stripMargin)
+  )
+
+  /** Q26 — GROUPING SETS via the SQL surface (SparkSession.sql over temp
+    * views), proving the engine's SQL entry point alongside the
+    * DataFrame API.
+    */
+  val q26 = Query(
+    "q26_grouping_sets",
+    (s, dir) => {
+      ordersWithNation(s, dir)
+        .select("n_name", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("gs_base")
+      s.sql(
+        """SELECT COALESCE(n_name, 'ALL') AS grp_nation,
+          |       COALESCE(o_orderpriority, 'ALL') AS grp_prio,
+          |       CAST(grouping(n_name)*2 + grouping(o_orderpriority) AS BIGINT) AS lvl,
+          |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+          |       COUNT(*) AS n
+          |FROM gs_base
+          |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+          |ORDER BY lvl, grp_nation, grp_prio""".stripMargin)
+    },
+    Some("""SELECT COALESCE(n_name, 'ALL') AS grp_nation,
+           |       COALESCE(o_orderpriority, 'ALL') AS grp_prio,
+           |       CAST(GROUPING(n_name)*2 + GROUPING(o_orderpriority) AS BIGINT) AS lvl,
+           |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           |       COUNT(*) AS n
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation   ON c_nationkey = n_nationkey
+           |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+           |ORDER BY lvl, grp_nation, grp_prio""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q12b, q13a, q13b, q14, q15, q16, q17, q25, q26)
+}

@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.{Canon, Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators: range join, as-of join, tumbling/sliding/session
+  * windows (SURVEY.md §2.2 Q18–Q21) — the batch restatement of the
+  * reference's stream semantics (bounded buffers + rate-limited emit,
+  * StreamGeneratorThread.java:76-84).
+  *
+  * All event-time logic runs on second-truncated timestamps (`tss`):
+  * the parquet fixture stores ns, Spark reads µs, DuckDB keeps ns —
+  * truncation makes both engines see identical instants (SURVEY.md §7.4).
+  */
+object TemporalOps {
+  import Canon._
+
+  /** `ts` arrives as epoch-nanos LongType (see [[Tables.events]]);
+    * derive epoch-seconds (`es`) and a naive-UTC second-truncated
+    * timestamp (`tss`, TIMESTAMP_NTZ to match how both engines see the
+    * other naive columns). */
+  private def eventsTss(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("es", expr("ts div 1000000000"))
+      .withColumn("tss", timestamp_seconds(col("es")).cast("timestamp_ntz"))
+
+  /** Q18 — range self-join: event pairs of the same user within 5
+    * minutes.
+    *
+    * Scale design: a naive `t2.ts BETWEEN t1.ts AND t1.ts + 5m` range
+    * predicate on top of the user-key equi-join degrades to a per-user
+    * cross product. Instead we bucket time into 300 s cells and join on
+    * (user_id, bucket): the probe side expands to its 2 candidate cells,
+    * so the join stays a pure equi hash/SMJ join and each qualifying
+    * pair is found exactly once (the build row lives in exactly one
+    * cell). This is the plan that survives 100 TB; the oracle states the
+    * same semantics as a plain range join.
+    */
+  val q18 = Query(
+    "q18_range_join",
+    (s, dir) => {
+      val e1 = eventsTss(s, dir)
+        .select(col("event_id").as("a_id"), col("user_id"), col("es").as("a_es"))
+      val e2 = eventsTss(s, dir)
+        .select(col("event_id").as("b_id"), col("user_id"), col("es").as("b_es"),
+          floor(col("es") / 300).as("bucket"))
+      val probe = e1
+        .withColumn("k", explode(array(lit(0L), lit(1L))))
+        .withColumn("bucket", floor(col("a_es") / 300) + col("k"))
+      probe.join(e2, Seq("user_id", "bucket"))
+        .filter(col("b_es") >= col("a_es") &&
+          col("b_es") <= col("a_es") + 300 &&
+          col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), col("user_id"),
+          (col("b_es") - col("a_es")).as("gap_s"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""SELECT e1.event_id AS a_id, e2.event_id AS b_id, e1.user_id,
+           |  CAST(epoch(date_trunc('second', e2.ts)) AS BIGINT)
+           |    - CAST(epoch(date_trunc('second', e1.ts)) AS BIGINT) AS gap_s
+           |FROM events e1 JOIN events e2
+           |  ON e1.user_id = e2.user_id
+           | AND date_trunc('second', e2.ts) >= date_trunc('second', e1.ts)
+           | AND date_trunc('second', e2.ts) <= date_trunc('second', e1.ts) + INTERVAL 5 MINUTE
+           | AND e1.event_id <> e2.event_id
+           |ORDER BY a_id, b_id""".stripMargin)
+  )
+
+  /** Q19 — as-of join: each event paired with the latest order of the
+    * same key at-or-before the event time. Implemented as equi-join +
+    * per-event row_number (the portable pattern); at cluster scale the
+    * same plan is a shuffle on the key followed by a bounded per-key
+    * sort, and AQE handles key skew.
+    */
+  val q19 = Query(
+    "q19_asof_join",
+    (s, dir) => {
+      val ev = eventsTss(s, dir).select("event_id", "user_id", "tss")
+      val od = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      ev.join(od, col("user_id") === col("o_custkey") &&
+          col("o_orderdate") <= col("tss"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("asof_date"), col("o_totalprice"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, o_orderkey,
+           |       CAST(o_orderdate AS DATE) AS asof_date, o_totalprice
+           |FROM (
+           |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           |         row_number() OVER (PARTITION BY e.event_id
+           |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           |  FROM events e JOIN orders o
+           |    ON e.user_id = o.o_custkey
+           |   AND o.o_orderdate <= date_trunc('second', e.ts)) t
+           |WHERE rn = 1
+           |ORDER BY event_id""".stripMargin)
+  )
+
+  /** Q20a — tumbling 1 h window aggregate per event type. */
+  val q20a = Query(
+    "q20a_tumbling_window",
+    (s, dir) =>
+      eventsTss(s, dir)
+        .groupBy(window(col("tss"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("ws", "event_type"),
+    Some("""SELECT CAST(to_timestamp(CAST(floor(epoch(date_trunc('second', ts)) / 3600) * 3600 AS BIGINT)) AS TIMESTAMP) AS ws,
+           |       event_type, COUNT(*) AS n,
+           |       CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+           |FROM events
+           |GROUP BY 1, 2
+           |ORDER BY ws, event_type""".stripMargin)
+  )
+
+  /** Q20b — sliding window (1 h length, 30 min slide): each event lands
+    * in exactly 2 windows. The oracle materializes the two window
+    * assignments explicitly.
+    */
+  val q20b = Query(
+    "q20b_sliding_window",
+    (s, dir) =>
+      eventsTss(s, dir)
+        .groupBy(window(col("tss"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("ws", "event_type"),
+    Some("""SELECT CAST(to_timestamp(CAST(floor(epoch(date_trunc('second', ts)) / 1800) * 1800 - k * 1800 AS BIGINT)) AS TIMESTAMP) AS ws,
+           |       event_type, COUNT(*) AS n,
+           |       CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+           |FROM events, (SELECT unnest([0, 1]) AS k) offs
+           |GROUP BY 1, 2
+           |ORDER BY ws, event_type""".stripMargin)
+  )
+
+  /** Q21 — session windows per user (30 min inactivity gap). Spark's
+    * `session_window` starts a new session when the gap is >= the
+    * duration (a session spans [start, last+gap)); the oracle replicates
+    * that with the classic gaps-and-islands construction.
+    */
+  val q21 = Query(
+    "q21_session_window",
+    (s, dir) =>
+      eventsTss(s, dir)
+        .groupBy(session_window(col("tss"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+    Some("""WITH e AS (
+           |  SELECT user_id, date_trunc('second', ts) AS tss, value,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           |  FROM events),
+           |marked AS (
+           |  SELECT *, CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, value) >= 1800
+           |                 OR lag(es) OVER (PARTITION BY user_id ORDER BY es, value) IS NULL
+           |            THEN 1 ELSE 0 END AS new_session
+           |  FROM e),
+           |sessions AS (
+           |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, value
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |  FROM marked)
+           |SELECT user_id, MIN(tss) AS session_start,
+           |       MAX(tss) + INTERVAL 30 MINUTE AS session_end,
+           |       COUNT(*) AS n_events,
+           |       CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+           |FROM sessions
+           |GROUP BY user_id, sid
+           |ORDER BY user_id, session_start""".stripMargin)
+  )
+
+  /** Q22 — JSON property extraction from the semi-structured
+    * `events.props` column (multimodal-column mandate). */
+  val q22 = Query(
+    "q22_json_extract",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"),
+          count(col("k")).as("n_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+           |       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           |       COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_k,
+           |       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q18, q19, q20a, q20b, q21, q22)
+}

@@ -1,0 +1,81 @@
+package graft.sources
+
+import graft.{Canon, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch star-schema build — the Spark restatement of `createDW.sql`
+  * (reference: 5 dims + 1 fact, createDW.sql:2-98) with the keyed-upsert
+  * intent of its ON DUPLICATE KEY UPDATE loads (O22/O23) and the N1
+  * order-dim bug corrected.
+  *
+  * Scale design:
+  *  - dims are written dedup-by-key (last-write-wins via row_number) —
+  *    one shuffle each, all map-side prunable afterwards;
+  *  - the fact table is built by joining the fact grain against deduped
+  *    dims (FK integrity by construction) and is written partitioned by
+  *    order-date month, the natural pruning axis for time-range queries
+  *    at 100 TB;
+  *  - the FK audit ([[fkAudit]]) is the anti-join emptiness check of
+  *    createDW.sql:93-97 (SURVEY.md Q9).
+  */
+object Warehouse {
+  import Canon._
+
+  /** Last-write-wins dedup by key (the upsert intent of
+    * createDW.sql:23-26,46-49). */
+  def dedupByKey(df: DataFrame, key: String, ordering: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ordering).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Build and write all dims + fact under `outDir`. Returns the fact. */
+  def build(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val part = dedupByKey(Tables.part(spark, sfDir), "p_partkey", "p_retailprice")
+    val supplier = dedupByKey(Tables.supplier(spark, sfDir), "s_suppkey", "s_acctbal")
+    val customer = dedupByKey(Tables.customer(spark, sfDir), "c_custkey", "c_acctbal")
+    val orders = dedupByKey(Tables.orders(spark, sfDir), "o_orderkey", "o_orderdate")
+    val nation = Tables.nation(spark, sfDir)
+
+    part.write.mode(SaveMode.Overwrite).parquet(s"$outDir/dim_part")
+    supplier.write.mode(SaveMode.Overwrite).parquet(s"$outDir/dim_supplier")
+    customer.write.mode(SaveMode.Overwrite).parquet(s"$outDir/dim_customer")
+    orders.write.mode(SaveMode.Overwrite).parquet(s"$outDir/dim_order")
+    nation.write.mode(SaveMode.Overwrite).parquet(s"$outDir/dim_nation")
+
+    val fact = Tables.lineitem(spark, sfDir)
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part.select("p_partkey")), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(supplier.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        col("l_quantity"),
+        (dec12(col("l_extendedprice")) * dec12(col("l_quantity")))
+          .cast("decimal(18,4)").as("sales"))
+
+    fact.write.mode(SaveMode.Overwrite)
+      .partitionBy("order_month")
+      .parquet(s"$outDir/fact_sales")
+    spark.read.parquet(s"$outDir/fact_sales")
+  }
+
+  /** FK-integrity audit: fact rows whose FK has no dim row — must be
+    * empty (createDW.sql:93-97). */
+  def fkAudit(spark: SparkSession, outDir: String): Map[String, Long] = {
+    val fact = spark.read.parquet(s"$outDir/fact_sales")
+    def missing(dim: String, dimKey: String, factKey: String): Long =
+      fact.join(spark.read.parquet(s"$outDir/$dim"),
+        col(factKey) === col(dimKey), "left_anti").count()
+    Map(
+      "part" -> missing("dim_part", "p_partkey", "l_partkey"),
+      "supplier" -> missing("dim_supplier", "s_suppkey", "l_suppkey"),
+      "order" -> missing("dim_order", "o_orderkey", "l_orderkey"),
+      "customer" -> missing("dim_customer", "c_custkey", "o_custkey"))
+  }
+}

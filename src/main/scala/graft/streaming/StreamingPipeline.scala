@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming restatement of the reference's real-time ETL
+  * (SURVEY.md §2.1 O1–O21, §3 E1/E2):
+  *
+  *  - the two rate-limited JDBC re-scan producers
+  *    (StreamGeneratorThread.java:53-84,
+  *    MasterDataStreamGeneratorThread.java:37-62) become file-source
+  *    micro-batches with a per-trigger cap (`maxFilesPerTrigger` ≙
+  *    `STREAM_BUFFER_CAPACITY=100`);
+  *  - the bounded buffers + lossy disk buffer (O7/O9) become real
+  *    back-pressure + watermark-based late-data handling — nothing is
+  *    silently dropped (SURVEY.md N2);
+  *  - the multi-hash-table join + consume-once eviction (O8/O10/O13,
+  *    StreamGeneratorThread.java:72-126) becomes either a plain
+  *    stream–static equi-join (enrichment path) or, for exact
+  *    consume-once parity, [[consumeOncePerKey]] via
+  *    `flatMapGroupsWithState`;
+  *  - the five per-tuple JDBC dim upserts (O17–O21) become one
+  *    `foreachBatch` keyed-upsert writer per micro-batch
+  *    ([[upsertByKey]]), the N1 order-dim bug corrected to keyed
+  *    semantics.
+  */
+object StreamingPipeline {
+
+  /** Event row as read from the streaming source (ts = epoch nanos,
+    * see [[graft.Tables.events]]). */
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Streaming scan of the events fixture: file source + schema pinned
+    * from the batch read, per-trigger cap like the reference's
+    * 100-tuple scan batches. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/events.parquet")
+      .withColumn("tss",
+        timestamp_seconds(expr("ts div 1000000000")).cast("timestamp_ntz"))
+  }
+
+  /** Watermarked tumbling-window count — the streaming analog of Q20a
+    * with late rows beyond 10 minutes dropped (the principled version of
+    * the reference's lossy disk buffer, O9/N2). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tss", "10 minutes")
+      .groupBy(window(col("tss"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Keyed last-write-wins upsert of a micro-batch into a parquet "dim"
+    * — the corrected intent of the reference's five dim writers
+    * (O17–O21, N1). Idempotent per batch: re-running a batch yields the
+    * same table. At cluster scale this is the classic
+    * dedupe-then-overwrite merge (parquet has no MERGE; a table format
+    * would make it transactional). */
+  def upsertByKey(batch: DataFrame, key: String, ordering: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val existing =
+      try spark.read.parquet(path)
+      catch { case _: Exception => spark.emptyDataFrame }
+    val unioned =
+      if (existing.isEmpty) batch
+      else existing.select(batch.columns.map(col).toIndexedSeq: _*).unionByName(batch)
+    val w = Window.partitionBy(key).orderBy(col(ordering).desc)
+    val merged = unioned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .cache()
+    merged.count() // materialize before overwriting the source of the read
+    merged.write.mode("overwrite").parquet(path)
+    merged.unpersist()
+  }
+
+  /** The full micro-batch ETL: stream → watermark → foreachBatch keyed
+    * upsert into a user-dim parquet (latest event wins per user). */
+  def dimUpsertQuery(spark: SparkSession, dir: String, outPath: String): StreamingQuery =
+    readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertByKey(batch, key = "user_id", ordering = "ts", path = s"$outPath/dim_user")
+      }
+      .start()
+
+  /** Consume-once keyed state (O13 parity): the reference evicts ALL
+    * pending tuples under a join key after the first match
+    * (`multiHashTable.remove(joinAttribute)`,
+    * StreamGeneratorThread.java:126). Streaming restatement: emit the
+    * first event per key, swallow the rest until the state times out
+    * (the watermark analog of the reference's bounded, lossy buffers).
+    */
+  def consumeOncePerKey(events: Dataset[Event],
+      timeout: String = "30 minutes"): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // consumed: swallow
+          else {
+            val first = rows.toSeq.sortBy(e => (e.ts, e.event_id)).headOption
+            first.foreach { e =>
+              state.update(e.event_id)
+              state.setTimeoutDuration(timeout)
+            }
+            first.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.RelationalOps
+import org.apache.spark.sql.functions._
+
+/** Operator-level semantics checks for the relational core. The full
+  * value-level correctness gate is the DuckDB oracle (tools/check.py /
+  * driver t2); these specs pin the algebraic invariants. */
+class RelationalSpec extends SparkTestBase {
+
+  test("q01 scan: 100 rows, pruned projection") {
+    val df = RelationalOps.q01.build(spark, sf)
+    assert(df.count() === 100)
+    assert(df.columns.length === 7)
+  }
+
+  test("q03 hyperjoin: inner join row count equals matched lineitems") {
+    val joined = RelationalOps.q03.build(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val matched = li.join(Tables.part(spark, sf),
+      col("l_partkey") === col("p_partkey"), "left_semi").count()
+    assert(joined.count() === matched)
+  }
+
+  test("q03 hyperjoin: sales = price * qty (exact decimal)") {
+    val row = RelationalOps.q03.build(spark, sf).limit(1)
+      .join(Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_quantity", "l_partkey", "l_suppkey"),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"))
+      .select(col("sales"),
+        (col("l_extendedprice").cast("decimal(12,4)") *
+          col("l_quantity").cast("decimal(12,4)")).cast("double").as("expect"))
+      .head()
+    assert(row.getDouble(0) === row.getDouble(1))
+  }
+
+  test("join algebra: semi ∪ anti partitions the probe keys") {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(semi + anti === c.count())
+  }
+
+  test("left join: inner rows ⊆ left rows; unmatched get nulls") {
+    val p = Tables.part(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val left = p.join(li, col("p_partkey") === col("l_partkey"), "left")
+    val inner = p.join(li, col("p_partkey") === col("l_partkey"), "inner")
+    assert(left.count() >= inner.count())
+    assert(left.count() ===
+      inner.count() + p.join(li, col("p_partkey") === col("l_partkey"), "left_anti").count())
+  }
+
+  test("q05 dedup: output keys unique, subset of input") {
+    val out = RelationalOps.q05.build(spark, sf)
+    assert(out.count() === out.select("o_orderkey").distinct().count())
+    assert(out.count() <= Tables.orders(spark, sf).count())
+  }
+
+  test("q11 agg: group sums add up to global sum") {
+    val df = RelationalOps.q11.build(spark, sf)
+    val total = df.agg(sum("count_order")).head().getLong(0)
+    assert(total === Tables.lineitem(spark, sf).count())
+  }
+
+  test("q14 window rank: at most 3 rows per nation, rn = 1..3") {
+    val df = RelationalOps.q14.build(spark, sf)
+    val maxPer = df.groupBy("n_name").count().agg(max("count")).head().getLong(0)
+    assert(maxPer <= 3)
+    assert(df.agg(max("rn")).head().getLong(0) <= 3)
+  }
+
+  test("q17 setops: union_all = rich + active; except ∩ intersect = ∅") {
+    val df = RelationalOps.q17.build(spark, sf).cache()
+    val byOp = df.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp("union_all") ===
+      byOp.getOrElse("except", 0L) + byOp("intersect") +
+        (byOp("union_all") - byOp.getOrElse("except", 0L) - byOp("intersect")))
+    val ex = df.filter(col("op") === "except").select("c_custkey")
+    val in = df.filter(col("op") === "intersect").select("c_custkey")
+    assert(ex.intersect(in).count() === 0)
+  }
+
+  test("q16 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = RelationalOps.q16.build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q03 broadcast hint survives planning") {
+    val plan = RelationalOps.q03.build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q01 projection prunes parquet read schema") {
+    val scan = RelationalOps.q01.build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!scan.contains("l_comment")) // no extra columns
+    assert(scan.contains("ReadSchema"))
+  }
+}

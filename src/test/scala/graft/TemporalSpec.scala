@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.TemporalOps
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkTestBase {
+
+  test("q18 range join: all gaps within [0, 300] s, no self pairs") {
+    val df = TemporalOps.q18.build(spark, sf).cache()
+    assert(df.filter(col("gap_s") < 0 || col("gap_s") > 300).count() === 0)
+    assert(df.filter(col("a_id") === col("b_id")).count() === 0)
+  }
+
+  test("q18 bucketed range join matches naive range join") {
+    val bucketed = TemporalOps.q18.build(spark, sf)
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000000000").as("es"))
+    val naive = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.es") >= col("a.es") && col("b.es") <= col("a.es") + 300 &&
+          col("a.event_id") =!= col("b.event_id"))
+      .select(col("a.event_id").as("a_id"), col("b.event_id").as("b_id"))
+    assert(bucketed.select("a_id", "b_id").except(naive).count() === 0)
+    assert(naive.except(bucketed.select("a_id", "b_id")).count() === 0)
+  }
+
+  test("q19 as-of join: one row per matched event, order date <= event time") {
+    val df = TemporalOps.q19.build(spark, sf).cache()
+    assert(df.count() === df.select("event_id").distinct().count())
+  }
+
+  test("q20 windows: sliding total = 2x tumbling total (1h / 30min slide)") {
+    val tumbling = TemporalOps.q20a.build(spark, sf)
+      .agg(sum("n")).head().getLong(0)
+    val sliding = TemporalOps.q20b.build(spark, sf)
+      .agg(sum("n")).head().getLong(0)
+    assert(sliding === 2 * tumbling)
+  }
+
+  test("q21 sessions: per-user event counts are preserved") {
+    val sessions = TemporalOps.q21.build(spark, sf)
+      .groupBy("user_id").agg(sum("n_events").as("n"))
+    val raw = Tables.events(spark, sf).groupBy("user_id").count()
+    val joined = sessions.join(raw, "user_id")
+      .filter(col("n") =!= col("count"))
+    assert(joined.count() === 0)
+  }
+
+  test("q22 json extraction: every event has a k value") {
+    val df = TemporalOps.q22.build(spark, sf)
+    val totalK = df.agg(sum("n_k")).head().getLong(0)
+    assert(totalK === Tables.events(spark, sf).count())
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.{MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkTestBase {
+
+  test("q23 top words: at most 20 per lang, counts descending") {
+    val df = TextOps.q23.build(spark, sf).cache()
+    assert(df.groupBy("lang").count().agg(max("count")).head().getLong(0) <= 20)
+    val bad = df.withColumn("prev",
+        lag("cnt", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("rn")))
+      .filter(col("prev").isNotNull && col("cnt") > col("prev"))
+    assert(bad.count() === 0)
+  }
+
+  test("q27 exact dedup: group count sums to doc count") {
+    val df = DedupOps.q27.build(spark, sf)
+    assert(df.agg(sum("n_copies")).head().getLong(0) ===
+      Tables.documents(spark, sf).count())
+  }
+
+  test("q28 minhash: estimated jaccard in [0,1], pairs ordered") {
+    val df = DedupOps.q28.build(spark, sf).cache()
+    assert(df.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1).count() === 0)
+    assert(df.filter(col("a_doc") >= col("b_doc")).count() === 0)
+  }
+
+  test("q29 simhash: hamming <= 6 and pairs ordered") {
+    val df = DedupOps.q29.build(spark, sf).cache()
+    assert(df.filter(col("hamming") > 6).count() === 0)
+    assert(df.filter(col("a_doc") >= col("b_doc")).count() === 0)
+  }
+
+  test("q30 ngram jaccard: values in [0.2, 1]") {
+    val df = DedupOps.q30.build(spark, sf)
+    assert(df.filter(col("jaccard") < 0.2 || col("jaccard") > 1).count() === 0)
+  }
+
+  test("q24 cosine: similarity within [-1, 1], 5 per label") {
+    val df = SimilarityOps.q24.build(spark, sf).cache()
+    assert(df.filter(abs(col("sim")) > 1.0000001).count() === 0)
+    assert(df.groupBy("label").count().agg(max("count")).head().getLong(0) <= 5)
+  }
+
+  test("q31 brute-force knn: one neighbor per probe, not self") {
+    val df = SimilarityOps.q31.build(spark, sf).cache()
+    assert(df.count() === df.select("a_id").distinct().count())
+    assert(df.filter(col("a_id") === col("b_id")).count() === 0)
+  }
+
+  test("q31b LSH ANN: candidates are a subset — sim never beats brute force") {
+    val bf = SimilarityOps.q31.build(spark, sf)
+      .select(col("a_id"), col("sim").as("bf_sim"))
+    val lsh = SimilarityOps.q31b.build(spark, sf)
+      .select(col("a_id"), col("sim").as("lsh_sim"))
+    val worse = bf.join(lsh, "a_id")
+      .filter(col("lsh_sim") > col("bf_sim") + 1e-9)
+    assert(worse.count() === 0)
+  }
+
+  test("q32 langid: every doc classified, score >= 0") {
+    val df = TextOps.q32.build(spark, sf).cache()
+    assert(df.count() === Tables.documents(spark, sf).count())
+    assert(df.filter(col("score") < 0).count() === 0)
+  }
+
+  test("q35 fingerprint: order-sensitive (position-weighted)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta", "en"), (2L, "beta alpha", "en"))
+      .toDF("doc_id", "text", "lang")
+    val toks = TextOps.tokensWithPos(docs)
+      .withColumn("term",
+        (TextOps.tokHash(col("tok")) * ((col("pos") * lit(2654435761L)) % TextOps.P)) % TextOps.P)
+      .groupBy("doc_id").agg((sum(col("term")) % TextOps.P).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toks(1L) !== toks(2L))
+  }
+
+  test("multimodal decode: mapPartitions plumbing matches columnar q36") {
+    val typed = MultimodalOps.decodeMedia(spark, sf).toDF()
+    val columnar = MultimodalOps.q36.build(spark, sf)
+    assert(typed.count() === columnar.count())
+    val joined = typed.select(col("doc_id"), col("digest").as("d1"),
+        col("width").as("w1"))
+      .join(columnar.select(col("doc_id"), col("digest"), col("width")), "doc_id")
+      .filter(col("d1") =!= col("digest") || col("w1") =!= col("width"))
+    assert(joined.count() === 0)
+  }
+}
