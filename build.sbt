@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = one JVM doing all executor work: size the heap for 32
+  // concurrent tasks (the box has 125 GiB; 8g thrashes GC under shuffle)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 40+ codegen'd queries in one JVM overflow the default 240m code
+  // cache; the sweeper then deoptimizes hot loops mid-bench (observed
+  // as random 30x slowdowns on whichever query ran late in the session)
+  "-XX:ReservedCodeCacheSize=1g",
 )

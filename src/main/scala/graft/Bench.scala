@@ -20,6 +20,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // large heaps inflate the default page size to 64m; hash-aggregate
+      // tasks then spend their time zeroing pages (measured 148s->12s on
+      // the minhash pipeline at sf0.1)
+      .config("spark.buffer.pageSize", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

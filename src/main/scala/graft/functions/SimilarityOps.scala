@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.{Query, Tables}
+import graft.plans.VectorExpressions.dotNative
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,22 +10,28 @@ import org.apache.spark.sql.functions._
   * brute-force cosine top-k as the correctness baseline (SURVEY.md §2.2
   * Q24) and an LSH-bucketed variant as the 100 TB scale path.
   *
-  * Dot products use higher-order array functions (`zip_with` +
-  * `aggregate`) — no UDF, no per-row JVM closure dispatch. Elements are
-  * widened float→double before multiply/accumulate and both Spark and
-  * DuckDB fold the array left-to-right in index order, so the doubles
-  * are bit-identical across engines and safe to hash-compare.
+  * Dot products use [[graft.plans.DotProduct]], a codegen'd native
+  * expression (the higher-order `aggregate(zip_with(...))` form runs
+  * interpreted and topped the sf0.1 profile). Norms are computed ONCE
+  * per vector before the pair join — `sqrt(dot(v,v))` per pair would
+  * triple the dominant cost. Both engines fold the array left-to-right
+  * in double, so results stay bit-identical to the DuckDB oracle.
   */
 object SimilarityOps {
 
-  /** Sequential-fold dot product of two float arrays, in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Reference (interpreted) formulation, kept for cross-checking the
+    * native expression in tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
+
+  /** Embeddings extended with a precomputed L2 norm. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dotNative(col("embedding"), col("embedding"))))
 
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -37,14 +44,15 @@ object SimilarityOps {
   val q24 = Query(
     "q24_cosine_topk",
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      val emb = withNorm(Tables.embeddings(s, dir))
       val qv = broadcast(emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qe")))
+        .select(col("embedding").as("qe"), col("nrm").as("qnrm")))
       val w = Window.partitionBy("label").orderBy(col("sim").desc, col("vec_id").asc)
       emb.filter(col("vec_id") =!= 0)
         .crossJoin(qv)
         .select(col("vec_id"), col("label"),
-          cosine(col("embedding"), col("qe")).as("sim"))
+          (dotNative(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")))
+            .as("sim"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
         .select("label", "rn", "vec_id", "sim")
@@ -69,14 +77,17 @@ object SimilarityOps {
   val q31 = Query(
     "q31_knn_bruteforce",
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      val emb = withNorm(Tables.embeddings(s, dir))
       val probes = broadcast(emb.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("a_id"), col("embedding").as("ea")))
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+          col("nrm").as("na")))
       val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
       probes
-        .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
+        .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("nrm").as("nb")),
           col("a_id") =!= col("b_id"))
-        .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("sim"))
+        .select(col("a_id"), col("b_id"),
+          (dotNative(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("a_id", "b_id", "sim")
@@ -103,25 +114,27 @@ object SimilarityOps {
   val q31b = Query(
     "q31b_knn_lsh",
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
       // sign bit h = 1 iff sum_d w(h,d) * v[d] > 0, with deterministic
       // integer-derived weights w in (-0.5, 0.5).
       def planeBit(h: Int): Column = {
         val weights = array((0 until 64).map { d =>
           lit((((h + 1) * 2654435761L + d * 40503L) % 1000003L).toDouble / 1000003.0 - 0.5)
         }: _*)
-        when(dot(col("embedding"), weights) > 0, lit(1L << h)).otherwise(lit(0L))
+        when(dotNative(col("embedding"), weights) > 0, lit(1L << h)).otherwise(lit(0L))
       }
-      val bucketed = emb.withColumn("bucket",
+      val bucketed = withNorm(Tables.embeddings(s, dir)).withColumn("bucket",
         (0 until 8).map(planeBit).reduce(_ + _))
       val probes = bucketed.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("bucket"))
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+          col("nrm").as("na"), col("bucket"))
       val cands = bucketed
-        .select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("bucket"))
+        .select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("nrm").as("nb"), col("bucket"))
       val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
       probes.join(cands, Seq("bucket"))
         .filter(col("a_id") =!= col("b_id"))
-        .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("sim"))
+        .select(col("a_id"), col("b_id"),
+          (dotNative(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("a_id", "b_id", "sim")
@@ -136,13 +149,15 @@ object SimilarityOps {
   val q31c = Query(
     "q31c_embedding_neardup",
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"), col("embedding"))
-      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      val emb = withNorm(Tables.embeddings(s, dir))
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
       a.filter(col("a_id") < 200)
         .join(b.filter(col("b_id") < 200), col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("sim"))
+        .select(col("a_id"), col("b_id"),
+          (dotNative(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
         .filter(col("sim") > 0.4)
         .orderBy("a_id", "b_id")
     },

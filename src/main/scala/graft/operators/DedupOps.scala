@@ -12,10 +12,19 @@ import org.apache.spark.sql.functions._
   * Scale design: every variant is built so candidate generation is an
   * EQUI-join on a hash/bucket key (never an all-pairs comparison):
   *  - exact: hash-groupBy on a normalized-text digest;
-  *  - MinHash: banding → bucket equi-join (classic LSH);
+  *  - MinHash: shingle → minhash → band → bucket equi-join (classic LSH);
   *  - SimHash: 16-bit half-signature equi-join, Hamming filter after;
   *  - n-gram Jaccard: shared-shingle equi-join, exact Jaccard after
   *    (at 100 TB you run MinHash first and this only on candidates).
+  *
+  * Signatures hash 3-token SHINGLES, not single tokens: the fixture
+  * vocabulary is ~31 words, so single-token sets have pairwise Jaccard
+  * ~0.66 (every doc collides with every doc — LSH degenerates into the
+  * all-pairs join it exists to avoid, measured 300+ s at sf0.1), while
+  * shingle sets sit at ~0.01 and candidates stay near-dup-only. The
+  * same degeneracy argument applies at 100 TB: shingling is what keeps
+  * bucket sizes bounded.
+  *
   * All hashing is md5-derived modular arithmetic that DuckDB reproduces
   * exactly, so the oracles are full hash-checks, not rows-only.
   */
@@ -25,6 +34,32 @@ object DedupOps {
     * whitespace collapsed, trimmed. */
   private def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Distinct 3-token shingles per doc. The per-doc window sort is
+    * bounded by document length — no global sort at any scale. */
+  private[operators] def shingles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tokensWithPos(Tables.documents(s, dir))
+      .withColumn("t2", lead(col("tok"), 1).over(w))
+      .withColumn("t3", lead(col("tok"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("sh"))
+      .distinct()
+  }
+
+  private val shinglesSql =
+    """toks AS (
+      |  SELECT doc_id, i AS pos, toks[i] AS tok FROM (
+      |    SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      |    FROM documents) t, unnest(range(1, len(t.toks)+1)) u(i)
+      |  WHERE toks[i] <> ''),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, concat(tok, ' ', t2, ' ', t3) AS sh FROM (
+      |    SELECT doc_id, tok,
+      |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+      |           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+      |    FROM toks) x
+      |  WHERE t3 IS NOT NULL)""".stripMargin
 
   /** Exact dedup: group by digest of normalized text; per group emit the
     * keeper (min doc_id) and the duplicate count. A plain hash-groupBy —
@@ -47,34 +82,28 @@ object DedupOps {
   val NumHashes = 16
   val NumBands = 4 // 4 rows per band
 
-  /** Per-doc minhash signature rows (doc_id, i, mh), i in [0, 16). */
-  private def minhashes(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokensWithPos(Tables.documents(s, dir))
-      .select(col("doc_id"), col("tok")).distinct()
-      .withColumn("tv", tokHash(col("tok")))
-    toks
+  /** Per-doc minhash signature rows (doc_id, i, mh), i in [0, NumHashes),
+    * over the shingle sets. */
+  private def minhashes(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+      .withColumn("tv", tokHash(col("sh")))
       .withColumn("i", explode(sequence(lit(0), lit(NumHashes - 1))))
       .withColumn("a", (lit(2654435761L) * (col("i") + 1)) % P)
       .withColumn("b", (lit(40503L) * (col("i") + 7)) % P)
       .groupBy("doc_id", "i")
       .agg(min((col("a") * col("tv") + col("b")) % P).as("mh"))
-  }
 
   private val minhashesSql =
-    """toks AS (
-      |  SELECT DISTINCT doc_id, tok FROM (
-      |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-      |    FROM documents) t
-      |  WHERE tok <> ''),
-      |th AS (
-      |  SELECT doc_id, CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) % 2147483647 AS tv
-      |  FROM toks),
-      |mh AS (
-      |  SELECT doc_id, i,
-      |         MIN((((2654435761 * (i+1)) % 2147483647) * tv
-      |              + ((40503 * (i+7)) % 2147483647)) % 2147483647) AS mh
-      |  FROM th, range(0, 16) r(i)
-      |  GROUP BY doc_id, i)""".stripMargin
+    s"""$shinglesSql,
+       |th AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS tv
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, i,
+       |         MIN((((2654435761 * (i+1)) % 2147483647) * tv
+       |              + ((40503 * (i+7)) % 2147483647)) % 2147483647) AS mh
+       |  FROM th, range(0, 16) r(i)
+       |  GROUP BY doc_id, i)""".stripMargin
 
   /** MinHash+LSH near-dup candidates: shingle → minhash → band → bucket
     * equi-join, then estimated Jaccard = matching-minhash fraction.
@@ -134,17 +163,15 @@ object DedupOps {
   val SimBits = 32
 
   /** SimHash near-dup: 32-bit signature from signed per-bit votes of the
-    * distinct-token hashes; candidates share one of the two 16-bit
+    * distinct-shingle hashes; candidates share one of the two 16-bit
     * halves (a pigeonhole guarantee for Hamming distance within a half),
     * then exact Hamming filter <= 6.
     */
   val q29 = Query(
     "q29_dedup_simhash",
     (s, dir) => {
-      val toks = tokensWithPos(Tables.documents(s, dir))
-        .select(col("doc_id"), col("tok")).distinct()
-        .withColumn("tv", tokHash(col("tok")))
-      val sim = toks
+      val sh = shingles(s, dir).withColumn("tv", tokHash(col("sh")))
+      val sim = sh
         .withColumn("i", explode(sequence(lit(0), lit(SimBits - 1))))
         .withColumn("vote",
           when(expr("shiftright(tv, cast(i as int)) & 1L") === 1L, lit(1L))
@@ -169,31 +196,27 @@ object DedupOps {
         .select("a_doc", "b_doc", "hamming")
         .orderBy("a_doc", "b_doc")
     },
-    Some("""WITH toks AS (
-           |  SELECT DISTINCT doc_id, tok FROM (
-           |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-           |    FROM documents) t
-           |  WHERE tok <> ''),
-           |th AS (
-           |  SELECT doc_id, CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) % 2147483647 AS tv
-           |  FROM toks),
-           |votes AS (
-           |  SELECT doc_id, i,
-           |         CAST(SUM(CASE WHEN ((tv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
-           |  FROM th, range(0, 32) r(i)
-           |  GROUP BY doc_id, i),
-           |sim AS (
-           |  SELECT doc_id,
-           |         CAST(SUM((CASE WHEN v > 0 THEN 1 ELSE 0 END) * ((1::BIGINT) << i)) AS BIGINT) AS simhash
-           |  FROM votes GROUP BY doc_id),
-           |sh AS (
-           |  SELECT doc_id, simhash, simhash & 65535 AS h0, simhash >> 16 AS h1 FROM sim)
-           |SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
-           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-           |FROM sh a JOIN sh b
-           |  ON a.doc_id < b.doc_id AND (a.h0 = b.h0 OR a.h1 = b.h1)
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-           |ORDER BY a_doc, b_doc""".stripMargin)
+    Some(s"""WITH $shinglesSql,
+            |th AS (
+            |  SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS tv
+            |  FROM sh),
+            |votes AS (
+            |  SELECT doc_id, i,
+            |         CAST(SUM(CASE WHEN ((tv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+            |  FROM th, range(0, 32) r(i)
+            |  GROUP BY doc_id, i),
+            |sim AS (
+            |  SELECT doc_id,
+            |         CAST(SUM((CASE WHEN v > 0 THEN 1 ELSE 0 END) * ((1::BIGINT) << i)) AS BIGINT) AS simhash
+            |  FROM votes GROUP BY doc_id),
+            |shalf AS (
+            |  SELECT doc_id, simhash, simhash & 65535 AS h0, simhash >> 16 AS h1 FROM sim)
+            |SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+            |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            |FROM shalf a JOIN shalf b
+            |  ON a.doc_id < b.doc_id AND (a.h0 = b.h0 OR a.h1 = b.h1)
+            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+            |ORDER BY a_doc, b_doc""".stripMargin)
   )
 
   // ---- n-gram Jaccard ----------------------------------------------------
@@ -206,18 +229,10 @@ object DedupOps {
   val q30 = Query(
     "q30_dedup_ngram_jaccard",
     (s, dir) => {
-      val toks = tokensWithPos(Tables.documents(s, dir))
-      val wlead = Window.partitionBy("doc_id").orderBy("pos")
-      val shingles = toks
-        .withColumn("t2", lead(col("tok"), 1).over(wlead))
-        .withColumn("t3", lead(col("tok"), 2).over(wlead))
-        .filter(col("t3").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", col("tok"), col("t2"), col("t3")).as("sh"))
-        .distinct()
-      val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val inter = shingles.as("a")
-        .join(shingles.as("b"),
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
         .agg(count(lit(1)).as("n_inter"))
@@ -231,30 +246,19 @@ object DedupOps {
         .select("a_doc", "b_doc", "n_inter", "jaccard")
         .orderBy("a_doc", "b_doc")
     },
-    Some("""WITH toks AS (
-           |  SELECT doc_id, i AS pos, toks[i] AS tok FROM (
-           |    SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-           |    FROM documents) t, unnest(range(1, len(t.toks)+1)) u(i)
-           |  WHERE toks[i] <> ''),
-           |sh AS (
-           |  SELECT DISTINCT doc_id, concat(tok, ' ', t2, ' ', t3) AS sh FROM (
-           |    SELECT doc_id, tok,
-           |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
-           |           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
-           |    FROM toks) x
-           |  WHERE t3 IS NOT NULL),
-           |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-           |inter AS (
-           |  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, COUNT(*) AS n_inter
-           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2)
-           |SELECT a_doc, b_doc, n_inter,
-           |       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
-           |FROM inter
-           |JOIN sizes sa ON a_doc = sa.doc_id
-           |JOIN sizes sb ON b_doc = sb.doc_id
-           |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
-           |ORDER BY a_doc, b_doc""".stripMargin)
+    Some(s"""WITH $shinglesSql,
+            |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, COUNT(*) AS n_inter
+            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT a_doc, b_doc, n_inter,
+            |       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+            |FROM inter
+            |JOIN sizes sa ON a_doc = sa.doc_id
+            |JOIN sizes sb ON b_doc = sb.doc_id
+            |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+            |ORDER BY a_doc, b_doc""".stripMargin)
   )
 
   val all: Seq[Query] = Seq(q27, q28, q29, q30)

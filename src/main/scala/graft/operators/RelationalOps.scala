@@ -477,8 +477,18 @@ object RelationalOps {
   val q25 = Query(
     "q25_scalar_battery",
     (s, dir) =>
+      // top-k FIRST on the raw sort keys, wide projection AFTER: the
+      // 20-expression battery runs on 200 rows, not 600k (Catalyst does
+      // not push TakeOrdered below a projection of computed columns)
       Tables.lineitem(s, dir)
         .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate",
+          "p_name", "p_brand", "p_type")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice")
+        .limit(200)
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
@@ -503,8 +513,7 @@ object RelationalOps {
           array_contains(array(col("l_returnflag"), col("l_linestatus")), "A")
             .as("a_has_a"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-          "l_quantity", "l_extendedprice")
-        .limit(200),
+          "l_quantity", "l_extendedprice"),
     Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice,
            |  upper(substr(p_name, 1, 5)) AS s_upper,
            |  concat(trim(p_brand), '_', p_type) AS s_concat,
@@ -536,28 +545,33 @@ object RelationalOps {
     "q26_grouping_sets",
     (s, dir) => {
       ordersWithNation(s, dir)
-        .select("n_name", "o_orderpriority", "o_totalprice")
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "o_orderpriority", "o_totalprice")
         .createOrReplaceTempView("gs_base")
       s.sql(
-        """SELECT COALESCE(n_name, 'ALL') AS grp_nation,
+        """SELECT COALESCE(r_name, 'ALL') AS grp_region,
+          |       COALESCE(n_name, 'ALL') AS grp_nation,
           |       COALESCE(o_orderpriority, 'ALL') AS grp_prio,
-          |       CAST(grouping(n_name)*2 + grouping(o_orderpriority) AS BIGINT) AS lvl,
+          |       CAST(grouping(r_name)*4 + grouping(n_name)*2 + grouping(o_orderpriority) AS BIGINT) AS lvl,
           |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
           |       COUNT(*) AS n
           |FROM gs_base
-          |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
-          |ORDER BY lvl, grp_nation, grp_prio""".stripMargin)
+          |GROUP BY GROUPING SETS ((r_name, n_name), (n_name), (o_orderpriority), ())
+          |ORDER BY lvl, grp_region, grp_nation, grp_prio""".stripMargin)
     },
-    Some("""SELECT COALESCE(n_name, 'ALL') AS grp_nation,
+    Some("""SELECT COALESCE(r_name, 'ALL') AS grp_region,
+           |       COALESCE(n_name, 'ALL') AS grp_nation,
            |       COALESCE(o_orderpriority, 'ALL') AS grp_prio,
-           |       CAST(GROUPING(n_name)*2 + GROUPING(o_orderpriority) AS BIGINT) AS lvl,
+           |       CAST(GROUPING(r_name)*4 + GROUPING(n_name)*2 + GROUPING(o_orderpriority) AS BIGINT) AS lvl,
            |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
            |       COUNT(*) AS n
            |FROM orders
            |JOIN customer ON o_custkey = c_custkey
            |JOIN nation   ON c_nationkey = n_nationkey
-           |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
-           |ORDER BY lvl, grp_nation, grp_prio""".stripMargin)
+           |JOIN region   ON n_regionkey = r_regionkey
+           |GROUP BY GROUPING SETS ((r_name, n_name), (n_name), (o_orderpriority), ())
+           |ORDER BY lvl, grp_region, grp_nation, grp_prio""".stripMargin)
   )
 
   val all: Seq[Query] = Seq(

@@ -34,16 +34,23 @@ object StreamingPipeline {
 
   /** Streaming scan of the events fixture: file source + schema pinned
     * from the batch read, per-trigger cap like the reference's
-    * 100-tuple scan batches. */
+    * 100-tuple scan batches. The file source requires a landing
+    * DIRECTORY (as any real ingest has), so the read-only fixture file
+    * is staged into a temp dir once. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val landing = java.nio.file.Files.createTempDirectory("events-landing")
+    landing.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"))
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/events.parquet")
-      .withColumn("tss",
-        timestamp_seconds(expr("ts div 1000000000")).cast("timestamp_ntz"))
+      .parquet(landing.toString)
+      // plain TIMESTAMP (LTZ): watermarks reject TIMESTAMP_NTZ event time
+      .withColumn("tss", timestamp_seconds(expr("ts div 1000000000")))
   }
 
   /** Watermarked tumbling-window count — the streaming analog of Q20a

@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.Udfs
+import graft.plans.GraftRules
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** The extension surface: optimizer rule, UDF, UDAF — plus ScalaCheck
+  * property tests for the algebraic invariants (SURVEY.md §5). */
+class ExtensionSpec extends SparkTestBase {
+
+  /** Run a ScalaCheck property with a small case budget (each case
+    * spins Spark jobs). */
+  private def checkProp(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("RewriteDotProduct: HOF dot pattern becomes the native expression") {
+    GraftRules.install(spark)
+    val plan = Tables.embeddings(spark, sf)
+      .select(graft.functions.SimilarityOps
+        .dotHof(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("dotproduct"), plan)
+    // and the rewrite preserves values exactly
+    val diff = Tables.embeddings(spark, sf).limit(100)
+      .select(graft.functions.SimilarityOps
+          .dotHof(col("embedding"), col("embedding")).as("d"),
+        graft.plans.VectorExpressions
+          .dotNative(col("embedding"), col("embedding")).as("n"))
+      .filter(col("d") =!= col("n"))
+    assert(diff.count() === 0)
+  }
+
+  test("graft_clean_price UDF matches the declarative regexp path") {
+    Udfs.register(spark)
+    val df = Tables.part(spark, sf)
+      .select(
+        expr("graft_clean_price(concat('$', cast(p_retailprice as string)))").as("u"),
+        regexp_replace(col("p_retailprice").cast("string"), "[$,]", "")
+          .cast("decimal(18,4)").as("d"))
+      .filter(col("u") =!= col("d"))
+    assert(df.count() === 0)
+    assert(Udfs.cleanPrice("$1,234.5").get ===
+      new java.math.BigDecimal("1234.5000"))
+    assert(Udfs.cleanPrice(null).isEmpty)
+    assert(Udfs.cleanPrice("not a price").isEmpty)
+  }
+
+  test("DecimalSum UDAF equals Canon.dsum") {
+    val a = Tables.lineitem(spark, sf)
+      .agg(Udfs.decimalSum(col("l_quantity")).cast("double")).head().getDouble(0)
+    val b = Tables.lineitem(spark, sf)
+      .agg(Canon.dsum(col("l_quantity"))).head().getDouble(0)
+    assert(a === b)
+  }
+
+  test("property: LWW dedup is idempotent") {
+    import spark.implicits._
+    val rowsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0, 100)))
+    checkProp(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val once = graft.sources.Warehouse.dedupByKey(df, "k", "v")
+      val twice = graft.sources.Warehouse.dedupByKey(once, "k", "v")
+      once.except(twice).count() == 0 &&
+        twice.except(once).count() == 0 &&
+        once.count() == rows.map(_._1).distinct.size
+    })
+  }
+
+  test("property: inner join row count = sum over keys of |L_k| * |R_k|") {
+    import spark.implicits._
+    val keys = Gen.listOf(Gen.chooseNum(0, 4))
+    checkProp(Prop.forAll(keys, keys) { (lk, rk) =>
+      val joined = lk.toDF("k").join(rk.toDF("j"), col("k") === col("j"), "inner").count()
+      val expected = (0 until 5).map(k =>
+        lk.count(_ == k).toLong * rk.count(_ == k)).sum
+      joined == expected
+    })
+  }
+}

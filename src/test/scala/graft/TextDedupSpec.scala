@@ -89,4 +89,21 @@ class TextDedupSpec extends SparkTestBase {
       .filter(col("d1") =!= col("digest") || col("w1") =!= col("width"))
     assert(joined.count() === 0)
   }
+
+  test("native DotProduct expression is bit-identical to the higher-order form") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val diff = emb.select(
+        graft.plans.VectorExpressions.dotNative(col("embedding"), col("embedding")).as("n"),
+        graft.functions.SimilarityOps.dotHof(col("embedding"), col("embedding")).as("h"))
+      .filter(col("n") =!= col("h"))
+    assert(diff.count() === 0)
+  }
+
+  test("native DotProduct participates in WholeStageCodegen") {
+    val plan = Tables.embeddings(spark, sf)
+      .select(graft.plans.VectorExpressions.dotNative(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators fused into WholeStageCodegen
+    assert(plan.contains("*(1) Project"), plan)
+  }
 }
