@@ -27,10 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] = one JVM doing all executor work: size the heap for 32
-  // concurrent tasks (the box has 125 GiB; 8g thrashes GC under shuffle)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // concurrent tasks (the box has 125 GiB; 8g thrashes GC under shuffle).
+  // Xms=Xmx + AlwaysPreTouch: with a lazily-grown heap, G1's
+  // grow/uncommit cycles left multi-query sessions spending 50-70% of
+  // CPU in the kernel zeroing pages — observed as random 30-100x
+  // slowdowns on whichever query ran during a growth phase.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
   // 40+ codegen'd queries in one JVM overflow the default 240m code
-  // cache; the sweeper then deoptimizes hot loops mid-bench (observed
-  // as random 30x slowdowns on whichever query ran late in the session)
+  // cache; the sweeper then deoptimizes hot loops mid-bench
   "-XX:ReservedCodeCacheSize=1g",
 )

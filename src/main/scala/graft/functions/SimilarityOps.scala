@@ -169,5 +169,78 @@ object SimilarityOps {
             |ORDER BY a_id, b_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q24, q31, q31b, q31c)
+  /** Q31d — IVF-style ANN, the other scale path: a coarse quantizer
+    * (k=8 centroids, seeded from the first 8 vectors + one Lloyd
+    * iteration) partitions the vectors into cells; probes search only
+    * their `nprobe=2` nearest cells via an equi-join on the cell id.
+    *
+    * The centroid "training" collects k×dim constants to the driver
+    * (8×64 floats — fixed-size model state, not data; the per-cell mean
+    * is a distributed aggregate). Approximate by design → rows-only
+    * check, validated against brute force in tests.
+    */
+  val q31d = Query(
+    "q31d_knn_ivf",
+    (s, dir) => {
+      val emb = withNorm(Tables.embeddings(s, dir)).cache()
+      val k = 8
+
+      def centroidCol(c: Array[Double]): Column = array(c.map(lit): _*)
+      def nearestCell(cents: Seq[Array[Double]]): Column = {
+        // argmin over squared L2 distance == argmax(dot) on unit-norm
+        // vectors; greatest(...) with a struct tiebreak keeps it
+        // deterministic
+        val scored = cents.zipWithIndex.map { case (c, i) =>
+          struct(dotNative(col("embedding"), centroidCol(c)).as("s"),
+            lit(i.toLong).as("cell"))
+        }
+        greatest(scored: _*).getField("cell")
+      }
+
+      // init: first k vectors as seeds (deterministic)
+      val seed = emb.filter(col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      // one Lloyd iteration: assign, then per-cell mean per dimension
+      val assigned0 = emb.withColumn("cell", nearestCell(seed.toSeq))
+      val means = assigned0
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+        .orderBy("cell")
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val cents = (0 until k).map(i => means.getOrElse(i.toLong, seed(i)))
+
+      val cells = emb.withColumn("cell", nearestCell(cents))
+        .select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("nrm").as("nb"), col("cell"))
+      // probes search their top-2 cells
+      val probeCells = emb.filter(col("vec_id") < 50)
+        .withColumn("cellscores", array(cents.zipWithIndex.map { case (c, i) =>
+          struct(dotNative(col("embedding"), centroidCol(c)).as("s"),
+            lit(i.toLong).as("cell"))
+        }: _*))
+        .withColumn("top2", slice(reverse(array_sort(col("cellscores"))), 1, 2))
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+          col("nrm").as("na"),
+          explode(col("top2").getField("cell")).as("cell"))
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+      probeCells.join(cells, Seq("cell"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (dotNative(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("a_id", "b_id", "sim")
+        .orderBy("a_id")
+    },
+    None
+  )
+
+  val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d)
 }

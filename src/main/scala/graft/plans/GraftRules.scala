@@ -74,5 +74,25 @@ object GraftRules {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations = cur :+ RewriteDotProduct
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}
+
+/** `SparkSessionExtensions` entry point — the builder-time form of
+  * [[GraftRules.install]] plus SQL function registration, for sessions
+  * constructed with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RewriteDotProduct)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
   }
 }

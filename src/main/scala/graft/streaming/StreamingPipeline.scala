@@ -103,6 +103,44 @@ object StreamingPipeline {
       }
       .start()
 
+  /** The HyperJoin itself, streaming form (O8/O10/O12): the unbounded
+    * stream enriched against slowly-changing master data via a
+    * stream–static equi-join. The static side is re-read per
+    * micro-batch (so master updates are picked up, like the
+    * reference's re-scanning master thread,
+    * MasterDataStreamGeneratorThread.java:37-43) and is broadcast
+    * when dimension-sized — Catalyst plans it exactly like the batch
+    * q03. Derived column = price × quantity analog
+    * (StreamGeneratorThread.java:118). */
+  def enrichmentJoin(events: DataFrame, master: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(master),
+      events("user_id") === master("c_custkey"), "inner")
+      .withColumn("enriched_value",
+        (col("value").cast("decimal(12,4)") *
+          col("c_acctbal").cast("decimal(12,4)")).cast("decimal(18,4)"))
+
+  /** Stream–stream self-join with watermarks: event pairs of the same
+    * user within 5 minutes (the streaming restatement of Q18). Both
+    * sides carry watermarks so the join state is bounded — the
+    * principled version of the reference's cap-10 lossy disk buffer
+    * (O9/N2). */
+  def streamStreamPairs(spark: SparkSession, dir: String): DataFrame = {
+    val a = readEvents(spark, dir)
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("tss").as("a_ts"))
+      .withWatermark("a_ts", "10 minutes")
+    val b = readEvents(spark, dir)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("tss").as("b_ts"))
+      .withWatermark("b_ts", "10 minutes")
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES") &&
+        col("a_id") =!= col("b_id"))
+  }
+
   /** Consume-once keyed state (O13 parity): the reference evicts ALL
     * pending tuples under a join key after the first match
     * (`multiHashTable.remove(joinAttribute)`,

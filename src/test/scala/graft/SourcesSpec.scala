@@ -1,0 +1,46 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  test("csv round-trip preserves values under an explicit schema") {
+    val src = Tables.part(spark, sf)
+    val path = tmp("csv-rt")
+    Sources.writeCsv(src, path)
+    val back = Sources.readCsv(spark, path, src.schema)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
+
+  test("json-lines round-trip preserves values under an explicit schema") {
+    val src = Tables.customer(spark, sf)
+    val path = tmp("json-rt")
+    Sources.writeJsonLines(src, path)
+    val back = Sources.readJsonLines(spark, path, src.schema)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val src = Tables.orders(spark, sf)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    val path = tmp("pq-part")
+    Sources.writeParquet(src, path, partitionBy = Seq("o_month"))
+    val months = src.select("o_month").distinct().count()
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("o_month=")) === months)
+    val one = src.select("o_month").distinct().orderBy("o_month").head().getString(0)
+    val pruned = spark.read.parquet(path).filter(col("o_month") === one)
+    // partition filter must reach the scan (PartitionFilters, not data filter)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_month"), plan)
+  }
+}

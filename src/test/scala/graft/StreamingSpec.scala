@@ -57,6 +57,47 @@ class StreamingSpec extends SparkTestBase {
     once.foreach(e => assert(e.ts === firstPerUser(e.user_id)))
   }
 
+  test("stream-static enrichment join (the HyperJoin, streaming form)") {
+    val out = tmp("enrich")
+    val master = Tables.customer(spark, sf)
+    val q = StreamingPipeline.enrichmentJoin(
+        StreamingPipeline.readEvents(spark, sf), master)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("enriched")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("enriched")
+    // inner-join semantics: exactly the events whose user exists in master
+    val expected = Tables.events(spark, sf)
+      .join(master, col("user_id") === col("c_custkey"), "left_semi").count()
+    assert(got.count() === expected)
+    assert(got.filter(col("enriched_value").isNull).count() === 0)
+  }
+
+  test("stream-stream join with watermarks emits same-user pairs") {
+    val out = tmp("sspairs")
+    val q = StreamingPipeline.streamStreamPairs(spark, sf)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ss_pairs")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val got = spark.table("ss_pairs")
+    // all emitted pairs satisfy the join window; completeness within the
+    // watermark is checked against the batch formulation (q18)
+    assert(got.filter(col("a_user") =!= col("b_user")).count() === 0)
+    val batch = graft.operators.TemporalOps.q18.build(spark, sf).count()
+    assert(got.count() <= batch)
+    assert(got.count() > 0)
+  }
+
   test("warehouse build: dims + fact written, FK audit empty") {
     val out = tmp("warehouse")
     val fact = Warehouse.build(spark, sf, out)

@@ -106,4 +106,29 @@ class TextDedupSpec extends SparkTestBase {
     // the `*(n)` prefix marks operators fused into WholeStageCodegen
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("q31d IVF ANN: one result per probe, never beats brute force") {
+    val bf = SimilarityOps.q31.build(spark, sf)
+      .select(col("a_id"), col("sim").as("bf_sim"))
+    val ivf = SimilarityOps.q31d.build(spark, sf).cache()
+    assert(ivf.count() === ivf.select("a_id").distinct().count())
+    val worse = bf.join(ivf.select(col("a_id"), col("sim").as("ivf_sim")), "a_id")
+      .filter(col("ivf_sim") > col("bf_sim") + 1e-9)
+    assert(worse.count() === 0)
+  }
+
+  test("graft_dot resolves from SQL after GraftRules.install") {
+    graft.plans.GraftRules.install(spark)
+    Tables.embeddings(spark, sf).limit(5).createOrReplaceTempView("emb_ext")
+    val out = spark.sql("SELECT graft_dot(embedding, embedding) AS d FROM emb_ext")
+    assert(out.count() === 5)
+    assert(out.filter(col("d") < 0).count() === 0)
+  }
+
+  test("GraftExtensions injects rule + function without error") {
+    // builder-time path: getOrCreate() would reuse the shared test
+    // session, so drive the injector directly
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(exts)
+  }
 }
