@@ -205,5 +205,69 @@ object TextOps {
            |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q23, q32, q33, q34, q35)
+  /** Q51 — repetition scoring: 1 − distinct/total 3-token shingles per
+    * document. High values flag boilerplate/looped text — a standard
+    * training-data quality gate. Unlike the dedup paths this keeps
+    * duplicate shingles, so it is a pure per-doc aggregate (the per-doc
+    * window sort is bounded by document length at any corpus size).
+    */
+  val q51 = Query(
+    "q51_repetition",
+    (s, dir) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val sh = tokensWithPos(Tables.documents(s, dir))
+        .withColumn("t2", lead(col("tok"), 1).over(w))
+        .withColumn("t3", lead(col("tok"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("tok"), col("t2"), col("t3")).as("sh"))
+      sh.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct(col("sh")).as("n_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_total").cast("double"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, i AS pos, toks[i] AS tok FROM (
+           |    SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+           |    FROM documents) t, unnest(range(1, len(t.toks)+1)) u(i)
+           |  WHERE toks[i] <> ''),
+           |sh AS (
+           |  SELECT doc_id, concat(tok, ' ', t2, ' ', t3) AS sh FROM (
+           |    SELECT doc_id, tok,
+           |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+           |           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+           |    FROM toks) x
+           |  WHERE t3 IS NOT NULL)
+           |SELECT doc_id, COUNT(*) AS n_total, COUNT(DISTINCT sh) AS n_distinct,
+           |       1.0 - CAST(COUNT(DISTINCT sh) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rep_ratio
+           |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Q52 — corpus composition stats per (source, lang): doc counts,
+    * exact character totals, mean length, whitespace-token totals — the
+    * mixture report every corpus build starts from. One combinable
+    * aggregate, shuffle keyed on the group columns. */
+  val q52 = Query(
+    "q52_corpus_stats",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_chars"),
+          sum(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long")).as("sum_tokens"))
+        .orderBy("source", "lang"),
+    Some("""SELECT source, lang, COUNT(*) AS n_docs,
+           |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+           |       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens
+           |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q23, q32, q33, q34, q35, q51, q52)
 }

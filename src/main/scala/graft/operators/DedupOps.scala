@@ -261,5 +261,44 @@ object DedupOps {
             |ORDER BY a_doc, b_doc""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q27, q28, q29, q30)
+  /** Q50 — eval-set contamination check: for each training document, how
+    * many of its distinct 3-token shingles also appear in the held-out
+    * eval split (docs with doc_id % 10 == 0). This is the n-gram-overlap
+    * decontamination pass of a training-data pipeline; the eval shingle
+    * set is the small side by construction → broadcast equi-join, and
+    * the per-doc counts are one combinable aggregate.
+    */
+  val q50 = Query(
+    "q50_contamination",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val evalSh = sh.filter(col("doc_id") % 10 === 0)
+        .select("sh").distinct()
+      val train = sh.filter(col("doc_id") % 10 =!= 0)
+      val hits = train.join(broadcast(evalSh), Seq("sh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      train.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)).cast("double") /
+            col("n_sh").cast("double")).as("contamination"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $shinglesSql,
+            |ev AS (SELECT DISTINCT sh.sh FROM sh WHERE doc_id % 10 = 0),
+            |tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+            |hits AS (
+            |  SELECT doc_id, COUNT(*) AS n_shared FROM tr
+            |  WHERE EXISTS (SELECT 1 FROM ev WHERE ev.sh = tr.sh)
+            |  GROUP BY doc_id),
+            |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM tr GROUP BY doc_id)
+            |SELECT t.doc_id, t.n_sh,
+            |       COALESCE(h.n_shared, 0) AS n_shared,
+            |       CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / CAST(t.n_sh AS DOUBLE) AS contamination
+            |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+            |ORDER BY t.doc_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q27, q28, q29, q30, q50)
 }

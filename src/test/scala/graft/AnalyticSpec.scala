@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{AnalyticOps, DedupOps}
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the analytic-surface batch (q37–q52). Value-level
+  * correctness is the DuckDB oracle's job; these pin the algebra. */
+class AnalyticSpec extends SparkTestBase {
+
+  test("q37 pivot: one row per nation; pivot cells sum to total revenue") {
+    val piv = AnalyticOps.q37.build(spark, sf).cache()
+    assert(piv.count() === Tables.nation(spark, sf).count())
+    val cells = piv.select(
+      (coalesce(col("p1_urgent"), lit(0.0)) + coalesce(col("p2_high"), lit(0.0)) +
+        coalesce(col("p3_medium"), lit(0.0)) + coalesce(col("p4_notspec"), lit(0.0)) +
+        coalesce(col("p5_low"), lit(0.0))).as("rowsum"))
+      .agg(sum("rowsum")).head().getDouble(0)
+    val total = Tables.orders(spark, sf)
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"))
+      .head().getDouble(0)
+    assert(math.abs(cells - total) < 1e-4)
+  }
+
+  test("q38 unpivot: 3 long rows per wide row") {
+    assert(AnalyticOps.q38.build(spark, sf).count() ===
+      3 * Tables.lineitem(spark, sf).count())
+  }
+
+  test("q39 quantiles: monotone p25 <= p50 <= p75, all present") {
+    AnalyticOps.q39.build(spark, sf).collect().foreach { r =>
+      val (p25, p50, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p25 <= p50 && p50 <= p75)
+    }
+  }
+
+  test("q40 scalar subquery: every kept order beats its customer average") {
+    val out = AnalyticOps.q40.build(spark, sf)
+    val avg = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg((sum(col("o_totalprice").cast("decimal(18,4)")).cast("decimal(18,4)")
+        .cast("double") / count(lit(1)).cast("double")).as("cavg"))
+    val viol = out.join(avg, "o_custkey")
+      .filter(col("o_totalprice") <= col("cavg")).count()
+    assert(viol === 0)
+    assert(out.count() > 0)
+  }
+
+  test("q41 full outer: covers every nation key on either side") {
+    val keys = AnalyticOps.q41.build(spark, sf)
+      .select("nationkey").collect().map(_.getLong(0)).toSet
+    val ck = Tables.customer(spark, sf).select(col("c_nationkey").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val sk = Tables.supplier(spark, sf).select(col("s_nationkey").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(keys === (ck ++ sk))
+  }
+
+  test("q42 hash sample: deterministic across runs, ~5% rate") {
+    val a = AnalyticOps.q42.build(spark, sf).collect().toSeq
+    val b = AnalyticOps.q42.build(spark, sf).collect().toSeq
+    assert(a === b)
+    val frac = a.size.toDouble / Tables.lineitem(spark, sf).count()
+    assert(frac > 0.02 && frac < 0.10)
+  }
+
+  test("q44 window battery: ntile in 1..4, percent_rank/cume_dist in [0,1]") {
+    val bad = AnalyticOps.q44.build(spark, sf)
+      .filter(col("nt") < 1 || col("nt") > 4 ||
+        col("prk") < 0 || col("prk") > 1 ||
+        col("cd") <= 0 || col("cd") > 1).count()
+    assert(bad === 0)
+  }
+
+  test("q48 map explode: exactly 2 rows per sampled input row") {
+    assert(AnalyticOps.q48.build(spark, sf).count() ===
+      2 * AnalyticOps.q42.build(spark, sf).count())
+  }
+
+  test("q49 histogram: bucket counts cover all orders") {
+    val n = AnalyticOps.q49.build(spark, sf).agg(sum("n")).head().getLong(0)
+    assert(n === Tables.orders(spark, sf).count())
+  }
+
+  test("q50 contamination: ratios in [0,1]; eval split excluded") {
+    val df = DedupOps.q50.build(spark, sf).cache()
+    assert(df.filter(col("contamination") < 0 || col("contamination") > 1).count() === 0)
+    assert(df.filter(col("doc_id") % 10 === 0).count() === 0)
+  }
+
+  test("q51 repetition: 0 <= rep_ratio < 1 and n_distinct <= n_total") {
+    val df = TextOps.q51.build(spark, sf).cache()
+    assert(df.filter(col("rep_ratio") < 0 || col("rep_ratio") >= 1).count() === 0)
+    assert(df.filter(col("n_distinct") > col("n_total")).count() === 0)
+  }
+
+  test("q52 corpus stats: doc counts add up") {
+    val n = TextOps.q52.build(spark, sf).agg(sum("n_docs")).head().getLong(0)
+    assert(n === Tables.documents(spark, sf).count())
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5): algebraic laws checked over
+  * ScalaCheck-generated micro-tables. Gen is driven with explicit seeds
+  * (no scalatest bridge in the offline cache) so failures reproduce. */
+class PropertySpec extends SparkTestBase {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val rowsGen = Gen.listOfN(150, for {
+    k <- Gen.choose(0, 15)
+    v <- Gen.choose(-1000, 1000)
+  } yield (k, v))
+
+  private val seeds = 1L to 8L
+
+  test("join algebra: semi + anti partition the probe side; left = inner + anti") {
+    import spark.implicits._
+    seeds.foreach { s =>
+      val l = sample(rowsGen, s).toDF("k", "v")
+      val r = sample(rowsGen, s + 100).toDF("k", "w")
+        .groupBy("k").agg(max("w").as("w")) // unique build keys
+      val inner = l.join(r, Seq("k"), "inner").count()
+      val left = l.join(r, Seq("k"), "left").count()
+      val semi = l.join(r, Seq("k"), "left_semi").count()
+      val anti = l.join(r, Seq("k"), "left_anti").count()
+      assert(semi + anti === l.count(), s"seed=$s")
+      assert(left === inner + anti, s"seed=$s")
+      assert(semi === inner, s"seed=$s (unique build keys ⇒ semi = inner)")
+    }
+  }
+
+  test("dedup idempotence: dropDuplicates twice = once; count = distinct keys") {
+    import spark.implicits._
+    seeds.foreach { s =>
+      val df = sample(rowsGen, s).toDF("k", "v")
+      val once = df.dropDuplicates("k")
+      assert(once.count() === df.select("k").distinct().count(), s"seed=$s")
+      assert(once.dropDuplicates("k").count() === once.count(), s"seed=$s")
+    }
+  }
+
+  test("window running sum: last value per key equals the group total") {
+    import spark.implicits._
+    seeds.foreach { s =>
+      val df = sample(rowsGen, s).zipWithIndex
+        .map { case ((k, v), i) => (k, v.toLong, i.toLong) }
+        .toDF("k", "v", "ord")
+      val w = Window.partitionBy("k").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lastRunning = df.withColumn("run", sum("v").over(w))
+        .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy(col("ord").desc)))
+        .filter(col("rn") === 1).select("k", "run")
+      val groupSum = df.groupBy("k").agg(sum("v").as("tot"))
+      val mismatch = lastRunning.join(groupSum, "k")
+        .filter(col("run") =!= col("tot")).count()
+      assert(mismatch === 0, s"seed=$s")
+    }
+  }
+
+  test("set ops: |A ∪ B| + |A ∩ B| = |A| + |B| on distinct key sets") {
+    import spark.implicits._
+    seeds.foreach { s =>
+      val a = sample(rowsGen, s).map(_._1).toDF("k").distinct()
+      val b = sample(rowsGen, s + 100).map(_._1).toDF("k").distinct()
+      val u = a.union(b).distinct().count()
+      val i = a.intersect(b).count()
+      assert(u + i === a.count() + b.count(), s"seed=$s")
+      assert(a.except(b).count() === a.count() - i, s"seed=$s")
+    }
+  }
+
+  test("decimal sum is partitioning-independent (order-free aggregation)") {
+    import spark.implicits._
+    seeds.foreach { s =>
+      val vals = sample(Gen.listOfN(300, Gen.choose(-1e6, 1e6)), s)
+      val df = vals.toDF("v").select(col("v").cast("decimal(18,4)").as("v"))
+      val s1 = df.coalesce(1).agg(sum("v")).head().getDecimal(0)
+      val s32 = df.repartition(32).agg(sum("v")).head().getDecimal(0)
+      assert(s1 === s32, s"seed=$s")
+    }
+  }
+}
