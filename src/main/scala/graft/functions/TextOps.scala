@@ -269,5 +269,80 @@ object TextOps {
            |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q23, q32, q33, q34, q35, q51, q52)
+  /** Q53 — TF-IDF top-5 terms per document. The usual ln(N/df) idf is
+    * replaced by the monotone-equivalent raw ratio N/df: division and
+    * multiplication are exactly-rounded IEEE ops (bit-identical across
+    * engines) whereas libm `ln` is not, and the ranking — the part that
+    * matters — is unchanged. tf and df are one combinable aggregate
+    * each; the per-doc top-k is a bounded window.
+    */
+  val q53 = Query(
+    "q53_tfidf",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = tokensWithPos(docs)
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df_docs"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("tok").asc)
+      tf.join(broadcast(df), "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          col("tf").cast("double") *
+            (col("n_docs").cast("double") / col("df_docs").cast("double")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("tok").as("term"), col("tf"),
+          col("df_docs"), col("tfidf"), col("rn"))
+        .orderBy("doc_id", "rn")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE tok <> ''
+           |  GROUP BY doc_id, tok),
+           |df AS (SELECT tok, COUNT(*) AS df_docs FROM tf GROUP BY tok),
+           |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+           |SELECT doc_id, tok AS term, tf, df_docs,
+           |       CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_docs AS DOUBLE)) AS tfidf,
+           |       CAST(row_number() OVER w AS BIGINT) AS rn
+           |FROM tf JOIN df USING (tok) CROSS JOIN n
+           |WINDOW w AS (PARTITION BY doc_id
+           |             ORDER BY CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_docs AS DOUBLE)) DESC,
+           |                      tok ASC)
+           |QUALIFY row_number() OVER w <= 5
+           |ORDER BY doc_id, rn""".stripMargin)
+  )
+
+  /** Q54 — inverted index: term → document frequency + the sorted
+    * posting list (comma-joined doc ids). Postings are collected per
+    * term after a distinct — at 100 TB the groupBy key is the term, the
+    * one dimension this corpus bounds; per-term lists of truly unbounded
+    * cardinality would switch to the bucketed layout of
+    * [[graft.sources.Warehouse]].
+    */
+  val q54 = Query(
+    "q54_inverted_index",
+    (s, dir) =>
+      tokensWithPos(Tables.documents(s, dir))
+        .select(col("tok").as("term"), col("doc_id")).distinct()
+        .groupBy("term")
+        .agg(
+          count(lit(1)).as("df_docs"),
+          array_join(
+            transform(array_sort(collect_set(col("doc_id"))),
+              _.cast("string")), ",").as("postings"))
+        .orderBy("term"),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+           |  FROM documents),
+           |dt AS (SELECT DISTINCT tok AS term, doc_id FROM toks WHERE tok <> '')
+           |SELECT term, COUNT(*) AS df_docs,
+           |       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+           |FROM dt GROUP BY term ORDER BY term""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54)
 }

@@ -300,5 +300,94 @@ object DedupOps {
             |ORDER BY t.doc_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q27, q28, q29, q30, q50)
+  /** Q55 — cross-source canonical selection: cluster documents by their
+    * bag-of-words digest (same distinct-token vocabulary) and keep one
+    * canonical doc per cluster — smallest source name, then smallest
+    * doc_id. This is the "which copy survives" step of multi-source
+    * corpus merging. Clustering is a hash-groupBy on the digest; the
+    * keeper pick is a bounded per-cluster window.
+    */
+  val q55 = Query(
+    "q55_dedup_crosssource",
+    (s, dir) => {
+      val bow = tokensWithPos(Tables.documents(s, dir))
+        .select(col("doc_id"), col("tok")).distinct()
+        .groupBy("doc_id")
+        .agg(md5(array_join(array_sort(collect_set(col("tok"))), " ")).as("dig"))
+      val docs = Tables.documents(s, dir).select("doc_id", "source")
+      val members = bow.join(docs, "doc_id")
+      val stats = members.groupBy("dig")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+      val w = Window.partitionBy("dig")
+        .orderBy(col("source").asc, col("doc_id").asc)
+      members.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dig"), col("doc_id").as("keeper_doc"),
+          col("source").as("keeper_source"))
+        .join(stats, "dig")
+        .select("dig", "keeper_doc", "keeper_source", "n_docs", "n_sources")
+        .orderBy("keeper_doc")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+           |  FROM documents),
+           |bow AS (
+           |  SELECT doc_id, md5(string_agg(DISTINCT tok, ' ' ORDER BY tok)) AS dig
+           |  FROM toks WHERE tok <> '' GROUP BY doc_id),
+           |members AS (
+           |  SELECT b.dig, d.doc_id, d.source FROM bow b JOIN documents d USING (doc_id)),
+           |stats AS (
+           |  SELECT dig, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+           |  FROM members GROUP BY dig),
+           |keep AS (
+           |  SELECT dig, doc_id AS keeper_doc, source AS keeper_source FROM members
+           |  QUALIFY row_number() OVER (PARTITION BY dig ORDER BY source ASC, doc_id ASC) = 1)
+           |SELECT k.dig, k.keeper_doc, k.keeper_source, s.n_docs, s.n_sources
+           |FROM keep k JOIN stats s USING (dig)
+           |ORDER BY k.keeper_doc""".stripMargin)
+  )
+
+  /** Q56 — fuzzy near-dup via blocked edit distance: candidate pairs
+    * share (lang, length bucket) and differ ≤5 chars in length, then
+    * Levenshtein over the 60-char prefix keeps pairs under distance 40.
+    * Blocking turns the all-pairs comparison into an equi-join whose
+    * block sizes are bounded by the length-bucket width — the classic
+    * way string-similarity dedup survives scale; the O(len²) distance
+    * runs only on the candidate set.
+    */
+  val q56 = Query(
+    "q56_dedup_editdist",
+    (s, dir) => {
+      def side(p: String): DataFrame =
+        Tables.documents(s, dir).select(
+          col("doc_id").as(s"${p}_doc"),
+          col("lang").as(s"${p}_lang"),
+          col("n_chars").as(s"${p}_n"),
+          substring(col("text"), 1, 60).as(s"${p}_pre"),
+          floor(col("n_chars") / 25).cast("long").as(s"${p}_bucket"))
+      side("a").join(side("b"),
+          col("a_lang") === col("b_lang") &&
+            col("a_bucket") === col("b_bucket") &&
+            col("a_doc") < col("b_doc") &&
+            abs(col("a_n") - col("b_n")) <= 5)
+        .withColumn("dist", levenshtein(col("a_pre"), col("b_pre")).cast("long"))
+        .filter(col("dist") <= 40)
+        .select("a_doc", "b_doc", "dist")
+        .orderBy("a_doc", "b_doc")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, lang, n_chars, substr(text, 1, 60) AS pre,
+           |         n_chars // 25 AS bucket
+           |  FROM documents)
+           |SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+           |       CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+           |FROM d a JOIN d b
+           |  ON a.lang = b.lang AND a.bucket = b.bucket
+           | AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 5
+           |WHERE levenshtein(a.pre, b.pre) <= 40
+           |ORDER BY a_doc, b_doc""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q27, q28, q29, q30, q50, q55, q56)
 }

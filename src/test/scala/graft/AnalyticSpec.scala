@@ -97,4 +97,36 @@ class AnalyticSpec extends SparkTestBase {
     val n = TextOps.q52.build(spark, sf).agg(sum("n_docs")).head().getLong(0)
     assert(n === Tables.documents(spark, sf).count())
   }
+
+  test("q53 tfidf: <=5 terms per doc, rank ordered by score desc") {
+    val df = TextOps.q53.build(spark, sf).cache()
+    assert(df.groupBy("doc_id").count().filter(col("count") > 5).count() === 0)
+    // within a doc, rn order must match non-increasing tfidf
+    val viol = df.alias("a").join(df.alias("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.rn") === col("b.rn") - 1)
+      .filter(col("a.tfidf") < col("b.tfidf")).count()
+    assert(viol === 0)
+  }
+
+  test("q54 inverted index: df equals posting-list length; docs resolvable") {
+    val df = TextOps.q54.build(spark, sf).cache()
+    val viol = df.filter(
+      size(split(col("postings"), ",")) =!= col("df_docs")).count()
+    assert(viol === 0)
+    assert(df.agg(max("df_docs")).head().getLong(0) <=
+      Tables.documents(spark, sf).count())
+  }
+
+  test("q55 cross-source dedup: keepers partition the corpus") {
+    val df = DedupOps.q55.build(spark, sf).cache()
+    assert(df.agg(sum("n_docs")).head().getLong(0) ===
+      Tables.documents(spark, sf).count())
+    assert(df.select("dig").distinct().count() === df.count())
+  }
+
+  test("q56 edit-distance dedup: symmetric-free pairs, dist within bound") {
+    val df = DedupOps.q56.build(spark, sf).cache()
+    assert(df.filter(col("a_doc") >= col("b_doc")).count() === 0)
+    assert(df.filter(col("dist") < 0 || col("dist") > 40).count() === 0)
+  }
 }

@@ -43,4 +43,21 @@ class SourcesSpec extends SparkTestBase {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(o_month"), plan)
   }
+
+  test("bucketed layout: fact-orders join plans with zero shuffle exchanges") {
+    graft.sources.Warehouse.buildBucketed(spark, sf)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join would otherwise need a full shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.sources.Warehouse.bucketedJoin(spark)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // bucket pruning metadata present on both scans
+      assert(plan.contains("Bucketed: true"), plan)
+      // and the join still produces the right multiplicity
+      assert(joined.count() === Tables.lineitem(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

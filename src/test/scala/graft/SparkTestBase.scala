@@ -23,6 +23,9 @@ object SparkTestBase {
       // the minhash pipeline at sf0.1)
       .config("spark.buffer.pageSize", "4m")
       .config("spark.ui.enabled", "false")
+      // keep catalog tables (bucketed-layout tests) out of the repo tree
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
