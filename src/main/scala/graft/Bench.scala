@@ -28,7 +28,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // order-stable run: warm nothing, measure each query end-to-end
+    // JIT/classloading warm-up outside the measured loop: a small scan +
+    // aggregate touches the parquet reader, codegen and shuffle paths once
+    // so the first measured query isn't charged for JVM warm-up. No query
+    // results are cached — Spark shares nothing across jobs here beyond
+    // loaded classes and compiled code.
+    Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count()
+      .write.mode("overwrite").format("noop").save()
+
+    // order-stable run: measure each query end-to-end
     val results = SparkEntry.inventory.map { q =>
       val t0 = System.nanoTime()
       val ok =

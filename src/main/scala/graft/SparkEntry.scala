@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticOps, DedupOps, RelationalOps, TemporalOps}
+import graft.operators.{AnalyticOps, DedupOps, RelationalOps, SkewOps, TemporalOps}
 import graft.functions.{MultimodalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,7 @@ import graft.functions.{MultimodalOps, SimilarityOps, TextOps}
 object SparkEntry {
 
   val inventory: Seq[Query] =
-    RelationalOps.all ++ AnalyticOps.all ++ TemporalOps.all ++
+    RelationalOps.all ++ AnalyticOps.all ++ SkewOps.all ++ TemporalOps.all ++
       TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ MultimodalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -395,6 +395,108 @@ object AnalyticOps {
            |GROUP BY 1, 2 ORDER BY bucket""".stripMargin)
   )
 
+  /** Q58 — membership-subquery battery: IN (planned as left semi) and
+    * NOT IN (null-aware anti join) in one SQL statement. Catalyst turns
+    * both into joins — no per-row subquery execution at any scale. The
+    * NOT IN column is non-nullable by schema, so the null-semantics trap
+    * (NOT IN over a null-containing set = empty) is not in play. */
+  val q58 = Query(
+    "q58_in_subquery",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("inq_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("inq_customer")
+      Tables.lineitem(s, dir).createOrReplaceTempView("inq_lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM inq_orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM inq_customer
+          |                    WHERE c_mktsegment = 'BUILDING')
+          |  AND o_orderkey NOT IN (SELECT l_orderkey FROM inq_lineitem
+          |                         WHERE l_quantity > 45)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders
+           |WHERE o_custkey IN (SELECT c_custkey FROM customer
+           |                    WHERE c_mktsegment = 'BUILDING')
+           |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+           |                         WHERE l_quantity > 45)
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
+  /** Q59 — date-spine generation + gap-filling: a month spine from the
+    * order-date range (`sequence` + `explode` — rows from nothing), left
+    * joined with per-month order counts so empty months surface as
+    * zeros. The spine is bounded by the calendar, not the data — it
+    * stays tiny at 100 TB and broadcasts. */
+  val q59 = Query(
+    "q59_date_spine",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val bounds = o.agg(
+        date_trunc("month", min(col("o_orderdate"))).as("lo"),
+        date_trunc("month", max(col("o_orderdate"))).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month")))
+          .as("month_ts"))
+        .select(col("month_ts").cast("date").as("month_start"))
+      val counts = o.groupBy(
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      spine.join(counts, Seq("month_start"), "left")
+        .select(col("month_start"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        .orderBy("month_start")
+    },
+    Some("""WITH bounds AS (
+           |  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+           |         date_trunc('month', MAX(o_orderdate)) AS hi
+           |  FROM orders),
+           |spine AS (
+           |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month_start
+           |  FROM bounds),
+           |counts AS (
+           |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           |         COUNT(*) AS n_orders,
+           |         CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+           |  FROM orders GROUP BY 1)
+           |SELECT s.month_start,
+           |       COALESCE(c.n_orders, 0) AS n_orders,
+           |       COALESCE(c.revenue, 0.0) AS revenue
+           |FROM spine s LEFT JOIN counts c USING (month_start)
+           |ORDER BY s.month_start""".stripMargin)
+  )
+
+  /** Q60 — multiset set ops: INTERSECT ALL / EXCEPT ALL over customer
+    * keys of two order predicates, multiplicities preserved (the ALL
+    * variants Q17 deliberately leaves out). Canonicalized by counting
+    * per (op, key) — the multiset itself has no deterministic row
+    * order. */
+  val q60 = Query(
+    "q60_setops_all",
+    (s, dir) => {
+      val a = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 150000).select("o_custkey")
+      val b = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .union(a.exceptAll(b).withColumn("op", lit("except_all")))
+        .groupBy("op", "o_custkey")
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy("op", "o_custkey")
+    },
+    Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+           |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+           |m AS (
+           |  SELECT 'intersect_all' AS op, o_custkey FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+           |  UNION ALL
+           |  SELECT 'except_all', o_custkey FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+           |SELECT op, o_custkey, COUNT(*) AS multiplicity
+           |FROM m GROUP BY op, o_custkey
+           |ORDER BY op, o_custkey""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49)
+    q45, q46, q47, q48, q49, q58, q59, q60)
 }

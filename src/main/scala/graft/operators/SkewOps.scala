@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{Canon, Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: explicit key salting for shuffle joins.
+  *
+  * When one join key carries a disproportionate share of rows, the
+  * shuffle partition that owns it becomes the straggler and caps the
+  * whole stage at one task's throughput — at 100 TB a single hot key
+  * (the null user, the default product id) can hold a 1000-executor
+  * cluster at 1× parallelism. AQE's skew-join splitting
+  * (`spark.sql.adaptive.skewJoin`) is the first line of defense and is
+  * enabled engine-wide; explicit salting is the fallback when the build
+  * side is too large to broadcast AND the skew is known up front (AQE
+  * splits probe-side partitions but still replicates nothing, so a
+  * single giant build-side key group still lands in one task's hash
+  * table).
+  *
+  * Mechanics: each probe-side row scatters to one of `nSalts` synthetic
+  * sub-keys (deterministically, by hashing the whole row); the build
+  * side replicates every row to ALL sub-keys. The join then shuffles on
+  * (key, salt), spreading each hot key over `nSalts` partitions. Join
+  * semantics are unchanged — proved by [[q57]], whose DuckDB oracle is
+  * the PLAIN join.
+  */
+object SkewOps {
+  import Canon._
+
+  /** Equi inner join of `big ⋈ small` on `bigKey = smallKey`, salted to
+    * `nSalts` sub-keys. Both salt columns are dropped from the output.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String, nSalts: Int): DataFrame = {
+    val bigCols: Seq[Column] = big.columns.toSeq.map(col)
+    val salted = big.withColumn("__salt_b",
+      pmod(xxhash64(bigCols: _*), lit(nSalts.toLong)))
+    val replicated = small.withColumn("__salt_s",
+      explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
+    salted.join(replicated,
+        salted(bigKey) === replicated(smallKey) &&
+          col("__salt_b") === col("__salt_s"))
+      .drop("__salt_b", "__salt_s")
+  }
+
+  /** Q57 — the salted HyperJoin: identical semantics to the plain
+    * enrichment join (the oracle IS the plain join — salting must be
+    * invisible in the result), executed with part replicated ×8 and
+    * lineitem scattered over (l_partkey, salt). */
+  val q57 = Query(
+    "q57_salted_join",
+    (s, dir) =>
+      saltedJoin(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey",
+            "l_quantity", "l_extendedprice"),
+        Tables.part(s, dir).select("p_partkey", "p_name", "p_retailprice"),
+        "l_partkey", "p_partkey", nSalts = 8)
+        .withColumn("sales",
+          (dec12(col("l_extendedprice")) * dec12(col("l_quantity"))).cast("double"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "p_name", "sales")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey"),
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, p_name,
+           |       CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4)) AS DOUBLE) AS sales
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q57)
+}

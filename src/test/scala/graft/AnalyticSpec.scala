@@ -124,6 +124,27 @@ class AnalyticSpec extends SparkTestBase {
     assert(df.select("dig").distinct().count() === df.count())
   }
 
+  test("salted join: identical rows to the plain join, any salt count") {
+    import graft.operators.SkewOps
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_partkey")
+    val p = Tables.part(spark, sf).select("p_partkey", "p_name")
+    val plain = li.join(p, col("l_partkey") === col("p_partkey"))
+    for (n <- Seq(1, 4, 16)) {
+      val salted = SkewOps.saltedJoin(li, p, "l_partkey", "p_partkey", n)
+      assert(salted.exceptAll(plain).count() === 0, s"extra rows at n=$n")
+      assert(plain.exceptAll(salted).count() === 0, s"missing rows at n=$n")
+    }
+  }
+
+  test("q59 date spine: contiguous months, zero-filled gaps kept") {
+    val rows = AnalyticOps.q59.build(spark, sf).collect()
+    val months = rows.map(_.getDate(0).toLocalDate)
+    months.sliding(2).foreach { case Array(a, b) =>
+      assert(a.plusMonths(1) === b, s"gap between $a and $b")
+    }
+    assert(rows.map(_.getLong(1)).sum === Tables.orders(spark, sf).count())
+  }
+
   test("q56 edit-distance dedup: symmetric-free pairs, dist within bound") {
     val df = DedupOps.q56.build(spark, sf).cache()
     assert(df.filter(col("a_doc") >= col("b_doc")).count() === 0)
