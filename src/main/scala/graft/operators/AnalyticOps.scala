@@ -497,6 +497,57 @@ object AnalyticOps {
            |ORDER BY op, o_custkey""".stripMargin)
   )
 
+  /** Q61 — fault-tolerant casting (`try_cast`): malformed and
+    * out-of-range inputs become NULL instead of failing the job — the
+    * generalization of the reference's REGEXP-validate-then-cast clean
+    * (O24, createDW.sql:67-80). On a 100 TB ingest a single bad row
+    * must never kill the pipeline; try_cast keeps the error handling
+    * row-local and codegen'd. */
+  val q61 = Query(
+    "q61_try_cast",
+    (s, dir) =>
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          expr("try_cast(p_brand AS INT)").as("c_bad"),
+          expr("try_cast(cast(p_size AS STRING) AS INT)").as("c_roundtrip"),
+          expr("try_cast(p_size * 10 AS TINYINT)").cast("int").as("c_overflow"),
+          expr("try_cast(substring(p_brand, 7) AS INT)").as("c_suffix"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+           |  TRY_CAST(p_brand AS INT) AS c_bad,
+           |  TRY_CAST(CAST(p_size AS VARCHAR) AS INT) AS c_roundtrip,
+           |  CAST(TRY_CAST(p_size * 10 AS TINYINT) AS INT) AS c_overflow,
+           |  TRY_CAST(substr(p_brand, 7) AS INT) AS c_suffix
+           |FROM part ORDER BY p_partkey""".stripMargin)
+  )
+
+  /** Q62 — mergeable distinct-count sketches (Apache DataSketches HLL):
+    * one sketch per nation, per-nation estimates plus a global estimate
+    * from `hll_union_agg` over the stored sketches — WITHOUT re-reading
+    * the base data. This is the pre-aggregation pattern that makes
+    * distinct-count rollups tractable at 100 TB: sketches are
+    * constant-size, partial-aggregatable, and unionable across
+    * partitions/days. Estimates are engine-specific → rows-only check;
+    * the ScalaTest invariant pins estimate≈exact. */
+  val q62 = Query(
+    "q62_hll_mergeable",
+    (s, dir) => {
+      val sk = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+          countDistinct(col("c_custkey")).as("exact"))
+      val perNation = sk.select(col("nationkey"),
+        hll_sketch_estimate(col("sk")).as("estimate"), col("exact"))
+      val global = sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("estimate"),
+        sum(col("exact")).as("exact"))
+        .select(lit(-1L).as("nationkey"), col("estimate"), col("exact"))
+      perNation.union(global).orderBy("nationkey")
+    },
+    None // sketch estimates are engine-specific by design
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q58, q59, q60)
+    q45, q46, q47, q48, q49, q58, q59, q60, q61, q62)
 }

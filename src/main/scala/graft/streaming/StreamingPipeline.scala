@@ -62,6 +62,18 @@ object StreamingPipeline {
       .groupBy(window(col("tss"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup: each `event_id` is emitted once, with state
+    * for ids older than the watermark horizon evicted — the streaming
+    * analog of q27's exact dedup and the standard defense against
+    * at-least-once upstream delivery (a replayed CDC batch, a retried
+    * producer). State size is bounded by (arrival rate × horizon), not
+    * by stream lifetime — the property that keeps it viable on an
+    * unbounded 100 TB/day stream. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tss", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Keyed last-write-wins upsert of a micro-batch into a parquet "dim"
     * — the corrected intent of the reference's five dim writers
     * (O17–O21, N1). Idempotent per batch: re-running a batch yields the

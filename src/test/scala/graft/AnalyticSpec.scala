@@ -145,6 +145,15 @@ class AnalyticSpec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum === Tables.orders(spark, sf).count())
   }
 
+  test("q62 hll sketches: estimates match exact counts at fixture scale") {
+    // customer keys are unique -> per-nation cardinalities are small and
+    // HLL is exact in its sparse regime; the global union row (-1) too
+    val bad = AnalyticOps.q62.build(spark, sf)
+      .filter(abs(col("estimate") - col("exact")) / col("exact") > 0.05)
+      .count()
+    assert(bad === 0)
+  }
+
   test("q56 edit-distance dedup: symmetric-free pairs, dist within bound") {
     val df = DedupOps.q56.build(spark, sf).cache()
     assert(df.filter(col("a_doc") >= col("b_doc")).count() === 0)

@@ -43,6 +43,36 @@ class StreamingSpec extends SparkTestBase {
       .filter(col("ts") =!= col("max_ts")).count() === 0)
   }
 
+  test("streaming dedup: replayed source file emits each event_id once") {
+    // landing dir with the SAME fixture staged twice = an at-least-once
+    // source replaying its batch; maxFilesPerTrigger=1 => two micro-batches
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val landing = java.nio.file.Files.createTempDirectory("events-replay")
+    landing.toFile.deleteOnExit()
+    for (n <- Seq("a", "b"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"),
+        landing.resolve(s"events-$n.parquet"))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing.toString)
+      .withColumn("tss", timestamp_seconds(expr("ts div 1000000000")))
+    val q = StreamingPipeline.dedupStream(src)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_stream")
+      .option("checkpointLocation", tmp("ckpt-dedup"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("dedup_stream")
+    val distinctIds = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(out.count() === distinctIds) // 2x input rows, 1x output
+    assert(out.select("event_id").distinct().count() === distinctIds)
+  }
+
   test("consume-once state: first event per key only (O13 parity)") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
