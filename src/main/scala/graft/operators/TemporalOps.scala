@@ -104,6 +104,33 @@ object TemporalOps {
            |ORDER BY event_id""".stripMargin)
   )
 
+  /** Q19b — the SAME as-of join executed by the engine's native
+    * whole-operator plan ([[graft.plans.AsOfJoinExec]]): one shuffle
+    * per side + in-partition sort + streaming merge, instead of the
+    * composed join-then-rank (which materializes every order
+    * at-or-before every event and re-shuffles on event_id). The oracle
+    * is identical to q19's — the custom operator must be row-for-row
+    * indistinguishable from the composed plan.
+    */
+  val q19b = Query(
+    "q19b_asof_native",
+    (s, dir) => {
+      val ev = eventsTss(s, dir).select("event_id", "user_id", "tss")
+      val od = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_odate"))
+      graft.plans.AsOfOps.asofJoin(
+          ev, od,
+          leftKey = ev("user_id"), rightKey = od("o_custkey"),
+          leftTime = ev("tss"), rightTime = od("o_odate"),
+          rightTieBreak = Seq(od("o_orderkey")))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_odate").cast("date").as("asof_date"), col("o_totalprice"))
+        .orderBy("event_id")
+    },
+    q19.oracle
+  )
+
   /** Q20a — tumbling 1 h window aggregate per event type. */
   val q20a = Query(
     "q20a_tumbling_window",
@@ -201,5 +228,5 @@ object TemporalOps {
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q18, q19, q20a, q20b, q21, q22)
+  val all: Seq[Query] = Seq(q18, q19, q19b, q20a, q20b, q21, q22)
 }

@@ -34,6 +34,33 @@ class ExtensionSpec extends SparkTestBase {
     assert(diff.count() === 0)
   }
 
+  test("native as-of join: AsOfJoinExec in plan, rows equal composed q19") {
+    import graft.operators.TemporalOps
+    val native = TemporalOps.q19b.build(spark, sf)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    val composed = TemporalOps.q19.build(spark, sf)
+    assert(native.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(native).count() === 0)
+  }
+
+  test("native as-of join: null keys/times drop, empty right side ok") {
+    import graft.plans.AsOfOps
+    import spark.implicits._
+    val l = Seq((1L, 10L, Some(1L)), (2L, 20L, None), (3L, 5L, Some(2L)))
+      .toDF("id", "t", "k")
+    val r = Seq((1L, 8L, "a"), (1L, 9L, "b"), (2L, 99L, "z"))
+      .toDF("rk", "rt", "v")
+    val out = AsOfOps.asofJoin(l, r, l("k"), r("rk"), l("t"), r("rt"))
+      .select("id", "v").collect().map(x => (x.getLong(0), x.getString(1)))
+    // id=1: k=1,t=10 -> latest rt<=10 is 9 -> "b"; id=2: null key drops;
+    // id=3: k=2,t=5 -> no rt<=5 -> drops
+    assert(out.toSeq === Seq((1L, "b")))
+    val empty = AsOfOps.asofJoin(
+      l, r.filter(col("rk") < 0), l("k"), r("rk"), l("t"), r("rt"))
+    assert(empty.count() === 0)
+  }
+
   test("graft_clean_price UDF matches the declarative regexp path") {
     Udfs.register(spark)
     val df = Tables.part(spark, sf)
