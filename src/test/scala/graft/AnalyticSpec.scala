@@ -157,6 +157,6 @@ class AnalyticSpec extends SparkTestBase {
   test("q56 edit-distance dedup: symmetric-free pairs, dist within bound") {
     val df = DedupOps.q56.build(spark, sf).cache()
     assert(df.filter(col("a_doc") >= col("b_doc")).count() === 0)
-    assert(df.filter(col("dist") < 0 || col("dist") > 40).count() === 0)
+    assert(df.filter(col("dist") < 0 || col("dist") > 16).count() === 0)
   }
 }
