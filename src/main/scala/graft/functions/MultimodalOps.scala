@@ -80,5 +80,52 @@ object MultimodalOps {
            |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q36)
+  /** Q63 — frame sampling: every 5th frame index of each "video"
+    * (frame count from the fake decode), with a derived capture
+    * timestamp at 24 fps. Rows-from-nothing via `sequence`+`explode` —
+    * the Generate is bounded per row by the frame count, so output
+    * scales with Σframes, never with a cross join. */
+  val q63 = Query(
+    "q63_frame_sample",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 30 + 1).as("frames"))
+        .select(col("doc_id"), col("frames"),
+          explode(sequence(lit(0L), col("frames") - 1, lit(5L))).as("frame_idx"))
+        .withColumn("t_sec", col("frame_idx").cast("double") / 24.0)
+        .orderBy("doc_id", "frame_idx"),
+    Some("""SELECT doc_id, frames, frame_idx,
+           |       CAST(frame_idx AS DOUBLE) / 24.0 AS t_sec
+           |FROM (
+           |  SELECT doc_id, doc_id % 30 + 1 AS frames,
+           |         unnest(range(0, doc_id % 30 + 1, 5)) AS frame_idx
+           |  FROM documents)
+           |ORDER BY doc_id, frame_idx""".stripMargin)
+  )
+
+  /** Q64 — deterministic feature extraction from the binary payload:
+    * four pseudo-embedding dimensions derived from md5 nibbles of the
+    * payload, normalized to [0,1]. Stands in for a real
+    * per-partition-initialized featurizer with the same plan shape —
+    * pure map-side expression work, no shuffle until the output sort. */
+  val q64 = Query(
+    "q64_feature_extract",
+    (s, dir) => {
+      val h = md5(col("text").cast("binary"))
+      def f(k: Int) =
+        (conv(substring(h, k * 4 + 1, 4), 16, 10).cast("double") / 65535.0)
+          .as(s"f$k")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), f(0), f(1), f(2), f(3))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(CAST(concat('0x', substr(md5(text), 1,  4)) AS BIGINT) AS DOUBLE) / 65535.0 AS f0,
+           |  CAST(CAST(concat('0x', substr(md5(text), 5,  4)) AS BIGINT) AS DOUBLE) / 65535.0 AS f1,
+           |  CAST(CAST(concat('0x', substr(md5(text), 9,  4)) AS BIGINT) AS DOUBLE) / 65535.0 AS f2,
+           |  CAST(CAST(concat('0x', substr(md5(text), 13, 4)) AS BIGINT) AS DOUBLE) / 65535.0 AS f3
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q36, q63, q64)
 }

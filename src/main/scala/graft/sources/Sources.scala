@@ -40,6 +40,15 @@ object Sources {
       .option("numPartitions", numPartitions)
       .load()
 
+  /** Schema-evolution read: union the schemas of all parquet footers
+    * under `path` (columns added over time arrive as nulls in old
+    * files). `mergeSchema` is a footer-only pass — no data scan — but
+    * still O(files); production tables pin the merged schema in a
+    * catalog instead of re-deriving it per query, so this is the
+    * ingest-time tool, not the hot path. */
+  def readParquetEvolving(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)

@@ -44,6 +44,20 @@ class SourcesSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [isnotnull(o_month"), plan)
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    val path = tmp("pq-evolve")
+    val v1 = Tables.part(spark, sf).select("p_partkey", "p_name")
+    val v2 = Tables.part(spark, sf).select("p_partkey", "p_name", "p_retailprice")
+    v1.write.parquet(s"$path/gen=1")
+    v2.write.parquet(s"$path/gen=2")
+    val merged = Sources.readParquetEvolving(spark, path)
+    assert(merged.columns.toSet === Set("p_partkey", "p_name", "p_retailprice", "gen"))
+    // old-generation rows surface the new column as null
+    assert(merged.filter(col("gen") === 1 && col("p_retailprice").isNotNull).count() === 0)
+    assert(merged.filter(col("gen") === 2 && col("p_retailprice").isNull).count() === 0)
+    assert(merged.count() === 2 * v1.count())
+  }
+
   test("bucketed layout: fact-orders join plans with zero shuffle exchanges") {
     graft.sources.Warehouse.buildBucketed(spark, sf)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
