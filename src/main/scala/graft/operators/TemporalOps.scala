@@ -131,6 +131,41 @@ object TemporalOps {
     q19.oracle
   )
 
+  /** Q19c — LEFT-OUTER native as-of: events matched to the latest
+    * URGENT order at-or-before their time; users with no qualifying
+    * order history survive null-filled (the pandas merge_asof default —
+    * restricting the right side is what makes unmatched rows actually
+    * occur). Same operator, `outer = true`. */
+  val q19c = Query(
+    "q19c_asof_outer",
+    (s, dir) => {
+      val ev = eventsTss(s, dir).select("event_id", "user_id", "tss")
+      val od = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_odate"))
+      graft.plans.AsOfOps.asofJoin(
+          ev, od,
+          leftKey = ev("user_id"), rightKey = od("o_custkey"),
+          leftTime = ev("tss"), rightTime = od("o_odate"),
+          rightTieBreak = Seq(od("o_orderkey")), outer = true)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_odate").cast("date").as("asof_date"), col("o_totalprice"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, o_orderkey,
+           |       CAST(o_orderdate AS DATE) AS asof_date, o_totalprice
+           |FROM (
+           |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           |         row_number() OVER (PARTITION BY e.event_id
+           |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           |  FROM events e LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+           |    ON e.user_id = o.o_custkey
+           |   AND o.o_orderdate <= date_trunc('second', e.ts)) t
+           |WHERE rn = 1
+           |ORDER BY event_id""".stripMargin)
+  )
+
   /** Q20a — tumbling 1 h window aggregate per event type. */
   val q20a = Query(
     "q20a_tumbling_window",
@@ -228,5 +263,5 @@ object TemporalOps {
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q18, q19, q19b, q20a, q20b, q21, q22)
+  val all: Seq[Query] = Seq(q18, q19, q19b, q19c, q20a, q20b, q21, q22)
 }

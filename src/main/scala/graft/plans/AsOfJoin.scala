@@ -34,9 +34,12 @@ case class AsOfJoinNode(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Seq[Expression]) extends BinaryNode {
+    rightTieBreak: Seq[Expression],
+    isOuter: Boolean) extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (isOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
@@ -46,8 +49,8 @@ case class AsOfJoinNode(
 /** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tb, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, outer) :: Nil
     case _ => Nil
   }
 }
@@ -73,14 +76,17 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Seq[Expression]) extends BinaryExecNode {
+    rightTieBreak: Seq[Expression],
+    isOuter: Boolean) extends BinaryExecNode {
 
   require(leftKey.dataType == rightKey.dataType,
     s"as-of join key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
   require(leftTime.dataType == rightTime.dataType,
     s"as-of join time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (isOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) ::
@@ -110,10 +116,14 @@ case class AsOfJoinExec(
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val outAttrs = output
 
+    val outer = isOuter
+    val rightArity = right.output.size
+
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
         val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
         val joined = new JoinedRow
+        val nullRight = new GenericInternalRow(rightArity)
         new Iterator[InternalRow] {
           // one-row lookahead on the right; shuffle rows are reused
           // buffers, so the candidate must be a copy
@@ -150,6 +160,10 @@ case class AsOfJoinExec(
                 // again (keys ascend) — the equality check retires it
                 if (candidate != null && keyOrd.compare(candidateKey, k) == 0)
                   return resultProj(joined(l, candidate))
+                else if (outer)
+                  return resultProj(joined(l, nullRight))
+              } else if (outer) {
+                return resultProj(joined(l, nullRight))
               }
             }
             null
@@ -174,13 +188,16 @@ case class AsOfJoinExec(
 /** User-facing API for the native as-of join. */
 object AsOfOps {
 
-  /** Inner as-of join: each left row paired with the latest right row
-    * of the same key at-or-before its time (greatest `rightTieBreak`
-    * on time ties). Pass resolved columns (`df("c")`). */
+  /** As-of join: each left row paired with the latest right row of the
+    * same key at-or-before its time (greatest `rightTieBreak` on time
+    * ties). Inner by default; `outer = true` keeps unmatched left rows
+    * with a null-filled right side (the pandas-style merge_asof
+    * default). Pass resolved columns (`df("c")`). */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
-      rightTieBreak: Seq[Column] = Nil): DataFrame = {
+      rightTieBreak: Seq[Column] = Nil,
+      outer: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
@@ -190,6 +207,6 @@ object AsOfOps {
         left.queryExecution.analyzed, right.queryExecution.analyzed,
         Bridge.expr(leftKey), Bridge.expr(rightKey),
         Bridge.expr(leftTime), Bridge.expr(rightTime),
-        rightTieBreak.map(Bridge.expr)))
+        rightTieBreak.map(Bridge.expr), outer))
   }
 }

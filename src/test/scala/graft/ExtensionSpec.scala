@@ -59,6 +59,13 @@ class ExtensionSpec extends SparkTestBase {
     val empty = AsOfOps.asofJoin(
       l, r.filter(col("rk") < 0), l("k"), r("rk"), l("t"), r("rt"))
     assert(empty.count() === 0)
+    // outer mode: every left row survives; unmatched get null right
+    val outer = AsOfOps.asofJoin(l, r, l("k"), r("rk"), l("t"), r("rt"),
+        outer = true)
+      .select("id", "v").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) null else x.getString(1)))
+      .sortBy(_._1)
+    assert(outer.toSeq === Seq((1L, "b"), (2L, null), (3L, null)))
   }
 
   test("graft_clean_price UDF matches the declarative regexp path") {
