@@ -242,5 +242,46 @@ object SimilarityOps {
     None
   )
 
-  val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d)
+  /** Q65 — int8 embedding quantization: per-vector absmax scaling to
+    * [-127, 127] (the standard storage/bandwidth compression for
+    * embedding corpora — 4× smaller than float32, dot products stay
+    * rank-faithful). Pure map-side array work; the digest condenses the
+    * quantized vector so the oracle hash-checks every element without
+    * shipping arrays through the compare. Zero vectors degrade to NULL
+    * via nullif instead of dividing by zero.
+    */
+  val q65 = Query(
+    "q65_vec_quantize",
+    (s, dir) => {
+      val amax = array_max(transform(col("embedding"), x => abs(x)))
+        .cast("double")
+      val scale = lit(127.0) / nullif(amax, lit(0.0))
+      val qv = transform(col("embedding"),
+        x => round(x.cast("double") * scale).cast("long"))
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"), col("label").cast("long").as("label"),
+          amax.as("amax"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          aggregate(qv, lit(0L), (acc, x) => acc + x).as("qsum"),
+          md5(concat_ws(",", transform(qv, _.cast("string")))).as("qdigest"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, label, embedding,
+           |         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS amax
+           |  FROM embeddings),
+           |q AS (
+           |  SELECT vec_id, label, amax, embedding,
+           |         list_transform(embedding,
+           |           x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / nullif(amax, 0.0))) AS BIGINT)) AS qv
+           |  FROM e)
+           |SELECT vec_id, CAST(label AS BIGINT) AS label, amax,
+           |       CAST(len(embedding) AS BIGINT) AS n_dims,
+           |       CAST(list_sum(qv) AS BIGINT) AS qsum,
+           |       md5(array_to_string(qv, ',')) AS qdigest
+           |FROM q ORDER BY vec_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65)
 }
