@@ -206,9 +206,11 @@ object TemporalOps {
   )
 
   /** Q21 — session windows per user (30 min inactivity gap). Spark's
-    * `session_window` starts a new session when the gap is >= the
-    * duration (a session spans [start, last+gap)); the oracle replicates
-    * that with the classic gaps-and-islands construction.
+    * `session_window` keeps an event in the session when the gap is
+    * EXACTLY the duration and only starts a new one when gap > duration
+    * (verified against the one exact-1800 s gap in the sf0.1 events);
+    * the oracle replicates that with the classic gaps-and-islands
+    * construction using a strict `> 1800` split.
     */
   val q21 = Query(
     "q21_session_window",
@@ -226,7 +228,7 @@ object TemporalOps {
            |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
            |  FROM events),
            |marked AS (
-           |  SELECT *, CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, value) >= 1800
+           |  SELECT *, CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, value) > 1800
            |                 OR lag(es) OVER (PARTITION BY user_id ORDER BY es, value) IS NULL
            |            THEN 1 ELSE 0 END AS new_session
            |  FROM e),
