@@ -402,5 +402,86 @@ object DedupOps {
            |ORDER BY a_doc, b_doc""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q27, q28, q29, q30, q50, q55, q56)
+  /** Distributed connected components by iterative min-label
+    * propagation: each round, every node offers its label to its
+    * neighbors and keeps the minimum seen; stop at fixpoint. Rounds are
+    * bounded by component diameter (near-dup clusters are shallow), and
+    * every round is one shuffle join + one combinable aggregate —
+    * the standard way CC scales on Spark. `localCheckpoint` truncates
+    * the lineage each round so the plan doesn't grow with iterations.
+    * (A recursive-CTE formulation without dedup between rounds — all
+    * Spark 4 supports is UNION ALL — enumerates exponentially many
+    * walks on dense duplicate cliques and hits the recursion row limit;
+    * the iterative loop IS the scalable shape.)
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("a_doc").as("u"), col("b_doc").as("v"))
+      .union(pairs.select(col("b_doc").as("u"), col("a_doc").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("n")).distinct()
+      .withColumn("l", col("n"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val offered = edges.join(labels, col("u") === col("n"))
+        .select(col("v").as("n"), col("l"))
+      val next = labels.union(offered)
+        .groupBy("n").agg(min(col("l")).as("l"))
+        .localCheckpoint()
+      changed = next.as("a")
+        .join(labels.as("b"), col("a.n") === col("b.n"))
+        .filter(col("a.l") =!= col("b.l")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Q66 — duplicate-cluster assignment: transitive closure over the
+    * n-gram-Jaccard near-dup pairs (q30), labeling every clustered doc
+    * with the min doc_id of its connected component
+    * ([[connectedComponents]]). This is the step an LSH pipeline needs
+    * AFTER pair generation — pairs alone over-delete (a~b, b~c must
+    * keep one of {a,b,c}, not two survivors). The oracle computes the
+    * same closure with DuckDB's deduplicating UNION recursion. */
+  val q66 = Query(
+    "q66_dedup_clusters",
+    (s, dir) => {
+      val labels = connectedComponents(q30.build(s, dir))
+        .select(col("n").as("doc_id"), col("l").as("cluster_id"))
+      val csizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      labels.join(csizes, "cluster_id")
+        .select("doc_id", "cluster_id", "csize")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $shinglesSql,
+            |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, COUNT(*) AS n_inter
+            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |cc_pairs AS (
+            |  SELECT a_doc, b_doc
+            |  FROM inter
+            |  JOIN sizes sa ON a_doc = sa.doc_id
+            |  JOIN sizes sb ON b_doc = sb.doc_id
+            |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2),
+            |edges AS (SELECT a_doc AS u, b_doc AS v FROM cc_pairs
+            |          UNION SELECT b_doc, a_doc FROM cc_pairs),
+            |nodes AS (SELECT DISTINCT u AS n FROM edges),
+            |walk(n, l) AS (
+            |  SELECT n, n FROM nodes
+            |  UNION
+            |  SELECT e.v, w.l FROM walk w JOIN edges e ON w.n = e.u WHERE w.l < e.v),
+            |labels AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n),
+            |csizes AS (SELECT cluster_id, COUNT(*) AS csize FROM labels GROUP BY cluster_id)
+            |SELECT l.doc_id, l.cluster_id, c.csize
+            |FROM labels l JOIN csizes c USING (cluster_id)
+            |ORDER BY l.doc_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q27, q28, q29, q30, q50, q55, q56, q66)
 }

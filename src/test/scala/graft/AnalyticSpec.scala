@@ -154,6 +154,25 @@ class AnalyticSpec extends SparkTestBase {
     assert(bad === 0)
   }
 
+  test("q66 connected components: endpoints share a cluster, label is min member") {
+    import spark.implicits._
+    // hand graph: clique {1,2,3}, chain 4-5, singleton pair 8-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (8L, 9L))
+      .toDF("a_doc", "b_doc")
+    val labels = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      8L -> 8L, 9L -> 8L))
+    // every q30 edge must connect same-cluster docs
+    val out = DedupOps.q66.build(spark, sf).select("doc_id", "cluster_id")
+    val e = DedupOps.q30.build(spark, sf).select("a_doc", "b_doc")
+    val viol = e
+      .join(out.withColumnRenamed("doc_id", "a_doc").withColumnRenamed("cluster_id", "ca"), "a_doc")
+      .join(out.withColumnRenamed("doc_id", "b_doc").withColumnRenamed("cluster_id", "cb"), "b_doc")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(viol === 0)
+  }
+
   test("q56 edit-distance dedup: symmetric-free pairs, dist within bound") {
     val df = DedupOps.q56.build(spark, sf).cache()
     assert(df.filter(col("a_doc") >= col("b_doc")).count() === 0)
