@@ -344,5 +344,45 @@ object TextOps {
            |FROM dt GROUP BY term ORDER BY term""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54)
+  /** Per-source sampling rates (per-mille) for the corpus-mixture
+    * sample — the knob a training run turns to rebalance sources. */
+  val mixtureMille: Seq[(String, Int)] =
+    Seq("src0" -> 800, "src1" -> 500, "src2" -> 250, "src3" -> 100, "src4" -> 50)
+
+  /** Q67 — deterministic mixture sampling: each source is downsampled
+    * to its target rate by an md5-residue test on the doc id, so the
+    * sample is reproducible across runs, engines, and partitionings
+    * (rand() is none of those). The rates table is constant-sized →
+    * broadcast; the filter is pure map-side work. Sources without an
+    * explicit rate fall back to a 20‰ background rate (left join +
+    * coalesce) so the whole corpus stays represented.
+    */
+  val q67 = Query(
+    "q67_mixture_sample",
+    (s, dir) => {
+      import s.implicits._
+      val rates = broadcast(mixtureMille.toDF("source", "w0"))
+      Tables.documents(s, dir)
+        .join(rates, Seq("source"), "left")
+        .withColumn("w_mille", coalesce(col("w0"), lit(20)))
+        .withColumn("residue",
+          conv(substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 15), 16, 10)
+            .cast("long") % 1000)
+        .filter(col("residue") < col("w_mille"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("w_mille").cast("long").as("w_mille"), col("residue"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH rates(source, w0) AS (VALUES ${
+             mixtureMille.map { case (s0, w) => s"('$s0', $w)" }.mkString(", ")}),
+            |r AS (
+            |  SELECT d.doc_id, d.source, d.lang, COALESCE(rates.w0, 20) AS w_mille,
+            |         CAST(concat('0x', substr(md5(concat('mix:', d.doc_id)), 1, 15)) AS BIGINT) % 1000 AS residue
+            |  FROM documents d LEFT JOIN rates USING (source))
+            |SELECT doc_id, source, lang, CAST(w_mille AS BIGINT) AS w_mille, residue
+            |FROM r WHERE residue < w_mille
+            |ORDER BY doc_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67)
 }

@@ -483,5 +483,55 @@ object DedupOps {
             |ORDER BY l.doc_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q27, q28, q29, q30, q50, q55, q56, q66)
+  /** Q68 — the dedup VERDICT: inside each q66 duplicate cluster keep
+    * exactly one doc — the longest (whitespace-token count), min doc_id
+    * on ties — and mark the rest for deletion. This is the output a
+    * training-data pipeline actually consumes (a keep/drop column per
+    * doc), composed from cluster assignment + a quality signal. */
+  val q68 = Query(
+    "q68_dedup_verdict",
+    (s, dir) => {
+      val labels = connectedComponents(q30.build(s, dir))
+        .select(col("n").as("doc_id"), col("l").as("cluster_id"))
+      val qual = Tables.documents(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      labels.join(qual, "doc_id")
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("doc_id", "cluster_id", "n_tokens", "keep")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $shinglesSql,
+            |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, COUNT(*) AS n_inter
+            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |cc_pairs AS (
+            |  SELECT a_doc, b_doc
+            |  FROM inter
+            |  JOIN sizes sa ON a_doc = sa.doc_id
+            |  JOIN sizes sb ON b_doc = sb.doc_id
+            |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2),
+            |edges AS (SELECT a_doc AS u, b_doc AS v FROM cc_pairs
+            |          UNION SELECT b_doc, a_doc FROM cc_pairs),
+            |nodes AS (SELECT DISTINCT u AS n FROM edges),
+            |walk(n, l) AS (
+            |  SELECT n, n FROM nodes
+            |  UNION
+            |  SELECT e.v, w.l FROM walk w JOIN edges e ON w.n = e.u WHERE w.l < e.v),
+            |labels AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n),
+            |qual AS (
+            |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+            |  FROM documents)
+            |SELECT l.doc_id, l.cluster_id, q.n_tokens,
+            |       row_number() OVER (PARTITION BY l.cluster_id
+            |                          ORDER BY q.n_tokens DESC, l.doc_id ASC) = 1 AS keep
+            |FROM labels l JOIN qual q USING (doc_id)
+            |ORDER BY l.doc_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68)
 }
