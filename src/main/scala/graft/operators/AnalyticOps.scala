@@ -548,6 +548,37 @@ object AnalyticOps {
     None // sketch estimates are engine-specific by design
   )
 
+  /** Q69 — higher-order array-function battery over the tokenized part
+    * name: transform / filter / exists / forall / aggregate / sort +
+    * slice, arrays canonicalized to comma-joined strings for the
+    * cross-engine hash. All lambdas are per-row, bounded by token
+    * count — map-side work at any scale. */
+  val q69 = Query(
+    "q69_hof_battery",
+    (s, dir) => {
+      val arr = split(col("p_name"), " ")
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          concat_ws(",", transform(arr, upper(_))).as("toks_up"),
+          concat_ws(",", filter(arr, length(_) > 3)).as("long_toks"),
+          exists(arr, _ === "green").as("has_green"),
+          forall(arr, length(_) > 2).as("all_gt2"),
+          aggregate(arr, lit(0L), (acc, x) => acc + length(x).cast("long"))
+            .as("total_chars"),
+          concat_ws(",", slice(sort_array(arr), 1, 3)).as("first3_sorted"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+           |  array_to_string(list_transform(string_split(p_name, ' '), x -> upper(x)), ',') AS toks_up,
+           |  COALESCE(array_to_string(list_filter(string_split(p_name, ' '), x -> length(x) > 3), ','), '') AS long_toks,
+           |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
+           |  len(list_filter(string_split(p_name, ' '), x -> length(x) <= 2)) = 0 AS all_gt2,
+           |  CAST(list_sum(list_transform(string_split(p_name, ' '), x -> length(x))) AS BIGINT) AS total_chars,
+           |  array_to_string(list_sort(string_split(p_name, ' '))[1:3], ',') AS first3_sorted
+           |FROM part ORDER BY p_partkey""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q58, q59, q60, q61, q62)
+    q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69)
 }
