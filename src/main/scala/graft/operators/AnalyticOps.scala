@@ -579,6 +579,24 @@ object AnalyticOps {
            |FROM part ORDER BY p_partkey""".stripMargin)
   )
 
+  /** Q70 — null-preserving generator (`explode_outer`): every part
+    * keeps a row even when its extracted-token array is empty (plain
+    * explode would silently drop it — the classic lost-parent bug in
+    * flattening pipelines). The oracle emulates outer-unnest by
+    * substituting [NULL] for empty arrays. */
+  val q70 = Query(
+    "q70_explode_outer",
+    (s, dir) => {
+      val greens = regexp_extract_all(col("p_name"), lit("green\\w*"), lit(0))
+      Tables.part(s, dir)
+        .select(col("p_partkey"), explode_outer(greens).as("gtok"))
+        .orderBy(col("p_partkey"), col("gtok").asc_nulls_first)
+    },
+    Some("""SELECT p_partkey, unnest(CASE WHEN len(g) = 0 THEN [NULL] ELSE g END) AS gtok
+           |FROM (SELECT p_partkey, regexp_extract_all(p_name, 'green\w*') AS g FROM part)
+           |ORDER BY p_partkey, gtok ASC NULLS FIRST""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69)
+    q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70)
 }

@@ -68,6 +68,15 @@ class ExtensionSpec extends SparkTestBase {
     assert(outer.toSeq === Seq((1L, "b"), (2L, null), (3L, null)))
   }
 
+  test("GraftSession.build installs the SQL surface on the live session") {
+    val s = GraftSession.build() // same JVM -> returns the shared session,
+                                 // imperative install path must still apply
+    val v = s.sql("SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(v === 11.0)
+  }
+
   test("graft_clean_price UDF matches the declarative regexp path") {
     Udfs.register(spark)
     val df = Tables.part(spark, sf)
