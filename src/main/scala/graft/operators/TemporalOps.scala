@@ -265,5 +265,35 @@ object TemporalOps {
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q18, q19, q19b, q19c, q20a, q20b, q21, q22)
+  /** Q71 — typed JSON parsing (`from_json` with a pinned schema): the
+    * streaming-ingest form of Q22's path extraction — one parse per row
+    * into a struct, then typed field access; malformed rows become
+    * nulls instead of failures (PERMISSIVE mode), counted in the
+    * output. */
+  val q71 = Query(
+    "q71_from_json",
+    (s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      Tables.events(s, dir)
+        .withColumn("p", from_json(col("props"), schema))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("p.k")).as("n_parsed"),
+          sum(col("p.k")).as("sum_k"),
+          min(col("p.k")).as("min_k"),
+          max(col("p.k")).as("max_k"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+           |       COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_parsed,
+           |       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           |       MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           |       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q18, q19, q19b, q19c, q20a, q20b, q21, q22, q71)
 }
