@@ -33,9 +33,14 @@ object GraftSession {
       .config("spark.buffer.pageSize", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    // rules/functions also install imperatively so a pre-existing session
-    // (tests, notebooks) gains the surface even when the builder config
-    // came too late to apply extensions
+    // getOrCreate may have returned a PRE-EXISTING session, silently
+    // ignoring every builder config above — re-assert the
+    // runtime-settable ones (static confs like pageSize can't change
+    // post-hoc) and install rules/functions imperatively so that
+    // session still gains the full surface
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     plans.GraftRules.install(spark)
     spark
   }

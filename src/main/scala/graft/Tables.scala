@@ -85,4 +85,14 @@ object Canon {
   /** avg = exact-sum / count, computed in double on both engines. */
   def davg(c: Column): Column =
     outD(sum(dec(c))) / count(lit(1)).cast(DoubleType)
+
+  /** The engine's one cross-engine-portable integer hash: a 60-bit
+    * md5-hex prefix reduced mod `m` (Spark `xxhash64` and DuckDB `hash`
+    * use different algorithms; md5 is identical in both). Every
+    * deterministic-sampling / token-hashing path MUST route through
+    * this single definition — a prefix-length or radix drift between
+    * copies silently changes sample membership. DuckDB equivalent:
+    * `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % m`. */
+  def md5Residue(c: Column, m: Long): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % m
 }

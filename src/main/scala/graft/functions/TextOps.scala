@@ -33,11 +33,25 @@ object TextOps {
       .withColumn("pos", col("pos0") + 1)
       .drop("pos0")
 
-  /** md5-derived 60-bit token hash reduced mod P — the cross-engine
-    * portable hash (Spark `xxhash64` and DuckDB `hash` use different
-    * algorithms, md5 is identical in both). */
+  /** md5-derived 60-bit token hash reduced mod P ([[graft.Canon.md5Residue]]). */
   def tokHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
+    graft.Canon.md5Residue(c, P)
+
+  /** 3-token shingles of each document — THE shingle definition shared
+    * by every dedup/repetition path (window over position, space-joined
+    * trigram). `distinct = true` for set semantics (Jaccard/MinHash),
+    * false to keep multiplicity (repetition scoring). The per-doc
+    * window sort is bounded by document length at any corpus size. */
+  def shinglesOf(docs: DataFrame, distinct: Boolean): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val sh = tokensWithPos(docs)
+      .withColumn("t2", lead(col("tok"), 1).over(w))
+      .withColumn("t3", lead(col("tok"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t2"), col("t3")).as("sh"))
+    if (distinct) sh.distinct() else sh
+  }
 
   /** Q23 — tokenize + explode + top-20 words per language. */
   val q23 = Query(
@@ -214,13 +228,7 @@ object TextOps {
   val q51 = Query(
     "q51_repetition",
     (s, dir) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val sh = tokensWithPos(Tables.documents(s, dir))
-        .withColumn("t2", lead(col("tok"), 1).over(w))
-        .withColumn("t3", lead(col("tok"), 2).over(w))
-        .filter(col("t3").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", col("tok"), col("t2"), col("t3")).as("sh"))
+      val sh = shinglesOf(Tables.documents(s, dir), distinct = false)
       sh.groupBy("doc_id")
         .agg(count(lit(1)).as("n_total"),
           countDistinct(col("sh")).as("n_distinct"))
@@ -269,12 +277,15 @@ object TextOps {
            |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin)
   )
 
-  /** Q53 — TF-IDF top-5 terms per document. The usual ln(N/df) idf is
-    * replaced by the monotone-equivalent raw ratio N/df: division and
-    * multiplication are exactly-rounded IEEE ops (bit-identical across
-    * engines) whereas libm `ln` is not, and the ranking — the part that
-    * matters — is unchanged. tf and df are one combinable aggregate
-    * each; the per-doc top-k is a bounded window.
+  /** Q53 — TF-IDF top-5 terms per document, the textbook
+    * tf · ln(N/df). `ln` is the one op here without a bit-exactness
+    * guarantee across math libraries, so the score is rounded to 6
+    * decimals on BOTH engines before ranking and output — a ≤1-ulp
+    * (~1e-16 relative) ln discrepancy cannot move a round(·, 6) result
+    * unless the true value sits within ~1e-16 of a rounding boundary,
+    * which the three fixture scales are verified not to do. tf and df
+    * are one combinable aggregate each; the per-doc top-k is a bounded
+    * window.
     */
   val q53 = Query(
     "q53_tfidf",
@@ -289,8 +300,8 @@ object TextOps {
       tf.join(broadcast(df), "tok")
         .crossJoin(broadcast(n))
         .withColumn("tfidf",
-          col("tf").cast("double") *
-            (col("n_docs").cast("double") / col("df_docs").cast("double")))
+          round(col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df_docs").cast("double")), 6))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
         .select(col("doc_id"), col("tok").as("term"), col("tf"),
@@ -306,11 +317,11 @@ object TextOps {
            |df AS (SELECT tok, COUNT(*) AS df_docs FROM tf GROUP BY tok),
            |n AS (SELECT COUNT(*) AS n_docs FROM documents)
            |SELECT doc_id, tok AS term, tf, df_docs,
-           |       CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_docs AS DOUBLE)) AS tfidf,
+           |       round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df_docs AS DOUBLE)), 6) AS tfidf,
            |       CAST(row_number() OVER w AS BIGINT) AS rn
            |FROM tf JOIN df USING (tok) CROSS JOIN n
            |WINDOW w AS (PARTITION BY doc_id
-           |             ORDER BY CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_docs AS DOUBLE)) DESC,
+           |             ORDER BY round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df_docs AS DOUBLE)), 6) DESC,
            |                      tok ASC)
            |QUALIFY row_number() OVER w <= 5
            |ORDER BY doc_id, rn""".stripMargin)
@@ -366,8 +377,7 @@ object TextOps {
         .join(rates, Seq("source"), "left")
         .withColumn("w_mille", coalesce(col("w0"), lit(20)))
         .withColumn("residue",
-          conv(substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 15), 16, 10)
-            .cast("long") % 1000)
+          graft.Canon.md5Residue(concat(lit("mix:"), col("doc_id")), 1000))
         .filter(col("residue") < col("w_mille"))
         .select(col("doc_id"), col("source"), col("lang"),
           col("w_mille").cast("long").as("w_mille"), col("residue"))

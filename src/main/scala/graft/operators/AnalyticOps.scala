@@ -192,9 +192,8 @@ object AnalyticOps {
     (s, dir) =>
       Tables.lineitem(s, dir)
         .withColumn("hkey",
-          conv(substring(md5(concat_ws("|",
-            col("l_orderkey"), col("l_linenumber"), col("l_partkey"))), 1, 15), 16, 10)
-            .cast("long") % 20)
+          Canon.md5Residue(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"), col("l_partkey")), 20))
         .filter(col("hkey") === 0)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"),

@@ -35,17 +35,11 @@ object DedupOps {
   private def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Distinct 3-token shingles per doc. The per-doc window sort is
-    * bounded by document length — no global sort at any scale. */
-  private[operators] def shingles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    tokensWithPos(Tables.documents(s, dir))
-      .withColumn("t2", lead(col("tok"), 1).over(w))
-      .withColumn("t3", lead(col("tok"), 2).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("sh"))
-      .distinct()
-  }
+  /** Distinct 3-token shingles per doc
+    * ([[graft.functions.TextOps.shinglesOf]] — the single shared
+    * shingle definition). */
+  private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextOps.shinglesOf(Tables.documents(s, dir), distinct = true)
 
   private val shinglesSql =
     """toks AS (
@@ -349,11 +343,16 @@ object DedupOps {
   )
 
   /** Q56 — fuzzy near-dup via blocked edit distance: candidate pairs
-    * share (lang, length bucket) and differ ≤5 chars in length, then
-    * Levenshtein over the 30-char prefix keeps pairs under distance 16.
-    * Blocking turns the all-pairs comparison into an equi-join whose
-    * block sizes are bounded by the length-bucket width — the classic
-    * way string-similarity dedup survives scale.
+    * share a (lang, length bucket) cell and differ ≤5 chars in length,
+    * then Levenshtein over the 30-char prefix keeps pairs under
+    * distance 16. Blocking turns the all-pairs comparison into an
+    * equi-join whose block sizes are bounded by the length-bucket
+    * width — the classic way string-similarity dedup survives scale.
+    * The probe side expands to its three neighboring cells (like q18's
+    * time bucketing) so pairs straddling a bucket boundary are NOT
+    * lost: a qualifying pair's buckets differ by at most 1, the build
+    * row lives in exactly one cell, and the probe visits that cell
+    * exactly once — complete and duplicate-free.
     *
     * Catalyst pushes the distance filter into the join condition, so the
     * distance runs on every block pair — the prefix length IS the cost
@@ -374,14 +373,17 @@ object DedupOps {
           floor(col("n_chars") / 25).cast("long").as(s"${p}_bucket"))
       // fan the probe side out: the corpus arrives as one row-group, so
       // without this the pair verification (levenshtein × every block
-      // pair) runs in a single task — 13 s → sub-second at sf0.1. The
+      // pair) runs in a single task — 13 s → seconds at sf0.1. The
       // shuffle is tiny (doc prefixes), the fan-out is what matters.
       // explicit count: the shuffle is bytes-tiny, so AQE would coalesce
       // it back to one partition and serialize the verification again
-      side("a").repartition(64, col("a_lang"), col("a_bucket"))
+      side("a")
+        .withColumn("cell",
+          explode(array(col("a_bucket") - 1, col("a_bucket"), col("a_bucket") + 1)))
+        .repartition(64, col("a_lang"), col("cell"))
         .join(side("b"),
           col("a_lang") === col("b_lang") &&
-            col("a_bucket") === col("b_bucket") &&
+            col("cell") === col("b_bucket") &&
             col("a_doc") < col("b_doc") &&
             abs(col("a_n") - col("b_n")) <= 5)
         .withColumn("dist", levenshtein(col("a_pre"), col("b_pre")).cast("long"))
@@ -396,11 +398,37 @@ object DedupOps {
            |SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
            |       CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
            |FROM d a JOIN d b
-           |  ON a.lang = b.lang AND a.bucket = b.bucket
+           |  ON a.lang = b.lang AND abs(a.bucket - b.bucket) <= 1
            | AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 5
            |WHERE levenshtein(a.pre, b.pre) <= 16
            |ORDER BY a_doc, b_doc""".stripMargin)
   )
+
+  /** Shared oracle fragment: q30's Jaccard pairs + the recursive-CTE
+    * connected-components closure (DuckDB's deduplicating UNION
+    * recursion). ONE definition so q66 and q68 can never disagree about
+    * cluster membership. Yields CTEs `cc_pairs` and `labels(doc_id,
+    * cluster_id)`; prepend `WITH RECURSIVE $shinglesSql,`. */
+  private val ccLabelsSql =
+    """sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |cc_pairs AS (
+      |  SELECT a_doc, b_doc
+      |  FROM inter
+      |  JOIN sizes sa ON a_doc = sa.doc_id
+      |  JOIN sizes sb ON b_doc = sb.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2),
+      |edges AS (SELECT a_doc AS u, b_doc AS v FROM cc_pairs
+      |          UNION SELECT b_doc, a_doc FROM cc_pairs),
+      |nodes AS (SELECT DISTINCT u AS n FROM edges),
+      |walk(n, l) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION
+      |  SELECT e.v, w.l FROM walk w JOIN edges e ON w.n = e.u WHERE w.l < e.v),
+      |labels AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n)""".stripMargin
 
   /** Distributed connected components by iterative min-label
     * propagation: each round, every node offers its label to its
@@ -425,7 +453,8 @@ object DedupOps {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 50) {
+    val maxIter = 64
+    while (changed > 0 && iter < maxIter) {
       val offered = edges.join(labels, col("u") === col("n"))
         .select(col("v").as("n"), col("l"))
       val next = labels.union(offered)
@@ -437,6 +466,12 @@ object DedupOps {
       labels = next
       iter += 1
     }
+    // silently returning partial labels would split true clusters and
+    // let extra "keepers" survive dedup — fail loudly instead
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — component diameter exceeds " +
+        "the bound; raise maxIter or switch to pointer-jumping")
     labels
   }
 
@@ -458,25 +493,7 @@ object DedupOps {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $shinglesSql,
-            |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-            |inter AS (
-            |  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, COUNT(*) AS n_inter
-            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            |  GROUP BY 1, 2),
-            |cc_pairs AS (
-            |  SELECT a_doc, b_doc
-            |  FROM inter
-            |  JOIN sizes sa ON a_doc = sa.doc_id
-            |  JOIN sizes sb ON b_doc = sb.doc_id
-            |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2),
-            |edges AS (SELECT a_doc AS u, b_doc AS v FROM cc_pairs
-            |          UNION SELECT b_doc, a_doc FROM cc_pairs),
-            |nodes AS (SELECT DISTINCT u AS n FROM edges),
-            |walk(n, l) AS (
-            |  SELECT n, n FROM nodes
-            |  UNION
-            |  SELECT e.v, w.l FROM walk w JOIN edges e ON w.n = e.u WHERE w.l < e.v),
-            |labels AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n),
+            |$ccLabelsSql,
             |csizes AS (SELECT cluster_id, COUNT(*) AS csize FROM labels GROUP BY cluster_id)
             |SELECT l.doc_id, l.cluster_id, c.csize
             |FROM labels l JOIN csizes c USING (cluster_id)
@@ -504,25 +521,7 @@ object DedupOps {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $shinglesSql,
-            |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-            |inter AS (
-            |  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, COUNT(*) AS n_inter
-            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            |  GROUP BY 1, 2),
-            |cc_pairs AS (
-            |  SELECT a_doc, b_doc
-            |  FROM inter
-            |  JOIN sizes sa ON a_doc = sa.doc_id
-            |  JOIN sizes sb ON b_doc = sb.doc_id
-            |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2),
-            |edges AS (SELECT a_doc AS u, b_doc AS v FROM cc_pairs
-            |          UNION SELECT b_doc, a_doc FROM cc_pairs),
-            |nodes AS (SELECT DISTINCT u AS n FROM edges),
-            |walk(n, l) AS (
-            |  SELECT n, n FROM nodes
-            |  UNION
-            |  SELECT e.v, w.l FROM walk w JOIN edges e ON w.n = e.u WHERE w.l < e.v),
-            |labels AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n),
+            |$ccLabelsSql,
             |qual AS (
             |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
             |  FROM documents)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Canon, Query, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation: explicit key salting for shuffle joins.
@@ -28,20 +28,33 @@ import org.apache.spark.sql.functions._
 object SkewOps {
   import Canon._
 
+  private val saltId = new java.util.concurrent.atomic.AtomicLong()
+
   /** Equi inner join of `big ⋈ small` on `bigKey = smallKey`, salted to
     * `nSalts` sub-keys. Both salt columns are dropped from the output.
+    *
+    * The probe-side salt is `monotonically_increasing_id % nSalts`
+    * rather than a row-content hash: routing only needs to SPREAD rows,
+    * and a content hash sends fully-identical duplicate rows of a hot
+    * key to one salt — exactly the skew it was meant to break. The salt
+    * value never reaches the output, so the result set is independent
+    * of the assignment (q57's plain-join oracle proves it). Salt column
+    * names are generated per call so chained salted joins (or inputs
+    * that already carry a same-named column) cannot collide.
     */
   def saltedJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, nSalts: Int): DataFrame = {
-    val bigCols: Seq[Column] = big.columns.toSeq.map(col)
-    val salted = big.withColumn("__salt_b",
-      pmod(xxhash64(bigCols: _*), lit(nSalts.toLong)))
-    val replicated = small.withColumn("__salt_s",
+    val id = saltId.incrementAndGet()
+    val sb = s"__salt_b_$id"
+    val ss = s"__salt_s_$id"
+    val salted = big.withColumn(sb,
+      pmod(monotonically_increasing_id(), lit(nSalts.toLong)))
+    val replicated = small.withColumn(ss,
       explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
     salted.join(replicated,
         salted(bigKey) === replicated(smallKey) &&
-          col("__salt_b") === col("__salt_s"))
-      .drop("__salt_b", "__salt_s")
+          salted(sb) === replicated(ss))
+      .drop(sb, ss)
   }
 
   /** Q57 — the salted HyperJoin: identical semantics to the plain

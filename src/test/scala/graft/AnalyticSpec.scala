@@ -138,8 +138,8 @@ class AnalyticSpec extends SparkTestBase {
 
   test("q59 date spine: contiguous months, zero-filled gaps kept") {
     val rows = AnalyticOps.q59.build(spark, sf).collect()
-    val months = rows.map(_.getDate(0).toLocalDate)
-    months.sliding(2).foreach { case Array(a, b) =>
+    val months = rows.map(_.getDate(0).toLocalDate).toList
+    months.zip(months.drop(1)).foreach { case (a, b) =>
       assert(a.plusMonths(1) === b, s"gap between $a and $b")
     }
     assert(rows.map(_.getLong(1)).sum === Tables.orders(spark, sf).count())
