@@ -394,5 +394,73 @@ object TextOps {
             |ORDER BY doc_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67)
+  /** Q73 — PII redaction, the scrub every training corpus runs before
+    * release. The fixture text is synthetic word-salad with no real PII,
+    * so the query first composes a contact line deterministically from
+    * event columns (same construction in the oracle — standard practice
+    * for testing redaction: known-planted PII, verified removal), then
+    * scrubs emails → `<EMAIL>`, phone numbers → `<PHONE>`, IPv4
+    * addresses → `<IP>` and counts each kind. Order matters: emails
+    * first (they contain dots an IP pattern could nibble), then phones,
+    * then bare IPs.
+    *
+    * All three patterns use only the regex subset with identical
+    * semantics in Java (Spark) and RE2 (DuckDB): character classes,
+    * `+`/`{n}` quantifiers, no backrefs/lookarounds. Per-row regex work
+    * is embarrassingly parallel — no shuffle at all until the final
+    * order-by; a 20-way md5 sample keeps the checked output compact.
+    */
+  val q73 = Query(
+    "q73_pii_scrub",
+    (s, dir) => {
+      val emailRe = "[a-z0-9]+@[a-z0-9.]+[.][a-z]+"
+      val phoneRe = "[+]1-555-[0-9]{4}"
+      val ipRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+      Tables.events(s, dir)
+        .filter(graft.Canon.md5Residue(concat(lit("pii:"), col("event_id")), 20) === 0)
+        .withColumn("raw",
+          concat(lit("user"), col("user_id"), lit(" wrote from user"),
+            col("user_id"), lit("@example.com or +1-555-"),
+            lpad(pmod(col("event_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" at 10."), pmod(col("user_id"), lit(256)),
+            lit(".0."), pmod(col("event_id"), lit(256)),
+            lit(" re: "), col("event_type")))
+        .withColumn("n_email", regexp_count(col("raw"), lit(emailRe)))
+        .withColumn("n_phone", regexp_count(col("raw"), lit(phoneRe)))
+        .withColumn("n_ip", regexp_count(col("raw"), lit(ipRe)))
+        .withColumn("clean",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"),
+            ipRe, "<IP>"))
+        .select(col("event_id"), col("clean"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_phone").cast("long").as("n_phone"),
+          col("n_ip").cast("long").as("n_ip"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (
+           |  SELECT event_id,
+           |         concat('user', user_id, ' wrote from user', user_id,
+           |                '@example.com or +1-555-',
+           |                lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0'),
+           |                ' at 10.', user_id % 256, '.0.', event_id % 256,
+           |                ' re: ', event_type) AS raw
+           |  FROM events
+           |  WHERE CAST(concat('0x', substr(md5(concat('pii:', event_id)), 1, 15)) AS BIGINT) % 20 = 0)
+           |SELECT event_id,
+           |       regexp_replace(
+           |         regexp_replace(
+           |           regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+[.][a-z]+', '<EMAIL>', 'g'),
+           |           '[+]1-555-[0-9]{4}', '<PHONE>', 'g'),
+           |         '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g') AS clean,
+           |       CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+[.][a-z]+')) AS BIGINT) AS n_email,
+           |       CAST(len(regexp_extract_all(raw, '[+]1-555-[0-9]{4}')) AS BIGINT) AS n_phone,
+           |       CAST(len(regexp_extract_all(raw, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS BIGINT) AS n_ip
+           |FROM p ORDER BY event_id""".stripMargin)
+  )
+
+  val all: Seq[Query] =
+    Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73)
 }

@@ -596,6 +596,68 @@ object AnalyticOps {
            |ORDER BY p_partkey, gtok ASC NULLS FIRST""".stripMargin)
   )
 
+  /** Q75 — z-score outlier detection per event_type: flag events whose
+    * `value` sits more than 2 sample standard deviations from their
+    * group mean — the basic data-quality screen every ingest pipeline
+    * runs.
+    *
+    * Numeric determinism: `stddev_samp` over doubles is
+    * order-dependent, so the moments are instead built from EXACT
+    * integer sums of value-in-cents (`round(value*100)` — values carry
+    * 2 decimals, cents ≤ 10^4, squares ≤ 10^8, so both Σv and Σv² stay
+    * far under 2^63 at any fixture scale). From identical integer
+    * (n, Σv, Σv²) both engines evaluate the same IEEE double expression
+    * tree — division, multiplication, sqrt are exactly-rounded ops — so
+    * z is bit-identical before the defensive round(·, 6).
+    *
+    * Scale shape: one partial+final hash aggregation on event_type
+    * (3-row result, broadcast back), then a map-side-only filter — the
+    * two-pass mean/variance plan that works at any corpus size.
+    */
+  val q75 = Query(
+    "q75_zscore_outliers",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v100", round(col("value") * 100, 0).cast("long"))
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v100")).as("s1"),
+          sum(col("v100") * col("v100")).as("s2"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("s1d", col("s1").cast("double"))
+        .withColumn("mean100", col("s1d") / col("nd"))
+        .withColumn("sd100",
+          sqrt((col("s2").cast("double") - col("s1d") * col("s1d") / col("nd"))
+            / (col("nd") - 1)))
+        .select("event_type", "mean100", "sd100")
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z",
+          round((col("v100").cast("double") - col("mean100")) / col("sd100"), 6))
+        .filter(abs(col("z")) > 2)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_id, event_type, value,
+           |         CAST(round(value * 100, 0) AS BIGINT) AS v100
+           |  FROM events),
+           |stats AS (
+           |  SELECT event_type,
+           |         CAST(COUNT(*) AS DOUBLE) AS nd,
+           |         CAST(SUM(v100) AS DOUBLE) AS s1d,
+           |         CAST(SUM(v100 * v100) AS DOUBLE) AS s2d
+           |  FROM ev GROUP BY event_type),
+           |sc AS (
+           |  SELECT event_type, s1d / nd AS mean100,
+           |         sqrt((s2d - s1d * s1d / nd) / (nd - 1)) AS sd100
+           |  FROM stats)
+           |SELECT event_id, event_type, value,
+           |       round((CAST(v100 AS DOUBLE) - mean100) / sd100, 6) AS z
+           |FROM ev JOIN sc USING (event_type)
+           |WHERE abs(round((CAST(v100 AS DOUBLE) - mean100) / sd100, 6)) > 2
+           |ORDER BY event_id""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70)
+    q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75)
 }

@@ -532,5 +532,64 @@ object DedupOps {
             |ORDER BY l.doc_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68)
+  /** Q74 — URL-canonical dedup, the cheapest and highest-yield dedup
+    * pass a web corpus runs before any content hashing: normalize each
+    * document's URL (lowercase, strip scheme / `www.` / query string /
+    * fragment / trailing slash) and keep one document per canonical URL.
+    * The fixture has no URL column, so one is composed deterministically
+    * from (source, lang, doc_id) with deliberate case / scheme / query
+    * noise — the oracle builds the identical string.
+    *
+    * Scale shape: per-row string normalization (codegen'd regexps, no
+    * shuffle) followed by ONE hash aggregation on the canonical key —
+    * exactly q27's exact-dedup plan with the digest replaced by the
+    * canonical URL.
+    */
+  val q74 = Query(
+    "q74_url_dedup",
+    (s, dir) => {
+      val noisy = Tables.documents(s, dir)
+        .withColumn("url",
+          concat(
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("HTTPS://WWW."))
+              .when(pmod(col("doc_id"), lit(3)) === 1, lit("http://"))
+              .otherwise(lit("https://")),
+            col("source"), lit(".Example.COM/"), col("lang"),
+            lit("/item"), pmod(col("doc_id"), lit(40)),
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              concat(lit("/?utm_source=feed&id="), col("doc_id")))
+              .otherwise(lit(""))))
+      noisy
+        .withColumn("canon",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(col("url")), "^https?://(www[.])?", ""),
+              "[?#].*$", ""),
+            "/$", ""))
+        .groupBy("canon")
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("canon")
+    },
+    Some("""WITH noisy AS (
+           |  SELECT doc_id,
+           |         concat(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.'
+           |                     WHEN doc_id % 3 = 1 THEN 'http://'
+           |                     ELSE 'https://' END,
+           |                source, '.Example.COM/', lang, '/item', doc_id % 40,
+           |                CASE WHEN doc_id % 2 = 0
+           |                     THEN concat('/?utm_source=feed&id=', doc_id)
+           |                     ELSE '' END) AS url
+           |  FROM documents)
+           |SELECT regexp_replace(
+           |         regexp_replace(
+           |           regexp_replace(lower(url), '^https?://(www[.])?', ''),
+           |           '[?#].*$', ''),
+           |         '/$', '') AS canon,
+           |       MIN(doc_id) AS keeper,
+           |       COUNT(*) AS n_docs
+           |FROM noisy GROUP BY 1 ORDER BY canon""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68, q74)
 }

@@ -295,5 +295,68 @@ object TemporalOps {
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q18, q19, q19b, q19c, q20a, q20b, q21, q22, q71)
+  /** Q72 — SCD Type-2 dimension history: the reference's master-data
+    * upserts (`ON DUPLICATE KEY UPDATE`, createDW.sql:12-16,99-102)
+    * overwrite in place — Type 1, history lost. This is the Type-2
+    * restatement over the events stream: per user, each run of
+    * consecutive identical `event_type` states becomes one versioned
+    * dimension row with `[valid_from, valid_to)` seconds and an
+    * `is_current` flag on the open row.
+    *
+    * Plan shape: two per-user windows (lag → change flag, running sum →
+    * version id) + one groupBy + one lead over versions. Every window
+    * partitions by `user_id`, so the whole build is ONE shuffle on the
+    * dimension's natural key; per-user sorts are bounded by per-key
+    * event counts, which is the same bound any SCD2 build needs at
+    * 100 TB. Ties within a second are broken by `event_id` (unique) so
+    * both engines see one deterministic state sequence.
+    */
+  val q72 = Query(
+    "q72_scd2",
+    (s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wVer = Window.partitionBy("user_id").orderBy("version")
+      eventsTss(s, dir)
+        .select(col("user_id"), col("event_id"), col("es"), col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(wOrd).isNull ||
+            lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(wRun))
+        .groupBy(col("user_id"), col("version"))
+        .agg(min(col("event_type")).as("state"),
+          min(col("es")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("user_id", "version", "state", "valid_from", "valid_to",
+          "n_events", "is_current")
+        .orderBy("user_id", "version")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, event_type,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           |  FROM events),
+           |flagged AS (
+           |  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+           |                 THEN 1 ELSE 0 END AS chg
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+           |runs AS (
+           |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY es, event_id
+           |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+           |  FROM flagged),
+           |dim AS (
+           |  SELECT user_id, version, MIN(event_type) AS state,
+           |         MIN(es) AS valid_from, COUNT(*) AS n_events
+           |  FROM runs GROUP BY user_id, version)
+           |SELECT user_id, version, state, valid_from,
+           |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+           |       n_events,
+           |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
+           |FROM dim ORDER BY user_id, version""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q18, q19, q19b, q19c, q20a, q20b, q21, q22, q71, q72)
 }

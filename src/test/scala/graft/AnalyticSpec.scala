@@ -178,4 +178,13 @@ class AnalyticSpec extends SparkTestBase {
     assert(df.filter(col("a_doc") >= col("b_doc")).count() === 0)
     assert(df.filter(col("dist") < 0 || col("dist") > 16).count() === 0)
   }
+
+  test("q75 zscore outliers: all beyond 2 sigma, and a small minority") {
+    val df = AnalyticOps.q75.build(spark, sf).cache()
+    assert(df.filter(abs(col("z")) <= 2).count() === 0)
+    val total = Tables.events(spark, sf).count()
+    // Chebyshev bound: at most 1/4 of any distribution sits beyond 2 sigma
+    assert(df.count() <= total / 4)
+    assert(df.count() > 0)
+  }
 }

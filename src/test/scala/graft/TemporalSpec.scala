@@ -51,4 +51,24 @@ class TemporalSpec extends SparkTestBase {
     val totalK = df.agg(sum("n_k")).head().getLong(0)
     assert(totalK === Tables.events(spark, sf).count())
   }
+
+  test("q72 scd2: one current row per user, contiguous versions, no gaps") {
+    val dim = TemporalOps.q72.build(spark, sf).cache()
+    val users = dim.select("user_id").distinct().count()
+    assert(dim.filter(col("is_current")).count() === users)
+    // versions are 1..max with no holes: count == max per user
+    val holes = dim.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("version").as("m"))
+      .filter(col("n") =!= col("m"))
+    assert(holes.count() === 0)
+    // every closed interval ends exactly where the next one starts
+    val nxt = dim.select(col("user_id"), (col("version") - 1).as("version"),
+      col("valid_from").as("next_from"))
+    val gaps = dim.join(nxt, Seq("user_id", "version"))
+      .filter(col("valid_to") =!= col("next_from"))
+    assert(gaps.count() === 0)
+    // history covers every event exactly once
+    assert(dim.agg(sum("n_events")).head().getLong(0) ===
+      Tables.events(spark, sf).count())
+  }
 }

@@ -131,4 +131,31 @@ class TextDedupSpec extends SparkTestBase {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(exts)
   }
+
+  test("q73 pii scrub: planted PII is gone from clean text, counts positive") {
+    val df = TextOps.q73.build(spark, sf).cache()
+    assert(df.count() > 0)
+    // each row planted exactly one email, one phone, one IP
+    assert(df.filter(col("n_email") =!= 1 || col("n_phone") =!= 1 ||
+      col("n_ip") =!= 1).count() === 0)
+    // nothing PII-shaped survives in the scrubbed text
+    val leaks = df.filter(
+      col("clean").rlike("[a-z0-9]+@") ||
+        col("clean").rlike("[+]1-555-[0-9]") ||
+        col("clean").rlike("[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"))
+    assert(leaks.count() === 0)
+    assert(df.filter(!col("clean").contains("<EMAIL>")).count() === 0)
+  }
+
+  test("q74 url dedup: partition of the corpus, canonical form is clean") {
+    val df = DedupOps.q74.build(spark, sf).cache()
+    assert(df.agg(sum("n_docs")).head().getLong(0) ===
+      Tables.documents(spark, sf).count())
+    assert(df.select("keeper").distinct().count() === df.count())
+    val dirty = df.filter(
+      col("canon").contains("://") || col("canon").contains("?") ||
+        col("canon").rlike("^www[.]") || col("canon").rlike("/$") ||
+        col("canon") =!= lower(col("canon")))
+    assert(dirty.count() === 0)
+  }
 }
