@@ -358,5 +358,52 @@ object TemporalOps {
            |FROM dim ORDER BY user_id, version""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q18, q19, q19b, q19c, q20a, q20b, q21, q22, q71, q72)
+  /** Q76 — rolling per-key time-series features: for each event, the
+    * mean and max of `value` over the user's last 5 events (current row
+    * inclusive) plus the seconds since the previous event — the
+    * sliding-window feature block of any sessionized training set.
+    *
+    * The rolling mean is built from an exact BIGINT cents sum
+    * (`round(value*100)`) so the frame aggregation is order- and
+    * algorithm-independent — engines differ in how they slide frames
+    * (recompute vs retract) but integer addition cannot drift. Frames
+    * are ROWS-bounded (≤5 rows) per user: one shuffle on `user_id`,
+    * per-key bounded sort, no global sort until the output order-by.
+    */
+  val q76 = Query(
+    "q76_rolling_features",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val w5 = w.rowsBetween(-4, Window.currentRow)
+      eventsTss(s, dir)
+        .withColumn("v100", round(col("value") * 100, 0).cast("long"))
+        .withColumn("roll_n", count(lit(1)).over(w5))
+        .withColumn("roll_avg",
+          round(sum(col("v100")).over(w5).cast("double")
+            / col("roll_n").cast("double") / 100d, 6))
+        .withColumn("roll_max", max(col("value")).over(w5))
+        .withColumn("gap_s", col("es") - lag(col("es"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("roll_n"), col("roll_avg"), col("roll_max"), col("gap_s"))
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id, value,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+           |         CAST(round(value * 100, 0) AS BIGINT) AS v100
+           |  FROM events)
+           |SELECT event_id, user_id, value,
+           |       COUNT(*) OVER w5 AS roll_n,
+           |       round(CAST(SUM(v100) OVER w5 AS DOUBLE)
+           |             / CAST(COUNT(*) OVER w5 AS DOUBLE) / 100, 6) AS roll_avg,
+           |       MAX(value) OVER w5 AS roll_max,
+           |       es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS gap_s
+           |FROM e
+           |WINDOW w5 AS (PARTITION BY user_id ORDER BY es, event_id
+           |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_id""".stripMargin)
+  )
+
+  val all: Seq[Query] =
+    Seq(q18, q19, q19b, q19c, q20a, q20b, q21, q22, q71, q72, q76)
 }

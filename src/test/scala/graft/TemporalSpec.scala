@@ -71,4 +71,14 @@ class TemporalSpec extends SparkTestBase {
     assert(dim.agg(sum("n_events")).head().getLong(0) ===
       Tables.events(spark, sf).count())
   }
+
+  test("q76 rolling features: bounded frames, max dominates avg, gaps non-negative") {
+    val df = TemporalOps.q76.build(spark, sf).cache()
+    assert(df.count() === Tables.events(spark, sf).count())
+    assert(df.filter(col("roll_n") < 1 || col("roll_n") > 5).count() === 0)
+    assert(df.filter(col("roll_max") < col("value")).count() === 0)
+    // cent-rounding of the mean can only miss the true values by 5e-7
+    assert(df.filter(col("roll_avg") > col("roll_max") + 1e-6).count() === 0)
+    assert(df.filter(col("gap_s") < 0).count() === 0)
+  }
 }
