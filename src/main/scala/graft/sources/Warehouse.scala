@@ -94,6 +94,28 @@ object Warehouse {
       .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
         col("o_orderdate"), col("l_quantity"))
 
+  /** Dynamic-partition-pruning query shape: enrich fact rows for the
+    * months of one quarter, where the quarter predicate lives on a tiny
+    * month DIMENSION — not on the fact. Because `order_month` is the
+    * fact's partition column and the dim side is broadcastable, Spark
+    * inserts a runtime `dynamicpruning` subquery into the fact scan's
+    * PartitionFilters (asserted in SourcesSpec): partitions for other
+    * quarters are never read. At 100 TB this is the third leg of the
+    * layout story — static pruning for literal predicates, DPP for
+    * dim-side predicates, bucketing for join co-location.
+    */
+  def factForQuarter(spark: SparkSession, outDir: String,
+      quarter: String): DataFrame = {
+    val months = spark.read.parquet(s"$outDir/dim_order")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .distinct()
+      .withColumn("qtr",
+        concat(substring(col("order_month"), 1, 4), lit("Q"),
+          ceil(substring(col("order_month"), 6, 2).cast("int") / 3).cast("int")))
+    spark.read.parquet(s"$outDir/fact_sales")
+      .join(broadcast(months.filter(col("qtr") === quarter)), "order_month")
+  }
+
   /** FK-integrity audit: fact rows whose FK has no dim row — must be
     * empty (createDW.sql:93-97). */
   def fkAudit(spark: SparkSession, outDir: String): Map[String, Long] = {

@@ -137,5 +137,18 @@ class StreamingSpec extends SparkTestBase {
     // fact is partitioned by order month
     assert(new java.io.File(s"$out/fact_sales").listFiles()
       .exists(_.getName.startsWith("order_month=")))
+
+    // dynamic partition pruning: the quarter predicate sits on the tiny
+    // month dim, yet the fact scan must receive a runtime pruning
+    // subquery in its PartitionFilters — not read every month and
+    // post-filter
+    val q1 = Warehouse.factForQuarter(spark, out, "2024Q1")
+    val plan = q1.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    val gotMonths = q1.select("order_month").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(gotMonths.nonEmpty)
+    assert(gotMonths.forall(m => Set("01", "02", "03").contains(m.substring(5))),
+      gotMonths.toString)
   }
 }
