@@ -289,7 +289,7 @@ object TemporalOps {
     },
     Some("""SELECT event_type, COUNT(*) AS n,
            |       COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_parsed,
-           |       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           |       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            |       MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
            |       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)

@@ -142,13 +142,22 @@ class StreamingSpec extends SparkTestBase {
     // month dim, yet the fact scan must receive a runtime pruning
     // subquery in its PartitionFilters — not read every month and
     // post-filter
-    val q1 = Warehouse.factForQuarter(spark, out, "2024Q1")
+    // derive the probe quarter from the fixture itself (orders span
+    // 1995..2001 at every SF) — a hardcoded year would silently prune
+    // everything and make the emptiness assertion vacuous
+    val firstMonth = spark.read.parquet(s"$out/dim_order")
+      .agg(min(date_format(col("o_orderdate"), "yyyy-MM")))
+      .collect()(0).getString(0)
+    val qNum = (firstMonth.substring(5).toInt + 2) / 3
+    val quarter = s"${firstMonth.substring(0, 4)}Q$qNum"
+    val qMonths = (1 to 3).map(i => f"${(qNum - 1) * 3 + i}%02d").toSet
+    val q1 = Warehouse.factForQuarter(spark, out, quarter)
     val plan = q1.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), plan)
     val gotMonths = q1.select("order_month").distinct()
       .collect().map(_.getString(0)).toSet
     assert(gotMonths.nonEmpty)
-    assert(gotMonths.forall(m => Set("01", "02", "03").contains(m.substring(5))),
+    assert(gotMonths.forall(m => qMonths.contains(m.substring(5))),
       gotMonths.toString)
   }
 }
