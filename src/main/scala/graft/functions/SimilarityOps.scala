@@ -105,34 +105,69 @@ object SimilarityOps {
             |ORDER BY a_id""".stripMargin)
   )
 
-  /** Q31b — LSH-bucketed ANN, the scale path: 8 random-hyperplane sign
-    * bits (deterministic pseudo-random projection weights) bucket the
-    * vectors; candidates come from an equi-join on the bucket id, so the
-    * cost is per-bucket quadratic instead of global quadratic. Recall is
+  /** Q31b — LSH-bucketed ANN, the scale path: **multi-table**
+    * random-hyperplane LSH (the OR-amplified construction every
+    * production LSH index uses — one table's bucket must match on ALL
+    * its bits, any of L tables may produce the candidate). With bit
+    * agreement probability p = 1 − θ/π per hyperplane, recall@1 is
+    * 1 − (1 − p^b)^L: a single 8-bit table on this fixture's
+    * noise-level neighbors (cos ≈ 0.35 → p ≈ 0.61) gives 2%;
+    * b=4, L=16 gives ≈ 0.91 (gated ≥ 0.8 in TextDedupSpec).
+    *
+    * Scale shape: candidates come from an equi-join on (table, bucket)
+    * — per-bucket quadratic, never global quadratic — then pair-dedup
+    * before scoring so a pair colliding in several tables is scored
+    * once. The b/L knobs trade candidate volume against recall: wider
+    * buckets (larger b) and fewer tables when true near-dups are
+    * close (cos ≥ 0.8, the dedup regime); this fixture's noise-level
+    * targets are LSH's worst case and still clear the gate. Recall is
     * approximate by design → rows-only check (SURVEY.md §7.4 excludes
     * approximate results from hash-matching). */
   val q31b = Query(
     "q31b_knn_lsh",
     (s, dir) => {
-      // sign bit h = 1 iff sum_d w(h,d) * v[d] > 0, with deterministic
-      // integer-derived weights w in (-0.5, 0.5).
-      def planeBit(h: Int): Column = {
+      val bits = 4
+      val tables = 16
+      // sign bit h of table t = 1 iff sum_d w(t,h,d) * v[d] > 0.
+      // Weights come from a splitmix64 finalizer over (t,h,d) — the
+      // first linear-congruential attempt left planes correlated across
+      // tables (recall 0.62 observed vs 0.84 predicted for independent
+      // planes; with splitmix the prediction holds)
+      def mix(seed: Long): Long = {
+        var z = seed + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      def planeBit(t: Int, h: Int): Column = {
         val weights = array((0 until 64).map { d =>
-          lit((((h + 1) * 2654435761L + d * 40503L) % 1000003L).toDouble / 1000003.0 - 0.5)
+          lit((mix((t.toLong * 64 + h) * 67 + d) & 0xfffffL).toDouble
+            / 0xfffffL.toDouble - 0.5)
         }: _*)
         when(dotNative(col("embedding"), weights) > 0, lit(1L << h)).otherwise(lit(0L))
       }
-      val bucketed = withNorm(Tables.embeddings(s, dir)).withColumn("bucket",
-        (0 until 8).map(planeBit).reduce(_ + _))
+      def buckets: Column = array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          (0 until bits).map(h => planeBit(t, h)).reduce(_ + _).as("bucket"))
+      }: _*)
+      val emb = withNorm(Tables.embeddings(s, dir))
+      val bucketed = emb.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(buckets).as("tb"))
       val probes = bucketed.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
-          col("nrm").as("na"), col("bucket"))
+        .select(col("vec_id").as("a_id"), col("tb"))
       val cands = bucketed
-        .select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-          col("nrm").as("nb"), col("bucket"))
-      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
-      probes.join(cands, Seq("bucket"))
+        .select(col("vec_id").as("b_id"), col("tb"))
+      // pair-dedup BEFORE scoring: multi-table collisions are common by
+      // construction and the dot product is the expensive part
+      val pairs = probes.join(cands, Seq("tb"))
         .filter(col("a_id") =!= col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val ea = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val eb = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+      pairs.join(ea, "a_id").join(eb, "b_id")
         .select(col("a_id"), col("b_id"),
           (dotNative(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
         .withColumn("rn", row_number().over(w))
@@ -172,7 +207,7 @@ object SimilarityOps {
   /** Q31d — IVF-style ANN, the other scale path: a coarse quantizer
     * (k=8 centroids, seeded from the first 8 vectors + one Lloyd
     * iteration) partitions the vectors into cells; probes search only
-    * their `nprobe=2` nearest cells via an equi-join on the cell id.
+    * their `nprobe=4` nearest cells via an equi-join on the cell id.
     *
     * The centroid "training" collects k×dim constants to the driver
     * (8×64 floats — fixed-size model state, not data; the per-cell mean
@@ -219,16 +254,21 @@ object SimilarityOps {
       val cells = emb.withColumn("cell", nearestCell(cents))
         .select(col("vec_id").as("b_id"), col("embedding").as("eb"),
           col("nrm").as("nb"), col("cell"))
-      // probes search their top-2 cells
+      // probes search their nprobe=4 nearest cells (of k=8): half the
+      // index's cells, the recall/cost knob every IVF deployment tunes.
+      // On this fixture's noise-level neighbors (true NN cos ≈ 0.35 —
+      // cell assignment barely correlates with the NN) nprobe=2 gave
+      // recall@1 0.60, nprobe=4 clears the 0.8 gate; clustered real
+      // corpora sit far above this worst case at the same nprobe.
       val probeCells = emb.filter(col("vec_id") < 50)
         .withColumn("cellscores", array(cents.zipWithIndex.map { case (c, i) =>
           struct(dotNative(col("embedding"), centroidCol(c)).as("s"),
             lit(i.toLong).as("cell"))
         }: _*))
-        .withColumn("top2", slice(reverse(array_sort(col("cellscores"))), 1, 2))
+        .withColumn("probed", slice(reverse(array_sort(col("cellscores"))), 1, 4))
         .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
           col("nrm").as("na"),
-          explode(col("top2").getField("cell")).as("cell"))
+          explode(col("probed").getField("cell")).as("cell"))
       val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
       probeCells.join(cells, Seq("cell"))
         .filter(col("a_id") =!= col("b_id"))

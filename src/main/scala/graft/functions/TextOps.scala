@@ -461,6 +461,117 @@ object TextOps {
            |FROM p ORDER BY event_id""".stripMargin)
   )
 
+  /** Q77 — deterministic train/val/test split assignment: every doc
+    * lands in exactly one split by a content-independent hash of its id
+    * (90/5/5). Hash-based (not random) so the split is reproducible
+    * across runs, engines and scale-outs, and uniform within every
+    * language stratum for free. Pure map-side — no shuffle at all until
+    * the verification ORDER BY; the 100 TB form is a projection. */
+  val q77 = Query(
+    "q77_split_assign",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bucket", graft.Canon.md5Residue(col("doc_id").cast("string"), 100))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test"))
+        .select("doc_id", "lang", "bucket", "split")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang,
+           |       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+           |       CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+           |            WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Q78 — sequence packing: assign docs to fixed-budget (512-token)
+    * training sequences by running token offset, greedy in doc_id order
+    * within a (lang, shard) stripe; docs may span a sequence boundary
+    * (offset carries over), exactly like concat-then-chunk pretraining
+    * ingestion. Packing is inherently serial in stripe order, so the
+    * scale unit is the stripe, not the corpus: 8 hash shards per lang
+    * here — thousands at 100 TB — keep every window partition bounded
+    * while the assignment stays fully deterministic. One shuffle on
+    * (lang, shard). */
+  val q78 = Query(
+    "q78_seq_pack",
+    (s, dir) => {
+      val budget = 512L
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          graft.Canon.md5Residue(col("doc_id").cast("string"), 8).as("shard"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long").as("n_tokens"))
+        .withColumn("end_tok", sum(col("n_tokens")).over(w))
+        .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("shard"),
+          col("n_tokens"),
+          // integer div, not `/`+cast: Spark's double-divide truncates
+          // but DuckDB's double->BIGINT cast rounds (315/512 -> 1)
+          expr(s"start_tok div $budget").as("seq_id"),
+          (col("start_tok") % budget).as("seq_offset"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang,
+           |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+           |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |o AS (
+           |  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+           |                 ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+           |  FROM t)
+           |SELECT doc_id, lang, shard, n_tokens,
+           |       CAST(start_tok // 512 AS BIGINT) AS seq_id,
+           |       start_tok % 512 AS seq_offset
+           |FROM o ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Q79 — adjacent-pair (bigram) frequency: the statistic the first
+    * BPE merge step maximizes, per language — top-10 token bigrams with
+    * deterministic count/alpha tiebreak. Same explode→combinable-agg
+    * shape as Q23: the pair construction is a per-doc bounded window,
+    * the count is map-side partial-aggregated on (lang, pair), and only
+    * per-lang top-k rows survive to the final window. */
+  val q79 = Query(
+    "q79_bpe_pairs",
+    (s, dir) => {
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = tokensWithPos(Tables.documents(s, dir))
+        .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("lang"), concat_ws(" ", col("tok"), col("nxt")).as("pair"))
+        .agg(count(lit(1)).as("n"))
+      val wTop = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("pair").asc)
+      pairs
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("pair"), col("n"), col("rk").cast("long").as("rk"))
+        .orderBy("lang", "rk")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, lang, pos, tok FROM (
+           |    SELECT doc_id, lang,
+           |           generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos,
+           |           unnest(string_split_regex(lower(text), '\s+')) AS tok
+           |    FROM documents) WHERE tok <> ''),
+           |pairs AS (
+           |  SELECT lang, concat(tok, ' ', lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)) AS pair
+           |  FROM toks
+           |  QUALIFY lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+           |cnt AS (SELECT lang, pair, COUNT(*) AS n FROM pairs GROUP BY lang, pair)
+           |SELECT lang, pair, n,
+           |       CAST(rk AS BIGINT) AS rk
+           |FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, pair ASC) AS rk
+           |      FROM cnt)
+           |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin)
+  )
+
   val all: Seq[Query] =
-    Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73)
+    Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79)
 }

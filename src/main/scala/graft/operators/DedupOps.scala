@@ -430,13 +430,18 @@ object DedupOps {
       |  SELECT e.v, w.l FROM walk w JOIN edges e ON w.n = e.u WHERE w.l < e.v),
       |labels AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n)""".stripMargin
 
-  /** Distributed connected components by iterative min-label
-    * propagation: each round, every node offers its label to its
-    * neighbors and keeps the minimum seen; stop at fixpoint. Rounds are
-    * bounded by component diameter (near-dup clusters are shallow), and
-    * every round is one shuffle join + one combinable aggregate —
-    * the standard way CC scales on Spark. `localCheckpoint` truncates
-    * the lineage each round so the plan doesn't grow with iterations.
+  /** Distributed connected components by min-label propagation **with
+    * pointer jumping**: each round, (1) every node offers its label to
+    * its neighbors and keeps the minimum seen, then (2) every node
+    * replaces its label by its label's label (path compression — a
+    * label is always itself a node id, so `label(label(n))` is well
+    * defined and ≤ `label(n)`). Step 1 alone needs O(diameter) rounds —
+    * a 200-hop path of near-identical docs (boilerplate chains do this)
+    * would blow the round bound; the jump in step 2 doubles the
+    * compressed distance per round, so convergence is O(log diameter).
+    * Every round is two shuffle joins + one combinable aggregate, and
+    * `localCheckpoint` truncates lineage so the plan doesn't grow with
+    * iterations — the standard scalable CC shape on Spark.
     * (A recursive-CTE formulation without dedup between rounds — all
     * Spark 4 supports is UNION ALL — enumerates exponentially many
     * walks on dense duplicate cliques and hits the recursion row limit;
@@ -455,10 +460,20 @@ object DedupOps {
     var iter = 0
     val maxIter = 64
     while (changed > 0 && iter < maxIter) {
+      // min label offered by neighbors, folded into each node's own
+      // label via left join + least (a union of `labels` with a plan
+      // derived from `labels` would share attribute ids across union
+      // children and trip Catalyst's constraint rewrite)
       val offered = edges.join(labels, col("u") === col("n"))
-        .select(col("v").as("n"), col("l"))
-      val next = labels.union(offered)
-        .groupBy("n").agg(min(col("l")).as("l"))
+        .groupBy(col("v")).agg(min(col("l")).as("lo"))
+      val propagated = labels.join(offered, col("n") === col("v"), "left")
+        .select(col("n"), least(col("l"), coalesce(col("lo"), col("l"))).as("l"))
+        .localCheckpoint()
+      // pointer jump: l := label(l). Left join + coalesce only as a
+      // guard — every label is a node, so the match always exists.
+      val next = propagated.as("x")
+        .join(propagated.as("p"), col("x.l") === col("p.n"), "left")
+        .select(col("x.n").as("n"), coalesce(col("p.l"), col("x.l")).as("l"))
         .localCheckpoint()
       changed = next.as("a")
         .join(labels.as("b"), col("a.n") === col("b.n"))
@@ -471,7 +486,7 @@ object DedupOps {
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds " +
         s"($changed labels still changing) — component diameter exceeds " +
-        "the bound; raise maxIter or switch to pointer-jumping")
+        "what O(log d) pointer-jumping can close in the bound; raise maxIter")
     labels
   }
 

@@ -49,6 +49,52 @@ object Sources {
   def readParquetEvolving(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Evolution read beyond added-columns: reads a sequence of file
+    * **generations** (snapshots written under different schemas) into
+    * the single **current** schema `target`, reconciling per generation
+    *
+    *  - **renames** via `renames: old -> new` (a generation that still
+    *    stores the old name reads it into the new one);
+    *  - **type widening** (int→long, float→double, …): each stored
+    *    column is cast to its target type, but only if the stored type
+    *    upcasts losslessly — a narrowing evolution (long→int) is a data
+    *    bug and fails fast instead of silently truncating 100 TB;
+    *  - **added columns**: generations without a target column surface
+    *    it as typed nulls.
+    *
+    * Parquet's own `mergeSchema` refuses exactly these conflicts
+    * (CANNOT_MERGE_SCHEMAS on an int→long change), which is why the
+    * unit of evolution is the generation, aligned BEFORE the union —
+    * the same shape a table format's catalog uses: schema-per-snapshot,
+    * resolved at read, no data rewrite. */
+  def readParquetEvolved(spark: SparkSession, generations: Seq[String],
+      target: StructType, renames: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def checkedCast(name: String, from: org.apache.spark.sql.types.DataType,
+        to: org.apache.spark.sql.types.DataType): Unit =
+      require(from == to ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to),
+        s"column $name: stored type $from does not widen losslessly to $to")
+    generations.map { path =>
+      val df = spark.read.parquet(path)
+      val stored = df.schema.map(f => f.name -> f.dataType).toMap
+      val cols = target.fields.map { f =>
+        val source =
+          if (stored.contains(f.name)) Some(f.name)
+          else renames.collectFirst {
+            case (o, n) if n == f.name && stored.contains(o) => o
+          }
+        source match {
+          case Some(s) =>
+            checkedCast(s, stored(s), f.dataType)
+            col(s).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      df.select(cols.toSeq: _*)
+    }.reduce(_ unionByName _)
+  }
+
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)

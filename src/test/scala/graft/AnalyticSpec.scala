@@ -173,6 +173,19 @@ class AnalyticSpec extends SparkTestBase {
     assert(viol === 0)
   }
 
+  test("connected components converges on a 200-node path (pointer jumping)") {
+    import spark.implicits._
+    // a path is the worst case for plain min-label propagation
+    // (O(diameter) rounds — 199 here, past the 64-round bound); pointer
+    // jumping must close it in O(log d)
+    val pairs = (1L until 200L).map(i => (i, i + 1))
+      .toDF("a_doc", "b_doc")
+    val labels = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 200)
+    assert(labels.values.forall(_ == 1L))
+  }
+
   test("q56 edit-distance dedup: symmetric-free pairs, dist within bound") {
     val df = DedupOps.q56.build(spark, sf).cache()
     assert(df.filter(col("a_doc") >= col("b_doc")).count() === 0)

@@ -58,6 +58,39 @@ class SourcesSpec extends SparkTestBase {
     assert(merged.count() === 2 * v1.count())
   }
 
+  test("schema evolution: rename mapping + int->long widening into the current schema") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val path = tmp("pq-evolve2")
+    // gen1: old name `qty` stored as INT; gen2: renamed to `quantity`, LONG
+    Seq((1, 10), (2, 20)).toDF("id", "qty")
+      .write.parquet(s"$path/gen=1")
+    Seq((3L, 30L), (4L, 40L)).toDF("id", "quantity")
+      .write.parquet(s"$path/gen=2")
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("quantity", LongType)))
+    val got = Sources.readParquetEvolved(spark,
+      Seq(s"$path/gen=1", s"$path/gen=2"), target,
+      renames = Map("qty" -> "quantity"))
+    assert(got.schema.fields.map(f => f.name -> f.dataType).toSeq ===
+      Seq("id" -> LongType, "quantity" -> LongType))
+    val byId = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId === Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+  }
+
+  test("schema evolution: narrowing cast fails fast instead of truncating") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val path = tmp("pq-narrow")
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(s"$path/g1")
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("v", IntegerType)))
+    val e = intercept[IllegalArgumentException] {
+      Sources.readParquetEvolved(spark, Seq(s"$path/g1"), target)
+    }
+    assert(e.getMessage.contains("widen"))
+  }
+
   test("bucketed layout: fact-orders join plans with zero shuffle exchanges") {
     graft.sources.Warehouse.buildBucketed(spark, sf)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

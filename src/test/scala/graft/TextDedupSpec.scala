@@ -61,6 +61,39 @@ class TextDedupSpec extends SparkTestBase {
     assert(worse.count() === 0)
   }
 
+  test("q31b LSH ANN: recall@1 >= 0.8 vs brute force") {
+    // the number every real ANN deployment tracks: how often the
+    // approximate index returns the true nearest neighbor. A probe with
+    // no candidate (empty bucket) counts as a miss.
+    val bf = SimilarityOps.q31.build(spark, sf)
+      .select(col("a_id"), col("sim").as("bf_sim"))
+    val lsh = SimilarityOps.q31b.build(spark, sf)
+      .select(col("a_id"), col("sim").as("ann_sim"))
+    val hits = bf.join(lsh, Seq("a_id"), "left")
+      .filter(col("ann_sim").isNotNull &&
+        col("ann_sim") >= col("bf_sim") - 1e-9)
+      .count()
+    val total = bf.count()
+    val recall = hits.toDouble / total
+    info(f"LSH recall@1 = $recall%.3f ($hits/$total)")
+    assert(recall >= 0.8, f"LSH recall@1 $recall%.3f ($hits/$total)")
+  }
+
+  test("q31d IVF ANN: recall@1 >= 0.8 vs brute force") {
+    val bf = SimilarityOps.q31.build(spark, sf)
+      .select(col("a_id"), col("sim").as("bf_sim"))
+    val ivf = SimilarityOps.q31d.build(spark, sf)
+      .select(col("a_id"), col("sim").as("ann_sim"))
+    val hits = bf.join(ivf, Seq("a_id"), "left")
+      .filter(col("ann_sim").isNotNull &&
+        col("ann_sim") >= col("bf_sim") - 1e-9)
+      .count()
+    val total = bf.count()
+    val recall = hits.toDouble / total
+    info(f"IVF recall@1 = $recall%.3f ($hits/$total)")
+    assert(recall >= 0.8, f"IVF recall@1 $recall%.3f ($hits/$total)")
+  }
+
   test("q32 langid: every doc classified, score >= 0") {
     val df = TextOps.q32.build(spark, sf).cache()
     assert(df.count() === Tables.documents(spark, sf).count())
