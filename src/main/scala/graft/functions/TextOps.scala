@@ -572,6 +572,70 @@ object TextOps {
            |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin)
   )
 
+  /** Q80 — composite quality-filter verdict (the Gopher-rule shape):
+    * per-doc signals → named boolean rules → one keep flag. The signals
+    * are exact integer ratios (identical IEEE doubles in both engines);
+    * the distinct-token ratio needs one shuffle keyed on doc_id, the
+    * rest is map-side. At 100 TB this is the cheap screen that runs
+    * BEFORE any pairwise dedup — each rule is independently auditable,
+    * which is why they're materialized instead of folded into `keep`. */
+  val q80 = Query(
+    "q80_quality_verdict",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_glyphs"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|and|of|to|a|in)\\b"), lit(0))).cast("long").as("n_stop"))
+      val distincts = tokensWithPos(Tables.documents(s, dir))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("tok")).as("n_distinct"))
+      base.join(distincts, Seq("doc_id"), "left")
+        .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
+        .withColumn("mean_tok_len",
+          col("n_glyphs").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
+        .withColumn("distinct_ratio",
+          col("n_distinct").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
+        .withColumn("r_len", col("n_tokens") >= 10 && col("n_tokens") <= 100000)
+        .withColumn("r_meanlen", col("mean_tok_len") >= 2.0 && col("mean_tok_len") <= 12.0)
+        .withColumn("r_stop", col("n_stop") >= 1)
+        .withColumn("r_rep", col("distinct_ratio") >= 0.1)
+        .withColumn("keep",
+          col("r_len") && col("r_meanlen") && col("r_stop") && col("r_rep"))
+        .select("doc_id", "n_tokens", "mean_tok_len", "distinct_ratio",
+          "n_stop", "r_len", "r_meanlen", "r_stop", "r_rep", "keep")
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id,
+           |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+           |         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_glyphs,
+           |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in)\b')) AS BIGINT) AS n_stop
+           |  FROM documents),
+           |toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+           |  FROM documents),
+           |d AS (
+           |  SELECT doc_id, COUNT(DISTINCT tok) AS n_distinct
+           |  FROM toks WHERE tok <> '' GROUP BY doc_id),
+           |j AS (
+           |  SELECT b.*, COALESCE(d.n_distinct, 0) AS n_distinct,
+           |         CAST(b.n_glyphs AS DOUBLE) / CAST(NULLIF(b.n_tokens, 0) AS DOUBLE) AS mean_tok_len,
+           |         CAST(COALESCE(d.n_distinct, 0) AS DOUBLE) / CAST(NULLIF(b.n_tokens, 0) AS DOUBLE) AS distinct_ratio
+           |  FROM base b LEFT JOIN d USING (doc_id))
+           |SELECT doc_id, n_tokens, mean_tok_len, distinct_ratio, n_stop,
+           |       (n_tokens >= 10 AND n_tokens <= 100000) AS r_len,
+           |       (mean_tok_len >= 2.0 AND mean_tok_len <= 12.0) AS r_meanlen,
+           |       (n_stop >= 1) AS r_stop,
+           |       (distinct_ratio >= 0.1) AS r_rep,
+           |       ((n_tokens >= 10 AND n_tokens <= 100000)
+           |        AND (mean_tok_len >= 2.0 AND mean_tok_len <= 12.0)
+           |        AND (n_stop >= 1) AND (distinct_ratio >= 0.1)) AS keep
+           |FROM j ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
-    Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79)
+    Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79, q80)
 }

@@ -100,6 +100,46 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Small-file compaction — the 100 TB housekeeping operator: a table
+    * ingested by many micro-batches accumulates files far smaller than
+    * a scan task wants (every file costs a footer read, a task
+    * schedule, and an object-store request). Rewrites `inPath` into
+    * ~`targetRecordsPerFile`-sized files. A plain `repartition(n)` is a
+    * full shuffle; for append-mostly tables run this per partition
+    * directory so only the small-file tail is rewritten. Returns
+    * (files before, files after). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetRecordsPerFile: Long): (Int, Int) = {
+    import org.apache.spark.sql.functions.input_file_name
+    val df = spark.read.parquet(inPath)
+    val before = df.select(input_file_name()).distinct().count().toInt
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRecordsPerFile).toInt)
+    df.repartition(nFiles)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .parquet(outPath)
+    val after = spark.read.parquet(outPath)
+      .select(input_file_name()).distinct().count().toInt
+    (before, after)
+  }
+
+  /** Range-clustered write — the data-skipping layout: rows are
+    * range-partitioned AND sorted within files on `keyCol`, so every
+    * file covers a disjoint key interval and parquet row-group min/max
+    * statistics let a point or range predicate skip all but the
+    * relevant files. This is the poor-man's Z-order for a single
+    * dominant predicate column; at 100 TB it turns a full scan into a
+    * handful of row groups. The sort is per-partition (no global
+    * sort barrier beyond the range exchange's sampling pass). */
+  def writeRangeLayout(df: DataFrame, path: String, keyCol: String,
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

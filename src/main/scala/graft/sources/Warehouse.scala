@@ -116,6 +116,29 @@ object Warehouse {
       .join(broadcast(months.filter(col("qtr") === quarter)), "order_month")
   }
 
+  /** Incremental aggregate maintenance — the materialized-view upkeep
+    * operator: a per-(month, flag) sales rollup kept as **mergeable
+    * partials** (sum + count; avg is derived at read) so applying a
+    * delta batch is `agg(delta) ∪ old → re-agg` over rollup-sized data.
+    * At 100 TB the fact table is cold history; the daily delta is the
+    * only thing scanned — this is the difference between a minutes-long
+    * refresh and a full re-read. Only algebraic aggregates (sum, count,
+    * min, max) survive this scheme; holistic ones (exact median) need
+    * the base data by definition. */
+  def salesRollup(fact: DataFrame): DataFrame =
+    fact.groupBy("order_month")
+      .agg(sum(col("sales")).cast("decimal(18,4)").as("sum_sales"),
+        count(lit(1)).as("n_rows"))
+
+  /** Merge an existing rollup with the rollup of a delta batch. Both
+    * sides are rollup-grain (months × flags), so this is a shuffle over
+    * dozens of rows regardless of fact size. */
+  def mergeRollup(existing: DataFrame, delta: DataFrame): DataFrame =
+    existing.unionByName(delta)
+      .groupBy("order_month")
+      .agg(sum(col("sum_sales")).cast("decimal(18,4)").as("sum_sales"),
+        sum(col("n_rows")).as("n_rows"))
+
   /** FK-integrity audit: fact rows whose FK has no dim row — must be
     * empty (createDW.sql:93-97). */
   def fkAudit(spark: SparkSession, outDir: String): Map[String, Long] = {

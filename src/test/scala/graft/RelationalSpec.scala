@@ -101,4 +101,32 @@ class RelationalSpec extends SparkTestBase {
     assert(!scan.contains("l_comment")) // no extra columns
     assert(scan.contains("ReadSchema"))
   }
+
+  test("runtime bloom filter injects on a selective shuffle join") {
+    // the 100 TB path for non-broadcastable dims: Catalyst builds a
+    // bloom filter from the selective (filtered) side and pushes a
+    // might_contain probe into the fact scan, cutting shuffle volume
+    // before the join. Size thresholds are production-tuned defaults
+    // (10 GB application side) — lower them to exercise the rewrite at
+    // fixture scale.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    ).map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      val dim = Tables.part(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("p_size") === 1)
+      val joined = Tables.lineitem(spark, sf)
+        .join(dim, org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"), optimized)
+      assert(joined.count() > 0)
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }

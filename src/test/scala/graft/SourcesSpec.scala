@@ -91,6 +91,49 @@ class SourcesSpec extends SparkTestBase {
     assert(e.getMessage.contains("widen"))
   }
 
+  test("compaction: many tiny files collapse to the target count, data intact") {
+    val src = Tables.orders(spark, sf)
+    val inPath = tmp("compact-in")
+    // simulate a micro-batch-fragmented table: 40 files for a small table
+    src.repartition(40).write.mode("overwrite").parquet(inPath)
+    val outPath = tmp("compact-out")
+    val rows = src.count()
+    val (before, after) = Sources.compact(spark, inPath, outPath, rows / 2 + 1)
+    assert(before === 40)
+    assert(after <= 2)
+    val back = spark.read.parquet(outPath)
+    assert(back.count() === rows)
+    assert(back.exceptAll(src).count() === 0)
+  }
+
+  test("range layout: files cover disjoint key intervals (data-skipping precondition)") {
+    val path = tmp("range-layout")
+    Sources.writeRangeLayout(Tables.orders(spark, sf), path, "o_orderkey", 8)
+    val ranges = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    // each file's min exceeds the previous file's max -> any point/range
+    // predicate on the key can skip every other file via footer stats
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(lo2 > hi1, s"overlapping file ranges: $hi1 vs $lo2")
+    }
+  }
+
+  test("incremental rollup merge equals full recompute after a delta batch") {
+    val fact = graft.sources.Warehouse.build(spark, sf, tmp("wh-inc"))
+    // split history vs delta on the month boundary-agnostic line number
+    val history = fact.filter(col("l_linenumber") =!= 1)
+    val delta = fact.filter(col("l_linenumber") === 1)
+    val incremental = graft.sources.Warehouse.mergeRollup(
+      graft.sources.Warehouse.salesRollup(history),
+      graft.sources.Warehouse.salesRollup(delta))
+    val full = graft.sources.Warehouse.salesRollup(fact)
+    assert(incremental.exceptAll(full).count() === 0)
+    assert(full.exceptAll(incremental).count() === 0)
+  }
+
   test("bucketed layout: fact-orders join plans with zero shuffle exchanges") {
     graft.sources.Warehouse.buildBucketed(spark, sf)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
