@@ -153,6 +153,88 @@ object StreamingPipeline {
         col("a_id") =!= col("b_id"))
   }
 
+  /** Stream–stream LEFT OUTER self-join: like [[streamStreamPairs]] but
+    * events with no partner inside the 5-minute window still emit (with
+    * nulls) once the watermark proves no partner can arrive. The outer
+    * side is what a training pipeline uses to keep *unmatched* events —
+    * the reference's lossy buffer simply dropped them (O9). Same
+    * bounded-state guarantee: both watermarks + the time-range bound
+    * let Spark evict join state. */
+  def streamStreamPairsOuter(spark: SparkSession, dir: String): DataFrame = {
+    val a = readEvents(spark, dir)
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("tss").as("a_ts"))
+      .withWatermark("a_ts", "10 minutes")
+    val b = readEvents(spark, dir)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("tss").as("b_ts"))
+      .withWatermark("b_ts", "10 minutes")
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES") &&
+        col("a_id") =!= col("b_id"),
+      "leftOuter")
+  }
+
+  /** One closed session per (user, quiet period). */
+  final case class Session(user_id: Long, start_es: Long, end_es: Long,
+      n_events: Long)
+
+  private final case class SessionState(start_es: Long, end_es: Long,
+      n: Long)
+
+  /** Event-time sessionization via explicit keyed state — the
+    * `flatMapGroupsWithState` twin of Q21's declarative
+    * `session_window`, for when a session must carry custom logic the
+    * built-in can't express (per-event state transitions, early
+    * emission, side effects). A session closes when the event-time
+    * watermark passes its end + `gap`; state per key is one triple, so
+    * memory is O(active users) regardless of stream length — the
+    * principled version of the reference's bounded multimap state
+    * (O8/O13). Trailing sessions (watermark never passes them before
+    * the stream ends) stay open by design, exactly like production.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val withTs = events.toDF()
+      .withColumn("tss", timestamp_seconds(col("ts") / lit(1000000000L)))
+      .withWatermark("tss", "10 minutes")
+      .as[Event]
+    withTs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.start_es, s.end_es, s.n))
+          } else {
+            val sorted = rows.map(e => e.ts / 1000000000L).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { es =>
+              cur match {
+                case Some(s) if es - s.end_es <= gapSeconds =>
+                  cur = Some(SessionState(s.start_es, math.max(s.end_es, es), s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(user, s.start_es, s.end_es, s.n)
+                  cur = Some(SessionState(es, es, 1))
+                case None =>
+                  cur = Some(SessionState(es, es, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.end_es + gapSeconds) * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Consume-once keyed state (O13 parity): the reference evicts ALL
     * pending tuples under a join key after the first match
     * (`multiHashTable.remove(joinAttribute)`,

@@ -134,6 +134,22 @@ class SourcesSpec extends SparkTestBase {
     assert(full.exceptAll(incremental).count() === 0)
   }
 
+  test("observe() pipeline metrics ride the write without a second scan") {
+    // production ETL needs row counts / null counts per batch without
+    // re-scanning; df.observe attaches accumulator-backed metrics to
+    // the existing pass
+    val obs = new org.apache.spark.sql.Observation("etl-metrics")
+    val src = Tables.orders(spark, sf)
+    val out = tmp("observe-out")
+    src.observe(obs,
+        count(lit(1)).as("rows"),
+        sum(when(col("o_orderdate").isNull, 1).otherwise(0)).as("null_dates"))
+      .write.mode("overwrite").parquet(out)
+    val metrics = obs.get
+    assert(metrics("rows") === src.count())
+    assert(metrics("null_dates") === 0L)
+  }
+
   test("bucketed layout: fact-orders join plans with zero shuffle exchanges") {
     graft.sources.Warehouse.buildBucketed(spark, sf)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -128,6 +128,49 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() > 0)
   }
 
+  test("stateful sessionize (batch path) = declarative session_window minus open tails") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[StreamingPipeline.Event]
+    // batch mode: every user's events arrive as ONE group, so the state
+    // loop closes all sessions except the trailing open one per user —
+    // which must match q21's declarative session_window sessions exactly,
+    // minus each user's last session
+    val got = StreamingPipeline.sessionize(events).collect()
+      .map(s => (s.user_id, s.start_es, s.n_events)).toSet
+    val q21 = graft.operators.TemporalOps.q21.build(spark, sf)
+      .select(col("user_id"),
+        unix_timestamp(col("session_start")).as("start_es"),
+        col("n_events"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("session_start").desc)).as("rev"))
+    val expected = q21.filter(col("rev") > 1) // drop each user's last session
+      .select("user_id", "start_es", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("stream-stream left outer join emits at least the inner matches") {
+    val inner = StreamingPipeline.streamStreamPairs(spark, sf)
+    val outer = StreamingPipeline.streamStreamPairsOuter(spark, sf)
+    def runCount(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+      val q = df.writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", tmp(s"ckpt-$name"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      spark.table(name).count()
+    }
+    val nInner = runCount(inner, "ss_inner_cnt")
+    val nOuter = runCount(outer, "ss_outer_cnt")
+    assert(nOuter >= nInner)
+    assert(nInner > 0)
+  }
+
   test("warehouse build: dims + fact written, FK audit empty") {
     val out = tmp("warehouse")
     val fact = Warehouse.build(spark, sf, out)
