@@ -28,6 +28,11 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // same warm-up as Bench: touch parquet reader, codegen and shuffle
+    // once so the first profiled query isn't charged for JVM warm-up
+    Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count()
+      .write.mode("overwrite").format("noop").save()
+
     val picked =
       if (names.isEmpty) SparkEntry.inventory
       else SparkEntry.inventory.filter(q => names.exists(q.name.contains))

@@ -636,6 +636,52 @@ object TextOps {
            |FROM j ORDER BY doc_id""".stripMargin)
   )
 
+  /** Q81 — packed-sequence materialization (the step after Q78's
+    * assignment): concatenate each training sequence's docs in doc_id
+    * order into the actual text the tokenizer will see. Output carries
+    * the concatenation's length + md5 — hash-checkable without shipping
+    * megabyte strings through the harness. Shard 0 only here; at scale
+    * every (lang, shard) stripe materializes independently — the
+    * groupBy is keyed on (lang, seq_id) within the stripe and the
+    * in-group sort is bounded by sequence budget, so no partition ever
+    * holds more than a stripe. */
+  val q81 = Query(
+    "q81_pack_materialize",
+    (s, dir) => {
+      val assigned = q78.build(s, dir).filter(col("shard") === 0)
+        .select("doc_id", "lang", "seq_id")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      assigned.join(docs, "doc_id")
+        .groupBy("lang", "seq_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          array_sort(collect_list(struct(col("doc_id"), col("text"))))
+            .as("parts"))
+        .withColumn("seq_text",
+          array_join(transform(col("parts"), p => p.getField("text")), " "))
+        .select(col("lang"), col("seq_id"), col("n_docs"),
+          length(col("seq_text")).cast("long").as("text_len"),
+          md5(col("seq_text")).as("fp"))
+        .orderBy("lang", "seq_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang, text,
+           |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           |  FROM documents
+           |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 = 0),
+           |o AS (
+           |  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |                 ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+           |  FROM t),
+           |a AS (SELECT doc_id, lang, text,
+           |             CAST(start_tok // 512 AS BIGINT) AS seq_id FROM o)
+           |SELECT lang, seq_id, COUNT(*) AS n_docs,
+           |       CAST(length(string_agg(text, ' ' ORDER BY doc_id)) AS BIGINT) AS text_len,
+           |       md5(string_agg(text, ' ' ORDER BY doc_id)) AS fp
+           |FROM a GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
-    Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79, q80)
+    Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
+      q80, q81)
 }

@@ -104,6 +104,56 @@ object TemporalOps {
            |ORDER BY event_id""".stripMargin)
   )
 
+  /** Q19d — FORWARD as-of join: each event matched to the same user's
+    * NEXT event (strictly later in (ts, event_id) order) — the "next
+    * state change" lookup that fills the gap left by q19's backward
+    * direction; together they are the full as-of surface kdb/Flink
+    * expose. Self-join form because the fixture's only key shared
+    * across time-overlapping tables is the events stream itself
+    * (orders end 2001, events start 2024 — an events→orders forward
+    * as-of is vacuously empty at every SF). Declarative lead() would
+    * express this too; the join-then-rank shape is kept deliberately so
+    * the oracle validates general forward-as-of semantics, not the
+    * window shortcut. */
+  val q19d = Query(
+    "q19d_asof_forward",
+    (s, dir) => {
+      val ev = eventsTss(s, dir)
+        .withColumn("es", unix_timestamp(col("tss")))
+        .select("event_id", "user_id", "es")
+      val l = ev.select(col("event_id").as("a_id"), col("user_id"),
+        col("es").as("a_es"))
+      val r = ev.select(col("event_id").as("b_id"),
+        col("user_id").as("b_user"), col("es").as("b_es"))
+      val w = Window.partitionBy("a_id")
+        .orderBy(col("b_es").asc, col("b_id").asc)
+      l.join(r, col("user_id") === col("b_user") &&
+          (col("b_es") > col("a_es") ||
+            (col("b_es") === col("a_es") && col("b_id") > col("a_id"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a_id").as("event_id"), col("user_id"),
+          col("b_id").as("next_event_id"),
+          (col("b_es") - col("a_es")).as("gap_s"))
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           |  FROM events)
+           |SELECT event_id, user_id, next_event_id, gap_s
+           |FROM (
+           |  SELECT a.event_id, a.user_id, b.event_id AS next_event_id,
+           |         b.es - a.es AS gap_s,
+           |         row_number() OVER (PARTITION BY a.event_id
+           |                            ORDER BY b.es ASC, b.event_id ASC) AS rn
+           |  FROM e a JOIN e b
+           |    ON a.user_id = b.user_id
+           |   AND (b.es > a.es OR (b.es = a.es AND b.event_id > a.event_id))) t
+           |WHERE rn = 1
+           |ORDER BY event_id""".stripMargin)
+  )
+
   /** Q19b — the SAME as-of join executed by the engine's native
     * whole-operator plan ([[graft.plans.AsOfJoinExec]]): one shuffle
     * per side + in-partition sort + streaming merge, instead of the
@@ -405,5 +455,5 @@ object TemporalOps {
   )
 
   val all: Seq[Query] =
-    Seq(q18, q19, q19b, q19c, q20a, q20b, q21, q22, q71, q72, q76)
+    Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76)
 }

@@ -134,6 +134,27 @@ class SourcesSpec extends SparkTestBase {
     assert(full.exceptAll(incremental).count() === 0)
   }
 
+  test("csv ingest captures malformed rows instead of failing or dropping") {
+    import org.apache.spark.sql.types._
+    // at 100 TB some rows ARE malformed; PERMISSIVE + corrupt-record
+    // column quarantines them for audit while the good rows flow
+    val path = tmp("csv-bad")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/data.csv"),
+      "id,qty\n1,10\n2,notanumber\n3,30\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType),
+      StructField("_corrupt", StringType)))
+    val df = spark.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+      .cache()
+    assert(df.count() === 3)
+    assert(df.filter(col("_corrupt").isNotNull).count() === 1)
+    assert(df.filter(col("_corrupt").isNull).agg(sum("qty")).head().getLong(0) === 40L)
+  }
+
   test("observe() pipeline metrics ride the write without a second scan") {
     // production ETL needs row counts / null counts per batch without
     // re-scanning; df.observe attaches accumulator-backed metrics to
