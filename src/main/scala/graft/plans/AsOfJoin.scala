@@ -17,7 +17,9 @@ import org.apache.spark.sql.graftbridge.Bridge
   *
   * Semantics: inner as-of — for each left row, the single right row
   * with the same key and the greatest `rightTime <= leftTime`
-  * (ties broken by the greatest `rightTieBreak`). Matches the composed
+  * (ties broken by the greatest `rightTieBreak`); `forward = true`
+  * flips the direction to the smallest `rightTime >= leftTime`
+  * (smallest tie-break), the "next state change" lookup. Matches the composed
   * formulation (join + per-event window, q19) row-for-row, but executes
   * as ONE pass: both sides shuffle once on the key, sort within
   * partitions, and a streaming per-partition merge keeps only a
@@ -35,7 +37,8 @@ case class AsOfJoinNode(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
-    isOuter: Boolean) extends BinaryNode {
+    isOuter: Boolean,
+    forward: Boolean) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     if (isOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -49,8 +52,8 @@ case class AsOfJoinNode(
 /** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, tb, outer) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, outer) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tb, outer, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, outer, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -77,7 +80,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
-    isOuter: Boolean) extends BinaryExecNode {
+    isOuter: Boolean,
+    forward: Boolean) extends BinaryExecNode {
 
   require(leftKey.dataType == rightKey.dataType,
     s"as-of join key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
@@ -95,6 +99,9 @@ case class AsOfJoinExec(
   private def asc(e: Expression): SortOrder =
     SortOrder(e, Ascending, Ascending.defaultNullOrdering, Seq.empty)
 
+  // both directions sort ascending: backward keeps the LAST right row
+  // <= t (greatest time/tie-break reached last), forward stops at the
+  // FIRST right row >= t (smallest time/tie-break reached first)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(asc(leftKey), asc(leftTime)),
     Seq(asc(rightKey), asc(rightTime)) ++ rightTieBreak.map(asc))
@@ -117,6 +124,7 @@ case class AsOfJoinExec(
     val outAttrs = output
 
     val outer = isOuter
+    val fwd = forward
     val rightArity = right.output.size
 
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
@@ -149,19 +157,32 @@ case class AsOfJoinExec(
                   else {
                     val c = keyOrd.compare(rkv, k)
                     if (c < 0) advanceRight()
-                    else if (c == 0 && timeOrd.compare(rtv, t) <= 0) {
+                    else if (!fwd && c == 0 && timeOrd.compare(rtv, t) <= 0) {
                       candidate = rNext.copy()
                       candidateKey = rk.eval(candidate)
                       advanceRight()
+                    } else if (fwd && c == 0 && timeOrd.compare(rtv, t) < 0) {
+                      advanceRight() // forward: rights before t can never match
                     } else done = true
                   }
                 }
-                // a candidate left over from an earlier key never matches
-                // again (keys ascend) — the equality check retires it
-                if (candidate != null && keyOrd.compare(candidateKey, k) == 0)
-                  return resultProj(joined(l, candidate))
-                else if (outer)
-                  return resultProj(joined(l, nullRight))
+                if (fwd) {
+                  // forward match = the row the cursor stopped on, iff same
+                  // key; do NOT advance — it may match later lefts too
+                  if (rNext != null && {
+                      val rkv = rk.eval(rNext); rkv != null &&
+                        keyOrd.compare(rkv, k) == 0 })
+                    return resultProj(joined(l, rNext))
+                  else if (outer)
+                    return resultProj(joined(l, nullRight))
+                } else {
+                  // a candidate left over from an earlier key never matches
+                  // again (keys ascend) — the equality check retires it
+                  if (candidate != null && keyOrd.compare(candidateKey, k) == 0)
+                    return resultProj(joined(l, candidate))
+                  else if (outer)
+                    return resultProj(joined(l, nullRight))
+                }
               } else if (outer) {
                 return resultProj(joined(l, nullRight))
               }
@@ -192,12 +213,15 @@ object AsOfOps {
     * same key at-or-before its time (greatest `rightTieBreak` on time
     * ties). Inner by default; `outer = true` keeps unmatched left rows
     * with a null-filled right side (the pandas-style merge_asof
-    * default). Pass resolved columns (`df("c")`). */
+    * default); `forward = true` matches the EARLIEST right row
+    * at-or-after instead (smallest tie-break). Pass resolved columns
+    * (`df("c")`). */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
       rightTieBreak: Seq[Column] = Nil,
-      outer: Boolean = false): DataFrame = {
+      outer: Boolean = false,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
@@ -207,6 +231,6 @@ object AsOfOps {
         left.queryExecution.analyzed, right.queryExecution.analyzed,
         Bridge.expr(leftKey), Bridge.expr(rightKey),
         Bridge.expr(leftTime), Bridge.expr(rightTime),
-        rightTieBreak.map(Bridge.expr), outer))
+        rightTieBreak.map(Bridge.expr), outer, forward))
   }
 }

@@ -103,6 +103,33 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("native FORWARD as-of join equals the composed rank-ascending form on random tables") {
+    import spark.implicits._
+    import graft.plans.AsOfOps
+    val eventsGen = Gen.listOfN(120, for {
+      k <- Gen.choose(0L, 8L); t <- Gen.choose(0L, 50L)
+    } yield (k, t))
+    val quotesGen = Gen.listOfN(80, for {
+      k <- Gen.choose(0L, 8L); t <- Gen.choose(0L, 50L); p <- Gen.choose(1, 999)
+    } yield (k, t, p))
+    seeds.foreach { s =>
+      val ev = sample(eventsGen, s).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("eid", "ek", "et")
+      val qt = sample(quotesGen, s + 100).zipWithIndex
+        .map { case ((k, t, p), i) => (i.toLong, k, t, p) }.toDF("qid", "qk", "qt", "qp")
+      val native = AsOfOps.asofJoin(ev, qt, ev("ek"), qt("qk"), ev("et"), qt("qt"),
+          rightTieBreak = Seq(qt("qid")), forward = true)
+        .select("eid", "qid")
+      val w = Window.partitionBy("eid")
+        .orderBy(col("qt").asc, col("qid").asc)
+      val composed = ev.join(qt, col("ek") === col("qk") && col("qt") >= col("et"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("eid", "qid")
+      assert(native.exceptAll(composed).count() === 0, s"seed=$s")
+      assert(composed.exceptAll(native).count() === 0, s"seed=$s")
+    }
+  }
+
   test("decimal sum is partitioning-independent (order-free aggregation)") {
     import spark.implicits._
     seeds.foreach { s =>
