@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** Native as-of join — the whole-operator custom-plan tier (SURVEY.md
@@ -92,6 +93,11 @@ case class AsOfJoinExec(
     if (isOuter) left.output ++ right.output.map(_.withNullability(true))
     else left.output ++ right.output
 
+  // SQL-UI observability, like every built-in join operator
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
@@ -126,6 +132,8 @@ case class AsOfJoinExec(
     val outer = isOuter
     val fwd = forward
     val rightArity = right.output.size
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
 
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
@@ -171,19 +179,26 @@ case class AsOfJoinExec(
                   // key; do NOT advance — it may match later lefts too
                   if (rNext != null && {
                       val rkv = rk.eval(rNext); rkv != null &&
-                        keyOrd.compare(rkv, k) == 0 })
+                        keyOrd.compare(rkv, k) == 0 }) {
+                    numMatchedRows += 1; numOutputRows += 1
                     return resultProj(joined(l, rNext))
-                  else if (outer)
+                  } else if (outer) {
+                    numOutputRows += 1
                     return resultProj(joined(l, nullRight))
+                  }
                 } else {
                   // a candidate left over from an earlier key never matches
                   // again (keys ascend) — the equality check retires it
-                  if (candidate != null && keyOrd.compare(candidateKey, k) == 0)
+                  if (candidate != null && keyOrd.compare(candidateKey, k) == 0) {
+                    numMatchedRows += 1; numOutputRows += 1
                     return resultProj(joined(l, candidate))
-                  else if (outer)
+                  } else if (outer) {
+                    numOutputRows += 1
                     return resultProj(joined(l, nullRight))
+                  }
                 }
               } else if (outer) {
+                numOutputRows += 1
                 return resultProj(joined(l, nullRight))
               }
             }

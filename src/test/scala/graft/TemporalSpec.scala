@@ -29,6 +29,32 @@ class TemporalSpec extends SparkTestBase {
     assert(df.count() === df.select("event_id").distinct().count())
   }
 
+  test("native as-of exec reports SQL metrics (output + matched rows)") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 5L))
+      .toDF("eid", "k", "t")
+    val qt = Seq((100L, 1L, 8L), (101L, 1L, 15L))
+      .toDF("qid", "qk", "qt")
+    // outer: events 1,2 match (qt 8, then 15); event 3 (key 2) is
+    // null-filled — 3 output rows, 2 matched. AQE wraps the plan in an
+    // adaptive root that hides the exec from collect(); disable it here
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = graft.plans.AsOfOps.asofJoin(ev, qt,
+        ev("k"), qt("qk"), ev("t"), qt("qt"),
+        rightTieBreak = Seq(qt("qid")), outer = true)
+      // collect() (not count()) so the INSPECTED QueryExecution is the
+      // one that runs — count() builds its own aggregate plan
+      assert(joined.collect().length === 3)
+      val exec = joined.queryExecution.executedPlan.collect {
+        case e: graft.plans.AsOfJoinExec => e
+      }.head
+      assert(exec.metrics("numOutputRows").value === 3)
+      assert(exec.metrics("numMatchedRows").value === 2)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q20 windows: sliding total = 2x tumbling total (1h / 30min slide)") {
     val tumbling = TemporalOps.q20a.build(spark, sf)
       .agg(sum("n")).head().getLong(0)
