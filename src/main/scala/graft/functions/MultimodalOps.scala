@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.{Query, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
@@ -127,5 +128,80 @@ object MultimodalOps {
            |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q36, q63, q64)
+  /** Q82 — media bundle index (the WebDataset/tar-shard pattern): small
+    * binary payloads are grouped into ~16 KB bundles per language so a
+    * 100 TB corpus reads as sequential multi-megabyte objects instead
+    * of billions of tiny files. A payload's bundle is decided by its
+    * START byte in the per-lang concatenation (`start div budget`), so
+    * assignment is a pure window expression — no sequential greedy loop
+    * — and every payload lives in exactly one bundle (bundles overshoot
+    * by at most one payload, the standard approximation). Output is the
+    * byte-offset INDEX (oracle-checked); the bundle bytes themselves
+    * are materialized and sliced back in ScalaTest
+    * ([[buildBundles]]). */
+  val q82 = Query(
+    "q82_media_bundles",
+    (s, dir) => {
+      val budget = 16384L
+      val wLang = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sized = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          octet_length(col("text").cast("binary")).cast("long").as("len_bytes"))
+        .withColumn("start_byte", sum(col("len_bytes")).over(wLang) - col("len_bytes"))
+        .withColumn("bundle_id", expr(s"start_byte div $budget"))
+      val wBundle = Window.partitionBy("lang", "bundle_id").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sized
+        .withColumn("offset_bytes",
+          sum(col("len_bytes")).over(wBundle) - col("len_bytes"))
+        .select("doc_id", "lang", "bundle_id", "offset_bytes", "len_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""WITH sized AS (
+           |  SELECT doc_id, lang,
+           |         CAST(octet_length(encode(text)) AS BIGINT) AS len_bytes
+           |  FROM documents),
+           |o AS (
+           |  SELECT *,
+           |         CAST(SUM(len_bytes) OVER (PARTITION BY lang ORDER BY doc_id
+           |              ROWS UNBOUNDED PRECEDING) - len_bytes AS BIGINT) AS start_byte
+           |  FROM sized),
+           |b AS (SELECT *, start_byte // 16384 AS bundle_id FROM o)
+           |SELECT doc_id, lang, bundle_id,
+           |       CAST(SUM(len_bytes) OVER (PARTITION BY lang, bundle_id ORDER BY doc_id
+           |            ROWS UNBOUNDED PRECEDING) - len_bytes AS BIGINT) AS offset_bytes,
+           |       len_bytes
+           |FROM b ORDER BY doc_id""".stripMargin)
+  )
+
+  /** One materialized bundle: lang, bundle id, bytes, and the member
+    * count — what actually lands in object storage. */
+  final case class Bundle(lang: String, bundle_id: Long, n_parts: Long,
+      bytes: Array[Byte])
+
+  /** Materialize the Q82 bundles: payloads of a (lang, bundle) group
+    * concatenated in doc_id order. Typed `mapGroups` because binary
+    * concatenation is not an SQL aggregate; groups are bundle-sized by
+    * construction so the per-group buffer is bounded by the budget plus
+    * one payload. */
+  def buildBundles(spark: SparkSession, dir: String): Dataset[Bundle] = {
+    import spark.implicits._
+    val idx = q82.build(spark, dir)
+      .select(col("doc_id"), col("lang"), col("bundle_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .join(idx, "doc_id")
+      .select(col("lang"), col("bundle_id"), col("doc_id"), col("payload"))
+      .as[(String, Long, Long, Array[Byte])]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (String, Long),
+          rows: Iterator[(String, Long, Long, Array[Byte])]) =>
+        val parts = rows.toSeq.sortBy(_._3)
+        Bundle(key._1, key._2, parts.size.toLong,
+          parts.iterator.map(_._4).reduce(_ ++ _))
+      }
+  }
+
+  val all: Seq[Query] = Seq(q36, q63, q64, q82)
 }

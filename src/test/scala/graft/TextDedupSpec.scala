@@ -123,6 +123,33 @@ class TextDedupSpec extends SparkTestBase {
     assert(joined.count() === 0)
   }
 
+  test("q82 media bundles reconstruct every payload by (offset, len) slice") {
+    val idx = MultimodalOps.q82.build(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap // doc_id -> (lang, bundle, offset, len)
+    val bundles = MultimodalOps.buildBundles(spark, sf)
+      .collect()
+      .map(b => (b.lang, b.bundle_id) -> b).toMap
+    val payloads = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").cast("binary"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(idx.size === payloads.size)
+    // every payload must read back from its bundle at [offset, offset+len)
+    payloads.foreach { case (docId, bytes) =>
+      val (lang, bid, off, len) = idx(docId)
+      val b = bundles((lang, bid))
+      assert(len === bytes.length.toLong)
+      assert(b.bytes.slice(off.toInt, (off + len).toInt).sameElements(bytes),
+        s"doc $docId mismatch in bundle ($lang, $bid)")
+    }
+    // bundles overshoot the 16 KB budget by at most one payload
+    val maxLen = payloads.values.map(_.length).max
+    bundles.values.foreach { b =>
+      assert(b.bytes.length <= 16384 + maxLen)
+    }
+  }
+
   test("native DotProduct expression is bit-identical to the higher-order form") {
     val emb = Tables.embeddings(spark, sf).limit(200)
     val diff = emb.select(
