@@ -574,7 +574,73 @@ object RelationalOps {
            |ORDER BY lvl, grp_region, grp_nation, grp_prio""".stripMargin)
   )
 
+  /** Q84 — CDC changelog apply: materialize a table's final state from
+    * an insert/update/delete event log — the general form of the
+    * reference's `ON DUPLICATE KEY UPDATE` maintenance (createDW.sql:
+    * 12-16,99-102), which cannot express deletes at all. The changelog
+    * is synthesized deterministically from `orders`: every key inserts
+    * at seq 1; keys with md5%3=1 get an update (price +10%) at seq 2;
+    * keys with md5%3=2 get a delete at seq 3. Apply = LWW by (key, max
+    * seq) then drop rows whose last op is D — one shuffle on the key,
+    * the same shape at any scale, and exactly what a Delta/Iceberg
+    * MERGE does under the hood. */
+  val q84 = Query(
+    "q84_cdc_apply",
+    (s, dir) => {
+      // orders carries duplicate keys (q05 exists to dedup them) —
+      // without this the synthetic seq-1 inserts would tie and make LWW
+      // nondeterministic
+      val wDedup = Window.partitionBy("o_orderkey")
+        .orderBy(col("o_orderdate").desc, col("o_totalprice").desc)
+      val base = Tables.orders(s, dir)
+        .withColumn("rn0", row_number().over(wDedup))
+        .filter(col("rn0") === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          Canon.md5Residue(col("o_orderkey").cast("string"), 3).as("grp"))
+      val inserts = base.select(col("o_orderkey"), lit("I").as("op"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"), lit(1L).as("seq"))
+      val updates = base.filter(col("grp") === 1)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          (col("o_totalprice").cast("decimal(18,4)") * lit(1.1).cast("decimal(6,2)"))
+            .cast("decimal(18,4)").as("price"), lit(2L).as("seq"))
+      val deletes = base.filter(col("grp") === 2)
+        .select(col("o_orderkey"), lit("D").as("op"),
+          lit(null).cast("decimal(18,4)").as("price"), lit(3L).as("seq"))
+      val log = inserts.unionByName(updates).unionByName(deletes)
+      val w = Window.partitionBy("o_orderkey").orderBy(col("seq").desc)
+      log.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("o_orderkey"), col("op").as("last_op"),
+          col("price").cast("double").as("price"), col("seq").as("n_seq"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey, o_totalprice,
+           |         CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS grp
+           |  FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+           |              ORDER BY o_orderdate DESC, o_totalprice DESC) AS rn0
+           |    FROM orders) d
+           |  WHERE rn0 = 1),
+           |log AS (
+           |  SELECT o_orderkey, 'I' AS op,
+           |         CAST(o_totalprice AS DECIMAL(18,4)) AS price, 1 AS seq FROM base
+           |  UNION ALL
+           |  SELECT o_orderkey, 'U',
+           |         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(6,2)) AS DECIMAL(18,4)), 2
+           |  FROM base WHERE grp = 1
+           |  UNION ALL
+           |  SELECT o_orderkey, 'D', NULL, 3 FROM base WHERE grp = 2)
+           |SELECT o_orderkey, op AS last_op,
+           |       CAST(price AS DOUBLE) AS price, CAST(seq AS BIGINT) AS n_seq
+           |FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+           |  FROM log) t
+           |WHERE rn = 1 AND op <> 'D'
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q12b, q13a, q13b, q14, q15, q16, q17, q25, q26)
+    q11, q12, q12b, q13a, q13b, q14, q15, q16, q17, q25, q26, q84)
 }

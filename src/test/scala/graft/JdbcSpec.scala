@@ -87,6 +87,32 @@ class JdbcSpec extends SparkTestBase {
     assert(got.count() === 2)
   }
 
+  test("CDC apply: deletes remove, updates win by seq, inserts land") {
+    withStmt { st =>
+      st.executeUpdate(
+        "CREATE TABLE dim_cdc (k BIGINT PRIMARY KEY, v VARCHAR(32), seq BIGINT)")
+    }
+    import spark.implicits._
+    val initial = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("k", "v", "seq")
+    Jdbc.writeAppend(initial, url, "dim_cdc", driver)
+
+    // key 1: updated twice (seq 3 wins); key 2: deleted; key 3:
+    // update then delete then re-insert (seq 4 wins); key 4: fresh
+    val log = Seq(
+      (1L, "U", "a2", 2L), (1L, "U", "a3", 3L),
+      (2L, "D", null, 2L),
+      (3L, "U", "c2", 2L), (3L, "D", null, 3L), (3L, "I", "c4", 4L),
+      (4L, "I", "d", 2L)
+    ).toDF("k", "op", "v", "seq")
+    Jdbc.applyCdc(log, url, "dim_cdc", driver,
+      keyCols = Seq("k"), seqCol = "seq", opCol = "op")
+
+    val got = Jdbc.readWhole(spark, url, "dim_cdc", driver)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a3", 3L -> "c4", 4L -> "d"))
+  }
+
   test("streaming foreachBatch upsert maintains a keyed dimension") {
     withStmt { st =>
       st.executeUpdate(
