@@ -93,8 +93,9 @@ object Canon {
     * this single definition — a prefix-length or radix drift between
     * copies silently changes sample membership. DuckDB equivalent:
     * `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % m`. */
-  def md5Residue(c: Column, m: Long): Column =
+  def md5Residue(c: Column, m: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % m
+  def md5Residue(c: Column, m: Long): Column = md5Residue(c, lit(m))
 
   /** Deterministic noisy-URL synthesis shared by the URL-keyed ops
     * (q74 canonical dedup, q85 domain stats): the fixture has no URL
@@ -111,6 +112,16 @@ object Canon {
       when(pmod(docId, lit(2)) === 0,
         concat(lit("/?utm_source=feed&id="), docId))
         .otherwise(lit("")))
+
+  /** URL canonicalization shared by q74 dedup and the `graft_canon_url`
+    * SQL function: lowercase, strip scheme / `www.` / query string /
+    * fragment / trailing slash. */
+  def canonUrl(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(url), "^https?://(www[.])?", ""),
+        "[?#].*$", ""),
+      "/$", "")
 
   /** DuckDB rendering of [[noisyUrl]] (one line so it interpolates into
     * stripMargin oracle blocks cleanly). */

@@ -677,7 +677,11 @@ object AnalyticOps {
       val docs = Tables.documents(s, dir)
       val thresholds = docs.groupBy("lang")
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("thr", least(lit(10000L), lit(10000L) * 50 / col("cnt")))
+        // Column `/` is DOUBLE division — cast back to long so the
+        // threshold is the same floor-division integer DuckDB's `//`
+        // computes (a fractional threshold admits boundary residues)
+        .withColumn("thr",
+          least(lit(10000L), (lit(10000L) * 50 / col("cnt")).cast("long")))
       docs.join(broadcast(thresholds), Seq("lang"))
         .filter(Canon.md5Residue(concat(lit("strat:"), col("doc_id")), 10000L)
           < col("thr"))

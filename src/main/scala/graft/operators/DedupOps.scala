@@ -567,12 +567,7 @@ object DedupOps {
         .withColumn("url",
           graft.Canon.noisyUrl(col("doc_id"), col("source"), col("lang")))
       noisy
-        .withColumn("canon",
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(lower(col("url")), "^https?://(www[.])?", ""),
-              "[?#].*$", ""),
-            "/$", ""))
+        .withColumn("canon", graft.Canon.canonUrl(col("url")))
         .groupBy("canon")
         .agg(min(col("doc_id")).as("keeper"),
           count(lit(1)).as("n_docs"))

@@ -66,16 +66,65 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
 }
 
 object GraftRules {
-  /** Install the engine's optimizer rules into a session (idempotent).
-    * Uses the `experimental.extraOptimizations` slot so stock sessions
-    * (driver-created in Verify/Bench) can opt in without rebuilding the
-    * session with `withExtensions`. */
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  /** The engine's SQL function surface: every graft capability that is a
+    * scalar expression, registered under a `graft_` prefix so pure-SQL
+    * users (`spark.sql(...)`) get the same semantics as the DataFrame
+    * API. Builders compose raw Catalyst nodes (the registry hands them
+    * unresolved argument expressions, so Column-built trees would leave
+    * unevaluable ColumnNode wrappers behind); `ExtensionSpec` asserts
+    * SQL-path ≡ DataFrame-path so these can't drift from [[graft.Canon]]:
+    *
+    *  - `graft_dot(a, b)` — the native codegen'd [[DotProduct]]
+    *  - `graft_norm(a)` — L2 norm via the same expression
+    *  - `graft_cosine(a, b)` — cosine similarity, zero-vector-safe (NULL)
+    *  - `graft_md5_residue(s, m)` — THE cross-engine-portable integer
+    *    hash ([[graft.Canon.md5Residue]]) used by every deterministic
+    *    sampling/hashing path
+    *  - `graft_canon_url(u)` — [[graft.Canon.canonUrl]] normalization
+    *  - `graft_tokens(s)` — the shared `\S+` tokenizer
+    */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_norm" -> (es => Sqrt(DotProduct(es(0), es(0)))),
+    "graft_cosine" -> { es =>
+      val d = DotProduct(es(0), es(1))
+      val norms = Multiply(
+        Sqrt(DotProduct(es(0), es(0))), Sqrt(DotProduct(es(1), es(1))))
+      Divide(d, new NullIf(norms, Literal(0.0)))
+    },
+    "graft_md5_residue" -> (es =>
+      Remainder(
+        Cast(
+          Conv(
+            Substring(Md5(Cast(es(0), StringType)), Literal(1), Literal(15)),
+            Literal(16), Literal(10)),
+          LongType),
+        es(1))),
+    "graft_canon_url" -> (es =>
+      new RegExpReplace(
+        new RegExpReplace(
+          new RegExpReplace(Lower(es(0)),
+            Literal("^https?://(www[.])?"), Literal("")),
+          Literal("[?#].*$"), Literal("")),
+        Literal("/$"), Literal(""))),
+    "graft_tokens" -> (es =>
+      RegExpExtractAll(es(0), Literal("\\S+"), Literal(0)))
+  )
+
+  /** Install the engine's optimizer rules + SQL functions into a live
+    * session (idempotent). Uses the `experimental.extraOptimizations`
+    * slot so stock sessions (driver-created in Verify/Bench) can opt in
+    * without rebuilding the session with `withExtensions`. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations = cur :+ RewriteDotProduct
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
   }
 }
 
@@ -89,11 +138,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteDotProduct)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
+    GraftRules.sqlFunctions.foreach { case (name, builder) =>
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DotProduct].getName, name),
+        builder))
+    }
   }
 }

@@ -77,6 +77,48 @@ class ExtensionSpec extends SparkTestBase {
     assert(v === 11.0)
   }
 
+  test("SQL function registry: every graft_ function matches its DataFrame twin") {
+    GraftRules.install(spark)
+    Tables.embeddings(spark, sf).limit(200).createOrReplaceTempView("emb_sql")
+    Tables.documents(spark, sf).limit(200).createOrReplaceTempView("docs_sql")
+
+    // cosine/norm vs the Column-API formulation
+    val simSql = spark.sql(
+      """SELECT vec_id, graft_norm(embedding) AS n,
+        |       graft_cosine(embedding, embedding) AS c
+        |FROM emb_sql""".stripMargin).collect()
+    simSql.foreach { r =>
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-12,
+        s"self-cosine must be 1, got ${r.getDouble(2)}")
+      assert(r.getDouble(1) > 0)
+    }
+
+    // md5_residue vs Canon.md5Residue
+    val resid = spark.sql(
+      "SELECT doc_id, graft_md5_residue(concat('strat:', doc_id), 10000) AS h FROM docs_sql")
+    val twin = Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"),
+        Canon.md5Residue(concat(lit("strat:"), col("doc_id")), 10000L).as("h"))
+    assert(resid.exceptAll(twin).isEmpty && twin.exceptAll(resid).isEmpty)
+
+    // canon_url vs Canon.canonUrl
+    val urls = spark.sql(
+      "SELECT graft_canon_url('HTTPS://WWW.Src1.Example.COM/en/item3/?utm=x#frag') AS u")
+      .head().getString(0)
+    assert(urls == "src1.example.com/en/item3")
+
+    // tokens vs the shared \S+ tokenizer
+    val toks = spark.sql("SELECT graft_tokens('  a  b\tc ') AS t")
+      .head().getSeq[String](0)
+    assert(toks == Seq("a", "b", "c"))
+
+    // zero-vector cosine is NULL, not NaN/divide-by-zero
+    val z = spark.sql(
+      "SELECT graft_cosine(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c")
+      .head()
+    assert(z.isNullAt(0))
+  }
+
   test("graft_clean_price UDF matches the declarative regexp path") {
     Udfs.register(spark)
     val df = Tables.part(spark, sf)
