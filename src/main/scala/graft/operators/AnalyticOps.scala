@@ -738,7 +738,83 @@ object AnalyticOps {
            |ORDER BY source, rk""".stripMargin)
   )
 
+  /** Q90 — heavy hitters via count-min sketch: per-language top-10
+    * tokens with their exact counts AND their CMS estimates, plus the
+    * one-sided-error verdict (est ∈ [exact, exact + ε·N] with ε=0.001).
+    * The CMS (`count_min_sketch` aggregate, fixed seed → deterministic)
+    * is the mergeable fixed-size alternative to the exact (lang, token)
+    * aggregation when the token vocabulary itself is too large to hold:
+    * sketches are linear, so per-shard sketches merge by array addition
+    * without re-reading base data (proven in `SketchSpec`).
+    *
+    * Scale shape: both the exact counts and the sketches are
+    * partial-combinable aggregations over the exploded token stream;
+    * the collected sketch map is bounded model state (one ~100 KB
+    * sketch per language), the same pattern as the IVF centroids.
+    * Rows-only by design (no DuckDB CMS); the spec holds the error
+    * bound on every row.
+    */
+  val q90 = Query(
+    "q90_heavy_hitters",
+    (s, dir) => {
+      import org.apache.spark.util.sketch.CountMinSketch
+      val toks = graft.functions.TextOps
+        .tokensWithPos(Tables.documents(s, dir))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+      val top = toks.groupBy("lang", "tok")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+      val sketches = toks.groupBy("lang")
+        .agg(
+          count_min_sketch(col("tok"), lit(0.001d), lit(0.99d), lit(42)).as("cms"),
+          count(lit(1)).as("n_tokens"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((CountMinSketch.readFrom(r.getAs[Array[Byte]](1)), r.getLong(2))))
+        .toMap
+      val rows = top.orderBy("lang", "rk").collect().toSeq.map { r =>
+        val (lang, tok) = (r.getString(0), r.getString(1))
+        val (cnt, rk) = (r.getLong(2), r.getInt(3))
+        val (cms, n) = sketches(lang)
+        val est = cms.estimateCount(tok)
+        (lang, rk, tok, cnt, est,
+          est >= cnt && est <= cnt + math.ceil(0.001 * n).toLong)
+      }
+      s.createDataFrame(rows)
+        .toDF("lang", "rk", "tok", "exact_cnt", "cms_est", "within_bound")
+        .orderBy("lang", "rk")
+    },
+    None
+  )
+
+  /** Q91 — mergeable approximate percentiles: per-priority p50/p95/p99
+    * of order totals via `percentile_approx` (GK sketch, rank error ≤
+    * 1/accuracy). The sketch aggregates partially (map-side combine,
+    * no sorted shuffle), which is what replaces q39's exact-rank window
+    * at 100 TB — q39 sorts every group, this streams one bounded sketch
+    * per group. Rows-only by design (sketch choice is engine-specific);
+    * `SketchSpec` pins every estimate inside the guaranteed rank band.
+    */
+  val q91 = Query(
+    "q91_approx_percentile",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          percentile_approx(col("o_totalprice"),
+            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("ps"),
+          count(lit(1)).as("n_rows"))
+        .select(col("o_orderpriority"),
+          col("ps").getItem(0).as("p50"),
+          col("ps").getItem(1).as("p95"),
+          col("ps").getItem(2).as("p99"),
+          col("n_rows"))
+        .orderBy("o_orderpriority"),
+    None
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
-    q88, q89)
+    q88, q89, q90, q91)
 }
