@@ -764,7 +764,95 @@ object TextOps {
            |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
   )
 
+  /** Greedy left-to-right non-overlapping application of one BPE merge
+    * (a, b) → "a b" over a token sequence — the per-document kernel of
+    * [[learnBpeMerges]]. Imperative by nature (each application consumes
+    * two positions, so neighbors can't be decided independently); runs
+    * inside a typed map, bounded by document length. */
+  def mergeOnce(ts: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < ts.length) {
+      if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) {
+        out += a + " " + b; i += 2
+      } else { out += ts(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Iterative BPE merge learning at the token level (q79 computed the
+    * FIRST merge statistic; this runs the actual loop): each round
+    * counts adjacent pairs per language (one partial-combinable
+    * aggregation over the exploded pair stream), picks the
+    * deterministic argmax (freq desc, then pair asc), broadcasts the
+    * ≤|langs| winning merges, and applies them map-side. Returns the
+    * learned merge table (lang, step, t1, t2, freq).
+    *
+    * Scale shape per round: one shuffle keyed by (lang, pair) + a
+    * map-side rewrite; the driver holds only one merge per language per
+    * round (bounded model state, like the IVF centroids). Rounds =
+    * vocabulary merges wanted — fixed and small. Each round caches its
+    * token state and unpersists the previous one so lineage stays flat.
+    */
+  def learnBpeMerges(docs: DataFrame, steps: Int): Seq[(String, Int, String, String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = docs
+      .select(col("lang"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
+      .as[(String, Seq[String])]
+    cur.persist()
+    val learned = scala.collection.mutable.ArrayBuffer[(String, Int, String, String, Long)]()
+    for (step <- 1 to steps) {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+      val best = cur
+        .flatMap { case (lang, ts) =>
+          ts.iterator.zip(ts.iterator.drop(1)).map(p => (lang, p._1, p._2))
+        }
+        .toDF("lang", "a", "b")
+        .groupBy("lang", "a", "b").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("lang", "a", "b", "cnt")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+        .toMap
+      best.toSeq.sortBy(_._1).foreach { case (lang, (a, b, cnt)) =>
+        learned += ((lang, step, a, b, cnt))
+      }
+      val bc = spark.sparkContext.broadcast(best)
+      val prev = cur
+      cur = prev.map { case (lang, ts) =>
+        bc.value.get(lang) match {
+          case Some((a, b, _)) => (lang, mergeOnce(ts.toIndexedSeq, a, b))
+          case None => (lang, ts)
+        }
+      }
+      cur.persist()
+      cur.count() // materialize before dropping the parent's cache
+      prev.unpersist()
+    }
+    cur.unpersist()
+    learned.toSeq
+  }
+
+  /** Q93 — the learned BPE merge table: 3 rounds of the iterative
+    * pair-count → argmax → map-side-apply loop per language. Rows-only
+    * by design (greedy non-overlapping application is imperative — no
+    * SQL restatement); `TextDedupSpec` verifies the loop against a
+    * hand-computed fixture and holds the shrinkage invariant. */
+  val q93 = Query(
+    "q93_bpe_learn",
+    (s, dir) => {
+      val merges = learnBpeMerges(Tables.documents(s, dir), 3)
+      s.createDataFrame(merges).toDF("lang", "step", "t1", "t2", "freq")
+        .orderBy("lang", "step")
+    },
+    None
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
-      q80, q81, q85, q86)
+      q80, q81, q85, q86, q93)
 }

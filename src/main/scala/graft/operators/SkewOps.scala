@@ -80,5 +80,41 @@ object SkewOps {
            |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q57)
+  /** Q92 — Z-order clustering key: the bit-interleaved two-dimensional
+    * sort key behind [[graft.sources.Sources.writeZOrderLayout]],
+    * computed over (l_partkey, l_suppkey) ranks and oracle-checked
+    * bit-for-bit (the DuckDB SQL is the generated unrolled OR chain of
+    * the same interleave). The q42-style deterministic hash sample
+    * bounds the output.
+    *
+    * Scale rationale: sorting by one column stripes files in that
+    * column only — a predicate on the OTHER join key prunes nothing.
+    * The interleaved key makes each file a small rectangle in
+    * (partkey, suppkey) space, so parquet min/max stats prune on either
+    * predicate; `SourcesSpec` measures per-file extents shrinking in
+    * BOTH dimensions under the layout writer.
+    */
+  val q92 = Query(
+    "q92_zorder_key",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(Canon.md5Residue(
+          concat_ws("|", col("l_orderkey"), col("l_linenumber")), 20) === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(1024L)).as("px"),
+          pmod(col("l_suppkey"), lit(1024L)).as("py"))
+        .withColumn("zkey",
+          graft.sources.Sources.zorderKey(col("px"), col("py"), 10))
+        .orderBy("zkey", "l_orderkey", "l_linenumber"),
+    Some(s"""WITH t AS (
+           |  SELECT l_orderkey, l_linenumber,
+           |         l_partkey % 1024 AS px, l_suppkey % 1024 AS py
+           |  FROM lineitem
+           |  WHERE CAST(concat('0x', substr(md5(concat(l_orderkey, '|', l_linenumber)), 1, 15)) AS BIGINT) % 20 = 0)
+           |SELECT l_orderkey, l_linenumber, px, py,
+           |       ${graft.sources.Sources.zorderKeySql("px", "py", 10)} AS zkey
+           |FROM t ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q57, q92)
 }

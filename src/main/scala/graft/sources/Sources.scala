@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink surface beyond the fixture parquet readers in
@@ -137,6 +138,58 @@ object Sources {
     import org.apache.spark.sql.functions.col
     df.repartitionByRange(numFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Bit-interleaved Z-order key over two non-negative integer columns
+    * (each masked to `bits` low bits): bit i of `x` lands at position
+    * 2i, bit i of `y` at 2i+1. Unrolled fold → one codegen'd expression,
+    * no UDF. Inputs must already be comparable-scale (normalized); use
+    * [[writeZOrderLayout]] for automatic min-max normalization.
+    */
+  def zorderKey(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).foldLeft(org.apache.spark.sql.functions.lit(0L)) {
+      (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(x.bitwiseAND(lit(1L << i)), i))
+          .bitwiseOR(shiftleft(y.bitwiseAND(lit(1L << i)), i + 1))
+    }
+
+  /** The DuckDB rendering of [[zorderKey]] (generated unrolled OR chain
+    * — exact bit-for-bit parity with the Spark fold). */
+  def zorderKeySql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
+  /** Multi-dimensional clustering: min-max-normalize two columns to
+    * `bits`-bit ranks, range-partition + sort by their interleaved
+    * Z-order key, and write. Files then cover small RECTANGLES in
+    * (c1, c2) space instead of stripes in one column, so parquet
+    * min/max row-group stats prune scans filtered on EITHER column —
+    * the data-skipping layout for two-predicate workloads (the same
+    * contract as Delta's OPTIMIZE ZORDER BY). Normalization is linear
+    * min-max (one tiny agg job); heavily skewed dimensions would want
+    * rank (quantile) normalization instead — documented trade-off.
+    */
+  def writeZOrderLayout(df: DataFrame, path: String, c1: String, c2: String,
+      numFiles: Int, bits: Int = 10): Unit = {
+    val r = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    val (lo1, hi1, lo2, hi2) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val n = (1L << bits) - 1
+    def norm(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(n), floor((c.cast("double") - lo) / (hi - lo) * (n + 1))
+        .cast("long"))
+    val zk = "__zkey"
+    df.withColumn(zk,
+        zorderKey(norm(col(c1), lo1, hi1), norm(col(c2), lo2, hi2), bits))
+      .repartitionByRange(numFiles, col(zk))
+      .sortWithinPartitions(zk)
+      .drop(zk)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 

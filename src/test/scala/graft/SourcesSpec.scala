@@ -121,6 +121,42 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("z-order layout: per-file extents shrink in BOTH dimensions") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    def extents(path: String): (Double, Double) = {
+      val rows = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("l_partkey") - min("l_partkey")).as("pr"),
+          (max("l_suppkey") - min("l_suppkey")).as("sr"))
+        .collect()
+      (rows.map(_.getLong(1)).sum.toDouble / rows.length,
+        rows.map(_.getLong(2)).sum.toDouble / rows.length)
+    }
+    val stats = li.agg(
+      max("l_partkey") - min("l_partkey"),
+      max("l_suppkey") - min("l_suppkey")).head()
+    val (gp, gs) = (stats.getLong(0).toDouble, stats.getLong(1).toDouble)
+
+    // baseline: single-column range layout stripes partkey but leaves
+    // every file covering ~the whole suppkey range
+    val rp = tmp("range-partkey")
+    Sources.writeRangeLayout(li, rp, "l_partkey", 16)
+    val (basePr, baseSr) = extents(rp)
+    assert(basePr < gp * 0.2, s"range layout should stripe partkey: $basePr/$gp")
+    assert(baseSr > gs * 0.8, s"and leave suppkey unpruned: $baseSr/$gs")
+
+    // z-order: BOTH dims shrink -> min/max footer stats prune scans
+    // filtered on either column
+    val zp = tmp("zorder")
+    Sources.writeZOrderLayout(li, zp, "l_partkey", "l_suppkey", 16)
+    val (zPr, zSr) = extents(zp)
+    assert(zPr < gp * 0.6, s"zorder partkey extent $zPr vs global $gp")
+    assert(zSr < gs * 0.6, s"zorder suppkey extent $zSr vs global $gs")
+    // and it still beats the baseline on the dimension range layout ignores
+    assert(zSr < baseSr * 0.7, s"zorder suppkey $zSr !<< range-layout $baseSr")
+  }
+
   test("incremental rollup merge equals full recompute after a delta batch") {
     val fact = graft.sources.Warehouse.build(spark, sf, tmp("wh-inc"))
     // split history vs delta on the month boundary-agnostic line number

@@ -218,4 +218,46 @@ class TextDedupSpec extends SparkTestBase {
         col("canon") =!= lower(col("canon")))
     assert(dirty.count() === 0)
   }
+
+  test("BPE learn: hand-computed merges on a tiny fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c a b", "xx"),
+      (2L, "a b a", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val merges = TextOps.learnBpeMerges(docs, 2)
+    // round 1: (a,b) occurs 4 times (3 in doc1, 1 in doc2) — clear max.
+    // after merging, doc1 = [ab, ab, c, ab], doc2 = [ab, a]; round-2
+    // pairs all have count 1, tie-break asc picks ("a b","a")
+    assert(merges == Seq(
+      ("xx", 1, "a", "b", 4L),
+      ("xx", 2, "a b", "a", 1L)), merges.toString)
+  }
+
+  test("BPE mergeOnce: greedy non-overlap on repeated tokens") {
+    // "a a a" has 2 counted pairs but only 1 non-overlapping application
+    assert(TextOps.mergeOnce(IndexedSeq("a", "a", "a"), "a", "a") ==
+      IndexedSeq("a a", "a"))
+    assert(TextOps.mergeOnce(IndexedSeq("a", "a", "a", "a"), "a", "a") ==
+      IndexedSeq("a a", "a a"))
+    assert(TextOps.mergeOnce(IndexedSeq("x"), "a", "b") == IndexedSeq("x"))
+    assert(TextOps.mergeOnce(IndexedSeq(), "a", "b") == IndexedSeq())
+  }
+
+  test("q93 merge table: 3 steps per lang, freqs non-increasing, shrinkage") {
+    val merges = TextOps.q93.build(spark, sf).collect()
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(merges.length == 3 * langs, s"expected 3 merges x $langs langs")
+    merges.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val freqs = rows.sortBy(_.getInt(1)).map(_.getLong(4))
+      assert(freqs.forall(_ >= 1))
+      // each learned merge's frequency can't exceed the previous round's
+      // max (merging only removes or preserves adjacencies of others...
+      // except pairs INVOLVING the new merged unit, which are new — so
+      // only assert positivity plus determinism across two runs)
+      val again = TextOps.q93.build(spark, sf).collect()
+        .filter(_.getString(0) == lang).sortBy(_.getInt(1)).map(_.getLong(4))
+      assert(freqs.sameElements(again), s"$lang nondeterministic")
+    }
+  }
 }
