@@ -491,6 +491,34 @@ object TemporalOps {
            |ORDER BY event_id""".stripMargin)
   )
 
+  /** Q94 — the native per-key top-k plan ([[graft.plans.TopKOps]]):
+    * the 20 highest-value events per event type, executed as
+    * PARTIAL (map-side bounded heaps) + FINAL (streaming rank) instead
+    * of the window path that shuffles and buffers every row of every
+    * group. The oracle is the plain `row_number()` formulation — the
+    * native plan must be row-for-row indistinguishable from it.
+    */
+  val q94 = Query(
+    "q94_topk_native",
+    (s, dir) => {
+      val ev = eventsTss(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.plans.TopKOps.topKPerKey(
+        ev,
+        keys = Seq(ev("event_type")),
+        order = Seq(ev("value").desc, ev("event_id").asc),
+        k = 20)
+        .orderBy("event_type", "rank")
+    },
+    Some("""SELECT event_id, event_type, value,
+           |       CAST(row_number() OVER w AS BIGINT) AS rank
+           |FROM events
+           |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
+           |QUALIFY row_number() OVER w <= 20
+           |ORDER BY event_type, rank""".stripMargin)
+  )
+
   val all: Seq[Query] =
-    Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87)
+    Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
+      q94)
 }

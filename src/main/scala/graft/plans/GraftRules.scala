@@ -138,6 +138,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteDotProduct)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => TopKStrategy)
     GraftRules.sqlFunctions.foreach { case (name, builder) =>
       e.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -68,6 +68,84 @@ class ExtensionSpec extends SparkTestBase {
     assert(outer.toSeq === Seq((1L, "b"), (2L, null), (3L, null)))
   }
 
+  test("native top-k: Partial+Final in plan, no WindowExec, map-side pruning fires") {
+    import graft.operators.TemporalOps
+    val native = TemporalOps.q94.build(spark, sf)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"), plan)
+    assert(!plan.contains("Window"), plan)
+    val rows = native.collect()
+    assert(rows.nonEmpty)
+    // parity with the window formulation
+    import org.apache.spark.sql.expressions.Window
+    val composed = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rank", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("value").desc, col("event_id").asc)).cast("long"))
+      .filter(col("rank") <= 20)
+    val nativeUnordered = TemporalOps.q94.build(spark, sf)
+    assert(nativeUnordered.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(nativeUnordered).count() === 0)
+  }
+
+  test("native top-k: null keys/sort values, tiny groups, empty input") {
+    import graft.plans.TopKOps
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(3.0)), (2L, Some("a"), Some(1.0)),
+      (3L, Some("a"), Some(2.0)), (4L, Some("b"), Some(9.0)),
+      (5L, None, Some(5.0)), (6L, None, Some(7.0)),
+      (7L, Some("a"), None))
+      .toDF("id", "k", "v")
+    val got = TopKOps.topKPerKey(df, Seq(df("k")),
+        Seq(df("v").desc, df("id").asc), 2)
+      .select("id", "k", "rank").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getLong(2))).toSet
+    // "a": v desc nulls-last default? row_number over desc puts null v LAST
+    // in Spark (desc_nulls_last is the .desc default) -> top-2: id1(3.0),id3(2.0)
+    // null key forms its own group (like window partitioning): id6(7.0),id5(5.0)
+    assert(got === Set((1L, "a", 1L), (3L, "a", 2L), (4L, "b", 1L),
+      (6L, null, 1L), (5L, null, 2L)))
+    // parity with the window path on the same frame, nulls included
+    import org.apache.spark.sql.expressions.Window
+    val composed = df.withColumn("rank",
+        row_number().over(Window.partitionBy("k")
+          .orderBy(col("v").desc, col("id").asc)).cast("long"))
+      .filter(col("rank") <= 2).select("id", "k", "rank")
+    val native = TopKOps.topKPerKey(df, Seq(df("k")),
+      Seq(df("v").desc, df("id").asc), 2).select("id", "k", "rank")
+    assert(native.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(native).count() === 0)
+    // empty input
+    assert(TopKOps.topKPerKey(df.filter(col("id") < 0), Seq(df("k")),
+      Seq(df("v").desc), 3).count() === 0)
+  }
+
+  test("property: native top-k equals window row_number on random tables") {
+    import graft.plans.TopKOps
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.choose(0, 200)
+      ks <- Gen.choose(1, 8)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0, ks)
+        v <- Gen.choose(-50, 50)
+      } yield (k, v))
+    } yield rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+    checkProp(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("id", "k", "v")
+      val native = TopKOps.topKPerKey(df, Seq(df("k")),
+        Seq(df("v").asc, df("id").asc), 3).select("id", "rank")
+      val composed = df.withColumn("rank",
+          row_number().over(Window.partitionBy("k")
+            .orderBy(col("v").asc, col("id").asc)).cast("long"))
+        .filter(col("rank") <= 3).select("id", "rank")
+      native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty
+    })
+  }
+
   test("GraftSession.build installs the SQL surface on the live session") {
     val s = GraftSession.build() // same JVM -> returns the shared session,
                                  // imperative install path must still apply
