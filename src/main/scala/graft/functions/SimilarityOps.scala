@@ -323,5 +323,78 @@ object SimilarityOps {
            |FROM q ORDER BY vec_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65)
+  /** Q98 — SemDeDup-style semantic deduplication: coarse-cluster the
+    * embedding corpus, then inside each cluster drop every vector that
+    * is cosine-similar (> 0.4, this fixture's near-dup level — q31c)
+    * to an earlier-id vector in the same cluster. This is the
+    * embedding-space dedup pass LLM corpora run after exact/MinHash
+    * text dedup; clustering first is what makes it tractable — pairwise
+    * comparison happens only WITHIN a cluster, never globally.
+    *
+    * Clustering here is nearest-seed coarse quantization (seeds =
+    * vec_id 0..7, deterministic; argmax cosine, ties to the lower
+    * cell), i.e. the assignment step of the IVF/k-means family — the
+    * trained-centroid variant lives in q31d; this one stays exactly
+    * SQL-expressible, so the whole pipeline hash-checks against the
+    * oracle (the cosine kernel is the bit-identical native DotProduct).
+    *
+    * The drop rule is the non-recursive form (similar to ANY earlier
+    * same-cell vector ⇒ drop), declared semantics — the chain-aware
+    * variant needs the q66 iterative machinery.
+    *
+    * Scale shape: seed set is fixed-size broadcast state; assignment
+    * is map-side; the pair join is an equi-join on cell (per-cell
+    * quadratic bounded by cluster granularity — the k knob); verdict
+    * is one anti-join keyed (cell, vec_id). No global all-pairs stage
+    * anywhere.
+    */
+  val q98 = Query(
+    "q98_semdedup",
+    (s, dir) => {
+      val emb = withNorm(Tables.embeddings(s, dir))
+      val seeds = broadcast(emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("ce"),
+          col("nrm").as("cn")))
+      val wc = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cell").asc)
+      val cells = emb.crossJoin(seeds)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+          (dotNative(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+            .as("csim"))
+        .withColumn("rn", row_number().over(wc))
+        .filter(col("rn") === 1)
+        .select("vec_id", "embedding", "nrm", "cell")
+      val a = cells.select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = cells.select(col("cell"), col("vec_id").as("b_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .filter((dotNative(col("ea"), col("eb")) / (col("na") * col("nb"))) > 0.4)
+        .select(col("cell"), col("b_id").as("vec_id")).distinct()
+      cells.select("vec_id", "cell")
+        .join(dropped.withColumn("hit", lit(1)), Seq("cell", "vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("hit").isNull.as("keep"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH seeds AS (
+            |  SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+            |cells AS (
+            |  SELECT e.vec_id, e.embedding, s.cell
+            |  FROM embeddings e CROSS JOIN seeds s
+            |  QUALIFY row_number() OVER (
+            |    PARTITION BY e.vec_id
+            |    ORDER BY ${cosineSql("e.embedding", "s.ce")} DESC, s.cell ASC) = 1),
+            |dropped AS (
+            |  SELECT DISTINCT b.cell, b.vec_id
+            |  FROM cells a JOIN cells b
+            |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+            |  WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.4)
+            |SELECT c.vec_id, c.cell, d.vec_id IS NULL AS keep
+            |FROM cells c LEFT JOIN dropped d
+            |  ON c.cell = d.cell AND c.vec_id = d.vec_id
+            |ORDER BY c.vec_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65, q98)
 }

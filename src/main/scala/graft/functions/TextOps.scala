@@ -852,7 +852,85 @@ object TextOps {
     None
   )
 
+  /** Q95 — bigram language-model quality scoring (the CCNet-style
+    * perplexity filter): train add-one-smoothed per-language bigram
+    * probabilities on the corpus itself, then score every document by
+    * its mean bigram log-probability. Low scores flag gibberish /
+    * boilerplate; in a real pipeline the model trains on a trusted
+    * corpus (e.g. Wikipedia) and scores the crawl — the dataflow shape
+    * is identical.
+    *
+    * Model: p(w2|w1, lang) = (c(w1,w2)+1) / (c(w1·)+V_lang), where
+    * c(w1·) counts bigram contexts and V is the language vocabulary.
+    *
+    * Cross-engine exactness: `ln` is rounded to 6 decimals per bigram
+    * (the q53 rule — a ≤1-ulp libm discrepancy cannot move round(·,6))
+    * and summed as DECIMAL(18,6), so the per-doc sum is exact and
+    * order-independent in both engines.
+    *
+    * Scale shape: counts are two partial-combinable aggregations keyed
+    * (lang,w1,w2)/(lang,w1); scoring is one shuffle join of the doc
+    * bigram stream against the model on (lang,w1,w2) — both sides
+    * shuffle-partition on the same key, no broadcast of corpus-sized
+    * state, no driver materialization. Docs with <2 tokens have no
+    * bigrams and are excluded by construction (declared semantics).
+    */
+  val q95 = Query(
+    "q95_ngram_lm",
+    (s, dir) => {
+      val toks = tokensWithPos(Tables.documents(s, dir))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bigrams = toks
+        .withColumn("w2", lead(col("tok"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("lang"), col("tok").as("w1"), col("w2"))
+      val c12 = bigrams.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy("lang", "w1").agg(sum(col("c12")).as("c1"))
+      val vocab = toks.groupBy("lang")
+        .agg(countDistinct(col("tok")).as("v"))
+      val model = c12
+        .join(c1, Seq("lang", "w1"))
+        .join(broadcast(vocab), Seq("lang"))
+        .withColumn("logp",
+          round(log((col("c12") + 1).cast("double") /
+            (col("c1") + col("v")).cast("double")), 6)
+            .cast("decimal(18,6)"))
+        .select("lang", "w1", "w2", "logp")
+      bigrams.join(model, Seq("lang", "w1", "w2"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("logp")).cast("decimal(18,6)").cast("double").as("sum_logp"))
+        .withColumn("avg_logp",
+          round(col("sum_logp") / col("n_bigrams").cast("double"), 6))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, lang, i AS pos, toks[i] AS tok FROM (
+           |    SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks
+           |    FROM documents) t, unnest(range(1, len(t.toks)+1)) u(i)
+           |  WHERE toks[i] <> ''),
+           |bg AS (
+           |  SELECT doc_id, lang, tok AS w1,
+           |         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           |  FROM toks QUALIFY w2 IS NOT NULL),
+           |c12 AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM bg GROUP BY lang, w1, w2),
+           |c1 AS (SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY lang, w1),
+           |vocab AS (SELECT lang, COUNT(DISTINCT tok) AS v FROM toks GROUP BY lang),
+           |model AS (
+           |  SELECT c12.lang, w1, w2,
+           |         CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
+           |              AS DECIMAL(18,6)) AS logp
+           |  FROM c12 JOIN c1 USING (lang, w1) JOIN vocab USING (lang))
+           |SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+           |       CAST(CAST(SUM(logp) AS DECIMAL(18,6)) AS DOUBLE) AS sum_logp,
+           |       round(CAST(CAST(SUM(logp) AS DECIMAL(18,6)) AS DOUBLE)
+           |             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logp
+           |FROM bg JOIN model USING (lang, w1, w2)
+           |GROUP BY doc_id, lang
+           |ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
-      q80, q81, q85, q86, q93)
+      q80, q81, q85, q86, q93, q95)
 }

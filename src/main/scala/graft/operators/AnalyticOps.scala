@@ -814,7 +814,85 @@ object AnalyticOps {
     None
   )
 
+  /** Q96 — declarative data-quality audit (the Deequ-style constraint
+    * battery every warehouse load gates on): row count, key uniqueness,
+    * completeness, value range, and FK referential integrity, each as a
+    * (check_name, metric, passed) verdict row. The reference's only
+    * integrity tooling is the FK DDL itself (createDW.sql:93-97); this
+    * is the executable restatement plus the checks MySQL enforced
+    * implicitly.
+    *
+    * Scale shape: two single-pass combinable aggregates (orders,
+    * lineitem) + one anti-join count for the FK check — each a full
+    * scan with map-side partial aggregation, no driver collection; the
+    * verdict union is constant-sized. All metric divisions are exact
+    * IEEE doubles of exact integer counts.
+    */
+  val q96 = Query(
+    "q96_constraints",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val oAgg = o.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("nk"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+        min(col("o_totalprice")).as("min_tp"))
+      val lAgg = l.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("in_rng"))
+      val fk = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+      Seq(
+        oAgg.select(lit("orders_rowcount").as("check_name"),
+          col("n").cast("double").as("metric"), (col("n") > 0).as("passed")),
+        oAgg.select(lit("orders_key_unique").as("check_name"),
+          (col("nk").cast("double") / col("n").cast("double")).as("metric"),
+          (col("nk") === col("n")).as("passed")),
+        oAgg.select(lit("orders_custkey_complete").as("check_name"),
+          (lit(1.0) - col("null_cust").cast("double") / col("n").cast("double"))
+            .as("metric"),
+          (col("null_cust") === 0).as("passed")),
+        oAgg.select(lit("orders_totalprice_nonneg").as("check_name"),
+          col("min_tp").cast("double").as("metric"),
+          (col("min_tp") >= 0).as("passed")),
+        lAgg.select(lit("lineitem_qty_range").as("check_name"),
+          (col("in_rng").cast("double") / col("n").cast("double")).as("metric"),
+          (col("in_rng") === col("n")).as("passed")),
+        fk.select(lit("lineitem_fk_orders").as("check_name"),
+          col("v").cast("double").as("metric"), (col("v") === 0).as("passed"))
+      ).reduce(_ union _).orderBy("check_name")
+    },
+    Some("""WITH o AS (
+           |  SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS nk,
+           |         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+           |         MIN(o_totalprice) AS min_tp
+           |  FROM orders),
+           |l AS (
+           |  SELECT COUNT(*) AS n,
+           |         SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS in_rng
+           |  FROM lineitem),
+           |fk AS (
+           |  SELECT COUNT(*) AS v FROM lineitem li
+           |  WHERE NOT EXISTS (SELECT 1 FROM orders oo WHERE oo.o_orderkey = li.l_orderkey))
+           |SELECT * FROM (
+           |  SELECT 'orders_rowcount' AS check_name, CAST(n AS DOUBLE) AS metric, n > 0 AS passed FROM o
+           |  UNION ALL
+           |  SELECT 'orders_key_unique', CAST(nk AS DOUBLE) / CAST(n AS DOUBLE), nk = n FROM o
+           |  UNION ALL
+           |  SELECT 'orders_custkey_complete',
+           |         CAST(1 AS DOUBLE) - CAST(null_cust AS DOUBLE) / CAST(n AS DOUBLE),
+           |         null_cust = 0 FROM o
+           |  UNION ALL
+           |  SELECT 'orders_totalprice_nonneg', CAST(min_tp AS DOUBLE), min_tp >= 0 FROM o
+           |  UNION ALL
+           |  SELECT 'lineitem_qty_range', CAST(in_rng AS DOUBLE) / CAST(n AS DOUBLE), in_rng = n FROM l
+           |  UNION ALL
+           |  SELECT 'lineitem_fk_orders', CAST(v AS DOUBLE), v = 0 FROM fk)
+           |ORDER BY check_name""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
-    q88, q89, q90, q91)
+    q88, q89, q90, q91, q96)
 }

@@ -518,7 +518,92 @@ object TemporalOps {
            |ORDER BY event_type, rank""".stripMargin)
   )
 
+  /** Q97 — time-series regularization: resample each user's event
+    * stream onto an hourly grid and linearly interpolate the gaps —
+    * the gap-fill step feature pipelines run before any fixed-step
+    * model. Grid endpoints are each user's first/last observed hour,
+    * so every grid point has a neighbor on both sides and
+    * interpolation is total.
+    *
+    * Cross-engine exactness: hourly means are exact decimal sums
+    * divided in double and rounded to 6 decimals; the interpolation
+    * `prev + (next-prev) * (h-ph)/(nh-ph)` is evaluated with the same
+    * AST shape in both engines over those already-rounded doubles and
+    * exact integer hour distances — bit-identical IEEE arithmetic, so
+    * it is deliberately NOT re-rounded (a final round(·,6) hit a
+    * half-way boundary at sf0.001 where the engines' double-rounding
+    * directions differ).
+    *
+    * Scale shape: one combinable aggregate keyed (user_id, hour); the
+    * spine is generated map-side from a per-user min/max (`sequence`
+    * explode — fan-out bounded by the observed time span); prev/next
+    * carries are two frames over the same (user_id, hour) sort — AQE
+    * sees one shuffle key throughout, no broadcast, no driver state.
+    */
+  val q97 = Query(
+    "q97_interpolate",
+    (s, dir) => {
+      val obs = eventsTss(s, dir)
+        .withColumn("h", (col("es") / 3600).cast("long") * 3600)
+        .groupBy(col("user_id"), col("h"))
+        .agg(round(Canon.dsum(col("value")) / count(lit(1)).cast("double"), 6)
+          .as("obs_val"))
+      val spine = obs.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+      val wUp = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDown = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(obs, Seq("user_id", "h"), "left")
+        .withColumn("pv", last(col("obs_val"), ignoreNulls = true).over(wUp))
+        .withColumn("ph",
+          last(when(col("obs_val").isNotNull, col("h")), ignoreNulls = true).over(wUp))
+        .withColumn("nv", first(col("obs_val"), ignoreNulls = true).over(wDown))
+        .withColumn("nh",
+          first(when(col("obs_val").isNotNull, col("h")), ignoreNulls = true).over(wDown))
+        .select(
+          col("user_id"),
+          timestamp_seconds(col("h")).cast("timestamp_ntz").as("hour"),
+          when(col("obs_val").isNotNull, col("obs_val"))
+            .otherwise(
+              col("pv") + (col("nv") - col("pv")) *
+                ((col("h") - col("ph")).cast("double") /
+                  (col("nh") - col("ph")).cast("double")))
+            .as("value"),
+          col("obs_val").isNotNull.as("is_obs"))
+        .orderBy("user_id", "hour")
+    },
+    Some("""WITH obs AS (
+           |  SELECT user_id,
+           |         CAST(floor(epoch(date_trunc('second', ts)) / 3600) * 3600 AS BIGINT) AS h,
+           |         round(CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE)
+           |               / CAST(COUNT(*) AS DOUBLE), 6) AS obs_val
+           |  FROM events GROUP BY 1, 2),
+           |spine AS (
+           |  SELECT user_id, unnest(generate_series(min(h), max(h), 3600)) AS h
+           |  FROM obs GROUP BY user_id),
+           |g AS (
+           |  SELECT s.user_id, s.h, o.obs_val,
+           |         last_value(o.obs_val IGNORE NULLS) OVER wu AS pv,
+           |         last_value(CASE WHEN o.obs_val IS NOT NULL THEN s.h END IGNORE NULLS) OVER wu AS ph,
+           |         first_value(o.obs_val IGNORE NULLS) OVER wd AS nv,
+           |         first_value(CASE WHEN o.obs_val IS NOT NULL THEN s.h END IGNORE NULLS) OVER wd AS nh
+           |  FROM spine s LEFT JOIN obs o USING (user_id, h)
+           |  WINDOW wu AS (PARTITION BY s.user_id ORDER BY s.h
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |         wd AS (PARTITION BY s.user_id ORDER BY s.h
+           |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           |SELECT user_id, CAST(to_timestamp(h) AS TIMESTAMP) AS hour,
+           |       CASE WHEN obs_val IS NOT NULL THEN obs_val
+           |            ELSE pv + (nv - pv) *
+           |                 (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)) END AS value,
+           |       obs_val IS NOT NULL AS is_obs
+           |FROM g ORDER BY user_id, hour""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
-      q94)
+      q94, q97)
 }

@@ -198,4 +198,17 @@ object Sources {
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC — the other columnar format Spark ships natively (vectorized
+    * reader, predicate pushdown, column pruning all apply, same as
+    * parquet). Schema is taken from the ORC footers (self-describing);
+    * pass a `StructType` via `.schema` upstream only to pin column
+    * order. Avro is NOT exposed: the `spark-avro` datasource module is
+    * not on this classpath (only avro-core), and adding deps is out of
+    * contract. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

@@ -200,4 +200,16 @@ class AnalyticSpec extends SparkTestBase {
     assert(df.count() <= total / 4)
     assert(df.count() > 0)
   }
+
+  test("q96 constraints: all six checks pass on the fixture, metrics exact") {
+    val df = AnalyticOps.q96.build(spark, sf).cache()
+    assert(df.count() === 6)
+    assert(df.filter(!col("passed")).count() === 0)
+    val m = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("orders_rowcount") === Tables.orders(spark, sf).count().toDouble)
+    assert(m("orders_key_unique") === 1.0)
+    assert(m("orders_custkey_complete") === 1.0)
+    assert(m("lineitem_qty_range") === 1.0)
+    assert(m("lineitem_fk_orders") === 0.0)
+  }
 }

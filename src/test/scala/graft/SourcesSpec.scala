@@ -29,6 +29,20 @@ class SourcesSpec extends SparkTestBase {
     assert(back.exceptAll(src).count() === 0)
   }
 
+  test("orc round-trip preserves values and pushes predicates to the scan") {
+    val src = Tables.orders(spark, sf)
+    val path = tmp("orc-rt")
+    Sources.writeOrc(src, path)
+    val back = Sources.readOrc(spark, path)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0)
+    // predicate + projection reach the ORC scan node like parquet
+    val plan = back.filter(col("o_orderkey") === 42).select("o_orderkey", "o_totalprice")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"),
+      s"no pushdown in:\n$plan")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val src = Tables.orders(spark, sf)
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))

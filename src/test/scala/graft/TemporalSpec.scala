@@ -107,4 +107,35 @@ class TemporalSpec extends SparkTestBase {
     assert(df.filter(col("roll_avg") > col("roll_max") + 1e-6).count() === 0)
     assert(df.filter(col("gap_s") < 0).count() === 0)
   }
+
+  test("q97 interpolate: contiguous hourly grid per user, interp bounded by neighbors") {
+    val df = TemporalOps.q97.build(spark, sf).cache()
+    // grid completeness: per user, rows == (max-min)/3600 + 1, hours distinct
+    val grid = df.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("hour")).as("nd"),
+      ((unix_timestamp(max(col("hour"))) - unix_timestamp(min(col("hour")))) / 3600 + 1)
+        .as("expect"))
+    assert(grid.filter(col("n") =!= col("expect") || col("nd") =!= col("n")).count() === 0)
+    // endpoints are observations (interpolation is total by construction)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val ends = df
+      .withColumn("mn", min(col("hour")).over(w))
+      .withColumn("mx", max(col("hour")).over(w))
+      .filter(col("hour") === col("mn") || col("hour") === col("mx"))
+    assert(ends.filter(!col("is_obs")).count() === 0)
+    // every interpolated value lies between its neighboring observations
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy("hour").rowsBetween(Long.MinValue, 0)
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy("hour").rowsBetween(0, Long.MaxValue)
+    val obsv = when(col("is_obs"), col("value"))
+    val bounded = df
+      .withColumn("pv", last(obsv, ignoreNulls = true).over(wu))
+      .withColumn("nv", first(obsv, ignoreNulls = true).over(wd))
+      .filter(!col("is_obs"))
+      .filter(col("value") < least(col("pv"), col("nv")) - 1e-9 ||
+        col("value") > greatest(col("pv"), col("nv")) + 1e-9)
+    assert(bounded.count() === 0)
+  }
 }

@@ -260,4 +260,49 @@ class TextDedupSpec extends SparkTestBase {
       assert(freqs.sameElements(again), s"$lang nondeterministic")
     }
   }
+
+  test("q95 ngram LM: one score per multi-token doc, log-probs negative, " +
+    "bigram count = tokens - 1") {
+    val df = TextOps.q95.build(spark, sf).cache()
+    assert(df.count() === df.select("doc_id").distinct().count())
+    // smoothed probabilities are < 1, so every log term and mean is < 0
+    assert(df.filter(col("avg_logp") >= 0 || col("sum_logp") >= 0).count() === 0)
+    // a doc with n whitespace tokens has exactly n-1 scored bigrams
+    val toks = TextOps.q34.build(spark, sf).select("doc_id", "n_ws_tokens")
+    val bad = df.join(toks, "doc_id")
+      .filter(col("n_bigrams") =!= col("n_ws_tokens") - 1)
+    assert(bad.count() === 0)
+    // docs with < 2 tokens (no bigrams) are the only ones absent
+    val absent = toks.join(df, Seq("doc_id"), "left_anti")
+    assert(absent.filter(col("n_ws_tokens") >= 2).count() === 0)
+  }
+
+  test("q98 semdedup: total partition, seeds self-kept, drop rule exact") {
+    val df = SimilarityOps.q98.build(spark, sf).cache()
+    val emb = Tables.embeddings(spark, sf)
+    assert(df.count() === emb.count())
+    // seeds land in their own cell (cos(v,v)=1 beats everything) and survive
+    val seeds = df.filter(col("vec_id") < 8).collect()
+    seeds.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0), "seed not in own cell")
+      assert(r.getBoolean(2), "seed dropped")
+    }
+    // recompute the verdict brute-force on the driver and compare exactly
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cells = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val verdict = df.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    for ((b, cell) <- cells) {
+      val expectDrop = cells.exists { case (a, ca) =>
+        ca == cell && a < b && cos(vecs(a), vecs(b)) > 0.4
+      }
+      assert(verdict(b) === !expectDrop, s"vec $b verdict mismatch")
+    }
+  }
 }
