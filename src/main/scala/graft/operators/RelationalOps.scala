@@ -640,7 +640,67 @@ object RelationalOps {
            |ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** Q101 — keyed snapshot diff: given two versions of a keyed table,
+    * classify every key as added / removed / changed / unchanged and
+    * roll up per-status counts with an exact value checksum. This is
+    * the audit step behind every incremental load (the reference's
+    * ON DUPLICATE KEY UPDATE loads, createDW.sql:23-26, change rows
+    * silently; a diff makes the change set first-class). Versions are
+    * synthesized deterministically from `orders`: v_old drops keys
+    * ≡0 (mod 11), v_new drops ≡0 (mod 13) and bumps the totalprice of
+    * keys ≡0 (mod 7) by 1.0000.
+    *
+    * Scale shape: one full-outer join on the key (both sides shuffle
+    * on o_orderkey, no broadcast), then a constant-sized status
+    * rollup; the checksum is an exact decimal sum, order-independent.
+    */
+  val q101 = Query(
+    "q101_table_diff",
+    (s, dir) => {
+      val base = Tables.orders(s, dir)
+      val vOld = base.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+        .select(col("o_orderkey").as("k"),
+          Canon.dec(col("o_totalprice")).as("v_old"))
+      val vNew = base.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+        .select(col("o_orderkey").as("k"),
+          (Canon.dec(col("o_totalprice")) +
+            when(pmod(col("o_orderkey"), lit(7)) === 0, Canon.dec(lit(1.0)))
+              .otherwise(Canon.dec(lit(0.0)))).cast("decimal(18,4)").as("v_new"))
+      vOld.join(vNew, Seq("k"), "full_outer")
+        .select(col("k"),
+          when(col("v_old").isNull, lit("added"))
+            .when(col("v_new").isNull, lit("removed"))
+            .when(col("v_old") =!= col("v_new"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"),
+          coalesce(col("v_new"), col("v_old")).as("v"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          Canon.outD(sum(col("v"))).as("checksum"))
+        .orderBy("status")
+    },
+    Some("""WITH v_old AS (
+           |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,4)) AS v_old
+           |  FROM orders WHERE o_orderkey % 11 <> 0),
+           |v_new AS (
+           |  SELECT o_orderkey AS k,
+           |         CAST(CAST(o_totalprice AS DECIMAL(18,4)) +
+           |              CASE WHEN o_orderkey % 7 = 0 THEN CAST(1.0 AS DECIMAL(18,4))
+           |                   ELSE CAST(0.0 AS DECIMAL(18,4)) END AS DECIMAL(18,4)) AS v_new
+           |  FROM orders WHERE o_orderkey % 13 <> 0),
+           |d AS (
+           |  SELECT COALESCE(o.k, n.k) AS k,
+           |         CASE WHEN o.v_old IS NULL THEN 'added'
+           |              WHEN n.v_new IS NULL THEN 'removed'
+           |              WHEN o.v_old <> n.v_new THEN 'changed'
+           |              ELSE 'unchanged' END AS status,
+           |         COALESCE(n.v_new, o.v_old) AS v
+           |  FROM v_old o FULL OUTER JOIN v_new n ON o.k = n.k)
+           |SELECT status, COUNT(*) AS n,
+           |       CAST(CAST(round(SUM(v), 4) AS DECIMAL(18,4)) AS DOUBLE) AS checksum
+           |FROM d GROUP BY status ORDER BY status""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q12b, q13a, q13b, q14, q15, q16, q17, q25, q26, q84)
+    q11, q12, q12b, q13a, q13b, q14, q15, q16, q17, q25, q26, q84, q101)
 }

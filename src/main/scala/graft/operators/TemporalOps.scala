@@ -554,15 +554,21 @@ object TemporalOps {
           explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
       val wUp = Window.partitionBy("user_id").orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wDown = Window.partitionBy("user_id").orderBy("h")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // the forward carry runs on a DESCENDING growing frame: Spark's
+      // [currentRow, unboundedFollowing] frame re-evaluates the whole
+      // remainder per row (O(n^2) per partition — 44 s at sf0.1 for
+      // this query); a desc-ordered [unboundedPreceding, currentRow]
+      // frame computes the same value incrementally (1.3 s). Same
+      // shuffle key, one extra in-partition sort.
+      val wDown = Window.partitionBy("user_id").orderBy(col("h").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       spine.join(obs, Seq("user_id", "h"), "left")
         .withColumn("pv", last(col("obs_val"), ignoreNulls = true).over(wUp))
         .withColumn("ph",
           last(when(col("obs_val").isNotNull, col("h")), ignoreNulls = true).over(wUp))
-        .withColumn("nv", first(col("obs_val"), ignoreNulls = true).over(wDown))
+        .withColumn("nv", last(col("obs_val"), ignoreNulls = true).over(wDown))
         .withColumn("nh",
-          first(when(col("obs_val").isNotNull, col("h")), ignoreNulls = true).over(wDown))
+          last(when(col("obs_val").isNotNull, col("h")), ignoreNulls = true).over(wDown))
         .select(
           col("user_id"),
           timestamp_seconds(col("h")).cast("timestamp_ntz").as("hour"),
@@ -603,7 +609,122 @@ object TemporalOps {
            |FROM g ORDER BY user_id, hour""".stripMargin)
   )
 
+  /** Q99 — ordered funnel analysis (view → click → purchase), the
+    * "analysis of customer shopping behavior" the reference's README
+    * declares as its purpose (README.md:6) but never implements: for
+    * each user, the first view, the first click within ONE HOUR after
+    * that view, the first purchase within one hour after that click;
+    * then the per-stage user counts and conversion rates. The bounded
+    * conversion window is what makes a funnel a funnel — without it
+    * every long-lived user trivially "converts".
+    *
+    * Event-time comparisons run on second-truncated epochs (the
+    * fixture's cross-engine timestamp rule); "after" is strictly-later-
+    * second, declared semantics.
+    *
+    * Scale shape: three conditional-min aggregates, each keyed
+    * user_id — the join between stages stays on the same shuffle key
+    * throughout (co-partitioned, no broadcast of user-sized state),
+    * then a constant-sized verdict rollup.
+    */
+  val q99 = Query(
+    "q99_funnel",
+    (s, dir) => {
+      val ev = eventsTss(s, dir).select("user_id", "event_type", "es")
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("es")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id")
+        .filter(col("es") > col("t1") && col("es") <= col("t1") + 3600L)
+        .groupBy("user_id").agg(min(col("es")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id")
+        .filter(col("es") > col("t2") && col("es") <= col("t2") + 3600L)
+        .groupBy("user_id").agg(min(col("es")).as("t3"))
+      val stages = t1
+        .join(t2.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+        .join(t3.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1L) + coalesce(col("s2"), lit(0)) + coalesce(col("s3"), lit(0)))
+            .cast("long").as("stage"))
+      val tot = stages.agg(count(lit(1)).cast("double").as("tot"))
+      stages.groupBy("stage")
+        .agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(tot))
+        .select(col("stage"), col("n_users"),
+          (col("n_users").cast("double") / col("tot")).as("rate"))
+        .orderBy("stage")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           |  FROM events),
+           |t1 AS (SELECT user_id, MIN(es) AS t1 FROM ev
+           |       WHERE event_type = 'view' GROUP BY user_id),
+           |t2 AS (SELECT e.user_id, MIN(es) AS t2 FROM ev e JOIN t1 USING (user_id)
+           |       WHERE event_type = 'click' AND es > t1 AND es <= t1 + 3600
+           |       GROUP BY e.user_id),
+           |t3 AS (SELECT e.user_id, MIN(es) AS t3 FROM ev e JOIN t2 USING (user_id)
+           |       WHERE event_type = 'purchase' AND es > t2 AND es <= t2 + 3600
+           |       GROUP BY e.user_id),
+           |stages AS (
+           |  SELECT t1.user_id,
+           |         CAST(1 + (t2.user_id IS NOT NULL)::INT + (t3.user_id IS NOT NULL)::INT
+           |              AS BIGINT) AS stage
+           |  FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+           |          LEFT JOIN t3 ON t1.user_id = t3.user_id)
+           |SELECT stage, COUNT(*) AS n_users,
+           |       CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM stages) AS rate
+           |FROM stages GROUP BY stage ORDER BY stage""".stripMargin)
+  )
+
+  /** Q100 — weekly cohort retention: users are cohorted by the epoch
+    * week of their first event; each (cohort, week-offset) cell counts
+    * the cohort members still active that week and the retention rate
+    * against the cohort size. The other half of the behavior-analysis
+    * mandate (q99 is conversion; this is retention).
+    *
+    * Scale shape: first-week per user is one keyed aggregate; activity
+    * cells are a distinct-per-(user, week) aggregate joined back on
+    * user_id (same shuffle key), then a (cohort, offset) rollup. Weeks
+    * are integer epoch-week indices — no calendar arithmetic to drift
+    * between engines.
+    */
+  val q100 = Query(
+    "q100_cohort_retention",
+    (s, dir) => {
+      val wk = eventsTss(s, dir)
+        .select(col("user_id"), (col("es") / 604800L).cast("long").as("wk"))
+        .distinct()
+      val cohort = wk.groupBy("user_id").agg(min(col("wk")).as("cw"))
+      val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
+      wk.join(cohort, "user_id")
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("offset_w"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cw")
+        .select(col("cw").as("cohort_week"), col("offset_w"),
+          col("n_active"), col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort").cast("double"))
+            .as("retention"))
+        .orderBy("cohort_week", "offset_w")
+    },
+    Some("""WITH wk AS (
+           |  SELECT DISTINCT user_id,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 604800 AS wk
+           |  FROM events),
+           |cohort AS (SELECT user_id, MIN(wk) AS cw FROM wk GROUP BY user_id),
+           |sizes AS (SELECT cw, COUNT(*) AS n_cohort FROM cohort GROUP BY cw),
+           |cells AS (
+           |  SELECT c.cw, w.wk - c.cw AS offset_w, COUNT(*) AS n_active
+           |  FROM wk w JOIN cohort c USING (user_id)
+           |  GROUP BY c.cw, w.wk - c.cw)
+           |SELECT cw AS cohort_week, offset_w, n_active, n_cohort,
+           |       CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+           |FROM cells JOIN sizes USING (cw)
+           |ORDER BY cohort_week, offset_w""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
-      q94, q97)
+      q94, q97, q99, q100)
 }

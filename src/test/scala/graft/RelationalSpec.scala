@@ -129,4 +129,21 @@ class RelationalSpec extends SparkTestBase {
       assert(joined.count() > 0)
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  test("q101 table diff: statuses partition the key universe, counts reconcile") {
+    val df = RelationalOps.q101.build(spark, sf).cache()
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = Tables.orders(spark, sf)
+    val nOld = orders.filter(pmod(col("o_orderkey"), lit(11)) =!= 0).count()
+    val nNew = orders.filter(pmod(col("o_orderkey"), lit(13)) =!= 0).count()
+    // old side = removed + changed + unchanged; new side = added + changed + unchanged
+    assert(m("removed") + m.getOrElse("changed", 0L) + m("unchanged") === nOld)
+    assert(m("added") + m.getOrElse("changed", 0L) + m("unchanged") === nNew)
+    // every key ≡ 0 (mod 7) surviving both sides must be 'changed'
+    val changedExpect = orders
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0 &&
+        pmod(col("o_orderkey"), lit(11)) =!= 0 &&
+        pmod(col("o_orderkey"), lit(13)) =!= 0).count()
+    assert(m.getOrElse("changed", 0L) === changedExpect)
+  }
 }

@@ -138,4 +138,32 @@ class TemporalSpec extends SparkTestBase {
         col("value") > greatest(col("pv"), col("nv")) + 1e-9)
     assert(bounded.count() === 0)
   }
+
+  test("q99 funnel: stages monotone decreasing, rates sum to 1") {
+    val df = TemporalOps.q99.build(spark, sf).cache()
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // stage k user count: users at exactly stage k; cumulative counts
+    // (reached >= k) must be monotone decreasing in k
+    val reached3 = rows.getOrElse(3L, 0L)
+    val reached2 = reached3 + rows.getOrElse(2L, 0L)
+    val reached1 = reached2 + rows.getOrElse(1L, 0L)
+    assert(reached1 >= reached2 && reached2 >= reached3)
+    // the 1 h conversion window makes drop-off real: stage 1 must hold
+    // users the later stages lost
+    assert(reached1 > reached2, "funnel should discriminate at sf0.001")
+    assert(reached1 === Tables.events(spark, sf)
+      .filter(col("event_type") === "view").select("user_id").distinct().count())
+    val rateSum = df.agg(sum("rate")).head().getDouble(0)
+    assert(math.abs(rateSum - 1.0) < 1e-9)
+  }
+
+  test("q100 cohort retention: offset-0 is 100%, rates within (0,1]") {
+    val df = TemporalOps.q100.build(spark, sf).cache()
+    val zero = df.filter(col("offset_w") === 0)
+    assert(zero.filter(col("n_active") =!= col("n_cohort")).count() === 0)
+    assert(df.filter(col("retention") <= 0 || col("retention") > 1).count() === 0)
+    // cohort sizes sum to the distinct-user universe
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(zero.agg(sum("n_cohort")).head().getLong(0) === users)
+  }
 }
