@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the document corpus. The dedup side
+  * already runs connected components ([[DedupOps]], pointer-jumping);
+  * this adds PageRank — the canonical "importance over a link graph"
+  * signal a web-corpus pipeline computes for quality weighting (the
+  * original use: rank crawled pages for inclusion priority).
+  *
+  * The fixture has no link column, so the graph is synthesized
+  * deterministically over the dense doc_id space [0, N): each document
+  * links to (id·31+17) mod N (a bijection — keeps every node
+  * reachable) and (id²·7+3) mod N (quadratic — non-uniform in-degree,
+  * so ranks genuinely spread; two linear maps coprime to N would both
+  * be bijections and PageRank would stay exactly uniform). Self-loops
+  * and parallel edges are allowed and handled.
+  *
+  * **Exactness strategy: fixed-point integer PageRank.** Ranks are
+  * BIGINT numerators at scale 10^15; every step is integer arithmetic
+  * with explicit truncating division (declared semantics):
+  * contribution = r div out_degree, inflow = exact BIGINT sum,
+  * r' = (0.15·10^15 div N) + (85·inflow div 100). No floating point
+  * anywhere in the loop, so Spark and DuckDB agree bit-for-bit and
+  * the oracle hash-checks an ITERATIVE fixpoint computation — no
+  * "approximately equal" escape hatch. The display rank divides by
+  * 10^15 once at the output boundary (single IEEE op, same operands →
+  * same double in both engines).
+  *
+  * Scale shape per iteration: one equi-join of the edge list with the
+  * rank vector on src (both shuffle-partitioned on the key) + one
+  * combinable SUM keyed dst. Rounds are fixed (3); lineage stays flat
+  * (plan-only unrolling at this depth — checkpointing kicks in for
+  * long-horizon loops like q66's components). Overflow headroom:
+  * inflow ≤ 10^15, 85·inflow ≤ 8.5·10^16 « 2^63.
+  */
+object GraphOps {
+
+  private val Scale = 1000000000000000L // 10^15
+  private val Teleport = 150000000000000L // 0.15 * Scale
+
+  val q103 = Query(
+    "q103_pagerank",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val withN = docs.crossJoin(broadcast(n))
+      val edges = withN
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 17) % col("n_docs")).as("dst"))
+        .union(withN
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * col("doc_id") * 7 + 3) % col("n_docs")).as("dst")))
+      var ranks = withN.select(col("doc_id"),
+        expr(s"CAST($Scale DIV n_docs AS BIGINT)").as("r"), col("n_docs"))
+      for (_ <- 1 to 3) {
+        val inflow = edges
+          .join(ranks.select(col("doc_id").as("src"), col("r")), "src")
+          .select(col("dst").as("doc_id"), expr("r DIV 2").as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("inflow"))
+        ranks = ranks.select("doc_id", "n_docs")
+          .join(inflow, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (expr(s"CAST($Teleport DIV n_docs AS BIGINT)") +
+              expr("CAST((85 * coalesce(inflow, 0L)) DIV 100 AS BIGINT)"))
+              .as("r"),
+            col("n_docs"))
+      }
+      ranks.select(col("doc_id"), col("r").as("rank_fp"),
+        (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            |e AS (
+            |  SELECT doc_id AS src, (doc_id * 31 + 17) % n_docs AS dst FROM documents, n
+            |  UNION ALL
+            |  SELECT doc_id AS src, (doc_id * doc_id * 7 + 3) % n_docs AS dst FROM documents, n),
+            |r0 AS (SELECT doc_id, $Scale // n_docs AS r FROM documents, n),
+            |i1 AS (SELECT e.dst AS doc_id, CAST(SUM(r0.r // 2) AS BIGINT) AS inflow
+            |       FROM e JOIN r0 ON e.src = r0.doc_id GROUP BY e.dst),
+            |r1 AS (SELECT d.doc_id,
+            |              ($Teleport // n.n_docs) + ((85 * COALESCE(i1.inflow, 0)) // 100) AS r
+            |       FROM documents d CROSS JOIN n LEFT JOIN i1 ON d.doc_id = i1.doc_id),
+            |i2 AS (SELECT e.dst AS doc_id, CAST(SUM(r1.r // 2) AS BIGINT) AS inflow
+            |       FROM e JOIN r1 ON e.src = r1.doc_id GROUP BY e.dst),
+            |r2 AS (SELECT d.doc_id,
+            |              ($Teleport // n.n_docs) + ((85 * COALESCE(i2.inflow, 0)) // 100) AS r
+            |       FROM documents d CROSS JOIN n LEFT JOIN i2 ON d.doc_id = i2.doc_id),
+            |i3 AS (SELECT e.dst AS doc_id, CAST(SUM(r2.r // 2) AS BIGINT) AS inflow
+            |       FROM e JOIN r2 ON e.src = r2.doc_id GROUP BY e.dst),
+            |r3 AS (SELECT d.doc_id,
+            |              ($Teleport // n.n_docs) + ((85 * COALESCE(i3.inflow, 0)) // 100) AS r
+            |       FROM documents d CROSS JOIN n LEFT JOIN i3 ON d.doc_id = i3.doc_id)
+            |SELECT doc_id, CAST(r AS BIGINT) AS rank_fp,
+            |       CAST(r AS DOUBLE) / 1000000000000000.0 AS rank
+            |FROM r3 ORDER BY doc_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q103)
+}

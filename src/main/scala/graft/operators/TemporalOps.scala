@@ -724,7 +724,51 @@ object TemporalOps {
            |ORDER BY cohort_week, offset_w""".stripMargin)
   )
 
+  /** Q102 — event-transition matrix (first-order Markov model of user
+    * behavior): for each user's event stream in (second, event_id)
+    * order, count prev_type → type transitions and normalize per
+    * source state. The third behavior-analytics view next to q99
+    * (conversion) and q100 (retention) — "what do users do next".
+    *
+    * Scale shape: one lag window on the (user_id) shuffle + one
+    * combinable (prev, next) aggregate; probabilities are exact double
+    * divisions of exact counts.
+    */
+  val q102 = Query(
+    "q102_markov_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val trans = eventsTss(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val w2 = Window.partitionBy("prev_type")
+      trans
+        .withColumn("p",
+          col("n").cast("double") / sum(col("n")).over(w2).cast("double"))
+        .orderBy("prev_type", "next_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_id, event_type,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           |  FROM events),
+           |tr AS (
+           |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY es, event_id)
+           |           AS prev_type,
+           |         event_type AS next_type
+           |  FROM ev),
+           |counts AS (
+           |  SELECT prev_type, next_type, COUNT(*) AS n
+           |  FROM tr WHERE prev_type IS NOT NULL
+           |  GROUP BY prev_type, next_type)
+           |SELECT prev_type, next_type, n,
+           |       CAST(n AS DOUBLE) /
+           |         CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+           |FROM counts ORDER BY prev_type, next_type""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
-      q94, q97, q99, q100)
+      q94, q97, q99, q100, q102)
 }

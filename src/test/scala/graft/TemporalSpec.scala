@@ -157,6 +157,16 @@ class TemporalSpec extends SparkTestBase {
     assert(math.abs(rateSum - 1.0) < 1e-9)
   }
 
+  test("q102 markov: probabilities normalize per source state, counts cover all transitions") {
+    val df = TemporalOps.q102.build(spark, sf).cache()
+    val sums = df.groupBy("prev_type").agg(sum("p").as("ps"))
+    assert(sums.filter(abs(col("ps") - 1.0) > 1e-9).count() === 0)
+    // total transitions = total events - one per user (no predecessor)
+    val events = Tables.events(spark, sf).count()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(df.agg(sum("n")).head().getLong(0) === events - users)
+  }
+
   test("q100 cohort retention: offset-0 is 100%, rates within (0,1]") {
     val df = TemporalOps.q100.build(spark, sf).cache()
     val zero = df.filter(col("offset_w") === 0)
