@@ -235,6 +235,54 @@ object StreamingPipeline {
       }
   }
 
+  /** One funnel stage advance: `user` reached `stage` at event-time
+    * second `es`. */
+  final case class StageAdvance(user_id: Long, stage: Int, es: Long)
+
+  private final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  /** Streaming funnel (the stateful twin of batch q99): a per-user
+    * stage machine over view → click → purchase with a 1 h conversion
+    * window per step, emitting a record the moment a user advances.
+    * State per user is three epoch seconds — O(active users) memory,
+    * the same bounded-keyed-state discipline as [[sessionize]].
+    *
+    * Ordering semantics: events are applied in (es, event_id) order
+    * WITHIN each micro-batch; a cross-batch late event is applied on
+    * arrival (it can no longer claim an earlier slot — declared
+    * at-most-once advance semantics). On an event-time-ordered replay
+    * this reproduces the batch funnel exactly (proven in
+    * StreamingSpec against q99).
+    */
+  def funnelStream(events: Dataset[Event], windowSeconds: Long = 3600)
+      : Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = List.newBuilder[StageAdvance]
+          rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val es = e.ts / 1000000000L
+            e.event_type match {
+              case "view" if s.t1 < 0 =>
+                s = s.copy(t1 = es); out += StageAdvance(user, 1, es)
+              case "click" if s.t1 >= 0 && s.t2 < 0 &&
+                  es > s.t1 && es <= s.t1 + windowSeconds =>
+                s = s.copy(t2 = es); out += StageAdvance(user, 2, es)
+              case "purchase" if s.t2 >= 0 && s.t3 < 0 &&
+                  es > s.t2 && es <= s.t2 + windowSeconds =>
+                s = s.copy(t3 = es); out += StageAdvance(user, 3, es)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Consume-once keyed state (O13 parity): the reference evicts ALL
     * pending tuples under a join key after the first match
     * (`multiHashTable.remove(joinAttribute)`,

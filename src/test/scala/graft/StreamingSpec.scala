@@ -153,6 +153,28 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("stateful streaming funnel (batch path) = q99 stage outcomes exactly") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[StreamingPipeline.Event]
+    // batch mode: each user's full event-time-ordered history in one
+    // group call == an in-order replay, so final stages must equal q99's
+    val advances = StreamingPipeline.funnelStream(events).collect()
+    // each (user, stage) advance at most once, stages contiguous from 1
+    val byUser = advances.groupBy(_.user_id)
+    byUser.values.foreach { as =>
+      val stages = as.map(_.stage).sorted
+      assert(stages.distinct.length === stages.length)
+      assert(stages.zipWithIndex.forall { case (st, i) => st == i + 1 })
+    }
+    val gotStageCounts = byUser.view.mapValues(_.map(_.stage).max).values
+      .groupBy(identity).map { case (k, v) => (k.toLong, v.size.toLong) }
+    val q99 = graft.operators.TemporalOps.q99.build(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotStageCounts === q99)
+  }
+
   test("stream-stream left outer join emits at least the inner matches") {
     val inner = StreamingPipeline.streamStreamPairs(spark, sf)
     val outer = StreamingPipeline.streamStreamPairsOuter(spark, sf)
