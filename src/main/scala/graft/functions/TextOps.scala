@@ -866,7 +866,10 @@ object TextOps {
     * Cross-engine exactness: `ln` is rounded to 6 decimals per bigram
     * (the q53 rule — a ≤1-ulp libm discrepancy cannot move round(·,6))
     * and summed as DECIMAL(18,6), so the per-doc sum is exact and
-    * order-independent in both engines.
+    * order-independent in both engines. The mean is the raw IEEE
+    * division of that exact sum by the count — deliberately NOT
+    * re-rounded (sf0.1 put one doc's sum/n exactly on a round(·,6)
+    * half-way point, where the engines' rounding directions differ).
     *
     * Scale shape: counts are two partial-combinable aggregations keyed
     * (lang,w1,w2)/(lang,w1); scoring is one shuffle join of the doc
@@ -901,7 +904,7 @@ object TextOps {
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("logp")).cast("decimal(18,6)").cast("double").as("sum_logp"))
         .withColumn("avg_logp",
-          round(col("sum_logp") / col("n_bigrams").cast("double"), 6))
+          col("sum_logp") / col("n_bigrams").cast("double"))
         .orderBy("doc_id")
     },
     Some("""WITH toks AS (
@@ -923,8 +926,8 @@ object TextOps {
            |  FROM c12 JOIN c1 USING (lang, w1) JOIN vocab USING (lang))
            |SELECT doc_id, lang, COUNT(*) AS n_bigrams,
            |       CAST(CAST(SUM(logp) AS DECIMAL(18,6)) AS DOUBLE) AS sum_logp,
-           |       round(CAST(CAST(SUM(logp) AS DECIMAL(18,6)) AS DOUBLE)
-           |             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logp
+           |       CAST(CAST(SUM(logp) AS DECIMAL(18,6)) AS DOUBLE)
+           |         / CAST(COUNT(*) AS DOUBLE) AS avg_logp
            |FROM bg JOIN model USING (lang, w1, w2)
            |GROUP BY doc_id, lang
            |ORDER BY doc_id""".stripMargin)

@@ -139,6 +139,31 @@ object Warehouse {
       .agg(sum(col("sum_sales")).cast("decimal(18,4)").as("sum_sales"),
         sum(col("n_rows")).as("n_rows"))
 
+  /** Incremental JOIN-view maintenance — the delta rule for a two-table
+    * equi-join view V = A ⋈ B given append-only deltas:
+    *
+    *   ΔV = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * (equivalently ΔA ⋈ B_new ∪ A_old ⋈ ΔB). Returns just ΔV; the
+    * caller appends it to the stored view. At 100 TB this is the whole
+    * point of a materialized join: each refresh touches |Δ| × join
+    * fan-out rows, not |A| × |B| — the deltas are micro-batch-sized
+    * (broadcastable), and the two big-side probes (ΔA ⋈ B, A ⋈ ΔB)
+    * become broadcast joins with NO shuffle of the base tables at all.
+    * Only append deltas are handled here (the fixture's ingest shape);
+    * updates/deletes need keyed retraction rows — the q84 CDC path.
+    * Correctness (ΔV-append ≡ full recompute on A∪ΔA, B∪ΔB) is proven
+    * in ScalaTest on the orders/lineitem tables.
+    */
+  def incrementalJoinDelta(aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame, joinCols: Seq[String]): DataFrame = {
+    val dA = broadcast(aDelta)
+    val dB = broadcast(bDelta)
+    dA.join(bOld, joinCols)
+      .unionByName(aOld.join(dB, joinCols))
+      .unionByName(dA.join(dB, joinCols))
+  }
+
   /** FK-integrity audit: fact rows whose FK has no dim row — must be
     * empty (createDW.sql:93-97). */
   def fkAudit(spark: SparkSession, outDir: String): Map[String, Long] = {

@@ -184,6 +184,29 @@ class SourcesSpec extends SparkTestBase {
     assert(full.exceptAll(incremental).count() === 0)
   }
 
+  test("incremental join-view delta equals full recompute, base sides unshuffled") {
+    val orders = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    // append-only split: 10% of each side arrives as the delta batch
+    val (aOld, aDelta) = (orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0),
+      orders.filter(pmod(col("o_orderkey"), lit(10)) === 0))
+    val (bOld, bDelta) = (li.filter(pmod(col("l_linenumber"), lit(3)) =!= 0),
+      li.filter(pmod(col("l_linenumber"), lit(3)) === 0))
+    val cols = Seq("o_orderkey")
+    val bOldK = bOld.withColumnRenamed("l_orderkey", "o_orderkey")
+    val bDeltaK = bDelta.withColumnRenamed("l_orderkey", "o_orderkey")
+    val viewOld = aOld.join(bOldK, cols)
+    val delta = graft.sources.Warehouse.incrementalJoinDelta(
+      aOld, aDelta, bOldK, bDeltaK, cols)
+    val incremental = viewOld.unionByName(delta)
+    val full = orders.join(li.withColumnRenamed("l_orderkey", "o_orderkey"), cols)
+    assert(incremental.exceptAll(full).count() === 0)
+    assert(full.exceptAll(incremental).count() === 0)
+    // the delta sides plan as broadcast joins (no base-table shuffle)
+    val plan = delta.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("csv ingest captures malformed rows instead of failing or dropping") {
     import org.apache.spark.sql.types._
     // at 100 TB some rows ARE malformed; PERMISSIVE + corrupt-record
