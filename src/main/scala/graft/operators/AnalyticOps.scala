@@ -892,7 +892,63 @@ object AnalyticOps {
            |ORDER BY check_name""".stripMargin)
   )
 
+  /** Q104 — winsorization (quantile clipping): clamp each event value
+    * into its event-type's [p05, p95] band, the standard outlier
+    * treatment before feature scaling (q75 *flags* outliers; this
+    * *repairs* them). Quantiles are exact order statistics — the value
+    * at rank ceil(p·n) — so there is NO interpolation arithmetic to
+    * drift between engines; clipping is pure comparison on raw
+    * doubles.
+    *
+    * Scale shape: one rank window per event-type partition feeding a
+    * 2-row-per-group bounds table that broadcasts back over the
+    * stream. The full per-group sort is the exact-quantile cost — at
+    * 100 TB swap the bounds source for q91's mergeable GK sketch (the
+    * clipping join is unchanged); declared trade-off.
+    */
+  val q104 = Query(
+    "q104_winsorize",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val w = Window.partitionBy("event_type").orderBy("value")
+      val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val bounds = ev.withColumn("rn", row_number().over(w))
+        .join(broadcast(counts), "event_type")
+        .withColumn("lo_rk", ceil(col("n") * lit(0.05)).cast("long"))
+        .withColumn("hi_rk", ceil(col("n") * lit(0.95)).cast("long"))
+        .filter(col("rn") === col("lo_rk") || col("rn") === col("hi_rk"))
+        .groupBy("event_type")
+        .agg(min(when(col("rn") === col("lo_rk"), col("value"))).as("lo"),
+          min(when(col("rn") === col("hi_rk"), col("value"))).as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("clipped"),
+          (col("value") < col("lo") || col("value") > col("hi")).as("was_clipped"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_id, event_type, value FROM events),
+           |ranked AS (
+           |  SELECT event_type, value,
+           |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           |         COUNT(*) OVER (PARTITION BY event_type) AS n
+           |  FROM ev),
+           |bounds AS (
+           |  SELECT event_type,
+           |         MIN(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT) THEN value END) AS lo,
+           |         MIN(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS hi
+           |  FROM ranked
+           |  WHERE rn = CAST(ceil(n * 0.05) AS BIGINT) OR rn = CAST(ceil(n * 0.95) AS BIGINT)
+           |  GROUP BY event_type)
+           |SELECT event_id, ev.event_type, value,
+           |       least(greatest(value, lo), hi) AS clipped,
+           |       (value < lo OR value > hi) AS was_clipped
+           |FROM ev JOIN bounds USING (event_type)
+           |ORDER BY event_id""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
-    q88, q89, q90, q91, q96)
+    q88, q89, q90, q91, q96, q104)
 }

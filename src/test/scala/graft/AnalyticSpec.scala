@@ -201,6 +201,26 @@ class AnalyticSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("q104 winsorize: clipped values inside [p05, p95], ~10% clipped, order stats real") {
+    val df = AnalyticOps.q104.build(spark, sf).cache()
+    assert(df.count() === Tables.events(spark, sf).count())
+    // clipping touches exactly the flagged rows
+    assert(df.filter(!col("was_clipped") && col("clipped") =!= col("value")).count() === 0)
+    assert(df.filter(col("was_clipped") && col("clipped") === col("value")).count() === 0)
+    // clipping rate per group is ~10% (p05 + p95 tails), never > 12%
+    val rates = df.groupBy("event_type")
+      .agg((sum(when(col("was_clipped"), 1).otherwise(0)).cast("double") /
+        count(lit(1)).cast("double")).as("r")).collect()
+    rates.foreach(r => assert(r.getDouble(1) > 0.03 && r.getDouble(1) < 0.12,
+      s"${r.getString(0)} rate ${r.getDouble(1)}"))
+    // every clip bound is an actual data value of its group (order statistic)
+    val bounds = df.filter(col("was_clipped")).select("event_type", "clipped").distinct()
+    val missing = bounds.join(
+      Tables.events(spark, sf).select(col("event_type"), col("value").as("clipped")),
+      Seq("event_type", "clipped"), "left_anti")
+    assert(missing.count() === 0)
+  }
+
   test("q96 constraints: all six checks pass on the fixture, metrics exact") {
     val df = AnalyticOps.q96.build(spark, sf).cache()
     assert(df.count() === 6)
