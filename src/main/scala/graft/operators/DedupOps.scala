@@ -77,15 +77,33 @@ object DedupOps {
   val NumBands = 4 // 4 rows per band
 
   /** Per-doc minhash signature rows (doc_id, i, mh), i in [0, NumHashes),
-    * over the shingle sets. */
-  private def minhashes(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir)
+    * over the shingle sets of any documents-shaped DataFrame (needs
+    * doc_id, lang, text). Takes a DataFrame — not a table path — so the
+    * streaming incremental dedup can run the IDENTICAL signature
+    * pipeline per micro-batch. */
+  private[graft] def minhashesOf(docs: DataFrame): DataFrame =
+    graft.functions.TextOps.shinglesOf(docs, distinct = true)
       .withColumn("tv", tokHash(col("sh")))
       .withColumn("i", explode(sequence(lit(0), lit(NumHashes - 1))))
       .withColumn("a", (lit(2654435761L) * (col("i") + 1)) % P)
       .withColumn("b", (lit(40503L) * (col("i") + 7)) % P)
       .groupBy("doc_id", "i")
       .agg(min((col("a") * col("tv") + col("b")) % P).as("mh"))
+
+  /** LSH band rows (doc_id, band, sig) from minhash signature rows —
+    * THE collision key of the minhash dedup family. */
+  private[graft] def bandsFromMinhashes(mh: DataFrame): DataFrame =
+    mh
+      .withColumn("band", floor(col("i") / (NumHashes / NumBands)))
+      .groupBy("doc_id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh").cast("string")), ",").as("sig"))
+
+  private[graft] def bandsOf(docs: DataFrame): DataFrame =
+    bandsFromMinhashes(minhashesOf(docs))
+
+  private def minhashes(s: SparkSession, dir: String): DataFrame =
+    minhashesOf(Tables.documents(s, dir))
 
   private val minhashesSql =
     s"""$shinglesSql,
@@ -108,11 +126,7 @@ object DedupOps {
     "q28_dedup_minhash",
     (s, dir) => {
       val mh = minhashes(s, dir).cache()
-      val bands = mh
-        .withColumn("band", floor(col("i") / (NumHashes / NumBands)))
-        .groupBy("doc_id", "band")
-        .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh").cast("string")), ",").as("sig"))
+      val bands = bandsFromMinhashes(mh)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -234,6 +234,73 @@ object StreamingPipeline {
           }
       }
   }
+
+  /** Incremental near-duplicate dedup — the streaming form of the
+    * MinHash/LSH pass (q28): each micro-batch of documents is deduped
+    * against BOTH itself (earlier doc_id wins) and an accumulating
+    * band-signature store of every document ever seen, then appends
+    * its own band rows to the store. The store holds bands of kept AND
+    * dropped docs, so the cumulative verdict equals the batch rule
+    * "drop b iff some a < b shares a band signature" whenever batches
+    * arrive in doc_id order (proven in StreamingSpec against a
+    * single-shot batch run).
+    *
+    * Scale shape: the store is parquet keyed (band, sig) — the
+    * collision probe is an equi-join on that key, partition-pruned by
+    * nothing but co-shuffled on both sides; per batch the work is
+    * |batch bands| × matching buckets, never a rescan of the corpus
+    * text. This is how a production crawl dedups: signatures persist,
+    * raw text never re-reads. Wrap in `foreachBatch` via
+    * [[incrementalDedupQuery]].
+    */
+  def dedupBatchAgainstStore(batch: DataFrame, storePath: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val spark = batch.sparkSession
+    val bands = graft.operators.DedupOps.bandsOf(batch).cache()
+    // Pin the history to the EXPLICIT file list present right now:
+    // parquet listing is otherwise resolved at execution time, so a
+    // plan evaluated after this call's own append would see the batch
+    // colliding with its just-written self and drop every document
+    // (observed: kept=0). With pinned paths the plan is append-immune
+    // no matter when (or how often) it executes.
+    val histFiles = Option(new java.io.File(storePath).listFiles())
+      .map(_.filter(f => f.getName.endsWith(".parquet")).map(_.getPath).toSeq)
+      .getOrElse(Seq.empty)
+    val dupVsHist =
+      if (histFiles.isEmpty) None
+      else Some(bands
+        .join(spark.read.parquet(histFiles: _*), Seq("band", "sig"), "left_semi")
+        .select("doc_id").distinct())
+    val dupInBatch = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id")).distinct()
+    val dropped = dupVsHist.fold(dupInBatch)(_ unionByName dupInBatch).distinct()
+    // append EVERY batch band (kept + dropped) so later batches compare
+    // against all seen docs, matching the batch any-earlier-id rule
+    bands.write.mode(SaveMode.Append).parquet(storePath)
+    batch.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+  }
+
+  /** File-stream wiring of [[dedupBatchAgainstStore]]: documents land
+    * as parquet files, each micro-batch dedups against the store and
+    * appends survivors to `outPath`. */
+  def incrementalDedupQuery(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, storePath: String,
+      outPath: String): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landingDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outPath/_ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupBatchAgainstStore(batch, storePath)
+          .write.mode(SaveMode.Append).parquet(s"$outPath/kept")
+      }
+      .start()
 
   /** One funnel stage advance: `user` reached `stage` at event-time
     * second `es`. */

@@ -153,6 +153,65 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("incremental near-dup dedup across micro-batches = single-shot batch rule") {
+    val docs = Tables.documents(spark, sf)
+    val store = tmp("dedup-store") + "/bands"
+    val half = 250L
+    val kept1 = StreamingPipeline.dedupBatchAgainstStore(
+      docs.filter(col("doc_id") < half), store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept2 = StreamingPipeline.dedupBatchAgainstStore(
+      docs.filter(col("doc_id") >= half), store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch rule on the full corpus: drop b iff some a < b shares a band sig
+    val bands = graft.operators.DedupOps.bandsOf(docs)
+    val droppedExpect = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((kept1 ++ kept2) === (allIds -- droppedExpect))
+    assert(kept1.intersect(kept2).isEmpty)
+    assert(droppedExpect.nonEmpty, "fixture should contain near-dups")
+  }
+
+  test("incremental dedup streaming query: file replay matches direct batch calls") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = Tables.documents(spark, sf)
+    val landing = tmp("dedup-landing")
+    val half = 250L
+    // two id-ordered landing files = two micro-batches (maxFilesPerTrigger=1)
+    docs.filter(col("doc_id") < half).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/f0")
+    docs.filter(col("doc_id") >= half).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/f1")
+    val flat = tmp("dedup-flat")
+    for ((f, i) <- Seq("f0", "f1").zipWithIndex) {
+      val src = new java.io.File(s"$landing/$f").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        java.nio.file.Paths.get(s"$flat/part-$i.parquet"))
+    }
+    val store = tmp("dedup-store2") + "/bands"
+    val out = tmp("dedup-out")
+    val q = StreamingPipeline.incrementalDedupQuery(
+      spark, flat, docs.schema, store, out)
+    q.awaitTermination(180000)
+    val kept = spark.read.parquet(s"$out/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bands = graft.operators.DedupOps.bandsOf(docs)
+    val droppedExpect = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (allIds -- droppedExpect))
+  }
+
   test("stateful streaming funnel (batch path) = q99 stage outcomes exactly") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
