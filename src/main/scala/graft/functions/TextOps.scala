@@ -933,7 +933,51 @@ object TextOps {
            |ORDER BY doc_id""".stripMargin)
   )
 
+  /** Q106 — BPE encode: apply the q93-learned merge table to every
+    * document (merges in step order, greedy left-to-right within each
+    * step — the exact apply rule the learner used), emitting per-doc
+    * raw/encoded token counts, compression ratio, and an md5 digest of
+    * the encoded unit stream so tests pin the exact encoding, not just
+    * its length. Together with q93 this is the full tokenizer-train +
+    * tokenizer-apply loop a pretraining pipeline runs.
+    *
+    * Scale shape: the merge table is bounded model state (steps ×
+    * languages) broadcast to executors; encoding is pure map-side over
+    * the document stream — the ideal 100 TB shape. Rows-only by design
+    * (greedy merge application is imperative, like q93).
+    */
+  val q106 = Query(
+    "q106_bpe_encode",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val merges = learnBpeMerges(docs, 3)
+      val byLang: Map[String, Seq[(String, String)]] =
+        merges.groupBy(_._1).map { case (l, ms) =>
+          l -> ms.sortBy(_._2).map(m => (m._3, m._4))
+        }
+      val bc = s.sparkContext.broadcast(byLang)
+      docs
+        .select(col("doc_id"), col("lang"),
+          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
+        .as[(Long, String, Seq[String])]
+        .map { case (id, lang, toks) =>
+          val encoded = bc.value.getOrElse(lang, Nil)
+            .foldLeft(toks.toIndexedSeq) { case (ts, (a, b)) => mergeOnce(ts, a, b) }
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(encoded.mkString("\u0000").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, lang, toks.length.toLong, encoded.length.toLong,
+            if (toks.isEmpty) 1.0 else encoded.length.toDouble / toks.length,
+            digest)
+        }
+        .toDF("doc_id", "lang", "n_raw", "n_encoded", "ratio", "digest")
+        .orderBy("doc_id")
+    },
+    None
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
-      q80, q81, q85, q86, q93, q95)
+      q80, q81, q85, q86, q93, q95, q106)
 }

@@ -948,7 +948,56 @@ object AnalyticOps {
            |ORDER BY event_id""".stripMargin)
   )
 
+  /** Q105 — k-anonymity audit with one generalization step (the
+    * privacy gate next to q73's PII scrub: q73 redacts direct
+    * identifiers, this bounds re-identification via QUASI-identifiers):
+    * customers grouped by (nation, market segment); any group smaller
+    * than k=5 is generalized — its segment suppressed to '*' and the
+    * remainder re-grouped per nation. Output = the anonymized release
+    * groups with their level (0 = exact, 1 = generalized) and a final
+    * is_k_anon verdict (a level-1 group can still be < k; a real
+    * pipeline would iterate up the lattice — one step declared here).
+    *
+    * Scale shape: two combinable aggregates over the quasi-identifier
+    * keys — group cardinality work, independent of row width; no
+    * joins against the base table at all.
+    */
+  val q105 = Query(
+    "q105_k_anonymity",
+    (s, dir) => {
+      val k = 5
+      val l0 = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"))
+      val ok = l0.filter(col("n") >= k)
+        .select(col("nation"), col("segment"), col("n"), lit(0L).as("level"))
+      val l1 = l0.filter(col("n") < k)
+        .groupBy("nation")
+        .agg(sum(col("n")).as("n"))
+        .select(col("nation"), lit("*").as("segment"), col("n"),
+          lit(1L).as("level"))
+      ok.unionByName(l1)
+        .withColumn("is_k_anon", col("n") >= k)
+        .orderBy("nation", "segment")
+    },
+    Some("""WITH l0 AS (
+           |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+           |         COUNT(*) AS n
+           |  FROM customer GROUP BY 1, 2),
+           |ok AS (
+           |  SELECT nation, segment, n, CAST(0 AS BIGINT) AS level
+           |  FROM l0 WHERE n >= 5),
+           |l1 AS (
+           |  SELECT nation, '*' AS segment, CAST(SUM(n) AS BIGINT) AS n,
+           |         CAST(1 AS BIGINT) AS level
+           |  FROM l0 WHERE n < 5 GROUP BY nation)
+           |SELECT nation, segment, n, level, n >= 5 AS is_k_anon
+           |FROM (SELECT * FROM ok UNION ALL SELECT * FROM l1)
+           |ORDER BY nation, segment""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
-    q88, q89, q90, q91, q96, q104)
+    q88, q89, q90, q91, q96, q104, q105)
 }

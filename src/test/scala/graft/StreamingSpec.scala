@@ -191,8 +191,11 @@ class StreamingSpec extends SparkTestBase {
     for ((f, i) <- Seq("f0", "f1").zipWithIndex) {
       val src = new java.io.File(s"$landing/$f").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(src.toPath,
-        java.nio.file.Paths.get(s"$flat/part-$i.parquet"))
+      val dst = java.nio.file.Paths.get(s"$flat/part-$i.parquet")
+      java.nio.file.Files.copy(src.toPath, dst)
+      // FileStreamSource orders batches by modification time ONLY; equal
+      // mtimes make the two-batch order nondeterministic — pin it
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
     }
     val store = tmp("dedup-store2") + "/bands"
     val out = tmp("dedup-out")

@@ -277,6 +277,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(absent.filter(col("n_ws_tokens") >= 2).count() === 0)
   }
 
+  test("q106 bpe encode: shrinks exactly where merges fired, digest deterministic") {
+    val df = TextOps.q106.build(spark, sf).cache()
+    assert(df.count() === Tables.documents(spark, sf).count())
+    assert(df.filter(col("n_encoded") > col("n_raw")).count() === 0)
+    assert(df.filter(col("ratio") <= 0 || col("ratio") > 1).count() === 0)
+    // languages with a learned merge of freq > 0 must compress somewhere
+    val merges = TextOps.learnBpeMerges(Tables.documents(spark, sf), 3)
+    val langsWithMerges = merges.filter(_._5 > 0).map(_._1).toSet
+    val shrunkLangs = df.filter(col("n_encoded") < col("n_raw"))
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langsWithMerges.subsetOf(shrunkLangs))
+    // exact encoding pinned: digests identical across two runs
+    val again = TextOps.q106.build(spark, sf).collect().map(_.getString(5))
+    assert(df.collect().map(_.getString(5)).sameElements(again))
+  }
+
   test("q98 semdedup: total partition, seeds self-kept, drop rule exact") {
     val df = SimilarityOps.q98.build(spark, sf).cache()
     val emb = Tables.embeddings(spark, sf)
