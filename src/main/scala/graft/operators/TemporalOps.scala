@@ -361,51 +361,107 @@ object TemporalOps {
     * 100 TB. Ties within a second are broken by `event_id` (unique) so
     * both engines see one deterministic state sequence.
     */
+  /** The SCD2 dimension of q72, reusable: one row per (user, state run)
+    * with [valid_from, valid_to) second-epoch validity. Shared by q72
+    * (the history itself) and q107 (point-in-time lookups against it). */
+  private[graft] def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("es", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wVer = Window.partitionBy("user_id").orderBy("version")
+    eventsTss(s, dir)
+      .select(col("user_id"), col("event_id"), col("es"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wOrd).isNull ||
+          lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(wRun))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"),
+        min(col("es")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "version", "state", "valid_from", "valid_to",
+        "n_events", "is_current")
+  }
+
+  /** The q72 dim as DuckDB CTEs (ending in a `dim2` relation) — shared
+    * verbatim by the q72 and q107 oracles so they can never drift. */
+  private val scd2DimSql =
+    """e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |                 THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+      |runs AS (
+      |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY es, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      |  FROM flagged),
+      |dim AS (
+      |  SELECT user_id, version, MIN(event_type) AS state,
+      |         MIN(es) AS valid_from, COUNT(*) AS n_events
+      |  FROM runs GROUP BY user_id, version),
+      |dim2 AS (
+      |  SELECT user_id, version, state, valid_from,
+      |         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+      |         n_events
+      |  FROM dim)""".stripMargin
+
   val q72 = Query(
     "q72_scd2",
+    (s, dir) => scd2Dim(s, dir).orderBy("user_id", "version"),
+    Some(s"""WITH $scd2DimSql
+            |SELECT user_id, version, state, valid_from, valid_to, n_events,
+            |       valid_to IS NULL AS is_current
+            |FROM dim2 ORDER BY user_id, version""".stripMargin)
+  )
+
+  /** Q107 — point-in-time (as-at) lookup against the q72 SCD2 dimension:
+    * for every purchase event, the state the user was in ONE HOUR
+    * before the purchase — the canonical SCD2 consumption pattern
+    * ("join the fact to the dimension version valid at transaction
+    * time"; a Type-1 dim answers only "current state"). Lookups that
+    * precede the user's first version resolve to null (declared).
+    *
+    * Scale shape: equi-join on user_id with a residual validity range
+    * predicate; per-user version counts are bounded (change-count),
+    * so the residual filter is cheap. One co-partitioned shuffle on
+    * the dim build's own key — no extra exchange for the join.
+    */
+  val q107 = Query(
+    "q107_scd2_lookup",
     (s, dir) => {
-      val wOrd = Window.partitionBy("user_id").orderBy("es", "event_id")
-      val wRun = Window.partitionBy("user_id").orderBy("es", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wVer = Window.partitionBy("user_id").orderBy("version")
-      eventsTss(s, dir)
-        .select(col("user_id"), col("event_id"), col("es"), col("event_type"))
-        .withColumn("chg",
-          when(lag(col("event_type"), 1).over(wOrd).isNull ||
-            lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
-            .otherwise(0L))
-        .withColumn("version", sum(col("chg")).over(wRun))
-        .groupBy(col("user_id"), col("version"))
-        .agg(min(col("event_type")).as("state"),
-          min(col("es")).as("valid_from"),
-          count(lit(1)).as("n_events"))
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
-        .withColumn("is_current", col("valid_to").isNull)
-        .select("user_id", "version", "state", "valid_from", "valid_to",
-          "n_events", "is_current")
-        .orderBy("user_id", "version")
+      val dim = scd2Dim(s, dir)
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from"), col("valid_to"))
+      val purchases = eventsTss(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("es"),
+          (col("es") - 3600L).as("t"))
+      purchases.join(dim,
+          purchases("user_id") === dim("user_id") &&
+            col("valid_from") <= col("t") &&
+            (col("valid_to").isNull || col("valid_to") > col("t")),
+          "left")
+        .select(col("event_id"), purchases("user_id"), col("es"), col("t"),
+          col("version"), col("state"))
+        .orderBy("event_id")
     },
-    Some("""WITH e AS (
-           |  SELECT user_id, event_id, event_type,
-           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
-           |  FROM events),
-           |flagged AS (
-           |  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
-           |                 THEN 1 ELSE 0 END AS chg
-           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
-           |runs AS (
-           |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY es, event_id
-           |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
-           |  FROM flagged),
-           |dim AS (
-           |  SELECT user_id, version, MIN(event_type) AS state,
-           |         MIN(es) AS valid_from, COUNT(*) AS n_events
-           |  FROM runs GROUP BY user_id, version)
-           |SELECT user_id, version, state, valid_from,
-           |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
-           |       n_events,
-           |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
-           |FROM dim ORDER BY user_id, version""".stripMargin)
+    Some(s"""WITH $scd2DimSql,
+            |p AS (
+            |  SELECT event_id, user_id,
+            |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+            |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) - 3600 AS t
+            |  FROM events WHERE event_type = 'purchase')
+            |SELECT p.event_id, p.user_id, p.es, p.t, d.version, d.state
+            |FROM p LEFT JOIN dim2 d
+            |  ON p.user_id = d.user_id AND d.valid_from <= p.t
+            |     AND (d.valid_to IS NULL OR d.valid_to > p.t)
+            |ORDER BY p.event_id""".stripMargin)
   )
 
   /** Q76 — rolling per-key time-series features: for each event, the
@@ -770,5 +826,5 @@ object TemporalOps {
 
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
-      q94, q97, q99, q100, q102)
+      q94, q97, q99, q100, q102, q107)
 }

@@ -167,6 +167,26 @@ class TemporalSpec extends SparkTestBase {
     assert(df.agg(sum("n")).head().getLong(0) === events - users)
   }
 
+  test("q107 scd2 lookup: one row per purchase, validity honored, nulls only pre-history") {
+    val df = TemporalOps.q107.build(spark, sf).cache()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(df.count() === purchases)
+    assert(df.select("event_id").distinct().count() === purchases)
+    // matched rows obey the validity interval
+    val dim = TemporalOps.q72.build(spark, sf)
+      .select(col("user_id"), col("version"), col("valid_from"), col("valid_to"))
+    val viol = df.filter(col("version").isNotNull)
+      .join(dim, Seq("user_id", "version"))
+      .filter(col("valid_from") > col("t") ||
+        (col("valid_to").isNotNull && col("valid_to") <= col("t")))
+    assert(viol.count() === 0)
+    // unmatched rows are exactly the lookups before the user's history starts
+    val firstFrom = dim.groupBy("user_id").agg(min("valid_from").as("f0"))
+    val unmatched = df.filter(col("version").isNull).join(firstFrom, "user_id")
+    assert(unmatched.filter(col("t") >= col("f0")).count() === 0)
+  }
+
   test("q100 cohort retention: offset-0 is 100%, rates within (0,1]") {
     val df = TemporalOps.q100.build(spark, sf).cache()
     val zero = df.filter(col("offset_w") === 0)
