@@ -997,7 +997,98 @@ object AnalyticOps {
            |ORDER BY nation, segment""".stripMargin)
   )
 
+  /** Q108 — RFM segmentation (recency / frequency / monetary), the
+    * classic retail customer scoring for exactly the "Electronica"
+    * domain the reference models: per customer the latest order date,
+    * order count, and exact decimal spend, each quartile-scored with
+    * `ntile(4)` (ties broken by custkey so both engines see one total
+    * order). Customers without orders are out of scope by definition.
+    *
+    * Scale shape: one combinable aggregate keyed o_custkey + three
+    * ntile windows over the same customer-grain relation (cardinality
+    * = customers, far below fact grain). The unpartitioned ntile is
+    * the honest exact-quartile cost — a single-partition sort of the
+    * customer table; at extreme customer counts the scores would come
+    * from broadcast quantile thresholds instead (the q91 GK sketch +
+    * the q104 clipping-join shape). No joins back to the fact.
+    */
+  val q108 = Query(
+    "q108_rfm",
+    (s, dir) => {
+      val base = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("r_date"),
+          count(lit(1)).as("f"),
+          Canon.outD(sum(Canon.dec(col("o_totalprice")))).as("m"))
+      val wR = Window.orderBy(col("r_date").desc, col("o_custkey").asc)
+      val wF = Window.orderBy(col("f").desc, col("o_custkey").asc)
+      val wM = Window.orderBy(col("m").desc, col("o_custkey").asc)
+      base
+        .withColumn("r_score", ntile(4).over(wR).cast("long"))
+        .withColumn("f_score", ntile(4).over(wF).cast("long"))
+        .withColumn("m_score", ntile(4).over(wM).cast("long"))
+        .withColumn("rfm",
+          concat(col("r_score"), col("f_score"), col("m_score")))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_custkey, MAX(o_orderdate) AS r_date, COUNT(*) AS f,
+           |         CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+           |              AS DECIMAL(18,4)) AS DOUBLE) AS m
+           |  FROM orders GROUP BY o_custkey)
+           |SELECT o_custkey, r_date, f, m,
+           |       CAST(ntile(4) OVER (ORDER BY r_date DESC, o_custkey ASC) AS BIGINT) AS r_score,
+           |       CAST(ntile(4) OVER (ORDER BY f DESC, o_custkey ASC) AS BIGINT) AS f_score,
+           |       CAST(ntile(4) OVER (ORDER BY m DESC, o_custkey ASC) AS BIGINT) AS m_score,
+           |       concat(ntile(4) OVER (ORDER BY r_date DESC, o_custkey ASC),
+           |              ntile(4) OVER (ORDER BY f DESC, o_custkey ASC),
+           |              ntile(4) OVER (ORDER BY m DESC, o_custkey ASC)) AS rfm
+           |FROM base ORDER BY o_custkey""".stripMargin)
+  )
+
+  /** Q109 — market-basket co-occurrence: the top-50 part pairs most
+    * often ordered together ("customers who bought X also bought Y" —
+    * the shopping-behavior analysis the reference's README promises,
+    * over its own fact grain). Pair support counts come from a
+    * within-order self-join; per-order pair fan-out is quadratic in
+    * basket size, which TPC-H bounds at 7 lines — the same bounded-
+    * fan-out argument as the shingle windows. One (orderkey) equi-join
+    * + one (pair) combinable aggregate; no global quadratics.
+    */
+  val q109 = Query(
+    "q109_basket_pairs",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val w = Window.orderBy(col("support").desc, col("part_a").asc,
+        col("part_b").asc)
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 50)
+        .orderBy("rank")
+    },
+    Some("""WITH li AS (
+           |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |pairs AS (
+           |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           |         COUNT(*) AS support
+           |  FROM li a JOIN li b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2)
+           |SELECT part_a, part_b, support,
+           |       CAST(row_number() OVER (ORDER BY support DESC, part_a ASC, part_b ASC)
+           |            AS BIGINT) AS rank
+           |FROM pairs
+           |QUALIFY row_number() OVER (ORDER BY support DESC, part_a ASC, part_b ASC) <= 50
+           |ORDER BY rank""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
-    q88, q89, q90, q91, q96, q104, q105)
+    q88, q89, q90, q91, q96, q104, q105, q108, q109)
 }

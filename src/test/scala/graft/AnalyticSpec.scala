@@ -221,6 +221,36 @@ class AnalyticSpec extends SparkTestBase {
     assert(missing.count() === 0)
   }
 
+  test("q108 rfm: quartiles balanced, one row per ordering customer") {
+    val df = AnalyticOps.q108.build(spark, sf).cache()
+    val customers = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(df.count() === customers)
+    // ntile(4) balance: bucket sizes differ by at most 1
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val sizes = df.groupBy(c).count().collect().map(_.getLong(1))
+      assert(sizes.length === 4)
+      assert(sizes.max - sizes.min <= 1, s"$c unbalanced: ${sizes.mkString(",")}")
+    }
+    // monetary score 1 customers all outspend score 4 customers
+    val topMin = df.filter(col("m_score") === 1).agg(min("m")).head().getDouble(0)
+    val botMax = df.filter(col("m_score") === 4).agg(max("m")).head().getDouble(0)
+    assert(topMin >= botMax)
+  }
+
+  test("q109 basket pairs: supports descending, pairs real co-orders") {
+    val df = AnalyticOps.q109.build(spark, sf).cache()
+    assert(df.count() === 50)
+    val supports = df.orderBy("rank").collect().map(_.getLong(2))
+    assert(supports.zip(supports.tail).forall { case (a, b) => a >= b })
+    // the top pair genuinely co-occurs in that many orders
+    val top = df.filter(col("rank") === 1).head()
+    val (pa, pb) = (top.getLong(0), top.getLong(1))
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").distinct()
+    val co = li.filter(col("l_partkey") === pa).select("l_orderkey")
+      .intersect(li.filter(col("l_partkey") === pb).select("l_orderkey")).count()
+    assert(co === top.getLong(2))
+  }
+
   test("q96 constraints: all six checks pass on the fixture, metrics exact") {
     val df = AnalyticOps.q96.build(spark, sf).cache()
     assert(df.count() === 6)
