@@ -824,7 +824,48 @@ object TemporalOps {
            |FROM counts ORDER BY prev_type, next_type""".stripMargin)
   )
 
+  /** Q110 — time-based RANGE window frames: for every event, the count
+    * and exact decimal sum of the same user's events in the trailing
+    * 10 minutes of EVENT TIME (`RANGE BETWEEN 600 PRECEDING AND
+    * CURRENT ROW` over epoch seconds). Complements q15/q76's
+    * ROWS-frame battery — a ROWS frame counts rows, a RANGE frame
+    * spans value distance, which is what rate-limiting / trailing-load
+    * features actually want. Same-second events share one frame value
+    * by definition (RANGE includes peers — declared, and why the
+    * output is keyed by event_id but ordered deterministically).
+    *
+    * Scale shape: one window over the (user_id) shuffle, frame bounded
+    * by event density per 10 minutes; exact decimal sum re-clamped at
+    * the output boundary.
+    */
+  val q110 = Query(
+    "q110_range_frames",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("es")
+        .rangeBetween(-600L, 0L)
+      eventsTss(s, dir)
+        .select(col("event_id"), col("user_id"), col("es"), col("value"))
+        .withColumn("n_10m", count(lit(1)).over(w))
+        .withColumn("sum_10m",
+          Canon.outD(sum(Canon.dec(col("value"))).over(w)))
+        .select("event_id", "user_id", "es", "n_10m", "sum_10m")
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, value
+           |  FROM events)
+           |SELECT event_id, user_id, es,
+           |       COUNT(*) OVER w AS n_10m,
+           |       CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 4)
+           |            AS DECIMAL(18,4)) AS DOUBLE) AS sum_10m
+           |FROM e
+           |WINDOW w AS (PARTITION BY user_id ORDER BY es
+           |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
-      q94, q97, q99, q100, q102, q107)
+      q94, q97, q99, q100, q102, q107, q110)
 }

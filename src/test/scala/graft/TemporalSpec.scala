@@ -187,6 +187,21 @@ class TemporalSpec extends SparkTestBase {
     assert(unmatched.filter(col("t") >= col("f0")).count() === 0)
   }
 
+  test("q110 range frames: every frame includes self, brute-force parity on one user") {
+    val df = TemporalOps.q110.build(spark, sf).cache()
+    assert(df.count() === Tables.events(spark, sf).count())
+    assert(df.filter(col("n_10m") < 1).count() === 0)
+    // brute-force recompute for one user
+    val u = df.select("user_id").head().getLong(0)
+    val rows = df.filter(col("user_id") === u)
+      .select("es", "n_10m").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val times = rows.map(_._1)
+    rows.foreach { case (es, n) =>
+      val expect = times.count(t => t >= es - 600 && t <= es)
+      assert(n === expect, s"user $u es $es")
+    }
+  }
+
   test("q100 cohort retention: offset-0 is 100%, rates within (0,1]") {
     val df = TemporalOps.q100.build(spark, sf).cache()
     val zero = df.filter(col("offset_w") === 0)
