@@ -1088,7 +1088,80 @@ object AnalyticOps {
            |ORDER BY rank""".stripMargin)
   )
 
+  /** Q111 — population-stability drift detection (PSI): compare the
+    * event-value distribution of the corpus's FIRST epoch week (the
+    * "training" window) against everything after it (the "serving"
+    * window) over 10 equal-width bins fitted on the reference window,
+    * with add-one smoothing so empty bins stay finite. PSI > 0.2 per
+    * bin-sum is the standard retrain alarm; this emits the per-bin
+    * decomposition ((q−p)·ln(q/p)) an ML-ops dashboard plots.
+    *
+    * Cross-engine exactness: bin edges and the smoothed fractions are
+    * exact integer/double arithmetic; `ln(q/p)` is rounded to 6
+    * decimals (the q53 libm rule) and the final product is emitted as
+    * raw IEEE arithmetic — identical AST both engines, no re-rounding.
+    *
+    * Scale shape: one min/max aggregate on the reference window
+    * (broadcast scalars), then a single combinable (window, bin)
+    * count — two scans, no joins wider than a broadcast of 4 numbers.
+    */
+  val q111 = Query(
+    "q111_drift_psi",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select((expr("ts div 1000000000") / 604800L).cast("long").as("wk"),
+          col("value"))
+      val w0 = ev.agg(min(col("wk")).as("wk0"))
+      val tagged = ev.crossJoin(broadcast(w0))
+        .withColumn("is_ref", col("wk") === col("wk0"))
+      val edges = tagged.filter(col("is_ref"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val binned = tagged.crossJoin(broadcast(edges))
+        .withColumn("bin",
+          least(lit(9L), greatest(lit(0L),
+            floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 10)
+              .cast("long"))))
+        .groupBy("bin")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val totals = binned.agg(sum(col("n_ref")).as("t_ref"),
+        sum(col("n_cur")).as("t_cur"))
+      binned.crossJoin(broadcast(totals))
+        .withColumn("p",
+          (col("n_ref") + 1).cast("double") / (col("t_ref") + 10).cast("double"))
+        .withColumn("q",
+          (col("n_cur") + 1).cast("double") / (col("t_cur") + 10).cast("double"))
+        .withColumn("contrib",
+          (col("q") - col("p")) * round(log(col("q") / col("p")), 6))
+        .select("bin", "n_ref", "n_cur", "p", "q", "contrib")
+        .orderBy("bin")
+    },
+    Some("""WITH ev AS (
+           |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 604800 AS wk,
+           |         value
+           |  FROM events),
+           |w0 AS (SELECT MIN(wk) AS wk0 FROM ev),
+           |tagged AS (SELECT value, wk = wk0 AS is_ref FROM ev, w0),
+           |edges AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM tagged WHERE is_ref),
+           |binned AS (
+           |  SELECT least(9, greatest(0,
+           |           CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT))) AS bin,
+           |         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+           |         SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur
+           |  FROM tagged, edges GROUP BY 1),
+           |totals AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM binned)
+           |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           |       CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE) AS p,
+           |       CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE) AS q,
+           |       (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE)
+           |        - CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE))
+           |       * round(ln((CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE))
+           |                  / (CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE))), 6)
+           |         AS contrib
+           |FROM binned, totals ORDER BY bin""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
-    q88, q89, q90, q91, q96, q104, q105, q108, q109)
+    q88, q89, q90, q91, q96, q104, q105, q108, q109, q111)
 }

@@ -865,7 +865,53 @@ object TemporalOps {
            |ORDER BY event_id""".stripMargin)
   )
 
+  /** Q112 — event-sequence pattern matching (the MATCH_RECOGNIZE
+    * shape): each user's full event history becomes a compact code
+    * string (v/c/p/s/e per event, deterministic (es, event_id) order)
+    * and is matched against the regex `v[ce]*c[ce]*p` — "a view, then
+    * a click, then a purchase, with only clicks/errors between". The
+    * regex answers ORDERED containment, which q99's stage aggregates
+    * (bounded-window semantics) and q102's adjacent transitions cannot
+    * express.
+    *
+    * The per-user sequence is assembled with the deterministic
+    * sort-struct-then-join collect (the q28 signature trick), never an
+    * unordered collect_list. Sequence length is bounded by per-user
+    * event counts — the same bound every sessionization op here
+    * already carries; character classes behave identically in Java
+    * regex and DuckDB's RE2 for this pattern.
+    */
+  val q112 = Query(
+    "q112_sequence_match",
+    (s, dir) => {
+      val coded = eventsTss(s, dir)
+        .select(col("user_id"), col("es"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("code"))
+      coded
+        .groupBy("user_id")
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("es"), col("event_id"), col("code")))),
+              x => x.getField("code")), "").as("seq"),
+          count(lit(1)).as("n_events"))
+        .withColumn("matched", col("seq").rlike("v[ce]*c[ce]*p"))
+        .select("user_id", "n_events", "seq", "matched")
+        .orderBy("user_id")
+    },
+    Some("""WITH coded AS (
+           |  SELECT user_id, event_id,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+           |         substr(event_type, 1, 1) AS code
+           |  FROM events)
+           |SELECT user_id, COUNT(*) AS n_events,
+           |       string_agg(code, '' ORDER BY es, event_id) AS seq,
+           |       regexp_matches(string_agg(code, '' ORDER BY es, event_id),
+           |                      'v[ce]*c[ce]*p') AS matched
+           |FROM coded GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
-      q94, q97, q99, q100, q102, q107, q110)
+      q94, q97, q99, q100, q102, q107, q110, q112)
 }

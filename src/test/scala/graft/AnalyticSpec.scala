@@ -221,6 +221,20 @@ class AnalyticSpec extends SparkTestBase {
     assert(missing.count() === 0)
   }
 
+  test("q111 psi: 10 bins, fractions normalize, contribs non-negative-ish") {
+    val df = AnalyticOps.q111.build(spark, sf).cache()
+    assert(df.count() === 10)
+    // smoothed fractions each sum to 1 exactly (Laplace over 10 bins)
+    val (ps, qs) = (df.agg(sum("p")).head().getDouble(0),
+      df.agg(sum("q")).head().getDouble(0))
+    assert(math.abs(ps - 1.0) < 1e-9 && math.abs(qs - 1.0) < 1e-9)
+    // (q-p)*ln(q/p) is non-negative up to the 6dp ln rounding slack
+    assert(df.filter(col("contrib") < -1e-6).count() === 0)
+    // counts cover the whole corpus
+    val total = df.agg(sum(col("n_ref") + col("n_cur"))).head().getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+  }
+
   test("q108 rfm: quartiles balanced, one row per ordering customer") {
     val df = AnalyticOps.q108.build(spark, sf).cache()
     val customers = Tables.orders(spark, sf).select("o_custkey").distinct().count()

@@ -187,6 +187,20 @@ class TemporalSpec extends SparkTestBase {
     assert(unmatched.filter(col("t") >= col("f0")).count() === 0)
   }
 
+  test("q112 sequence match: seq lengths = event counts, regex verdict reproducible") {
+    val df = TemporalOps.q112.build(spark, sf).cache()
+    assert(df.filter(length(col("seq")) =!= col("n_events")).count() === 0)
+    assert(df.agg(sum("n_events")).head().getLong(0) ===
+      Tables.events(spark, sf).count())
+    // verdict re-derived on the driver from the emitted sequences
+    df.collect().foreach { r =>
+      val expect = "v[ce]*c[ce]*p".r.findFirstIn(r.getString(2)).isDefined
+      assert(r.getBoolean(3) === expect, s"user ${r.getLong(0)}")
+    }
+    // the fixture should have both matched and unmatched users
+    assert(df.filter(col("matched")).count() > 0)
+  }
+
   test("q110 range frames: every frame includes self, brute-force parity on one user") {
     val df = TemporalOps.q110.build(spark, sf).cache()
     assert(df.count() === Tables.events(spark, sf).count())
