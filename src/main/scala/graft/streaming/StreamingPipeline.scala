@@ -302,6 +302,49 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Incremental heavy-hitter sketches — the streaming form of q90:
+    * each micro-batch folds its per-language token Count-Min sketch
+    * into a persistent sketch store. CMS counters are LINEAR (same
+    * seed/width/depth ⇒ merge = element-wise add), so the store after
+    * any batch split is bit-for-bit the single-shot corpus sketch —
+    * proven exactly in StreamingSpec. The store is bounded model state
+    * (one ~100 KB sketch per language), never token-grain: this is how
+    * a crawl tracks vocabulary frequencies without ever re-reading
+    * history — the same persistent-summary discipline as the dedup
+    * band store, at O(1) size instead of O(corpus).
+    */
+  def mergeHeavyHitterSketches(batch: DataFrame, sketchPath: String): Unit = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val cur = graft.functions.TextOps.tokensWithPos(batch)
+      .groupBy("lang")
+      .agg(count_min_sketch(col("tok"), lit(0.001d), lit(0.99d), lit(42)).as("cms"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val prev = readSketchStore(sketchPath)
+    val merged = (prev.keySet ++ cur.keySet).map { lang =>
+      lang -> ((prev.get(lang), cur.get(lang)) match {
+        case (Some(a), Some(b)) =>
+          val s = CountMinSketch.readFrom(a)
+          s.mergeInPlace(CountMinSketch.readFrom(b))
+          val out = new java.io.ByteArrayOutputStream()
+          s.writeTo(out); out.toByteArray
+        case (a, b) => a.orElse(b).get
+      })
+    }.toMap
+    val oos = new java.io.ObjectOutputStream(
+      new java.io.FileOutputStream(sketchPath))
+    try oos.writeObject(merged) finally oos.close()
+  }
+
+  def readSketchStore(sketchPath: String): Map[String, Array[Byte]] =
+    if (!new java.io.File(sketchPath).exists) Map.empty
+    else {
+      val ois = new java.io.ObjectInputStream(
+        new java.io.FileInputStream(sketchPath))
+      try ois.readObject().asInstanceOf[Map[String, Array[Byte]]]
+      finally ois.close()
+    }
+
   /** One funnel stage advance: `user` reached `stage` at event-time
     * second `es`. */
   final case class StageAdvance(user_id: Long, stage: Int, es: Long)

@@ -215,6 +215,32 @@ class StreamingSpec extends SparkTestBase {
     assert(kept === (allIds -- droppedExpect))
   }
 
+  test("incremental CMS store: two-batch merge == single-shot corpus sketch exactly") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val docs = Tables.documents(spark, sf)
+    val store = tmp("cms-store") + "/sketches.bin"
+    StreamingPipeline.mergeHeavyHitterSketches(docs.filter(col("doc_id") < 250), store)
+    StreamingPipeline.mergeHeavyHitterSketches(docs.filter(col("doc_id") >= 250), store)
+    val merged = StreamingPipeline.readSketchStore(store)
+      .map { case (l, b) => l -> CountMinSketch.readFrom(b) }
+    val single = graft.functions.TextOps.tokensWithPos(docs)
+      .groupBy("lang")
+      .agg(count_min_sketch(col("tok"), lit(0.001d), lit(0.99d), lit(42)).as("cms"))
+      .collect()
+      .map(r => r.getString(0) -> CountMinSketch.readFrom(r.getAs[Array[Byte]](1)))
+      .toMap
+    assert(merged.keySet === single.keySet)
+    // linearity: every top-word estimate identical between the
+    // incrementally-merged store and the one-shot corpus sketch
+    val words = graft.functions.TextOps.q23.build(spark, sf)
+      .select("lang", "word").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    words.foreach { case (lang, w) =>
+      assert(merged(lang).estimateCount(w) === single(lang).estimateCount(w),
+        s"$lang/$w")
+    }
+  }
+
   test("stateful streaming funnel (batch path) = q99 stage outcomes exactly") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
