@@ -911,7 +911,55 @@ object TemporalOps {
            |FROM coded GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 
+  /** Q113 — time-to-event with right-censoring (survival-analysis
+    * prep): per user, the seconds from first signup to first
+    * subsequent purchase; users who never purchase after signing up
+    * are CENSORED at the corpus horizon (max event second) — the
+    * censoring flag is what separates survival data from a plain
+    * duration query, and dropping censored users (what a naive join
+    * does) biases every downstream hazard estimate.
+    *
+    * Scale shape: two conditional-min aggregates co-partitioned on
+    * user_id + one broadcast scalar horizon. Users with no signup are
+    * out of scope by definition.
+    */
+  val q113 = Query(
+    "q113_survival",
+    (s, dir) => {
+      val ev = eventsTss(s, dir).select("user_id", "event_type", "es")
+      val horizon = ev.agg(max(col("es")).as("h"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("es")).as("t0"))
+      val purchase = ev.filter(col("event_type") === "purchase")
+        .join(signup, "user_id")
+        .filter(col("es") > col("t0"))
+        .groupBy("user_id").agg(min(col("es")).as("t1"))
+      signup.join(purchase, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(col("user_id"), col("t0"),
+          (coalesce(col("t1"), col("h")) - col("t0")).as("duration_s"),
+          col("t1").isNull.as("censored"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           |  FROM events),
+           |h AS (SELECT MAX(es) AS h FROM ev),
+           |signup AS (SELECT user_id, MIN(es) AS t0 FROM ev
+           |           WHERE event_type = 'signup' GROUP BY user_id),
+           |purchase AS (
+           |  SELECT e.user_id, MIN(es) AS t1 FROM ev e JOIN signup USING (user_id)
+           |  WHERE event_type = 'purchase' AND es > t0 GROUP BY e.user_id)
+           |SELECT s.user_id, s.t0,
+           |       COALESCE(p.t1, h.h) - s.t0 AS duration_s,
+           |       p.t1 IS NULL AS censored
+           |FROM signup s LEFT JOIN purchase p ON s.user_id = p.user_id
+           |CROSS JOIN h
+           |ORDER BY s.user_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
-      q94, q97, q99, q100, q102, q107, q110, q112)
+      q94, q97, q99, q100, q102, q107, q110, q112, q113)
 }

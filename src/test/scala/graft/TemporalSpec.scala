@@ -187,6 +187,28 @@ class TemporalSpec extends SparkTestBase {
     assert(unmatched.filter(col("t") >= col("f0")).count() === 0)
   }
 
+  test("q113 survival: durations non-negative, censored iff no later purchase") {
+    val df = TemporalOps.q113.build(spark, sf).cache()
+    val signups = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup").select("user_id").distinct().count()
+    assert(df.count() === signups)
+    assert(df.filter(col("duration_s") < 0).count() === 0)
+    // censored rows end exactly at the corpus horizon
+    val maxEs = Tables.events(spark, sf)
+      .select((expr("ts div 1000000000")).as("es")).agg(max("es")).head().getLong(0)
+    assert(df.filter(col("censored"))
+      .filter(col("t0") + col("duration_s") =!= maxEs).count() === 0)
+    // uncensored users really purchased after their signup
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000000000").as("es"))
+    val bad = df.filter(!col("censored"))
+      .join(ev.filter(col("event_type") === "purchase"), "user_id")
+      .groupBy("user_id", "t0", "duration_s")
+      .agg(max(when(col("es") === col("t0") + col("duration_s"), 1L).otherwise(0L)).as("hit"))
+      .filter(col("hit") === 0)
+    assert(bad.count() === 0)
+  }
+
   test("q112 sequence match: seq lengths = event counts, regex verdict reproducible") {
     val df = TemporalOps.q112.build(spark, sf).cache()
     assert(df.filter(length(col("seq")) =!= col("n_events")).count() === 0)
