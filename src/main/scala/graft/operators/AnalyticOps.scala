@@ -1161,7 +1161,168 @@ object AnalyticOps {
            |FROM binned, totals ORDER BY bin""".stripMargin)
   )
 
+  /** Q114 — two-proportion A/B test: users split by id parity (the
+    * deterministic assignment an experiment platform would persist),
+    * conversion = q99's stage-2 rule (a click within one hour of the
+    * first view — "ever purchased" saturates at 100% on this fixture
+    * and a degenerate pooled rate voids the test: p(1−p)=0); emits
+    * per-arm rates and the pooled two-proportion z statistic. Every
+    * input is an exact integer count; the z arithmetic (one sqrt,
+    * IEEE-correctly-rounded) is evaluated with the same AST in both
+    * engines, so even the test statistic hash-checks — no
+    * "approximately significant" fudge.
+    *
+    * Scale shape: one distinct-user aggregate + the two keyed
+    * conditional-min aggregates of the conversion rule, all
+    * co-partitioned on user_id; the z row is a constant-sized
+    * reduction.
+    */
+  val q114 = Query(
+    "q114_ab_test",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000000000").as("es"))
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("arm", pmod(col("user_id"), lit(2)).cast("long"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("es")).as("t1"))
+      val converted = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id")
+        .filter(col("es") > col("t1") && col("es") <= col("t1") + 3600L)
+        .select("user_id").distinct().withColumn("conv", lit(1L))
+      val arms = users.join(converted, Seq("user_id"), "left")
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("conv"), lit(0L))).as("x"))
+        .withColumn("rate", col("x").cast("double") / col("n").cast("double"))
+      val z = arms.groupBy()
+        .agg(
+          sum(when(col("arm") === 0, col("x"))).as("x0"),
+          sum(when(col("arm") === 0, col("n"))).as("n0"),
+          sum(when(col("arm") === 1, col("x"))).as("x1"),
+          sum(when(col("arm") === 1, col("n"))).as("n1"))
+        .withColumn("p0", col("x0").cast("double") / col("n0").cast("double"))
+        .withColumn("p1", col("x1").cast("double") / col("n1").cast("double"))
+        .withColumn("pp",
+          (col("x0") + col("x1")).cast("double") /
+            (col("n0") + col("n1")).cast("double"))
+        .withColumn("z",
+          (col("p0") - col("p1")) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("n0").cast("double") +
+                lit(1.0) / col("n1").cast("double"))))
+        .select(lit(-1L).as("arm"), (col("n0") + col("n1")).as("n"),
+          (col("x0") + col("x1")).as("x"), col("z").as("rate"))
+      arms.select(col("arm"), col("n"), col("x"), col("rate"))
+        .unionByName(z)
+        .orderBy("arm")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           |  FROM events),
+           |users AS (
+           |  SELECT DISTINCT user_id, CAST(user_id % 2 AS BIGINT) AS arm FROM ev),
+           |t1 AS (SELECT user_id, MIN(es) AS t1 FROM ev
+           |       WHERE event_type = 'view' GROUP BY user_id),
+           |conv AS (
+           |  SELECT DISTINCT e.user_id, 1 AS conv
+           |  FROM ev e JOIN t1 USING (user_id)
+           |  WHERE event_type = 'click' AND es > t1 AND es <= t1 + 3600),
+           |arms AS (
+           |  SELECT arm, COUNT(*) AS n, CAST(SUM(COALESCE(conv, 0)) AS BIGINT) AS x,
+           |         CAST(SUM(COALESCE(conv, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rate
+           |  FROM users LEFT JOIN conv USING (user_id) GROUP BY arm),
+           |zrow AS (
+           |  SELECT CAST(-1 AS BIGINT) AS arm,
+           |         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS x,
+           |         (MAX(CASE WHEN arm = 0 THEN CAST(x AS DOUBLE) / CAST(n AS DOUBLE) END)
+           |          - MAX(CASE WHEN arm = 1 THEN CAST(x AS DOUBLE) / CAST(n AS DOUBLE) END))
+           |         / sqrt((CAST(SUM(x) AS DOUBLE) / CAST(SUM(n) AS DOUBLE))
+           |                * (1.0 - CAST(SUM(x) AS DOUBLE) / CAST(SUM(n) AS DOUBLE))
+           |                * (1.0 / MAX(CASE WHEN arm = 0 THEN CAST(n AS DOUBLE) END)
+           |                   + 1.0 / MAX(CASE WHEN arm = 1 THEN CAST(n AS DOUBLE) END)))
+           |           AS rate
+           |  FROM arms)
+           |SELECT arm, n, x, rate FROM arms
+           |UNION ALL SELECT arm, n, x, rate FROM zrow
+           |ORDER BY arm""".stripMargin)
+  )
+
+  /** Q115 — spend-concentration (Gini coefficient over customer
+    * lifetime spend, with the Lorenz-curve deciles): the inequality
+    * lens on the same base as q108's RFM. Spend is summed in exact
+    * decimal; ranks are integers; the Gini closed form
+    * 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n divides two exact decimal-derived
+    * doubles once at the end (same AST both engines). Emitted per
+    * spend decile: customer share, cumulative spend share, and the
+    * constant corpus Gini — the table a fairness/concentration
+    * dashboard plots.
+    *
+    * Scale shape: customer-grain aggregate + one rank window over it
+    * (the q108 trade-off note applies) + a decile rollup.
+    */
+  val q115 = Query(
+    "q115_gini",
+    (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(Canon.dec(col("o_totalprice"))).as("m_dec"))
+      val w = Window.orderBy(col("m_dec").asc, col("o_custkey").asc)
+      val ranked = spend
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("m", Canon.outD(col("m_dec")))
+      val tot = ranked.groupBy()
+        .agg(count(lit(1)).as("n"),
+          Canon.outD(sum(col("m_dec"))).as("t"),
+          // rank-weighted sum clamps to scale 0: at (18,4) its unscaled
+          // value would pass 2^53 and the decimal->double conversion
+          // could differ between engines (the Canon.outD rationale)
+          sum(col("m_dec") * col("i")).cast("decimal(18,0)").cast("double")
+            .as("wt"))
+        .withColumn("gini",
+          lit(2.0) * col("wt") / (col("n").cast("double") * col("t")) -
+            (col("n") + 1).cast("double") / col("n").cast("double"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("decile",
+          least(lit(9L), floor(((col("i") - 1) * 10).cast("double") /
+            col("n").cast("double")).cast("long")))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"),
+          Canon.outD(sum(col("m_dec"))).as("spend"),
+          max(col("t")).as("t"), max(col("gini")).as("gini"))
+        .withColumn("spend_share", col("spend") / col("t"))
+        .select("decile", "n_cust", "spend", "spend_share", "gini")
+        .orderBy("decile")
+    },
+    Some("""WITH spend AS (
+           |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS m_dec
+           |  FROM orders GROUP BY o_custkey),
+           |ranked AS (
+           |  SELECT o_custkey, m_dec,
+           |         CAST(row_number() OVER (ORDER BY m_dec ASC, o_custkey ASC) AS BIGINT) AS i
+           |  FROM spend),
+           |tot AS (
+           |  SELECT COUNT(*) AS n,
+           |         CAST(CAST(round(SUM(m_dec), 4) AS DECIMAL(18,4)) AS DOUBLE) AS t,
+           |         CAST(CAST(round(SUM(m_dec * i), 0) AS DECIMAL(18,0)) AS DOUBLE) AS wt
+           |  FROM ranked),
+           |g AS (
+           |  SELECT n, t,
+           |         2.0 * wt / (CAST(n AS DOUBLE) * t)
+           |           - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+           |  FROM tot)
+           |SELECT least(9, CAST(floor(CAST((i - 1) * 10 AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)) AS decile,
+           |       COUNT(*) AS n_cust,
+           |       CAST(CAST(round(SUM(m_dec), 4) AS DECIMAL(18,4)) AS DOUBLE) AS spend,
+           |       CAST(CAST(round(SUM(m_dec), 4) AS DECIMAL(18,4)) AS DOUBLE) / MAX(t) AS spend_share,
+           |       MAX(gini) AS gini
+           |FROM ranked, g
+           |GROUP BY 1 ORDER BY decile""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
-    q88, q89, q90, q91, q96, q104, q105, q108, q109, q111)
+    q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115)
 }

@@ -221,6 +221,36 @@ class AnalyticSpec extends SparkTestBase {
     assert(missing.count() === 0)
   }
 
+  test("q114 ab test: arms partition users, z row consistent with arm rates") {
+    val df = AnalyticOps.q114.build(spark, sf).cache()
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows(0L)._1 + rows(1L)._1 === users)
+    assert(rows(-1L)._1 === users)
+    assert(rows(-1L)._2 === rows(0L)._2 + rows(1L)._2)
+    // recompute z from the arm rows
+    val (n0, x0, _) = rows(0L); val (n1, x1, _) = rows(1L)
+    val (p0, p1) = (x0.toDouble / n0, x1.toDouble / n1)
+    val pp = (x0 + x1).toDouble / (n0 + n1)
+    val z = (p0 - p1) / math.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+    assert(math.abs(rows(-1L)._3 - z) < 1e-12)
+  }
+
+  test("q115 gini: deciles cover all customers, shares sum to 1, gini in [0,1)") {
+    val df = AnalyticOps.q115.build(spark, sf).cache()
+    assert(df.count() === 10)
+    val customers = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(df.agg(sum("n_cust")).head().getLong(0) === customers)
+    assert(math.abs(df.agg(sum("spend_share")).head().getDouble(0) - 1.0) < 1e-9)
+    val gini = df.select("gini").head().getDouble(0)
+    assert(gini >= 0.0 && gini < 1.0)
+    // Lorenz: later deciles (sorted ascending by spend) hold larger shares
+    val shares = df.orderBy("decile").collect().map(_.getDouble(3))
+    // top decile strictly exceeds an equal share
+    assert(shares.last > 0.1)
+  }
+
   test("q111 psi: 10 bins, fractions normalize, contribs non-negative-ish") {
     val df = AnalyticOps.q111.build(spark, sf).cache()
     assert(df.count() === 10)
