@@ -959,7 +959,64 @@ object TemporalOps {
            |ORDER BY s.user_id""".stripMargin)
   )
 
+  /** Q117 — changepoint localization via CUSUM: per event type, daily
+    * counts, their deviation from the type's mean daily rate, and the
+    * running cumulative deviation — the curve whose extremum marks the
+    * most likely rate-change day. The time-series anomaly view next to
+    * q75 (pointwise outliers) and q111 (distribution drift).
+    *
+    * Cross-engine exactness: windowed double sums are NOT order-safe
+    * across engines (segment-tree vs sequential accumulation), so the
+    * deviations are clamped to DECIMAL(18,6) before the running sum —
+    * decimal addition is order-free. The mean is rounded once to 6
+    * decimals (exact-integer division, then the one rounding).
+    *
+    * Scale shape: one (type, day) combinable aggregate, a broadcast
+    * per-type mean, one ordered window per type (days per type is
+    * bounded by the horizon, not the event volume).
+    */
+  val q117 = Query(
+    "q117_changepoint",
+    (s, dir) => {
+      val daily = eventsTss(s, dir)
+        .groupBy(col("event_type"), (col("es") / 86400L).cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val means = daily.groupBy("event_type")
+        .agg(round(sum(col("n")).cast("double") / count(lit(1)).cast("double"), 6)
+          .cast("decimal(18,6)").as("mean_n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(means), "event_type")
+        .withColumn("dev", (col("n").cast("decimal(18,6)") - col("mean_n"))
+          .cast("decimal(18,6)"))
+        .withColumn("cusum",
+          sum(col("dev")).over(w).cast("decimal(18,6)").cast("double"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("dev").cast("double").as("dev"), col("cusum"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+           |         COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |means AS (
+           |  SELECT event_type,
+           |         CAST(round(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           |              AS DECIMAL(18,6)) AS mean_n
+           |  FROM daily GROUP BY event_type),
+           |devs AS (
+           |  SELECT d.event_type, d.day, d.n,
+           |         CAST(CAST(d.n AS DECIMAL(18,6)) - m.mean_n AS DECIMAL(18,6)) AS dev
+           |  FROM daily d JOIN means m USING (event_type))
+           |SELECT event_type, day, n, CAST(dev AS DOUBLE) AS dev,
+           |       CAST(CAST(SUM(dev) OVER (PARTITION BY event_type ORDER BY day
+           |                                ROWS UNBOUNDED PRECEDING)
+           |            AS DECIMAL(18,6)) AS DOUBLE) AS cusum
+           |FROM devs ORDER BY event_type, day""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
-      q94, q97, q99, q100, q102, q107, q110, q112, q113)
+      q94, q97, q99, q100, q102, q107, q110, q112, q113, q117)
 }

@@ -247,4 +247,23 @@ class TemporalSpec extends SparkTestBase {
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(zero.agg(sum("n_cohort")).head().getLong(0) === users)
   }
+
+  test("q117 changepoint: cusum is the running sum of devs and ~0 at horizon") {
+    val df = TemporalOps.q117.build(spark, sf).cache()
+    // one row per (event_type, day) actually present in events
+    val pairs = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts div 1000000000) div 86400").as("day"))
+      .distinct().count()
+    assert(df.count() === pairs)
+    // per type: cusum telescopes (cusum_i - cusum_{i-1} = dev_i, first = dev)
+    df.collect().groupBy(_.getString(0)).foreach { case (_, rows) =>
+      var run = BigDecimal(0)
+      rows.sortBy(_.getLong(1)).foreach { r =>
+        run += BigDecimal(r.getDouble(3)).setScale(6)
+        assert(run.toDouble === r.getDouble(4))
+      }
+      // mean rounded to 6dp => |final cusum| <= 5e-7 * days
+      assert(math.abs(run.toDouble) <= 5e-7 * rows.size + 1e-9)
+    }
+  }
 }
