@@ -1322,7 +1322,181 @@ object AnalyticOps {
            |GROUP BY 1 ORDER BY decile""".stripMargin)
   )
 
+  /** Q118 — per-nation revenue trend via closed-form OLS: regress
+    * yearly order revenue on the year index and emit slope + intercept
+    * — the "is this market growing?" readout next to q111's drift and
+    * q117's changepoint. DuckDB's `regr_slope` is deliberately NOT
+    * used: its internal accumulation is floating-point and
+    * order-dependent; here every moment (n, Σx, Σx², Σy, Σxy) is an
+    * exact integer/decimal sum, so the fit itself hash-checks.
+    *
+    * Cross-engine exactness: x = year − min(year) keeps Σxy small
+    * enough that every decimal stays under 2^53 unscaled at (18,4)
+    * (uncentred years at sf0.1 would cross it); slope = one IEEE
+    * division of two exact-decimal-derived doubles; intercept reuses
+    * the slope double with the identical AST in both engines.
+    *
+    * Scale shape: fact-side shuffle join orders↔customer on custkey
+    * (co-partitioned at scale), broadcast nation + broadcast min-year
+    * scalar, then a (nation, year) combinable aggregate whose output
+    * is bounded by nations × horizon — the second aggregate is tiny.
+    */
+  val q118 = Query(
+    "q118_trend_ols",
+    (s, dir) => {
+      val y0 = Tables.orders(s, dir)
+        .agg(min(year(col("o_orderdate")).cast("long")).as("y0"))
+      val yearly = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .crossJoin(broadcast(y0))
+        .groupBy(col("n_name"),
+          (year(col("o_orderdate")).cast("long") - col("y0")).as("x"))
+        .agg(sum(Canon.dec(col("o_totalprice"))).cast("decimal(18,4)").as("y"))
+      yearly.groupBy("n_name")
+        .agg(count(lit(1)).as("n_years"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y")).cast("decimal(18,4)").as("sy"),
+          sum(col("y") * col("x")).cast("decimal(18,4)").as("sxy"))
+        .filter(col("n_years") >= 2)
+        .withColumn("num",
+          (col("n_years") * col("sxy") - col("sx") * col("sy"))
+            .cast("decimal(18,4)").cast("double"))
+        .withColumn("den",
+          (col("n_years") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("sum_rev", col("sy").cast("double"))
+        .withColumn("slope", col("num") / col("den"))
+        .withColumn("intercept",
+          (col("sum_rev") - col("slope") * col("sx").cast("double"))
+            / col("n_years").cast("double"))
+        .select("n_name", "n_years", "sum_rev", "slope", "intercept")
+        .orderBy("n_name")
+    },
+    Some("""WITH y0 AS (
+           |  SELECT MIN(CAST(year(o_orderdate) AS BIGINT)) AS y0 FROM orders),
+           |yearly AS (
+           |  SELECT n.n_name,
+           |         CAST(year(o.o_orderdate) AS BIGINT) - y0.y0 AS x,
+           |         CAST(round(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 4)
+           |              AS DECIMAL(18,4)) AS y
+           |  FROM orders o
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN nation n ON c.c_nationkey = n.n_nationkey, y0
+           |  GROUP BY 1, 2),
+           |sums AS (
+           |  SELECT n_name, COUNT(*) AS n_years,
+           |         CAST(SUM(x) AS BIGINT) AS sx,
+           |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+           |         CAST(round(SUM(y), 4) AS DECIMAL(18,4)) AS sy,
+           |         CAST(round(SUM(y * x), 4) AS DECIMAL(18,4)) AS sxy
+           |  FROM yearly GROUP BY 1 HAVING COUNT(*) >= 2),
+           |fit AS (
+           |  SELECT n_name, n_years, sx, sy,
+           |         CAST(CAST(round(n_years * sxy - sx * sy, 4) AS DECIMAL(18,4))
+           |              AS DOUBLE) AS num,
+           |         CAST(n_years * sxx - sx * sx AS DOUBLE) AS den
+           |  FROM sums)
+           |SELECT n_name, n_years, CAST(sy AS DOUBLE) AS sum_rev,
+           |       num / den AS slope,
+           |       (CAST(sy AS DOUBLE) - (num / den) * CAST(sx AS DOUBLE))
+           |         / CAST(n_years AS DOUBLE) AS intercept
+           |FROM fit ORDER BY n_name""".stripMargin)
+  )
+
+  /** Q120 — column profiler over the document corpus: for each profiled
+    * column, row/null/distinct counts, the modal value, and the Shannon
+    * entropy of the value distribution — the data-quality summary every
+    * ingestion pipeline materializes before training (a lang column
+    * collapsing to one value, or an entropy spike in `source`, is a
+    * feed bug caught here).
+    *
+    * Cross-engine exactness — **fixed-point entropy** (the q103
+    * integer-PageRank trick applied to −Σp·ln p): per value,
+    * L(c) = round(ln(c)·10⁶) as BIGINT micro-nats (one libm ln + one
+    * multiply + one round, identical in both engines; ln(c) ≥ 0 so
+    * HALF_UP and half-away-from-zero agree), then
+    * S = Σ c·L(c) is an exact order-free integer sum and
+    * entropy = (n·L(n) − S) / (n·10⁶) with exactly two IEEE boundary
+    * ops. A double Σp·ln p would be summation-order-dependent across
+    * engines; this is not. Headroom: c·L(c) < 2⁶³ up to ~10¹¹ rows;
+    * beyond that drop the scale to 10⁵.
+    *
+    * Scale shape: one `stack` pass over the corpus (no per-column
+    * rescans), a combinable (column, value) count, then bounded
+    * per-column rollups; the mode window partitions by column over the
+    * already-aggregated frequency table.
+    */
+  val q120 = Query(
+    "q120_profile",
+    (s, dir) => {
+      val stacked = Tables.documents(s, dir)
+        .select(expr("stack(3, 'lang', CAST(lang AS STRING), " +
+          "'source', CAST(source AS STRING), " +
+          "'n_chars', CAST(n_chars AS STRING)) AS (col_name, val)"))
+        .filter(col("val").isNotNull)
+      val freq = stacked.groupBy("col_name", "val")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("lc",
+          round(log(col("c").cast("double")) * lit(1e6), 0).cast("long"))
+      val aggd = freq.groupBy("col_name")
+        .agg(sum(col("c")).as("n_vals"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("lc")).as("s_fp"))
+      val w = Window.partitionBy("col_name")
+        .orderBy(col("c").desc, col("val").asc)
+      val mode = freq.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("col_name"), col("val").as("mode"), col("c").as("n_mode"))
+      val tot = Tables.documents(s, dir).agg(count(lit(1)).as("n_total"))
+      aggd.join(mode, "col_name").crossJoin(broadcast(tot))
+        .withColumn("n_nulls", col("n_total") - col("n_vals"))
+        .withColumn("entropy",
+          (col("n_vals") *
+            round(log(col("n_vals").cast("double")) * lit(1e6), 0).cast("long")
+            - col("s_fp")).cast("double")
+            / (col("n_vals").cast("double") * lit(1e6)))
+        .select("col_name", "n_vals", "n_nulls", "n_distinct",
+          "mode", "n_mode", "entropy")
+        .orderBy("col_name")
+    },
+    Some("""WITH stacked AS (
+           |  SELECT col_name, val FROM (
+           |    SELECT CAST(lang AS VARCHAR) AS lang,
+           |           CAST(source AS VARCHAR) AS source,
+           |           CAST(n_chars AS VARCHAR) AS n_chars
+           |    FROM documents)
+           |  UNPIVOT (val FOR col_name IN (lang, source, n_chars))
+           |  WHERE val IS NOT NULL),
+           |freq AS (
+           |  SELECT col_name, val, COUNT(*) AS c,
+           |         CAST(round(ln(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS lc
+           |  FROM stacked GROUP BY 1, 2),
+           |aggd AS (
+           |  SELECT col_name, CAST(SUM(c) AS BIGINT) AS n_vals,
+           |         COUNT(*) AS n_distinct,
+           |         CAST(SUM(c * lc) AS BIGINT) AS s_fp
+           |  FROM freq GROUP BY 1),
+           |md AS (
+           |  SELECT col_name, val AS mode, c AS n_mode
+           |  FROM freq
+           |  QUALIFY row_number() OVER (PARTITION BY col_name
+           |                             ORDER BY c DESC, val ASC) = 1),
+           |tot AS (SELECT COUNT(*) AS n_total FROM documents)
+           |SELECT a.col_name, a.n_vals, t.n_total - a.n_vals AS n_nulls,
+           |       a.n_distinct, m.mode, m.n_mode,
+           |       CAST(a.n_vals
+           |              * CAST(round(ln(CAST(a.n_vals AS DOUBLE)) * 1e6) AS BIGINT)
+           |            - a.s_fp AS DOUBLE)
+           |         / (CAST(a.n_vals AS DOUBLE) * 1e6) AS entropy
+           |FROM aggd a JOIN md m USING (col_name), tot t
+           |ORDER BY col_name""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
-    q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115)
+    q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
+    q118, q120)
 }

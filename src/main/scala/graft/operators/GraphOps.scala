@@ -98,5 +98,88 @@ object GraphOps {
             |FROM r3 ORDER BY doc_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q103)
+  /** Q119 — exact triangle count + global clustering coefficient over
+    * the q103 link graph: the classic "how cliquish is this graph"
+    * statistic (spam/link-farm detection on a web corpus; community
+    * density on an interaction graph). Uses the same deterministic
+    * edge synthesis as q103 so the two graph queries describe one
+    * graph.
+    *
+    * Algorithm: undirected simple edges oriented by id (a < b), then
+    * the standard two-join wedge→closure count: (a,b)⋈(b,c) forms the
+    * wedge, a semi-check against (a,c) closes it. Orientation makes
+    * each triangle count exactly once. Wedge denominator Σ d(d−1)/2
+    * from exact integer degrees; clustering = 3T/W is the single IEEE
+    * division at the boundary.
+    *
+    * Scale shape: the id-orientation is the textbook formulation; at
+    * real web scale the join key should be the LOWER-DEGREE endpoint
+    * (degree orientation bounds wedge fan-out by O(m^1.5) regardless
+    * of skew — a celebrity node under id-orientation would explode the
+    * wedge join). This graph's degrees are bounded (~4) by
+    * construction, so the simpler formulation keeps the oracle
+    * expressible; the degree-oriented variant drops in by replacing
+    * `least/greatest` with a (degree, id) lexicographic orientation.
+    */
+  val q119 = Query(
+    "q119_triangles",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val withN = docs.crossJoin(broadcast(n))
+      val dirE = withN
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 17) % col("n_docs")).as("dst"))
+        .union(withN
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * col("doc_id") * 7 + 3) % col("n_docs")).as("dst")))
+      val e = dirE.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(
+        sum(expr("d * (d - 1) DIV 2")).cast("long").as("n_wedges"))
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      n.crossJoin(ne).crossJoin(wedges).crossJoin(tri)
+        .withColumn("clustering",
+          lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"))
+        .select(col("n_docs").as("n_nodes"), col("n_edges"),
+          col("n_wedges"), col("n_triangles"), col("clustering"))
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |dir AS (
+           |  SELECT doc_id AS src, (doc_id * 31 + 17) % n_docs AS dst
+           |  FROM documents, n
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * doc_id * 7 + 3) % n_docs
+           |  FROM documents, n),
+           |e AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM dir WHERE src <> dst),
+           |deg AS (
+           |  SELECT v, COUNT(*) AS d
+           |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+           |  GROUP BY v),
+           |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+           |tri AS (
+           |  SELECT COUNT(*) AS n_triangles
+           |  FROM e e1
+           |  JOIN e e2 ON e1.b = e2.a
+           |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |ne AS (SELECT COUNT(*) AS n_edges FROM e)
+           |SELECT n.n_docs AS n_nodes, ne.n_edges, w.n_wedges, tri.n_triangles,
+           |       3.0 * CAST(tri.n_triangles AS DOUBLE)
+           |         / CAST(w.n_wedges AS DOUBLE) AS clustering
+           |FROM n, ne, w, tri""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q103, q119)
 }

@@ -306,4 +306,56 @@ class AnalyticSpec extends SparkTestBase {
     assert(m("lineitem_qty_range") === 1.0)
     assert(m("lineitem_fk_orders") === 0.0)
   }
+
+  test("q118 OLS: slope/intercept match a driver-side exact fit per nation") {
+    val df = AnalyticOps.q118.build(spark, sf).cache()
+    assert(df.count() > 0)
+    // recompute yearly revenue per nation on the driver
+    val y0 = Tables.orders(spark, sf)
+      .agg(min(year(col("o_orderdate")).cast("long"))).head().getLong(0)
+    val yearly = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf).select("n_nationkey", "n_name"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), (year(col("o_orderdate")).cast("long") - y0).as("x"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("y"))
+      .collect().groupBy(_.getString(0))
+    df.collect().foreach { r =>
+      val pts = yearly(r.getString(0))
+        .map(p => (p.getLong(1), p.getDecimal(2)))
+      val n = pts.length.toDouble
+      assert(r.getLong(1) === pts.length)
+      val sx = pts.map(_._1).sum.toDouble
+      val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+      val sy = pts.map(_._2.doubleValue()).sum
+      val sxy = pts.map(p => p._2.doubleValue() * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getDouble(3) - slope) <= 1e-6 * math.abs(slope) + 1e-6)
+      val intercept = (sy - slope * sx) / n
+      assert(math.abs(r.getDouble(4) - intercept) <=
+        1e-6 * math.abs(intercept) + 1e-6)
+    }
+  }
+
+  test("q120 profile: counts reconcile, entropy bounded, mode is the max") {
+    val df = AnalyticOps.q120.build(spark, sf).cache()
+    assert(df.count() === 3)
+    val total = Tables.documents(spark, sf).count()
+    df.collect().foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === total)
+      // 0 <= H <= ln(n_distinct) (+ fixed-point slack)
+      assert(r.getDouble(6) >= -1e-6)
+      assert(r.getDouble(6) <= math.log(r.getLong(3).toDouble) + 1e-6)
+    }
+    // lang mode really is the most frequent lang (count checked too)
+    val langRow = df.filter(col("col_name") === "lang").head()
+    val top = Tables.documents(spark, sf).groupBy("lang").count()
+      .orderBy(col("count").desc, col("lang").asc).head()
+    assert(langRow.getString(4) === top.getString(0))
+    assert(langRow.getLong(5) === top.getLong(1))
+    // n_chars column: near-unique values => entropy close to ln(n_distinct)
+    val nc = df.filter(col("col_name") === "n_chars").head()
+    assert(nc.getLong(3) > 1)
+  }
 }

@@ -23,4 +23,27 @@ class GraphSpec extends SparkTestBase {
     val again = GraphOps.q103.build(spark, sf).collect()
     assert(df.collect().map(_.getLong(1)).sameElements(again.map(_.getLong(1))))
   }
+
+  test("q119 triangles: matches a driver-side brute force on the same graph") {
+    val row = GraphOps.q119.build(spark, sf).head()
+    val n = Tables.documents(spark, sf).count()
+    assert(row.getLong(0) === n)
+    // rebuild the graph on the driver (sf0.001: ~1k edges)
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val edges = ids.flatMap { id =>
+      Seq((id, (id * 31 + 17) % n), (id, (id * id * 7 + 3) % n))
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(row.getLong(1) === edges.size)
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(row.getLong(2) === wedges)
+    val tris = edges.toSeq.map { case (a, b) =>
+      adj(a).count(c => c > b && edges.contains((b, c))).toLong
+    }.sum
+    assert(row.getLong(3) === tris)
+    assert(row.getDouble(4) === 3.0 * tris / wedges)
+  }
 }
