@@ -1495,8 +1495,56 @@ object AnalyticOps {
            |ORDER BY col_name""".stripMargin)
   )
 
+  /** Q123 — Benford's-law audit over order totals: the
+    * first-significant-digit distribution vs the log₁₀(1+1/d)
+    * expectation — the forensic-accounting screen for fabricated or
+    * truncated monetary data (a feed that clamps or synthesizes prices
+    * shows up as a digit-1 deficit long before any mean shifts).
+    *
+    * Cross-engine exactness: the digit comes from the CENTS integer
+    * (round(x·100) → BIGINT → first character of the integer's decimal
+    * rendering — integer-to-string is identical across engines,
+    * double-to-string is NOT, and floor(x/10^floor(log10 x)) is
+    * boundary-fragile at powers of ten). The Benford expectation is
+    * log₁₀ under the q53 6dp libm rule; freq and deviation are raw
+    * single-op IEEE arithmetic with identical ASTs.
+    *
+    * Scale shape: one map-side digit extraction + a 9-bucket
+    * combinable count; the total is a broadcast scalar.
+    */
+  val q123 = Query(
+    "q123_benford",
+    (s, dir) => {
+      val digits = Tables.orders(s, dir)
+        .select(substring(
+          round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("n_total"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("freq", col("n").cast("double") / col("n_total").cast("double"))
+        .withColumn("expected",
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+        .withColumn("dev", col("freq") - col("expected"))
+        .select("digit", "n", "freq", "expected", "dev")
+        .orderBy("digit")
+    },
+    Some("""WITH digits AS (
+           |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+           |                     AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           |         COUNT(*) AS n
+           |  FROM orders GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM digits)
+           |SELECT digit, n,
+           |       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS freq,
+           |       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected,
+           |       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+           |         - round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS dev
+           |FROM digits, tot ORDER BY digit""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
-    q118, q120)
+    q118, q120, q123)
 }

@@ -181,5 +181,82 @@ object GraphOps {
            |FROM n, ne, w, tri""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q103, q119)
+  /** Q121 — hierarchy flattening: enumerate every (node, ancestor)
+    * pair of a parent tree and emit per-node depth and subtree size —
+    * the org-chart / category-taxonomy / thread-reply rollup a
+    * warehouse answers with a recursive CTE. The fixture has no parent
+    * column, so the tree is synthesized deterministically as the
+    * binary-heap shape parent(v) = (v−1) div 2 over the dense doc_id
+    * space (depth ~log₂N, so the iterative algorithm genuinely runs
+    * multiple rounds at every SF).
+    *
+    * Algorithm — **transitive closure by repeated squaring**: A₁ =
+    * parent edges; A₂ₖ = Aₖ ∪ (Aₖ ⋈ Aₖ); ceil(log₂ depth) rounds
+    * (5 at sf0.1) instead of the depth-many rounds of naive one-step
+    * walking — the same O(log) round-complexity argument as q66's
+    * pointer-jumping, here producing the full pair set rather than
+    * just the root label. All integer arithmetic; the oracle is
+    * DuckDB's WITH RECURSIVE over the same synthesis, so the
+    * hash-check proves an iterative Spark loop equals a recursive SQL
+    * evaluation.
+    *
+    * Scale shape: each round is one self-equi-join keyed on the
+    * ancestor column + a distinct; pair volume is Σdepth(v) =
+    * O(N log N) for balanced trees. Round count derives from the node
+    * count (one scalar), not from collected data. For skewed (deep
+    * path) hierarchies the same loop runs ceil(log₂ d) rounds — no
+    * replan needed.
+    */
+  val q121 = Query(
+    "q121_tree_flatten",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val nDocs = docs.count()
+      // balanced-tree depth bound; +1 slack covers the off-by-one edge
+      val rounds = math.max(1,
+        math.ceil(math.log(math.log(nDocs.toDouble + 1) / math.log(2.0) + 1)
+          / math.log(2.0)).toInt + 1)
+      var pairs = docs.filter(col("doc_id") > 0)
+        .select(col("doc_id").as("v"),
+          expr("(doc_id - 1) DIV 2").as("a"))
+      for (_ <- 1 to rounds) {
+        val squared = pairs.as("p").join(
+            pairs.as("q"), col("p.a") === col("q.v"))
+          .select(col("p.v").as("v"), col("q.a").as("a"))
+        pairs = pairs.union(squared).distinct().localCheckpoint()
+      }
+      val depth = docs.join(
+          pairs.groupBy("v").agg(count(lit(1)).as("depth")),
+          docs("doc_id") === col("v"), "left")
+        .select(col("doc_id"), coalesce(col("depth"), lit(0L)).as("depth"))
+      val subtree = docs.join(
+          pairs.groupBy("a").agg(count(lit(1)).as("n_desc")),
+          docs("doc_id") === col("a"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("n_desc"), lit(0L)) + 1).as("subtree_size"))
+      depth.join(subtree, "doc_id")
+        .select("doc_id", "depth", "subtree_size")
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE anc(v, a) AS (
+           |  SELECT doc_id, (doc_id - 1) // 2 FROM documents WHERE doc_id > 0
+           |  UNION ALL
+           |  SELECT v, (a - 1) // 2 FROM anc WHERE a > 0),
+           |depth AS (
+           |  SELECT d.doc_id, COALESCE(c.n, 0) AS depth
+           |  FROM documents d LEFT JOIN
+           |    (SELECT v, COUNT(*) AS n FROM anc GROUP BY v) c
+           |    ON d.doc_id = c.v),
+           |subtree AS (
+           |  SELECT d.doc_id, COALESCE(c.n, 0) + 1 AS subtree_size
+           |  FROM documents d LEFT JOIN
+           |    (SELECT a, COUNT(*) AS n FROM anc GROUP BY a) c
+           |    ON d.doc_id = c.a)
+           |SELECT doc_id, CAST(depth AS BIGINT) AS depth,
+           |       CAST(subtree_size AS BIGINT) AS subtree_size
+           |FROM depth JOIN subtree USING (doc_id)
+           |ORDER BY doc_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q103, q119, q121)
 }

@@ -1016,7 +1016,92 @@ object TemporalOps {
            |FROM devs ORDER BY event_type, day""".stripMargin)
   )
 
+  /** Q122 — marketing attribution: credit each purchase to the channel
+    * of the user's LAST touch (view/click) strictly before it, and —
+    * in the same pass — to the FIRST touch ever (the two bookend
+    * models every attribution report starts with). The fixture has no
+    * channel column, so one is synthesized deterministically from the
+    * touch event's id via [[Canon.md5Residue]] (the engine's one
+    * portable hash — the assignment a real platform would persist).
+    *
+    * Semantics: per user, events ordered by (second, event_id); the
+    * attributed touch is carried by `last/first(..., ignoreNulls)`
+    * over a `[unboundedPreceding, -1]` frame — "strictly before" falls
+    * out of the frame bound, not a self-join. Purchases with no prior
+    * touch land in the explicit 'unattributed' bucket (dropping them
+    * silently is the classic attribution-report bug).
+    *
+    * Cross-engine exactness: revenue through exact decimal; counts are
+    * integers; the only doubles are Canon.outD boundary casts.
+    *
+    * Scale shape: one shuffle on user_id for the window, then a tiny
+    * (model, channel) rollup; no join against the touch stream — the
+    * window carries the needed state, which is how a 100 TB event log
+    * avoids a purchase×touch blow-up.
+    */
+  val q122 = Query(
+    "q122_attribution",
+    (s, dir) => {
+      val ev = eventsTss(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("es"), col("value"))
+        .withColumn("channel",
+          when(!col("event_type").isin("view", "click"), lit(null))
+            .otherwise(element_at(
+              array(lit("direct"), lit("email"), lit("search"), lit("social")),
+              (md5Residue(col("event_id").cast("string"), 4) + 1).cast("int"))))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("es").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val attributed = ev
+        .withColumn("last_ch", last(col("channel"), ignoreNulls = true).over(w))
+        .withColumn("first_ch", first(col("channel"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+      def rollup(chCol: String, model: String): DataFrame =
+        attributed.groupBy(
+            coalesce(col(chCol), lit("unattributed")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            dsum(col("value")).as("revenue"))
+          .withColumn("model", lit(model))
+      rollup("last_ch", "last_touch").union(rollup("first_ch", "first_touch"))
+        .select("model", "channel", "n_purchases", "revenue")
+        .orderBy("model", "channel")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type, event_id,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+           |         value,
+           |         CASE WHEN event_type IN ('view', 'click') THEN
+           |           ['direct', 'email', 'search', 'social'][
+           |             CAST(CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+           |                  AS BIGINT) % 4 + 1 AS INT)]
+           |         END AS channel
+           |  FROM events),
+           |att AS (
+           |  SELECT *,
+           |         last_value(channel IGNORE NULLS) OVER (
+           |           PARTITION BY user_id ORDER BY es, event_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ch,
+           |         first_value(channel IGNORE NULLS) OVER (
+           |           PARTITION BY user_id ORDER BY es, event_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_ch
+           |  FROM ev),
+           |pur AS (SELECT * FROM att WHERE event_type = 'purchase')
+           |SELECT 'last_touch' AS model,
+           |       COALESCE(last_ch, 'unattributed') AS channel,
+           |       COUNT(*) AS n_purchases,
+           |       CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 4)
+           |            AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+           |FROM pur GROUP BY 2
+           |UNION ALL
+           |SELECT 'first_touch', COALESCE(first_ch, 'unattributed'), COUNT(*),
+           |       CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 4)
+           |            AS DECIMAL(18,4)) AS DOUBLE)
+           |FROM pur GROUP BY 2
+           |ORDER BY model, channel""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
-      q94, q97, q99, q100, q102, q107, q110, q112, q113, q117)
+      q94, q97, q99, q100, q102, q107, q110, q112, q113, q117, q122)
 }

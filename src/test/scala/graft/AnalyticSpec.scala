@@ -358,4 +358,17 @@ class AnalyticSpec extends SparkTestBase {
     val nc = df.filter(col("col_name") === "n_chars").head()
     assert(nc.getLong(3) > 1)
   }
+
+  test("q123 benford: digit counts partition the orders, freqs sum to 1") {
+    val df = AnalyticOps.q123.build(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 9))
+    assert(rows.map(_.getLong(1)).sum === Tables.orders(spark, sf).count())
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    // expected column is the Benford pmf (sums to 1 up to 6dp rounding)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-5)
+    // dev = freq - expected, re-derivable
+    assert(rows.forall(r =>
+      math.abs(r.getDouble(4) - (r.getDouble(2) - r.getDouble(3))) < 1e-15))
+  }
 }

@@ -46,4 +46,23 @@ class GraphSpec extends SparkTestBase {
     assert(row.getLong(3) === tris)
     assert(row.getDouble(4) === 3.0 * tris / wedges)
   }
+
+  test("q121 tree flatten: heap depths analytic, subtree sizes reconcile") {
+    val df = GraphOps.q121.build(spark, sf).cache()
+    val n = Tables.documents(spark, sf).count()
+    assert(df.count() === n)
+    // binary-heap tree: depth(v) = floor(log2(v+1)) exactly
+    val bad = df.collect().count { r =>
+      val v = r.getLong(0)
+      r.getLong(1) != (63 - java.lang.Long.numberOfLeadingZeros(v + 1)).toLong
+    }
+    assert(bad === 0)
+    // the root's subtree is the whole tree; leaves have subtree 1
+    assert(df.filter(col("doc_id") === 0).head().getLong(2) === n)
+    assert(df.filter(col("subtree_size") === 1).count() === (n + 1) / 2)
+    // sum of subtree sizes = sum of (depth + 1) (each node counted once
+    // per ancestor-or-self)
+    val sums = df.agg(sum("subtree_size"), sum("depth")).head()
+    assert(sums.getLong(0) === sums.getLong(1) + n)
+  }
 }

@@ -266,4 +266,38 @@ class TemporalSpec extends SparkTestBase {
       assert(math.abs(run.toDouble) <= 5e-7 * rows.size + 1e-9)
     }
   }
+
+  test("q122 attribution: purchases and revenue conserved per model") {
+    val df = TemporalOps.q122.build(spark, sf).cache()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+    val nP = purchases.count()
+    val rev = purchases
+      .agg(sum(col("value").cast("decimal(18,4)"))).head().getDecimal(0)
+    Seq("last_touch", "first_touch").foreach { m =>
+      val part = df.filter(col("model") === m)
+      assert(part.agg(sum("n_purchases")).head().getLong(0) === nP, m)
+      val got = part.agg(sum("revenue")).head().getDouble(0)
+      assert(math.abs(got - rev.doubleValue()) < 1e-4, m)
+    }
+    // channels are only the four synthesized ones + the explicit bucket
+    val chans = df.select("channel").distinct().collect().map(_.getString(0)).toSet
+    assert(chans.subsetOf(
+      Set("direct", "email", "search", "social", "unattributed")))
+    // an unattributed purchase really has no prior view/click
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("es"), col("event_id"))
+    val firstTouch = ev.filter(col("event_type").isin("view", "click"))
+      .groupBy("user_id").agg(min(struct(col("es"), col("event_id"))).as("t"))
+    val pNoTouch = ev.filter(col("event_type") === "purchase")
+      .join(firstTouch, Seq("user_id"), "left")
+      .filter(col("t").isNull ||
+        struct(col("es"), col("event_id")) <= col("t"))
+      .count()
+    val unatt = df.filter(col("model") === "last_touch" &&
+      col("channel") === "unattributed")
+      .agg(sum("n_purchases")).head()
+    assert((if (unatt.isNullAt(0)) 0L else unatt.getLong(0)) === pNoTouch)
+  }
 }
