@@ -977,7 +977,174 @@ object TextOps {
     None
   )
 
+  /** Q125 — BM25 retrieval scoring: score every document against the
+    * corpus's own top-3 tokens (a deterministic, data-derived query —
+    * no hardcoded vocabulary) and emit the top-50 hits. This is the
+    * ranked-retrieval step a training-data pipeline runs for targeted
+    * corpus slicing ("pull documents about X"), one level up from
+    * q73's inverted index and q54's raw TF-IDF.
+    *
+    * Cross-engine exactness: idf = round(ln(1+(N−df+0.5)/(df+0.5)), 6)
+    * under the q53 libm rule; each per-term contribution is a fixed
+    * mirrored IEEE AST, then clamped to DECIMAL(18,6) so the per-doc
+    * SUM over terms is order-free; ranking orders by the exact decimal
+    * score with a doc_id tiebreak.
+    *
+    * Scale shape: the query-term set is top-3 (broadcast); tf comes
+    * from a semi-joined token scan, doc length from a combinable
+    * count; nothing keyed wider than doc_id. At 100 TB the same plan
+    * holds with the query terms as a broadcast list of any bounded
+    * size.
+    */
+  val q125 = Query(
+    "q125_bm25",
+    (s, dir) => {
+      val toks = tokensWithPos(Tables.documents(s, dir))
+        .select(col("doc_id"), col("tok"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val nAvg = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+          .as("avgdl"))
+      val wTop = Window.orderBy(col("cnt").desc, col("tok").asc)
+      val qterms = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+        .select("tok")
+      val dfreq = toks.join(broadcast(qterms), "tok")
+        .groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      val tf = toks.join(broadcast(qterms), "tok")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(dl, "doc_id")
+        .join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(nAvg))
+        .withColumn("idf",
+          round(log(lit(1.0) +
+            (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+              / (col("df").cast("double") + lit(0.5))), 6))
+        .withColumn("contrib",
+          col("idf") * ((col("tf").cast("double") * lit(2.2))
+            / (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) + lit(0.75) *
+                (col("dl").cast("double") / col("avgdl"))))))
+        .groupBy("doc_id")
+        .agg(sum(round(col("contrib"), 6).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("score_dec"))
+      val wR = Window.orderBy(col("score_dec").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(wR).cast("long"))
+        .filter(col("rank") <= 50)
+        .select(col("rank"), col("doc_id"),
+          col("score_dec").cast("double").as("score"))
+        .orderBy("rank")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, tok
+           |  FROM (SELECT doc_id,
+           |               unnest(string_split_regex(lower(text), '\s+')) AS tok
+           |        FROM documents)
+           |  WHERE tok <> ''),
+           |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+           |navg AS (
+           |  SELECT COUNT(*) AS n_docs,
+           |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           |  FROM dl),
+           |qterms AS (
+           |  SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
+           |  QUALIFY row_number() OVER (ORDER BY cnt DESC, tok ASC) <= 3),
+           |dfreq AS (
+           |  SELECT tok, COUNT(DISTINCT doc_id) AS df
+           |  FROM toks SEMI JOIN qterms USING (tok) GROUP BY 1),
+           |tf AS (
+           |  SELECT doc_id, tok, COUNT(*) AS tf
+           |  FROM toks SEMI JOIN qterms USING (tok) GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT t.doc_id,
+           |         CAST(SUM(CAST(round(
+           |           round(ln(1.0 + (CAST(n.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+           |                          / (CAST(f.df AS DOUBLE) + 0.5)), 6)
+           |           * ((CAST(t.tf AS DOUBLE) * 2.2)
+           |              / (CAST(t.tf AS DOUBLE)
+           |                 + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / n.avgdl)))), 6)
+           |           AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS score_dec
+           |  FROM tf t JOIN dl d USING (doc_id) JOIN dfreq f USING (tok), navg n
+           |  GROUP BY 1)
+           |SELECT CAST(row_number() OVER (ORDER BY score_dec DESC, doc_id ASC)
+           |            AS BIGINT) AS rank,
+           |       doc_id, CAST(score_dec AS DOUBLE) AS score
+           |FROM scored
+           |QUALIFY row_number() OVER (ORDER BY score_dec DESC, doc_id ASC) <= 50
+           |ORDER BY rank""".stripMargin)
+  )
+
+  /** Q126 — the hashing trick (feature hashing): project each
+    * document's categorical features (lang, source, their cross, and a
+    * length bucket) into a fixed 64-bucket signed sparse vector — the
+    * constant-memory featurizer for training linear/NN models over
+    * unbounded vocabularies (no fitted dictionary to ship; the hash IS
+    * the schema). Collisions resolve by signed summation, which is
+    * what keeps the estimator unbiased.
+    *
+    * Cross-engine exactness: bucket and sign both come from
+    * [[graft.Canon.md5Residue]] (namespaced `i#`/`s#` keys so index
+    * and sign hashes are independent); the vector is rendered as the
+    * canonical sorted `idx:weight` string (the q43 array-as-string
+    * oracle convention — zero-padded so lexicographic = numeric
+    * order).
+    *
+    * Scale shape: pure map-side feature explode + a (doc_id, idx)
+    * combinable sum + one per-doc sorted-set aggregation bounded by 4
+    * features; no shuffle wider than doc_id.
+    */
+  val q126 = Query(
+    "q126_feature_hash",
+    (s, dir) => {
+      val feats = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("stack(4, " +
+            "concat('lang=', lang), " +
+            "concat('src=', source), " +
+            "concat('x=', lang, '|', source), " +
+            "concat('len=', CAST(n_chars DIV 500 AS STRING))) AS (feat)"))
+      val hashed = feats
+        .withColumn("idx", graft.Canon.md5Residue(concat(lit("i#"), col("feat")), 64))
+        .withColumn("sign",
+          (lit(1) - lit(2) * graft.Canon.md5Residue(concat(lit("s#"), col("feat")), 2))
+            .cast("long"))
+      hashed.groupBy("doc_id", "idx").agg(sum(col("sign")).as("wt"))
+        .filter(col("wt") =!= 0)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"),
+          array_join(array_sort(collect_list(
+            concat(lpad(col("idx").cast("string"), 2, "0"), lit(":"),
+              col("wt").cast("string")))), ",").as("vec"))
+        .select("doc_id", "nnz", "vec")
+        .orderBy("doc_id")
+    },
+    Some("""WITH feats AS (
+           |  SELECT doc_id, unnest([
+           |    concat('lang=', lang),
+           |    concat('src=', source),
+           |    concat('x=', lang, '|', source),
+           |    concat('len=', CAST(n_chars // 500 AS VARCHAR))]) AS feat
+           |  FROM documents),
+           |hashed AS (
+           |  SELECT doc_id,
+           |         CAST(concat('0x', substr(md5(concat('i#', feat)), 1, 15))
+           |              AS BIGINT) % 64 AS idx,
+           |         1 - 2 * (CAST(concat('0x', substr(md5(concat('s#', feat)), 1, 15))
+           |                       AS BIGINT) % 2) AS sign
+           |  FROM feats),
+           |sparse AS (
+           |  SELECT doc_id, idx, CAST(SUM(sign) AS BIGINT) AS wt
+           |  FROM hashed GROUP BY 1, 2 HAVING SUM(sign) <> 0)
+           |SELECT doc_id, COUNT(*) AS nnz,
+           |       string_agg(concat(lpad(CAST(idx AS VARCHAR), 2, '0'), ':',
+           |                         CAST(wt AS VARCHAR)), ','
+           |                  ORDER BY lpad(CAST(idx AS VARCHAR), 2, '0') || ':' ||
+           |                           CAST(wt AS VARCHAR)) AS vec
+           |FROM sparse GROUP BY 1
+           |ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
-      q80, q81, q85, q86, q93, q95, q106)
+      q80, q81, q85, q86, q93, q95, q106, q125, q126)
 }

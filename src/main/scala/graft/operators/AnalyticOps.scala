@@ -1543,8 +1543,61 @@ object AnalyticOps {
            |FROM digits, tot ORDER BY digit""".stripMargin)
   )
 
+  /** Q124 — skyline (Pareto frontier) over customers maximizing
+    * (best single-order value, order count): the "best under multiple criteria
+    * with no weighting" operator (top suppliers by cost AND lead time,
+    * model configs by quality AND latency). A point survives iff no
+    * other point is ≥ in both dimensions and > in one.
+    *
+    * Algorithm — sort-based 2D skyline, NOT the naive all-pairs
+    * dominance join: collapse to the max order-count per distinct
+    * spend, take a running max over strictly-greater spends (one
+    * ordered window over the DISTINCT-spend relation, which is tiny
+    * after the groupBy), and a point survives iff it beats that
+    * running max and matches its own spend-group max. O(n log n) vs
+    * the quadratic self-join; the DuckDB oracle IS the quadratic
+    * NOT-EXISTS dominance definition, so the hash-check proves the
+    * window formulation equals the textbook semantics on a different
+    * algorithm entirely.
+    *
+    * Cross-engine exactness: spend through exact decimal (the window
+    * orders by the decimal, not the double); counts integral; outD at
+    * the boundary.
+    */
+  val q124 = Query(
+    "q124_skyline",
+    (s, dir) => {
+      val pts = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(Canon.dec(col("o_totalprice"))).as("spend_dec"),
+          count(lit(1)).as("n_orders"))
+      val perS = pts.groupBy("spend_dec").agg(max(col("n_orders")).as("g"))
+      val w = Window.orderBy(col("spend_dec").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withPrev = perS.withColumn("prevmax", max(col("g")).over(w))
+      pts.join(withPrev, "spend_dec")
+        .filter((col("prevmax").isNull || col("prevmax") < col("n_orders")) &&
+          col("n_orders") === col("g"))
+        .select(col("o_custkey"), Canon.outD(col("spend_dec")).as("best_order"),
+          col("n_orders"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH pts AS (
+           |  SELECT o_custkey,
+           |         MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS spend_dec,
+           |         COUNT(*) AS n_orders
+           |  FROM orders GROUP BY 1)
+           |SELECT p.o_custkey, CAST(p.spend_dec AS DOUBLE) AS best_order, p.n_orders
+           |FROM pts p
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM pts q
+           |  WHERE q.spend_dec >= p.spend_dec AND q.n_orders >= p.n_orders
+           |    AND (q.spend_dec > p.spend_dec OR q.n_orders > p.n_orders))
+           |ORDER BY p.o_custkey""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
-    q118, q120, q123)
+    q118, q120, q123, q124)
 }

@@ -371,4 +371,23 @@ class AnalyticSpec extends SparkTestBase {
     assert(rows.forall(r =>
       math.abs(r.getDouble(4) - (r.getDouble(2) - r.getDouble(3))) < 1e-15))
   }
+
+  test("q124 skyline: equals the brute-force dominance frontier") {
+    val df = AnalyticOps.q124.build(spark, sf).cache()
+    val pts = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(max(col("o_totalprice").cast("decimal(18,4)")).as("mx"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1), r.getLong(2)))
+    val sky = pts.filter { case (_, mx, n) =>
+      !pts.exists { case (_, qm, qn) =>
+        qm.compareTo(mx) >= 0 && qn >= n &&
+          (qm.compareTo(mx) > 0 || qn > n)
+      }
+    }.map(_._1).toSet
+    assert(df.collect().map(_.getLong(0)).toSet === sky)
+    // frontier is an anti-chain: sorted by best_order desc, counts never fall
+    // (equal only for exact (best_order, n) ties, which both survive)
+    val ordered = df.orderBy(col("best_order").desc).collect().map(_.getLong(2))
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+  }
 }

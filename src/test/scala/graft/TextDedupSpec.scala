@@ -321,4 +321,42 @@ class TextDedupSpec extends SparkTestBase {
       assert(verdict(b) === !expectDrop, s"vec $b verdict mismatch")
     }
   }
+
+  test("q125 bm25: 50 ranked hits, scores descending, hits contain a query term") {
+    val df = TextOps.q125.build(spark, sf).cache()
+    assert(df.count() === 50)
+    val rows = df.orderBy("rank").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 50L))
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0))
+    // the corpus's top-3 tokens really appear in the top hit
+    val top3 = TextOps.tokensWithPos(Tables.documents(spark, sf))
+      .groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok").asc)
+      .limit(3).collect().map(_.getString(0)).toSet
+    val topDoc = Tables.documents(spark, sf)
+      .filter(col("doc_id") === rows.head.getLong(1))
+      .head().getAs[String]("text").toLowerCase.split("\\s+").toSet
+    assert(top3.exists(topDoc.contains))
+  }
+
+  test("q126 feature hash: one vector per doc, deterministic by feature triple") {
+    val df = TextOps.q126.build(spark, sf).cache()
+    val n = Tables.documents(spark, sf).count()
+    assert(df.count() === n)
+    df.collect().foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 4)
+      assert(r.getString(2).matches("(\\d{2}:-?\\d+)(,\\d{2}:-?\\d+)*"))
+    }
+    // identical (lang, source, length-bucket) => identical vector
+    val keyed = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars DIV 500").as("lb"))
+      .join(df, "doc_id")
+    val multi = keyed.groupBy("lang", "source", "lb")
+      .agg(countDistinct(col("vec")).as("nv"))
+      .filter(col("nv") > 1)
+    assert(multi.count() === 0)
+  }
 }
