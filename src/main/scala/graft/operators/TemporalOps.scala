@@ -1101,7 +1101,113 @@ object TemporalOps {
            |ORDER BY model, channel""".stripMargin)
   )
 
+  /** Q127 — gaps-and-islands: per user, maximal runs of CONSECUTIVE
+    * active days (streaks) — the engagement metric behind "7-day
+    * streak" features and churn models, and the canonical SQL
+    * islands pattern q21's gap-based sessions cannot express (a
+    * session ends on inactivity measured in seconds; an island is
+    * day-grain adjacency).
+    *
+    * Algorithm: distinct active days per user, then the classic
+    * day − row_number() island key (consecutive days share it); two
+    * combinable aggregates over integer keys — fully exact.
+    *
+    * Scale shape: one distinct on (user, day), one user-keyed window
+    * (bounded by active days per user, not events), two rollups on
+    * the same key — a single shuffle lineage on user_id.
+    */
+  val q127 = Query(
+    "q127_streaks",
+    (s, dir) => {
+      val days = eventsTss(s, dir)
+        .select(col("user_id"), (col("es") / 86400L).cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val islands = days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+      islands.groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest"),
+          sum(col("len")).as("active_days"))
+        .orderBy("user_id")
+    },
+    Some("""WITH days AS (
+           |  SELECT DISTINCT user_id,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+           |  FROM events),
+           |islands AS (
+           |  SELECT user_id,
+           |         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+           |  FROM days),
+           |runs AS (
+           |  SELECT user_id, grp, COUNT(*) AS len
+           |  FROM islands GROUP BY 1, 2)
+           |SELECT user_id, COUNT(*) AS n_streaks,
+           |       CAST(MAX(len) AS BIGINT) AS longest,
+           |       CAST(SUM(len) AS BIGINT) AS active_days
+           |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin)
+  )
+
+  /** Q128 — time-weighted average (TWAP) of the event value per user:
+    * each observation holds until the next one, so its weight is the
+    * interval length — the correct average for irregularly-sampled
+    * series (prices, gauges, engagement intensity) where the naive
+    * mean over-weights bursts.
+    *
+    * Cross-engine exactness: value clamps to DECIMAL(12,4); Δt is an
+    * exact integer second count; value·Δt stays decimal so the per-user
+    * numerator sum is order-free; TWAP is the one boundary division.
+    * The last observation per user carries no interval and is
+    * excluded (declared semantics — an open-ended hold would need a
+    * horizon convention like q113's censoring).
+    *
+    * Scale shape: one user-keyed ordered window for `lead`, then a
+    * combinable aggregate on the same key — single shuffle lineage.
+    */
+  val q128 = Query(
+    "q128_twap",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("es").asc, col("event_id").asc)
+      eventsTss(s, dir)
+        .select(col("user_id"), col("event_id"), col("es"), col("value"))
+        .withColumn("dt", lead(col("es"), 1).over(w) - col("es"))
+        .filter(col("dt").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).as("total_s"),
+          sum(dec12(col("value")) * col("dt")).cast("decimal(18,4)").as("vw"))
+        .filter(col("total_s") > 0)
+        .withColumn("twap",
+          col("vw").cast("double") / col("total_s").cast("double"))
+        .select("user_id", "n_intervals", "total_s", "twap")
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_id,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+           |         value
+           |  FROM events),
+           |iv AS (
+           |  SELECT user_id, value,
+           |         lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+           |           - es AS dt
+           |  FROM ev),
+           |agg AS (
+           |  SELECT user_id, COUNT(*) AS n_intervals,
+           |         CAST(SUM(dt) AS BIGINT) AS total_s,
+           |         CAST(round(SUM(CAST(value AS DECIMAL(12,4)) * dt), 4)
+           |              AS DECIMAL(18,4)) AS vw
+           |  FROM iv WHERE dt IS NOT NULL GROUP BY 1
+           |  HAVING CAST(SUM(dt) AS BIGINT) > 0)
+           |SELECT user_id, n_intervals, total_s,
+           |       CAST(vw AS DOUBLE) / CAST(total_s AS DOUBLE) AS twap
+           |FROM agg ORDER BY user_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
-      q94, q97, q99, q100, q102, q107, q110, q112, q113, q117, q122)
+      q94, q97, q99, q100, q102, q107, q110, q112, q113, q117, q122, q127,
+      q128)
 }

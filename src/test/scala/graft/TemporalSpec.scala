@@ -300,4 +300,45 @@ class TemporalSpec extends SparkTestBase {
       .agg(sum("n_purchases")).head()
     assert((if (unatt.isNullAt(0)) 0L else unatt.getLong(0)) === pNoTouch)
   }
+
+  test("q127 streaks: matches a driver-side islands recompute") {
+    val df = TemporalOps.q127.build(spark, sf).cache()
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), expr("(ts div 1000000000) div 86400").as("day"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    assert(df.count() === byUser.size)
+    df.collect().foreach { r =>
+      val days = byUser(r.getLong(0))
+      // island lengths from consecutive-day runs over the sorted days
+      val lens = scala.collection.mutable.ListBuffer(1L)
+      days.sliding(2).filter(_.length == 2).foreach { p =>
+        if (p(1) == p(0) + 1) lens(lens.size - 1) += 1 else lens += 1L
+      }
+      assert(r.getLong(3) === days.size) // active_days
+      assert(r.getLong(1) === lens.size) // n_streaks
+      assert(r.getLong(2) === lens.max)  // longest
+    }
+  }
+
+  test("q128 twap: intervals telescope, twap matches driver recompute") {
+    val df = TemporalOps.q128.build(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000000000").as("es"),
+        col("event_id"), col("value"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(r => (r.getLong(1), r.getLong(2)))).toMap
+    df.collect().foreach { r =>
+      val rows = ev(r.getLong(0))
+      assert(r.getLong(1) === rows.size - 1)
+      // total interval time telescopes to span
+      assert(r.getLong(2) === rows.last.getLong(1) - rows.head.getLong(1))
+      val num = rows.sliding(2).map { p =>
+        BigDecimal(p(0).getDouble(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP) *
+          BigDecimal(p(1).getLong(1) - p(0).getLong(1))
+      }.sum
+      val twap = num.toDouble / (rows.last.getLong(1) - rows.head.getLong(1))
+      assert(math.abs(r.getDouble(3) - twap) < 1e-9)
+    }
+  }
 }
