@@ -1596,8 +1596,72 @@ object AnalyticOps {
            |ORDER BY p.o_custkey""".stripMargin)
   )
 
+  /** Q129 — mutual information between two categorical columns
+    * (lang × source): the per-cell lift table plus the corpus MI in
+    * nats — the dependence screen that catches a scraper feeding one
+    * language from one source (high MI) before any per-column profile
+    * (q120) shifts. Per-cell lift > 1 marks over-represented
+    * combinations; MI aggregates the whole table into one number.
+    *
+    * Cross-engine exactness: lift = (c·n)/(r·s) with both products
+    * exact BIGINTs (< 2⁶³ comfortably at any tested SF; at extreme
+    * row counts compute the ratio as (c/r)·(n/s) in doubles) and one
+    * IEEE division; ln(lift) in fixed-point micro-nats (q120's rule —
+    * negative logs round half-away-from-zero identically in both
+    * engines), so MI = Σc·L / (n·10⁶) is an exact-integer-derived
+    * quotient.
+    *
+    * Scale shape: one (lang, source) combinable count; margins are
+    * two tiny rollups of it, broadcast back; no shuffle wider than
+    * the cell count.
+    */
+  val q129 = Query(
+    "q129_mutual_info",
+    (s, dir) => {
+      val cells = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      val rMarg = cells.groupBy("lang").agg(sum(col("n")).as("r"))
+      val cMarg = cells.groupBy("source").agg(sum(col("n")).as("c"))
+      val tot = cells.agg(sum(col("n")).as("nt"))
+      val lifted = cells
+        .join(broadcast(rMarg), "lang")
+        .join(broadcast(cMarg), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("lift",
+          (col("n") * col("nt")).cast("double") /
+            (col("r") * col("c")).cast("double"))
+        .withColumn("l_fp",
+          round(log(col("lift")) * lit(1e6), 0).cast("long"))
+      val mi = lifted
+        .agg((sum(col("n") * col("l_fp")).cast("double") /
+          (max(col("nt")).cast("double") * lit(1e6))).as("mi"))
+      lifted.crossJoin(broadcast(mi))
+        .select(col("lang"), col("source"), col("n"), col("lift"), col("mi"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH cells AS (
+           |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+           |rm AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+           |cm AS (SELECT source, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cells),
+           |lifted AS (
+           |  SELECT cells.lang, cells.source, cells.n,
+           |         CAST(cells.n * tot.nt AS DOUBLE)
+           |           / CAST(rm.r * cm.c AS DOUBLE) AS lift,
+           |         CAST(round(ln(CAST(cells.n * tot.nt AS DOUBLE)
+           |                       / CAST(rm.r * cm.c AS DOUBLE)) * 1e6)
+           |              AS BIGINT) AS l_fp
+           |  FROM cells JOIN rm USING (lang) JOIN cm USING (source), tot),
+           |mi AS (
+           |  SELECT CAST(SUM(n * l_fp) AS DOUBLE)
+           |           / (CAST(MAX(nt) AS DOUBLE) * 1e6) AS mi
+           |  FROM lifted, tot)
+           |SELECT lang, source, n, lift, mi
+           |FROM lifted, mi ORDER BY lang, source""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
-    q118, q120, q123, q124)
+    q118, q120, q123, q124, q129)
 }

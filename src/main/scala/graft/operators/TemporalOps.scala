@@ -1206,8 +1206,80 @@ object TemporalOps {
            |FROM agg ORDER BY user_id""".stripMargin)
   )
 
+  /** Q130 — exponential-decay engagement score: per user,
+    * Σ value·2^(−age_days/7) against the corpus horizon (7-day
+    * half-life, day-granularity age) — the recency-weighted activity
+    * feature recommender and churn models consume, where yesterday's
+    * purchase outweighs last month's. The horizon is data-derived
+    * (max event second), not wall-clock, so the result is
+    * reproducible.
+    *
+    * Cross-engine exactness: NO libm in the decay path. A per-event
+    * `round(pow(2, −age/7d), 6)` diverged between JVM `Math.pow` /
+    * BigDecimal-rounding and DuckDB's libm/`round` for ~1 in 10⁵
+    * events (observed at sf0.01, two distinct users across two
+    * formulations — see the cross-engine-rounding rule). Instead age
+    * is quantized to whole days and 2^(−days/7) decomposed as
+    * 2^(−q)·2^(−r/7), days = 7q+r: the seven 2^(−r/7) constants are
+    * shared micro-unit literals, and the 2^(−q) step is
+    * `floor(c_r / 2^q)` — `pow(2, integer)` is exact in every IEEE
+    * libm and division by a power of two is exact FP, so
+    * `decay_micro` is integer-identical in both engines. value (2dp)
+    * × decay_micro is an exact decimal product; the per-user sum is
+    * order-free; the final double division by 1e6 is one IEEE op on
+    * identical inputs.
+    *
+    * Scale shape: broadcast horizon scalar + pure map-side decay +
+    * one user-keyed combinable aggregate — the cheapest possible
+    * shape.
+    */
+  val q130 = Query(
+    "q130_decay_score",
+    (s, dir) => {
+      val ev = eventsTss(s, dir)
+        .select(col("user_id"), col("es"), col("value"))
+      val hz = ev.agg(max(col("es")).as("t_max"))
+      ev.crossJoin(broadcast(hz))
+        .withColumn("days", ((col("t_max") - col("es")) / lit(86400L)).cast("long"))
+        .withColumn("cr",
+          element_at(
+            array(lit(1000000L), lit(905724L), lit(820335L), lit(742997L),
+              lit(672950L), lit(609507L), lit(552045L)),
+            (col("days") % 7).cast("int") + 1))
+        .withColumn("decay_micro",
+          floor(col("cr").cast("double") /
+            pow(lit(2.0), (col("days") / lit(7L)).cast("long").cast("double")))
+            .cast("long"))
+        .withColumn("contrib",
+          col("value").cast("decimal(12,2)") * col("decay_micro"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("contrib")).cast("decimal(18,2)").cast("double") / lit(1e6))
+            .as("score"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+           |         value
+           |  FROM events),
+           |hz AS (SELECT MAX(es) AS t_max FROM ev),
+           |dk AS (
+           |  SELECT user_id, value,
+           |         CAST(FLOOR(
+           |           CAST(([1000000, 905724, 820335, 742997, 672950, 609507, 552045]
+           |                 [CAST((t_max - es) // 86400 AS BIGINT) % 7 + 1]) AS DOUBLE)
+           |           / pow(2.0, CAST(((t_max - es) // 86400) // 7 AS DOUBLE)))
+           |         AS BIGINT) AS decay_micro
+           |  FROM ev, hz)
+           |SELECT user_id, COUNT(*) AS n_events,
+           |       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)) * decay_micro)
+           |                 AS DECIMAL(18,2)) AS DOUBLE) / 1e6 AS score
+           |FROM dk GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
       q94, q97, q99, q100, q102, q107, q110, q112, q113, q117, q122, q127,
-      q128)
+      q128, q130)
 }

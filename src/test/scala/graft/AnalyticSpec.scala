@@ -390,4 +390,32 @@ class AnalyticSpec extends SparkTestBase {
     val ordered = df.orderBy(col("best_order").desc).collect().map(_.getLong(2))
     assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
   }
+
+  test("q129 mutual info: cells partition the corpus, lift recomputes, MI >= 0") {
+    val df = AnalyticOps.q129.build(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val rows = df.collect()
+    assert(rows.map(_.getLong(2)).sum === total)
+    // lift recomputes from the raw (lang, source) contingency table
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val expect = (r.getLong(2).toDouble * total) /
+        (byLang(r.getString(0)).toDouble * bySrc(r.getString(1)))
+      assert(math.abs(r.getDouble(3) - expect) < 1e-12)
+    }
+    // one corpus-level MI on every row; non-negative up to fixed-point slack
+    val mis = rows.map(_.getDouble(4)).distinct
+    assert(mis.length === 1)
+    assert(mis.head >= -1e-6)
+    // MI <= min(H(lang), H(source)) bound (natural log)
+    def entropy(m: Map[String, Long]): Double = {
+      val n = m.values.sum.toDouble
+      -m.values.map(c => c / n * math.log(c / n)).sum
+    }
+    assert(mis.head <= math.min(entropy(byLang), entropy(bySrc)) + 1e-6)
+  }
 }

@@ -341,4 +341,31 @@ class TemporalSpec extends SparkTestBase {
       assert(math.abs(r.getDouble(3) - twap) < 1e-9)
     }
   }
+
+  test("q130 decay score: integer decay recompute, bounded by undecayed sum") {
+    val df = TemporalOps.q130.build(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000000000").as("es"), col("value"))
+      .collect()
+    val tMax = ev.map(_.getLong(1)).max
+    val cr = Array(1000000L, 905724L, 820335L, 742997L, 672950L, 609507L, 552045L)
+    val expect = ev.groupBy(_.getLong(0)).view.mapValues { rows =>
+      val micro = rows.map { r =>
+        val days = (tMax - r.getLong(1)) / 86400L
+        val dm = math.floor(cr((days % 7).toInt) / math.pow(2.0, (days / 7).toDouble)).toLong
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * dm
+      }.sum
+      (rows.length.toLong, micro.toDouble / 1e6)
+    }.toMap
+    val got = df.collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (n, score) = expect(r.getLong(0))
+      assert(r.getLong(1) === n)
+      assert(math.abs(r.getDouble(2) - score) < 1e-6)
+      // decay <= 1 so the score never exceeds the undecayed value sum
+      val raw = ev.filter(_.getLong(0) == r.getLong(0)).map(_.getDouble(2)).sum
+      assert(r.getDouble(2) <= raw + 1e-6)
+    }
+  }
 }
