@@ -1144,7 +1144,179 @@ object TextOps {
            |ORDER BY doc_id""".stripMargin)
   )
 
+  /** Q132 — NDCG@10 of a naive retrieval ranking: per language, rank
+    * documents by length (`n_chars` desc — the "longer is better"
+    * strawman) and score that ranking against graded relevance =
+    * number of the corpus's top-3 query terms present (0–3, the same
+    * data-derived query as q125). The ranking-eval half of the
+    * retrieval loop: q125 produces rankings, q132 judges one.
+    *
+    * Cross-engine exactness: the 1/log₂(pos+1) discounts for
+    * positions 1–10 are a shared 10-constant micro-unit literal table
+    * (the q130 device — no libm), so DCG and ideal-DCG are exact
+    * BIGINTs and NDCG is one IEEE division; ideal ranking tiebreaks
+    * on doc_id so both engines pick identical top-10 sets.
+    *
+    * Scale shape: relevance is a broadcast semi-join on the 3-term
+    * query + a doc_id-combinable count; both rankings are per-lang
+    * windows cut at position 10, so the final aggregate touches ≤ 10
+    * rows per language.
+    */
+  val q132 = Query(
+    "q132_ndcg",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = tokensWithPos(docs).select("doc_id", "tok")
+      val wTop = Window.orderBy(col("cnt").desc, col("tok").asc)
+      val qterms = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+        .select("tok")
+      val rel = toks.distinct().join(broadcast(qterms), "tok")
+        .groupBy("doc_id").agg(count(lit(1)).as("rel"))
+      val scored = docs.select("doc_id", "lang", "n_chars")
+        .join(rel, Seq("doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      val disc = array(lit(1000000L), lit(630930L), lit(500000L),
+        lit(430677L), lit(386853L), lit(356207L), lit(333333L),
+        lit(315465L), lit(301030L), lit(289065L))
+      val ranked = scored
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .withColumn("ipos", row_number().over(
+          Window.partitionBy("lang").orderBy(col("rel").desc, col("doc_id").asc)))
+      val dcg = ranked.filter(col("pos") <= 10)
+        .groupBy("lang")
+        .agg(sum(col("rel") * element_at(disc, col("pos"))).as("dcg_micro"))
+      val idcg = ranked.filter(col("ipos") <= 10)
+        .groupBy("lang")
+        .agg(sum(col("rel") * element_at(disc, col("ipos"))).as("idcg_micro"))
+      dcg.join(idcg, "lang")
+        .withColumn("ndcg",
+          when(col("idcg_micro") === 0, lit(0.0))
+            .otherwise(col("dcg_micro").cast("double") /
+              col("idcg_micro").cast("double")))
+        .select("lang", "dcg_micro", "idcg_micro", "ndcg")
+        .orderBy("lang")
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+           |  FROM documents),
+           |toks AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+           |qterms AS (
+           |  SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
+           |  QUALIFY row_number() OVER (ORDER BY cnt DESC, tok ASC) <= 3),
+           |rel AS (
+           |  SELECT doc_id, COUNT(*) AS rel
+           |  FROM (SELECT DISTINCT doc_id, tok FROM toks) SEMI JOIN qterms USING (tok)
+           |  GROUP BY 1),
+           |scored AS (
+           |  SELECT d.doc_id, d.lang, d.n_chars, COALESCE(r.rel, 0) AS rel
+           |  FROM documents d LEFT JOIN rel r USING (doc_id)),
+           |ranked AS (
+           |  SELECT lang, rel,
+           |         row_number() OVER (PARTITION BY lang
+           |           ORDER BY n_chars DESC, doc_id ASC) AS pos,
+           |         row_number() OVER (PARTITION BY lang
+           |           ORDER BY rel DESC, doc_id ASC) AS ipos
+           |  FROM scored),
+           |disc AS (SELECT [1000000, 630930, 500000, 430677, 386853, 356207,
+           |                 333333, 315465, 301030, 289065] AS w),
+           |dcg AS (
+           |  SELECT lang, CAST(SUM(rel * w[pos]) AS BIGINT) AS dcg_micro
+           |  FROM ranked, disc WHERE pos <= 10 GROUP BY 1),
+           |idcg AS (
+           |  SELECT lang, CAST(SUM(rel * w[ipos]) AS BIGINT) AS idcg_micro
+           |  FROM ranked, disc WHERE ipos <= 10 GROUP BY 1)
+           |SELECT lang, dcg_micro, idcg_micro,
+           |       CASE WHEN idcg_micro = 0 THEN 0.0
+           |            ELSE CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE)
+           |       END AS ndcg
+           |FROM dcg JOIN idcg USING (lang) ORDER BY lang""".stripMargin)
+  )
+
+  /** Q133 — Cohen's kappa of the q32 language-ID heuristic against
+    * the true `lang` column: chance-corrected agreement over the
+    * lang×pred confusion matrix, the honest upgrade to raw accuracy
+    * when class frequencies are skewed. Closes the classifier loop:
+    * q32 predicts, q133 grades the predictor.
+    *
+    * Cross-engine exactness: kappa = (N·Σdiag − Σ rᵢcᵢ) /
+    * (N² − Σ rᵢcᵢ) — the (p₀−pₑ)/(1−pₑ) definition cleared of
+    * fractions — with every term an exact BIGINT from confusion-cell
+    * counts (< 2⁵³ at tested SFs; DECIMAL(38,0) at extreme N), so
+    * kappa and accuracy are each one IEEE division.
+    *
+    * Scale shape: the prediction is q32's broadcast marker join +
+    * per-doc argmax; the confusion matrix is a (lang, pred)
+    * combinable count (≤ langs² cells); margins and the scalar
+    * reduction are over that tiny matrix.
+    */
+  val q133 = Query(
+    "q133_kappa",
+    (s, dir) => {
+      import s.implicits._
+      val m = broadcast(markers.toDF("tok", "cand"))
+      val scores = tokensWithPos(Tables.documents(s, dir))
+        .join(m, "tok")
+        .groupBy("doc_id", "cand")
+        .agg(count(lit(1)).as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand").asc)
+      val best = scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("doc_id", "cand")
+      val cells = Tables.documents(s, dir).select("doc_id", "lang")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("lang"), coalesce(col("cand"), lit("und")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      val rm = cells.groupBy("lang").agg(sum(col("n")).as("r"))
+      val cm = cells.groupBy("pred").agg(sum(col("n")).as("c"))
+      val pe = rm.join(cm, rm("lang") === cm("pred"))
+        .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("sum_rc"))
+      val stats = cells.agg(
+        sum(col("n")).as("n_docs"),
+        coalesce(sum(when(col("lang") === col("pred"), col("n"))), lit(0L))
+          .as("n_agree"))
+      stats.crossJoin(broadcast(pe))
+        .withColumn("accuracy",
+          col("n_agree").cast("double") / col("n_docs").cast("double"))
+        .withColumn("kappa",
+          (col("n_docs") * col("n_agree") - col("sum_rc")).cast("double") /
+            (col("n_docs") * col("n_docs") - col("sum_rc")).cast("double"))
+        .select("n_docs", "n_agree", "accuracy", "kappa")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            |  FROM documents),
+            |m(tok, cand) AS (VALUES $markerValuesSql),
+            |scores AS (
+            |  SELECT doc_id, cand, COUNT(*) AS score
+            |  FROM toks JOIN m USING (tok)
+            |  GROUP BY doc_id, cand),
+            |best AS (
+            |  SELECT doc_id, cand FROM scores
+            |  QUALIFY row_number() OVER (PARTITION BY doc_id
+            |    ORDER BY score DESC, cand ASC) = 1),
+            |cells AS (
+            |  SELECT d.lang, COALESCE(b.cand, 'und') AS pred, COUNT(*) AS n
+            |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+            |  GROUP BY 1, 2),
+            |rm AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+            |cm AS (SELECT pred, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+            |pe AS (
+            |  SELECT COALESCE(CAST(SUM(r * c) AS BIGINT), 0) AS sum_rc
+            |  FROM rm JOIN cm ON rm.lang = cm.pred),
+            |stats AS (
+            |  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+            |         COALESCE(CAST(SUM(CASE WHEN lang = pred THEN n END) AS BIGINT), 0)
+            |           AS n_agree
+            |  FROM cells)
+            |SELECT n_docs, n_agree,
+            |       CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy,
+            |       CAST(n_docs * n_agree - sum_rc AS DOUBLE)
+            |         / CAST(n_docs * n_docs - sum_rc AS DOUBLE) AS kappa
+            |FROM stats, pe""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
-      q80, q81, q85, q86, q93, q95, q106, q125, q126)
+      q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133)
 }

@@ -1660,8 +1660,71 @@ object AnalyticOps {
            |FROM lifted, mi ORDER BY lang, source""".stripMargin)
   )
 
+  /** Q131 — ROC-AUC of `value` as a one-vs-rest classifier score for
+    * each event type, by the exact Mann–Whitney rank-sum identity:
+    * AUC = (Σ_pos 2·r̄ − n₊(n₊+1)) / (2·n₊·n₋) with r̄ the mid-rank
+    * (average rank over ties). The model-eval primitive every
+    * quality-classifier loop needs — run at corpus scale without
+    * materializing a single sorted score stream.
+    *
+    * Cross-engine exactness: every term is exact BIGINT arithmetic —
+    * mid-ranks come from the value histogram (2·r̄ = 2·cum_less +
+    * tie_count + 1 is always an integer), so the only FP op is the
+    * final division of two exact integers (< 2⁵³ at tested SFs; at
+    * extreme N carry the two sums as DECIMAL(38,0)).
+    *
+    * Scale shape: the ordered running sum runs over the DISTINCT
+    * value histogram (a 2dp grid, ≤ ~49 k cells — bounded model-ish
+    * state), not the event stream: this is the classic
+    * histogram-binned AUC. Everything event-sized is a combinable
+    * groupBy; the single-partition window touches only the compact
+    * histogram.
+    */
+  val q131 = Query(
+    "q131_auc",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val dist = ev.groupBy("value").agg(count(lit(1)).as("c"))
+      val cum = dist.withColumn("cum",
+        coalesce(sum(col("c")).over(
+          Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val byType = ev.groupBy("value", "event_type").agg(count(lit(1)).as("p"))
+      val tot = ev.agg(count(lit(1)).as("n_total"))
+      byType.join(cum, "value")
+        .groupBy("event_type")
+        .agg(sum(col("p")).as("n_pos"),
+          sum(col("p") * (lit(2L) * col("cum") + col("c") + lit(1L))).as("rank2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("n_neg", col("n_total") - col("n_pos"))
+        .withColumn("auc",
+          (col("rank2") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+        .select("event_type", "n_pos", "n_neg", "auc")
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, value FROM events),
+           |dist AS (SELECT value, COUNT(*) AS c FROM ev GROUP BY 1),
+           |cum AS (
+           |  SELECT value, c,
+           |         COALESCE(SUM(c) OVER (ORDER BY value
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           |  FROM dist),
+           |bt AS (SELECT value, event_type, COUNT(*) AS p FROM ev GROUP BY 1, 2),
+           |tot AS (SELECT COUNT(*) AS n_total FROM ev),
+           |agg AS (
+           |  SELECT event_type, CAST(SUM(p) AS BIGINT) AS n_pos,
+           |         CAST(SUM(p * (2 * cum + c + 1)) AS BIGINT) AS rank2
+           |  FROM bt JOIN cum USING (value) GROUP BY 1)
+           |SELECT event_type, n_pos,
+           |       CAST(n_total - n_pos AS BIGINT) AS n_neg,
+           |       CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+           |         / CAST(2 * n_pos * (n_total - n_pos) AS DOUBLE) AS auc
+           |FROM agg, tot ORDER BY event_type""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
-    q118, q120, q123, q124, q129)
+    q118, q120, q123, q124, q129, q131)
 }

@@ -418,4 +418,24 @@ class AnalyticSpec extends SparkTestBase {
     }
     assert(mis.head <= math.min(entropy(byLang), entropy(bySrc)) + 1e-6)
   }
+
+  test("q131 auc: brute-force pairwise Mann–Whitney recompute, counts partition") {
+    val df = AnalyticOps.q131.build(spark, sf).cache()
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val total = ev.length.toLong
+    df.collect().foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === total)
+      val auc = r.getDouble(3)
+      assert(auc >= 0.0 && auc <= 1.0)
+      // wins + half-ties over every pos×neg pair — the definition the
+      // histogram rank-sum must reproduce exactly
+      val pos = ev.filter(_._1 == r.getString(0)).map(_._2)
+      val neg = ev.filter(_._1 != r.getString(0)).map(_._2)
+      var num = 0.0
+      for (p <- pos; n <- neg)
+        num += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+      assert(math.abs(auc - num / (pos.length.toDouble * neg.length)) < 1e-12)
+    }
+  }
 }

@@ -359,4 +359,55 @@ class TextDedupSpec extends SparkTestBase {
       .filter(col("nv") > 1)
     assert(multi.count() === 0)
   }
+
+  test("q132 ndcg: dcg/idcg recompute from graded relevance, ndcg in [0,1]") {
+    val df = TextOps.q132.build(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    val top3 = TextOps.tokensWithPos(docs).groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok").asc)
+      .limit(3).collect().map(_.getString(0)).toSet
+    val rel = docs.select("doc_id", "lang", "n_chars", "text").collect().map { r =>
+      val toks = r.getString(3).toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+      (r.getLong(0), r.getString(1), r.getLong(2), top3.count(toks.contains).toLong)
+    }
+    val disc = Array(1000000L, 630930L, 500000L, 430677L, 386853L, 356207L,
+      333333L, 315465L, 301030L, 289065L)
+    df.collect().foreach { r =>
+      val in = rel.filter(_._2 == r.getString(0))
+      val dcg = in.sortBy(d => (-d._3, d._1)).take(10).zipWithIndex
+        .map { case (d, i) => d._4 * disc(i) }.sum
+      val idcg = in.sortBy(d => (-d._4, d._1)).take(10).zipWithIndex
+        .map { case (d, i) => d._4 * disc(i) }.sum
+      assert(r.getLong(1) === dcg)
+      assert(r.getLong(2) === idcg)
+      assert(idcg >= dcg)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("q133 kappa: confusion recompute from marker argmax, kappa <= accuracy") {
+    val df = TextOps.q133.build(spark, sf).cache()
+    val r = df.head()
+    val pred = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .collect().map { d =>
+        val toks = d.getString(2).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val byCand = toks.toSeq.flatMap(t => TextOps.markers.filter(_._1 == t).map(_._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val p = if (byCand.isEmpty) "und"
+          else byCand.toSeq.sortBy { case (c, n) => (-n, c) }.head._1
+        (d.getString(1), p)
+      }
+    val n = pred.length.toLong
+    val agree = pred.count { case (l, p) => l == p }.toLong
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === agree)
+    val rm = pred.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cm = pred.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val sumRc = rm.map { case (l, c) => c * cm.getOrElse(l, 0L) }.sum
+    val kappa = (n * agree - sumRc).toDouble / (n * n - sumRc).toDouble
+    assert(math.abs(r.getDouble(2) - agree.toDouble / n) < 1e-12)
+    assert(math.abs(r.getDouble(3) - kappa) < 1e-12)
+    // chance correction can only lower the score
+    assert(r.getDouble(3) <= r.getDouble(2) + 1e-12)
+  }
 }
