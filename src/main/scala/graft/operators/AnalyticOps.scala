@@ -1723,8 +1723,138 @@ object AnalyticOps {
            |FROM agg, tot ORDER BY event_type""".stripMargin)
   )
 
+  /** Q135 — calibration readout for a score used as a classifier: bin
+    * `value` (normalized by its max) into 10 equal-width bins, compare
+    * each bin's mean score ("confidence") to its empirical
+    * purchase rate ("accuracy"), and summarize with Expected
+    * Calibration Error. The companion to q131: AUC grades ranking,
+    * ECE grades the probabilities themselves.
+    *
+    * Cross-engine exactness: scores ride as exact integer cents
+    * (`value` is a 2-decimal grid; round(value*100) is exact), so the
+    * ECE telescopes: Σ_b n_b·|acc_b − conf_b|/N =
+    * Σ_b |pos_b·maxc − cents_b| / (maxc·N) — an exact-BIGINT numerator
+    * and ONE IEEE division; conf and acc are each one division too.
+    *
+    * Scale shape: equal-width binning (not rank deciles) keeps the
+    * bin assignment map-side — `floor(cents·10/maxc)` after one scalar
+    * broadcast — so the whole readout is a single combinable
+    * 10-group aggregate. A rank-based ntile would force a global sort.
+    * At extreme N carry the cents sums as DECIMAL(38,0).
+    */
+  val q135 = Query(
+    "q135_calibration",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(round(col("value") * 100, 0).cast("long").as("cents"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+      val m = broadcast(ev.agg(max("cents").as("maxc")))
+      val bins = ev.crossJoin(m)
+        .withColumn("bin", least(expr("cents * 10 div maxc"), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+          sum("cents").as("sum_cents"), max("maxc").as("maxc"))
+        .withColumn("conf", col("sum_cents").cast("double") /
+          (col("n") * col("maxc")).cast("double"))
+        .withColumn("acc",
+          col("n_pos").cast("double") / col("n").cast("double"))
+        .withColumn("dev_num",
+          abs(col("n_pos") * col("maxc") - col("sum_cents")))
+      val ece = broadcast(bins.agg(
+        (sum("dev_num").cast("double") /
+          (max("maxc") * sum("n")).cast("double")).as("ece")))
+      bins.crossJoin(ece)
+        .select("bin", "n", "n_pos", "conf", "acc", "ece")
+        .orderBy("bin")
+    },
+    Some("""WITH ev AS (
+           |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           |         CAST(event_type = 'purchase' AS BIGINT) AS pos
+           |  FROM events),
+           |m AS (SELECT MAX(cents) AS maxc FROM ev),
+           |b AS (
+           |  SELECT LEAST(cents * 10 // maxc, 9) AS bin, COUNT(*) AS n,
+           |         CAST(SUM(pos) AS BIGINT) AS n_pos,
+           |         CAST(SUM(cents) AS BIGINT) AS sum_cents, MAX(maxc) AS maxc
+           |  FROM ev, m GROUP BY 1),
+           |e AS (
+           |  SELECT CAST(SUM(ABS(n_pos * maxc - sum_cents)) AS DOUBLE) /
+           |         CAST(MAX(maxc) * SUM(n) AS DOUBLE) AS ece
+           |  FROM b)
+           |SELECT bin, n, n_pos,
+           |       CAST(sum_cents AS DOUBLE) / CAST(n * maxc AS DOUBLE) AS conf,
+           |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc, e.ece
+           |FROM b, e ORDER BY bin""".stripMargin)
+  )
+
+  /** Q136 — chi-squared test of lang × source independence on the
+    * document corpus, with Cramér's V effect size. The significance
+    * companion to q129's mutual information: MI measures how much the
+    * association carries, chi²/V measure whether and how strongly it
+    * deviates from independence.
+    *
+    * Cross-engine exactness: chi² = Σ_cells (N·o − r·c)²/(N·r·c) —
+    * every numerator and denominator is an exact BIGINT from
+    * confusion-cell counts (at extreme N move them to DECIMAL(38,0)),
+    * each term is one IEEE division rounded once to 6 decimals, and
+    * the terms sum as DECIMAL(18,6) (order-free). Cramér's V adds one
+    * division and one sqrt — both correctly-rounded IEEE ops.
+    *
+    * Scale shape: one (lang, source) combinable count, broadcast
+    * margins, and a ≤ |langs|·|sources|-cell reduction — nothing
+    * event-sized past the first aggregate.
+    */
+  val q136 = Query(
+    "q136_chi2",
+    (s, dir) => {
+      val cells = Tables.documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rm = cells.groupBy("lang").agg(sum("o").as("r"))
+      val cm = cells.groupBy("source").agg(sum("o").as("c"))
+      val tot = cells.agg(sum("o").as("n_docs"),
+        countDistinct("lang").as("nl"), countDistinct("source").as("ns"))
+      cells.join(broadcast(rm), "lang").join(broadcast(cm), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("num", col("n_docs") * col("o") - col("r") * col("c"))
+        .withColumn("term", round((col("num") * col("num")).cast("double") /
+          (col("n_docs") * col("r") * col("c")).cast("double"), 6)
+          .cast("decimal(18,6)"))
+        .agg(max("n_docs").as("n_docs"),
+          ((max("nl") - 1) * (max("ns") - 1)).as("dof"),
+          sum("term").cast("decimal(18,6)").cast("double").as("chi2"),
+          least(max("nl") - 1, max("ns") - 1).as("mindim"))
+        .withColumn("cramers_v", sqrt(col("chi2") /
+          (col("n_docs") * col("mindim")).cast("double")))
+        .select("n_docs", "dof", "chi2", "cramers_v")
+    },
+    Some("""WITH cells AS (
+           |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+           |rm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+           |cm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n_docs,
+           |               COUNT(DISTINCT lang) AS nl,
+           |               COUNT(DISTINCT source) AS ns
+           |        FROM cells),
+           |terms AS (
+           |  SELECT n_docs, nl, ns,
+           |         CAST(round(
+           |           CAST((n_docs*o - r*c) * (n_docs*o - r*c) AS DOUBLE) /
+           |           CAST(n_docs * r * c AS DOUBLE), 6) AS DECIMAL(18,6)) AS term
+           |  FROM cells JOIN rm USING (lang) JOIN cm USING (source)
+           |  CROSS JOIN tot),
+           |agg AS (
+           |  SELECT MAX(n_docs) AS n_docs,
+           |         CAST((MAX(nl)-1) * (MAX(ns)-1) AS BIGINT) AS dof,
+           |         CAST(CAST(SUM(term) AS DECIMAL(18,6)) AS DOUBLE) AS chi2,
+           |         LEAST(MAX(nl)-1, MAX(ns)-1) AS mindim
+           |  FROM terms)
+           |SELECT n_docs, dof, chi2,
+           |       sqrt(chi2 / CAST(n_docs * mindim AS DOUBLE)) AS cramers_v
+           |FROM agg""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
-    q118, q120, q123, q124, q129, q131)
+    q118, q120, q123, q124, q129, q131, q135, q136)
 }

@@ -1278,8 +1278,60 @@ object TemporalOps {
            |FROM dk GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 
+  /** Q134 — rolling 7-day distinct actives (the DAU/WAU/stickiness
+    * board every growth team watches): per day with activity, the
+    * day's distinct users, the distinct users over the trailing 7-day
+    * window, and their ratio.
+    *
+    * Scale design: a rolling COUNT(DISTINCT) cannot ride a window
+    * frame (distinct doesn't decompose over frames), and the naive
+    * `days × activity` range join degrades to a per-day rescan of the
+    * event log. Instead each distinct (user, day) fact is fanned out
+    * to the ≤ 7 window-end days it can serve (`sequence` + `explode` —
+    * a fixed ×7 expansion, not a blow-up), semi-joined to the observed
+    * days (broadcast — bounded by the horizon, not the volume), and
+    * counted with a plain combinable distinct aggregate on `day`.
+    * That plan is one shuffle wide at any corpus size.
+    *
+    * Cross-engine exactness: pure integer counts; the stickiness
+    * ratio is one IEEE division of two exact BIGINTs.
+    */
+  val q134 = Query(
+    "q134_rolling_distinct",
+    (s, dir) => {
+      val base = eventsTss(s, dir)
+        .select(col("user_id"), (col("es") / 86400L).cast("long").as("day"))
+        .distinct()
+      val days = base.select("day").distinct()
+      val wau = base
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + lit(6L))).as("day"))
+        .join(broadcast(days), "day")
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      val dau = base.groupBy("day").agg(count(lit(1)).as("dau"))
+      dau.join(wau, "day")
+        .withColumn("stickiness",
+          col("dau").cast("double") / col("wau").cast("double"))
+        .select("day", "dau", "wau", "stickiness")
+        .orderBy("day")
+    },
+    Some("""WITH base AS (
+           |  SELECT DISTINCT user_id,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+           |  FROM events),
+           |days AS (SELECT DISTINCT day FROM base),
+           |wau AS (
+           |  SELECT d.day, CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS wau
+           |  FROM days d JOIN base b ON b.day BETWEEN d.day - 6 AND d.day
+           |  GROUP BY 1),
+           |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM base GROUP BY 1)
+           |SELECT d.day, d.dau, w.wau,
+           |       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+           |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
       q94, q97, q99, q100, q102, q107, q110, q112, q113, q117, q122, q127,
-      q128, q130)
+      q128, q130, q134)
 }

@@ -438,4 +438,53 @@ class AnalyticSpec extends SparkTestBase {
       assert(math.abs(auc - num / (pos.length.toDouble * neg.length)) < 1e-12)
     }
   }
+
+  test("q135 calibration: bins partition events, ECE matches brute force") {
+    val df = AnalyticOps.q135.build(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+      .select(round(col("value") * 100, 0).cast("long"),
+        (col("event_type") === "purchase").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxc = ev.map(_._1).max
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).sum === ev.length.toLong)
+    var eceNum = 0L
+    rows.foreach { r =>
+      val bin = r.getLong(0)
+      val in = ev.filter(e => math.min(e._1 * 10 / maxc, 9L) == bin)
+      val pos = in.map(_._2).sum
+      assert(r.getLong(1) === in.length.toLong)
+      assert(r.getLong(2) === pos)
+      assert(math.abs(r.getDouble(3) -
+        in.map(_._1).sum.toDouble / (in.length.toDouble * maxc)) < 1e-12)
+      assert(math.abs(r.getDouble(4) - pos.toDouble / in.length) < 1e-12)
+      eceNum += math.abs(pos * maxc - in.map(_._1).sum)
+    }
+    val ece = eceNum.toDouble / (maxc.toDouble * ev.length)
+    rows.foreach(r => assert(math.abs(r.getDouble(5) - ece) < 1e-12))
+    // ECE is a mean of per-bin |acc - conf| gaps, each in [0, 1]
+    assert(ece >= 0.0 && ece <= 1.0)
+  }
+
+  test("q136 chi2: matches brute-force contingency recompute, V in [0,1]") {
+    val df = AnalyticOps.q136.build(spark, sf)
+    val r = df.head()
+    val docs = Tables.documents(spark, sf).select("lang", "source")
+      .collect().map(d => (d.getString(0), d.getString(1)))
+    val n = docs.length.toLong
+    val rm = docs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cm = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val chi2 = docs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((l, s2), o) =>
+        val num = n * o - rm(l) * cm(s2)
+        BigDecimal(num.toDouble * num / (n.toDouble * rm(l) * cm(s2)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === (rm.size - 1).toLong * (cm.size - 1))
+    assert(math.abs(r.getDouble(2) - chi2) < 1e-9)
+    val v = math.sqrt(chi2 / (n.toDouble * math.min(rm.size - 1, cm.size - 1)))
+    assert(math.abs(r.getDouble(3) - v) < 1e-12)
+    assert(v >= 0.0 && v <= 1.0)
+  }
 }

@@ -368,4 +368,24 @@ class TemporalSpec extends SparkTestBase {
       assert(r.getDouble(2) <= raw + 1e-6)
     }
   }
+
+  test("q134 rolling distinct: WAU matches brute-force trailing-7-day sets") {
+    val df = TemporalOps.q134.build(spark, sf).cache()
+    val base = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = base.map(_._2).distinct.sorted
+    assert(df.count() === days.length)
+    df.collect().foreach { r =>
+      val d = r.getLong(0)
+      val dau = base.filter(_._2 == d).map(_._1).distinct.length.toLong
+      val wau = base.filter(b => b._2 >= d - 6 && b._2 <= d)
+        .map(_._1).distinct.length.toLong
+      assert(r.getLong(1) === dau)
+      assert(r.getLong(2) === wau)
+      // the window contains the day, so DAU <= WAU and stickiness in (0, 1]
+      assert(dau <= wau)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
 }
