@@ -1316,7 +1316,69 @@ object TextOps {
             |FROM stats, pe""".stripMargin)
   )
 
+  /** Q138 — deterministic negative sampling for contrastive training
+    * pairs: each anchor document gets 3 cross-language negatives,
+    * chosen reproducibly so the same corpus always yields the same
+    * training set (the property that makes distributed regeneration
+    * and incremental reruns safe).
+    *
+    * Scale design: negatives are drawn from a per-language candidate
+    * POOL of 8 hash-ranked docs — fixed-size broadcast model state, so
+    * the anchor×negative step is a broadcast nested-loop over ≤ 40
+    * rows (documented: the inequality join is against the pool, never
+    * doc×doc) followed by one anchor-keyed window. The pair hash
+    * md5(anchor:neg) mod P makes the pick independent of partitioning
+    * and cluster size.
+    *
+    * Cross-engine exactness: all ordering keys are md5-derived modular
+    * integers ([[graft.Canon.md5Residue]]) with doc_id tiebreaks —
+    * total orders, no FP anywhere.
+    */
+  val q138 = Query(
+    "q138_negative_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang")
+      val wPool = Window.partitionBy("lang").orderBy(
+        graft.Canon.md5Residue(col("doc_id").cast("string"), 1000000007L).asc,
+        col("doc_id").asc)
+      val pool = docs.withColumn("pr", row_number().over(wPool))
+        .filter(col("pr") <= 8)
+        .select(col("doc_id").as("neg_id"), col("lang").as("neg_lang"))
+      val wPick = Window.partitionBy("doc_id")
+        .orderBy(col("pair_h").asc, col("neg_id").asc)
+      docs.join(broadcast(pool), col("lang") =!= col("neg_lang"))
+        .withColumn("pair_h", graft.Canon.md5Residue(
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("neg_id").cast("string")), 1000000007L))
+        .withColumn("neg_rank", row_number().over(wPick).cast("long"))
+        .filter(col("neg_rank") <= 3)
+        .select("doc_id", "neg_rank", "neg_id", "neg_lang")
+        .orderBy("doc_id", "neg_rank")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang FROM documents),
+           |pool AS (
+           |  SELECT doc_id AS neg_id, lang AS neg_lang FROM (
+           |    SELECT doc_id, lang,
+           |           row_number() OVER (PARTITION BY lang ORDER BY
+           |             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           |               AS BIGINT) % 1000000007, doc_id) AS pr
+           |    FROM d) WHERE pr <= 8),
+           |cand AS (
+           |  SELECT d.doc_id, p.neg_id, p.neg_lang,
+           |         CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':',
+           |              CAST(p.neg_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           |           % 1000000007 AS pair_h
+           |  FROM d JOIN pool p ON d.lang <> p.neg_lang)
+           |SELECT doc_id,
+           |       row_number() OVER (PARTITION BY doc_id
+           |         ORDER BY pair_h, neg_id) AS neg_rank,
+           |       neg_id, neg_lang
+           |FROM cand
+           |QUALIFY neg_rank <= 3
+           |ORDER BY doc_id, neg_rank""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
-      q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133)
+      q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138)
 }

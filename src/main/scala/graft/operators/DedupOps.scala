@@ -600,5 +600,70 @@ object DedupOps {
            |FROM noisy GROUP BY 1 ORDER BY canon""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68, q74)
+  /** Q137 — exact set-similarity self-join (shingle Jaccard ≥ 0.6)
+    * with PPJoin-style prefix filtering: the deterministic complement
+    * to MinHash-LSH (q28, probabilistic) and the scale upgrade over
+    * q30's all-shared-shingle join. Under a global rare-first shingle
+    * order, any pair with J ≥ τ must share a shingle inside BOTH
+    * prefixes of length n − ⌈τ·n⌉ + 1 (the globally smallest common
+    * shingle cannot fit in either suffix once the length filter
+    * τ·max ≤ min holds), so candidates come from an equi-join on the
+    * short prefixes only — frequent shingles never generate pairs,
+    * which is exactly what caps bucket sizes at 100 TB.
+    *
+    * Cross-engine exactness: the τ threshold is the integer predicate
+    * 5·inter ≥ 3·(na+nb−inter) — no FP boundary — and jaccard is one
+    * IEEE division of exact BIGINTs. The oracle states the naive
+    * all-shared-shingle semantics; identical results prove the
+    * pruning lossless.
+    */
+  val q137 = Query(
+    "q137_setsim_prefix",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val prefix = sh.join(freq, "sh").join(sz, "doc_id")
+        .withColumn("r", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)))
+        .filter(col("r") <= col("n") - expr("(3 * n + 4) div 5") + lit(1))
+        .select("doc_id", "sh", "n")
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+            lit(5L) * least(col("a.n"), col("b.n")) >=
+              lit(3L) * greatest(col("a.n"), col("b.n")))
+        .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+        .distinct()
+      val inter = cand
+        .join(sh.select(col("doc_id").as("a_doc"), col("sh")), "a_doc")
+        .join(sh.select(col("doc_id").as("b_doc"), col("sh")), Seq("b_doc", "sh"))
+        .groupBy("a_doc", "b_doc").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sz.select(col("doc_id").as("a_doc"), col("n").as("na")), "a_doc")
+        .join(sz.select(col("doc_id").as("b_doc"), col("n").as("nb")), "b_doc")
+        .filter(lit(5L) * col("n_inter") >=
+          lit(3L) * (col("na") + col("nb") - col("n_inter")))
+        .withColumn("jaccard", col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"))
+        .select("a_doc", "b_doc", "n_inter", "jaccard")
+        .orderBy("a_doc", "b_doc")
+    },
+    Some(s"""WITH $shinglesSql,
+            |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+            |inter AS (
+            |  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, COUNT(*) AS n_inter
+            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT a_doc, b_doc, CAST(n_inter AS BIGINT) AS n_inter,
+            |       CAST(n_inter AS DOUBLE)
+            |         / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+            |FROM inter
+            |JOIN sz sa ON a_doc = sa.doc_id
+            |JOIN sz sb ON b_doc = sb.doc_id
+            |WHERE 5 * n_inter >= 3 * (sa.n + sb.n - n_inter)
+            |ORDER BY a_doc, b_doc""".stripMargin)
+  )
+
+  val all: Seq[Query] =
+    Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68, q74, q137)
 }

@@ -410,4 +410,54 @@ class TextDedupSpec extends SparkTestBase {
     // chance correction can only lower the score
     assert(r.getDouble(3) <= r.getDouble(2) + 1e-12)
   }
+
+  test("q137 prefix-filtered setsim join: lossless vs brute-force all-pairs") {
+    val df = DedupOps.q137.build(spark, sf).cache()
+    val sets = TextOps.shinglesOf(Tables.documents(spark, sf), distinct = true)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val naive = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = (sets(a) & sets(b)).size.toLong
+      if 5 * inter >= 3 * (sets(a).size + sets(b).size - inter)
+    } yield (a, b, inter)).toSet
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === naive)
+    assert(naive.nonEmpty) // fixture has near-dups; empty would be vacuous
+    df.collect().foreach { r =>
+      val u = sets(r.getLong(0)).size + sets(r.getLong(1)).size - r.getLong(2)
+      assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / u) < 1e-12)
+      assert(r.getDouble(3) >= 0.6 - 1e-12)
+    }
+  }
+
+  test("q138 negative sampling: 3 cross-lang negatives per doc, md5-deterministic") {
+    val df = TextOps.q138.build(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(df.count() === docs.length * 3L)
+    val langOf = docs.toMap
+    def res(sm: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(sm.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15), 16) % 1000000007L
+    val pool = docs.groupBy(_._2).view.mapValues(
+      _.sortBy(d => (res(d._1.toString), d._1)).take(8).map(_._1)).toMap
+    val byDoc = df.collect().groupBy(_.getLong(0))
+    byDoc.foreach { case (anchor, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L))
+      rows.foreach { r =>
+        assert(r.getString(3) != langOf(anchor)) // cross-language
+        assert(pool(r.getString(3)).contains(r.getLong(2)))
+      }
+      // the picked 3 are the hash-minimal candidates over the full pool
+      val cands = pool.filter(_._1 != langOf(anchor)).values.flatten
+        .map(n => (res(s"$anchor:$n"), n)).toSeq.sorted.take(3).map(_._2)
+      assert(rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq === cands)
+    }
+  }
 }
