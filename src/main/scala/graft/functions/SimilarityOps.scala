@@ -396,5 +396,64 @@ object SimilarityOps {
             |ORDER BY c.vec_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65, q98)
+  /** Q140 — cross-label mutual-kNN pairing: pairs of vectors from
+    * DIFFERENT labels that are each other's cross-label cosine top-1 —
+    * the margin-free core of parallel-corpus (bitext) mining, where
+    * mutual nearest neighbors across languages are the alignment
+    * candidates worth keeping.
+    *
+    * Scale shape: the fixture-scale form is the exact all-cross-pairs
+    * scan (codegen'd [[graft.plans.VectorExpressions.DotProduct]],
+    * one per-vector top-1 window); at 100 TB the SAME mutual-check
+    * composes with the q31d IVF index — candidates come from shared
+    * centroid buckets instead of the full cross product, and the
+    * per-vector argmax + mutual self-join below are unchanged. The
+    * mutual check itself is a self-join of the 1-row-per-vector
+    * `best` relation on (a, b) = (b, a) — linear, never quadratic.
+    *
+    * Cross-engine exactness: cosine is the q24-proven device (fixed
+    * left-to-right accumulation both engines reproduce bit-for-bit);
+    * sim(a,b) = sim(b,a) exactly (same products, same order), so the
+    * mutual property is engine-independent; argmax ties break on
+    * vec_id.
+    */
+  val q140 = Query(
+    "q140_mutual_knn",
+    (s, dir) => {
+      val emb = withNorm(Tables.embeddings(s, dir))
+      val a = emb.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("embedding").as("ae"), col("nrm").as("anrm"))
+      val b = emb.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("embedding").as("be"), col("nrm").as("bnrm"))
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+      val best = a.join(b, col("a_label") =!= col("b_label"))
+        .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+          (dotNative(col("ae"), col("be")) / (col("anrm") * col("bnrm")))
+            .as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("a_id", "a_label", "b_id", "b_label", "sim")
+      best.join(
+          best.select(col("a_id").as("rb"), col("b_id").as("ra")),
+          col("a_id") === col("ra") && col("b_id") === col("rb"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "a_label", "b_id", "b_label", "sim")
+        .orderBy("a_id")
+    },
+    Some(s"""WITH sims AS (
+            |  SELECT a.vec_id AS a_id, a.label AS a_label,
+            |         b.vec_id AS b_id, b.label AS b_label,
+            |         ${cosineSql("a.embedding", "b.embedding")} AS sim
+            |  FROM embeddings a JOIN embeddings b ON a.label <> b.label),
+            |best AS (
+            |  SELECT a_id, a_label, b_id, b_label, sim FROM sims
+            |  QUALIFY row_number() OVER (PARTITION BY a_id
+            |    ORDER BY sim DESC, b_id ASC) = 1)
+            |SELECT x.a_id, x.a_label, x.b_id, x.b_label, x.sim
+            |FROM best x JOIN best y ON x.a_id = y.b_id AND x.b_id = y.a_id
+            |WHERE x.a_id < x.b_id
+            |ORDER BY x.a_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65, q98, q140)
 }

@@ -1853,8 +1853,94 @@ object AnalyticOps {
            |FROM agg""".stripMargin)
   )
 
+  /** Q139 — robust outlier screen per event type: exact median and
+    * MAD (median absolute deviation) by the q39 rank device, and the
+    * count of rows beyond 3 MADs. The robust companion to q75's
+    * mean/σ z-score: one corrupted heavy tail moves mean and σ but
+    * not the medians, which is why data-quality monitors prefer this
+    * form.
+    *
+    * Cross-engine exactness: values ride as exact integer cents, both
+    * medians are rank-selected cents (no interpolation, no FP
+    * compare), the 3-MAD cut is the integer predicate
+    * dev > 3·mad_c (the 1.4826 normal-consistency constant is left
+    * out deliberately — it would put an FP product on a comparison
+    * boundary), and the two output doubles are single divisions by
+    * 100.
+    *
+    * Scale shape: two rank passes keyed on event_type (median, then
+    * deviation median) with the per-type medians broadcast back — the
+    * inherent two-job shape of exact MAD; each pass is one shuffle.
+    */
+  val q139 = Query(
+    "q139_mad_outliers",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val w1 = Window.partitionBy("event_type")
+        .orderBy(col("cents").asc, col("event_id").asc)
+      val wp = Window.partitionBy("event_type")
+      val med = ev
+        .withColumn("rn", row_number().over(w1))
+        .withColumn("n", count(lit(1)).over(wp))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("cents")))
+          .as("med_c"), count(lit(1)).as("n"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("cents") - col("med_c")))
+      val w2 = Window.partitionBy("event_type")
+        .orderBy(col("dev").asc, col("event_id").asc)
+      val mad = dev
+        .withColumn("rn", row_number().over(w2))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("dev")))
+          .as("mad_c"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          (max("med_c").cast("double") / lit(100.0)).as("median"),
+          (max("mad_c").cast("double") / lit(100.0)).as("mad"),
+          count(when(col("dev") > lit(3L) * col("mad_c"), lit(1)))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, event_id,
+           |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+           |  FROM events),
+           |r1 AS (
+           |  SELECT event_type, cents,
+           |         row_number() OVER (PARTITION BY event_type
+           |                            ORDER BY cents, event_id) AS rn,
+           |         COUNT(*) OVER (PARTITION BY event_type) AS n
+           |  FROM ev),
+           |med AS (
+           |  SELECT event_type,
+           |         MAX(CASE WHEN rn = ceil(n * 0.5) THEN cents END) AS med_c,
+           |         COUNT(*) AS n
+           |  FROM r1 GROUP BY 1),
+           |d AS (
+           |  SELECT e.event_type, e.event_id, m.med_c, m.n,
+           |         abs(e.cents - m.med_c) AS dev
+           |  FROM ev e JOIN med m USING (event_type)),
+           |r2 AS (
+           |  SELECT *, row_number() OVER (PARTITION BY event_type
+           |                              ORDER BY dev, event_id) AS rn
+           |  FROM d),
+           |mad AS (
+           |  SELECT event_type,
+           |         MAX(CASE WHEN rn = ceil(n * 0.5) THEN dev END) AS mad_c
+           |  FROM r2 GROUP BY 1)
+           |SELECT d.event_type, CAST(MAX(d.n) AS BIGINT) AS n,
+           |       CAST(MAX(d.med_c) AS DOUBLE) / 100.0 AS median,
+           |       CAST(MAX(m.mad_c) AS DOUBLE) / 100.0 AS mad,
+           |       COUNT(CASE WHEN d.dev > 3 * m.mad_c THEN 1 END) AS n_outliers
+           |FROM d JOIN mad m USING (event_type)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
-    q118, q120, q123, q124, q129, q131, q135, q136)
+    q118, q120, q123, q124, q129, q131, q135, q136, q139)
 }

@@ -487,4 +487,25 @@ class AnalyticSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(3) - v) < 1e-12)
     assert(v >= 0.0 && v <= 1.0)
   }
+
+  test("q139 mad: rank-median recompute, outliers beyond 3 MADs") {
+    val df = AnalyticOps.q139.build(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    df.collect().foreach { r =>
+      val cents = ev.filter(_._1 == r.getString(0)).map(_._2).sorted
+      val n = cents.length
+      assert(r.getLong(1) === n.toLong)
+      // lower-median rank device: value at rank ceil(n/2)
+      val med = cents(math.ceil(n * 0.5).toInt - 1)
+      assert(math.abs(r.getDouble(2) - med / 100.0) < 1e-12)
+      val devs = cents.map(c => math.abs(c - med)).sorted
+      val mad = devs(math.ceil(n * 0.5).toInt - 1)
+      assert(math.abs(r.getDouble(3) - mad / 100.0) < 1e-12)
+      assert(r.getLong(4) === devs.count(_ > 3 * mad).toLong)
+      // robustness sanity: at most half the rows can sit beyond the MAD
+      assert(r.getLong(4) <= n / 2)
+    }
+  }
 }

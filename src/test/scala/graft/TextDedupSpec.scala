@@ -460,4 +460,27 @@ class TextDedupSpec extends SparkTestBase {
       assert(rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq === cands)
     }
   }
+
+  test("q140 mutual knn: pairs are symmetric cross-label top-1s, brute-force match") {
+    val df = SimilarityOps.q140.build(spark, sf).cache()
+    val emb = Tables.embeddings(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getInt(2), r.getSeq[Float](1).map(_.toDouble).toArray)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val best = emb.map { case (id, lab, v) =>
+      val cands = emb.filter(_._2 != lab)
+        .map(o => (-cos(v, o._3), o._1)).sorted.head
+      id -> cands._2
+    }.toMap
+    val naive = best.collect {
+      case (a, b) if best(b) == a && a < b => (a, b)
+    }.toSet
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet === naive)
+    assert(naive.nonEmpty)
+    df.collect().foreach(r => assert(r.getInt(1) != r.getInt(3)))
+  }
 }
