@@ -1939,8 +1939,133 @@ object AnalyticOps {
            |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
+  /** Q141 — incremental rollup maintenance: the event log is split at
+    * a cutover day into a "base" (yesterday's materialized rollup) and
+    * a "delta" (today's arrivals), partial aggregates are computed per
+    * side, and the MERGE of the partials is emitted. The oracle states
+    * the direct single-pass aggregate over the whole log — the
+    * hash-match is the algebraic-mergeability proof that makes
+    * incremental ETL (and the streaming `foreachBatch` upsert path in
+    * [[graft.streaming.StreamingPipeline]]) safe to run instead of
+    * full recomputes at 100 TB.
+    *
+    * Every partial is a commutative monoid (count, sum over exact
+    * cents, min, max); avg is recomposed from merged sum/count at the
+    * output boundary — never averaged-of-averages. One IEEE division.
+    */
+  val q141 = Query(
+    "q141_incremental_rollup",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("ts div 1000000000 div 86400").as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val cut = broadcast(ev.agg((min("day") + lit(21L)).as("cutover")))
+      val partials = ev.crossJoin(cut)
+        .withColumn("part",
+          when(col("day") < col("cutover"), lit("base")).otherwise(lit("delta")))
+        .groupBy("event_type", "part")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_c"),
+          min("cents").as("min_c"), max("cents").as("max_c"))
+      partials.groupBy("event_type")
+        .agg(sum("n").as("n"), sum("sum_c").as("sum_c"),
+          min("min_c").as("min_c"), max("max_c").as("max_c"))
+        .withColumn("avg_value", col("sum_c").cast("double") /
+          (col("n") * lit(100L)).cast("double"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+           |  FROM events)
+           |SELECT event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_c,
+           |       MIN(cents) AS min_c, MAX(cents) AS max_c,
+           |       CAST(SUM(cents) AS DOUBLE)
+           |         / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_value
+           |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
+  /** Q142 — exact audience overlap: for every ordered pair of event
+    * types, the distinct-user counts of each, of both, and their
+    * Jaccard — the "did both X and Y" matrix every campaign-analytics
+    * board shows, computed exactly (the sketch-based estimate is
+    * q62's HLL territory).
+    *
+    * Scale design: one user-keyed `bit_or` collapses each user's
+    * type set to ONE BIGINT bitmask (types get bits from a rank over
+    * the tiny distinct-type relation, broadcast back), and the mask
+    * histogram has ≤ 2^|types| rows — so the pairwise matrix is
+    * arithmetic over a ~32-row table, never a user×user or
+    * (user,type)×(user,type) self-join. At any corpus size the only
+    * event-scale work is one combinable groupBy(user).
+    *
+    * Cross-engine exactness: pure integer bit arithmetic and counts;
+    * jaccard is one IEEE division of exact BIGINTs.
+    */
+  val q142 = Query(
+    "q142_audience_overlap",
+    (s, dir) => {
+      val types = Tables.events(s, dir).select("event_type").distinct()
+        .withColumn("b",
+          row_number().over(Window.orderBy("event_type")) - lit(1))
+      val masks = Tables.events(s, dir).select("user_id", "event_type")
+        .join(broadcast(types), "event_type")
+        .groupBy("user_id")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("n"))
+      val pairs = types.select(col("event_type").as("t_a"), col("b").as("ba"))
+        .join(types.select(col("event_type").as("t_b"), col("b").as("bb")),
+          col("t_a") < col("t_b"))
+      pairs.crossJoin(broadcast(masks))
+        .groupBy("t_a", "t_b")
+        .agg(
+          coalesce(sum(when(
+            expr("(mask & shiftleft(CAST(1 AS BIGINT), ba)) != 0"),
+            col("n"))), lit(0L)).as("n_a"),
+          coalesce(sum(when(
+            expr("(mask & shiftleft(CAST(1 AS BIGINT), bb)) != 0"),
+            col("n"))), lit(0L)).as("n_b"),
+          coalesce(sum(when(
+            expr("(mask & shiftleft(CAST(1 AS BIGINT), ba)) != 0") &&
+              expr("(mask & shiftleft(CAST(1 AS BIGINT), bb)) != 0"),
+            col("n"))), lit(0L)).as("n_both"))
+        .withColumn("jaccard", col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+        .orderBy("t_a", "t_b")
+    },
+    Some("""WITH t AS (
+           |  SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS b
+           |  FROM (SELECT DISTINCT event_type FROM events)),
+           |u AS (
+           |  SELECT user_id, CAST(bit_or(1 << b) AS BIGINT) AS mask
+           |  FROM events JOIN t USING (event_type) GROUP BY 1),
+           |m AS (SELECT mask, COUNT(*) AS n FROM u GROUP BY 1),
+           |p AS (
+           |  SELECT a.event_type AS t_a, a.b AS ba, y.event_type AS t_b, y.b AS bb
+           |  FROM t a JOIN t y ON a.event_type < y.event_type)
+           |SELECT t_a, t_b,
+           |       CAST(COALESCE(SUM(CASE WHEN (mask & (1 << ba)) <> 0
+           |                              THEN n END), 0) AS BIGINT) AS n_a,
+           |       CAST(COALESCE(SUM(CASE WHEN (mask & (1 << bb)) <> 0
+           |                              THEN n END), 0) AS BIGINT) AS n_b,
+           |       CAST(COALESCE(SUM(CASE WHEN (mask & (1 << ba)) <> 0
+           |                               AND (mask & (1 << bb)) <> 0
+           |                              THEN n END), 0) AS BIGINT) AS n_both,
+           |       CAST(COALESCE(SUM(CASE WHEN (mask & (1 << ba)) <> 0
+           |                               AND (mask & (1 << bb)) <> 0
+           |                              THEN n END), 0) AS DOUBLE) /
+           |       CAST(COALESCE(SUM(CASE WHEN (mask & (1 << ba)) <> 0
+           |                              THEN n END), 0)
+           |          + COALESCE(SUM(CASE WHEN (mask & (1 << bb)) <> 0
+           |                              THEN n END), 0)
+           |          - COALESCE(SUM(CASE WHEN (mask & (1 << ba)) <> 0
+           |                               AND (mask & (1 << bb)) <> 0
+           |                              THEN n END), 0) AS DOUBLE) AS jaccard
+           |FROM p CROSS JOIN m
+           |GROUP BY t_a, t_b, ba, bb
+           |ORDER BY t_a, t_b""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
-    q118, q120, q123, q124, q129, q131, q135, q136, q139)
+    q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142)
 }

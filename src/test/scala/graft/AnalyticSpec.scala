@@ -508,4 +508,42 @@ class AnalyticSpec extends SparkTestBase {
       assert(r.getLong(4) <= n / 2)
     }
   }
+
+  test("q141 incremental rollup: merged partials equal direct aggregate, split real") {
+    val df = AnalyticOps.q141.build(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("ts div 1000000000 div 86400"),
+        round(col("value") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cutover = ev.map(_._2).min + 21L
+    // the split must genuinely exercise the merge: both sides non-empty
+    assert(ev.exists(_._2 < cutover) && ev.exists(_._2 >= cutover))
+    df.collect().foreach { r =>
+      val in = ev.filter(_._1 == r.getString(0)).map(_._3)
+      assert(r.getLong(1) === in.length.toLong)
+      assert(r.getLong(2) === in.sum)
+      assert(r.getLong(3) === in.min)
+      assert(r.getLong(4) === in.max)
+      assert(math.abs(r.getDouble(5) - in.sum.toDouble / (in.length * 100.0)) < 1e-12)
+    }
+  }
+
+  test("q142 audience overlap: matches per-type user-set intersections") {
+    val df = AnalyticOps.q142.build(spark, sf).cache()
+    val ev = Tables.events(spark, sf).select("event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sets = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    assert(df.count() === (types.length * (types.length - 1) / 2).toLong)
+    df.collect().foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val both = (sets(a) & sets(b)).size.toLong
+      assert(r.getLong(2) === sets(a).size.toLong)
+      assert(r.getLong(3) === sets(b).size.toLong)
+      assert(r.getLong(4) === both)
+      assert(math.abs(r.getDouble(5) -
+        both.toDouble / (sets(a).size + sets(b).size - both)) < 1e-12)
+    }
+  }
 }
