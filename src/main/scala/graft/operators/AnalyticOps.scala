@@ -2064,8 +2064,51 @@ object AnalyticOps {
            |ORDER BY t_a, t_b""".stripMargin)
   )
 
+  /** Q144 — correlated LATERAL top-n join: each customer's three most
+    * expensive orders, written as `FROM customer, LATERAL (SELECT …
+    * WHERE o_custkey = c_custkey ORDER BY … LIMIT 3)` — the per-row
+    * subquery surface every warehouse dialect exposes and q16/q94's
+    * DataFrame top-k cannot claim (SQL users write it this way).
+    *
+    * Scale note: Catalyst DECORRELATES the lateral subquery — the plan
+    * is one equi-join plus a partitioned `row_number` filter, never a
+    * per-customer subquery execution (AnalyticSpec asserts against
+    * the plan: no `LateralJoin` survives optimization; at
+    * 100 TB it is exactly the q16 window plan). The oracle runs the
+    * very same SQL, where DuckDB executes its own lateral-unnest
+    * strategy — two engines, two physical strategies, one result.
+    *
+    * Exactness: o_totalprice passes through untouched; ties broken by
+    * o_orderkey so the LIMIT-3 set and the output order are total.
+    */
+  val q144 = Query(
+    "q144_lateral_topn",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("lat_orders")
+      s.sql(
+        """SELECT c_custkey, o_orderkey, o_totalprice
+          |FROM lat_customer,
+          |     LATERAL (SELECT o_orderkey, o_totalprice
+          |              FROM lat_orders
+          |              WHERE o_custkey = c_custkey
+          |              ORDER BY o_totalprice DESC, o_orderkey
+          |              LIMIT 3)
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey, o_orderkey, o_totalprice
+           |FROM customer,
+           |     LATERAL (SELECT o_orderkey, o_totalprice
+           |              FROM orders
+           |              WHERE o_custkey = c_custkey
+           |              ORDER BY o_totalprice DESC, o_orderkey
+           |              LIMIT 3) o
+           |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
-    q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142)
+    q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142,
+    q144)
 }

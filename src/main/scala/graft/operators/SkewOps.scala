@@ -4,7 +4,9 @@ import graft.{Canon, Query, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Skew mitigation: explicit key salting for shuffle joins.
+/** Shuffle-volume countermeasures: explicit key salting for skewed
+  * joins, and semi-join Bloom pre-filtering for shuffle-input
+  * reduction ([[q145]]).
   *
   * When one join key carries a disproportionate share of rows, the
   * shuffle partition that owns it becomes the straggler and caps the
@@ -116,5 +118,76 @@ object SkewOps {
            |FROM t ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q57, q92)
+  /** Build a Bloom filter over `keys` (a LongType key column) and
+    * return a codegen'd `might_contain` predicate Column for the probe
+    * side. The filter binary is collected to the driver once — like the
+    * IVF centroids it is fixed-size MODEL state (a few MB at 1% fpp for
+    * tens of millions of keys), not data — and embedded as a literal,
+    * so executors evaluate pure bit-probes with zero per-row overhead
+    * (both `BloomFilterAggregate` and `BloomFilterMightContain` are the
+    * native Catalyst expressions Spark's own runtime-filter rule
+    * injects; here they are driven EXPLICITLY, for when AQE's
+    * size-threshold heuristics decline to fire).
+    */
+  def bloomMightContain(keys: DataFrame, keyCol: String,
+      probeKey: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val n = keys.count()
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftColumnBridge.expression(col(keyCol)))),
+      math.max(n, 1000L))
+    val bf = keys.agg(GraftColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    GraftColumnBridge.column(new BloomFilterMightContain(
+      Literal.create(bf, BinaryType),
+      new XxHash64(Seq(GraftColumnBridge.expression(probeKey)))))
+  }
+
+  /** Q145 — semi-join Bloom pre-filter: the urgent-order keys are
+    * folded into a Bloom filter and the lineitem scan is pre-filtered
+    * by `might_contain` BEFORE the join; the exact equi-join then
+    * removes the false positives, so the result is bit-identical to
+    * the plain join (the oracle IS the plain join — same proof shape
+    * as q57).
+    *
+    * Why it earns its place at 100 TB: when the filtered dimension is
+    * too large to broadcast, the plain plan shuffles the ENTIRE fact
+    * table; the Bloom probe runs at the scan (scan-local, codegen'd,
+    * no shuffle) and drops ~80% of fact rows before the exchange —
+    * the manual form of Spark's `InjectRuntimeFilter`, for when its
+    * 10 GB scan-size threshold or join-shape checks decline. With a
+    * selectivity of |urgent|/|orders| ≈ 20% and fpp 3%, shuffle input
+    * shrinks ~4.3×.
+    */
+  val q145 = Query(
+    "q145_bloom_join",
+    (s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+      val mc = bloomMightContain(
+        urgent.select("o_orderkey"), "o_orderkey", col("l_orderkey"))
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .filter(mc)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          outD(round(sum(dec(col("l_extendedprice"))), 4)).as("revenue"))
+        .orderBy("month")
+    },
+    Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           |       COUNT(*) AS n_items,
+           |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           |       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE o_orderpriority = '1-URGENT'
+           |GROUP BY 1 ORDER BY month""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q57, q92, q145)
 }

@@ -1330,8 +1330,136 @@ object TemporalOps {
            |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin)
   )
 
+  /** Q143 — interval coalescing: each event opens a 30-minute validity
+    * interval `[es, es+1800)`; per user, overlapping or touching
+    * intervals are merged into maximal covered spans — the union-of-
+    * ranges operation behind subscription-coverage, on-call overlap,
+    * and "effective watch time" metrics. Distinct from q21's sessions
+    * (gap between POINTS) and q127's islands (day-grain adjacency):
+    * here the inputs are RANGES of fixed width whose unions must be
+    * taken exactly.
+    *
+    * Algorithm: the classic sweep — order intervals by start within
+    * user; a new span begins where `start` exceeds the running max of
+    * all previous `end`s. Both the running max and the span id
+    * (running sum of the break flag) are growing frames over one
+    * user-keyed sort, then one rollup per (user, span) and one per
+    * user — a single shuffle lineage on user_id, no self-join (the
+    * naive overlap self-join is quadratic per user at 100 TB).
+    *
+    * Cross-engine exactness: all arithmetic on exact BIGINT seconds.
+    */
+  val q143 = Query(
+    "q143_interval_merge",
+    (s, dir) => {
+      val iv = eventsTss(s, dir)
+        .select(col("user_id"), col("es").as("st"),
+          (col("es") + lit(1800L)).as("en"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("st").asc, col("en").asc)
+      val prevMax = max(col("en")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+      val spans = iv
+        .withColumn("brk",
+          when(col("st") > coalesce(prevMax, lit(Long.MinValue)), lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("span",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("span"))
+        .agg(min("st").as("st"), max("en").as("en"),
+          count(lit(1)).as("n_events"))
+      spans.groupBy("user_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("en") - col("st")).as("covered_s"),
+          max(col("en") - col("st")).as("longest_s"),
+          sum("n_events").as("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""WITH iv AS (
+           |  SELECT user_id,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS st,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 1800 AS en
+           |  FROM events),
+           |marked AS (
+           |  SELECT *,
+           |         CASE WHEN st > COALESCE(max(en) OVER (
+           |                  PARTITION BY user_id ORDER BY st, en
+           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |                -9223372036854775808) THEN 1 ELSE 0 END AS brk
+           |  FROM iv),
+           |spanned AS (
+           |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY st, en
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+           |  FROM marked),
+           |spans AS (
+           |  SELECT user_id, span, MIN(st) AS st, MAX(en) AS en,
+           |         COUNT(*) AS n_events
+           |  FROM spanned GROUP BY 1, 2)
+           |SELECT user_id, COUNT(*) AS n_spans,
+           |       CAST(SUM(en - st) AS BIGINT) AS covered_s,
+           |       CAST(MAX(en - st) AS BIGINT) AS longest_s,
+           |       CAST(SUM(n_events) AS BIGINT) AS n_events
+           |FROM spans GROUP BY 1 ORDER BY user_id""".stripMargin)
+  )
+
+  /** Q146 — seasonality-normalized anomaly screen: a raw daily event
+    * count can't be judged against a global mean when traffic has a
+    * weekly rhythm — Sunday is always low, Monday always high. Each
+    * (event_type, day) count is compared to a leave-one-out baseline:
+    * the mean daily count of the SAME event type on the SAME weekday,
+    * excluding the day under test (excluding it keeps the anomaly from
+    * polluting its own baseline). Days above 1.5× baseline are flagged.
+    *
+    * Cross-engine exactness: the flag is decided by integer cross-
+    * multiplication (`2·n·(cnt−1) > 3·(sum−n)`) — no division ever
+    * enters the comparison, so the boolean is exact; the reported
+    * baseline is one IEEE division of exact BIGINTs at the output
+    * boundary.
+    *
+    * Scale shape: one combinable groupBy(type, day) at event grain,
+    * then a window over the tiny (type, dow) groups of daily rows —
+    * everything after the first rollup is kilobytes regardless of
+    * corpus size.
+    */
+  val q146 = Query(
+    "q146_seasonal_anomaly",
+    (s, dir) => {
+      val daily = eventsTss(s, dir)
+        .select(col("event_type"), (col("es") / 86400L).cast("long").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        .withColumn("dow", pmod(col("day") + lit(4L), lit(7L)))
+      val w = Window.partitionBy("event_type", "dow")
+      daily
+        .withColumn("peer_sum", sum("n").over(w) - col("n"))
+        .withColumn("peer_cnt", count(lit(1)).over(w) - lit(1L))
+        .filter(col("peer_cnt") > 0)
+        .withColumn("baseline",
+          col("peer_sum").cast("double") / col("peer_cnt").cast("double"))
+        .withColumn("is_anomaly",
+          col("n") * col("peer_cnt") * lit(2L) > col("peer_sum") * lit(3L))
+        .select("event_type", "day", "dow", "n", "baseline", "is_anomaly")
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+           |         COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |dowd AS (SELECT *, (day + 4) % 7 AS dow FROM daily),
+           |peers AS (
+           |  SELECT *,
+           |         SUM(n) OVER (PARTITION BY event_type, dow) - n AS peer_sum,
+           |         COUNT(*) OVER (PARTITION BY event_type, dow) - 1 AS peer_cnt
+           |  FROM dowd)
+           |SELECT event_type, day, dow, CAST(n AS BIGINT) AS n,
+           |       CAST(peer_sum AS DOUBLE) / CAST(peer_cnt AS DOUBLE) AS baseline,
+           |       2 * n * peer_cnt > 3 * peer_sum AS is_anomaly
+           |FROM peers WHERE peer_cnt > 0
+           |ORDER BY event_type, day""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
       q94, q97, q99, q100, q102, q107, q110, q112, q113, q117, q122, q127,
-      q128, q130, q134)
+      q128, q130, q134, q143, q146)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AnalyticOps, DedupOps}
+import graft.operators.{AnalyticOps, DedupOps, SkewOps}
 import graft.functions.TextOps
 import org.apache.spark.sql.functions._
 
@@ -545,5 +545,50 @@ class AnalyticSpec extends SparkTestBase {
       assert(math.abs(r.getDouble(5) -
         both.toDouble / (sets(a).size + sets(b).size - both)) < 1e-12)
     }
+  }
+
+  test("q144 lateral top-n: per-customer top-3 orders, decorrelated plan") {
+    val df = AnalyticOps.q144.build(spark, sf).cache()
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = orders.groupBy(_._1).view.mapValues { rows =>
+      rows.sortBy(r => (-r._3, r._2)).take(3).map(r => (r._2, r._3)).toSeq
+    }.toMap
+    val got = df.collect().groupBy(_.getLong(0))
+    assert(got.keySet === expect.filter(_._2.nonEmpty).keySet)
+    got.foreach { case (ck, rows) =>
+      assert(rows.toSeq.map(r => (r.getLong(1), r.getDouble(2))) === expect(ck))
+    }
+    // Catalyst must decorrelate: the optimized plan has no lateral join
+    assert(!df.queryExecution.optimizedPlan.toString.contains("LateralJoin"))
+  }
+
+  test("q145 bloom prefilter join: bit-identical to the plain join") {
+    val df = SkewOps.q145.build(spark, sf).cache()
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_items"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(df.count() === plain.size.toLong)
+    df.collect().foreach { r =>
+      assert(r.getLong(1) === plain(r.getDate(0).toString))
+      assert(r.getLong(2) >= r.getLong(1)) // qty >= count (quantities >= 1)
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("bloomMightContain: no false negatives, fp rate bounded") {
+    import spark.implicits._
+    val keys = spark.range(0, 2000).toDF("k")
+    val mc = SkewOps.bloomMightContain(keys, "k", col("id"))
+    val probed = spark.range(0, 100000).filter(mc).select("id")
+      .as[Long].collect().toSet
+    assert((0L until 2000L).forall(probed.contains)) // zero false negatives
+    val fp = probed.count(_ >= 2000L).toDouble / 98000.0
+    assert(fp < 0.05, s"false-positive rate $fp") // default fpp is 3%
   }
 }

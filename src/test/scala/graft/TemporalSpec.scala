@@ -388,4 +388,55 @@ class TemporalSpec extends SparkTestBase {
       assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
     }
   }
+
+  test("q143 interval merge: matches brute-force union of 30-min ranges") {
+    val df = TemporalOps.q143.build(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000000000").as("es"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = ev.groupBy(_._1).view.mapValues { rows =>
+      val sorted = rows.map(r => (r._2, r._2 + 1800L)).sortBy(identity)
+      val merged = sorted.tail.foldLeft(List(sorted.head)) {
+        case (acc @ ((s0, e0) :: rest), (s1, e1)) =>
+          if (s1 <= e0) (s0, math.max(e0, e1)) :: rest else (s1, e1) :: acc
+        case (Nil, iv) => List(iv)
+      }
+      (merged.length.toLong,
+        merged.map(iv => iv._2 - iv._1).sum,
+        merged.map(iv => iv._2 - iv._1).max,
+        rows.length.toLong)
+    }.toMap
+    assert(df.count() === expect.size)
+    df.collect().foreach { r =>
+      val (n, cov, lng, ne) = expect(r.getLong(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === cov)
+      assert(r.getLong(3) === lng)
+      assert(r.getLong(4) === ne)
+      // every merged span covers at least one raw interval
+      assert(r.getLong(2) >= 1800L && r.getLong(3) >= 1800L)
+    }
+  }
+
+  test("q146 seasonal anomaly: leave-one-out weekday baseline, exact flag") {
+    val df = TemporalOps.q146.build(spark, sf).cache()
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("ts div 1000000000 div 86400").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    df.collect().foreach { r =>
+      val (et, day, dow, n) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dow === ((day + 4) % 7))
+      assert(n === daily((et, day)))
+      val peers = daily.filter { case ((e, d), _) =>
+        e == et && ((d + 4) % 7) == dow && d != day
+      }.values
+      assert(peers.nonEmpty)
+      val baseline = peers.sum.toDouble / peers.size
+      assert(math.abs(r.getDouble(4) - baseline) < 1e-9)
+      // integer cross-multiplied form: no double rounding at the tie
+      assert(r.getBoolean(5) === (2 * n * peers.size > 3 * peers.sum))
+    }
+  }
 }
