@@ -2106,9 +2106,79 @@ object AnalyticOps {
            |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
   )
 
+  /** Q148 — join fan-out audit: the distribution of lineitems per
+    * order (including zero-match orders), as a histogram of fan-out →
+    * order count. This is the profile you read BEFORE launching a
+    * 100 TB join: the histogram's tail says whether the join explodes
+    * (hot keys → q57 salting), its zero bucket quantifies referential
+    * slack (q09/q96's FK audits count them; this sizes them), and
+    * fan·|keys| upper-bounds the join output.
+    *
+    * Scale shape: the fact table is reduced to (key, count) by a
+    * combinable aggregate BEFORE any join — the orders side then joins
+    * a key-grain relation, never the raw fact; the histogram rollup
+    * sees one row per order. All counts exact BIGINTs.
+    */
+  val q148 = Query(
+    "q148_fanout_audit",
+    (s, dir) => {
+      val fanPerKey = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("fan"))
+      Tables.orders(s, dir).select("o_orderkey")
+        .join(fanPerKey, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(coalesce(col("fan"), lit(0L)).as("fanout"))
+        .groupBy("fanout").agg(count(lit(1)).as("n_orders"))
+        .orderBy("fanout")
+    },
+    Some("""WITH f AS (
+           |  SELECT o_orderkey, COUNT(l_orderkey) AS fanout
+           |  FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+           |  GROUP BY 1)
+           |SELECT fanout, COUNT(*) AS n_orders
+           |FROM f GROUP BY 1 ORDER BY fanout""".stripMargin)
+  )
+
+  /** Q149 — probability-proportional-to-size sampling: each document
+    * is kept with probability `n_chars / max(n_chars)` — the sampler
+    * behind token-budgeted training mixtures, where selecting DOCS
+    * uniformly (q88/q89) under-represents long documents' tokens.
+    * Complements q67's fixed-rate mixture with a size-aware rate.
+    *
+    * Determinism/exactness: inclusion is decided by integer cross-
+    * multiplication of the q88 md5 residue against `n_chars·10^6` —
+    * no division, no float, so membership is bit-stable across
+    * engines, partitionings, and retries (the property that makes the
+    * sample REPRODUCIBLE in an audit). The reported inclusion
+    * probability is one output-boundary IEEE division.
+    *
+    * Scale shape: one scalar max broadcast against a map-side filter —
+    * no shuffle at fact grain at all.
+    */
+  val q149 = Query(
+    "q149_weighted_sample",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val mx = d.agg(max("n_chars").as("maxc"))
+      d.crossJoin(broadcast(mx))
+        .filter(Canon.md5Residue(concat(lit("pps:"), col("doc_id")), 1000000L)
+          * col("maxc") < col("n_chars") * lit(1000000L))
+        .withColumn("p_incl",
+          col("n_chars").cast("double") / col("maxc").cast("double"))
+        .select("doc_id", "lang", "n_chars", "p_incl")
+        .orderBy("doc_id")
+    },
+    Some("""WITH mx AS (SELECT MAX(n_chars) AS maxc FROM documents)
+           |SELECT doc_id, lang, n_chars,
+           |       CAST(n_chars AS DOUBLE) / CAST(maxc AS DOUBLE) AS p_incl
+           |FROM documents CROSS JOIN mx
+           |WHERE CAST(concat('0x', substr(md5(concat('pps:', doc_id)), 1, 15)) AS BIGINT)
+           |        % 1000000 * maxc < n_chars * 1000000
+           |ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
     q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142,
-    q144)
+    q144, q148, q149)
 }

@@ -700,7 +700,67 @@ object RelationalOps {
            |FROM d GROUP BY status ORDER BY status""".stripMargin)
   )
 
+  /** Q147 — the TPC-H Q5 shape: six-table join (fact ⋈ orders ⋈
+    * customer ⋈ supplier ⋈ nation ⋈ region) with the LOCAL-supplier
+    * correlation `c_nationkey = s_nationkey`, a selective year filter
+    * on orders and a region filter — the canonical multi-way
+    * join-order stress test, here over the fixture's own TPC-H-ish
+    * tables.
+    *
+    * Scale shape: nation/region are calendar-bounded and broadcast
+    * explicitly; customer/supplier/orders are LEFT to Catalyst + AQE —
+    * at 100 TB none of them is broadcast-safe, and the declarative
+    * form lets the optimizer pick shuffle-hash vs sort-merge per
+    * stage and re-order the joins from runtime stats (hand-fixing an
+    * order here would freeze today's cardinalities into the plan).
+    * The year filter reaches the orders scan as a pushed predicate;
+    * the region filter prunes nations before the broadcast.
+    *
+    * Exactness: q11's proven decimal device for Σ price·(1−discount).
+    */
+  val q147 = Query(
+    "q147_tpch_regional",
+    (s, dir) => {
+      val one = lit(1).cast("decimal(8,4)")
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val ord = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1996)
+        .select("o_orderkey", "o_custkey")
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val nat = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)
+            .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_items"),
+          outD(round(sum(dec12(col("l_extendedprice")) *
+            (one - col("l_discount").cast("decimal(8,4)"))), 4)).as("revenue"))
+        .orderBy("nation")
+    },
+    Some("""SELECT n_name AS nation, COUNT(*) AS n_items,
+           |       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+           |            (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4)
+           |            AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation   ON s_nationkey = n_nationkey
+           |JOIN region   ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+           |GROUP BY 1 ORDER BY nation""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q12b, q13a, q13b, q14, q15, q16, q17, q25, q26, q84, q101)
+    q11, q12, q12b, q13a, q13b, q14, q15, q16, q17, q25, q26, q84, q101,
+    q147)
 }

@@ -591,4 +591,40 @@ class AnalyticSpec extends SparkTestBase {
     val fp = probed.count(_ >= 2000L).toDouble / 98000.0
     assert(fp < 0.05, s"false-positive rate $fp") // default fpp is 3%
   }
+
+  test("q148 fan-out audit: histogram masses reconcile with both tables") {
+    val df = AnalyticOps.q148.build(spark, sf).cache()
+    val fans = Tables.lineitem(spark, sf).select("l_orderkey")
+      .collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val orderKeys = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val expect = orderKeys.map(k => fans.getOrElse(k, 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    // the histogram must account for every order exactly once
+    assert(got.values.sum === orderKeys.length.toLong)
+  }
+
+  test("q149 weighted sample: membership exactly hash*maxc < w*1e6") {
+    val df = AnalyticOps.q149.build(spark, sf).cache()
+    def res(s: String, m: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % m
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxc = docs.map(_._2).max
+    val expect = docs.filter { case (id, w) =>
+      res(s"pps:$id", 1000000L) * maxc < w * 1000000L
+    }.map(_._1).toSet
+    val got = df.collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    // longest docs are always kept (p = 1)
+    assert(docs.filter(_._2 == maxc).map(_._1).forall(got.contains))
+    df.collect().foreach(r =>
+      assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / maxc) < 1e-12))
+  }
 }

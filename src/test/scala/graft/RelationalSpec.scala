@@ -146,4 +146,45 @@ class RelationalSpec extends SparkTestBase {
         pmod(col("o_orderkey"), lit(13)) =!= 0).count()
     assert(m.getOrElse("changed", 0L) === changedExpect)
   }
+
+  test("q147 TPC-H Q5 shape: matches driver-side six-table brute force") {
+    val df = RelationalOps.q147.build(spark, sf).cache()
+    val ord = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1996)
+      .select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cust = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val supp = Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val asiaNations = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA").select("n_nationkey", "n_name")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val acc = scala.collection.mutable.Map[String, (Long, BigDecimal)]()
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .collect().foreach { r =>
+        for {
+          ck <- ord.get(r.getLong(0))
+          cn <- cust.get(ck)
+          sn <- supp.get(r.getLong(1)) if sn == cn
+          name <- asiaNations.get(sn)
+        } {
+          val ep = BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          val disc = BigDecimal(1) -
+            BigDecimal(r.getDouble(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          val (n, s) = acc.getOrElse(name, (0L, BigDecimal(0)))
+          acc(name) = (n + 1, s + ep * disc)
+        }
+      }
+    val got = df.collect()
+    assert(got.map(_.getString(0)).toSeq === acc.keys.toSeq.sorted)
+    got.foreach { r =>
+      val (n, s) = acc(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(math.abs(r.getDouble(2) -
+        s.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6)
+    }
+  }
 }
