@@ -39,13 +39,24 @@ object Tables {
     spark.read.parquet(s"$dir/nation.parquet")
   def region(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/region.parquet")
-  /** Spark 4 refuses parquet TIMESTAMP(NANOS) outright; with
-    * `nanosAsLong` the `ts` column arrives as raw epoch-nanos LongType
-    * and [[graft.operators.TemporalOps]] derives second-truncated
-    * instants from it. */
+  /** Normalize the fixture's `ts` to the engine's internal epoch-nanos
+    * LongType contract. Fixture generations differ: one stores parquet
+    * TIMESTAMP(NANOS) — which Spark 4 refuses outright and, under
+    * `nanosAsLong`, reads as raw epoch-nanos LongType — while another
+    * stores TIMESTAMP_NTZ(µs). The session runs UTC, so the naive→instant
+    * interpretation of the NTZ variant matches DuckDB's `epoch()` on the
+    * same naive values; every downstream `es = ts div 1e9` derivation
+    * then agrees across both generations and both engines. */
+  def tsToNanos(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    tsToNanos(spark.read.parquet(s"$dir/events.parquet"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")

@@ -45,11 +45,12 @@ object StreamingPipeline {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       landing.resolve("events.parquet"))
-    spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(landing.toString)
-      // plain TIMESTAMP (LTZ): watermarks reject TIMESTAMP_NTZ event time
+    // plain TIMESTAMP (LTZ): watermarks reject TIMESTAMP_NTZ event time
+    graft.Tables.tsToNanos(raw)
       .withColumn("tss", timestamp_seconds(expr("ts div 1000000000")))
   }
 

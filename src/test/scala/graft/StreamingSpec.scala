@@ -54,9 +54,9 @@ class StreamingSpec extends SparkTestBase {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sf/events.parquet"),
         landing.resolve(s"events-$n.parquet"))
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(landing.toString)
+    val src = Tables.tsToNanos(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString))
       .withColumn("tss", timestamp_seconds(expr("ts div 1000000000")))
     val q = StreamingPipeline.dedupStream(src)
       .writeStream
