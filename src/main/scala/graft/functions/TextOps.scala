@@ -1378,7 +1378,60 @@ object TextOps {
            |ORDER BY doc_id, neg_rank""".stripMargin)
   )
 
+  /** Q150 — exact repeated-span detection: for every stride-1 10-token
+    * window of every document, does the identical window text occur in
+    * at least one OTHER document? The per-position statistic behind
+    * exact-substring training-data dedup (the suffix-array pass of Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", restated as fixed-width hashed windows): MinHash (q28)
+    * judges whole documents, this localizes WHICH spans are boilerplate
+    * so they can be cut without dropping the document.
+    *
+    * Scale shape: the stride-1 explode is an inherent tokens-per-doc
+    * fan-out (the suffix array visits every position too); window
+    * occurrences then carry only (doc_id, 128-bit span hash), so the
+    * distinct-doc count per span is one combinable aggregation keyed on
+    * the hash, and the verdict join is hash-keyed equi — no all-pairs
+    * stage anywhere. Windows reuse q86's exact tokenize+md5 device.
+    */
+  val q150 = Query(
+    "q150_repeated_spans",
+    (s, dir) => {
+      val wins = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") >= 10)
+        .withColumn("i", explode(sequence(lit(0L), col("n") - 10L)))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("toks"), (col("i") + 1).cast("int"), lit(10))))
+            .as("win"))
+      val spanDocs = wins.groupBy("win")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      wins.join(spanDocs, "win")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+           |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+           |  FROM documents),
+           |w AS (
+           |  SELECT doc_id,
+           |         md5(array_to_string(toks[i+1 : i+10], ' ')) AS win
+           |  FROM (SELECT doc_id, toks,
+           |               unnest(generate_series(0, n - 10)) AS i
+           |        FROM t WHERE n >= 10)),
+           |d AS (SELECT win, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY win)
+           |SELECT doc_id, COUNT(*) AS n_windows,
+           |       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+           |FROM w JOIN d USING (win)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
-      q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138)
+      q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150)
 }

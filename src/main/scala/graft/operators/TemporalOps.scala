@@ -1458,8 +1458,126 @@ object TemporalOps {
            |ORDER BY event_type, day""".stripMargin)
   )
 
+  /** Q151 — dyadic EWMA smoothing of daily event rates: an
+    * exponentially-weighted moving average with half-per-day decay over
+    * a trailing 8-day horizon, on the zero-filled day spine. The
+    * smoother that sits between q117's global CUSUM and q146's seasonal
+    * baseline — the "current level" estimate alerting compares against.
+    *
+    * Exactness device: weights are powers of two (lag k weighs
+    * 2^(7−k)), so numerator and denominator are exact BIGINTs — the
+    * whole smoother is integer arithmetic with ONE final IEEE division,
+    * hash-checkable cross-engine with no libm anywhere (the q130 rule;
+    * a float alpha^k recurrence would drift per-row). Early rows use
+    * the truncated-horizon denominator 2^8 − 2^(7−m) rather than
+    * renormalizing, so the series has no warm-up bias jump.
+    *
+    * Scale shape: one (type, day) combinable count, a per-type spine
+    * (sequence explode bounded by calendar span), and one bounded
+    * 8-lag window over the day grain — post-rollup data, KB-sized at
+    * any corpus scale.
+    */
+  val q151 = Query(
+    "q151_ewma",
+    (s, dir) => {
+      val daily = eventsTss(s, dir)
+        .groupBy(col("event_type"), (col("es") / 86400L).cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = daily.groupBy("event_type")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val dense = spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val num = (0 to 7).map(k =>
+        lit(1L << (7 - k)) * coalesce(lag(col("n"), k).over(w), lit(0L)))
+        .reduce(_ + _)
+      dense
+        .withColumn("m", least(lit(7L), row_number().over(w).cast("long") - 1L))
+        .withColumn("wsum", num)
+        .withColumn("den", expr("cast(256 - shiftleft(1, cast(7 - m as int)) as bigint)"))
+        .select(col("event_type"), col("day"), col("n"), col("wsum"), col("den"),
+          (col("wsum").cast("double") / col("den").cast("double")).as("ewma"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+           |         CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           |spine AS (
+           |  SELECT event_type, unnest(generate_series(min(day), max(day))) AS day
+           |  FROM daily GROUP BY event_type),
+           |dense AS (
+           |  SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+           |  FROM spine s LEFT JOIN daily d
+           |    ON s.event_type = d.event_type AND s.day = d.day),
+           |lagged AS (
+           |  SELECT event_type, day, n,
+           |         least(7, row_number() OVER w - 1) AS m,
+           |         128 * n
+           |       +  64 * COALESCE(lag(n, 1) OVER w, 0)
+           |       +  32 * COALESCE(lag(n, 2) OVER w, 0)
+           |       +  16 * COALESCE(lag(n, 3) OVER w, 0)
+           |       +   8 * COALESCE(lag(n, 4) OVER w, 0)
+           |       +   4 * COALESCE(lag(n, 5) OVER w, 0)
+           |       +   2 * COALESCE(lag(n, 6) OVER w, 0)
+           |       +   1 * COALESCE(lag(n, 7) OVER w, 0) AS wsum
+           |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY day))
+           |SELECT event_type, day, n, CAST(wsum AS BIGINT) AS wsum,
+           |       CAST(256 - (1 << CAST(7 - m AS INTEGER)) AS BIGINT) AS den,
+           |       CAST(wsum AS DOUBLE) / CAST(256 - (1 << CAST(7 - m AS INTEGER)) AS DOUBLE) AS ewma
+           |FROM lagged ORDER BY event_type, day""".stripMargin)
+  )
+
+  /** Q152 — top event-sequence paths: the 10 most common length-3 runs
+    * of consecutive event types across all users' time-ordered streams
+    * — the path-analysis rollup q102's single-step transition matrix
+    * cannot express (a Markov chain factors away exactly the multi-step
+    * correlations this surfaces). Reuses q112's deterministic
+    * sort-struct sequence device; trigram extraction is a bounded
+    * per-user explode, the count one combinable aggregation on the
+    * trigram key, and the top-10 a TakeOrdered with lexical tiebreak.
+    */
+  val q152 = Query(
+    "q152_path_trigrams",
+    (s, dir) => {
+      val seqs = eventsTss(s, dir)
+        .groupBy("user_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("es"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")).as("path"))
+        .withColumn("n", size(col("path")).cast("long"))
+        .filter(col("n") >= 3)
+      seqs
+        .withColumn("i", explode(sequence(lit(1L), col("n") - 2L)))
+        .select(concat_ws(">",
+          element_at(col("path"), col("i").cast("int")),
+          element_at(col("path"), (col("i") + 1L).cast("int")),
+          element_at(col("path"), (col("i") + 2L).cast("int"))).as("trigram"))
+        .groupBy("trigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("trigram").asc)
+        .limit(10)
+    },
+    Some("""WITH seqs AS (
+           |  SELECT user_id,
+           |         list(event_type ORDER BY
+           |              CAST(epoch(date_trunc('second', ts)) AS BIGINT),
+           |              event_id) AS path,
+           |         CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM events GROUP BY user_id),
+           |tri AS (
+           |  SELECT concat(path[i], '>', path[i+1], '>', path[i+2]) AS trigram
+           |  FROM (SELECT path, unnest(generate_series(1, CAST(n - 2 AS BIGINT))) AS i
+           |        FROM seqs WHERE n >= 3))
+           |SELECT trigram, COUNT(*) AS cnt
+           |FROM tri GROUP BY trigram
+           |ORDER BY cnt DESC, trigram ASC LIMIT 10""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
       q94, q97, q99, q100, q102, q107, q110, q112, q113, q117, q122, q127,
-      q128, q130, q134, q143, q146)
+      q128, q130, q134, q143, q146, q151, q152)
 }

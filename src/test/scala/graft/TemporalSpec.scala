@@ -439,4 +439,42 @@ class TemporalSpec extends SparkTestBase {
       assert(r.getBoolean(5) === (2 * n * peers.size > 3 * peers.sum))
     }
   }
+
+  test("q151 ewma: dyadic-weight recompute; den telescopes to 255 once warm") {
+    val df = TemporalOps.q151.build(spark, sf).cache()
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts div 1000000000) div 86400").as("day"))
+      .groupBy("event_type", "day").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val d0ByType = daily.keys.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    df.collect().foreach { r =>
+      val (t, d) = (r.getString(0), r.getLong(1))
+      assert(r.getLong(2) === daily.getOrElse((t, d), 0L))
+      val m = math.min(7L, d - d0ByType(t))
+      val den = 256L - (1L << (7 - m).toInt)
+      assert(r.getLong(4) === den)
+      if (m == 7L) assert(den === 255L)
+      val num = (0 to m.toInt)
+        .map(k => (1L << (7 - k)) * daily.getOrElse((t, d - k), 0L)).sum
+      assert(r.getLong(3) === num)
+      assert(r.getDouble(5) === num.toDouble / den.toDouble)
+    }
+  }
+
+  test("q152 path trigrams: driver recompute of the global top-10") {
+    val got = TemporalOps.q152.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000000000").as("es"),
+        col("event_id"), col("event_type"))
+      .collect()
+    val tri = ev.groupBy(_.getLong(0)).values.flatMap { rows =>
+      val path = rows.sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getString(3))
+      path.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }
+    val top = tri.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (g, c) => (-c, g) }.take(10)
+    assert(got === top)
+    assert(got.nonEmpty)
+  }
 }

@@ -483,4 +483,26 @@ class TextDedupSpec extends SparkTestBase {
     assert(naive.nonEmpty)
     df.collect().foreach(r => assert(r.getInt(1) != r.getInt(3)))
   }
+
+  test("q150 repeated spans: driver brute force over all 10-token windows") {
+    val df = TextOps.q150.build(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty))
+    val wins = docs.flatMap { case (id, toks) =>
+      if (toks.length >= 10) toks.sliding(10).map(w => (id, w.mkString(" ")))
+      else Iterator.empty
+    }
+    val docsPerWin = wins.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.length).toMap
+    val expect = wins.groupBy(_._1).view.mapValues { ws =>
+      (ws.length.toLong, ws.count(w => docsPerWin(w._2) >= 2).toLong)
+    }.toMap
+    assert(df.count() === expect.size)
+    assert(df.filter(col("n_repeated") > 0).count() > 0) // fixture has near-dups
+    df.collect().foreach { r =>
+      val (nw, nr) = expect(r.getLong(0))
+      assert(r.getLong(1) === nw, s"doc ${r.getLong(0)} n_windows")
+      assert(r.getLong(2) === nr, s"doc ${r.getLong(0)} n_repeated")
+    }
+  }
 }
