@@ -1431,7 +1431,146 @@ object TextOps {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
+  /** Q154 — token co-occurrence PMI over the top-50 vocabulary: for
+    * every pair of high-document-frequency tokens, the pointwise
+    * mutual information of appearing in the SAME document —
+    * ln(n_ab·N / (n_a·n_b)) — the collocation statistic behind
+    * phrase mining and word-association features (q53's TF-IDF scores
+    * tokens alone; this scores their joint behavior).
+    *
+    * Scale discipline: the pair stage is quadratic by nature, so it is
+    * gated behind a broadcast top-K vocabulary semi-join — each doc
+    * contributes at most C(50,2) pairs regardless of corpus size, and
+    * the pair count is one combinable aggregation on the (a,b) key.
+    * Exactness: counts are doc-frequency BIGINTs; PMI's argument is
+    * one exact-BIGINT-product ratio evaluated in ONE IEEE division,
+    * then ln under the q53 6-decimal rounding rule.
+    */
+  val q154 = Query(
+    "q154_cooc_pmi",
+    (s, dir) => {
+      val pres = tokensWithPos(Tables.documents(s, dir))
+        .select("doc_id", "tok").distinct()
+      val dfreq = pres.groupBy("tok").agg(count(lit(1)).as("n"))
+      val wTop = Window.orderBy(col("n").desc, col("tok").asc)
+      val top = dfreq.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 50).select("tok", "n")
+      val sel = pres.join(broadcast(top), "tok")
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+      sel.as("a").join(sel.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+        .agg(count(lit(1)).as("n_ab"),
+          first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
+        .filter(col("n_ab") >= 2)
+        .crossJoin(broadcast(nDocs))
+        .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
+          round(log((col("n_ab") * col("nd")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")), 6).as("pmi"))
+        .orderBy("tok_a", "tok_b")
+    },
+    Some("""WITH toks AS (
+           |  SELECT DISTINCT doc_id, tok FROM (
+           |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+           |    FROM documents) WHERE tok <> ''),
+           |dfreq AS (
+           |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+           |top AS (
+           |  SELECT tok, n FROM (
+           |    SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk
+           |    FROM dfreq) WHERE rk <= 50),
+           |sel AS (SELECT t.doc_id, t.tok, p.n FROM toks t JOIN top p USING (tok)),
+           |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+           |pairs AS (
+           |  SELECT a.tok AS tok_a, b.tok AS tok_b,
+           |         CAST(COUNT(*) AS BIGINT) AS n_ab,
+           |         any_value(a.n) AS n_a, any_value(b.n) AS n_b
+           |  FROM sel a JOIN sel b
+           |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+           |SELECT tok_a, tok_b, n_ab, n_a, n_b,
+           |       round(ln(CAST(n_ab * nd AS DOUBLE)
+           |                / CAST(n_a * n_b AS DOUBLE)), 6) AS pmi
+           |FROM pairs, nd ORDER BY tok_a, tok_b""".stripMargin)
+  )
+
+  /** Q155 — repeated-span EXCISION: the transform q150's statistic
+    * licenses. Every token position covered by a 10-token window whose
+    * exact text occurs in ≥2 distinct documents is cut; the surviving
+    * tokens are re-stitched in order and fingerprinted. This is the
+    * exact-substring dedup step itself (cut the boilerplate, keep the
+    * document) — q27/q68 drop whole documents, this repairs them.
+    *
+    * Scale shape: q150's hash-keyed repeated-window detection, a
+    * bounded ×10 position fan-out from flagged starts (cut-position
+    * set), one anti-join on (doc, pos), and the q112 sort-struct
+    * re-stitch — every stage keyed on doc or span hash, no all-pairs.
+    * Docs shorter than one window pass through uncut by definition.
+    */
+  val q155 = Query(
+    "q155_span_cut",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") > 0)
+      val wins = base.filter(col("n") >= 10)
+        .withColumn("i", explode(sequence(lit(0L), col("n") - 10L)))
+        .select(col("doc_id"), (col("i") + 1L).as("start"),
+          md5(concat_ws(" ", slice(col("toks"), (col("i") + 1).cast("int"), lit(10))))
+            .as("win"))
+      val rep = wins.groupBy("win")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+      val cutPos = wins.join(rep, "win")
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + 9L)).as("pos"))
+        .distinct()
+      val tokPos = base
+        .withColumn("pos", explode(sequence(lit(1L), col("n"))))
+        .select(col("doc_id"), col("n"), col("pos"),
+          element_at(col("toks"), col("pos").cast("int")).as("tok"))
+      tokPos.join(cutPos, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(first(col("n")).as("n_tok"),
+          count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok")))).as("clean_md5"))
+        .select(col("doc_id"), col("n_tok"),
+          (col("n_tok") - col("n_kept")).as("n_cut"), col("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+           |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+           |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+           |w AS (
+           |  SELECT doc_id, i + 1 AS start,
+           |         md5(array_to_string(toks[i+1 : i+10], ' ')) AS win
+           |  FROM (SELECT doc_id, toks,
+           |               unnest(generate_series(0, n - 10)) AS i
+           |        FROM t WHERE n >= 10)),
+           |rep AS (
+           |  SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+           |cut AS (
+           |  SELECT DISTINCT doc_id, unnest(generate_series(start, start + 9)) AS pos
+           |  FROM w JOIN rep USING (win)),
+           |tp AS (
+           |  SELECT doc_id, n, unnest(generate_series(1, n)) AS pos, toks
+           |  FROM t),
+           |kept AS (
+           |  SELECT tp.doc_id, tp.n, tp.pos, tp.toks[CAST(tp.pos AS INTEGER)] AS tok
+           |  FROM tp ANTI JOIN cut ON tp.doc_id = cut.doc_id AND tp.pos = cut.pos)
+           |SELECT doc_id, any_value(n) AS n_tok,
+           |       CAST(any_value(n) - COUNT(*) AS BIGINT) AS n_cut,
+           |       md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+           |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
-      q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150)
+      q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
+      q154, q155)
 }

@@ -2176,9 +2176,98 @@ object AnalyticOps {
            |ORDER BY doc_id""".stripMargin)
   )
 
+  /** Q153 — two-sample Kolmogorov–Smirnov distance, one-vs-rest per
+    * event type over the `value` distribution: the distribution-shift
+    * test that answers "do purchases carry DIFFERENT values than
+    * everything else?" where q131's AUC grades ranking and q111's PSI
+    * needs binning — KS is the binless supremum over the empirical
+    * CDFs, with its argmax value localizing WHERE the distributions
+    * diverge.
+    *
+    * Exactness device: the supremum is maximized over exact BIGINT
+    * cross-products — |cum_t·n_rest − cum_rest·n_t| — so the argmax
+    * involves no float comparison at all (the q114/q146 rule); the KS
+    * statistic itself is ONE final IEEE division. CDF jumps only at
+    * observed values, so scanning the distinct-value grid is exact.
+    *
+    * Scale shape: the grid is the DISTINCT-value histogram (q131's
+    * device) crossed with the ≤|types| type list, cumulated per type
+    * in one bounded window. The global cum_all window runs over the
+    * compact grid, never the event stream; at true 100 TB grids the
+    * q91 GK sketch replaces the exact CDF (with a stated error bound),
+    * exactly as it replaces q39's exact ranks.
+    */
+  val q153 = Query(
+    "q153_ks_test",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val dist = ev.groupBy("value").agg(count(lit(1)).as("c"))
+        .withColumn("cum_all", sum(col("c")).over(Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val types = ev.groupBy("event_type").agg(count(lit(1)).as("n_pos"))
+      val tot = ev.agg(count(lit(1)).as("n_total"))
+      val bt = ev.groupBy("value", "event_type").agg(count(lit(1)).as("p"))
+      val wt = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = dist.crossJoin(broadcast(types))
+        .join(bt, Seq("value", "event_type"), "left")
+        .withColumn("p", coalesce(col("p"), lit(0L)))
+        .withColumn("cum_t", sum(col("p")).over(wt))
+        .crossJoin(broadcast(tot))
+        .withColumn("ksn", abs(col("cum_t") * (col("n_total") - col("n_pos")) -
+          (col("cum_all") - col("cum_t")) * col("n_pos")))
+      val wr = Window.partitionBy("event_type")
+        .orderBy(col("ksn").desc, col("value").asc)
+      scored.withColumn("rk", row_number().over(wr)).filter(col("rk") === 1)
+        .select(col("event_type"), col("n_pos"),
+          (col("n_total") - col("n_pos")).as("n_rest"),
+          col("ksn").as("ks_num"),
+          (col("ksn").cast("double") /
+            (col("n_pos") * (col("n_total") - col("n_pos"))).cast("double")).as("ks"),
+          col("value").as("ks_at"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, value FROM events),
+           |dist AS (
+           |  SELECT value, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+           |distc AS (
+           |  SELECT value, c,
+           |         CAST(SUM(c) OVER (ORDER BY value) AS BIGINT) AS cum_all
+           |  FROM dist),
+           |types AS (
+           |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pos
+           |  FROM ev GROUP BY 1),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev),
+           |bt AS (
+           |  SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS p
+           |  FROM ev GROUP BY 1, 2),
+           |grid AS (
+           |  SELECT d.value, d.c, d.cum_all, t.event_type, t.n_pos,
+           |         COALESCE(b.p, 0) AS p
+           |  FROM distc d CROSS JOIN types t
+           |  LEFT JOIN bt b ON b.value = d.value AND b.event_type = t.event_type),
+           |sc AS (
+           |  SELECT *, CAST(SUM(p) OVER (PARTITION BY event_type ORDER BY value)
+           |                 AS BIGINT) AS cum_t
+           |  FROM grid),
+           |num AS (
+           |  SELECT event_type, n_pos, n_total, value,
+           |         abs(cum_t * (n_total - n_pos)
+           |             - (cum_all - cum_t) * n_pos) AS ksn
+           |  FROM sc, tot)
+           |SELECT event_type, n_pos, CAST(n_total - n_pos AS BIGINT) AS n_rest,
+           |       CAST(ksn AS BIGINT) AS ks_num,
+           |       CAST(ksn AS DOUBLE)
+           |         / CAST(n_pos * (n_total - n_pos) AS DOUBLE) AS ks,
+           |       value AS ks_at
+           |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+           |                  ORDER BY ksn DESC, value) AS rk FROM num)
+           |WHERE rk = 1 ORDER BY event_type""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
     q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142,
-    q144, q148, q149)
+    q144, q148, q149, q153)
 }

@@ -211,4 +211,89 @@ object Sources {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
+
+  // ---- Snapshot-versioned table (manifest-pinned file lists) ----------
+  //
+  // The minimal table format: every commit writes its data files into an
+  // immutable batch directory, then atomically publishes a manifest
+  // (v<N>.manifest, one absolute file path per line) that names the
+  // table's EXACT file set at that version. Readers resolve a manifest
+  // once and scan only its files, so they are isolated from concurrent
+  // commits (no torn reads of a directory being rewritten), old versions
+  // remain queryable (time travel), and a bad commit is undone by
+  // re-publishing an old file list (rollback without data movement).
+  // This is the property the incremental-dedup store had to hand-roll
+  // (pin the file list at call time) and the contract Delta/Iceberg
+  // scale to thousands of commits; directory listing is the anti-pattern
+  // it replaces. The manifest write is temp-file + atomic rename.
+
+  private def manifestDir(table: String) = new java.io.File(table)
+
+  private def versionsOf(table: String): Seq[Int] = {
+    val d = manifestDir(table)
+    if (!d.exists()) Nil
+    else d.listFiles().toSeq.map(_.getName)
+      .collect { case s if s.matches("v\\d+\\.manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .sorted
+  }
+
+  private def filesOf(table: String, version: Int): Seq[String] = {
+    val p = java.nio.file.Paths.get(table, s"v$version.manifest")
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Latest committed version of `table`, or 0 if none. */
+  def latestVersion(table: String): Int = versionsOf(table).lastOption.getOrElse(0)
+
+  /** Commit `df` to `table` as a new version. `overwrite = false`
+    * appends to the previous version's file set; `true` replaces it.
+    * Returns the published version number. */
+  def commitVersion(df: DataFrame, table: String,
+      overwrite: Boolean = false): Int = {
+    val spark = df.sparkSession
+    val prev = latestVersion(table)
+    val next = prev + 1
+    val batch = java.nio.file.Paths.get(table, "data",
+      s"batch-$next-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    val newFiles = spark.read.parquet(batch.toString)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0).stripPrefix("file://")).sorted
+    val carried = if (overwrite || prev == 0) Nil else filesOf(table, prev)
+    publishManifest(table, next, carried ++ newFiles)
+    next
+  }
+
+  /** Re-publish `version`'s exact file list as the new latest —
+    * rollback with zero data movement. */
+  def rollbackTo(table: String, version: Int): Int = {
+    val next = latestVersion(table) + 1
+    publishManifest(table, next, filesOf(table, version))
+    next
+  }
+
+  private def publishManifest(table: String, version: Int,
+      files: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(table)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, s".v$version", ".tmp")
+    java.nio.file.Files.write(tmp,
+      files.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve(s"v$version.manifest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read `table` at `version` (default: latest) by its pinned file
+    * list. An empty table (version 0) is an error by design — there is
+    * no schema to serve. */
+  def readVersion(spark: SparkSession, table: String,
+      version: Int = -1): DataFrame = {
+    val v = if (version < 0) latestVersion(table) else version
+    require(v > 0, s"$table has no committed versions")
+    val files = filesOf(table, v)
+    require(files.nonEmpty, s"$table v$v has an empty file list")
+    spark.read.parquet(files: _*)
+  }
 }

@@ -627,4 +627,30 @@ class AnalyticSpec extends SparkTestBase {
     df.collect().foreach(r =>
       assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / maxc) < 1e-12))
   }
+
+  test("q153 ks: matches a driver brute-force supremum over the value grid") {
+    val df = AnalyticOps.q153.build(spark, sf).cache()
+    val ev = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val n = ev.length.toLong
+    val grid = ev.map(_._2).distinct.sorted
+    val byVal = ev.groupBy(_._2)
+    assert(df.count() === ev.map(_._1).distinct.length)
+    df.collect().foreach { r =>
+      val t = r.getString(0)
+      val nt = ev.count(_._1 == t).toLong
+      assert(r.getLong(1) === nt && r.getLong(2) === n - nt)
+      var best = -1L; var bestAt = Double.NaN
+      var cumT = 0L; var cumAll = 0L
+      grid.foreach { v =>
+        cumT += byVal(v).count(_._1 == t)
+        cumAll += byVal(v).length
+        val num = math.abs(cumT * (n - nt) - (cumAll - cumT) * nt)
+        if (num > best) { best = num; bestAt = v }
+      }
+      assert(r.getLong(3) === best)
+      assert(r.getDouble(4) === best.toDouble / (nt * (n - nt)).toDouble)
+      assert(r.getDouble(5) === bestAt)
+    }
+  }
 }

@@ -260,4 +260,29 @@ class SourcesSpec extends SparkTestBase {
       assert(joined.count() === Tables.lineitem(spark, sf).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("versioned table: append/overwrite commits, time travel, reader isolation, rollback") {
+    import graft.sources.Sources
+    val table = tmp("vtable") + "/nation_v"
+    val nat = Tables.nation(spark, sf)
+    // v1: overwrite with 10 rows; v2: append 15 more; reader pins v2
+    val v1 = Sources.commitVersion(nat.filter(col("n_nationkey") < 10), table)
+    val v2 = Sources.commitVersion(nat.filter(col("n_nationkey") >= 10), table)
+    assert((v1, v2) === (1, 2))
+    assert(Sources.readVersion(spark, table, 1).count() === 10)
+    val pinnedV2 = Sources.readVersion(spark, table, 2)
+    val fullCount = nat.count()
+    assert(pinnedV2.count() === fullCount)
+    // v3 overwrites with a 5-row set; the pinned v2 reader is unaffected
+    val v3 = Sources.commitVersion(
+      nat.filter(col("n_nationkey") < 5), table, overwrite = true)
+    assert(v3 === 3)
+    assert(Sources.readVersion(spark, table).count() === 5)
+    assert(pinnedV2.count() === fullCount) // isolation: old files still live
+    // rollback re-publishes v2's file list as v4 — no data movement
+    val v4 = Sources.rollbackTo(table, 2)
+    assert(v4 === 4)
+    assert(Sources.readVersion(spark, table).count() === fullCount)
+    assert(Sources.readVersion(spark, table, 4).except(pinnedV2).count() === 0)
+  }
 }

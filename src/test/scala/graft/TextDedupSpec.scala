@@ -505,4 +505,69 @@ class TextDedupSpec extends SparkTestBase {
       assert(r.getLong(2) === nr, s"doc ${r.getLong(0)} n_repeated")
     }
   }
+
+  test("q154 cooc pmi: driver recompute of pair doc-counts and pmi") {
+    val df = TextOps.q154.build(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSet)
+    val nDocs = docs.length.toLong
+    val dfreq = docs.toSeq.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val top = dfreq.toSeq.sortBy { case (t, c) => (-c, t) }.take(50).toMap
+    val pairCnt = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    docs.foreach { case (_, ts) =>
+      val sel = ts.filter(top.contains).toSeq.sorted
+      for (i <- sel.indices; j <- i + 1 until sel.size)
+        pairCnt((sel(i), sel(j))) += 1
+    }
+    val expect = pairCnt.filter(_._2 >= 2)
+    assert(df.count() === expect.size)
+    assert(expect.nonEmpty)
+    df.collect().foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === expect(k))
+      assert(r.getLong(3) === top(k._1) && r.getLong(4) === top(k._2))
+      val pmi = BigDecimal(math.log((expect(k) * nDocs).toDouble /
+          (top(k._1) * top(k._2)).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - pmi) < 2e-6)
+    }
+  }
+
+  test("q155 span cut: stitched survivors match a driver recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val df = TextOps.q155.build(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+    val wins = docs.flatMap { case (id, toks) =>
+      if (toks.length >= 10)
+        toks.sliding(10).map(w => (id, w.mkString(" ")))
+      else Iterator.empty
+    }
+    val docsPerWin = wins.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.length).toMap
+    val expect = docs.map { case (id, toks) =>
+      val cut = scala.collection.mutable.Set[Int]()
+      if (toks.length >= 10)
+        toks.sliding(10).zipWithIndex.foreach { case (w, i) =>
+          if (docsPerWin(w.mkString(" ")) >= 2) (i until i + 10).foreach(cut += _)
+        }
+      val kept = toks.zipWithIndex.collect { case (t, i) if !cut(i) => t }
+      id -> (toks.length.toLong, (toks.length - kept.length).toLong,
+        md5hex(kept.mkString(" ")), kept.nonEmpty)
+    }.toMap
+    assert(df.count() === expect.count(_._2._4)) // fully-cut docs drop out
+    assert(df.filter(col("n_cut") > 0).count() > 0)
+    df.collect().foreach { r =>
+      val (nt, nc, md, _) = expect(r.getLong(0))
+      assert(r.getLong(1) === nt, s"doc ${r.getLong(0)} n_tok")
+      assert(r.getLong(2) === nc, s"doc ${r.getLong(0)} n_cut")
+      assert(r.getString(3) === md, s"doc ${r.getLong(0)} clean_md5")
+    }
+  }
 }
