@@ -2265,9 +2265,104 @@ object AnalyticOps {
            |WHERE rk = 1 ORDER BY event_type""".stripMargin)
   )
 
+  /** Q156 — Poisson-bootstrap confidence interval for mean order value
+    * per priority: the one bootstrap that works on data too large to
+    * resample — instead of drawing B resamples, every row gets B
+    * independent Poisson(1) weights (the large-N limit of multinomial
+    * resampling), so the whole procedure is a ×B fan-out plus one
+    * combinable weighted aggregation, no materialized resample and no
+    * global shuffle beyond the group key. The CI is read off the order
+    * statistics of the B=16 replicate means (2nd/15th ≈ central 87.5%),
+    * avoiding any variance/sqrt arithmetic.
+    *
+    * Determinism device: the Poisson draw is inverse-CDF over the
+    * md5-residue uniform ([[graft.Canon.md5Residue]] on (orderkey, b)),
+    * with the CDF cutoffs pre-multiplied into integer literals — weight
+    * assignment is pure BIGINT comparison, bit-stable across engines,
+    * partitionings, and retries (the q42/q149 membership rule).
+    * Replicate means are rounded once to 6dp (q95's boundary rule) and
+    * ranked as decimals; the point mean is the q11 exact-sum device.
+    */
+  val q156 = Query(
+    "q156_bootstrap_ci",
+    (s, dir) => {
+      val B = 16
+      // inverse-CDF cutoffs: floor(P(X<=j) * 1000000007) for Poisson(1)
+      val (t0, t1, t2, t3) = (367879443L, 735758887L, 919698609L, 981011849L)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      val reps = o
+        .withColumn("b", explode(sequence(lit(1), lit(B))))
+        .withColumn("u", graft.Canon.md5Residue(
+          concat(col("o_orderkey").cast("string"), lit(":"), col("b").cast("string")),
+          1000000007L))
+        .withColumn("w",
+          when(col("u") < t0, 0L).when(col("u") < t1, 1L)
+            .when(col("u") < t2, 2L).when(col("u") < t3, 3L).otherwise(4L))
+        .groupBy(col("o_orderpriority"), col("b"))
+        .agg(sum(col("w")).as("n_b"),
+          sum(col("w") * graft.Canon.dec(col("o_totalprice"))).as("s_b"))
+        .withColumn("mean_b",
+          round(col("s_b").cast("decimal(18,4)").cast("double") /
+            col("n_b").cast("double"), 6).cast("decimal(18,6)"))
+      val wR = Window.partitionBy("o_orderpriority")
+        .orderBy(col("mean_b").asc, col("b").asc)
+      val bands = reps.withColumn("rn", row_number().over(wR))
+        .groupBy("o_orderpriority")
+        .agg(max(when(col("rn") === 2, col("mean_b"))).as("boot_lo"),
+          max(when(col("rn") === B - 1, col("mean_b"))).as("boot_hi"))
+      val point = o.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.Canon.davg(col("o_totalprice")).as("point_mean"))
+      point.join(bands, "o_orderpriority")
+        .select("o_orderpriority", "n_orders", "point_mean", "boot_lo", "boot_hi")
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders),
+           |reps AS (
+           |  SELECT o_orderpriority, b,
+           |         CAST(SUM(w) AS BIGINT) AS n_b,
+           |         SUM(w * CAST(o_totalprice AS DECIMAL(18,4))) AS s_b
+           |  FROM (
+           |    SELECT o_orderpriority, b,
+           |           CASE WHEN u < 367879443 THEN 0
+           |                WHEN u < 735758887 THEN 1
+           |                WHEN u < 919698609 THEN 2
+           |                WHEN u < 981011849 THEN 3 ELSE 4 END AS w,
+           |           o_totalprice
+           |    FROM (
+           |      SELECT o.*, b,
+           |             CAST(concat('0x', substr(md5(concat(
+           |               CAST(o_orderkey AS VARCHAR), ':', CAST(b AS VARCHAR))),
+           |               1, 15)) AS BIGINT) % 1000000007 AS u
+           |      FROM o, unnest(generate_series(1, 16)) AS t(b)))
+           |  GROUP BY 1, 2),
+           |means AS (
+           |  SELECT o_orderpriority, b,
+           |         CAST(round(CAST(CAST(s_b AS DECIMAL(18,4)) AS DOUBLE)
+           |                    / CAST(n_b AS DOUBLE), 6) AS DECIMAL(18,6)) AS mean_b
+           |  FROM reps),
+           |bands AS (
+           |  SELECT o_orderpriority,
+           |         max(CASE WHEN rn = 2 THEN mean_b END) AS boot_lo,
+           |         max(CASE WHEN rn = 15 THEN mean_b END) AS boot_hi
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+           |                    ORDER BY mean_b, b) AS rn FROM means)
+           |  GROUP BY 1),
+           |pt AS (
+           |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+           |              AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS point_mean
+           |  FROM o GROUP BY 1)
+           |SELECT pt.o_orderpriority, n_orders, point_mean, boot_lo, boot_hi
+           |FROM pt JOIN bands USING (o_orderpriority)
+           |ORDER BY o_orderpriority""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
     q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142,
-    q144, q148, q149, q153)
+    q144, q148, q149, q153, q156)
 }

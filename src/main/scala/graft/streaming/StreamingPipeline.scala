@@ -421,4 +421,84 @@ object StreamingPipeline {
           }
       }
   }
+
+  /** Per-key admission throttle: at most `k` events admitted per user
+    * per event-time HOUR, excess silently swallowed — the keyed token
+    * bucket every ingest edge needs against hot keys (a runaway client,
+    * a bot user) before they dominate downstream state. The reference
+    * rate-limits globally by sleeping (O6,
+    * StreamGeneratorThread.java:84); this is the per-key, stateful form
+    * with O(1) state per key: (current hour bucket, admitted count).
+    *
+    * Within each group invocation events are processed in (ts,
+    * event_id) order, so the batch path (one invocation per key) is
+    * EXACTLY "rank ≤ k per (user, hour)" — proven in StreamingSpec.
+    * Across micro-batches the bucket resets whenever the hour CHANGES,
+    * so an out-of-order event older than the current hour opens a
+    * fresh budget — pair with a watermark + dropDuplicates upstream
+    * when strict ordering matters (same contract as the reference's
+    * lossy buffers, stated instead of silent).
+    */
+  def throttlePerKey(events: Dataset[Event], k: Int = 3,
+      timeout: String = "30 minutes"): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), Event](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: Long, rows: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (curHour, n) = state.getOption.getOrElse((Long.MinValue, 0L))
+            val out = Vector.newBuilder[Event]
+            rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+              val h = e.ts / 1000000000L / 3600L
+              if (h != curHour) { curHour = h; n = 0L }
+              if (n < k) { n += 1L; out += e }
+            }
+            state.update((curHour, n))
+            state.setTimeoutDuration(timeout)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Exactly-once versioned sink for `foreachBatch`: commits the
+    * micro-batch into a [[graft.sources.Sources]] snapshot-versioned
+    * table, guarded by a per-batch-id marker file. `foreachBatch` is
+    * at-least-once by contract (a batch is re-delivered after a
+    * failure between sink write and checkpoint commit); the marker
+    * makes the re-delivery a no-op, so the table sees each batch's
+    * rows exactly once — idempotence via the batch id Spark already
+    * supplies, the same device a MERGE-on-batch-id table format uses.
+    * Returns true iff this call performed the commit. */
+  def commitVersionedBatch(batch: DataFrame, batchId: Long,
+      table: String): Boolean = {
+    val marker = java.nio.file.Paths.get(table, s"batch-$batchId.done")
+    if (java.nio.file.Files.exists(marker)) false
+    else {
+      val v = graft.sources.Sources.commitVersion(batch, table)
+      java.nio.file.Files.write(marker,
+        v.toString.getBytes("UTF-8"))
+      true
+    }
+  }
+
+  /** The streaming ingest → versioned-table pipeline: every micro-batch
+    * becomes one table version via [[commitVersionedBatch]], so the
+    * table's history IS the stream's batch history (auditable,
+    * time-travelable) and re-delivered batches are absorbed. */
+  def versionedIngestQuery(spark: SparkSession, dir: String,
+      table: String): StreamingQuery =
+    readEvents(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$table/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitVersionedBatch(batch, batchId, s"$table/events_v"); ()
+      }
+      .start()
 }

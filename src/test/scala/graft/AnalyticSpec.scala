@@ -653,4 +653,39 @@ class AnalyticSpec extends SparkTestBase {
       assert(r.getDouble(5) === bestAt)
     }
   }
+
+  test("q156 bootstrap: driver recompute of Poisson weights and replicate band") {
+    val df = AnalyticOps.q156.build(spark, sf).cache()
+    val o = Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def residue(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000007L
+    }
+    val cuts = Seq(367879443L, 735758887L, 919698609L, 981011849L)
+    def wOf(u: Long): Long = cuts.indexWhere(u < _) match {
+      case -1 => 4L; case i => i.toLong
+    }
+    df.collect().foreach { r =>
+      val p = r.getString(0)
+      val rows = o.filter(_._1 == p)
+      assert(r.getLong(1) === rows.length.toLong)
+      val means = (1 to 16).map { b =>
+        var n = 0L
+        var s = BigDecimal(0)
+        rows.foreach { case (_, k, v) =>
+          val w = wOf(residue(s"$k:$b"))
+          n += w
+          s += BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) * w
+        }
+        (BigDecimal(s.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP), b)
+      }.sorted
+      assert(BigDecimal(r.getDecimal(3)).compare(means(1)._1) === 0)  // rank 2
+      assert(BigDecimal(r.getDecimal(4)).compare(means(14)._1) === 0) // rank 15
+      assert(means(1)._1 < means(14)._1) // a real band
+    }
+  }
 }

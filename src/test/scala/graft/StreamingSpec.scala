@@ -313,4 +313,52 @@ class StreamingSpec extends SparkTestBase {
     assert(gotMonths.forall(m => qMonths.contains(m.substring(5))),
       gotMonths.toString)
   }
+
+  test("stateful per-key throttle (batch path) = declarative rank<=k per user-hour") {
+    import spark.implicits._
+    val k = 1
+    val events = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[StreamingPipeline.Event]
+    val got = StreamingPipeline.throttlePerKey(events, k).collect()
+      .map(_.event_id).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), expr("ts div 1000000000 div 3600"))
+      .orderBy(col("ts"), col("event_id"))
+    val expect = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+
+    // synthetic hot key: 10 same-hour events must collapse to exactly k
+    val hour0 = 1700000000L * 1000000000L
+    val hot = (1 to 10).map(i => StreamingPipeline.Event(
+      9000L + i, hour0 + i * 60L * 1000000000L, 42L, "view", 1.0, "{}")).toDS()
+    val admitted = StreamingPipeline.throttlePerKey(hot, 3).collect()
+    assert(admitted.length === 3)
+    assert(admitted.map(_.event_id).toSeq === Seq(9001L, 9002L, 9003L))
+  }
+
+  test("versioned ingest sink: batches become versions; replayed batch is a no-op") {
+    val root = tmp("vingest")
+    val table = s"$root/t/events_v"
+    val q = StreamingPipeline.versionedIngestQuery(spark, sf, s"$root/t")
+    q.awaitTermination(120000)
+    import graft.sources.Sources
+    val v = Sources.latestVersion(table)
+    assert(v >= 1)
+    val total = Sources.readVersion(spark, table).count()
+    assert(total === Tables.events(spark, sf).count())
+    // re-deliver "batch 0" by hand (foreachBatch is at-least-once):
+    // the marker absorbs it — no new version, no new rows
+    val replay = Tables.events(spark, sf).limit(10)
+    val did = StreamingPipeline.commitVersionedBatch(replay, 0L, table)
+    assert(!did)
+    assert(Sources.latestVersion(table) === v)
+    assert(Sources.readVersion(spark, table).count() === total)
+    // a NEW batch id commits and is visible
+    assert(StreamingPipeline.commitVersionedBatch(replay, 99999L, table))
+    assert(Sources.readVersion(spark, table).count() === total + 10)
+  }
 }
