@@ -1576,8 +1576,91 @@ object TemporalOps {
            |ORDER BY cnt DESC, trigram ASC LIMIT 10""".stripMargin)
   )
 
+  /** Q157 — watermark-lateness audit: how out-of-order is the stream,
+    * really? For each event (in `event_id` arrival order — the
+    * fixture's generation order), lateness = seconds behind the
+    * running event-time high-water mark; the histogram over standard
+    * watermark bands tells you what `withWatermark` horizon drops what
+    * fraction — the number you must measure BEFORE picking the horizon
+    * (q20/q21's watermarks, StreamingPipeline's late-drop policy), not
+    * after data silently vanishes.
+    *
+    * The running-max window is inherently sequential in arrival order;
+    * here it runs over the whole fixture (one ordered pass), at
+    * cluster scale per source partition (Kafka guarantees order only
+    * within a partition, so per-partition high-water marks are the
+    * semantically right grain there anyway).
+    */
+  val q157 = Query(
+    "q157_late_data_audit",
+    (s, dir) => {
+      val w = Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsTss(s, dir)
+        .select(col("event_id"), col("es"))
+        .withColumn("late_s", max(col("es")).over(w) - col("es"))
+        .withColumn("bucket_id",
+          when(col("late_s") === 0, 0L).when(col("late_s") <= 300, 1L)
+            .when(col("late_s") <= 600, 2L).when(col("late_s") <= 1800, 3L)
+            .when(col("late_s") <= 3600, 4L).otherwise(5L))
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("n"), max(col("late_s")).as("max_late_s"))
+        .withColumn("bucket",
+          element_at(array(lit("on-time"), lit("<=5m"), lit("<=10m"),
+            lit("<=30m"), lit("<=1h"), lit(">1h")), (col("bucket_id") + 1).cast("int")))
+        .select("bucket_id", "bucket", "n", "max_late_s")
+        .orderBy("bucket_id")
+    },
+    Some("""WITH hw AS (
+           |  SELECT event_id,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+           |         CAST(max(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+           |              OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+           |                    AND CURRENT ROW) AS BIGINT) AS hwm
+           |  FROM events),
+           |lat AS (
+           |  SELECT CASE WHEN hwm - es = 0 THEN 0 WHEN hwm - es <= 300 THEN 1
+           |              WHEN hwm - es <= 600 THEN 2 WHEN hwm - es <= 1800 THEN 3
+           |              WHEN hwm - es <= 3600 THEN 4 ELSE 5 END AS bucket_id,
+           |         hwm - es AS late_s
+           |  FROM hw)
+           |SELECT bucket_id,
+           |       (['on-time', '<=5m', '<=10m', '<=30m', '<=1h', '>1h'])[bucket_id + 1]
+           |         AS bucket,
+           |       CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(max(late_s) AS BIGINT) AS max_late_s
+           |FROM lat GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)
+  )
+
+  /** Q158 — rolling 7-day distinct actives via MERGEABLE HLL sketches:
+    * the at-scale replacement for q134's exact fan-out COUNT(DISTINCT).
+    * Each day keeps ONE bounded sketch of its user set; the trailing
+    * window is a sketch UNION (sketches are a commutative monoid, like
+    * q141's partial aggregates), so the rolling distinct never
+    * re-touches event-grain data — the same exact→sketch swap q91
+    * makes for quantiles and q62 for global distincts. Rows-only by
+    * design (estimates are engine-specific); TemporalSpec pins every
+    * estimate within 5% of q134's exact WAU.
+    */
+  val q158 = Query(
+    "q158_rolling_hll",
+    (s, dir) => {
+      val daily = eventsTss(s, dir)
+        .select(col("user_id"), (col("es") / 86400L).cast("long").as("day"))
+        .groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val days = daily.select("day").distinct()
+      daily
+        .select(col("sk"), explode(sequence(col("day"), col("day") + 6L)).as("day"))
+        .join(broadcast(days), "day")
+        .groupBy("day")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
+        .orderBy("day")
+    },
+    None
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
       q94, q97, q99, q100, q102, q107, q110, q112, q113, q117, q122, q127,
-      q128, q130, q134, q143, q146, q151, q152)
+      q128, q130, q134, q143, q146, q151, q152, q157, q158)
 }

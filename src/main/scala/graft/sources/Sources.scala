@@ -296,4 +296,23 @@ object Sources {
     require(files.nonEmpty, s"$table v$v has an empty file list")
     spark.read.parquet(files: _*)
   }
+
+  /** Compaction as a COMMIT: rewrite the latest version's (typically
+    * many small, per-micro-batch) files into ~`targetRecordsPerFile`
+    * files and publish the result as a new version. Readers pinned to
+    * older versions are untouched — their files are never deleted or
+    * rewritten — which is exactly what directory-overwrite compaction
+    * ([[compact]]) cannot offer; this is OPTIMIZE for the minimal
+    * table format. Returns (new version, files before, files after). */
+  def compactVersion(spark: SparkSession, table: String,
+      targetRecordsPerFile: Long): (Int, Int, Int) = {
+    val v = latestVersion(table)
+    val before = filesOf(table, v).length
+    val df = readVersion(spark, table, v)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRecordsPerFile).toInt)
+    val next = commitVersion(
+      df.repartition(nFiles), table, overwrite = true)
+    (next, before, filesOf(table, next).length)
+  }
 }

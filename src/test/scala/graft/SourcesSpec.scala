@@ -285,4 +285,21 @@ class SourcesSpec extends SparkTestBase {
     assert(Sources.readVersion(spark, table).count() === fullCount)
     assert(Sources.readVersion(spark, table, 4).except(pinnedV2).count() === 0)
   }
+
+  test("compactVersion: fewer files in a new version; pinned old version untouched") {
+    import graft.sources.Sources
+    val table = tmp("vcompact") + "/t"
+    val nat = Tables.nation(spark, sf)
+    // fragment: 5 appends of 2 files each => 10 small files
+    (0 until 5).foreach(i => Sources.commitVersion(
+      nat.filter(pmod(col("n_nationkey"), lit(5)) === i).repartition(2), table))
+    val v5 = Sources.latestVersion(table)
+    val full = nat.count()
+    assert(Sources.readVersion(spark, table, v5).count() === full)
+    val (v6, before, after) = Sources.compactVersion(spark, table, 1000L)
+    assert(v6 === v5 + 1)
+    assert(after < before, s"$before -> $after files")
+    assert(Sources.readVersion(spark, table).count() === full)
+    assert(Sources.readVersion(spark, table, v5).count() === full) // time travel intact
+  }
 }

@@ -461,6 +461,56 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("q157 late data audit: driver recompute of lateness buckets") {
+    val df = TemporalOps.q157.build(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), expr("ts div 1000000000").as("es"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var hwm = Long.MinValue
+    val lates = ev.map { case (_, es) => hwm = math.max(hwm, es); hwm - es }
+    def bucket(l: Long): Int =
+      if (l == 0) 0 else if (l <= 300) 1 else if (l <= 600) 2
+      else if (l <= 1800) 3 else if (l <= 3600) 4 else 5
+    val expect = lates.groupBy(bucket).view
+      .mapValues(ls => (ls.length.toLong, ls.max)).toMap
+    assert(df.length === expect.size)
+    df.foreach { r =>
+      val (n, mx) = expect(r.getLong(0).toInt)
+      assert(r.getLong(2) === n, s"bucket ${r.getString(1)} count")
+      assert(r.getLong(3) === mx, s"bucket ${r.getString(1)} max lateness")
+    }
+
+    // the fixture is chronologically ordered (1 bucket); prove the band
+    // logic on a synthetic out-of-order stream staged as a fixture dir
+    val dir = java.nio.file.Files.createTempDirectory("late-audit")
+    dir.toFile.deleteOnExit()
+    val rows = Seq((1L, 1000L), (2L, 900L), (3L, 2000L),
+      (4L, 1500L), (5L, 9200L), (6L, 5200L))
+    import spark.implicits._
+    rows.toDF("event_id", "es")
+      .select(col("event_id"),
+        timestamp_seconds(col("es")).cast("timestamp_ntz").as("ts"),
+        lit(1L).as("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val syn = TemporalOps.q157.build(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(syn === Map(0L -> (3L, 0L), 1L -> (1L, 100L),
+      2L -> (1L, 500L), 5L -> (1L, 4000L)))
+  }
+
+  test("q158 rolling HLL: every estimate within 5% of the exact WAU") {
+    val est = TemporalOps.q158.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = TemporalOps.q134.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (d, w) =>
+      assert(math.abs(est(d).toDouble - w) <= math.max(2.0, 0.05 * w),
+        s"day $d: est ${est(d)} vs exact $w")
+    }
+  }
+
   test("q152 path trigrams: driver recompute of the global top-10") {
     val got = TemporalOps.q152.build(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
