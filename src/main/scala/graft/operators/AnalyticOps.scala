@@ -2360,9 +2360,122 @@ object AnalyticOps {
            |ORDER BY o_orderpriority""".stripMargin)
   )
 
+  /** Q159 — ratio-to-report: each (priority, status) cell's revenue as
+    * a share of its priority subtotal and of the grand total, all from
+    * ONE aggregation pass — the subtotals are unpartitioned/partitioned
+    * window sums over the already-rolled-up cell grid, so the fact
+    * table is scanned once and the percent-of-total arithmetic runs on
+    * a ≤ |priorities|×|statuses| relation. Shares are exact-decimal
+    * numerators over exact-decimal denominators, one IEEE division
+    * each (the q11 device); the classic BI share-of-wallet shape that
+    * q13's ROLLUP emits as separate subtotal ROWS, restated as columns.
+    */
+  val q159 = Query(
+    "q159_ratio_report",
+    (s, dir) => {
+      val cells = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.Canon.dec(col("o_totalprice"))).as("rev"))
+      val wP = Window.partitionBy("o_orderpriority")
+      val wG = Window.partitionBy()
+      cells
+        .withColumn("rev_prio", sum(col("rev")).over(wP))
+        .withColumn("rev_all", sum(col("rev")).over(wG))
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
+          graft.Canon.outD(col("rev")).as("rev"),
+          (col("rev").cast("decimal(18,4)").cast("double") /
+            col("rev_prio").cast("decimal(18,4)").cast("double")).as("share_of_priority"),
+          (col("rev").cast("decimal(18,4)").cast("double") /
+            col("rev_all").cast("decimal(18,4)").cast("double")).as("share_of_total"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    },
+    Some("""WITH cells AS (
+           |  SELECT o_orderpriority, o_orderstatus,
+           |         CAST(COUNT(*) AS BIGINT) AS n,
+           |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+           |  FROM orders GROUP BY 1, 2)
+           |SELECT o_orderpriority, o_orderstatus, n,
+           |       CAST(CAST(rev AS DECIMAL(18,4)) AS DOUBLE) AS rev,
+           |       CAST(CAST(rev AS DECIMAL(18,4)) AS DOUBLE)
+           |         / CAST(CAST(SUM(rev) OVER (PARTITION BY o_orderpriority)
+           |                AS DECIMAL(18,4)) AS DOUBLE) AS share_of_priority,
+           |       CAST(CAST(rev AS DECIMAL(18,4)) AS DOUBLE)
+           |         / CAST(CAST(SUM(rev) OVER () AS DECIMAL(18,4)) AS DOUBLE)
+           |         AS share_of_total
+           |FROM cells
+           |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)
+  )
+
+  /** Q160 — period-over-period growth: monthly revenue with
+    * month-over-month delta and year-over-year ratio on the
+    * zero-filled month spine (q59's gap-fill device — a missing month
+    * must read as 0, not silently shorten every lag). MoM is an exact
+    * decimal difference; YoY is ONE division, null where the
+    * denominator month is absent-or-zero. Months are integer indices
+    * (year·12 + month) so lag(12) is calendar-exact with no date
+    * arithmetic to drift. One month-grain rollup + one bounded lag
+    * window — post-rollup data is KB at any scale.
+    */
+  val q160 = Query(
+    "q160_pop_growth",
+    (s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mi"),
+          graft.Canon.dec(col("o_totalprice")).as("p"))
+        .groupBy("mi").agg(sum(col("p")).as("rev"), count(lit(1)).as("n"))
+      val bounds = monthly.agg(min(col("mi")).as("lo"), max(col("mi")).as("hi"))
+      val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("mi"))
+      val dense = spine.join(monthly, Seq("mi"), "left")
+        .select(col("mi"),
+          coalesce(col("rev"), lit(0).cast("decimal(18,4)")).as("rev"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val w = Window.orderBy("mi")
+      dense
+        .withColumn("prev", lag(col("rev"), 1).over(w))
+        .withColumn("yago", lag(col("rev"), 12).over(w))
+        .select(
+          expr("mi div 12").as("yr"),
+          (col("mi") % 12L + 1L).as("mo"),
+          col("n"),
+          graft.Canon.outD(col("rev")).as("rev"),
+          graft.Canon.outD(col("rev") - col("prev")).as("mom_delta"),
+          when(col("yago").isNotNull && col("yago") =!= 0,
+            col("rev").cast("decimal(18,4)").cast("double") /
+              col("yago").cast("decimal(18,4)").cast("double")).as("yoy_ratio"))
+        .orderBy("yr", "mo")
+    },
+    Some("""WITH monthly AS (
+           |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mi,
+           |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev,
+           |         CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM orders GROUP BY 1),
+           |spine AS (
+           |  SELECT unnest(generate_series(min(mi), max(mi))) AS mi FROM monthly),
+           |dense AS (
+           |  SELECT s.mi, COALESCE(m.rev, CAST(0 AS DECIMAL(18,4))) AS rev,
+           |         COALESCE(m.n, 0) AS n
+           |  FROM spine s LEFT JOIN monthly m USING (mi)),
+           |lagged AS (
+           |  SELECT mi, rev, n,
+           |         lag(rev, 1) OVER (ORDER BY mi) AS prev,
+           |         lag(rev, 12) OVER (ORDER BY mi) AS yago
+           |  FROM dense)
+           |SELECT CAST(mi // 12 AS BIGINT) AS yr,
+           |       CAST(mi % 12 + 1 AS BIGINT) AS mo,
+           |       CAST(n AS BIGINT) AS n,
+           |       CAST(CAST(rev AS DECIMAL(18,4)) AS DOUBLE) AS rev,
+           |       CAST(CAST(rev - prev AS DECIMAL(18,4)) AS DOUBLE) AS mom_delta,
+           |       CASE WHEN yago IS NOT NULL AND yago <> 0
+           |            THEN CAST(CAST(rev AS DECIMAL(18,4)) AS DOUBLE)
+           |                 / CAST(CAST(yago AS DECIMAL(18,4)) AS DOUBLE) END AS yoy_ratio
+           |FROM lagged ORDER BY yr, mo""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
     q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142,
-    q144, q148, q149, q153, q156)
+    q144, q148, q149, q153, q156, q159, q160)
 }

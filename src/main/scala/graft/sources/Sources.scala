@@ -297,6 +297,30 @@ object Sources {
     spark.read.parquet(files: _*)
   }
 
+  /** Write with an inline data-quality audit, metrics harvested from
+    * the WRITE's own scan via the `Observation` API — row count, per-key
+    * null count, and an exact decimal sum ride along with the job, so
+    * the audit costs ZERO extra passes over the data. At 100 TB the
+    * difference between "write, then re-scan to audit" and this is the
+    * whole table read twice; observed metrics are also the natural
+    * reconciliation numbers to store next to a
+    * [[commitVersion]] manifest (what Delta's commit stats are).
+    * Returns (rows, nullKeys, totalSum) observed during the write. */
+  def writeWithAudit(df: DataFrame, path: String, keyCol: String,
+      sumCol: String): (Long, Long, java.math.BigDecimal) = {
+    val obs = org.apache.spark.sql.Observation("write_audit")
+    df.observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"),
+        org.apache.spark.sql.functions.count_if(col(keyCol).isNull).as("null_keys"),
+        org.apache.spark.sql.functions.sum(
+          col(sumCol).cast("decimal(18,4)")).as("total"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val m = obs.get
+    (m("rows").asInstanceOf[Long], m("null_keys").asInstanceOf[Long],
+      m("total").asInstanceOf[java.math.BigDecimal])
+  }
+
   /** Compaction as a COMMIT: rewrite the latest version's (typically
     * many small, per-micro-batch) files into ~`targetRecordsPerFile`
     * files and publish the result as a new version. Readers pinned to

@@ -688,4 +688,31 @@ class AnalyticSpec extends SparkTestBase {
       assert(means(1)._1 < means(14)._1) // a real band
     }
   }
+
+  test("q159 ratio report: shares telescope to 1; revenue reconciles") {
+    val df = AnalyticOps.q159.build(spark, sf).cache()
+    df.groupBy("o_orderpriority").agg(sum("share_of_priority").as("s"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    assert(math.abs(
+      df.agg(sum("share_of_total")).head().getDouble(0) - 1.0) < 1e-9)
+    val direct = Tables.orders(spark, sf)
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)"))).head().getDecimal(0)
+    val total = df.agg(sum(col("rev").cast("decimal(18,4)"))).head().getDecimal(0)
+    assert(total.compareTo(direct) === 0)
+  }
+
+  test("q160 pop growth: contiguous spine, telescoping MoM, YoY recompute") {
+    val rows = AnalyticOps.q160.build(spark, sf).collect()
+    val mis = rows.map(r => r.getLong(0) * 12 + r.getLong(1) - 1)
+    assert(mis.zip(mis.tail).forall(p => p._2 == p._1 + 1)) // no gaps
+    val revs = rows.map(_.getDouble(3))
+    val deltas = rows.drop(1).map(_.getDouble(4))
+    assert(math.abs(deltas.sum - (revs.last - revs.head)) < 1e-6)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      if (i >= 12 && revs(i - 12) != 0.0)
+        assert(math.abs(r.getDouble(5) - revs(i) / revs(i - 12)) < 1e-12)
+      else assert(r.isNullAt(5))
+    }
+    assert(rows.map(_.getLong(2)).sum === Tables.orders(spark, sf).count())
+  }
 }

@@ -302,4 +302,18 @@ class SourcesSpec extends SparkTestBase {
     assert(Sources.readVersion(spark, table).count() === full)
     assert(Sources.readVersion(spark, table, v5).count() === full) // time travel intact
   }
+
+  test("writeWithAudit: observed write-time metrics equal a direct recompute") {
+    import graft.sources.Sources
+    val out = tmp("audit") + "/orders"
+    val df = Tables.orders(spark, sf)
+    val (rows, nullKeys, total) =
+      Sources.writeWithAudit(df, out, "o_custkey", "o_totalprice")
+    assert(rows === df.count())
+    assert(nullKeys === df.filter(col("o_custkey").isNull).count())
+    val direct = df.agg(sum(col("o_totalprice").cast("decimal(18,4)")))
+      .head().getDecimal(0)
+    assert(total.compareTo(direct) === 0)
+    assert(spark.read.parquet(out).count() === rows)
+  }
 }
