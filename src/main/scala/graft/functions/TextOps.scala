@@ -1569,8 +1569,48 @@ object TextOps {
            |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
+  /** Q163 — export shard manifest: the handoff record between the data
+    * pipeline and the training job. Documents are assigned to 8 shards
+    * by the deterministic md5 residue (stable under repartitioning,
+    * retries, and engine — the q77 split rule applied to files); per
+    * shard the manifest carries doc count, exact token and char
+    * totals, and an order-canonical md5 of the member id list, so the
+    * consumer can verify every shard it reads against the manifest
+    * before training starts (the per-shard twin of
+    * `Sources.writeWithAudit`'s control totals). Pure map-side shard
+    * assignment + one combinable aggregate; the id-list digest rides
+    * the q112 sort-struct device.
+    */
+  val q163 = Query(
+    "q163_shard_manifest",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          graft.Canon.md5Residue(col("doc_id").cast("string"), 8L).as("shard"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long").as("n_tok"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          md5(concat_ws(",",
+            transform(array_sort(collect_list(col("doc_id"))),
+              x => x.cast("string")))).as("ids_md5"))
+        .orderBy("shard")
+    },
+    Some("""SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           |         AS BIGINT) % 8 AS shard,
+           |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+           |         AS n_tokens,
+           |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           |         AS ids_md5
+           |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
-      q154, q155)
+      q154, q155, q163)
 }

@@ -2473,9 +2473,52 @@ object AnalyticOps {
            |FROM lagged ORDER BY yr, mo""".stripMargin)
   )
 
+  /** Q161 — equi-DEPTH histogram of order values: 10 equal-frequency
+    * bins, the complement of q49's equal-width bins (which starve on
+    * skewed data: one hot bin, nine empty). Bin membership is the pure
+    * integer expression `((rank−1)·10) div N` over the (value, key)
+    * total order — no percentile arithmetic, no interpolation, and the
+    * orderkey tiebreak makes duplicate values land deterministically.
+    * Per bin: count (N/10 ± 1 by construction), exact value bounds,
+    * exact decimal sum. The global rank window is the q39 exact-rank
+    * device; at 100 TB the q91 GK sketch supplies the bin EDGES and
+    * binning becomes a broadcast map-side lookup — same output
+    * contract, stated error.
+    */
+  val q161 = Query(
+    "q161_equidepth_hist",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val n = o.agg(count(lit(1)).as("n_total"))
+      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(n))
+        .withColumn("bin", expr("((rn - 1) * 10) div n_total"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          graft.Canon.dsum(col("o_totalprice")).as("rev"))
+        .orderBy("bin")
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+           |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM o),
+           |ranked AS (
+           |  SELECT o_totalprice,
+           |         CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+           |              AS BIGINT) AS rn
+           |  FROM o)
+           |SELECT ((rn - 1) * 10) // n_total AS bin,
+           |       CAST(COUNT(*) AS BIGINT) AS n,
+           |       min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+           |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+           |            AS DECIMAL(18,4)) AS DOUBLE) AS rev
+           |FROM ranked, n GROUP BY 1 ORDER BY bin""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
     q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142,
-    q144, q148, q149, q153, q156, q159, q160)
+    q144, q148, q149, q153, q156, q159, q160, q161)
 }

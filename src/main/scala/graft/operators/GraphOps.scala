@@ -258,5 +258,66 @@ object GraphOps {
            |ORDER BY doc_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q103, q119, q121)
+  /** Q162 — BFS shortest-path distances from node 0 over the q103 link
+    * graph, to a fixed 8-hop horizon: the reachability/diameter probe
+    * next to PageRank (importance), triangles (cohesion), and q121's
+    * full ancestor closure — "how far is everything from the seed?"
+    * is the crawl-frontier and influence-radius question.
+    *
+    * Iterative frontier expansion: each round joins the CURRENT
+    * frontier (not the whole reached set) against the edge list, then
+    * anti-joins out already-reached nodes — so per-round work is
+    * |frontier|·out-degree, the BFS invariant that survives scale, and
+    * the reached set only ever grows by genuinely-new nodes. Rounds
+    * are a fixed horizon (declared semantics, like q66's bound);
+    * `localCheckpoint` keeps lineage flat. The oracle is DuckDB's
+    * WITH RECURSIVE min-over-paths — two genuinely different
+    * algorithms (level-synchronous set BFS vs path enumeration), one
+    * hash-checked answer.
+    */
+  val q162 = Query(
+    "q162_graph_bfs",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val withN = docs.crossJoin(broadcast(n))
+      val edges = withN
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 17) % col("n_docs")).as("dst"))
+        .union(withN
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * col("doc_id") * 7 + 3) % col("n_docs")).as("dst")))
+        .localCheckpoint()
+      var dist = docs.filter(col("doc_id") === 0L)
+        .select(col("doc_id"), lit(0L).as("dist")).localCheckpoint()
+      var frontier = dist
+      for (k <- 1 to 8) {
+        val next = frontier
+          .join(edges, frontier("doc_id") === edges("src"))
+          .select(col("dst").as("doc_id"), lit(k.toLong).as("dist"))
+          .distinct()
+          .join(dist, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        dist = dist.union(next).localCheckpoint()
+        frontier = next
+      }
+      dist.orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |e AS (
+           |  SELECT doc_id AS src, (doc_id * 31 + 17) % n_docs AS dst
+           |  FROM documents, n
+           |  UNION ALL
+           |  SELECT doc_id AS src, (doc_id * doc_id * 7 + 3) % n_docs AS dst
+           |  FROM documents, n),
+           |bfs AS (
+           |  SELECT CAST(0 AS BIGINT) AS doc_id, 0 AS d
+           |  UNION ALL
+           |  SELECT e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.doc_id
+           |  WHERE b.d < 8)
+           |SELECT doc_id, CAST(MIN(d) AS BIGINT) AS dist
+           |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q103, q119, q121, q162)
 }

@@ -715,4 +715,17 @@ class AnalyticSpec extends SparkTestBase {
     }
     assert(rows.map(_.getLong(2)).sum === Tables.orders(spark, sf).count())
   }
+
+  test("q161 equidepth hist: balanced bins, ordered edges, totals reconcile") {
+    val rows = AnalyticOps.q161.build(spark, sf).collect()
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.length === 10)
+    assert(rows.map(_.getLong(1)).sum === n)
+    rows.foreach(r => assert(math.abs(r.getLong(1) - n / 10) <= 1))
+    rows.foreach(r => assert(r.getDouble(2) <= r.getDouble(3))) // lo <= hi
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2)) // no overlap
+      case _ =>
+    }
+  }
 }

@@ -47,6 +47,23 @@ class GraphSpec extends SparkTestBase {
     assert(row.getDouble(4) === 3.0 * tris / wedges)
   }
 
+  test("q162 bfs: matches a driver-side level-synchronous BFS") {
+    val got = GraphOps.q162.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.documents(spark, sf).count()
+    val adj = (0L until n).map(i =>
+      i -> Seq((i * 31 + 17) % n, (i * i * 7 + 3) % n)).toMap
+    var dist = Map(0L -> 0L)
+    var frontier = Seq(0L)
+    (1 to 8).foreach { k =>
+      val next = frontier.flatMap(adj).distinct.filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> k.toLong)
+      frontier = next
+    }
+    assert(got === dist)
+    assert(got.size > 1 && got.values.max >= 2) // the walk actually spreads
+  }
+
   test("q121 tree flatten: heap depths analytic, subtree sizes reconcile") {
     val df = GraphOps.q121.build(spark, sf).cache()
     val n = Tables.documents(spark, sf).count()

@@ -570,4 +570,26 @@ class TextDedupSpec extends SparkTestBase {
       assert(r.getString(3) === md, s"doc ${r.getLong(0)} clean_md5")
     }
   }
+
+  test("q163 shard manifest: driver recompute of membership and digests") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shardOf(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).take(15), 16) % 8L
+    val rows = TextOps.q163.build(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byShard = docs.groupBy(d => shardOf(d._1))
+    assert(rows.map(_.getLong(0)).toSet === byShard.keySet)
+    rows.foreach { r =>
+      val ds = byShard(r.getLong(0))
+      assert(r.getLong(1) === ds.length.toLong)
+      assert(r.getLong(2) ===
+        ds.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum)
+      assert(r.getLong(3) === ds.map(_._3).sum)
+      assert(r.getString(4) === md5hex(ds.map(_._1).sorted.mkString(",")))
+    }
+  }
 }
