@@ -664,6 +664,125 @@ object DedupOps {
             |ORDER BY a_doc, b_doc""".stripMargin)
   )
 
+  /** Q164 — MinHash candidate-quality eval: precision/recall of q28's
+    * LSH band-collision candidates against the exact shingle-Jaccard
+    * ≥ 0.2 ground truth (q30's rule). The recall gate every production
+    * dedup deployment tracks continuously (the batch twin of the ANN
+    * recall invariants on q31b/q31d): band/row geometry drifts out of
+    * tune as the corpus changes, and this readout is how you notice.
+    * Both sides are deterministic md5-derived computations, so the
+    * whole confusion matrix hash-checks cross-engine — an EVAL of an
+    * approximation that is itself exactly reproducible.
+    *
+    * Scale: truth needs the exact shared-shingle join — at 100 TB run
+    * the eval on a deterministic md5-residue document sample (q42's
+    * device) rather than the corpus; the estimator is unbiased because
+    * membership is by pair-independent doc hash.
+    */
+  val q164 = Query(
+    "q164_minhash_eval",
+    (s, dir) => {
+      val bands = bandsFromMinhashes(minhashes(s, dir))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+        .distinct()
+      val truth = q30.build(s, dir).select("a_doc", "b_doc")
+      val tp = truth.join(cand, Seq("a_doc", "b_doc"), "left_semi")
+        .agg(count(lit(1)).as("tp"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      nt.crossJoin(nc).crossJoin(tp)
+        .select(col("n_truth"), col("n_cand"), col("tp"),
+          (col("n_cand") - col("tp")).as("fp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          (col("tp").cast("double") / col("n_cand").cast("double")).as("precision"),
+          (col("tp").cast("double") / col("n_truth").cast("double")).as("recall"))
+    },
+    Some(s"""WITH $minhashesSql,
+            |bands AS (
+            |  SELECT doc_id, i // 4 AS band,
+            |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+            |  FROM mh GROUP BY doc_id, i // 4),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, COUNT(*) AS n_inter
+            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |truth AS (
+            |  SELECT a_doc, b_doc FROM inter
+            |  JOIN sizes sa ON a_doc = sa.doc_id
+            |  JOIN sizes sb ON b_doc = sb.doc_id
+            |  WHERE CAST(n_inter AS DOUBLE)
+            |        / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2),
+            |tpc AS (SELECT CAST(COUNT(*) AS BIGINT) AS tp
+            |        FROM truth JOIN cand USING (a_doc, b_doc)),
+            |ntc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+            |ncc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand)
+            |SELECT n_truth, n_cand, tp,
+            |       CAST(n_cand - tp AS BIGINT) AS fp,
+            |       CAST(n_truth - tp AS BIGINT) AS fn,
+            |       CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE) AS precision,
+            |       CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+            |FROM ntc, ncc, tpc""".stripMargin)
+  )
+
+  /** Q165 — transitive-chain audit of connected-component dedup: how
+    * many document pairs share a q66 cluster WITHOUT being direct
+    * near-duplicates? Min-label components merge A–B and B–C into one
+    * cluster even when A and C share nothing — the chaining failure
+    * mode of every CC-based dedup (and the soft spot called out in
+    * this repo's own q66 scale notes). n_transitive / n_within is the
+    * fraction of merge decisions made by transitivity alone; when it
+    * climbs, clusters are chaining and the pair threshold needs
+    * raising (or the verdict should switch to star-shaped keeper
+    * assignment). Within-cluster pair fan-out is bounded by the max
+    * cluster size — exactly the quantity this query also reports.
+    */
+  val q165 = Query(
+    "q165_chain_audit",
+    (s, dir) => {
+      val pairs = q30.build(s, dir).select("a_doc", "b_doc").localCheckpoint()
+      val labels = connectedComponents(pairs)
+        .select(col("n").as("doc_id"), col("l").as("cluster_id"))
+        .localCheckpoint()
+      val within = labels.as("a")
+        .join(labels.as("b"),
+          col("a.cluster_id") === col("b.cluster_id") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+      val csz = labels.groupBy("cluster_id").agg(count(lit(1)).as("c"))
+      val agg1 = labels.agg(count(lit(1)).as("n_docs"))
+      val agg2 = csz.agg(count(lit(1)).as("n_clusters"), max(col("c")).as("max_cluster"))
+      val agg3 = pairs.agg(count(lit(1)).as("n_direct"))
+      val agg4 = within.agg(count(lit(1)).as("n_within"))
+      agg1.crossJoin(agg2).crossJoin(agg3).crossJoin(agg4)
+        .select(col("n_docs"), col("n_clusters"), col("max_cluster"),
+          col("n_direct"), col("n_within"),
+          (col("n_within") - col("n_direct")).as("n_transitive"))
+    },
+    Some(s"""WITH RECURSIVE $shinglesSql,
+            |$ccLabelsSql,
+            |within AS (
+            |  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc
+            |  FROM labels a JOIN labels b
+            |    ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id),
+            |csz AS (SELECT cluster_id, COUNT(*) AS c FROM labels GROUP BY 1)
+            |SELECT CAST((SELECT COUNT(*) FROM labels) AS BIGINT) AS n_docs,
+            |       CAST((SELECT COUNT(*) FROM csz) AS BIGINT) AS n_clusters,
+            |       CAST((SELECT MAX(c) FROM csz) AS BIGINT) AS max_cluster,
+            |       CAST((SELECT COUNT(*) FROM cc_pairs) AS BIGINT) AS n_direct,
+            |       CAST((SELECT COUNT(*) FROM within) AS BIGINT) AS n_within,
+            |       CAST((SELECT COUNT(*) FROM within) AS BIGINT)
+            |         - CAST((SELECT COUNT(*) FROM cc_pairs) AS BIGINT) AS n_transitive""".stripMargin)
+  )
+
   val all: Seq[Query] =
-    Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68, q74, q137)
+    Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68, q74, q137, q164, q165)
 }

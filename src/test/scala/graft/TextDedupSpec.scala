@@ -592,4 +592,36 @@ class TextDedupSpec extends SparkTestBase {
       assert(r.getString(4) === md5hex(ds.map(_._1).sorted.mkString(",")))
     }
   }
+
+  test("q164 minhash eval: confusion matrix consistent with q28/q30 outputs") {
+    val r = DedupOps.q164.build(spark, sf).head()
+    val truth = DedupOps.q30.build(spark, sf)
+      .select("a_doc", "b_doc").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val cand = DedupOps.q28.build(spark, sf)
+      .select("a_doc", "b_doc").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val tp = (truth intersect cand).size.toLong
+    assert(r.getLong(0) === truth.size.toLong)
+    assert(r.getLong(1) === cand.size.toLong)
+    assert(r.getLong(2) === tp)
+    assert(r.getLong(3) === cand.size - tp)
+    assert(r.getLong(4) === truth.size - tp)
+    assert(r.getDouble(6) >= 0.8, s"recall ${r.getDouble(6)}") // the gate
+  }
+
+  test("q165 chain audit: pair algebra holds and matches cluster recompute") {
+    val r = DedupOps.q165.build(spark, sf).head()
+    val labels = DedupOps.q66.build(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(r.getLong(0) === labels.length.toLong)
+    assert(r.getLong(1) === byCluster.size.toLong)
+    assert(r.getLong(2) === byCluster.values.max)
+    val within = byCluster.values.map(c => c * (c - 1) / 2).sum
+    assert(r.getLong(4) === within)
+    assert(r.getLong(5) === r.getLong(4) - r.getLong(3)) // transitive = within - direct
+    assert(r.getLong(5) >= 0)
+  }
 }
