@@ -2516,9 +2516,80 @@ object AnalyticOps {
            |FROM ranked, n GROUP BY 1 ORDER BY bin""".stripMargin)
   )
 
+  /** Q166 — per-type Tukey box-plot stats over event values: exact
+    * order-statistic quartiles on integer cents (q135's grid), IQR,
+    * and the count outside the 1.5·IQR fences — the robust screening
+    * summary between q75's parametric z-score and q139's MAD. Every
+    * number is an exact BIGINT: quartiles are values AT ranks
+    * ceil(n·p/100) (declared semantics, no interpolation), fences are
+    * integer arithmetic with the ×2 cross-multiplication so 1.5·IQR
+    * never touches a float. Per-group rank windows are the q39 exact
+    * device; q91's GK sketch replaces them at 100 TB.
+    */
+  val q166 = Query(
+    "q166_boxplot_stats",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("c").asc, col("event_id").asc)
+      val ranked = ev.withColumn("rn", row_number().over(w).cast("long"))
+      val withN = ranked
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("i25", expr("(n * 25 + 99) div 100"))
+        .withColumn("i50", expr("(n * 50 + 99) div 100"))
+        .withColumn("i75", expr("(n * 75 + 99) div 100"))
+      val qs = withN.groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          min(col("c")).as("min_c"), max(col("c")).as("max_c"),
+          max(when(col("rn") === col("i25"), col("c"))).as("p25_c"),
+          max(when(col("rn") === col("i50"), col("c"))).as("p50_c"),
+          max(when(col("rn") === col("i75"), col("c"))).as("p75_c"))
+        .withColumn("iqr_c", col("p75_c") - col("p25_c"))
+      val outliers = ev.join(broadcast(qs.select(col("event_type"),
+          col("p25_c").as("q1"), col("p75_c").as("q3"))), "event_type")
+        .filter(col("c") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3 ||
+          col("c") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3)
+        .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+      qs.join(outliers, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"), col("min_c"), col("p25_c"),
+          col("p50_c"), col("p75_c"), col("max_c"), col("iqr_c"),
+          coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, event_id,
+           |         CAST(round(value * 100, 0) AS BIGINT) AS c
+           |  FROM events),
+           |ranked AS (
+           |  SELECT event_type, c,
+           |         CAST(row_number() OVER (PARTITION BY event_type
+           |              ORDER BY c, event_id) AS BIGINT) AS rn,
+           |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           |  FROM ev),
+           |qs AS (
+           |  SELECT event_type, max(n) AS n, min(c) AS min_c, max(c) AS max_c,
+           |         max(CASE WHEN rn = (n * 25 + 99) // 100 THEN c END) AS p25_c,
+           |         max(CASE WHEN rn = (n * 50 + 99) // 100 THEN c END) AS p50_c,
+           |         max(CASE WHEN rn = (n * 75 + 99) // 100 THEN c END) AS p75_c
+           |  FROM ranked GROUP BY event_type),
+           |outl AS (
+           |  SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers
+           |  FROM ev e JOIN qs q ON e.event_type = q.event_type
+           |  WHERE e.c * 2 < q.p25_c * 2 - (q.p75_c - q.p25_c) * 3
+           |     OR e.c * 2 > q.p75_c * 2 + (q.p75_c - q.p25_c) * 3
+           |  GROUP BY 1)
+           |SELECT q.event_type, q.n, q.min_c, q.p25_c, q.p50_c, q.p75_c,
+           |       q.max_c, CAST(q.p75_c - q.p25_c AS BIGINT) AS iqr_c,
+           |       COALESCE(o.n_outliers, 0) AS n_outliers
+           |FROM qs q LEFT JOIN outl o ON q.event_type = o.event_type
+           |ORDER BY q.event_type""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
     q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142,
-    q144, q148, q149, q153, q156, q159, q160, q161)
+    q144, q148, q149, q153, q156, q159, q160, q161, q166)
 }

@@ -783,6 +783,90 @@ object DedupOps {
             |         - CAST((SELECT COUNT(*) FROM cc_pairs) AS BIGINT) AS n_transitive""".stripMargin)
   )
 
+  /** Q167 — LSH geometry sweep: q164's recall readout at THREE
+    * band/row geometries in one query (rows-per-band r ∈ {2, 4, 8}
+    * over the 16 minhashes → 8/4/2 bands). The S-curve trade-off made
+    * measurable: small r → many permissive bands → recall ↑ candidates
+    * ↑; large r → few strict bands → the opposite. This is how the
+    * q28 production geometry (r=4) is TUNED rather than assumed — run
+    * the sweep, pick the cheapest r that clears the recall gate. One
+    * extra fan-out of the (doc, i, mh) relation per geometry, each a
+    * hash-keyed equi-join; truth shared across geometries.
+    */
+  val q167 = Query(
+    "q167_lsh_geometry_sweep",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val mh = minhashes(s, dir).localCheckpoint()
+      val truth = q30.build(s, dir).select("a_doc", "b_doc").localCheckpoint()
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val geoms = Seq(2, 4, 8).toDF("r")
+      val bands = mh.crossJoin(broadcast(geoms))
+        .withColumn("band", expr("i div r"))
+        .groupBy("r", "doc_id", "band")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+            x => x.getField("mh").cast("string"))).as("sig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.r") === col("b.r") && col("a.band") === col("b.band") &&
+            col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.r").as("r"), col("a.doc_id").as("a_doc"),
+          col("b.doc_id").as("b_doc"))
+        .distinct()
+      val perR = cand.groupBy("r").agg(count(lit(1)).as("n_cand"))
+      val tp = cand.join(truth, Seq("a_doc", "b_doc"), "left_semi")
+        .groupBy("r").agg(count(lit(1)).as("tp"))
+      perR.join(tp, Seq("r"), "left")
+        .crossJoin(broadcast(nt))
+        .select(col("r").cast("long").as("r"),
+          expr("cast(16 div r as bigint)").as("n_bands"),
+          col("n_cand"), coalesce(col("tp"), lit(0L)).as("tp"),
+          col("n_truth"),
+          (coalesce(col("tp"), lit(0L)).cast("double") /
+            col("n_truth").cast("double")).as("recall"))
+        .orderBy("r")
+    },
+    Some(s"""WITH $minhashesSql,
+            |geoms AS (SELECT unnest([2, 4, 8]) AS r),
+            |bands AS (
+            |  SELECT g.r, m.doc_id, m.i // g.r AS band,
+            |         string_agg(CAST(m.mh AS VARCHAR), ',' ORDER BY m.i) AS sig
+            |  FROM mh m CROSS JOIN geoms g
+            |  GROUP BY g.r, m.doc_id, m.i // g.r),
+            |cand AS (
+            |  SELECT DISTINCT a.r, a.doc_id AS a_doc, b.doc_id AS b_doc
+            |  FROM bands a JOIN bands b
+            |    ON a.r = b.r AND a.band = b.band AND a.sig = b.sig
+            |   AND a.doc_id < b.doc_id),
+            |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, COUNT(*) AS n_inter
+            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |truth AS (
+            |  SELECT a_doc, b_doc FROM inter
+            |  JOIN sizes sa ON a_doc = sa.doc_id
+            |  JOIN sizes sb ON b_doc = sb.doc_id
+            |  WHERE CAST(n_inter AS DOUBLE)
+            |        / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2),
+            |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+            |perr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_cand
+            |         FROM cand GROUP BY r),
+            |tp AS (SELECT c.r, CAST(COUNT(*) AS BIGINT) AS tp
+            |       FROM cand c JOIN truth t
+            |         ON c.a_doc = t.a_doc AND c.b_doc = t.b_doc
+            |       GROUP BY c.r)
+            |SELECT CAST(p.r AS BIGINT) AS r, CAST(16 // p.r AS BIGINT) AS n_bands,
+            |       p.n_cand, COALESCE(tp.tp, 0) AS tp, n.n_truth,
+            |       CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(n.n_truth AS DOUBLE)
+            |         AS recall
+            |FROM perr p LEFT JOIN tp ON p.r = tp.r CROSS JOIN nt n
+            |ORDER BY r""".stripMargin)
+  )
+
   val all: Seq[Query] =
-    Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68, q74, q137, q164, q165)
+    Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68, q74, q137, q164, q165,
+      q167)
 }

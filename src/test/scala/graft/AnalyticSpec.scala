@@ -728,4 +728,27 @@ class AnalyticSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("q166 boxplot: quartiles and fences match a driver recompute") {
+    val rows = AnalyticOps.q166.build(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.map(_.getString(0)).toSet === ev.keySet)
+    rows.foreach { r =>
+      val cs = ev(r.getString(0))
+      val n = cs.length.toLong
+      def at(p: Long) = cs(((n * p + 99) / 100).toInt - 1)
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === cs.head && r.getLong(6) === cs.last)
+      assert(r.getLong(3) === at(25) && r.getLong(4) === at(50) &&
+        r.getLong(5) === at(75))
+      val iqr = at(75) - at(25)
+      assert(r.getLong(7) === iqr)
+      val out = cs.count(c => c * 2 < at(25) * 2 - iqr * 3 ||
+        c * 2 > at(75) * 2 + iqr * 3).toLong
+      assert(r.getLong(8) === out)
+    }
+  }
 }

@@ -624,4 +624,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(r.getLong(5) === r.getLong(4) - r.getLong(3)) // transitive = within - direct
     assert(r.getLong(5) >= 0)
   }
+
+  test("q167 lsh sweep: monotone S-curve and r=4 row agrees with q164") {
+    val rows = DedupOps.q167.build(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 4L, 8L))
+    // permissive geometries (small r) find at least as many candidates
+    // and at least as much recall as strict ones
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) >= b.getLong(2)) // n_cand monotone down in r
+        assert(a.getDouble(5) >= b.getDouble(5)) // recall monotone down in r
+      case _ =>
+    }
+    val r4 = rows.find(_.getLong(0) == 4L).get
+    val q164r = DedupOps.q164.build(spark, sf).head()
+    assert(r4.getLong(2) === q164r.getLong(1)) // n_cand
+    assert(r4.getLong(3) === q164r.getLong(2)) // tp
+    assert(r4.getLong(4) === q164r.getLong(0)) // n_truth
+  }
 }
