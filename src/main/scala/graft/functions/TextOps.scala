@@ -1609,8 +1609,112 @@ object TextOps {
            |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)
   )
 
+  /** Q168 — ranker agreement: Spearman rank correlation between the
+    * q125 BM25 top-50 and a smoothed-IDF TF-IDF scorer over the SAME
+    * corpus-derived query — the "do my two retrieval stacks agree, and
+    * where" readout that decides whether a cheaper ranker can serve as
+    * a first stage. ρ = 1 − 6·Σd²/(n(n²−1)) over integer ranks: Σd² is
+    * an exact BIGINT, the statistic ONE IEEE division. TF-IDF uses the
+    * sklearn-standard smoothed idf 1 + ln((N+1)/(df+1)) so the score
+    * stays non-degenerate even when a query term hits every document
+    * (plain ln(N/df) collapses to 0 there); contributions round to 6dp
+    * then sum as decimals (q125's order-free device).
+    */
+  val q168 = Query(
+    "q168_rank_corr",
+    (s, dir) => {
+      val bm = q125.build(s, dir).select(col("rank").as("rank_a"), col("doc_id"))
+      val toks = tokensWithPos(Tables.documents(s, dir)).select("doc_id", "tok")
+      val wTop = Window.orderBy(col("cnt").desc, col("tok").asc)
+      val qterms = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+        .select("tok")
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val dfreq = toks.join(broadcast(qterms), "tok")
+        .groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      val tf = toks.join(broadcast(qterms), "tok")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val tfidf = tf.join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("idf", lit(1.0) +
+          round(log((col("n_docs").cast("double") + 1.0) /
+            (col("df").cast("double") + 1.0)), 6))
+        .withColumn("contrib",
+          round(col("tf").cast("double") * col("idf"), 6).cast("decimal(18,6)"))
+        .groupBy("doc_id")
+        .agg(sum(col("contrib")).cast("decimal(18,6)").as("score_b"))
+      val joined = bm.join(tfidf, Seq("doc_id"), "left")
+        .withColumn("score_b",
+          coalesce(col("score_b"), lit(0).cast("decimal(18,6)")))
+      val wB = Window.orderBy(col("score_b").desc, col("doc_id").asc)
+      joined.withColumn("rank_b", row_number().over(wB).cast("long"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("rank_a") - col("rank_b")) *
+            (col("rank_a") - col("rank_b"))).as("sum_d2"))
+        .select(col("n"), col("sum_d2"),
+          (lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+            (col("n") * (col("n") * col("n") - 1)).cast("double")).as("rho"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, tok
+           |  FROM (SELECT doc_id,
+           |               unnest(string_split_regex(lower(text), '\s+')) AS tok
+           |        FROM documents)
+           |  WHERE tok <> ''),
+           |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+           |navg AS (
+           |  SELECT COUNT(*) AS n_docs,
+           |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           |  FROM dl),
+           |qterms AS (
+           |  SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
+           |  QUALIFY row_number() OVER (ORDER BY cnt DESC, tok ASC) <= 3),
+           |dfreq AS (
+           |  SELECT tok, COUNT(DISTINCT doc_id) AS df
+           |  FROM toks SEMI JOIN qterms USING (tok) GROUP BY 1),
+           |tf AS (
+           |  SELECT doc_id, tok, COUNT(*) AS tf
+           |  FROM toks SEMI JOIN qterms USING (tok) GROUP BY 1, 2),
+           |bm_scored AS (
+           |  SELECT t.doc_id,
+           |         CAST(SUM(CAST(round(
+           |           round(ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5)), 6)
+           |           * ((t.tf * 2.2)
+           |              / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / n.avgdl)))), 6)
+           |           AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS score_dec
+           |  FROM tf t JOIN dl l ON t.doc_id = l.doc_id
+           |  JOIN dfreq d ON t.tok = d.tok CROSS JOIN navg n
+           |  GROUP BY t.doc_id),
+           |bm AS (
+           |  SELECT doc_id,
+           |         CAST(row_number() OVER (ORDER BY score_dec DESC, doc_id ASC)
+           |              AS BIGINT) AS rank_a
+           |  FROM bm_scored
+           |  QUALIFY row_number() OVER (ORDER BY score_dec DESC, doc_id ASC) <= 50),
+           |tfidf AS (
+           |  SELECT t.doc_id,
+           |         CAST(SUM(CAST(round(t.tf * (1 + round(ln((n.n_docs + 1.0)
+           |           / (d.df + 1.0)), 6)), 6) AS DECIMAL(18,6)))
+           |           AS DECIMAL(18,6)) AS score_b
+           |  FROM tf t JOIN dfreq d ON t.tok = d.tok CROSS JOIN navg n
+           |  GROUP BY t.doc_id),
+           |ranked AS (
+           |  SELECT bm.rank_a,
+           |         CAST(row_number() OVER (
+           |           ORDER BY COALESCE(tfidf.score_b, CAST(0 AS DECIMAL(18,6))) DESC,
+           |                    bm.doc_id ASC) AS BIGINT) AS rank_b
+           |  FROM bm LEFT JOIN tfidf ON bm.doc_id = tfidf.doc_id)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(SUM((rank_a - rank_b) * (rank_a - rank_b)) AS BIGINT)
+           |         AS sum_d2,
+           |       1.0 - 6.0 * CAST(SUM((rank_a - rank_b) * (rank_a - rank_b))
+           |         AS DOUBLE)
+           |         / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE) AS rho
+           |FROM ranked""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
-      q154, q155, q163)
+      q154, q155, q163, q168)
 }

@@ -321,6 +321,29 @@ object Sources {
       m("total").asInstanceOf[java.math.BigDecimal])
   }
 
+  /** VACUUM: physically delete data files referenced ONLY by expired
+    * versions. Keeps the newest `keepLast` manifests (and every file
+    * any of them references — a file shared with an old version
+    * survives); older manifests are removed, bounding time travel to
+    * the kept horizon. This is the storage-reclamation half of the
+    * table-format lifecycle (commit → compact → vacuum); the safety
+    * property — never delete a file a kept manifest references — is
+    * what distinguishes it from naive directory cleanup, and the
+    * reason readers pinned within the horizon are never broken.
+    * Returns (manifests removed, data files deleted). */
+  def vacuumVersions(table: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val versions = versionsOf(table)
+    val (expired, kept) = versions.splitAt(math.max(0, versions.length - keepLast))
+    val keepFiles = kept.flatMap(v => filesOf(table, v)).toSet
+    val deadFiles = expired.flatMap(v => filesOf(table, v)).toSet -- keepFiles
+    deadFiles.foreach(f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    expired.foreach(v => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(table, s"v$v.manifest")))
+    (expired.length, deadFiles.size)
+  }
+
   /** Compaction as a COMMIT: rewrite the latest version's (typically
     * many small, per-micro-batch) files into ~`targetRecordsPerFile`
     * files and publish the result as a new version. Readers pinned to

@@ -303,6 +303,27 @@ class SourcesSpec extends SparkTestBase {
     assert(Sources.readVersion(spark, table, v5).count() === full) // time travel intact
   }
 
+  test("vacuumVersions: expired-only files deleted, kept horizon fully readable") {
+    import graft.sources.Sources
+    val table = tmp("vvacuum") + "/t"
+    val nat = Tables.nation(spark, sf)
+    Sources.commitVersion(nat.filter(col("n_nationkey") < 10), table)     // v1
+    Sources.commitVersion(nat.filter(col("n_nationkey") >= 10), table)    // v2 = v1 files + new
+    Sources.compactVersion(spark, table, 1000L)                           // v3 (fresh files)
+    val full = nat.count()
+    val (manifestsGone, filesGone) = Sources.vacuumVersions(table, keepLast = 2)
+    assert(manifestsGone === 1) // v1 manifest dropped
+    // v1's files survive: v2 still references them (shared-file safety)
+    assert(filesGone === 0)
+    assert(Sources.readVersion(spark, table, 2).count() === full)
+    assert(Sources.readVersion(spark, table, 3).count() === full)
+    // now expire v2 too: its files are referenced by no kept manifest
+    val (m2, f2) = Sources.vacuumVersions(table, keepLast = 1)
+    assert(m2 === 1 && f2 > 0)
+    assert(Sources.readVersion(spark, table).count() === full) // v3 intact
+    intercept[Exception](Sources.readVersion(spark, table, 2).count())
+  }
+
   test("writeWithAudit: observed write-time metrics equal a direct recompute") {
     import graft.sources.Sources
     val out = tmp("audit") + "/orders"

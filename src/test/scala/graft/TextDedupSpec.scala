@@ -642,4 +642,39 @@ class TextDedupSpec extends SparkTestBase {
     assert(r4.getLong(3) === q164r.getLong(2)) // tp
     assert(r4.getLong(4) === q164r.getLong(0)) // n_truth
   }
+
+  test("q168 rank correlation: driver Spearman recompute over both rankers") {
+    val r = TextOps.q168.build(spark, sf).head()
+    val bm = TextOps.q125.build(spark, sf).collect()
+      .map(x => x.getLong(1) -> x.getLong(0)).toMap // doc -> rank_a
+    // driver TF-IDF over the same corpus top-3 terms
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).toSeq)
+    val n = docs.length
+    val counts = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toSeq
+    val qterms = counts.sortBy { case (t, c) => (-c, t) }.take(3).map(_._1).toSet
+    val df = qterms.map(t => t -> docs.count(_._2.contains(t))).toMap
+    def scoreB(toks: Seq[String]): BigDecimal =
+      qterms.toSeq.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) BigDecimal(0)
+        else BigDecimal(tf *
+          (1.0 + BigDecimal(math.log((n + 1.0) / (df(t) + 1.0)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    val scores = docs.filter(d => bm.contains(d._1))
+      .map { case (id, toks) => (id, scoreB(toks)) }
+    val rankB = scores.sortBy { case (id, sc) => (-sc, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val sumD2 = bm.toSeq.map { case (id, ra) =>
+      val d = ra - rankB(id); d * d
+    }.sum
+    assert(r.getLong(0) === bm.size.toLong)
+    assert(r.getLong(1) === sumD2)
+    val nn = bm.size.toLong
+    assert(r.getDouble(2) === 1.0 - 6.0 * sumD2.toDouble / (nn * (nn * nn - 1)).toDouble)
+    assert(math.abs(r.getDouble(2)) <= 1.0)
+  }
 }
