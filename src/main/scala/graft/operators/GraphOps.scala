@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Query, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over the document corpus. The dedup side
@@ -319,5 +320,103 @@ object GraphOps {
            |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q103, q119, q121, q162)
+  /** Q169 — HITS hub/authority scores over the q103 link graph, two
+    * mutual-reinforcement rounds: authorities are pointed AT by good
+    * hubs, hubs point TO good authorities — the bipartite-flavored
+    * complement of PageRank's single importance axis (a page can be a
+    * great directory yet a poor destination; PageRank conflates the
+    * two). Same exactness device as q103 shrunk to micro-units
+    * (Scale 10⁶): every step is BIGINT arithmetic, each round
+    * SUM-normalizes via `s·10⁶ div total` with truncating division
+    * (declared semantics), so the iterative fixpoint hash-checks
+    * bit-for-bit against the unrolled oracle. Micro-units keep the
+    * normalization product ≤ N·10¹² — overflow-safe without int128.
+    * Per round: one src-keyed join + one dst-keyed combinable sum
+    * (authority step), then the same transposed (hub step).
+    */
+  val q169 = Query(
+    "q169_hits",
+    (s, dir) => {
+      val M = 1000000L
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val withN = docs.crossJoin(broadcast(n))
+      val edges = withN
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 17) % col("n_docs")).as("dst"))
+        .union(withN
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * col("doc_id") * 7 + 3) % col("n_docs")).as("dst")))
+        .localCheckpoint()
+      def normalize(raw: DataFrame, c: String): DataFrame = {
+        val tot = raw.agg(sum(col(c)).as("tot"))
+        raw.crossJoin(broadcast(tot))
+          .select(col("doc_id"), expr(s"CAST($c * $M DIV tot AS BIGINT)").as(c))
+      }
+      var hub = docs.select(col("doc_id"), lit(M).as("h"))
+      var auth: DataFrame = null
+      for (_ <- 1 to 2) {
+        val aRaw = docs
+          .join(edges.join(hub.select(col("doc_id").as("src"), col("h")), "src")
+            .groupBy(col("dst").as("doc_id")).agg(sum(col("h")).as("a")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("a"), lit(0L)).as("a"))
+        auth = normalize(aRaw, "a").localCheckpoint()
+        val hRaw = docs
+          .join(edges.join(auth.select(col("doc_id").as("dst"), col("a")), "dst")
+            .groupBy(col("src").as("doc_id")).agg(sum(col("a")).as("h")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("h"), lit(0L)).as("h"))
+        hub = normalize(hRaw, "h").localCheckpoint()
+      }
+      auth.join(hub, "doc_id")
+        .select(col("doc_id"), col("a").as("auth_fp"), col("h").as("hub_fp"),
+          (col("a").cast("double") / M).as("auth"),
+          (col("h").cast("double") / M).as("hub"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |e AS (
+           |  SELECT doc_id AS src, (doc_id * 31 + 17) % n_docs AS dst
+           |  FROM documents, n
+           |  UNION ALL
+           |  SELECT doc_id AS src, (doc_id * doc_id * 7 + 3) % n_docs AS dst
+           |  FROM documents, n),
+           |h0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS h FROM documents),
+           |a1r AS (
+           |  SELECT d.doc_id, COALESCE(x.a, 0) AS a FROM documents d
+           |  LEFT JOIN (SELECT e.dst AS doc_id, CAST(SUM(h0.h) AS BIGINT) AS a
+           |             FROM e JOIN h0 ON e.src = h0.doc_id GROUP BY e.dst) x
+           |    ON d.doc_id = x.doc_id),
+           |a1 AS (SELECT doc_id, CAST(a * 1000000 // (SELECT SUM(a) FROM a1r)
+           |              AS BIGINT) AS a FROM a1r),
+           |h1r AS (
+           |  SELECT d.doc_id, COALESCE(x.h, 0) AS h FROM documents d
+           |  LEFT JOIN (SELECT e.src AS doc_id, CAST(SUM(a1.a) AS BIGINT) AS h
+           |             FROM e JOIN a1 ON e.dst = a1.doc_id GROUP BY e.src) x
+           |    ON d.doc_id = x.doc_id),
+           |h1 AS (SELECT doc_id, CAST(h * 1000000 // (SELECT SUM(h) FROM h1r)
+           |              AS BIGINT) AS h FROM h1r),
+           |a2r AS (
+           |  SELECT d.doc_id, COALESCE(x.a, 0) AS a FROM documents d
+           |  LEFT JOIN (SELECT e.dst AS doc_id, CAST(SUM(h1.h) AS BIGINT) AS a
+           |             FROM e JOIN h1 ON e.src = h1.doc_id GROUP BY e.dst) x
+           |    ON d.doc_id = x.doc_id),
+           |a2 AS (SELECT doc_id, CAST(a * 1000000 // (SELECT SUM(a) FROM a2r)
+           |              AS BIGINT) AS a FROM a2r),
+           |h2r AS (
+           |  SELECT d.doc_id, COALESCE(x.h, 0) AS h FROM documents d
+           |  LEFT JOIN (SELECT e.src AS doc_id, CAST(SUM(a2.a) AS BIGINT) AS h
+           |             FROM e JOIN a2 ON e.dst = a2.doc_id GROUP BY e.src) x
+           |    ON d.doc_id = x.doc_id),
+           |h2 AS (SELECT doc_id, CAST(h * 1000000 // (SELECT SUM(h) FROM h2r)
+           |              AS BIGINT) AS h FROM h2r)
+           |SELECT a2.doc_id, a2.a AS auth_fp, h2.h AS hub_fp,
+           |       CAST(a2.a AS DOUBLE) / 1000000.0 AS auth,
+           |       CAST(h2.h AS DOUBLE) / 1000000.0 AS hub
+           |FROM a2 JOIN h2 ON a2.doc_id = h2.doc_id
+           |ORDER BY a2.doc_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q103, q119, q121, q162, q169)
 }

@@ -47,6 +47,34 @@ class GraphSpec extends SparkTestBase {
     assert(row.getDouble(4) === 3.0 * tris / wedges)
   }
 
+  test("q169 hits: integer fixed-point recompute, normalization conserved") {
+    val rows = GraphOps.q169.build(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    val out = (0L until n).map(i =>
+      i -> Seq((i * 31 + 17) % n, (i * i * 7 + 3) % n)).toMap
+    val M = 1000000L
+    var h = Array.fill(n.toInt)(M)
+    var a = Array.fill(n.toInt)(0L)
+    (1 to 2).foreach { _ =>
+      val ar = Array.fill(n.toInt)(0L)
+      out.foreach { case (u, vs) => vs.foreach(v => ar(v.toInt) += h(u.toInt)) }
+      val at = ar.sum
+      a = ar.map(x => x * M / at)
+      val hr = Array.fill(n.toInt)(0L)
+      out.foreach { case (u, vs) => vs.foreach(v => hr(u.toInt) += a(v.toInt)) }
+      val ht = hr.sum
+      h = hr.map(x => x * M / ht)
+    }
+    assert(rows.length === n)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      assert(r.getLong(1) === a(i), s"auth at $i")
+      assert(r.getLong(2) === h(i), s"hub at $i")
+    }
+    val sumA = rows.map(_.getLong(1)).sum
+    assert(sumA <= M && sumA >= M - n) // sum-normalized within truncation
+  }
+
   test("q162 bfs: matches a driver-side level-synchronous BFS") {
     val got = GraphOps.q162.build(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

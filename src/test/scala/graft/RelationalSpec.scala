@@ -95,6 +95,43 @@ class RelationalSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("q03 broadcast HyperJoin measurably out-shuffles a forced shuffle join") {
+    // not a plan-text assertion: MEASURED shuffle bytes via a task-end
+    // listener (flushed deterministically through the test bridge).
+    // The broadcast plan's only exchange is the output sort's range
+    // partitioning; forcing the join to shuffle adds both join inputs.
+    def measure(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            acc.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(l)
+      acc.get
+    }
+    val broadcastBytes = measure(RelationalOps.q03.build(spark, sf)
+      .write.mode("overwrite").format("noop").save())
+    // q03's broadcast() hint overrides any conf, so the comparison plan
+    // is the same join forced to shuffle via an explicit merge-join hint.
+    val forced = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).hint("shuffle_merge"),
+        col("l_partkey") === col("p_partkey"), "inner")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("p_name"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    assert(forced.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    val forcedBytes = measure(forced
+      .write.mode("overwrite").format("noop").save())
+    assert(broadcastBytes < forcedBytes,
+      s"broadcast $broadcastBytes >= forced $forcedBytes bytes")
+  }
+
   test("q01 projection prunes parquet read schema") {
     val scan = RelationalOps.q01.build(spark, sf)
       .queryExecution.executedPlan.toString
