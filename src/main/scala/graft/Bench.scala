@@ -67,12 +67,27 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // one compact line; flushed immediately so a tail-capture of the
-    // process output always contains the complete JSON (r01's capture
-    // truncated the head of a single long line)
-    val line =
+    val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    // The harness keeps only the last ~2000 chars of process output and
+    // json-parses them; with a 160+-query inventory the full line cannot
+    // fit (r01's capture clipped the head of the line and lost the
+    // total). So: (1) persist the full per-query JSON to a file in the
+    // repo, (2) print the full line for interactive runs, (3) print
+    // LAST a short line — guaranteed inside any tail window — carrying
+    // the exact total, query count, p50, and the slowest 15 queries
+    // (the only per-query numbers that matter for a perf read).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    println(full)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val okTimes = results.collect { case (_, v) if v >= 0 => v }.sorted
+    val p50out = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"p50":$p50out%.2f,"queries":$slowest,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     Console.out.flush()
     spark.stop()
   }

@@ -1713,8 +1713,37 @@ object TextOps {
            |FROM ranked""".stripMargin)
   )
 
+  /** Q171 — the native n-gram GENERATOR ([[graft.plans.NgramGen]]) on the
+    * engine's SQL surface: trigram rows streamed straight out of the
+    * token array with no intermediate n-gram array materialization (the
+    * scaladoc on [[graft.plans.NgramGen]] has the memory argument vs the
+    * composed `transform`+`posexplode` form). The oracle states the same
+    * semantics through DuckDB's correlated `unnest(range(...))` + list
+    * slicing — two entirely different table-function machineries, one
+    * hash-checked answer. 1-in-50 doc sample keeps the fan-out
+    * output-bounded at every SF.
+    */
+  val q171 = Query(
+    "q171_ngram_gen",
+    (s, dir) => {
+      graft.plans.GraftRules.install(s)
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id"), expr("graft_ngrams(graft_tokens(text), 3)"))
+        .orderBy("doc_id", "pos")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+           |  FROM documents WHERE doc_id % 50 = 0),
+           |x AS (SELECT doc_id, toks,
+           |             unnest(range(1, len(toks) - 1)) AS i FROM d)
+           |SELECT doc_id, CAST(i AS INT) AS pos,
+           |       array_to_string(toks[i:i+2], ' ') AS ngram
+           |FROM x ORDER BY doc_id, pos""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
-      q154, q155, q163, q168)
+      q154, q155, q163, q168, q171)
 }

@@ -418,5 +418,139 @@ object GraphOps {
            |ORDER BY a2.doc_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q103, q119, q121, q162, q169)
+  /** Q172 — Adamic–Adar link prediction over the q103 link graph: for
+    * every non-adjacent pair with ≥1 common neighbor, score
+    * Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — rare shared neighbors are strong
+    * evidence, hub neighbors weak — and report the top-50 predicted
+    * links. The "which docs should link" / "which users will interact"
+    * recommender primitive next to q119's triangles (same undirected
+    * simple-graph view, same edge synthesis).
+    *
+    * Exactness: per-node weight = `round(1/ln(deg), 6)` clamped to
+    * DECIMAL(18,6) — the q53/q125 6dp-ln rule — so the pair score is an
+    * order-free exact decimal sum and the top-50 cut under
+    * (score DESC, u, v) ordering is deterministic in both engines. A
+    * common neighbor has degree ≥ 2 by construction (one edge to each
+    * side), so ln(deg) > 0; the deg ≥ 2 filter states it anyway.
+    *
+    * Scale shape: degree + weight is one combinable agg; candidates
+    * come from the wedge join (u,w)⋈(w,v) keyed on the shared neighbor
+    * — work Σ_w deg(w)², the inherent wedge bound (same as q119), never
+    * all-pairs. At 100 TB the standard cap applies: drop (or sample)
+    * hub neighbors above a degree threshold before the wedge join —
+    * exactly the neighbors whose 1/ln(deg) contribution is smallest, so
+    * the truncation error is bounded and named, not silent.
+    */
+  val q172 = Query(
+    "q172_adamic_adar",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val withN = docs.crossJoin(broadcast(n))
+      val und = withN
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 17) % col("n_docs")).as("dst"))
+        .union(withN
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * col("doc_id") * 7 + 3) % col("n_docs")).as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val nbrs = und.select(col("a").as("v"), col("b").as("w"))
+        .union(und.select(col("b").as("v"), col("a").as("w")))
+      val weight = nbrs.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+        .select(col("w"),
+          round(lit(1.0) / log(col("deg")), 6)
+            .cast("decimal(18,6)").as("aa_w"))
+      val wedges = nbrs.select(col("w"), col("v").as("u"))
+        .join(nbrs.select(col("w"), col("v")), "w")
+        .filter(col("u") < col("v"))
+        .join(weight, "w")
+      wedges
+        .join(und, wedges("u") === und("a") && wedges("v") === und("b"),
+          "left_anti")
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("common_cnt"),
+          sum(col("aa_w")).cast("decimal(18,6)").as("aa_dec"))
+        .select(col("u"), col("v"), col("common_cnt"),
+          col("aa_dec").cast("double").as("aa_score"))
+        .orderBy(col("aa_dec").desc, col("u"), col("v"))
+        .limit(50)
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |e0 AS (
+           |  SELECT doc_id AS src, (doc_id * 31 + 17) % n_docs AS dst
+           |  FROM documents, n
+           |  UNION ALL
+           |  SELECT doc_id AS src, (doc_id * doc_id * 7 + 3) % n_docs AS dst
+           |  FROM documents, n),
+           |und AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e0 WHERE src <> dst),
+           |nbrs AS (
+           |  SELECT a AS v, b AS w FROM und
+           |  UNION ALL SELECT b AS v, a AS w FROM und),
+           |wt AS (
+           |  SELECT w, CAST(round(1.0 / ln(COUNT(*)), 6) AS DECIMAL(18,6)) AS aa_w
+           |  FROM nbrs GROUP BY w HAVING COUNT(*) >= 2),
+           |cand AS (
+           |  SELECT n1.v AS u, n2.v AS v, wt.aa_w
+           |  FROM nbrs n1 JOIN nbrs n2 ON n1.w = n2.w AND n1.v < n2.v
+           |  JOIN wt ON wt.w = n1.w
+           |  WHERE NOT EXISTS (SELECT 1 FROM und
+           |                    WHERE und.a = n1.v AND und.b = n2.v)),
+           |scored AS (
+           |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_cnt,
+           |         CAST(SUM(aa_w) AS DECIMAL(18,6)) AS aa_dec
+           |  FROM cand GROUP BY u, v)
+           |SELECT u, v, common_cnt, CAST(aa_dec AS DOUBLE) AS aa_score
+           |FROM scored ORDER BY aa_dec DESC, u, v LIMIT 50""".stripMargin)
+  )
+
+  /** Q170 — `WITH RECURSIVE` on the SPARK side: the root-climb over the
+    * q121 heap-parent tree written as a recursive CTE and executed by
+    * Spark 4's native recursion (`UnionLoop` — new SQL surface in 4.x),
+    * with DuckDB evaluating the same recursion as the oracle. q121
+    * proves an ITERATIVE DataFrame loop equals a recursive oracle; this
+    * proves Spark's own recursive-SQL evaluator does — completing the
+    * surface both directions. Each doc climbs parent = (id−1) div 2 to
+    * the root, accumulating depth and the exact BIGINT sum of ancestor
+    * ids; both accumulators are non-decreasing along the climb, so
+    * MAX picks the completed-path row without needing the stop row
+    * flagged.
+    *
+    * Scale note: recursion depth is log₂(N) for the heap tree (13 at
+    * sf0.1, 27 at 100 B docs) — each level is one distributed
+    * self-join round inside UnionLoop, the same work shape as q121's
+    * hand-rolled loop, with the planner owning lineage instead of
+    * localCheckpoint.
+    */
+  val q170 = Query(
+    "q170_recursive_cte",
+    (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""WITH RECURSIVE climb(doc_id, anc, depth, anc_sum) AS (
+              |  SELECT doc_id, doc_id, 0, CAST(0 AS BIGINT) FROM documents
+              |  UNION ALL
+              |  SELECT doc_id, (anc - 1) DIV 2, depth + 1,
+              |         anc_sum + CAST((anc - 1) DIV 2 AS BIGINT)
+              |  FROM climb WHERE anc > 0)
+              |SELECT doc_id, CAST(MAX(depth) AS BIGINT) AS depth,
+              |       CAST(MAX(anc_sum) AS BIGINT) AS anc_sum
+              |FROM climb GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    },
+    Some("""WITH RECURSIVE climb(doc_id, anc, depth, anc_sum) AS (
+           |  SELECT doc_id, doc_id, 0, CAST(0 AS BIGINT) FROM documents
+           |  UNION ALL
+           |  SELECT doc_id, (anc - 1) // 2, depth + 1,
+           |         anc_sum + CAST((anc - 1) // 2 AS BIGINT)
+           |  FROM climb WHERE anc > 0)
+           |SELECT doc_id, CAST(MAX(depth) AS BIGINT) AS depth,
+           |       CAST(MAX(anc_sum) AS BIGINT) AS anc_sum
+           |FROM climb GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q103, q119, q121, q162, q169, q170, q172)
 }

@@ -84,6 +84,8 @@ object GraftRules {
     *    sampling/hashing path
     *  - `graft_canon_url(u)` — [[graft.Canon.canonUrl]] normalization
     *  - `graft_tokens(s)` — the shared `\S+` tokenizer
+    *  - `graft_ngrams(toks, n)` — native streaming n-gram GENERATOR
+    *    ([[NgramGen]]): one row in, (len−n+1) rows out, table-valued
     */
   val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
@@ -110,7 +112,9 @@ object GraftRules {
           Literal("[?#].*$"), Literal("")),
         Literal("/$"), Literal(""))),
     "graft_tokens" -> (es =>
-      RegExpExtractAll(es(0), Literal("\\S+"), Literal(0)))
+      RegExpExtractAll(es(0), Literal("\\S+"), Literal(0))),
+    // the one non-scalar entry: a native table-valued function (Generator)
+    "graft_ngrams" -> (es => NgramGen(es(0), es(1)))
   )
 
   /** Install the engine's optimizer rules + SQL functions into a live

@@ -297,6 +297,110 @@ object Sources {
     spark.read.parquet(files: _*)
   }
 
+  /** Per-file min/max column statistics for a version, persisted as a
+    * `v<N>.stats` sidecar next to the manifest — the data-skipping half
+    * of the minimal table format (what Delta/Iceberg keep per file in
+    * the commit log). Stats are harvested in ONE Spark job over the
+    * version's files (`groupBy(input_file_name())`), at commit time —
+    * when the data is already hot — never at read time.
+    *
+    * [[readVersionPruned]] then answers a range predicate by dropping
+    * every file whose [min, max] interval misses the query range BEFORE
+    * `spark.read` ever sees it. Parquet row-group stats do this within
+    * a file the scan already opened; manifest stats skip the file open
+    * (and at cluster scale, the task) entirely. Composed with
+    * [[writeRangeLayout]] / [[writeZOrderLayout]] — which make per-file
+    * intervals disjoint/tight — a selective range query touches O(1)
+    * files out of thousands; on unclustered data intervals all overlap
+    * and pruning honestly degrades to reading everything (kept-file
+    * count is returned so callers can SEE the clustering payoff).
+    * Files without a stats row (e.g. committed before stats existed)
+    * are always kept — pruning is an optimization, never a filter.
+    *
+    * Values are stored as decimal strings and compared as BigDecimal:
+    * exact for every integer/decimal clustering key (the only sane
+    * Z-order/range keys; float keys would inherit float comparison
+    * anyway).
+    */
+  def commitStats(spark: SparkSession, table: String, version: Int,
+      cols: Seq[String]): Unit = {
+    val files = filesOf(table, version)
+    val df = spark.read.parquet(files: _*)
+    val aggs = cols.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(col(c)).cast("decimal(38,6)")
+        .cast("string").as(s"min_$c"),
+      org.apache.spark.sql.functions.max(col(c)).cast("decimal(38,6)")
+        .cast("string").as(s"max_$c")))
+    val rows = df
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val lines = rows.flatMap { r =>
+      val file = r.getString(0).stripPrefix("file://")
+      cols.zipWithIndex.map { case (c, i) =>
+        s"$file\t$c\t${r.getString(1 + 2 * i)}\t${r.getString(2 + 2 * i)}"
+      }
+    }
+    val dir = java.nio.file.Paths.get(table)
+    val tmp = java.nio.file.Files.createTempFile(dir, s".s$version", ".tmp")
+    java.nio.file.Files.write(tmp, lines.sorted.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve(s"v$version.stats"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** (file, col) -> (min, max) stats for a version, or empty if the
+    * version has no stats sidecar. */
+  def statsOf(table: String, version: Int): Map[(String, String), (BigDecimal, BigDecimal)] = {
+    val p = java.nio.file.Paths.get(table, s"v$version.stats")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(f, c, lo, hi) = line.split("\t", 4)
+        (f, c) -> (BigDecimal(lo), BigDecimal(hi))
+      }.toMap
+  }
+
+  /** The file-pruning decision, exposed for tests and for callers that
+    * want the skipping ratio: the version's files split into (kept,
+    * skipped) for the predicate `col BETWEEN lo AND hi`. */
+  def pruneFiles(table: String, version: Int, column: String,
+      lo: BigDecimal, hi: BigDecimal): (Seq[String], Seq[String]) = {
+    val stats = statsOf(table, version)
+    filesOf(table, version).partition { f =>
+      stats.get((f, column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi // interval overlap
+        case None => true // no stats: must read
+      }
+    }
+  }
+
+  /** Read `table` at `version` restricted to `col BETWEEN lo AND hi`,
+    * scanning only the files whose stats interval overlaps the range.
+    * The residual filter is still applied (stats prune FILES, not
+    * rows), so the result is exactly `readVersion(...).filter(...)` —
+    * SourcesSpec proves it. */
+  def readVersionPruned(spark: SparkSession, table: String, column: String,
+      lo: BigDecimal, hi: BigDecimal, version: Int = -1): DataFrame = {
+    val v = if (version < 0) latestVersion(table) else version
+    require(v > 0, s"$table has no committed versions")
+    val (kept, _) = pruneFiles(table, v, column, lo, hi)
+    if (kept.isEmpty) {
+      // every file skipped: serve the empty relation with the right schema
+      readVersion(spark, table, v)
+        .filter(org.apache.spark.sql.functions.lit(false))
+    } else {
+      val df = spark.read.parquet(kept: _*)
+      // bounds cast to the COLUMN's type on the literal side, so the
+      // residual range predicate still pushes down to the parquet scan
+      val dt = df.schema(column).dataType
+      val loL = org.apache.spark.sql.functions.lit(lo.bigDecimal).cast(dt)
+      val hiL = org.apache.spark.sql.functions.lit(hi.bigDecimal).cast(dt)
+      df.filter(col(column) >= loL && col(column) <= hiL)
+    }
+  }
+
   /** Write with an inline data-quality audit, metrics harvested from
     * the WRITE's own scan via the `Observation` API — row count, per-key
     * null count, and an exact decimal sum ride along with the job, so

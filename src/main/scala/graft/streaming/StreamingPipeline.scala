@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured-Streaming restatement of the reference's real-time ETL
   * (SURVEY.md §2.1 O1–O21, §3 E1/E2):
@@ -420,6 +420,58 @@ object StreamingPipeline {
             first.iterator
           }
       }
+  }
+
+  /** [[consumeOncePerKey]] restated on Spark 4's `transformWithState` —
+    * the arbitrary-stateful-processing API that succeeds
+    * `flatMapGroupsWithState`. Same contract (first event per key wins,
+    * the rest are swallowed), different machinery, each piece the
+    * successor of a `flatMapGroupsWithState` workaround:
+    *
+    *  - state is a NAMED, individually-typed `ValueState[Long]` on the
+    *    processor handle (fMGWS packs everything into one opaque state
+    *    object — every state-shape change is a serialization migration);
+    *  - state lifetime is a declarative per-value TTL (`TTLConfig`),
+    *    enforced by the store itself, instead of hand-rolled
+    *    `setTimeoutDuration`/`hasTimedOut` bookkeeping interleaved with
+    *    user logic;
+    *  - the processor object carries `init`/`close` lifecycle, so state
+    *    handles are acquired once per partition, not re-derived per key.
+    *
+    * Runtime contract (stated, enforced by Spark): streaming
+    * `transformWithState` requires the RocksDB state store provider —
+    * which is also the 100 TB answer, since per-key state lives
+    * off-heap/on-disk with changelog checkpointing instead of in an
+    * executor-heap HashMap. StreamingSpec runs the streaming form on
+    * RocksDB and proves the batch path equals [[consumeOncePerKey]]'s.
+    */
+  class ConsumeOnceProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Event, Event] {
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Event] =
+      if (seen.exists()) Iterator.empty // consumed: swallow
+      else {
+        val first = rows.toSeq.sortBy(e => (e.ts, e.event_id)).headOption
+        first.foreach(e => seen.update(e.event_id))
+        first.iterator
+      }
+  }
+
+  def consumeOncePerKeyTws(events: Dataset[Event],
+      ttl: java.time.Duration = null): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new ConsumeOnceProcessor(ttl),
+        if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Append())
   }
 
   /** Per-key admission throttle: at most `k` events admitted per user

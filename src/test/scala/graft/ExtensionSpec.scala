@@ -234,6 +234,38 @@ class ExtensionSpec extends SparkTestBase {
     })
   }
 
+  test("graft_ngrams generator: streams n-grams, equals the composed form") {
+    GraftRules.install(spark)
+    Tables.documents(spark, sf).limit(50).createOrReplaceTempView("ngram_docs")
+    val native = spark.sql(
+      """SELECT doc_id, pos, ngram
+        |FROM ngram_docs
+        |LATERAL VIEW graft_ngrams(graft_tokens(text), 3) g AS pos, ngram
+        |ORDER BY doc_id, pos""".stripMargin)
+    // the composed formulation: materialize every n-gram array, explode
+    val composed = spark.sql(
+      """SELECT doc_id, CAST(p + 1 AS INT) AS pos, ngram
+        |FROM (SELECT doc_id, graft_tokens(text) AS toks FROM ngram_docs)
+        |LATERAL VIEW posexplode(
+        |  transform(sequence(1, greatest(size(toks) - 2, 0)),
+        |            i -> array_join(slice(toks, i, 3), ' '))) g AS p, ngram
+        |ORDER BY doc_id, pos""".stripMargin)
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+    assert(native.count() > 0)
+    // generator plans as a Generate node (table-valued, not a projection)
+    assert(native.queryExecution.executedPlan.toString.contains("Generate"))
+    // edges: doc shorter than n -> zero rows; n = 1 -> the tokens themselves
+    import spark.implicits._
+    Seq((1L, "a b")).toDF("doc_id", "text").createOrReplaceTempView("ngram_short")
+    assert(spark.sql(
+      "SELECT * FROM ngram_short LATERAL VIEW graft_ngrams(graft_tokens(text), 3) g AS pos, ngram")
+      .count() === 0)
+    val unigrams = spark.sql(
+      "SELECT ngram FROM ngram_short LATERAL VIEW graft_ngrams(graft_tokens(text), 1) g AS pos, ngram")
+      .collect().map(_.getString(0)).toSeq
+    assert(unigrams === Seq("a", "b"))
+  }
+
   test("property: inner join row count = sum over keys of |L_k| * |R_k|") {
     import spark.implicits._
     val keys = Gen.listOf(Gen.chooseNum(0, 4))

@@ -75,6 +75,47 @@ class GraphSpec extends SparkTestBase {
     assert(sumA <= M && sumA >= M - n) // sum-normalized within truncation
   }
 
+  test("q170 recursive CTE: Spark's native recursion equals q121's iterative depth") {
+    val rec = GraphOps.q170.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val iter = GraphOps.q121.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rec.keySet === iter.keySet)
+    rec.foreach { case (id, (depth, ancSum)) =>
+      assert(depth === iter(id), s"depth at $id")
+      // driver recompute of the ancestor-id sum along the climb
+      var (v, s) = (id, 0L)
+      while (v > 0) { v = (v - 1) / 2; s += v }
+      assert(ancSum === s, s"anc_sum at $id")
+    }
+  }
+
+  test("q172 adamic-adar: matches a driver-side brute force") {
+    val got = GraphOps.q172.build(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    val ids = (0L until n)
+    val edges = ids.flatMap { id =>
+      Seq((id, (id * 31 + 17) % n), (id, (id * id * 7 + 3) % n))
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+    def w(node: Long): BigDecimal =
+      BigDecimal(1.0 / math.log(adj(node).size.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val scores = (for {
+      u <- ids; v <- ids if u < v && !edges.contains((u, v))
+      common = adj.getOrElse(u, Set.empty) & adj.getOrElse(v, Set.empty)
+      if common.nonEmpty
+    } yield (u, v, common.size.toLong, common.toSeq.map(w).sum))
+      .sortBy { case (u, v, _, s) => (-s, u, v) }.take(50)
+    assert(got.length === scores.length)
+    got.zip(scores).foreach { case (r, (u, v, cnt, s)) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((u, v, cnt)))
+      assert(math.abs(r.getDouble(3) - s.toDouble) < 1e-9)
+    }
+  }
+
   test("q162 bfs: matches a driver-side level-synchronous BFS") {
     val got = GraphOps.q162.build(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -324,6 +324,44 @@ class SourcesSpec extends SparkTestBase {
     intercept[Exception](Sources.readVersion(spark, table, 2).count())
   }
 
+  test("manifest stats: range query skips files, pruned read == full filter") {
+    val table = tmp("vstats") + "/orders_v"
+    // range-clustered commit => disjoint per-file key intervals, so the
+    // stats actually prune; 8 files over the o_orderkey domain
+    val orders = Tables.orders(spark, sf)
+    val v1 = Sources.commitVersion(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), table)
+    Sources.commitStats(spark, table, v1, Seq("o_orderkey"))
+    val (lo, hi) = (BigDecimal(100), BigDecimal(300))
+    val (kept, skipped) = Sources.pruneFiles(table, v1, "o_orderkey", lo, hi)
+    assert(skipped.nonEmpty, "clustered narrow range must skip files")
+    assert(kept.nonEmpty)
+    val pruned = Sources.readVersionPruned(spark, table, "o_orderkey", lo, hi)
+    val full = Sources.readVersion(spark, table, v1)
+      .filter(col("o_orderkey") >= 100 && col("o_orderkey") <= 300)
+    assert(pruned.count() === full.count() && full.count() > 0)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // empty-range edge: every file skipped, empty result with the schema
+    val none = Sources.readVersionPruned(spark, table, "o_orderkey",
+      BigDecimal(-500), BigDecimal(-100))
+    assert(none.count() === 0 && none.columns.sameElements(full.columns))
+    // append WITHOUT stats: pruning must keep the un-statted files (a
+    // file with no stats row can never be skipped), result stays exact
+    val v2 = Sources.commitVersion(
+      orders.filter(col("o_orderkey") < 50), table)
+    val (kept2, skipped2) = Sources.pruneFiles(table, v2, "o_orderkey", lo, hi)
+    assert(skipped2.isEmpty, "no v2 stats sidecar -> nothing may be skipped")
+    val pruned2 = Sources.readVersionPruned(spark, table, "o_orderkey", lo, hi)
+    assert(pruned2.count() === full.count()) // appended rows all < 50
+    // after stats on v2 the same range prunes again and stays exact
+    Sources.commitStats(spark, table, v2, Seq("o_orderkey"))
+    val (_, skipped3) = Sources.pruneFiles(table, v2, "o_orderkey", lo, hi)
+    assert(skipped3.nonEmpty)
+    assert(Sources.readVersionPruned(spark, table, "o_orderkey", lo, hi)
+      .count() === full.count())
+  }
+
   test("writeWithAudit: observed write-time metrics equal a direct recompute") {
     import graft.sources.Sources
     val out = tmp("audit") + "/orders"

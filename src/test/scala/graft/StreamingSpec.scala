@@ -87,6 +87,50 @@ class StreamingSpec extends SparkTestBase {
     once.foreach(e => assert(e.ts === firstPerUser(e.user_id)))
   }
 
+  test("transformWithState consume-once (batch path) = flatMapGroupsWithState") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[StreamingPipeline.Event]
+    val old = StreamingPipeline.consumeOncePerKey(events).collect()
+      .map(e => e.user_id -> e.event_id).toMap
+    val tws = StreamingPipeline.consumeOncePerKeyTws(events).collect()
+      .map(e => e.user_id -> e.event_id).toMap
+    assert(tws === old)
+  }
+
+  test("transformWithState streaming on RocksDB: first event per key") {
+    import spark.implicits._
+    val out = tmp("tws_once")
+    // streaming transformWithState REQUIRES the RocksDB provider — which
+    // is also the at-scale answer (off-heap state + changelog checkpoints)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = StreamingPipeline.readEvents(spark, sf)
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+        .as[StreamingPipeline.Event]
+      val q = StreamingPipeline.consumeOncePerKeyTws(src)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("tws_once")
+        .option("checkpointLocation", s"$out/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      val got = spark.table("tws_once").collect()
+      assert(got.map(_.getLong(2)).distinct.length === got.length)
+      assert(got.length ===
+        Tables.events(spark, sf).select("user_id").distinct().count())
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-static enrichment join (the HyperJoin, streaming form)") {
     val out = tmp("enrich")
     val master = Tables.customer(spark, sf)
