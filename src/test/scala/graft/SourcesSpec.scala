@@ -362,6 +362,57 @@ class SourcesSpec extends SparkTestBase {
       .count() === full.count())
   }
 
+  test("ManifestFileIndex: user filters prune manifest files inside the scan") {
+    import graft.sources.ManifestFileIndex
+    val table = tmp("vindex") + "/orders_idx"
+    val orders = Tables.orders(spark, sf)
+    val v1 = Sources.commitVersion(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), table)
+    Sources.commitStats(spark, table, v1, Seq("o_orderkey"))
+
+    def scansOf(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def go(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case o => o.children.flatMap(go)
+        }
+      go(df.queryExecution.executedPlan)
+    }
+
+    val base = ManifestFileIndex.readVersionIndexed(spark, table)
+    assert(base.count() === orders.count()) // unfiltered: everything
+
+    // a plain user filter — no pruning API in sight — skips files
+    val filtered = ManifestFileIndex.readVersionIndexed(spark, table)
+      .filter(col("o_orderkey") >= 100 && col("o_orderkey") <= 300)
+    val expected = orders
+      .filter(col("o_orderkey") >= 100 && col("o_orderkey") <= 300)
+    filtered.collect() // execute THIS plan so its scan metrics populate
+    assert(filtered.count() === expected.count() && expected.count() > 0)
+    assert(filtered.exceptAll(expected).isEmpty &&
+      expected.exceptAll(filtered).isEmpty)
+    val numFiles = scansOf(filtered).map(_.metrics("numFiles").value).sum
+    assert(numFiles < 8, s"expected file skipping, scanned $numFiles of 8")
+    assert(numFiles >= 1)
+
+    // a filter on an UN-statted column must not prune (and stays correct)
+    val byPrio = ManifestFileIndex.readVersionIndexed(spark, table)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    byPrio.collect()
+    assert(byPrio.count() ===
+      orders.filter(col("o_orderpriority") === "1-URGENT").count())
+    assert(scansOf(byPrio).map(_.metrics("numFiles").value).sum === 8)
+
+    // version pinning: an overwrite commit does not disturb the pinned index
+    Sources.commitVersion(orders.limit(10), table, overwrite = true)
+    assert(ManifestFileIndex.readVersionIndexed(spark, table, v1).count()
+      === orders.count())
+  }
+
   test("writeWithAudit: observed write-time metrics equal a direct recompute") {
     import graft.sources.Sources
     val out = tmp("audit") + "/orders"

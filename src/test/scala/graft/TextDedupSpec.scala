@@ -79,6 +79,26 @@ class TextDedupSpec extends SparkTestBase {
     assert(recall >= 0.8, f"LSH recall@1 $recall%.3f ($hits/$total)")
   }
 
+  test("q173 PQ-ADC ANN: recall@1 vs brute force; encode deterministic") {
+    val bf = SimilarityOps.q31.build(spark, sf)
+      .select(col("a_id"), col("sim").as("bf_sim"))
+    val pq = SimilarityOps.q173.build(spark, sf)
+      .select(col("a_id"), col("sim").as("ann_sim"))
+    val hits = bf.join(pq, Seq("a_id"), "left")
+      .filter(col("ann_sim").isNotNull &&
+        col("ann_sim") >= col("bf_sim") - 1e-9)
+      .count()
+    val total = bf.count()
+    val recall = hits.toDouble / total
+    info(f"PQ recall@1 = $recall%.3f ($hits/$total)")
+    assert(recall >= 0.8, f"PQ recall@1 $recall%.3f ($hits/$total)")
+    // deterministic end-to-end: same codebook, same codes, same answer
+    val again = SimilarityOps.q173.build(spark, sf).collect()
+    val first = SimilarityOps.q173.build(spark, sf).collect()
+    assert(first.map(r => (r.getLong(0), r.getLong(1)))
+      .sameElements(again.map(r => (r.getLong(0), r.getLong(1)))))
+  }
+
   test("q31d IVF ANN: recall@1 >= 0.8 vs brute force") {
     val bf = SimilarityOps.q31.build(spark, sf)
       .select(col("a_id"), col("sim").as("bf_sim"))
