@@ -236,6 +236,86 @@ object StreamingPipeline {
       }
   }
 
+  /** [[sessionize]] restated on `transformWithState` with EVENT-TIME
+    * TIMERS — the second half of the new stateful API surface
+    * ([[ConsumeOnceProcessor]] shows named state + TTL; this shows
+    * `registerTimer`/`handleExpiredTimer`). Identical contract: one
+    * O(1) `SessionState` per key, sessions closed mid-stream when a
+    * gap-exceeding event arrives, trailing sessions closed by the
+    * event-time timer at end + gap once the watermark passes (fMGWS's
+    * `setTimeoutTimestamp`/`hasTimedOut` as an explicit timer object —
+    * several can coexist per key, where fMGWS owns exactly one
+    * implicit timeout).
+    */
+  class SessionizeProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var cur: ValueState[SessionState] = _
+    @transient private var timersEnabled: Boolean = false
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      // batch execution carries no watermark, so EventTime timers exist
+      // only on the streaming path; the gap-closing logic is identical
+      timersEnabled = timeMode == TimeMode.EventTime()
+      cur = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Session] = {
+      val sorted = rows.map(e => e.ts / 1000000000L).toSeq.sorted
+      var closed = List.empty[Session]
+      var state = if (cur.exists()) Some(cur.get()) else None
+      sorted.foreach { es =>
+        state match {
+          case Some(s) if es - s.end_es <= gapSeconds =>
+            state = Some(SessionState(s.start_es, math.max(s.end_es, es), s.n + 1))
+          case Some(s) =>
+            closed ::= Session(user, s.start_es, s.end_es, s.n)
+            state = Some(SessionState(es, es, 1))
+          case None =>
+            state = Some(SessionState(es, es, 1))
+        }
+      }
+      state.foreach { s =>
+        cur.update(s)
+        if (timersEnabled) {
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          getHandle.registerTimer((s.end_es + gapSeconds) * 1000)
+        }
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[Session] =
+      if (!cur.exists()) Iterator.empty
+      else {
+        val s = cur.get()
+        cur.clear()
+        Iterator.single(Session(user, s.start_es, s.end_es, s.n))
+      }
+  }
+
+  /** `useTimers = true` (streaming): trailing sessions close when the
+    * watermark passes end + gap. `false` (batch — batch execution has
+    * no watermark to drive EventTime timers): trailing sessions stay
+    * open, the exact fMGWS batch contract. */
+  def sessionizeTws(events: Dataset[Event], gapSeconds: Long = 1800,
+      useTimers: Boolean = true): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events.sparkSession)
+    val withTs = events.toDF()
+      .withColumn("tss", timestamp_seconds(col("ts") / lit(1000000000L)))
+      .withWatermark("tss", "10 minutes")
+      .as[Event]
+    withTs
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapSeconds),
+        if (useTimers) TimeMode.EventTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Incremental near-duplicate dedup — the streaming form of the
     * MinHash/LSH pass (q28): each micro-batch of documents is deduped
     * against BOTH itself (earlier doc_id wins) and an accumulating
@@ -464,9 +544,20 @@ object StreamingPipeline {
       }
   }
 
+  /** Batch `transformWithState` consults the driver's
+    * StateStoreCoordinator endpoint, but only a running STREAMING query
+    * registers it — a fresh session executing TWS in batch mode fails
+    * with RpcEndpointNotFound. `forDriver` is the endpoint's idempotent
+    * create-or-lookup, so registering it up front is safe from any
+    * path. */
+  private def ensureStateStoreCoordinator(spark: SparkSession): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get, spark.sessionState.conf)
+
   def consumeOncePerKeyTws(events: Dataset[Event],
       ttl: java.time.Duration = null): Dataset[Event] = {
     import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events.sparkSession)
     events
       .groupByKey(_.user_id)
       .transformWithState(new ConsumeOnceProcessor(ttl),

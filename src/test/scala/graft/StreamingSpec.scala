@@ -197,6 +197,76 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("transformWithState sessionize with event-time timers matches fMGWS/q21") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[StreamingPipeline.Event]
+    val got = StreamingPipeline.sessionizeTws(events, useTimers = false)
+      .collect().map(s => (s.user_id, s.start_es, s.n_events)).toSet
+    val q21 = graft.operators.TemporalOps.q21.build(spark, sf)
+      .select(col("user_id"),
+        unix_timestamp(col("session_start")).as("start_es"),
+        col("n_events"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("session_start").desc)).as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val closedOnly = q21.filter(_._4 > 1).map(t => (t._1, t._2, t._3)).toSet
+    // batch (no watermark -> no timers): exactly the fMGWS contract —
+    // declarative session_window minus each user's trailing open session
+    assert(got === closedOnly)
+    assert(got.nonEmpty)
+    val fm = StreamingPipeline.sessionize(events).collect()
+      .map(s => (s.user_id, s.start_es, s.n_events)).toSet
+    assert(fm === got)
+  }
+
+  test("transformWithState sessionize streaming: timers close watermark-passed tails") {
+    import spark.implicits._
+    val out = tmp("tws_sess")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = StreamingPipeline.readEvents(spark, sf)
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+        .as[StreamingPipeline.Event]
+      val q = StreamingPipeline.sessionizeTws(src)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("tws_sess")
+        .option("checkpointLocation", s"$out/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      val got = spark.table("tws_sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      val q21 = graft.operators.TemporalOps.q21.build(spark, sf)
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("start_es"),
+          col("n_events"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id")
+            .orderBy(col("session_start").desc)).as("rev"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      val closedOnly = q21.filter(_._4 > 1).map(t => (t._1, t._2, t._3)).toSet
+      val allSessions = q21.map(t => (t._1, t._2, t._3)).toSet
+      // every emitted row is a true session; all gap-closed sessions are
+      // present; timers may additionally close trailing sessions the
+      // final watermark passed (end + gap < max event time - delay)
+      assert(got.subsetOf(allSessions))
+      assert(closedOnly.subsetOf(got))
+      assert(got.size > closedOnly.size,
+        "expected the event-time timers to close at least one trailing session")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("incremental near-dup dedup across micro-batches = single-shot batch rule") {
     val docs = Tables.documents(spark, sf)
     val store = tmp("dedup-store") + "/bands"
