@@ -1742,8 +1742,83 @@ object TextOps {
            |FROM x ORDER BY doc_id, pos""".stripMargin)
   )
 
+  /** Q174 — cross-group quantile normalization: calibrate a per-doc raw
+    * score (text length here; any q33-style signal slots in) so its
+    * DISTRIBUTION is comparable across languages — the fix for "a 0.7
+    * quality score means different things in different languages" that
+    * every multilingual quality filter needs before a single global
+    * keep-threshold makes sense. Each doc maps to its within-language
+    * percentile rank (integer ppm, (r−1)·10⁶ div (n−1)), then reads the
+    * POOLED distribution's order statistic at that percentile as its
+    * calibrated score — within-language ordering is preserved exactly,
+    * while every language's calibrated scores share the one global
+    * distribution.
+    *
+    * All index math is exact BIGINT (ppm ranks, div), the calibrated
+    * value is a real data value (an order statistic, never an
+    * interpolation) — hash-exact in both engines. Scale note: the
+    * per-language rank is a keyed window; the pooled reference runs
+    * through one global-rank pass (the q39 exact-rank device) whose
+    * 100 TB swap is q91's mergeable GK sketch — lookup by percentile
+    * instead of rank join, same output contract.
+    */
+  val q174 = Query(
+    "q174_quantile_normalize",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("raw"))
+      val wl = Window.partitionBy("lang").orderBy("raw", "doc_id")
+      val perLang = docs
+        .withColumn("r", row_number().over(wl).cast("long"))
+        .withColumn("nl", count(lit(1))
+          .over(Window.partitionBy("lang")).cast("long"))
+        .withColumn("pr_ppm",
+          when(col("nl") === 1, lit(0L))
+            .otherwise(expr("((r - 1) * 1000000) DIV (nl - 1)")))
+      val global = docs
+        .select(col("raw").as("g_raw"), col("doc_id").as("g_id"))
+        .withColumn("gr", row_number().over(
+          Window.orderBy("g_raw", "g_id")).cast("long"))
+      val n = docs.count()
+      perLang
+        .withColumn("target_gr",
+          expr(s"(pr_ppm * (${n} - 1)) DIV 1000000 + 1"))
+        .join(global.select(col("gr"), col("g_raw")),
+          col("target_gr") === col("gr"))
+        .select(col("doc_id"), col("lang"), col("raw"), col("pr_ppm"),
+          col("g_raw").as("calibrated"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS raw
+           |  FROM documents),
+           |pl AS (
+           |  SELECT doc_id, lang, raw,
+           |         CAST(row_number() OVER (PARTITION BY lang
+           |              ORDER BY raw, doc_id) AS BIGINT) AS r,
+           |         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS nl
+           |  FROM d),
+           |pr AS (
+           |  SELECT doc_id, lang, raw,
+           |         CASE WHEN nl = 1 THEN 0
+           |              ELSE ((r - 1) * 1000000) // (nl - 1) END AS pr_ppm
+           |  FROM pl),
+           |g AS (
+           |  SELECT raw AS g_raw,
+           |         CAST(row_number() OVER (ORDER BY raw, doc_id) AS BIGINT)
+           |           AS gr
+           |  FROM d),
+           |n AS (SELECT COUNT(*) AS n FROM d)
+           |SELECT pr.doc_id, pr.lang, pr.raw, CAST(pr.pr_ppm AS BIGINT) AS pr_ppm,
+           |       g.g_raw AS calibrated
+           |FROM pr CROSS JOIN n
+           |JOIN g ON (pr.pr_ppm * (n.n - 1)) // 1000000 + 1 = g.gr
+           |ORDER BY pr.doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
-      q154, q155, q163, q168, q171)
+      q154, q155, q163, q168, q171, q174)
 }

@@ -132,4 +132,25 @@ class PipelineOpsSpec extends SparkTestBase {
     rows.foreach(r =>
       assert(r.getAs[String]("domain").matches("src\\d+[.]example[.]com")))
   }
+
+  test("q174 quantile normalization: order preserved per lang, global range shared") {
+    val rows = TextOps.q174.build(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === Tables.documents(spark, sf).count())
+    // within a language, calibrated must be monotone in (raw, then ppm)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(t => (t._2, t._3))
+      val cal = sorted.map(_._4)
+      assert(cal.zip(cal.tail).forall { case (a, b) => a <= b },
+        s"calibrated not monotone within $lang")
+    }
+    // every language's extremes land on the ONE pooled distribution
+    val globalRaw = rows.map(_._2)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.minBy(t => (t._2, t._3))._4 === globalRaw.min,
+        s"$lang p0 must calibrate to the pooled minimum")
+      assert(rs.maxBy(t => (t._2, t._3))._4 === globalRaw.max,
+        s"$lang p100 must calibrate to the pooled maximum")
+    }
+  }
 }
