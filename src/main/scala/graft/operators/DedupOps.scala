@@ -41,19 +41,24 @@ object DedupOps {
   private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
     graft.functions.TextOps.shinglesOf(Tables.documents(s, dir), distinct = true)
 
-  private val shinglesSql =
-    """toks AS (
-      |  SELECT doc_id, i AS pos, toks[i] AS tok FROM (
-      |    SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-      |    FROM documents) t, unnest(range(1, len(t.toks)+1)) u(i)
-      |  WHERE toks[i] <> ''),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, concat(tok, ' ', t2, ' ', t3) AS sh FROM (
-      |    SELECT doc_id, tok,
-      |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
-      |           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
-      |    FROM toks) x
-      |  WHERE t3 IS NOT NULL)""".stripMargin
+  /** Shingle CTEs over `table` (any doc_id+text relation) — source is a
+    * parameter so the cascade (q175) can shingle stage SURVIVORS with
+    * the same text as the whole-corpus queries. */
+  private def shinglesSqlFrom(table: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS tok FROM (
+       |    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |    FROM $table) t, unnest(range(1, len(t.toks)+1)) u(i)
+       |  WHERE toks[i] <> ''),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, concat(tok, ' ', t2, ' ', t3) AS sh FROM (
+       |    SELECT doc_id, tok,
+       |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+       |           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+       |    FROM toks) x
+       |  WHERE t3 IS NOT NULL)""".stripMargin
+
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   /** Exact dedup: group by digest of normalized text; per group emit the
     * keeper (min doc_id) and the duplicate count. A plain hash-groupBy —
@@ -234,26 +239,33 @@ object DedupOps {
     * equi-join; at 100 TB this runs after MinHash banding (q28) has cut
     * the candidate set.
     */
+  /** q30's near-dup rule (shared-shingle Jaccard ≥ 0.2 pairs) over any
+    * documents-shaped DataFrame — ONE definition so the cascade (q175)
+    * and the whole-corpus queries can never disagree about what a
+    * near-duplicate is. */
+  private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame = {
+    val sh = graft.functions.TextOps.shinglesOf(docs, distinct = true)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_doc"), col("n_sh").as("na")), "a_doc")
+      .join(sizes.select(col("doc_id").as("b_doc"), col("n_sh").as("nb")), "b_doc")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= 0.2)
+      .select("a_doc", "b_doc", "n_inter", "jaccard")
+  }
+
   val q30 = Query(
     "q30_dedup_ngram_jaccard",
-    (s, dir) => {
-      val sh = shingles(s, dir)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val inter = sh.as("a")
-        .join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("a_doc"), col("n_sh").as("na")), "a_doc")
-        .join(sizes.select(col("doc_id").as("b_doc"), col("n_sh").as("nb")), "b_doc")
-        .withColumn("jaccard",
-          col("n_inter").cast("double") /
-            (col("na") + col("nb") - col("n_inter")).cast("double"))
-        .filter(col("jaccard") >= 0.2)
-        .select("a_doc", "b_doc", "n_inter", "jaccard")
-        .orderBy("a_doc", "b_doc")
-    },
+    (s, dir) =>
+      jaccardPairsOf(Tables.documents(s, dir))
+        .orderBy("a_doc", "b_doc"),
     Some(s"""WITH $shinglesSql,
             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
             |inter AS (
@@ -866,7 +878,110 @@ object DedupOps {
             |ORDER BY r""".stripMargin)
   )
 
+  /** Q175 — the dedup CASCADE as one accounted pipeline: canonical-URL
+    * keeper (q74's rule) → exact-text keeper (q27's rule) → near-dup
+    * cluster verdict (q66/q68's rule, longest-doc-wins) — each stage
+    * applied to the SURVIVORS of the previous one, emitting the
+    * (docs_in, docs_out, removed) funnel row per stage. This is the
+    * shape a production corpus actually runs (cheap high-yield passes
+    * first so the expensive shingle join sees the smallest possible
+    * input) and the accounting every pipeline owner reports; the stage
+    * rules are the shared definitions (`Canon.noisyUrl`/`canonUrl`,
+    * `normText`, [[jaccardPairsOf]], [[connectedComponents]]), so the
+    * cascade can never drift from the standalone queries.
+    *
+    * Everything stays declarative — stage counts are aggregates
+    * cross-joined into the four output rows, no driver-side counting —
+    * and the oracle replays the identical cascade in DuckDB (the
+    * shingle CTE parameterized onto stage-2 survivors).
+    */
+  val q175 = Query(
+    "q175_dedup_cascade",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val k1 = docs
+        .withColumn("url",
+          graft.Canon.noisyUrl(col("doc_id"), col("source"), col("lang")))
+        .withColumn("canon", graft.Canon.canonUrl(col("url")))
+        .groupBy("canon").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val s1 = docs.join(k1, "doc_id")
+      val k2 = s1
+        .groupBy(md5(normText(col("text"))).as("digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val s2 = s1.join(k2, "doc_id").localCheckpoint()
+      val labels = connectedComponents(jaccardPairsOf(s2))
+        .select(col("n").as("doc_id"), col("l").as("cluster_id"))
+      val qual = s2.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      val dropped3 = labels.join(qual, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") =!= 1)
+      def cnt(df: DataFrame, as: String): DataFrame =
+        df.agg(count(lit(1)).cast("long").as(as))
+      def stage(name: String, in: DataFrame, out: DataFrame): DataFrame =
+        cnt(in, "docs_in").crossJoin(cnt(out, "docs_out"))
+          .select(lit(name).as("stage"), col("docs_in"), col("docs_out"),
+            (col("docs_in") - col("docs_out")).as("removed"))
+      val s3count = cnt(s2, "a").crossJoin(cnt(dropped3, "b"))
+        .select((col("a") - col("b")).as("docs_out"))
+      stage("1_url", docs, s1)
+        .union(stage("2_exact", s1, s2))
+        .union(cnt(s2, "docs_in").crossJoin(s3count)
+          .select(lit("3_neardup").as("stage"), col("docs_in"),
+            col("docs_out"), (col("docs_in") - col("docs_out")).as("removed")))
+        .orderBy("stage")
+    },
+    Some(s"""WITH RECURSIVE noisy AS (
+            |  SELECT doc_id, ${graft.Canon.noisyUrlSql} AS url
+            |  FROM documents),
+            |k1 AS (
+            |  SELECT MIN(doc_id) AS doc_id FROM (
+            |    SELECT doc_id,
+            |           regexp_replace(
+            |             regexp_replace(
+            |               regexp_replace(lower(url), '^https?://(www[.])?', ''),
+            |               '[?#].*$$', ''),
+            |             '/$$', '') AS canon
+            |    FROM noisy) GROUP BY canon),
+            |s1 AS (SELECT d.* FROM documents d JOIN k1 USING (doc_id)),
+            |k2 AS (
+            |  SELECT MIN(doc_id) AS doc_id FROM s1
+            |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+            |s2 AS (SELECT s1.* FROM s1 JOIN k2 USING (doc_id)),
+            |${shinglesSqlFrom("s2")},
+            |$ccLabelsSql,
+            |qual AS (
+            |  SELECT doc_id,
+            |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+            |  FROM s2),
+            |drop3 AS (
+            |  SELECT doc_id FROM (
+            |    SELECT l.doc_id,
+            |           row_number() OVER (PARTITION BY l.cluster_id
+            |                              ORDER BY q.n_tokens DESC, l.doc_id ASC) AS rn
+            |    FROM labels l JOIN qual q USING (doc_id)) WHERE rn <> 1)
+            |SELECT '1_url' AS stage,
+            |       (SELECT COUNT(*) FROM documents) AS docs_in,
+            |       (SELECT COUNT(*) FROM s1) AS docs_out,
+            |       (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM s1) AS removed
+            |UNION ALL
+            |SELECT '2_exact',
+            |       (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2),
+            |       (SELECT COUNT(*) FROM s1) - (SELECT COUNT(*) FROM s2)
+            |UNION ALL
+            |SELECT '3_neardup',
+            |       (SELECT COUNT(*) FROM s2),
+            |       (SELECT COUNT(*) FROM s2) - (SELECT COUNT(*) FROM drop3),
+            |       (SELECT COUNT(*) FROM drop3)
+            |ORDER BY stage""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68, q74, q137, q164, q165,
-      q167)
+      q167, q175)
 }
