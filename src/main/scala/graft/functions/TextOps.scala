@@ -1817,8 +1817,120 @@ object TextOps {
            |ORDER BY pr.doc_id""".stripMargin)
   )
 
+  /** Q176 — rank-biased overlap (Webber et al.) between two rankers at
+    * p = 0.9, depth 20: the top-weighted agreement measure that, unlike
+    * q168's Spearman (whole-list, conjoint-only), rewards agreement
+    * most where users look — the top — and is well-defined when the
+    * lists differ. Rankers: docs by token count vs by character length
+    * (two cheap quality proxies whose agreement says whether the
+    * cheaper one suffices; tiebreak doc_id, both fully deterministic).
+    *
+    * Exactness: the geometric weights (1−p)·p^(d−1) are the q130/q132
+    * micro-unit device — ONE Scala constant table rounded to nano-units
+    * and interpolated into BOTH the Spark literals and the oracle SQL
+    * text, so no libm runs in either engine; overlap_d is an exact
+    * BIGINT from the cumulative max(rank_a, rank_b) ≤ d histogram, and
+    * each contribution (w_d·overlap_d) div d plus the running RBO
+    * prefix sum stay exact integers under declared truncating division. Output: the 20-row depth curve with the running
+    * RBO (the final row is RBO_min@20).
+    *
+    * Scale: two global top-20 cuts ([[graft.plans.TopKPerKeyNode]]'s
+    * problem shape; here plain TakeOrderedAndProject) + a 20×20-bounded
+    * join — post-cut data is O(k), independent of corpus size.
+    */
+  val q176 = Query(
+    "q176_rbo",
+    (s, dir) => {
+      val K = 20
+      val M = 1000000000L // nano-units
+      val p = 0.9
+      val wFp: Seq[Long] = (1 to K).map(d =>
+        math.round((1 - p) * math.pow(p, d - 1) * M))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+      val ra = docs
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("n_tokens").desc, col("doc_id").asc))
+          .cast("long").as("ra"))
+        .filter(col("ra") <= K)
+      val rb = docs
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id").asc))
+          .cast("long").as("rb"))
+        .filter(col("rb") <= K)
+      val joint = ra.join(rb, "doc_id")
+        .select(greatest(col("ra"), col("rb")).as("m"))
+      val depths = s.range(1, K + 1).select(col("id").as("d"))
+      val wTable = wFp.zipWithIndex.map { case (w, i) =>
+        struct(lit(i + 1L).as("d"), lit(w).as("w_fp"))
+      }
+      // contrib_d = w_d · overlap_d div d in nano-units with truncating
+      // division — declared semantics, identical in both engines
+      depths
+        .join(joint, col("m") <= col("d"), "left")
+        .groupBy("d")
+        .agg(count(col("m")).as("overlap"))
+        .withColumn("w_fp",
+          element_at(array(wTable: _*), col("d").cast("int")).getField("w_fp"))
+        .select(col("d"), col("overlap"),
+          expr("CAST((w_fp * overlap) DIV d AS BIGINT)").as("contrib_fp"))
+        .withColumn("rbo_fp",
+          sum(col("contrib_fp")).over(
+            Window.orderBy("d")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .withColumn("rbo", col("rbo_fp").cast("double") / M)
+        .orderBy("d")
+    },
+    {
+      val K = 20
+      val p = 0.9
+      val wFp = (1 to K).map(d =>
+        math.round((1 - p) * math.pow(p, d - 1) * 1000000000L))
+      val wRows = wFp.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, CAST($w AS BIGINT))" }
+        .mkString(", ")
+      Some(s"""WITH w(d, w_fp) AS (VALUES $wRows),
+              |docs AS (
+              |  SELECT doc_id,
+              |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+              |         CAST(length(text) AS BIGINT) AS n_chars
+              |  FROM documents),
+              |ra AS (
+              |  SELECT doc_id, r AS ra FROM (
+              |    SELECT doc_id, CAST(row_number() OVER (
+              |      ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS r
+              |    FROM docs) WHERE r <= $K),
+              |rb AS (
+              |  SELECT doc_id, r AS rb FROM (
+              |    SELECT doc_id, CAST(row_number() OVER (
+              |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS r
+              |    FROM docs) WHERE r <= $K),
+              |joint AS (
+              |  SELECT greatest(ra.ra, rb.rb) AS m
+              |  FROM ra JOIN rb USING (doc_id)),
+              |curve AS (
+              |  SELECT w.d, CAST(COUNT(joint.m) AS BIGINT) AS overlap, w.w_fp
+              |  FROM w LEFT JOIN joint ON joint.m <= w.d
+              |  GROUP BY w.d, w.w_fp)
+              |SELECT d, overlap,
+              |       CAST((w_fp * overlap) // d AS BIGINT) AS contrib_fp,
+              |       CAST(SUM((w_fp * overlap) // d) OVER (
+              |         ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+              |         AND CURRENT ROW) AS BIGINT) AS rbo_fp,
+              |       CAST(CAST(SUM((w_fp * overlap) // d) OVER (
+              |         ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+              |         AND CURRENT ROW) AS BIGINT) AS DOUBLE) / 1000000000.0
+              |         AS rbo
+              |FROM curve ORDER BY d""".stripMargin)
+    }
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
-      q154, q155, q163, q168, q171, q174)
+      q154, q155, q163, q168, q171, q174, q176)
 }
