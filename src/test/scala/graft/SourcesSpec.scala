@@ -413,6 +413,32 @@ class SourcesSpec extends SparkTestBase {
       === orders.count())
   }
 
+  test("property: stats pruning == full filter for random ranges (both read paths)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val table = tmp("vprop") + "/orders_p"
+    val orders = Tables.orders(spark, sf)
+    val v = Sources.commitVersion(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), table)
+    Sources.commitStats(spark, table, v, Seq("o_orderkey"))
+    val keyMax = orders.agg(max("o_orderkey")).head().getLong(0)
+    val bound = Gen.chooseNum(-keyMax / 4, keyMax + keyMax / 4)
+    val prop = Prop.forAll(bound, bound) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val expect = Sources.readVersion(spark, table, v)
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi).count()
+      val pruned = Sources.readVersionPruned(spark, table, "o_orderkey",
+        BigDecimal(lo), BigDecimal(hi), v).count()
+      val indexed = graft.sources.ManifestFileIndex
+        .readVersionIndexed(spark, table, v)
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi).count()
+      pruned == expect && indexed == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("writeWithAudit: observed write-time metrics equal a direct recompute") {
     import graft.sources.Sources
     val out = tmp("audit") + "/orders"
