@@ -323,29 +323,104 @@ object Sources {
     * anyway).
     */
   def commitStats(spark: SparkSession, table: String, version: Int,
-      cols: Seq[String]): Unit = {
+      cols: Seq[String], carryFrom: Int = -1): Unit = {
     val files = filesOf(table, version)
-    val df = spark.read.parquet(files: _*)
-    val aggs = cols.flatMap(c => Seq(
-      org.apache.spark.sql.functions.min(col(c)).cast("decimal(38,6)")
-        .cast("string").as(s"min_$c"),
-      org.apache.spark.sql.functions.max(col(c)).cast("decimal(38,6)")
-        .cast("string").as(s"max_$c")))
-    val rows = df
-      .groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val lines = rows.flatMap { r =>
-      val file = r.getString(0).stripPrefix("file://")
-      cols.zipWithIndex.map { case (c, i) =>
-        s"$file\t$c\t${r.getString(1 + 2 * i)}\t${r.getString(2 + 2 * i)}"
-      }
+    // incremental: a file already covered by `carryFrom`'s sidecar is
+    // immutable (batch dirs never rewrite), so its stats copy forward
+    // without touching the data — what makes per-commit stats O(delta)
+    val carried: Map[(String, String), (BigDecimal, BigDecimal)] =
+      if (carryFrom > 0) statsOf(table, carryFrom) else Map.empty
+    val (have, need) = files.partition(f =>
+      cols.forall(c => carried.contains((f, c))))
+    val computed = if (need.isEmpty) Seq.empty[String] else {
+      val df = spark.read.parquet(need: _*)
+      val aggs = cols.flatMap(c => Seq(
+        org.apache.spark.sql.functions.min(col(c)).cast("decimal(38,6)")
+          .cast("string").as(s"min_$c"),
+        org.apache.spark.sql.functions.max(col(c)).cast("decimal(38,6)")
+          .cast("string").as(s"max_$c")))
+      df.groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().toSeq
+        .flatMap { r =>
+          val file = r.getString(0).stripPrefix("file://")
+          cols.zipWithIndex.map { case (c, i) =>
+            s"$file\t$c\t${r.getString(1 + 2 * i)}\t${r.getString(2 + 2 * i)}"
+          }
+        }
     }
+    val carriedLines = have.flatMap(f => cols.map { c =>
+      val (lo, hi) = carried((f, c)); s"$f\t$c\t$lo\t$hi"
+    })
+    val lines = (carriedLines ++ computed).sorted
     val dir = java.nio.file.Paths.get(table)
     val tmp = java.nio.file.Files.createTempFile(dir, s".s$version", ".tmp")
-    java.nio.file.Files.write(tmp, lines.sorted.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, dir.resolve(s"v$version.stats"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** MERGE as a copy-on-write commit at FILE granularity — the table
+    * format's answer to "update/delete a handful of keys in a
+    * thousand-file table without rewriting it". `changes` carries the
+    * table schema plus an `op` column (`upsert` | `delete`), one row
+    * per key (LWW-dedup upstream — [[Warehouse.dedupByKey]] — if the
+    * batch can repeat keys).
+    *
+    * The stats sidecar decides which files the change-set can possibly
+    * touch: a file is REWRITTEN only if some change key falls inside
+    * its [min, max] key interval (a file without stats must be assumed
+    * affected); every other file is carried into the new manifest
+    * untouched — no read, no write, stats copied forward
+    * ([[commitStats]] `carryFrom`). Rewriting = base rows of affected
+    * files minus ALL changed keys, plus the upsert rows (covers
+    * update, delete, and brand-new keys in one union). Old versions
+    * still read the original files — MERGE is just another commit, so
+    * time travel and pinned readers hold by construction.
+    *
+    * At 100 TB this is the difference between a MERGE that reads the
+    * change-set + O(affected files) and one that reads the table: with
+    * range/Z-order clustering, a dimension-delta's keys land in a few
+    * files. The change-key set collected to the driver is commit
+    * metadata (CDC-batch-sized), not data. Returns (new version,
+    * affected files rewritten, files carried untouched). */
+  def mergeVersion(spark: SparkSession, table: String, changes: DataFrame,
+      key: String, opCol: String = "op"): (Int, Int, Int) = {
+    val v = latestVersion(table)
+    require(v > 0, s"$table has no committed versions")
+    val stats = statsOf(table, v)
+    val files = filesOf(table, v)
+    import scala.collection.Searching._
+    val changeKeys = changes.select(col(key).cast("decimal(38,6)"))
+      .distinct().collect()
+      .map(r => BigDecimal(r.getDecimal(0))).sorted
+    val (affected, untouched) = files.partition { f =>
+      stats.get((f, key)) match {
+        case Some((mn, mx)) =>
+          // any change key inside the file's interval? (sorted probe)
+          val i = changeKeys.search(mn)(Ordering[BigDecimal]).insertionPoint
+          i < changeKeys.length && changeKeys(i) <= mx
+        case None => true // no stats: must assume affected
+      }
+    }
+    val base =
+      if (affected.nonEmpty) spark.read.parquet(affected: _*)
+      else spark.read.parquet(files.head)
+        .filter(org.apache.spark.sql.functions.lit(false))
+    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+    val survivors = base.join(
+      changes.select(col(key)).distinct(), Seq(key), "left_anti")
+    val rewritten = survivors.unionByName(upserts)
+    val next = v + 1
+    val batch = java.nio.file.Paths.get(table, "data",
+      s"batch-$next-${java.util.UUID.randomUUID().toString.take(8)}")
+    rewritten.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    val newFiles = spark.read.parquet(batch.toString)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0).stripPrefix("file://")).sorted
+    publishManifest(table, next, untouched ++ newFiles)
+    commitStats(spark, table, next, Seq(key), carryFrom = v)
+    (next, affected.length, untouched.length)
   }
 
   /** (file, col) -> (min, max) stats for a version, or empty if the

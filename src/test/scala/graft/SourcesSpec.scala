@@ -439,6 +439,54 @@ class SourcesSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("mergeVersion: copy-on-write MERGE rewrites only stats-affected files") {
+    val table = tmp("vmerge") + "/orders_m"
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    val v1 = Sources.commitVersion(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), table)
+    Sources.commitStats(spark, table, v1, Seq("o_orderkey"))
+    val v1Files = Sources.readVersion(spark, table, v1)
+      .select(input_file_name()).distinct().count()
+    assert(v1Files === 8)
+    val keyMax = orders.agg(max("o_orderkey")).head().getLong(0)
+    // change-set: update 2 low keys, delete 1 low key, insert 1 new key
+    // — all low keys land in the FIRST range file, so 7 files carry
+    import spark.implicits._
+    val someKeys = orders.orderBy("o_orderkey").limit(3)
+      .collect().map(_.getLong(0))
+    val changes = Seq(
+      (someKeys(0), 99L, "MERGED", "upsert"),
+      (someKeys(1), 98L, "MERGED", "upsert"),
+      (someKeys(2), 0L, "", "delete"),
+      (keyMax + 1000, 97L, "MERGED-NEW", "upsert"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "op")
+    val (v2, rewritten, carried) =
+      Sources.mergeVersion(spark, table, changes, "o_orderkey")
+    assert(v2 === v1 + 1)
+    assert(rewritten === 1 && carried === 7,
+      s"expected 1 rewritten / 7 carried, got $rewritten / $carried")
+    // result == full-recompute oracle
+    val expected = orders
+      .join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(changes.filter(col("op") === "upsert").drop("op"))
+    val got = Sources.readVersion(spark, table, v2)
+    assert(got.count() === expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // merged row visible, deleted row gone, old version untouched
+    assert(got.filter(col("o_orderpriority") === "MERGED").count() === 2)
+    assert(got.filter(col("o_orderkey") === someKeys(2)).count() === 0)
+    assert(Sources.readVersion(spark, table, v1).count() === orders.count())
+    // stats carried forward for untouched files: v2 sidecar covers all
+    // files and pruning on it stays exact
+    val (kept, skipped) = Sources.pruneFiles(table, v2, "o_orderkey",
+      BigDecimal(keyMax), BigDecimal(keyMax))
+    assert(skipped.nonEmpty && kept.nonEmpty)
+    assert(Sources.readVersionPruned(spark, table, "o_orderkey",
+      BigDecimal(keyMax), BigDecimal(keyMax), v2).count() === 1)
+  }
+
   test("writeWithAudit: observed write-time metrics equal a direct recompute") {
     import graft.sources.Sources
     val out = tmp("audit") + "/orders"
