@@ -500,6 +500,27 @@ object Sources {
       m("total").asInstanceOf[java.math.BigDecimal])
   }
 
+  /** The table's commit log as a DataFrame — DESCRIBE HISTORY for the
+    * minimal table format: one row per version with its file count,
+    * total bytes, whether a stats sidecar exists, and the manifest's
+    * publish time. Everything comes from manifests + the filesystem
+    * (KB-scale metadata), no data files are opened — the audit surface
+    * a table owner queries before time-traveling or vacuuming. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    versionsOf(table).map { v =>
+      val fs = filesOf(table, v)
+      val bytes = fs.map(f =>
+        java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+      val mtime = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(table, s"v$v.manifest")).toMillis
+      val hasStats = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(table, s"v$v.stats"))
+      (v, fs.length.toLong, bytes, hasStats, new java.sql.Timestamp(mtime))
+    }.toDF("version", "n_files", "total_bytes", "has_stats", "committed_at")
+      .orderBy("version")
+  }
+
   /** VACUUM: physically delete data files referenced ONLY by expired
     * versions. Keeps the newest `keepLast` manifests (and every file
     * any of them references — a file shared with an old version

@@ -487,6 +487,19 @@ class SourcesSpec extends SparkTestBase {
       BigDecimal(keyMax), BigDecimal(keyMax), v2).count() === 1)
   }
 
+  test("history: one row per version from metadata only, sizes reconcile") {
+    val table = tmp("vhist") + "/nation_h"
+    val nat = Tables.nation(spark, sf)
+    Sources.commitVersion(nat.filter(col("n_nationkey") < 10), table)
+    val v2 = Sources.commitVersion(nat.filter(col("n_nationkey") >= 10), table)
+    Sources.commitStats(spark, table, v2, Seq("n_nationkey"))
+    val h = Sources.history(spark, table).collect()
+    assert(h.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(h(0).getLong(1) < h(1).getLong(1)) // append grew the file set
+    assert(h.forall(_.getLong(2) > 0))
+    assert((h(0).getBoolean(3), h(1).getBoolean(3)) === ((false, true)))
+  }
+
   test("writeWithAudit: observed write-time metrics equal a direct recompute") {
     import graft.sources.Sources
     val out = tmp("audit") + "/orders"

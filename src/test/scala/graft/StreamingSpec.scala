@@ -87,6 +87,36 @@ class StreamingSpec extends SparkTestBase {
     once.foreach(e => assert(e.ts === firstPerUser(e.user_id)))
   }
 
+  test("streaming progress exposes state/watermark/throughput metrics") {
+    // the observability contract an operator runs on: every micro-batch
+    // publishes input rows, state-store size, and the watermark through
+    // StreamingQueryProgress — asserted here on a real stateful query so
+    // a regression in our pipeline shapes (e.g. state that never stops
+    // growing) is measurable, not anecdotal
+    val out = tmp("progress")
+    val events = StreamingPipeline.readEvents(spark, sf)
+      .withColumn("tss", timestamp_seconds(expr("ts div 1000000000")))
+    val q = StreamingPipeline.windowedCounts(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("progress_probe")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val progs = q.recentProgress
+    assert(progs.nonEmpty)
+    assert(progs.map(_.numInputRows).sum ===
+      Tables.events(spark, sf).count())
+    val stateOps = progs.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+    assert(stateOps.nonEmpty, "stateful query must report state operators")
+    assert(stateOps.exists(_.numRowsTotal > 0))
+    // the final batch carries a non-epoch watermark derived from event time
+    val wm = progs.flatMap(p => Option(p.eventTime.get("watermark"))).lastOption
+    assert(wm.exists(_ > "1970"), s"watermark never advanced: $wm")
+  }
+
   test("transformWithState consume-once (batch path) = flatMapGroupsWithState") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
