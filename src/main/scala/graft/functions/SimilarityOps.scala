@@ -494,40 +494,57 @@ object SimilarityOps {
         .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       val cb: Array[Array[Array[Double]]] = // cb(m)(k) = codeword
         Array.tabulate(M, K)((m, k) => seeds(k).slice(m * sub, (m + 1) * sub))
-      def cwCol(m: Int, k: Int): Column = array(cb(m)(k).map(lit): _*)
+      // ‖c‖² per codeword is a Scala constant; ‖x_m‖² is constant per
+      // (row, sub-space) ACROSS codewords, so for both the encode argmin
+      // and the summed ADC ranking it cancels — every distance below is
+      // the rank-equivalent c² − 2·⟨x, c⟩, leaving the codegen'd
+      // DotProduct as the only per-row arithmetic (replaces the
+      // interpreted zip_with/aggregate sqDist; measured win is modest at
+      // this SF — the 16×16 least-tree per row is the remaining cost —
+      // but the interpreted lambdas scale per PAIR while this form's
+      // hot path is pure generated code)
+      val c2: Array[Array[Double]] =
+        Array.tabulate(M, K)((m, k) => cb(m)(k).map(x => x * x).sum)
+      def cwCol(m: Int, k: Int): Column =
+        array(cb(m)(k).map(x => lit(x.toFloat)): _*)
       def subv(m: Int): Column = slice(col("embedding"), m * sub + 1, sub)
-      def sqDist(x: Column, c: Column): Column = {
-        val d = zip_with(x, c, (a, b) => a.cast("double") - b)
-        aggregate(zip_with(d, d, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
-      }
+      def score(m: Int, k: Int): Column =
+        lit(c2(m)(k)) - lit(2.0) * dotNative(subv(m), cwCol(m, k))
       // encode: per sub-space argmin over the 16 codewords
       val codes = emb.select(col("vec_id").as("b_id"),
         array((0 until M).map { m =>
           least((0 until K).map { k =>
-            struct(sqDist(subv(m), cwCol(m, k)).as("d"), lit(k).as("k"))
+            struct(score(m, k).as("d"), lit(k).as("k"))
           }: _*).getField("k")
         }: _*).as("codes"))
-      // probes: the 8x16 ADC distance table, flattened [m*K + k]
+      // probes: the 16x16 ADC score table, flattened [m*K + k]
       val probes = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
           array((for (m <- 0 until M; k <- 0 until K)
-            yield sqDist(subv(m), cwCol(m, k))): _*).as("tbl"))
-      val adc = codes.crossJoin(broadcast(probes))
+            yield score(m, k)): _*).as("tbl"))
+      // candidate ADC = Σ_m tbl[m, code_m], unrolled to a flat 16-term
+      // codegen'd sum (a fold HOF here would re-interpret per pair)
+      val adcSum = (0 until M).map(m =>
+        element_at(col("tbl"),
+          (lit(m * K) + element_at(col("codes"), m + 1) + 1).cast("int")))
+        .reduce(_ + _)
+      // ADC rows carry ONLY (a_id, b_id, adc) — the probe's 2 KB table
+      // and embedding must not ride through the 250 k-row top-k sort
+      // (payload, not arithmetic, dominated the first cut of this query)
+      val adc = codes.crossJoin(broadcast(probes.select("a_id", "tbl")))
         .filter(col("a_id") =!= col("b_id"))
-        .select(col("a_id"), col("b_id"), col("ea"),
-          aggregate(
-            zip_with(col("codes"), sequence(lit(0), lit(M - 1)),
-              (c, m) => element_at(col("tbl"), (m * K + c + 1).cast("int"))),
-            lit(0.0), (acc, v) => acc + v).as("adc"))
+        .select(col("a_id"), col("b_id"), adcSum.as("adc"))
       val wAdc = Window.partitionBy("a_id").orderBy(col("adc").asc, col("b_id").asc)
       val cand = adc.withColumn("rn", row_number().over(wAdc))
         .filter(col("rn") <= 40).drop("rn", "adc")
-      // exact re-rank of the 20 survivors
+      // exact re-rank of the 40 survivors (probe embedding re-joined
+      // broadcast — 50 rows — only after the cut)
       val full = withNorm(emb)
         .select(col("vec_id").as("b_id"), col("embedding").as("eb"),
           col("nrm").as("nb"))
       val wSim = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
-      cand.join(full, "b_id")
+      cand.join(broadcast(probes.select(col("a_id"), col("ea"))), "a_id")
+        .join(full, "b_id")
         .select(col("a_id"), col("b_id"),
           (dotNative(col("ea"), col("eb")) /
             (sqrt(dotNative(col("ea"), col("ea"))) * col("nb"))).as("sim"))
