@@ -1659,8 +1659,42 @@ object TemporalOps {
     None
   )
 
+  /** Q177 — the VARIANT path through the semi-structured column: Spark
+    * 4's open-ended JSON type (`parse_json` → shredded binary VARIANT →
+    * typed `variant_get` extraction), the third member of the
+    * extraction family next to q22's per-path `get_json_object` and
+    * q71's pinned-schema `from_json`. Same aggregate contract as both
+    * so the three forms are directly comparable; VARIANT is the one
+    * that keeps the WHOLE document queryable without re-parsing per
+    * path or pinning a schema up front — the semi-structured answer a
+    * 100 TB event lake actually wants (parse once at ingest, store
+    * shredded, extract lazily). `try_parse_json` states the
+    * malformed-row contract (null, counted) explicitly. The oracle is
+    * the same typed extraction through DuckDB's JSON machinery. */
+  val q177 = Query(
+    "q177_variant_json",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("v", try_parse_json(col("props")))
+        .select(col("event_type"),
+          try_variant_get(col("v"), "$.k", "long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("k")).as("n_extracted"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n,
+           |       COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_extracted,
+           |       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           |       MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           |       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
       q94, q97, q99, q100, q102, q107, q110, q112, q113, q117, q122, q127,
-      q128, q130, q134, q143, q146, q151, q152, q157, q158)
+      q128, q130, q134, q143, q146, q151, q152, q157, q158, q177)
 }
