@@ -1659,6 +1659,71 @@ object TemporalOps {
     None
   )
 
+  /** Q178 — DYNAMIC-gap session windows: `session_window` with a
+    * per-event gap expression (purchases close their sessions after
+    * 10 min, everything else after 30) — the form q21's fixed gap
+    * can't express and the one checkout/abandonment analyses actually
+    * need (a purchase ends engagement quickly; browsing lingers). A
+    * session's end is max(event_ts + that event's gap) and an event
+    * joins while its ts ≤ the running end — the oracle restates
+    * exactly that with a running-max-of-ends gaps-and-islands
+    * construction (strict `>` split, matching the q21 boundary
+    * semantics). Same one-shuffle-per-user scale shape as q21.
+    */
+  val q178 = Query(
+    "q178_dynamic_session",
+    (s, dir) =>
+      eventsTss(s, dir)
+        .groupBy(
+          session_window(col("tss"),
+            when(col("event_type") === "purchase", "10 minutes")
+              .otherwise("30 minutes")),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count_if(col("event_type") === "purchase").as("n_purchases"),
+          dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("n_purchases"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+    Some("""WITH e AS (
+           |  SELECT user_id, event_type, value,
+           |         date_trunc('second', ts) AS tss,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) +
+           |           CASE WHEN event_type = 'purchase' THEN 600 ELSE 1800 END
+           |           AS e_end
+           |  FROM events),
+           |m AS (
+           |  SELECT *,
+           |         MAX(e_end) OVER (PARTITION BY user_id ORDER BY es, value
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |           AS prev_end
+           |  FROM e),
+           |marked AS (
+           |  SELECT *, CASE WHEN prev_end IS NULL OR es > prev_end
+           |                 THEN 1 ELSE 0 END AS new_session
+           |  FROM m),
+           |sessions AS (
+           |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+           |            ORDER BY es, value
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |  FROM marked)
+           |SELECT user_id, MIN(tss) AS session_start,
+           |       MAX(tss + CASE WHEN event_type = 'purchase'
+           |                 THEN INTERVAL 10 MINUTE
+           |                 ELSE INTERVAL 30 MINUTE END) AS session_end,
+           |       COUNT(*) AS n_events,
+           |       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+           |         AS n_purchases,
+           |       CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+           |FROM sessions
+           |GROUP BY user_id, sid
+           |ORDER BY user_id, session_start""".stripMargin)
+  )
+
   /** Q177 — the VARIANT path through the semi-structured column: Spark
     * 4's open-ended JSON type (`parse_json` → shredded binary VARIANT →
     * typed `variant_get` extraction), the third member of the
@@ -1696,5 +1761,5 @@ object TemporalOps {
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
       q94, q97, q99, q100, q102, q107, q110, q112, q113, q117, q122, q127,
-      q128, q130, q134, q143, q146, q151, q152, q157, q158, q177)
+      q128, q130, q134, q143, q146, q151, q152, q157, q158, q177, q178)
 }

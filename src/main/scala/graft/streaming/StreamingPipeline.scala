@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured-Streaming restatement of the reference's real-time ETL
   * (SURVEY.md §2.1 O1–O21, §3 E1/E2):
@@ -604,6 +604,48 @@ object StreamingPipeline {
             out.result().iterator
           }
       }
+  }
+
+  /** [[throttlePerKey]] on `transformWithState` with `MapState` —
+    * completing the new API's state-type coverage (ValueState:
+    * [[ConsumeOnceProcessor]]; timers: [[SessionizeProcessor]]; keyed
+    * sub-state: here). The map holds per-(event-time hour) admission
+    * counts under the user key, which FIXES the fMGWS version's stated
+    * weakness: there a single (hour, count) bucket resets whenever the
+    * hour CHANGES, so an out-of-order event reopens a spent budget;
+    * per-hour MapState entries throttle every event against its own
+    * hour regardless of arrival order. State is O(active hours) per
+    * key, each entry individually evictable (`removeKey`) — at scale,
+    * pair with a TTL so drained hours age out of RocksDB on their own.
+    */
+  class ThrottleProcessor(k: Int)
+      extends StatefulProcessor[Long, Event, Event] {
+    @transient private var admitted: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getMapState[Long, Long]("admitted",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Event] = {
+      val out = Vector.newBuilder[Event]
+      rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        val h = e.ts / 1000000000L / 3600L
+        val n = if (admitted.containsKey(h)) admitted.getValue(h) else 0L
+        if (n < k) { admitted.updateValue(h, n + 1); out += e }
+      }
+      out.result().iterator
+    }
+  }
+
+  def throttlePerKeyTws(events: Dataset[Event], k: Int = 3): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events.sparkSession)
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new ThrottleProcessor(k),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Exactly-once versioned sink for `foreachBatch`: commits the

@@ -484,6 +484,36 @@ class StreamingSpec extends SparkTestBase {
     assert(admitted.map(_.event_id).toSeq === Seq(9001L, 9002L, 9003L))
   }
 
+  test("transformWithState MapState throttle = declarative rule; beats fMGWS on out-of-order") {
+    import spark.implicits._
+    val k = 1
+    val events = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[StreamingPipeline.Event]
+    val got = StreamingPipeline.throttlePerKeyTws(events, k).collect()
+      .map(_.event_id).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), expr("ts div 1000000000 div 3600"))
+      .orderBy(col("ts"), col("event_id"))
+    val expect = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    // per-hour budgets: with k=1, a second event in hour0 is dropped
+    // even though an hour1 event sits between them in time — each hour's
+    // MapState entry is consulted independently
+    val hour0 = 1700000000L * 1000000000L
+    val mixed = Seq(
+      StreamingPipeline.Event(1L, hour0 + 60L * 1000000000L, 7L, "view", 1.0, "{}"),
+      StreamingPipeline.Event(2L, hour0 + 3660L * 1000000000L, 7L, "view", 1.0, "{}"),
+      StreamingPipeline.Event(3L, hour0 + 120L * 1000000000L, 7L, "view", 1.0, "{}"))
+    val admitted = StreamingPipeline
+      .throttlePerKeyTws(mixed.toDS(), 1).collect()
+      .map(_.event_id).toSet
+    assert(admitted === Set(1L, 2L)) // event 3's hour budget already spent
+  }
+
   test("versioned ingest sink: batches become versions; replayed batch is a no-op") {
     val root = tmp("vingest")
     val table = s"$root/t/events_v"
