@@ -484,6 +484,59 @@ class StreamingSpec extends SparkTestBase {
     assert(admitted.map(_.event_id).toSeq === Seq(9001L, 9002L, 9003L))
   }
 
+  test("transformWithState state survives a query RESTART from the checkpoint") {
+    import spark.implicits._
+    // batch 1: run the consume-once stream to completion, stop the query;
+    // batch 2: land the SAME events again and restart from the same
+    // checkpoint — recovered RocksDB state must swallow every replayed
+    // event (zero new rows), proving state outlives the query process
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$sf/events.parquet").schema
+      val landing = java.nio.file.Files.createTempDirectory("tws-restart")
+      landing.toFile.deleteOnExit()
+      val ckpt = tmp("tws-restart-ckpt")
+      val outDir = tmp("tws-restart-out")
+      def runOnce(): Long = {
+        // file sink: the one that actually supports checkpoint recovery
+        // (memory sink refuses to resume)
+        val src = Tables.tsToNanos(
+            spark.readStream.schema(schema).parquet(landing.toString))
+          .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+          .as[StreamingPipeline.Event]
+        val q = StreamingPipeline.consumeOncePerKeyTws(src)
+          .writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(180000)
+        spark.read.parquet(outDir).count()
+      }
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"),
+        landing.resolve("events-a.parquet"))
+      val afterFirst = runOnce()
+      assert(afterFirst ===
+        Tables.events(spark, sf).select("user_id").distinct().count())
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"),
+        landing.resolve("events-b.parquet"))
+      val afterSecond = runOnce()
+      assert(afterSecond === afterFirst,
+        "recovered per-key state must swallow every replayed event")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState MapState throttle = declarative rule; beats fMGWS on out-of-order") {
     import spark.implicits._
     val k = 1
