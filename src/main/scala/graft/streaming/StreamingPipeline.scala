@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured-Streaming restatement of the reference's real-time ETL
   * (SURVEY.md §2.1 O1–O21, §3 E1/E2):
@@ -645,6 +645,71 @@ object StreamingPipeline {
     events
       .groupByKey(_.user_id)
       .transformWithState(new ThrottleProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One detected pattern completion per user (stream form of q112's
+    * batch verdict). */
+  final case class SeqMatch(user_id: Long, n_seen: Long, matched_at_es: Long)
+
+  /** Streaming ordered-pattern detection — q112's MATCH_RECOGNIZE-style
+    * regex verdict as an online operator, and the `ListState` member of
+    * the transformWithState family (ValueState: consume-once; MapState:
+    * throttle; timers: sessionize). Per user the processor buffers
+    * (es, event_id, code) rows in ListState, re-sorts the buffer each
+    * batch (event-time order is what the pattern is defined over, and
+    * micro-batches interleave arrival), and tests the code string
+    * against the pattern; the first completion emits ONE `SeqMatch`
+    * (completion position + its event-time second) and drops all state
+    * for the user — detect-once semantics, like a conversion alarm.
+    *
+    * Bounded state, stated: the buffer caps at `maxBuffer` rows per
+    * user, dropping the OLDEST events (a pattern spanning more than the
+    * cap is missed — the same declared-loss contract as the reference's
+    * bounded buffers, N2). At 100 TB scale the cap is what keeps
+    * hot-key state O(1); RocksDB holds the lists off-heap.
+    */
+  class SequenceMatchProcessor(pattern: String, maxBuffer: Int)
+      extends StatefulProcessor[Long, Event, SeqMatch] {
+    @transient private var buf: ListState[(Long, Long, String)] = _
+    @transient private var done: ValueState[Boolean] = _
+    @transient private lazy val rx = java.util.regex.Pattern.compile(pattern)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long, String)]("buf",
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)],
+        TTLConfig.NONE)
+      done = getHandle.getValueState[Boolean]("done",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SeqMatch] = {
+      if (done.exists()) return Iterator.empty // detected: consume-once
+      rows.foreach(e =>
+        buf.appendValue((e.ts / 1000000000L, e.event_id,
+          e.event_type.substring(0, 1))))
+      val all = buf.get().toArray.sorted.takeRight(maxBuffer)
+      val m = rx.matcher(all.iterator.map(_._3).mkString)
+      if (m.find()) {
+        done.update(true)
+        buf.clear()
+        Iterator.single(SeqMatch(user, m.end().toLong, all(m.end() - 1)._1))
+      } else {
+        if (all.length >= maxBuffer) { buf.clear(); all.foreach(buf.appendValue) }
+        Iterator.empty
+      }
+    }
+  }
+
+  def sequenceMatchStream(events: Dataset[Event],
+      pattern: String = "v[ce]*c[ce]*p", maxBuffer: Int = 4096)
+      : Dataset[SeqMatch] = {
+    import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events.sparkSession)
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SequenceMatchProcessor(pattern, maxBuffer),
         TimeMode.None(), OutputMode.Append())
   }
 

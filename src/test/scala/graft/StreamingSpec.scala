@@ -567,6 +567,24 @@ class StreamingSpec extends SparkTestBase {
     assert(admitted === Set(1L, 2L)) // event 3's hour budget already spent
   }
 
+  test("transformWithState ListState sequence match (batch path) = q112 verdicts") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[StreamingPipeline.Event]
+    val got = StreamingPipeline.sequenceMatchStream(events).collect()
+      .map(m => m.user_id -> m).toMap
+    val q112 = graft.operators.TemporalOps.q112.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+    assert(got.keySet === q112.filter(_._3).map(_._1).toSet)
+    // completion position agrees with a driver-side regex on the same seq
+    val rx = java.util.regex.Pattern.compile("v[ce]*c[ce]*p")
+    q112.filter(_._3).foreach { case (user, seq, _) =>
+      val m = rx.matcher(seq); assert(m.find())
+      assert(got(user).n_seen === m.end().toLong, s"user $user")
+    }
+  }
+
   test("versioned ingest sink: batches become versions; replayed batch is a no-op") {
     val root = tmp("vingest")
     val table = s"$root/t/events_v"
