@@ -500,6 +500,42 @@ object Sources {
       m("total").asInstanceOf[java.math.BigDecimal])
   }
 
+  /** Change data feed between two versions — what a downstream consumer
+    * replays instead of re-reading the table (Delta's CDF, derived here
+    * from the manifest structure alone): because data files are
+    * immutable and a version IS its file set, the delta between
+    * `fromVersion` and `toVersion` is exactly the rows of the files
+    * that LEFT the set (emitted as `delete`) plus the rows of the files
+    * that JOINED it (emitted as `insert`). An append commit yields pure
+    * inserts; a [[mergeVersion]] yields the rewritten files' old rows
+    * as deletes and their new rows as inserts (an unchanged row inside
+    * a rewritten file appears as delete+insert of equal rows — a
+    * keyed consumer applies it as a no-op upsert, the standard CDF
+    * contract); carried files contribute NOTHING, which is the point —
+    * feed size is O(changed files), not O(table).
+    */
+  def readChanges(spark: SparkSession, table: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    val before = filesOf(table, fromVersion).toSet
+    val after = filesOf(table, toVersion).toSet
+    val gone = (before -- after).toSeq.sorted
+    val added = (after -- before).toSeq.sorted
+    def read(fs: Seq[String], change: String): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else Some(spark.read.parquet(fs: _*)
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit(change)))
+    (read(gone, "delete"), read(added, "insert")) match {
+      case (Some(d), Some(i)) => d.unionByName(i)
+      case (Some(d), None) => d
+      case (None, Some(i)) => i
+      case (None, None) =>
+        readVersion(spark, table, toVersion)
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("insert"))
+          .filter(org.apache.spark.sql.functions.lit(false))
+    }
+  }
+
   /** The table's commit log as a DataFrame — DESCRIBE HISTORY for the
     * minimal table format: one row per version with its file count,
     * total bytes, whether a stats sidecar exists, and the manifest's

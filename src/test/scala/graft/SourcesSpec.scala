@@ -500,6 +500,41 @@ class SourcesSpec extends SparkTestBase {
     assert((h(0).getBoolean(3), h(1).getBoolean(3)) === ((false, true)))
   }
 
+  test("readChanges: CDF replay reconstructs the target version by key") {
+    val table = tmp("vcdf") + "/orders_c"
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    val v1 = Sources.commitVersion(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), table)
+    Sources.commitStats(spark, table, v1, Seq("o_orderkey"))
+    // append commit -> pure inserts
+    import spark.implicits._
+    val appended = Seq((9999991L, 1L, "APPENDED"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val v2 = Sources.commitVersion(appended, table)
+    val c12 = Sources.readChanges(spark, table, v1, v2)
+    assert(c12.filter(col("_change_type") === "delete").count() === 0)
+    assert(c12.filter(col("_change_type") === "insert").count() === 1)
+    // merge commit -> deletes from rewritten files + inserts
+    Sources.commitStats(spark, table, v2, Seq("o_orderkey"))
+    val lowKey = orders.agg(min("o_orderkey")).head().getLong(0)
+    val changes = Seq((lowKey, 77L, "MERGED", "upsert"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "op")
+    val (v3, _, _) = Sources.mergeVersion(spark, table, changes, "o_orderkey")
+    val c23 = Sources.readChanges(spark, table, v2, v3)
+    assert(c23.filter(col("_change_type") === "delete").count() > 0)
+    // replay: v2 minus deleted keys' old rows plus inserts == v3 exactly
+    val dels = c23.filter(col("_change_type") === "delete").drop("_change_type")
+    val ins = c23.filter(col("_change_type") === "insert").drop("_change_type")
+    val replayed = Sources.readVersion(spark, table, v2)
+      .exceptAll(dels).unionByName(ins)
+    val target = Sources.readVersion(spark, table, v3)
+    assert(replayed.exceptAll(target).isEmpty && target.exceptAll(replayed).isEmpty)
+    // feed is O(changed files): far fewer rows than the table
+    assert(c23.count() < orders.count())
+  }
+
   test("writeWithAudit: observed write-time metrics equal a direct recompute") {
     import graft.sources.Sources
     val out = tmp("audit") + "/orders"
