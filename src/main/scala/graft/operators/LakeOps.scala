@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import graft.Canon.dsum
+import graft.sources.{ManifestFileIndex, Sources}
+import org.apache.spark.sql.functions._
+
+/** The versioned-table ("lake") lifecycle as an ORACLE-GATED query —
+  * until now the table format (commit/stats/merge/CDF/FileIndex) was
+  * ScalaTest-proven only; this module drives it through the driver's
+  * DuckDB hash gate, because a table format whose end state can drift
+  * from the relational truth is exactly the bug class worth pinning.
+  */
+object LakeOps {
+
+  /** Q179 — full lifecycle: range-clustered COMMIT of `orders` + stats
+    * sidecar, then one copy-on-write MERGE (every key ≡ 0 (mod 100)
+    * upserted with a rewritten priority, every key ≡ 1 (mod 100)
+    * deleted), then the final version read back through the
+    * stats-skipping [[ManifestFileIndex]] scan and aggregated. The
+    * oracle never sees the table machinery — it states the same end
+    * state RELATIONALLY over the raw `orders` fixture, so a hash match
+    * proves commit + merge + carry + indexed-read compose to exactly
+    * the declared relational semantics. The table is built in a fresh
+    * temp dir per run (the query is self-contained and rerunnable).
+    *
+    * Scale note: the merge's change-set is 2% of keys; with the
+    * range-clustered layout the rewrite touches only the files whose
+    * key intervals contain them — the whole point of file-granular COW
+    * — while this query's oracle-visible OUTPUT stays a plain
+    * aggregate any consumer could run.
+    */
+  val q179 = Query(
+    "q179_table_lifecycle",
+    (s, dir) => {
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-lake").toString + "/orders_t"
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val v1 = Sources.commitVersion(
+        orders.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), table)
+      Sources.commitStats(s, table, v1, Seq("o_orderkey"))
+      val changes = orders.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit("0-MERGED").as("o_orderpriority"), lit("upsert").as("op"))
+        .unionByName(orders.filter(pmod(col("o_orderkey"), lit(100)) === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"), lit("delete").as("op")))
+      Sources.mergeVersion(s, table, changes, "o_orderkey")
+      ManifestFileIndex.readVersionIndexed(s, table)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey, o_totalprice,
+           |         CASE WHEN o_orderkey % 100 = 0 THEN '0-MERGED'
+           |              ELSE o_orderpriority END AS o_orderpriority
+           |  FROM orders WHERE o_orderkey % 100 <> 1)
+           |SELECT o_orderpriority, COUNT(*) AS n,
+           |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+           |FROM base GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q179)
+}
