@@ -77,8 +77,10 @@ object Bench {
     // LAST a short line — guaranteed inside any tail window — carrying
     // the exact total, query count, p50, and the slowest 15 queries
     // (the only per-query numbers that matter for a perf read).
+    // cwd-relative: sbt forks with the project base dir as working dir,
+    // so this lands next to the build wherever the checkout lives
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath,
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }

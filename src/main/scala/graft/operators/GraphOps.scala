@@ -530,9 +530,9 @@ object GraphOps {
   val q170 = Query(
     "q170_recursive_cte",
     (s, dir) => {
-      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      Tables.documents(s, dir).createOrReplaceTempView("rc_documents")
       s.sql("""WITH RECURSIVE climb(doc_id, anc, depth, anc_sum) AS (
-              |  SELECT doc_id, doc_id, 0, CAST(0 AS BIGINT) FROM documents
+              |  SELECT doc_id, doc_id, 0, CAST(0 AS BIGINT) FROM rc_documents
               |  UNION ALL
               |  SELECT doc_id, (anc - 1) DIV 2, depth + 1,
               |         anc_sum + CAST((anc - 1) DIV 2 AS BIGINT)

@@ -21,8 +21,9 @@ object LakeOps {
     * oracle never sees the table machinery — it states the same end
     * state RELATIONALLY over the raw `orders` fixture, so a hash match
     * proves commit + merge + carry + indexed-read compose to exactly
-    * the declared relational semantics. The table is built in a fresh
-    * temp dir per run (the query is self-contained and rerunnable).
+    * the declared relational semantics. The table rebuilds in one
+    * deterministic scratch dir per sf (wiped first), so the query is
+    * self-contained, rerunnable, and disk-bounded across sweeps.
     *
     * Scale note: the merge's change-set is 2% of keys; with the
     * range-clustered layout the rewrite touches only the files whose
@@ -33,8 +34,21 @@ object LakeOps {
   val q179 = Query(
     "q179_table_lifecycle",
     (s, dir) => {
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-lake").toString + "/orders_t"
+      // ONE deterministic scratch path per sf dir, rebuilt from scratch
+      // each run — repeated bench/verify sweeps reuse (not leak) disk
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val table = root.resolve("orders_t").toString
       val orders = Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
       val v1 = Sources.commitVersion(

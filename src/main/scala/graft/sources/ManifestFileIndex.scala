@@ -62,6 +62,7 @@ class ManifestFileIndex(spark: SparkSession, table: String,
   private def boundsOf(filters: Seq[Expression])
       : Map[String, (Option[BigDecimal], Option[BigDecimal])] = {
     def lit(e: Expression): Option[BigDecimal] = e match {
+      case Literal(null, _) => None // null literal: contributes no bound
       case Literal(x, dt) => dt match {
         case ByteType | ShortType | IntegerType | LongType =>
           Some(BigDecimal(x.toString))

@@ -334,18 +334,31 @@ object Sources {
       cols.forall(c => carried.contains((f, c))))
     val computed = if (need.isEmpty) Seq.empty[String] else {
       val df = spark.read.parquet(need: _*)
+      // min/max rendered as plain strings, NOT rounded through a fixed
+      // decimal scale: a half-up-rounded stored max below the true max
+      // would let pruning drop files that contain matching rows (the
+      // one bug class a stats sidecar must never have). BigDecimal
+      // parses the full double/decimal/integer renderings exactly;
+      // unparseable values (NaN/Infinity) and all-NULL files simply get
+      // no stats row — unstatted means never pruned.
       val aggs = cols.flatMap(c => Seq(
-        org.apache.spark.sql.functions.min(col(c)).cast("decimal(38,6)")
+        org.apache.spark.sql.functions.min(col(c))
           .cast("string").as(s"min_$c"),
-        org.apache.spark.sql.functions.max(col(c)).cast("decimal(38,6)")
+        org.apache.spark.sql.functions.max(col(c))
           .cast("string").as(s"max_$c")))
       df.groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().toSeq
         .flatMap { r =>
           val file = r.getString(0).stripPrefix("file://")
-          cols.zipWithIndex.map { case (c, i) =>
-            s"$file\t$c\t${r.getString(1 + 2 * i)}\t${r.getString(2 + 2 * i)}"
+          cols.zipWithIndex.flatMap { case (c, i) =>
+            (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))) match {
+              case (Some(lo), Some(hi))
+                  if scala.util.Try(BigDecimal(lo)).isSuccess &&
+                    scala.util.Try(BigDecimal(hi)).isSuccess =>
+                Some(s"$file\t$c\t$lo\t$hi")
+              case _ => None
+            }
           }
         }
     }
@@ -391,8 +404,11 @@ object Sources {
     val stats = statsOf(table, v)
     val files = filesOf(table, v)
     import scala.collection.Searching._
-    val changeKeys = changes.select(col(key).cast("decimal(38,6)"))
-      .distinct().collect()
+    // a NULL merge key equals no stored key (SQL semantics): it selects
+    // no file for rewrite and deletes nothing; a null-key upsert row
+    // still flows through the insert union below
+    val changeKeys = changes.filter(col(key).isNotNull)
+      .select(col(key).cast("decimal(38,6)")).distinct().collect()
       .map(r => BigDecimal(r.getDecimal(0))).sorted
     val (affected, untouched) = files.partition { f =>
       stats.get((f, key)) match {
@@ -431,9 +447,11 @@ object Sources {
     else scala.jdk.CollectionConverters.ListHasAsScala(
       java.nio.file.Files.readAllLines(p)).asScala
       .filter(_.nonEmpty)
-      .map { line =>
+      .flatMap { line =>
         val Array(f, c, lo, hi) = line.split("\t", 4)
-        (f, c) -> (BigDecimal(lo), BigDecimal(hi))
+        // a malformed/legacy line must degrade to "no stats" (file
+        // always read), never to a read-path exception
+        scala.util.Try((f, c) -> (BigDecimal(lo), BigDecimal(hi))).toOption
       }.toMap
   }
 

@@ -535,6 +535,33 @@ class SourcesSpec extends SparkTestBase {
     assert(c23.count() < orders.count())
   }
 
+  test("stats edge cases: full-precision doubles, all-NULL columns, null IN literals") {
+    import spark.implicits._
+    val table = tmp("vedge") + "/edge_t"
+    // file with a double value that a 6-decimal-rounded stat would
+    // misplace, plus an all-NULL stats column
+    val df = Seq(
+      (1L, 1.0000004, Option.empty[Long]),
+      (2L, 2.5, Option.empty[Long]))
+      .toDF("k", "x", "all_null")
+    val v = Sources.commitVersion(df.repartition(1), table)
+    Sources.commitStats(spark, table, v, Seq("k", "x", "all_null"))
+    // boundary range above the would-be-rounded max must KEEP the file
+    val (kept, _) = Sources.pruneFiles(table, v, "x",
+      BigDecimal("1.0000002"), BigDecimal("1.0000006"))
+    assert(kept.nonEmpty, "full-precision double stats must not round away rows")
+    assert(Sources.readVersionPruned(spark, table, "x",
+      BigDecimal("1.0000002"), BigDecimal("1.0000006")).count() === 1)
+    // all-NULL column: no stats row, pruning on it keeps everything
+    val (keptN, skippedN) = Sources.pruneFiles(table, v, "all_null",
+      BigDecimal(0), BigDecimal(1))
+    assert(skippedN.isEmpty && keptN.nonEmpty)
+    // a null inside an IN-list must not break planning and must not prune
+    val got = graft.sources.ManifestFileIndex.readVersionIndexed(spark, table, v)
+      .filter(col("k").isin(1L, null))
+    assert(got.count() === 1)
+  }
+
   test("writeWithAudit: observed write-time metrics equal a direct recompute") {
     import graft.sources.Sources
     val out = tmp("audit") + "/orders"
