@@ -1088,6 +1088,68 @@ object AnalyticOps {
            |ORDER BY rank""".stripMargin)
   )
 
+  /** Q180 — frequent basket TRIPLES by Apriori candidate pruning, the
+    * level-3 step q109's pair mining stops short of: report every part
+    * triple co-ordered in ≥ 2 baskets. The Spark plan runs the real
+    * Apriori cascade — items below min-support leave first, the triple
+    * enumeration then grows only from SURVIVING pairs ((a,b) must be a
+    * frequent pair before any c joins) and candidates are checked
+    * against the frequent-pair set on the (y,z) and (x,z) edges too —
+    * the full downward-closure check — because at
+    * 100 TB the naive three-way self-join's fan-out is the whole cost,
+    * and downward closure (a frequent triple's sub-pairs are frequent)
+    * is what bounds it. The oracle states the UNPRUNED semantics (raw
+    * three-way join, filter support ≥ 2), so the hash match proves the
+    * pruning cascade lossless — q137's prefix-filter proof pattern.
+    */
+  val q180 = Query(
+    "q180_basket_triples",
+    (s, dir) => {
+      val minSup = 2L
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val freqItems = li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("isup")).filter(col("isup") >= minSup)
+        .select("l_partkey")
+      val liF = li.join(freqItems, "l_partkey")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val freqPairs = liF.as("a").join(liF.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("fa"), col("b.p").as("fb"))
+        .agg(count(lit(1)).as("psup")).filter(col("psup") >= minSup)
+        .select("fa", "fb")
+      val ab = liF.as("a").join(liF.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.o").as("o"), col("a.p").as("x"), col("b.p").as("y"))
+        .join(freqPairs,
+          col("x") === col("fa") && col("y") === col("fb"))
+        .select("o", "x", "y")
+      val fp2 = freqPairs.select(col("fa").as("ga"), col("fb").as("gb"))
+      ab.join(liF.as("c"), ab("o") === col("c.o") && col("y") < col("c.p"))
+        .select(ab("o"), col("x"), col("y"), col("c.p").as("z"))
+        .join(freqPairs,
+          col("y") === col("fa") && col("z") === col("fb"))
+        .join(fp2, col("x") === col("ga") && col("z") === col("gb"))
+        .groupBy("x", "y", "z")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSup)
+        .orderBy(col("support").desc, col("x"), col("y"), col("z"))
+    },
+    Some("""WITH li AS (
+           |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |t AS (
+           |  SELECT a.l_partkey AS x, b.l_partkey AS y, c.l_partkey AS z,
+           |         COUNT(*) AS support
+           |  FROM li a
+           |  JOIN li b ON a.l_orderkey = b.l_orderkey
+           |           AND a.l_partkey < b.l_partkey
+           |  JOIN li c ON a.l_orderkey = c.l_orderkey
+           |           AND b.l_partkey < c.l_partkey
+           |  GROUP BY 1, 2, 3)
+           |SELECT x, y, z, support FROM t WHERE support >= 2
+           |ORDER BY support DESC, x, y, z""".stripMargin)
+  )
+
   /** Q111 — population-stability drift detection (PSI): compare the
     * event-value distribution of the corpus's FIRST epoch week (the
     * "training" window) against everything after it (the "serving"
@@ -2589,7 +2651,7 @@ object AnalyticOps {
 
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
-    q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115,
+    q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115, q180,
     q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142,
     q144, q148, q149, q153, q156, q159, q160, q161, q166)
 }
