@@ -1113,14 +1113,17 @@ object AnalyticOps {
         .select("l_partkey")
       val liF = li.join(freqItems, "l_partkey")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val freqPairs = liF.as("a").join(liF.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("fa"), col("b.p").as("fb"))
-        .agg(count(lit(1)).as("psup")).filter(col("psup") >= minSup)
-        .select("fa", "fb")
-      val ab = liF.as("a").join(liF.as("b"),
+      // the (order, a, b) pair rows feed BOTH the level-2 support count
+      // and the level-3 enumeration — materialize them once
+      val pairRows = liF.as("a").join(liF.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.o").as("o"), col("a.p").as("x"), col("b.p").as("y"))
+        .localCheckpoint()
+      val freqPairs = pairRows
+        .groupBy(col("x").as("fa"), col("y").as("fb"))
+        .agg(count(lit(1)).as("psup")).filter(col("psup") >= minSup)
+        .select("fa", "fb")
+      val ab = pairRows
         .join(freqPairs,
           col("x") === col("fa") && col("y") === col("fb"))
         .select("o", "x", "y")
@@ -1148,6 +1151,66 @@ object AnalyticOps {
            |  GROUP BY 1, 2, 3)
            |SELECT x, y, z, support FROM t WHERE support >= 2
            |ORDER BY support DESC, x, y, z""".stripMargin)
+  )
+
+  /** Q181 — temporal cross-sell pairs: part A in a STRICTLY EARLIER
+    * order than part B of the same customer, supported by the number
+    * of distinct customers showing the sequence — the time-ordered
+    * association q109/q180's within-basket co-occurrence cannot see
+    * ("bought X, later came back for Y" is a recommendation signal;
+    * "bought X and Y together" is a bundling one). Top-50 by support
+    * with full key tiebreaks.
+    *
+    * Scale shape — the interval reduction: "some A-order strictly
+    * before some B-order" ⟺ `min_date(A) < max_date(B)` per customer,
+    * so each (customer, part) collapses to its [first, last] order
+    * dates BEFORE the join (one combinable aggregate), the self-join
+    * fans out over distinct parts² instead of (orders × parts)², and
+    * support becomes a plain row count — each (customer, A, B) exists
+    * at most once — with no COUNT(DISTINCT) shuffle at all. The oracle
+    * states the naive order-pair semantics, proving the reduction
+    * lossless. Hot customers remain the salting candidates
+    * ([[SkewOps]]).
+    */
+  val q181 = Query(
+    "q181_crosssell_seq",
+    (s, dir) => {
+      val spans = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("p"))
+        .agg(min(col("o_orderdate")).as("first_d"),
+          max(col("o_orderdate")).as("last_d"))
+      val w = Window.orderBy(col("support").desc, col("part_a").asc,
+        col("part_b").asc)
+      spans.as("a").join(spans.as("b"),
+          col("a.cust") === col("b.cust") &&
+            col("a.first_d") < col("b.last_d") &&
+            col("a.p") =!= col("b.p"))
+        .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 50)
+        .orderBy("rank")
+    },
+    Some("""WITH ol AS (
+           |  SELECT DISTINCT o.o_custkey AS cust, o.o_orderdate AS d,
+           |         l.l_partkey AS p
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+           |seq AS (
+           |  SELECT a.p AS part_a, b.p AS part_b,
+           |         CAST(COUNT(DISTINCT a.cust) AS BIGINT) AS support
+           |  FROM ol a JOIN ol b
+           |    ON a.cust = b.cust AND a.d < b.d AND a.p <> b.p
+           |  GROUP BY 1, 2)
+           |SELECT part_a, part_b, support,
+           |       CAST(row_number() OVER (
+           |         ORDER BY support DESC, part_a ASC, part_b ASC) AS BIGINT)
+           |         AS rank
+           |FROM seq
+           |QUALIFY row_number() OVER (
+           |  ORDER BY support DESC, part_a ASC, part_b ASC) <= 50
+           |ORDER BY rank""".stripMargin)
   )
 
   /** Q111 — population-stability drift detection (PSI): compare the
@@ -2651,7 +2714,7 @@ object AnalyticOps {
 
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
-    q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115, q180,
+    q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115, q180, q181,
     q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142,
     q144, q148, q149, q153, q156, q159, q160, q161, q166)
 }
