@@ -1929,8 +1929,138 @@ object TextOps {
     }
   )
 
+  /** Q187 — token-budget mixture planner: given per-language target
+    * mixture weights (the knob every pretraining run sets), compute the
+    * LARGEST total token budget the corpus can serve without repeating
+    * any language's data, and each language's planned tokens + sampling
+    * rate at that budget. The binding constraint is the language whose
+    * supply/weight ratio is smallest (rate_ppm = 1 000 000); everything
+    * else is down-sampled. This is the static plan that q67's mixture
+    * SAMPLER executes and q149's PPS weights refine — here the PLANNING
+    * arithmetic itself is the query.
+    *
+    * All arithmetic is integer (ppm weights, floor divisions), so the
+    * plan is bit-identical cross-engine with no FP in the path. One
+    * token-count aggregate keyed on lang (the corpus pass), then
+    * constant-sized planning math — at 100 TB the plan costs exactly
+    * one combinable rollup of per-doc token counts.
+    */
+  val q187 = Query(
+    "q187_mixture_plan",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val weights = Seq(("en", 400000L), ("de", 200000L), ("es", 150000L),
+        ("fr", 150000L), ("zh", 100000L)).toDF("lang", "weight_ppm")
+      val supply = Tables.documents(s, dir)
+        .select(col("lang"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long").as("n_tokens"))
+        .groupBy("lang").agg(sum(col("n_tokens")).as("tokens"))
+        .join(broadcast(weights), "lang")
+      val budget = supply
+        .select(expr("tokens * 1000000 div weight_ppm").as("cap"))
+        .agg(min(col("cap")).as("budget"))
+      supply.crossJoin(broadcast(budget))
+        .select(col("lang"), col("weight_ppm"), col("tokens"), col("budget"),
+          expr("budget * weight_ppm div 1000000").as("planned_tokens"),
+          expr("(budget * weight_ppm div 1000000) * 1000000 div tokens")
+            .as("rate_ppm"))
+        .orderBy("lang")
+    },
+    Some("""WITH w(lang, weight_ppm) AS (
+           |  VALUES ('en', 400000), ('de', 200000), ('es', 150000),
+           |         ('fr', 150000), ('zh', 100000)),
+           |supply AS (
+           |  SELECT d.lang, CAST(w.weight_ppm AS BIGINT) AS weight_ppm,
+           |         SUM(CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT)) AS tokens
+           |  FROM documents d JOIN w ON d.lang = w.lang
+           |  GROUP BY 1, 2),
+           |b AS (SELECT MIN(tokens * 1000000 // weight_ppm) AS budget FROM supply)
+           |SELECT lang, weight_ppm, tokens, b.budget,
+           |       CAST(b.budget * weight_ppm // 1000000 AS BIGINT) AS planned_tokens,
+           |       CAST((b.budget * weight_ppm // 1000000) * 1000000 // tokens AS BIGINT) AS rate_ppm
+           |FROM supply, b ORDER BY lang""".stripMargin)
+  )
+
+  /** Q188 — packing-efficiency audit of q78's sequence packing: per
+    * language, how many 512-token training sequences the packed stripes
+    * produce, how many budget tokens the per-stripe tails waste, and how
+    * many docs straddle a sequence boundary (the docs a non-spanning
+    * packer would have to pad around or truncate). Utilization is the
+    * one number a pretraining-ingest owner watches; boundary crossings
+    * price the alternative "no doc spans a boundary" policy.
+    *
+    * The stripe offsets REUSE q78's exact definition (same shard hash,
+    * same running-sum window, same integer divisions) so the audit can
+    * never drift from the packing it audits. One (lang, shard) window
+    * pass + one combinable per-lang rollup; the only FP op is the final
+    * utilization division.
+    */
+  val q188 = Query(
+    "q188_pack_efficiency",
+    (s, dir) => {
+      val budget = 512L
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          graft.Canon.md5Residue(col("doc_id").cast("string"), 8).as("shard"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long").as("n_tokens"))
+        .withColumn("end_tok", sum(col("n_tokens")).over(w))
+        .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+        .withColumn("crosses",
+          col("n_tokens") > 0 &&
+            expr(s"start_tok div $budget") =!= expr(s"(end_tok - 1) div $budget"))
+      val stripes = packed.groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("stripe_tokens"),
+          sum(when(col("crosses"), 1L).otherwise(0L)).as("crossings"))
+        .withColumn("n_seqs", expr(s"(stripe_tokens + ${budget - 1}) div $budget"))
+        .withColumn("tail_waste", col("n_seqs") * budget - col("stripe_tokens"))
+      stripes.groupBy("lang")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("stripe_tokens")).as("total_tokens"),
+          sum(col("n_seqs")).as("n_seqs"),
+          sum(col("tail_waste")).as("waste_tokens"),
+          sum(col("crossings")).as("boundary_docs"))
+        .withColumn("utilization",
+          col("total_tokens").cast("double") /
+            (col("n_seqs") * budget).cast("double"))
+        .orderBy("lang")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang,
+           |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+           |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |o AS (
+           |  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+           |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+           |  FROM t),
+           |p AS (
+           |  SELECT *, end_tok - n_tokens AS start_tok,
+           |         n_tokens > 0 AND (end_tok - n_tokens) // 512 <> (end_tok - 1) // 512 AS crosses
+           |  FROM o),
+           |stripes AS (
+           |  SELECT lang, shard, COUNT(*) AS n_docs,
+           |         SUM(n_tokens) AS stripe_tokens,
+           |         SUM(CASE WHEN crosses THEN 1 ELSE 0 END) AS crossings,
+           |         (SUM(n_tokens) + 511) // 512 AS n_seqs
+           |  FROM p GROUP BY 1, 2)
+           |SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           |       CAST(SUM(stripe_tokens) AS BIGINT) AS total_tokens,
+           |       CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
+           |       CAST(SUM(n_seqs * 512 - stripe_tokens) AS BIGINT) AS waste_tokens,
+           |       CAST(SUM(crossings) AS BIGINT) AS boundary_docs,
+           |       CAST(SUM(stripe_tokens) AS DOUBLE)
+           |         / CAST(SUM(n_seqs) * 512 AS DOUBLE) AS utilization
+           |FROM stripes GROUP BY lang ORDER BY lang""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
-      q154, q155, q163, q168, q171, q174, q176)
+      q154, q155, q163, q168, q171, q174, q176, q187, q188)
 }

@@ -759,8 +759,210 @@ object RelationalOps {
            |GROUP BY 1 ORDER BY nation""".stripMargin)
   )
 
+  /** Q182 — the TPC-H Q7 "volume shipping" shape: bilateral trade
+    * revenue between two nations, grouped by (supplier nation, customer
+    * nation, ship year), both directions of the pair reported. The
+    * canonical two-dimension-role join — the SAME dimension (nation)
+    * joined twice under different roles, which is exactly what defeats
+    * naive join-reorder heuristics that assume each table appears once.
+    *
+    * Scale shape: nation is broadcast twice (different role aliases,
+    * each a distinct broadcast literal side); the year predicate on
+    * l_shipdate is pushed to the fact scan; customer/supplier/orders
+    * stay shuffle-joined under Catalyst+AQE as in q147. The nation-pair
+    * filter applies AFTER both role joins (it references both sides),
+    * but each role side is pre-filtered to the two candidate nations so
+    * the broadcast rows and the post-join fan-in stay minimal.
+    *
+    * Exactness: q11's decimal device for Σ price·(1−discount).
+    */
+  val q182 = Query(
+    "q182_volume_shipping",
+    (s, dir) => {
+      val one = lit(1).cast("decimal(8,4)")
+      val pair = Seq("NATION_11", "NATION_20")
+      val natS = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val natC = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(year(col("l_shipdate")).between(1995, 1996))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+          "l_shipdate")
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(count(lit(1)).as("n_items"),
+          outD(round(sum(dec12(col("l_extendedprice")) *
+            (one - col("l_discount").cast("decimal(8,4)"))), 4)).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           |       COUNT(*) AS n_items,
+           |       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+           |            (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4)
+           |            AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |WHERE year(l_shipdate) BETWEEN 1995 AND 1996
+           |  AND sn.n_name IN ('NATION_11', 'NATION_20')
+           |  AND cn.n_name IN ('NATION_11', 'NATION_20')
+           |  AND sn.n_name <> cn.n_name
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+  )
+
+  /** Q183 — the TPC-H Q8 "national market share" shape: of all PROMO-part
+    * revenue sold to ASIA customers, what fraction was supplied by
+    * NATION_2, per order year? The numerator is a CONDITIONAL sum inside
+    * the same aggregation as the denominator — one pass over the joined
+    * fact, not two queries diffed.
+    *
+    * Scale shape: part is pre-filtered on p_type before its join (at
+    * 100 TB part is the one dimension that can outgrow broadcast, so it
+    * is left to Catalyst; the selective type filter still prunes it
+    * scan-side), region→nation is the broadcast calendar side as in
+    * q147, and the supplier-nation name needed by the numerator rides a
+    * second broadcast of nation keyed by s_nationkey.
+    *
+    * Exactness: numerator and denominator are separately rounded,
+    * clamped exact decimals; the share is their single IEEE division
+    * (q159's ratio discipline).
+    */
+  val q183 = Query(
+    "q183_market_share",
+    (s, dir) => {
+      val one = lit(1).cast("decimal(8,4)")
+      val vol = dec12(col("l_extendedprice")) *
+        (one - col("l_discount").cast("decimal(8,4)"))
+      val natC = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)
+            .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val natS = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(Tables.part(s, dir).filter(col("p_type") === "PROMO")
+            .select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey",
+            "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          // SUM ignores NULLs in both engines, so the no-ELSE CASE form
+          // keeps the conditional branch in the product's own decimal
+          // type with no zero-literal type gymnastics; a year with no
+          // NATION_2 revenue yields NULL in both engines identically.
+          outD(round(sum(when(col("supp_nation") === "NATION_2", vol)), 4))
+            .as("nation_volume"),
+          outD(round(sum(vol), 4)).as("total_volume"))
+        .withColumn("mkt_share",
+          col("nation_volume") / col("total_volume"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           |       CAST(CAST(round(SUM(CASE WHEN sn.n_name = 'NATION_2'
+           |              THEN CAST(l_extendedprice AS DECIMAL(12,4)) *
+           |                   (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+           |              END), 4)
+           |            AS DECIMAL(18,4)) AS DOUBLE) AS nation_volume,
+           |       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+           |            (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4)
+           |            AS DECIMAL(18,4)) AS DOUBLE) AS total_volume,
+           |       CAST(CAST(round(SUM(CASE WHEN sn.n_name = 'NATION_2'
+           |              THEN CAST(l_extendedprice AS DECIMAL(12,4)) *
+           |                   (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+           |              END), 4)
+           |            AS DECIMAL(18,4)) AS DOUBLE)
+           |       / CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+           |            (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4)
+           |            AS DECIMAL(18,4)) AS DOUBLE) AS mkt_share
+           |FROM lineitem
+           |JOIN part     ON l_partkey = p_partkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |JOIN region   ON cn.n_regionkey = r_regionkey
+           |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
+  /** Q184 — the TPC-H Q10 "returned items" shape: the top 20 customers
+    * by revenue lost to returns (l_returnflag = 'R') in one order year —
+    * the classic fact-filtered top-k customer report.
+    *
+    * Scale shape: the returnflag + year predicates are pushed to the
+    * two fact-side scans; the customer join shuffles on the key; the
+    * final top-20 is a global sort-limit, which Spark executes as
+    * per-partition TakeOrdered (no full sort materializes). Revenue
+    * ties break on c_custkey so the LIMIT is deterministic.
+    */
+  val q184 = Query(
+    "q184_returned_items",
+    (s, dir) => {
+      val one = lit(1).cast("decimal(8,4)")
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(Tables.orders(s, dir)
+            .filter(year(col("o_orderdate")) === 1996)
+            .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir)
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+          dec(col("c_acctbal")).cast("double").as("c_acctbal"))
+        .agg(count(lit(1)).as("n_items"),
+          outD(round(sum(dec12(col("l_extendedprice")) *
+            (one - col("l_discount").cast("decimal(8,4)"))), 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name AS nation,
+           |       CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS c_acctbal,
+           |       COUNT(*) AS n_items,
+           |       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+           |            (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4)
+           |            AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation   ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R' AND year(o_orderdate) = 1996
+           |GROUP BY 1, 2, 3, 4
+           |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q12b, q13a, q13b, q14, q15, q16, q17, q25, q26, q84, q101,
-    q147)
+    q147, q182, q183, q184)
 }

@@ -1758,8 +1758,73 @@ object TemporalOps {
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
+  /** Q186 — interval–interval overlap join: user activity intervals
+    * (each event opens a 30-min validity window, q143's intervals
+    * UN-merged) against synthesized per-type daily maintenance windows
+    * (2 h, start offset derived from the type's md5 residue), reporting
+    * per maintenance window how many activity intervals and distinct
+    * users it intersects. q18 joins POINTS to intervals; this joins
+    * intervals to intervals — the shape behind span-conflict detection,
+    * ad-flight attribution and downtime impact analysis.
+    *
+    * Scale design: a naive `a.start < b.end AND b.start < a.end` theta
+    * join is a cross product. Both interval sets are fanned out to the
+    * fixed-width time cells they cover (cell = 2 h, the longer
+    * interval's length, so each side lands in ≤ 2 cells), the join is a
+    * pure equi-join on the cell, the overlap predicate filters inside
+    * the cell, and a DISTINCT collapses pairs found in both shared
+    * cells — bounded fan-out, bounded cells, no quadratic stage, same
+    * no-false-negative argument as q18/q56. The oracle states the naive
+    * theta-join semantics, proving the cell decomposition lossless.
+    */
+  val q186 = Query(
+    "q186_interval_overlap",
+    (s, dir) => {
+      val ev = eventsTss(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("es"))
+      val a = ev.select(col("event_id").as("a_id"), col("user_id"),
+        col("es").as("a_start"), (col("es") + 1800L).as("a_end"))
+      val b = ev.select(col("event_type"), expr("es div 86400").as("day"))
+        .distinct()
+        .withColumn("b_start",
+          col("day") * 86400L + md5Residue(col("event_type"), 12) * 3600L)
+        .withColumn("b_end", col("b_start") + 7200L)
+      val w = 7200L
+      val aCells = a.withColumn("cell",
+        explode(sequence(expr(s"a_start div $w"), expr(s"(a_end - 1) div $w"))))
+      val bCells = b.withColumn("cell",
+        explode(sequence(expr(s"b_start div $w"), expr(s"(b_end - 1) div $w"))))
+      aCells.join(bCells, Seq("cell"))
+        .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+        .select("event_type", "day", "a_id", "user_id")
+        .distinct()
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_intervals"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id, event_type,
+           |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           |  FROM events),
+           |a AS (SELECT event_id AS a_id, user_id, es AS a_start,
+           |             es + 1800 AS a_end FROM e),
+           |days AS (SELECT DISTINCT event_type, es // 86400 AS day FROM e),
+           |b AS (SELECT event_type, day,
+           |             day * 86400 +
+           |             (CAST(concat('0x', substr(md5(event_type), 1, 15)) AS BIGINT) % 12) * 3600 AS b_start
+           |      FROM days),
+           |ov AS (
+           |  SELECT DISTINCT b.event_type, b.day, a.a_id, a.user_id
+           |  FROM a JOIN b
+           |    ON a.a_start < b.b_start + 7200 AND b.b_start < a.a_end)
+           |SELECT event_type, day, COUNT(*) AS n_intervals,
+           |       COUNT(DISTINCT user_id) AS n_users
+           |FROM ov GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
       q94, q97, q99, q100, q102, q107, q110, q112, q113, q117, q122, q127,
-      q128, q130, q134, q143, q146, q151, q152, q157, q158, q177, q178)
+      q128, q130, q134, q143, q146, q151, q152, q157, q158, q177, q178, q186)
 }

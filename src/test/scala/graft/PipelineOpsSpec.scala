@@ -153,4 +153,44 @@ class PipelineOpsSpec extends SparkTestBase {
         s"$lang p100 must calibrate to the pooled maximum")
     }
   }
+
+  test("q187 mixture plan: integer feasibility — rates <= 1, binding lang saturates") {
+    val rows = TextOps.q187.build(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getLong(1)).sum === 1000000L)
+    val budget = rows.head.getLong(3)
+    rows.foreach { r =>
+      val (w, tok, b, planned, rate) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(b === budget)
+      assert(planned === b * w / 1000000L)
+      assert(planned <= tok)          // never oversample: rate <= 1
+      assert(rate <= 1000000L)
+    }
+    // the binding language is within integer-floor slack of full use
+    assert(rows.map(_.getLong(5)).max >= 990000L)
+  }
+
+  test("q188 pack efficiency: n_seqs consistent with q78's seq ids; waste telescopes") {
+    val audit = TextOps.q188.build(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // recompute n_seqs per lang from q78's packing: a stripe's sequence
+    // count is its last doc's (end_tok - 1) div 512 + 1
+    val stripes = TextOps.q78.build(spark, sf)
+      .withColumn("end_tok", col("seq_id") * 512 + col("seq_offset") + col("n_tokens"))
+      .groupBy("lang", "shard")
+      .agg(max(expr("(end_tok - 1) div 512")).as("last_seq"),
+        sum(col("n_tokens")).as("toks"))
+      .groupBy("lang")
+      .agg(sum(col("last_seq") + 1).as("n_seqs"), sum(col("toks")).as("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit.keySet === stripes.keySet)
+    audit.foreach { case (lang, r) =>
+      val (nSeqs, toks) = stripes(lang)
+      assert(r.getLong(3) === nSeqs)
+      assert(r.getLong(2) === toks)
+      assert(r.getLong(4) === nSeqs * 512 - toks)   // waste telescopes
+      assert(r.getDouble(6) <= 1.0 && r.getDouble(6) > 0.0)
+    }
+  }
 }

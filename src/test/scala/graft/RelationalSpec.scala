@@ -224,4 +224,50 @@ class RelationalSpec extends SparkTestBase {
         s.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6)
     }
   }
+
+  test("q182 volume shipping: both roles drawn from the pair, never equal") {
+    val rows = RelationalOps.q182.build(spark, sf).collect()
+    val pair = Set("NATION_11", "NATION_20")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(pair.contains(r.getString(0)) && pair.contains(r.getString(1)))
+      assert(r.getString(0) !== r.getString(1))
+      assert(r.getLong(2) === 1995L || r.getLong(2) === 1996L)
+      assert(r.getDouble(4) > 0.0)
+    }
+  }
+
+  test("q183 market share: share = nation/total, bounded to [0,1]") {
+    val rows = RelationalOps.q183.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nat = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+      val tot = r.getDouble(2)
+      assert(nat >= 0.0 && nat <= tot)
+      if (!r.isNullAt(3)) {
+        assert(r.getDouble(3) === nat / tot)
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      }
+    }
+  }
+
+  test("q184 returned items: top-20 by revenue desc, one customer's revenue recomputed") {
+    val rows = RelationalOps.q184.build(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(5))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    // brute-force the winner's revenue
+    val top = rows.head
+    val expect = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sf)
+          .filter(year(col("o_orderdate")) === 1996),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") === top.getLong(0))
+      .select((col("l_extendedprice").cast("decimal(12,4)") *
+        (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))).as("v"))
+      .agg(sum(col("v")).cast("decimal(18,4)").cast("double"))
+      .head().getDouble(0)
+    assert(top.getDouble(5) === expect)
+  }
 }

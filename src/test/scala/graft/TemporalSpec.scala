@@ -527,4 +527,34 @@ class TemporalSpec extends SparkTestBase {
     assert(got === top)
     assert(got.nonEmpty)
   }
+
+  test("q186 interval overlap: cell decomposition equals a driver brute force") {
+    val got = TemporalOps.q186.build(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // driver brute force over the naive theta-join semantics
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("es"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    def res(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 12
+    }
+    val windows = ev.map { case (_, _, t, es) => (t, es / 86400) }.distinct
+      .map { case (t, d) => (t, d, d * 86400 + res(t) * 3600) }
+    val acc = scala.collection.mutable.Map[(String, Long), (Set[Long], Set[Long])]()
+    for ((t, d, bs) <- windows; (id, u, _, es) <- ev) {
+      if (es < bs + 7200 && bs < es + 1800) {
+        val k = (t, d)
+        val (ids, us) = acc.getOrElse(k, (Set.empty[Long], Set.empty[Long]))
+        acc(k) = (ids + id, us + u)
+      }
+    }
+    assert(got.keySet === acc.keySet)
+    acc.foreach { case (k, (ids, us)) =>
+      assert(got(k) === ((ids.size.toLong, us.size.toLong)))
+    }
+  }
 }

@@ -697,4 +697,24 @@ class TextDedupSpec extends SparkTestBase {
     assert(r.getDouble(2) === 1.0 - 6.0 * sumD2.toDouble / (nn * (nn * nn - 1)).toDouble)
     assert(math.abs(r.getDouble(2)) <= 1.0)
   }
+
+  test("q185 entity resolution: thresholds hold; true registry rows dominate the matches") {
+    val rows = DedupOps.q185.build(spark, sf).collect()
+    // one best row per customer
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    var trueMatch = 0; var matched = 0
+    rows.foreach { r =>
+      val (cust, reg, dist, delta, m) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      if (m) {
+        matched += 1
+        assert(dist <= 3 && delta <= 5)
+        if (reg === cust + 1000000L) trueMatch += 1
+      }
+    }
+    assert(matched > 0)
+    // the blocker + scorer recover the true registry row for the vast
+    // majority of matches (false candidates lose on the balance delta)
+    assert(trueMatch.toDouble / matched > 0.9)
+  }
 }
