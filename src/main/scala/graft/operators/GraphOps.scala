@@ -552,5 +552,127 @@ object GraphOps {
            |FROM climb GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q103, q119, q121, q162, q169, q170, q172)
+  /** Q189 — k-core decomposition (coreness per node) of the undirected
+    * link graph: iteratively peel nodes of degree < k for k = 1..4; a
+    * node's coreness is the largest k whose core retains it. Coreness
+    * is the standard "how embedded is this node" signal — spam rings
+    * and boilerplate hubs live in high cores, crawl frontier leaves in
+    * low ones — and the peeling cascade (dropping one node can drop its
+    * neighbors next round) is exactly what one-shot degree filters get
+    * wrong. On this graph the 4-core cascades to EMPTY in 3–4 genuine
+    * rounds, so the fixture exercises multi-round peeling, not a single
+    * filter pass.
+    *
+    * Scale shape per round: one semi-join of the edge list against the
+    * survivor set on each endpoint + one combinable degree count —
+    * |alive-edges| work that SHRINKS as peeling progresses, the same
+    * frontier discipline as q162's BFS. Rounds are data-dependent:
+    * bounded at [[KcoreMaxRounds]] per k with a LOUD failure (q66's
+    * convergence rule), driver state is one count per round.
+    * localCheckpoint keeps the per-round lineage flat.
+    *
+    * The oracle is the same peeling UNROLLED to the fixed round bound
+    * as generated CTEs (q92's generated-SQL device) — extra rounds are
+    * provable no-ops once the core is stable, so a fixed unrolling is
+    * exact whenever Spark's loop converged within the bound, which the
+    * build asserts. Everything is integer set algebra — no FP anywhere.
+    */
+  val KcoreMaxRounds = 6
+  val KcoreMaxK = 4
+
+  val q189 = Query(
+    "q189_kcore",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val withN = docs.crossJoin(broadcast(n))
+      val dir1 = withN.select(col("doc_id").as("u"),
+        ((col("doc_id") * 31 + 17) % col("n_docs")).as("v"))
+      val dir2 = withN.select(col("doc_id").as("u"),
+        ((col("doc_id") * col("doc_id") * 7 + 3) % col("n_docs")).as("v"))
+      val ue = dir1.union(dir2).filter(col("u") =!= col("v"))
+        .select(col("u"), col("v"))
+        .union(dir1.union(dir2).filter(col("u") =!= col("v"))
+          .select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+        .localCheckpoint()
+      var alive = ue.select(col("u").as("n")).distinct().localCheckpoint()
+      var coreness = docs.select(col("doc_id"), lit(0L).as("core"))
+      for (k <- 1 to KcoreMaxK) {
+        var converged = false
+        var round = 0
+        while (!converged && round < KcoreMaxRounds) {
+          round += 1
+          val deg = ue
+            .join(alive.select(col("n").as("u")), "u")
+            .join(alive.select(col("n").as("v")), "v")
+            .groupBy("u").agg(count(lit(1)).as("deg"))
+          val next = alive
+            .join(deg.filter(col("deg") >= k).select(col("u").as("n")), "n", "left_semi")
+            .localCheckpoint()
+          val before = alive.count()
+          val after = next.count()
+          alive = next
+          converged = after == before
+          if (after == 0L) converged = true
+        }
+        if (!converged)
+          sys.error(s"q189_kcore: k=$k peeling did not converge within " +
+            s"$KcoreMaxRounds rounds — raise KcoreMaxRounds (and the oracle unrolling)")
+        coreness = coreness
+          .join(alive.select(col("n").as("doc_id"), lit(1).as("in_core")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("in_core").isNotNull, lit(k.toLong))
+              .otherwise(col("core")).as("core"))
+      }
+      coreness.select(col("doc_id"), col("core").as("coreness"))
+        .orderBy("doc_id")
+    },
+    Some {
+      // Unrolled peeling: for each k, KcoreMaxRounds rounds of
+      // degree-filter CTEs; survivors of k seed k+1. Extra rounds
+      // beyond actual convergence re-select the identical set.
+      val sb = new StringBuilder
+      sb.append(
+        """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          |de AS (
+          |  SELECT doc_id AS u, (doc_id * 31 + 17) % n_docs AS v FROM documents, n
+          |  UNION ALL
+          |  SELECT doc_id AS u, (doc_id * doc_id * 7 + 3) % n_docs AS v FROM documents, n),
+          |ue AS MATERIALIZED (
+          |  SELECT DISTINCT u, v FROM (
+          |    SELECT u, v FROM de WHERE u <> v
+          |    UNION ALL SELECT v AS u, u AS v FROM de WHERE u <> v)),
+          |a_0_f AS MATERIALIZED (SELECT DISTINCT u AS m FROM ue)""".stripMargin)
+      for (k <- 1 to KcoreMaxK) {
+        var prev = if (k == 1) "a_0_f" else s"a_${k - 1}_f"
+        for (r <- 1 to KcoreMaxRounds) {
+          val cur = s"a_${k}_$r"
+          sb.append(s""",
+            |$cur AS MATERIALIZED (
+            |  SELECT m FROM $prev WHERE m IN (
+            |    SELECT e.u FROM ue e
+            |    WHERE e.u IN (SELECT m FROM $prev)
+            |      AND e.v IN (SELECT m FROM $prev)
+            |    GROUP BY e.u HAVING COUNT(*) >= $k))""".stripMargin)
+          prev = cur
+        }
+        sb.append(s""",
+          |a_${k}_f AS MATERIALIZED (SELECT m FROM $prev)""".stripMargin)
+      }
+      sb.append("""
+        |SELECT d.doc_id,
+        |       CAST(CASE""".stripMargin)
+      for (k <- KcoreMaxK to 1 by -1)
+        sb.append(s"""
+          |         WHEN d.doc_id IN (SELECT m FROM a_${k}_f) THEN $k""".stripMargin)
+      sb.append("""
+        |         ELSE 0 END AS BIGINT) AS coreness
+        |FROM documents d ORDER BY d.doc_id""".stripMargin)
+      sb.toString
+    }
+  )
+
+  val all: Seq[Query] = Seq(q103, q119, q121, q162, q169, q170, q172, q189)
 }

@@ -151,4 +151,33 @@ class GraphSpec extends SparkTestBase {
     val sums = df.agg(sum("subtree_size"), sum("depth")).head()
     assert(sums.getLong(0) === sums.getLong(1) + n)
   }
+
+  test("q189 kcore: matches a driver-side peeling brute force") {
+    val got = GraphOps.q189.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.documents(spark, sf).count()
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    for (i <- ids; d <- Seq((i * 31 + 17) % n, (i * i * 7 + 3) % n) if d != i) {
+      adj(i) = adj(i) + d; adj(d) = adj(d) + i
+    }
+    val core = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    var alive = adj.keySet.toSet
+    for (k <- 1 to GraphOps.KcoreMaxK) {
+      var changed = true
+      while (changed) {
+        val drop = alive.filter(u => adj(u).count(alive) < k)
+        changed = drop.nonEmpty
+        alive = alive -- drop
+      }
+      alive.foreach(u => core(u) = k.toLong)
+    }
+    assert(got.keySet === ids.toSet)
+    ids.foreach(i => assert(got(i) === core(i), s"doc $i"))
+    // the 4-core is empty on this graph, so the max coreness is 3 and
+    // at least one node peels below it (a genuine cascade happened)
+    assert(got.values.max === 3L)
+    assert(got.values.exists(_ < 3L))
+  }
 }
