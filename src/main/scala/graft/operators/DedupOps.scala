@@ -636,7 +636,11 @@ object DedupOps {
       // prefix construction, intersection counting) and the prefix
       // relation two (its own self-join); localCheckpoint materializes
       // each once instead of re-running the tokenize→explode→window
-      // lineage per subtree — measured 6.7 s → ~3 s at sf0.1.
+      // lineage per subtree. (An array_intersect verification — cand
+      // pairs joined to collected per-doc shingle arrays — was measured
+      // 2.4× SLOWER here: candidate volume × array payload beats the
+      // explode's shuffle. The aggregation form is the right one when
+      // prefixes admit many candidates.)
       val sh = shingles(s, dir).localCheckpoint()
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))

@@ -249,21 +249,44 @@ object Sources {
 
   /** Commit `df` to `table` as a new version. `overwrite = false`
     * appends to the previous version's file set; `true` replaces it.
-    * Returns the published version number. */
+    * Returns the published version number.
+    *
+    * Optimistic concurrency: the data batch is written ONCE (immutable,
+    * uniquely named), then the manifest publish claims the next version
+    * number atomically ([[publishManifest]]); if a concurrent committer
+    * claimed it first, the commit RE-READS the new latest file set and
+    * retries with the next number — append commits commute (each
+    * retry re-carries the winner's files, so no commit is ever lost)
+    * and an overwrite retry still means "replace whatever is latest".
+    * This is the contended-commit protocol every shared table format
+    * needs (Delta/Iceberg do the same dance against the log store);
+    * a bounded attempt count turns pathological contention into a loud
+    * failure instead of livelock. */
   def commitVersion(df: DataFrame, table: String,
       overwrite: Boolean = false): Int = {
     val spark = df.sparkSession
-    val prev = latestVersion(table)
-    val next = prev + 1
     val batch = java.nio.file.Paths.get(table, "data",
-      s"batch-$next-${java.util.UUID.randomUUID().toString.take(8)}")
+      s"batch-${java.util.UUID.randomUUID().toString.take(12)}")
     df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
     val newFiles = spark.read.parquet(batch.toString)
       .select(org.apache.spark.sql.functions.input_file_name())
       .distinct().collect().map(_.getString(0).stripPrefix("file://")).sorted
-    val carried = if (overwrite || prev == 0) Nil else filesOf(table, prev)
-    publishManifest(table, next, carried ++ newFiles)
-    next
+    var attempt = 0
+    while (true) {
+      val prev = latestVersion(table)
+      val next = prev + 1
+      val carried = if (overwrite || prev == 0) Nil else filesOf(table, prev)
+      try {
+        publishManifest(table, next, carried ++ newFiles)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt < 64,
+            s"commitVersion: lost the publish race $attempt times on $table")
+      }
+    }
+    -1 // unreachable
   }
 
   /** Re-publish `version`'s exact file list as the new latest —
@@ -274,6 +297,18 @@ object Sources {
     next
   }
 
+  /** Atomically publish `files` as the `version` manifest, or throw
+    * `FileAlreadyExistsException` if that version was already claimed.
+    *
+    * The content is written to a temp file first, then HARD-LINKED to
+    * the manifest name: link creation is the one filesystem primitive
+    * that both fails atomically when the target exists (the version
+    * claim — O_EXCL semantics) and exposes only complete content to
+    * readers (the link points at fully-written bytes). The previous
+    * `Files.move` without REPLACE_EXISTING looked equivalent but its
+    * exists-check + rename is NOT atomic on POSIX — two racing
+    * committers could both pass the check and the second rename would
+    * silently OVERWRITE the first manifest, losing a commit. */
   private def publishManifest(table: String, version: Int,
       files: Seq[String]): Unit = {
     val dir = java.nio.file.Paths.get(table)
@@ -281,8 +316,8 @@ object Sources {
     val tmp = java.nio.file.Files.createTempFile(dir, s".v$version", ".tmp")
     java.nio.file.Files.write(tmp,
       files.mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, dir.resolve(s"v$version.manifest"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try java.nio.file.Files.createLink(dir.resolve(s"v$version.manifest"), tmp)
+    finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   /** Read `table` at `version` (default: latest) by its pinned file

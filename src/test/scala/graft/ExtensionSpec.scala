@@ -276,4 +276,40 @@ class ExtensionSpec extends SparkTestBase {
       joined == expected
     })
   }
+
+  test("AQE splits a skewed shuffle-join partition (plan-level evidence)") {
+    val spk = spark
+    import spk.implicits._
+    // one hot key carrying ~90% of the probe side
+    val probe = ((1 to 60000).map(i => (0L, i.toLong)) ++
+      (1 to 6000).map(i => ((i % 37 + 1).toLong, i.toLong))).toDF("k", "v")
+    val build = (0 to 37).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> util.Try(spk.conf.get(k)).toOption.filter(_ != null)).toMap
+    try {
+      spk.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spk.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spk.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spk.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      spk.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spk.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val joined = probe.join(build, "k")
+      // collect() executes THIS DataFrame's own QueryExecution (count()
+      // would wrap it in a new one), so AQE finalizes the plan we then
+      // inspect; the skew-split shuffle read marks itself in it
+      assert(joined.collect().length === 66000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"expected an AQE skew-split shuffle read in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spk.conf.set(k, v)
+      case (k, None) => spk.conf.unset(k)
+    }
+  }
 }

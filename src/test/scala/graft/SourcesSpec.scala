@@ -575,4 +575,34 @@ class SourcesSpec extends SparkTestBase {
     assert(total.compareTo(direct) === 0)
     assert(spark.read.parquet(out).count() === rows)
   }
+
+  test("versioned table: contended concurrent appends all land, none lost") {
+    val spk = spark
+    import spk.implicits._
+    val table = tmp("graft-occ").toString
+    val writers = 6
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val versions = Await.result(
+      Future.sequence((1 to writers).map { i =>
+        Future(Sources.commitVersion(
+          Seq((i.toLong, s"writer$i")).toDF("k", "w"), table))
+      }), 120.seconds)
+    // every commit claimed a distinct version and the history is linear
+    assert(versions.sorted === (1 to writers))
+    assert(Sources.latestVersion(table) === writers)
+    // the latest version carries every writer's row exactly once — the
+    // publish race loses no commit (the pre-fix move-based publish
+    // could silently overwrite a racing manifest)
+    val rows = Sources.readVersion(spk, table).collect()
+    assert(rows.length === writers)
+    assert(rows.map(_.getString(1)).sorted ===
+      (1 to writers).map(i => s"writer$i").sorted)
+    // intermediate versions are strict prefixes by construction: each
+    // version v holds exactly v rows
+    (1 to writers).foreach { v =>
+      assert(Sources.readVersion(spk, table, v).count() === v.toLong)
+    }
+  }
 }
