@@ -2712,9 +2712,48 @@ object AnalyticOps {
            |ORDER BY q.event_type""".stripMargin)
   )
 
+  /** Q190 — exact distinct counting via chunked BITMAPS (the
+    * roaring-bitmap pattern Druid/ClickHouse use): daily distinct
+    * active users computed as bit_or-merged 64-bit chunk masks + one
+    * popcount sum — never a COUNT(DISTINCT) over the event grain. Each
+    * event sets bit (user mod 64) in chunk (user div 64); level 1 is a
+    * map-side-combinable bit_or per (day, chunk) — at most ⌈users/64⌉
+    * rows per day survive the shuffle regardless of event volume —
+    * and level 2 sums popcounts per day. The masks form a monoid
+    * (bit_or is associative/commutative/idempotent), so the rollup is
+    * incrementally mergeable like q62's HLL but EXACT; the trade is
+    * memory proportional to the id space (why HLL still wins for
+    * ~unbounded domains, and why real systems compress the chunks —
+    * roaring — to get both).
+    *
+    * The oracle is the plain `COUNT(DISTINCT user_id)` — the hash
+    * match PROVES the bitmap device exact (q57's salting-proof
+    * pattern). Shift/popcount semantics agree across engines:
+    * `1::BIGINT << 63` is the same two's-complement bit pattern in
+    * both, and bit_count counts pattern bits regardless of sign.
+    */
+  val q190 = Query(
+    "q190_bitmap_distinct",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(expr("ts div 1000000000 div 86400").as("day"), col("user_id"))
+      ev.groupBy(col("day"), expr("user_id div 64").as("chunk"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("bit_or(shiftleft(1L, cast(user_id % 64 as int)))").as("mask"))
+        .groupBy("day")
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(bit_count(col("mask")).cast("long")).as("n_users"))
+        .orderBy("day")
+    },
+    Some("""SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+           |       COUNT(*) AS n_events,
+           |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+           |FROM events GROUP BY 1 ORDER BY day""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115, q180, q181,
     q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142,
-    q144, q148, q149, q153, q156, q159, q160, q161, q166)
+    q144, q148, q149, q153, q156, q159, q160, q161, q166, q190)
 }

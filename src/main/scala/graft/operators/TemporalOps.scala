@@ -1823,8 +1823,76 @@ object TemporalOps {
            |FROM ov GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 
+  /** Q191 — dead-letter quarantine flow: classify every inbound event
+    * payload as `valid` / `bad_type` / `malformed`, route good rows to
+    * the output aggregate and keep the rejects AS DATA with a reason —
+    * the ETL pattern behind every production ingest (the reference's
+    * regex-validate-then-CASE, createDW.sql:67-80, silently nulls bad
+    * rows; a dead-letter queue makes them first-class so upstream
+    * breakage is visible and replayable). The fixture's JSON is all
+    * valid, so corruption is SYNTHESIZED deterministically: md5-residue
+    * 0 (mod 13) payloads lose their closing brace (truncated JSON —
+    * chosen over appended garbage, which Spark's lenient variant
+    * parser ACCEPTS after the first complete value while DuckDB
+    * rejects it; truncation is malformed in both), residue 1 gets its
+    * numeric `k` re-quoted as a non-numeric string (type error) —
+    * both engines build the identical corrupt text.
+    *
+    * Classification is all try-semantics (`try_parse_json` →
+    * `try_variant_get`), never exceptions: parse failure → malformed;
+    * parsed but the typed extraction fails → bad_type; else valid.
+    * One map-side classify + one combinable rollup; at 100 TB the
+    * quarantined rows would additionally be written to their own sink
+    * (the versioned table), which is a `when`-filtered second write of
+    * the same classified frame.
+    */
+  val q191 = Query(
+    "q191_quarantine",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("props"))
+      val res = md5Residue(col("event_id").cast("string"), 13)
+      val raw = when(res === 0,
+          expr("substring(props, 1, length(props) - 1)"))
+        .when(res === 1,
+          regexp_replace(col("props"), "\"k\": ([0-9]+)", "\"k\": \"s$1\""))
+        .otherwise(col("props"))
+      val classified = ev.withColumn("raw", raw)
+        .withColumn("v", try_parse_json(col("raw")))
+        .withColumn("k", try_variant_get(col("v"), "$.k", "long"))
+        .withColumn("status",
+          when(col("v").isNull, "malformed")
+            .when(col("k").isNull, "bad_type")
+            .otherwise("valid"))
+      classified.groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("first_example"),
+          sum(col("k")).as("sum_k"))
+        .orderBy("status")
+    },
+    Some("""WITH c AS (
+           |  SELECT event_id,
+           |         CASE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 13
+           |           WHEN 0 THEN substr(props, 1, len(props) - 1)
+           |           WHEN 1 THEN regexp_replace(props, '"k": ([0-9]+)', '"k": "s\1"')
+           |           ELSE props END AS raw
+           |  FROM events),
+           |cl AS (
+           |  SELECT event_id,
+           |         CASE WHEN NOT json_valid(raw) THEN 'malformed'
+           |              WHEN TRY_CAST(raw->>'$.k' AS BIGINT) IS NULL THEN 'bad_type'
+           |              ELSE 'valid' END AS status,
+           |         CASE WHEN json_valid(raw)
+           |              THEN TRY_CAST(raw->>'$.k' AS BIGINT) END AS k
+           |  FROM c)
+           |SELECT status, COUNT(*) AS n,
+           |       MIN(event_id) AS first_example,
+           |       CAST(SUM(k) AS BIGINT) AS sum_k
+           |FROM cl GROUP BY status ORDER BY status""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q18, q19, q19b, q19c, q19d, q20a, q20b, q21, q22, q71, q72, q76, q87,
       q94, q97, q99, q100, q102, q107, q110, q112, q113, q117, q122, q127,
-      q128, q130, q134, q143, q146, q151, q152, q157, q158, q177, q178, q186)
+      q128, q130, q134, q143, q146, q151, q152, q157, q158, q177, q178, q186,
+      q191)
 }

@@ -751,4 +751,15 @@ class AnalyticSpec extends SparkTestBase {
       assert(r.getLong(8) === out)
     }
   }
+
+  test("q190 bitmap distinct: equals countDistinct per day") {
+    val got = AnalyticOps.q190.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expect = Tables.events(spark, sf)
+      .select(expr("ts div 1000000000 div 86400").as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect)
+  }
 }

@@ -557,4 +557,13 @@ class TemporalSpec extends SparkTestBase {
       assert(got(k) === ((ids.size.toLong, us.size.toLong)))
     }
   }
+
+  test("q191 quarantine: statuses partition the stream, rejects non-empty") {
+    val rows = TemporalOps.q191.build(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === Set("valid", "bad_type", "malformed"))
+    assert(rows.values.sum === Tables.events(spark, sf).count())
+    assert(rows("bad_type") > 0 && rows("malformed") > 0)
+    assert(rows("valid") > rows("bad_type") + rows("malformed"))
+  }
 }
