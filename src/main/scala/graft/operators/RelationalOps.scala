@@ -961,8 +961,82 @@ object RelationalOps {
            |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)
   )
 
+  /** Q192 — joinability / foreign-key discovery: for each candidate
+    * (child column → parent column) pair, the inclusion coefficient
+    * |child ∩ parent| / |child| over distinct non-null keys, orphan
+    * counts, and an integer-exact `fk_like` verdict (zero orphans).
+    * This is the schema-profiling pass that infers the star schema the
+    * reference hand-declares as DDL (createDW.sql:93-97 writes five FK
+    * constraints; this query DISCOVERS them from the data — and its FK
+    * audit counterpart q09 then enforces them). The candidate list
+    * includes a deliberate negative (customer.nationkey → region key:
+    * inclusion 0.2) so the readout demonstrably discriminates.
+    *
+    * Scale shape per pair: one distinct-project per side (combinable,
+    * key-grain) + one left-semi join on the key — never a row-grain
+    * join; the six pair subplans are independent and union into a
+    * six-row result. The Spark pairs and the oracle SQL are generated
+    * from ONE candidate list so they cannot drift.
+    */
+  private val fkCandidates: Seq[(String, String, String, String, String)] = Seq(
+    // (label, child table, child col, parent table, parent col)
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("customer.c_nationkey->region.r_regionkey", "customer", "c_nationkey", "region", "r_regionkey"))
+
+  val q192 = Query(
+    "q192_fk_discovery",
+    (s, dir) => {
+      def table(name: String): DataFrame = name match {
+        case "lineitem" => Tables.lineitem(s, dir)
+        case "orders" => Tables.orders(s, dir)
+        case "part" => Tables.part(s, dir)
+        case "supplier" => Tables.supplier(s, dir)
+        case "customer" => Tables.customer(s, dir)
+        case "nation" => Tables.nation(s, dir)
+        case "region" => Tables.region(s, dir)
+      }
+      fkCandidates.map { case (label, ct, cc, pt, pc) =>
+        val child = table(ct).select(col(cc).cast("long").as("k"))
+          .filter(col("k").isNotNull).distinct()
+        val parent = table(pt).select(col(pc).cast("long").as("k"))
+          .filter(col("k").isNotNull).distinct()
+        val nc = child.agg(count(lit(1)).as("child_keys"))
+        val np = parent.agg(count(lit(1)).as("parent_keys"))
+        val ni = child.join(parent, Seq("k"), "left_semi")
+          .agg(count(lit(1)).as("shared_keys"))
+        nc.crossJoin(np).crossJoin(ni)
+          .select(lit(label).as("candidate"),
+            col("child_keys"), col("parent_keys"), col("shared_keys"),
+            (col("child_keys") - col("shared_keys")).as("orphan_keys"),
+            (col("shared_keys").cast("double") /
+              col("child_keys").cast("double")).as("inclusion"),
+            (col("shared_keys") === col("child_keys")).as("fk_like"))
+      }.reduce(_ unionAll _).orderBy("candidate")
+    },
+    Some(fkCandidates.map { case (label, ct, cc, pt, pc) =>
+      s"""SELECT '$label' AS candidate,
+         |  (SELECT COUNT(DISTINCT $cc) FROM $ct WHERE $cc IS NOT NULL) AS child_keys,
+         |  (SELECT COUNT(DISTINCT $pc) FROM $pt WHERE $pc IS NOT NULL) AS parent_keys,
+         |  (SELECT COUNT(*) FROM (SELECT DISTINCT $cc FROM $ct WHERE $cc IS NOT NULL) c
+         |     WHERE c.$cc IN (SELECT $pc FROM $pt)) AS shared_keys,
+         |  (SELECT COUNT(DISTINCT $cc) FROM $ct WHERE $cc IS NOT NULL)
+         |    - (SELECT COUNT(*) FROM (SELECT DISTINCT $cc FROM $ct WHERE $cc IS NOT NULL) c
+         |       WHERE c.$cc IN (SELECT $pc FROM $pt)) AS orphan_keys,
+         |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT $cc FROM $ct WHERE $cc IS NOT NULL) c
+         |        WHERE c.$cc IN (SELECT $pc FROM $pt)) AS DOUBLE)
+         |    / CAST((SELECT COUNT(DISTINCT $cc) FROM $ct WHERE $cc IS NOT NULL) AS DOUBLE) AS inclusion,
+         |  (SELECT COUNT(*) FROM (SELECT DISTINCT $cc FROM $ct WHERE $cc IS NOT NULL) c
+         |     WHERE c.$cc IN (SELECT $pc FROM $pt))
+         |    = (SELECT COUNT(DISTINCT $cc) FROM $ct WHERE $cc IS NOT NULL) AS fk_like""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY candidate"))
+  )
+
   val all: Seq[Query] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q12b, q13a, q13b, q14, q15, q16, q17, q25, q26, q84, q101,
-    q147, q182, q183, q184)
+    q147, q182, q183, q184, q192)
 }

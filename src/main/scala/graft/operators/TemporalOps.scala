@@ -1846,23 +1846,32 @@ object TemporalOps {
     * (the versioned table), which is a `when`-filtered second write of
     * the same classified frame.
     */
+  /** The q191 classification over an (event_id, props) frame — shared
+    * with [[graft.streaming.StreamingPipeline.quarantineQuery]] so the
+    * batch readout and the streaming router can never drift. Emits
+    * (event_id, status, k); corruption synthesis included (see q191). */
+  private[graft] def quarantineClassify(ev: DataFrame): DataFrame = {
+    val res = md5Residue(col("event_id").cast("string"), 13)
+    val raw = when(res === 0,
+        expr("substring(props, 1, length(props) - 1)"))
+      .when(res === 1,
+        regexp_replace(col("props"), "\"k\": ([0-9]+)", "\"k\": \"s$1\""))
+      .otherwise(col("props"))
+    ev.withColumn("raw", raw)
+      .withColumn("v", try_parse_json(col("raw")))
+      .withColumn("k", try_variant_get(col("v"), "$.k", "long"))
+      .withColumn("status",
+        when(col("v").isNull, "malformed")
+          .when(col("k").isNull, "bad_type")
+          .otherwise("valid"))
+      .select("event_id", "status", "k")
+  }
+
   val q191 = Query(
     "q191_quarantine",
     (s, dir) => {
-      val ev = Tables.events(s, dir).select(col("event_id"), col("props"))
-      val res = md5Residue(col("event_id").cast("string"), 13)
-      val raw = when(res === 0,
-          expr("substring(props, 1, length(props) - 1)"))
-        .when(res === 1,
-          regexp_replace(col("props"), "\"k\": ([0-9]+)", "\"k\": \"s$1\""))
-        .otherwise(col("props"))
-      val classified = ev.withColumn("raw", raw)
-        .withColumn("v", try_parse_json(col("raw")))
-        .withColumn("k", try_variant_get(col("v"), "$.k", "long"))
-        .withColumn("status",
-          when(col("v").isNull, "malformed")
-            .when(col("k").isNull, "bad_type")
-            .otherwise("valid"))
+      val classified = quarantineClassify(
+        Tables.events(s, dir).select(col("event_id"), col("props")))
       classified.groupBy("status")
         .agg(count(lit(1)).as("n"),
           min(col("event_id")).as("first_example"),

@@ -751,4 +751,33 @@ object StreamingPipeline {
         commitVersionedBatch(batch, batchId, s"$table/events_v"); ()
       }
       .start()
+
+  /** Streaming dead-letter router — the online form of q191: every
+    * micro-batch is classified by the SHARED
+    * [[graft.operators.TemporalOps.quarantineClassify]] rule and split
+    * into a clean table and a quarantine (DLQ) table, each an
+    * exactly-once versioned sink ([[commitVersionedBatch]] batch-id
+    * markers per table, so a re-delivered batch is a no-op on BOTH
+    * sides and clean/DLQ can never double-apply out of step). Rejected
+    * rows are kept AS DATA with their reason — replayable once the
+    * producer is fixed, exactly what a production ingest needs from
+    * its dead-letter queue. */
+  def quarantineQuery(spark: SparkSession, dir: String,
+      table: String): StreamingQuery =
+    readEvents(spark, dir)
+      .select(col("event_id"), col("props"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$table/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cls = graft.operators.TemporalOps.quarantineClassify(batch)
+          .localCheckpoint()
+        commitVersionedBatch(cls.filter(col("status") === "valid"),
+          batchId, s"$table/clean")
+        commitVersionedBatch(cls.filter(col("status") =!= "valid"),
+          batchId, s"$table/dlq")
+        ()
+      }
+      .start()
 }

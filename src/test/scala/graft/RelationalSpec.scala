@@ -270,4 +270,25 @@ class RelationalSpec extends SparkTestBase {
       .head().getDouble(0)
     assert(top.getDouble(5) === expect)
   }
+
+  test("q192 fk discovery: declared star FKs found, negative pair rejected") {
+    val rows = RelationalOps.q192.build(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getBoolean(6))).toMap
+    assert(rows.size === 6)
+    val fkLike = rows.filter(_._2._6).keySet
+    // the four real star FKs plus nationkey->nation are inclusion-1
+    assert(fkLike.contains("lineitem.l_orderkey->orders.o_orderkey"))
+    assert(fkLike.contains("orders.o_custkey->customer.c_custkey"))
+    assert(fkLike.contains("customer.c_nationkey->nation.n_nationkey"))
+    // the deliberate negative: nation keys are NOT region keys
+    val neg = rows("customer.c_nationkey->region.r_regionkey")
+    assert(!neg._6 && neg._5 < 0.5 && neg._4 > 0)
+    rows.values.foreach { case (c, _, s, o, incl, fk) =>
+      assert(s + o === c)
+      assert(fk === (o === 0L))
+      assert(incl === s.toDouble / c.toDouble)
+    }
+  }
 }

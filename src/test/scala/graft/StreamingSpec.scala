@@ -606,4 +606,23 @@ class StreamingSpec extends SparkTestBase {
     assert(StreamingPipeline.commitVersionedBatch(replay, 99999L, table))
     assert(Sources.readVersion(spark, table).count() === total + 10)
   }
+
+  test("streaming quarantine router: clean/DLQ split equals q191's batch classification") {
+    val root = tmp("quarantine")
+    val q = StreamingPipeline.quarantineQuery(spark, sf, s"$root/t")
+    q.awaitTermination(120000)
+    import graft.sources.Sources
+    val clean = Sources.readVersion(spark, s"$root/t/clean")
+    val dlq = Sources.readVersion(spark, s"$root/t/dlq")
+    val expect = graft.operators.TemporalOps.q191.build(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.count() === expect("valid"))
+    assert(dlq.count() === expect("bad_type") + expect("malformed"))
+    // DLQ rows keep their reason, and no event is lost or duplicated
+    val dlqStatuses = dlq.select("status").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(dlqStatuses === Set("bad_type", "malformed"))
+    assert(clean.count() + dlq.count() === Tables.events(spark, sf).count())
+    assert(clean.select("event_id").distinct().count() === clean.count())
+  }
 }
