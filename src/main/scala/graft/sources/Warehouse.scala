@@ -65,6 +65,43 @@ object Warehouse {
     spark.read.parquet(s"$outDir/fact_sales")
   }
 
+  /** Idempotent month-partition backfill: rewrite ONLY the partitions
+    * present in `corrected` (dynamic partition overwrite), leaving
+    * every other month's files physically untouched. This is the
+    * restatement-ETL pattern — late-arriving or corrected upstream data
+    * re-lands its own months, the job is safe to re-run (same input →
+    * same partition contents), and the blast radius of a bad backfill
+    * is the partition list, not the table. Static overwrite (the
+    * default) would DROP every other partition — the classic
+    * full-table-wipe footgun this mode exists to prevent; the spec
+    * pins both properties (other months' files byte-identical,
+    * replay a no-op).
+    *
+    * At 100 TB: per-partition rewrite cost is proportional to the
+    * corrected months only, and because partitions are directories the
+    * swap is a metadata operation per month — no read-modify-write of
+    * the table. The versioned table ([[Sources.commitVersion]]) layers
+    * time travel ON TOP when history must survive the rewrite.
+    *
+    * Caveat (plain-parquet rule): if `corrected` is DERIVED from the
+    * target table, materialize it first (`localCheckpoint`) — the
+    * overwrite deletes the very files the lazy plan would re-scan.
+    * The versioned table does not have this hazard (readers pin a
+    * manifest); it is the price of raw-directory tables. */
+  def backfillMonths(spark: SparkSession, corrected: DataFrame,
+      outDir: String): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try corrected.write.mode(SaveMode.Overwrite)
+      .partitionBy("order_month")
+      .parquet(s"$outDir/fact_sales")
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Bucketed layout — the co-located-join scale path: `lineitem` and
     * `orders` are written as catalog tables bucketed (and sorted) on the
     * order key, so every subsequent fact⋈orders join reads both sides

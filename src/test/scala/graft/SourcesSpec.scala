@@ -605,4 +605,50 @@ class SourcesSpec extends SparkTestBase {
       assert(Sources.readVersion(spk, table, v).count() === v.toLong)
     }
   }
+
+  test("backfill rewrites only its months: other partitions byte-identical, replay idempotent") {
+    val out = tmp("wh-backfill")
+    val fact = graft.sources.Warehouse.build(spark, sf, out)
+    val months = fact.select("order_month").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(months.length > 3)
+    val target = months.head
+    def listing(): Map[String, (Long, Long)] =
+      new java.io.File(s"$out/fact_sales").listFiles().toSeq
+        .filter(_.isDirectory)
+        .flatMap(d => d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())))
+        .toMap
+    val before = listing()
+    // corrected restatement of ONE month: double its sales
+    // the corrected frame READS the table being overwritten — it must
+    // be materialized first (localCheckpoint) or the write's lazy scan
+    // finds its own input deleted; see backfillMonths scaladoc
+    val corrected = fact.filter(col("order_month") === target)
+      .withColumn("sales", (col("sales") * 2).cast("decimal(18,4)"))
+      .localCheckpoint()
+    // snapshot pre-backfill facts NOW: `fact`'s file index is pinned at
+    // creation, so any action on it after the overwrite reads deleted files
+    val totalRows = fact.count()
+    val sumBefore = fact.filter(col("order_month") === target)
+      .agg(sum(col("sales"))).head().getDecimal(0)
+    graft.sources.Warehouse.backfillMonths(spark, corrected, out)
+    val after = listing()
+    // untouched months: identical file paths, sizes, and mtimes
+    val untouched = before.keys.filterNot(_.contains(s"order_month=$target"))
+    untouched.foreach { f => assert(after(f) === before(f), f) }
+    // the target month changed and carries the corrected values
+    val re = spark.read.parquet(s"$out/fact_sales")
+    assert(re.count() === totalRows)
+    val sumAfter = re.filter(col("order_month") === target)
+      .agg(sum(col("sales"))).head().getDecimal(0)
+    assert(sumAfter.compareTo(sumBefore.add(sumBefore)) === 0)
+    // replaying the same backfill converges to the same contents
+    graft.sources.Warehouse.backfillMonths(spark,
+      re.filter(col("order_month") === target).localCheckpoint(), out)
+    val re2 = spark.read.parquet(s"$out/fact_sales")
+    assert(re2.count() === totalRows)
+    assert(re2.filter(col("order_month") === target)
+      .agg(sum(col("sales"))).head().getDecimal(0).compareTo(sumAfter) === 0)
+  }
 }
