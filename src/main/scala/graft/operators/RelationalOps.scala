@@ -1035,8 +1035,99 @@ object RelationalOps {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY candidate"))
   )
 
+  /** Q193 — the TPC-H Q1 pricing summary: the canonical wide-aggregate
+    * scan (eight aggregates over two grouping columns, one pass, no
+    * join) — THE reference workload for scan + map-side partial
+    * aggregation throughput. Charge = price·(1−disc)·(1+tax) stays in
+    * exact decimal ((12,4)×(8,4)×(8,4) → scale 12, precision ≤ 32,
+    * clamped once at the boundary); averages are exact-sum / count in
+    * double (q11's davg device).
+    */
+  val q193 = Query(
+    "q193_pricing_summary",
+    (s, dir) => {
+      val one = lit(1).cast("decimal(8,4)")
+      val disc = col("l_discount").cast("decimal(8,4)")
+      val tax = col("l_tax").cast("decimal(8,4)")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          outD(round(sum(dec12(col("l_extendedprice")) * (one - disc)), 4))
+            .as("sum_disc_price"),
+          outD(round(sum(dec12(col("l_extendedprice")) * (one - disc) *
+            (one + tax)), 4)).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+           |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+           |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+           |       (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+           |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+           |       (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) *
+           |       (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_charge,
+           |  CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS avg_qty,
+           |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS avg_price,
+           |  CAST(CAST(round(SUM(CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS avg_disc,
+           |  COUNT(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  )
+
+  /** Q194 — the TPC-H Q3 shipping-priority shape: top-10 highest-value
+    * orders in one market segment, ordered before a cutoff and shipped
+    * after it — the selective-filter three-way join into a ranked
+    * top-k that every planner benchmark leads with. Both date
+    * predicates are pushed to their scans; the top-10 is a
+    * TakeOrdered with the order key breaking revenue ties.
+    */
+  val q194 = Query(
+    "q194_shipping_priority",
+    (s, dir) => {
+      val one = lit(1).cast("decimal(8,4)")
+      Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+            .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_orderpriority"))
+        .agg(outD(round(sum(dec12(col("l_extendedprice")) *
+          (one - col("l_discount").cast("decimal(8,4)"))), 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
+           |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+           |       (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4)
+           |       AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+           |FROM customer
+           |JOIN orders   ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+           |GROUP BY 1, 2, 3
+           |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q12b, q13a, q13b, q14, q15, q16, q17, q25, q26, q84, q101,
-    q147, q182, q183, q184, q192)
+    q147, q182, q183, q184, q192, q193, q194)
 }

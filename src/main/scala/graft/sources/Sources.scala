@@ -553,6 +553,59 @@ object Sources {
       m("total").asInstanceOf[java.math.BigDecimal])
   }
 
+  /** CHECK-constraint-enforcing commit onto the versioned table (the
+    * Delta `CHECK` / NOT NULL enforcement semantics): every named
+    * predicate must hold on EVERY row of the batch or the commit does
+    * not happen — no manifest is published, the table's latest version
+    * is untouched, and the caller gets the per-constraint violation
+    * counts to act on ([[q96_constraints]] AUDITS after the fact; this
+    * REJECTS at the write boundary, which is where a contract is worth
+    * enforcing). Violation counting rides the write's own scan via
+    * `Observation` (writeWithAudit's zero-extra-pass device) — the data
+    * files are written once, then either published or left orphaned
+    * for [[vacuumVersions]] to reclaim, mirroring how a failed Delta
+    * txn leaves unreferenced files behind.
+    *
+    * Returns either the published version or the violation counts. */
+  def commitVersionChecked(df: DataFrame, table: String,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      overwrite: Boolean = false): Either[Map[String, Long], Int] = {
+    require(checks.nonEmpty, "commitVersionChecked needs at least one check")
+    val spark = df.sparkSession
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = checks.map { case (name, pred) =>
+      org.apache.spark.sql.functions.count_if(!coalesce(pred, lit(false)))
+        .as(name)
+    }
+    val batch = java.nio.file.Paths.get(table, "data",
+      s"batch-${java.util.UUID.randomUUID().toString.take(12)}")
+    df.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    val violations = checks.map { case (name, _) =>
+      name -> obs.get(name).asInstanceOf[Long] }.toMap
+    if (violations.valuesIterator.exists(_ > 0L)) Left(violations)
+    else {
+      val newFiles = spark.read.parquet(batch.toString)
+        .select(org.apache.spark.sql.functions.input_file_name())
+        .distinct().collect().map(_.getString(0).stripPrefix("file://")).sorted
+      var attempt = 0
+      while (true) {
+        val prev = latestVersion(table)
+        val carried = if (overwrite || prev == 0) Nil else filesOf(table, prev)
+        try {
+          publishManifest(table, prev + 1, carried ++ newFiles)
+          return Right(prev + 1)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1
+            require(attempt < 64,
+              s"commitVersionChecked: lost the publish race $attempt times on $table")
+        }
+      }
+      Right(-1) // unreachable
+    }
+  }
+
   /** Change data feed between two versions — what a downstream consumer
     * replays instead of re-reading the table (Delta's CDF, derived here
     * from the manifest structure alone): because data files are

@@ -651,4 +651,31 @@ class SourcesSpec extends SparkTestBase {
     assert(re2.filter(col("order_month") === target)
       .agg(sum(col("sales"))).head().getDecimal(0).compareTo(sumAfter) === 0)
   }
+
+  test("checked commit: violating batch rejected with counts, table untouched; clean batch lands") {
+    val spk = spark
+    import spk.implicits._
+    val table = tmp("graft-checked")
+    val checks = Seq(
+      "key_not_null" -> col("k").isNotNull,
+      "v_positive" -> (col("v") > 0.0))
+    val good = Seq((1L, 2.5), (2L, 0.1)).toDF("k", "v")
+    val r1 = Sources.commitVersionChecked(good, table, checks)
+    assert(r1 === Right(1))
+    assert(Sources.readVersion(spk, table).count() === 2)
+    // a batch with one null key and one non-positive value is refused
+    val bad = Seq((Some(3L), 1.0), (None, 2.0), (Some(4L), -1.0))
+      .toDF("k", "v")
+    val r2 = Sources.commitVersionChecked(bad, table, checks)
+    assert(r2 === Left(Map("key_not_null" -> 1L, "v_positive" -> 1L)))
+    // no new version, contents untouched
+    assert(Sources.latestVersion(table) === 1)
+    assert(Sources.readVersion(spk, table).count() === 2)
+    // NULL check results count as violations (a null predicate is not a pass)
+    val nullPred = Seq((5L, Double.NaN)).toDF("k", "v")
+      .withColumn("v", when(col("k") === 99L, col("v")))  // v == null
+    val r3 = Sources.commitVersionChecked(nullPred, table, checks)
+    assert(r3.isLeft && r3.left.toOption.get("v_positive") === 1L)
+    assert(Sources.latestVersion(table) === 1)
+  }
 }
