@@ -562,9 +562,10 @@ object Sources {
     * REJECTS at the write boundary, which is where a contract is worth
     * enforcing). Violation counting rides the write's own scan via
     * `Observation` (writeWithAudit's zero-extra-pass device) — the data
-    * files are written once, then either published or left orphaned
-    * for [[vacuumVersions]] to reclaim, mirroring how a failed Delta
-    * txn leaves unreferenced files behind.
+    * files are written once, then either published or DELETED on
+    * rejection (no manifest ever references them, so readers never saw
+    * them; a crashed writer could still strand a batch dir, which is
+    * invisible to every reader for the same reason).
     *
     * Returns either the published version or the violation counts. */
   def commitVersionChecked(df: DataFrame, table: String,
@@ -583,8 +584,13 @@ object Sources {
       .write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
     val violations = checks.map { case (name, _) =>
       name -> obs.get(name).asInstanceOf[Long] }.toMap
-    if (violations.valuesIterator.exists(_ > 0L)) Left(violations)
-    else {
+    if (violations.valuesIterator.exists(_ > 0L)) {
+      // rejected: remove the just-written batch so nothing is stranded
+      val dir = batch.toFile
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+      dir.delete()
+      Left(violations)
+    } else {
       val newFiles = spark.read.parquet(batch.toString)
         .select(org.apache.spark.sql.functions.input_file_name())
         .distinct().collect().map(_.getString(0).stripPrefix("file://")).sorted

@@ -666,11 +666,13 @@ class SourcesSpec extends SparkTestBase {
     // a batch with one null key and one non-positive value is refused
     val bad = Seq((Some(3L), 1.0), (None, 2.0), (Some(4L), -1.0))
       .toDF("k", "v")
+    val dataDirs = new java.io.File(s"$table/data").listFiles().length
     val r2 = Sources.commitVersionChecked(bad, table, checks)
     assert(r2 === Left(Map("key_not_null" -> 1L, "v_positive" -> 1L)))
-    // no new version, contents untouched
+    // no new version, contents untouched, rejected batch dir cleaned up
     assert(Sources.latestVersion(table) === 1)
     assert(Sources.readVersion(spk, table).count() === 2)
+    assert(new java.io.File(s"$table/data").listFiles().length === dataDirs)
     // NULL check results count as violations (a null predicate is not a pass)
     val nullPred = Seq((5L, Double.NaN)).toDF("k", "v")
       .withColumn("v", when(col("k") === 99L, col("v")))  // v == null
