@@ -8,6 +8,11 @@ import org.scalacheck.rng.Seed
 /** Property tests (SURVEY.md §5): algebraic laws checked over
   * ScalaCheck-generated micro-tables. Gen is driven with explicit seeds
   * (no scalatest bridge in the offline cache) so failures reproduce. */
+/** Witness that a task attempt actually failed (see the retry spec). */
+object RetryProbe {
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 class PropertySpec extends SparkTestBase {
 
   private def sample[A](g: Gen[A], seed: Long): A =
@@ -139,5 +144,32 @@ class PropertySpec extends SparkTestBase {
       val s32 = df.repartition(32).agg(sum("v")).head().getDecimal(0)
       assert(s1 === s32, s"seed=$s")
     }
+  }
+
+  test("md5-residue sample membership is bit-identical across task retries") {
+    val spk = spark
+    import spk.implicits._
+    // a source whose partition 1 FAILS on its first attempt: the rows that
+    // survive must be chosen by content hash, not by attempt/partition
+    // state. (An accumulator can't witness the failure — updates from
+    // failed tasks are dropped — so a JVM-singleton probe records it;
+    // sound in local mode where tasks share the driver JVM.)
+    RetryProbe.fired.set(false)
+    val flaky = spk.range(0, 10000, 1, 4).mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc.partitionId() == 1 && tc.attemptNumber() == 0) {
+        RetryProbe.fired.set(true)
+        throw new RuntimeException("injected first-attempt failure")
+      }
+      it
+    }.toDF("id")
+    def sample(df: org.apache.spark.sql.DataFrame) = df
+      .filter(graft.Canon.md5Residue(col("id").cast("string"), 20) === 0)
+      .agg(count(lit(1)), sum(col("id")))
+      .as[(Long, Long)].head()
+    val withRetry = sample(flaky)
+    assert(RetryProbe.fired.get(), "the injected failure never fired")
+    val clean = sample(spk.range(0, 10000, 1, 4).toDF("id"))
+    assert(withRetry === clean)
   }
 }

@@ -13,7 +13,10 @@ trait SparkTestBase extends AnyFunSuite {
 object SparkTestBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: allow ONE task re-attempt so determinism-under-retry
+      // specs can inject a first-attempt failure (plain local[N] fails the
+      // job on any task error)
+      .master("local[4, 2]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
