@@ -1943,7 +1943,13 @@ object TextOps {
     * plan is bit-identical cross-engine with no FP in the path. One
     * token-count aggregate keyed on lang (the corpus pass), then
     * constant-sized planning math — at 100 TB the plan costs exactly
-    * one combinable rollup of per-doc token counts.
+    * one combinable rollup of per-doc token counts. The ×10^6 products
+    * are REASSOCIATED through the floor identity
+    * ⌊t·M/w⌋ = (t div w)·M + ⌊(t mod w)·M/w⌋ so every intermediate
+    * stays under 2^63 for per-language supplies up to ~9.2e12 tokens
+    * (the naive t·10^6 overflows at 9.2e12 TOTAL — i.e. well under one
+    * 100 TB corpus); beyond that, swap the ppm lattice for DECIMAL(38)
+    * arithmetic.
     */
   val q187 = Query(
     "q187_mixture_plan",
@@ -1959,12 +1965,17 @@ object TextOps {
         .groupBy("lang").agg(sum(col("n_tokens")).as("tokens"))
         .join(broadcast(weights), "lang")
       val budget = supply
-        .select(expr("tokens * 1000000 div weight_ppm").as("cap"))
+        .select(expr("(tokens div weight_ppm) * 1000000 + " +
+          "((tokens % weight_ppm) * 1000000) div weight_ppm").as("cap"))
         .agg(min(col("cap")).as("budget"))
       supply.crossJoin(broadcast(budget))
+        .withColumn("planned_tokens",
+          expr("(budget div 1000000) * weight_ppm + " +
+            "((budget % 1000000) * weight_ppm) div 1000000"))
         .select(col("lang"), col("weight_ppm"), col("tokens"), col("budget"),
-          expr("budget * weight_ppm div 1000000").as("planned_tokens"),
-          expr("(budget * weight_ppm div 1000000) * 1000000 div tokens")
+          col("planned_tokens"),
+          expr("(planned_tokens div tokens) * 1000000 + " +
+            "((planned_tokens % tokens) * 1000000) div tokens")
             .as("rate_ppm"))
         .orderBy("lang")
     },
@@ -1976,11 +1987,17 @@ object TextOps {
            |         SUM(CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT)) AS tokens
            |  FROM documents d JOIN w ON d.lang = w.lang
            |  GROUP BY 1, 2),
-           |b AS (SELECT MIN(tokens * 1000000 // weight_ppm) AS budget FROM supply)
-           |SELECT lang, weight_ppm, tokens, b.budget,
-           |       CAST(b.budget * weight_ppm // 1000000 AS BIGINT) AS planned_tokens,
-           |       CAST((b.budget * weight_ppm // 1000000) * 1000000 // tokens AS BIGINT) AS rate_ppm
-           |FROM supply, b ORDER BY lang""".stripMargin)
+           |b AS (SELECT MIN((tokens // weight_ppm) * 1000000
+           |                 + ((tokens % weight_ppm) * 1000000) // weight_ppm) AS budget
+           |      FROM supply),
+           |p AS (SELECT s.*, b.budget,
+           |             CAST((b.budget // 1000000) * weight_ppm
+           |                  + ((b.budget % 1000000) * weight_ppm) // 1000000 AS BIGINT) AS planned_tokens
+           |      FROM supply s, b)
+           |SELECT lang, weight_ppm, tokens, budget, planned_tokens,
+           |       CAST((planned_tokens // tokens) * 1000000
+           |            + ((planned_tokens % tokens) * 1000000) // tokens AS BIGINT) AS rate_ppm
+           |FROM p ORDER BY lang""".stripMargin)
   )
 
   /** Q188 — packing-efficiency audit of q78's sequence packing: per

@@ -1040,7 +1040,10 @@ object DedupOps {
         .withColumn("name_dist",
           levenshtein(lower(col("c_name")), lower(col("r_name"))).cast("long"))
         .withColumn("bal_delta_cents",
-          abs((col("r_bal") - col("c_bal")) * lit(100).cast("decimal(6,0)"))
+          // explicit floor on BOTH engines: Spark's decimal→long cast
+          // truncates while DuckDB's rounds — whole-cent fixture values
+          // hide the drift, sub-cent balances would not
+          floor(abs((col("r_bal") - col("c_bal")) * lit(100).cast("decimal(6,0)")))
             .cast("long"))
       val best = Window.partitionBy("c_custkey")
         .orderBy(col("name_dist").asc, col("bal_delta_cents").asc,
@@ -1067,7 +1070,7 @@ object DedupOps {
            |cands AS (
            |  SELECT c.c_custkey, r.reg_id,
            |         CAST(levenshtein(lower(c.c_name), lower(r.r_name)) AS BIGINT) AS name_dist,
-           |         CAST(abs((r.r_bal - CAST(c.c_acctbal AS DECIMAL(18,4))) * 100) AS BIGINT) AS bal_delta_cents
+           |         CAST(floor(abs((r.r_bal - CAST(c.c_acctbal AS DECIMAL(18,4))) * 100)) AS BIGINT) AS bal_delta_cents
            |  FROM customer c JOIN reg r
            |    ON c.c_nationkey = r.r_nationkey
            |   AND CAST(regexp_replace(lower(c.c_name), '[^0-9]', '', 'g') AS BIGINT) % 50

@@ -41,18 +41,36 @@ object GraphOps {
   private val Scale = 1000000000000000L // 10^15
   private val Teleport = 150000000000000L // 0.15 * Scale
 
+  /** The TWO link maps of the synthetic graph, as SQL text — single
+    * definition interpolated into every oracle so a drifted constant
+    * cannot silently make one graph query describe a different graph. */
+  private val LinkMap1Sql = "(doc_id * 31 + 17) % n_docs"
+  private val LinkMap2Sql = "(doc_id * doc_id * 7 + 3) % n_docs"
+
+  /** Directed edges (src, dst) of the deterministic synthetic link
+    * graph shared by EVERY graph query (map-choice rationale in q103's
+    * scaladoc; self-loops/parallels included — each consumer filters
+    * to its own needs). One definition, six consumers. */
+  private def linkEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val withN = docs.crossJoin(
+      broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+    withN
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") * 31 + 17) % col("n_docs")).as("dst"))
+      .union(withN
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * col("doc_id") * 7 + 3) % col("n_docs")).as("dst")))
+  }
+
   val q103 = Query(
     "q103_pagerank",
     (s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val withN = docs.crossJoin(broadcast(n))
-      val edges = withN
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") * 31 + 17) % col("n_docs")).as("dst"))
-        .union(withN
-          .select(col("doc_id").as("src"),
-            ((col("doc_id") * col("doc_id") * 7 + 3) % col("n_docs")).as("dst")))
+      val edges = linkEdges(s, dir)
       var ranks = withN.select(col("doc_id"),
         expr(s"CAST($Scale DIV n_docs AS BIGINT)").as("r"), col("n_docs"))
       for (_ <- 1 to 3) {
@@ -75,9 +93,9 @@ object GraphOps {
     },
     Some(s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
             |e AS (
-            |  SELECT doc_id AS src, (doc_id * 31 + 17) % n_docs AS dst FROM documents, n
+            |  SELECT doc_id AS src, $LinkMap1Sql AS dst FROM documents, n
             |  UNION ALL
-            |  SELECT doc_id AS src, (doc_id * doc_id * 7 + 3) % n_docs AS dst FROM documents, n),
+            |  SELECT doc_id AS src, $LinkMap2Sql AS dst FROM documents, n),
             |r0 AS (SELECT doc_id, $Scale // n_docs AS r FROM documents, n),
             |i1 AS (SELECT e.dst AS doc_id, CAST(SUM(r0.r // 2) AS BIGINT) AS inflow
             |       FROM e JOIN r0 ON e.src = r0.doc_id GROUP BY e.dst),
@@ -127,13 +145,7 @@ object GraphOps {
     (s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val withN = docs.crossJoin(broadcast(n))
-      val dirE = withN
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") * 31 + 17) % col("n_docs")).as("dst"))
-        .union(withN
-          .select(col("doc_id").as("src"),
-            ((col("doc_id") * col("doc_id") * 7 + 3) % col("n_docs")).as("dst")))
+      val dirE = linkEdges(s, dir)
       val e = dirE.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
@@ -155,12 +167,12 @@ object GraphOps {
         .select(col("n_docs").as("n_nodes"), col("n_edges"),
           col("n_wedges"), col("n_triangles"), col("clustering"))
     },
-    Some("""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    Some(s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
            |dir AS (
-           |  SELECT doc_id AS src, (doc_id * 31 + 17) % n_docs AS dst
+           |  SELECT doc_id AS src, $LinkMap1Sql AS dst
            |  FROM documents, n
            |  UNION ALL
-           |  SELECT doc_id, (doc_id * doc_id * 7 + 3) % n_docs
+           |  SELECT doc_id, $LinkMap2Sql
            |  FROM documents, n),
            |e AS (
            |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -280,15 +292,7 @@ object GraphOps {
     "q162_graph_bfs",
     (s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      val withN = docs.crossJoin(broadcast(n))
-      val edges = withN
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") * 31 + 17) % col("n_docs")).as("dst"))
-        .union(withN
-          .select(col("doc_id").as("src"),
-            ((col("doc_id") * col("doc_id") * 7 + 3) % col("n_docs")).as("dst")))
-        .localCheckpoint()
+      val edges = linkEdges(s, dir).localCheckpoint()
       var dist = docs.filter(col("doc_id") === 0L)
         .select(col("doc_id"), lit(0L).as("dist")).localCheckpoint()
       var frontier = dist
@@ -304,12 +308,12 @@ object GraphOps {
       }
       dist.orderBy("doc_id")
     },
-    Some("""WITH RECURSIVE n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    Some(s"""WITH RECURSIVE n AS (SELECT COUNT(*) AS n_docs FROM documents),
            |e AS (
-           |  SELECT doc_id AS src, (doc_id * 31 + 17) % n_docs AS dst
+           |  SELECT doc_id AS src, $LinkMap1Sql AS dst
            |  FROM documents, n
            |  UNION ALL
-           |  SELECT doc_id AS src, (doc_id * doc_id * 7 + 3) % n_docs AS dst
+           |  SELECT doc_id AS src, $LinkMap2Sql AS dst
            |  FROM documents, n),
            |bfs AS (
            |  SELECT CAST(0 AS BIGINT) AS doc_id, 0 AS d
@@ -339,15 +343,7 @@ object GraphOps {
     (s, dir) => {
       val M = 1000000L
       val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      val withN = docs.crossJoin(broadcast(n))
-      val edges = withN
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") * 31 + 17) % col("n_docs")).as("dst"))
-        .union(withN
-          .select(col("doc_id").as("src"),
-            ((col("doc_id") * col("doc_id") * 7 + 3) % col("n_docs")).as("dst")))
-        .localCheckpoint()
+      val edges = linkEdges(s, dir).localCheckpoint()
       def normalize(raw: DataFrame, c: String): DataFrame = {
         val tot = raw.agg(sum(col(c)).as("tot"))
         raw.crossJoin(broadcast(tot))
@@ -375,12 +371,12 @@ object GraphOps {
           (col("h").cast("double") / M).as("hub"))
         .orderBy("doc_id")
     },
-    Some("""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    Some(s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
            |e AS (
-           |  SELECT doc_id AS src, (doc_id * 31 + 17) % n_docs AS dst
+           |  SELECT doc_id AS src, $LinkMap1Sql AS dst
            |  FROM documents, n
            |  UNION ALL
-           |  SELECT doc_id AS src, (doc_id * doc_id * 7 + 3) % n_docs AS dst
+           |  SELECT doc_id AS src, $LinkMap2Sql AS dst
            |  FROM documents, n),
            |h0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS h FROM documents),
            |a1r AS (
@@ -444,15 +440,7 @@ object GraphOps {
   val q172 = Query(
     "q172_adamic_adar",
     (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      val withN = docs.crossJoin(broadcast(n))
-      val und = withN
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") * 31 + 17) % col("n_docs")).as("dst"))
-        .union(withN
-          .select(col("doc_id").as("src"),
-            ((col("doc_id") * col("doc_id") * 7 + 3) % col("n_docs")).as("dst")))
+      val und = linkEdges(s, dir)
         .filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
@@ -479,12 +467,12 @@ object GraphOps {
         .orderBy(col("aa_dec").desc, col("u"), col("v"))
         .limit(50)
     },
-    Some("""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    Some(s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
            |e0 AS (
-           |  SELECT doc_id AS src, (doc_id * 31 + 17) % n_docs AS dst
+           |  SELECT doc_id AS src, $LinkMap1Sql AS dst
            |  FROM documents, n
            |  UNION ALL
-           |  SELECT doc_id AS src, (doc_id * doc_id * 7 + 3) % n_docs AS dst
+           |  SELECT doc_id AS src, $LinkMap2Sql AS dst
            |  FROM documents, n),
            |und AS (
            |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -584,19 +572,15 @@ object GraphOps {
     "q189_kcore",
     (s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      val withN = docs.crossJoin(broadcast(n))
-      val dir1 = withN.select(col("doc_id").as("u"),
-        ((col("doc_id") * 31 + 17) % col("n_docs")).as("v"))
-      val dir2 = withN.select(col("doc_id").as("u"),
-        ((col("doc_id") * col("doc_id") * 7 + 3) % col("n_docs")).as("v"))
-      val ue = dir1.union(dir2).filter(col("u") =!= col("v"))
-        .select(col("u"), col("v"))
-        .union(dir1.union(dir2).filter(col("u") =!= col("v"))
-          .select(col("v").as("u"), col("u").as("v")))
+      val simple = linkEdges(s, dir).filter(col("src") =!= col("dst"))
+      val ue = simple.select(col("src").as("u"), col("dst").as("v"))
+        .union(simple.select(col("dst").as("u"), col("src").as("v")))
         .distinct()
         .localCheckpoint()
       var alive = ue.select(col("u").as("n")).distinct().localCheckpoint()
+      // one count per ROUND, not two: this round's survivor count is
+      // next round's "before"
+      var aliveCount = alive.count()
       var coreness = docs.select(col("doc_id"), lit(0L).as("core"))
       for (k <- 1 to KcoreMaxK) {
         var converged = false
@@ -610,11 +594,10 @@ object GraphOps {
           val next = alive
             .join(deg.filter(col("deg") >= k).select(col("u").as("n")), "n", "left_semi")
             .localCheckpoint()
-          val before = alive.count()
           val after = next.count()
           alive = next
-          converged = after == before
-          if (after == 0L) converged = true
+          converged = after == aliveCount || after == 0L
+          aliveCount = after
         }
         if (!converged)
           sys.error(s"q189_kcore: k=$k peeling did not converge within " +
@@ -635,11 +618,11 @@ object GraphOps {
       // beyond actual convergence re-select the identical set.
       val sb = new StringBuilder
       sb.append(
-        """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
           |de AS (
-          |  SELECT doc_id AS u, (doc_id * 31 + 17) % n_docs AS v FROM documents, n
+          |  SELECT doc_id AS u, $LinkMap1Sql AS v FROM documents, n
           |  UNION ALL
-          |  SELECT doc_id AS u, (doc_id * doc_id * 7 + 3) % n_docs AS v FROM documents, n),
+          |  SELECT doc_id AS u, $LinkMap2Sql AS v FROM documents, n),
           |ue AS MATERIALIZED (
           |  SELECT DISTINCT u, v FROM (
           |    SELECT u, v FROM de WHERE u <> v

@@ -1849,7 +1849,10 @@ object TemporalOps {
   /** The q191 classification over an (event_id, props) frame — shared
     * with [[graft.streaming.StreamingPipeline.quarantineQuery]] so the
     * batch readout and the streaming router can never drift. Emits
-    * (event_id, status, k); corruption synthesis included (see q191). */
+    * (event_id, status, k, raw) — `raw` is the (possibly corrupt)
+    * payload itself, which the DLQ MUST retain for replay-after-fix;
+    * the batch rollup drops it at aggregation. Corruption synthesis
+    * included (see q191). */
   private[graft] def quarantineClassify(ev: DataFrame): DataFrame = {
     val res = md5Residue(col("event_id").cast("string"), 13)
     val raw = when(res === 0,
@@ -1864,7 +1867,7 @@ object TemporalOps {
         when(col("v").isNull, "malformed")
           .when(col("k").isNull, "bad_type")
           .otherwise("valid"))
-      .select("event_id", "status", "k")
+      .select("event_id", "status", "k", "raw")
   }
 
   val q191 = Query(

@@ -263,14 +263,31 @@ object Sources {
     * a bounded attempt count turns pathological contention into a loud
     * failure instead of livelock. */
   def commitVersion(df: DataFrame, table: String,
-      overwrite: Boolean = false): Int = {
-    val spark = df.sparkSession
+      overwrite: Boolean = false): Int =
+    publishNextVersion(table, writeBatch(df, table), overwrite)
+
+  /** Write `df` as an immutable, uniquely-named batch directory under
+    * the table and return its file list — the data half of every
+    * commit path. */
+  private def writeBatch(df: DataFrame, table: String): Seq[String] = {
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-${java.util.UUID.randomUUID().toString.take(12)}")
     df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
-    val newFiles = spark.read.parquet(batch.toString)
+    df.sparkSession.read.parquet(batch.toString)
       .select(org.apache.spark.sql.functions.input_file_name())
       .distinct().collect().map(_.getString(0).stripPrefix("file://")).sorted
+  }
+
+  /** The ONE contended-publish loop shared by every commutable commit
+    * path ([[commitVersion]], [[commitVersionChecked]]): claim
+    * latest+1, and on losing the race re-read the new latest (append
+    * re-carries the winner's files; overwrite still replaces whatever
+    * is latest) and try the next number. Bounded so pathological
+    * contention fails loudly instead of livelocking. NOT used by
+    * [[mergeVersion]]/[[rollbackTo]], whose semantics do not commute
+    * with a racing commit — they DETECT the conflict instead. */
+  private def publishNextVersion(table: String, newFiles: Seq[String],
+      overwrite: Boolean): Int = {
     var attempt = 0
     while (true) {
       val prev = latestVersion(table)
@@ -283,19 +300,40 @@ object Sources {
         case _: java.nio.file.FileAlreadyExistsException =>
           attempt += 1
           require(attempt < 64,
-            s"commitVersion: lost the publish race $attempt times on $table")
+            s"publishNextVersion: lost the publish race $attempt times on $table")
       }
     }
     -1 // unreachable
   }
 
-  /** Re-publish `version`'s exact file list as the new latest —
-    * rollback with zero data movement. */
-  def rollbackTo(table: String, version: Int): Int = {
-    val next = latestVersion(table) + 1
-    publishManifest(table, next, filesOf(table, version))
-    next
+  /** Publish `files` as version latest+1, REQUIRING that `basedOn` is
+    * still the latest — the conflict-DETECTING publish for operations
+    * whose file list was derived from a specific version and is stale
+    * the moment anyone else commits (merge's carried list, rollback's
+    * restore target). A lost race surfaces as ConcurrentModification
+    * with a clear retry instruction, never a silent lost update and
+    * never a raw filesystem exception. */
+  private[sources] def publishIfLatest(table: String, basedOn: Int,
+      files: Seq[String], op: String): Int = {
+    val next = basedOn + 1
+    try {
+      publishManifest(table, next, files)
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"$op on $table was based on v$basedOn but another commit " +
+            s"claimed v$next first; re-read the table and retry the $op")
+    }
   }
+
+  /** Re-publish `version`'s exact file list as the new latest —
+    * rollback with zero data movement. Conflict-detecting: if another
+    * commit lands while rolling back, the rollback FAILS (restoring
+    * over an unseen commit would silently discard it). */
+  def rollbackTo(table: String, version: Int): Int =
+    publishIfLatest(table, latestVersion(table), filesOf(table, version),
+      "rollback")
 
   /** Atomically publish `files` as the `version` manifest, or throw
     * `FileAlreadyExistsException` if that version was already claimed.
@@ -462,14 +500,17 @@ object Sources {
     val survivors = base.join(
       changes.select(col(key)).distinct(), Seq(key), "left_anti")
     val rewritten = survivors.unionByName(upserts)
-    val next = v + 1
     val batch = java.nio.file.Paths.get(table, "data",
-      s"batch-$next-${java.util.UUID.randomUUID().toString.take(8)}")
+      s"batch-merge-${java.util.UUID.randomUUID().toString.take(8)}")
     rewritten.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
     val newFiles = spark.read.parquet(batch.toString)
       .select(org.apache.spark.sql.functions.input_file_name())
       .distinct().collect().map(_.getString(0).stripPrefix("file://")).sorted
-    publishManifest(table, next, untouched ++ newFiles)
+    // conflict-DETECTING publish: the untouched list was computed
+    // against v — a blind next-number retry after a racing commit would
+    // silently drop the racer's files, so a lost race must fail loudly
+    // (the caller re-reads and re-merges)
+    val next = publishIfLatest(table, v, untouched ++ newFiles, "merge")
     commitStats(spark, table, next, Seq(key), carryFrom = v)
     (next, affected.length, untouched.length)
   }
@@ -594,21 +635,7 @@ object Sources {
       val newFiles = spark.read.parquet(batch.toString)
         .select(org.apache.spark.sql.functions.input_file_name())
         .distinct().collect().map(_.getString(0).stripPrefix("file://")).sorted
-      var attempt = 0
-      while (true) {
-        val prev = latestVersion(table)
-        val carried = if (overwrite || prev == 0) Nil else filesOf(table, prev)
-        try {
-          publishManifest(table, prev + 1, carried ++ newFiles)
-          return Right(prev + 1)
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            attempt += 1
-            require(attempt < 64,
-              s"commitVersionChecked: lost the publish race $attempt times on $table")
-        }
-      }
-      Right(-1) // unreachable
+      Right(publishNextVersion(table, newFiles, overwrite))
     }
   }
 
@@ -706,8 +733,11 @@ object Sources {
     val df = readVersion(spark, table, v)
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRecordsPerFile).toInt)
-    val next = commitVersion(
-      df.repartition(nFiles), table, overwrite = true)
+    // conflict-DETECTING publish: the compacted content was read at v —
+    // an overwrite retry after a racing append would silently discard
+    // the racer's rows, so a lost race fails loudly instead
+    val next = publishIfLatest(table, v,
+      writeBatch(df.repartition(nFiles), table), "compaction")
     (next, before, filesOf(table, next).length)
   }
 }

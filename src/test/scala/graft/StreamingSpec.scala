@@ -622,6 +622,10 @@ class StreamingSpec extends SparkTestBase {
     val dlqStatuses = dlq.select("status").distinct().collect()
       .map(_.getString(0)).toSet
     assert(dlqStatuses === Set("bad_type", "malformed"))
+    // the DLQ retains the corrupt payload itself — replayable after the
+    // producer is fixed, without re-reading the (possibly expired) source
+    assert(dlq.columns.contains("raw"))
+    assert(dlq.filter(col("raw").isNull).count() === 0)
     assert(clean.count() + dlq.count() === Tables.events(spark, sf).count())
     assert(clean.select("event_id").distinct().count() === clean.count())
   }
