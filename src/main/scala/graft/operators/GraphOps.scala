@@ -657,5 +657,49 @@ object GraphOps {
     }
   )
 
-  val all: Seq[Query] = Seq(q103, q119, q121, q162, q169, q170, q172, q189)
+  /** Q195 — degree distribution of the undirected simple link graph:
+    * (degree, n_nodes) histogram INCLUDING the zero bucket (nodes whose
+    * only links were self-loops vanish from the edge list — exactly the
+    * rows a join-based degree count silently drops). The first profile
+    * run on any web graph: the shape says power-law vs regular, and the
+    * max degree is the skew bound for every downstream wedge join
+    * (q119's scale note). Grain discipline: nodes collapse to degrees,
+    * degrees to a ≤max-degree-row histogram — two combinable
+    * aggregates, never a node-grain result.
+    */
+  val q195 = Query(
+    "q195_degree_dist",
+    (s, dir) => {
+      val simple = linkEdges(s, dir).filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val deg = simple.select(col("a").as("v")).union(simple.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("degree"))
+      Tables.documents(s, dir).select(col("doc_id").as("v"))
+        .join(deg, Seq("v"), "left")
+        .select(coalesce(col("degree"), lit(0L)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    },
+    Some(s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            |de AS (
+            |  SELECT doc_id AS src, $LinkMap1Sql AS dst FROM documents, n
+            |  UNION ALL
+            |  SELECT doc_id AS src, $LinkMap2Sql AS dst FROM documents, n),
+            |simple AS (
+            |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            |  FROM de WHERE src <> dst),
+            |deg AS (
+            |  SELECT v, COUNT(*) AS degree FROM (
+            |    SELECT a AS v FROM simple UNION ALL SELECT b FROM simple)
+            |  GROUP BY v)
+            |SELECT COALESCE(deg.degree, 0) AS degree,
+            |       COUNT(*) AS n_nodes
+            |FROM documents d LEFT JOIN deg ON d.doc_id = deg.v
+            |GROUP BY 1 ORDER BY degree""".stripMargin)
+  )
+
+  val all: Seq[Query] =
+    Seq(q103, q119, q121, q162, q169, q170, q172, q189, q195)
 }

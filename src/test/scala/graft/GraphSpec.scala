@@ -180,4 +180,16 @@ class GraphSpec extends SparkTestBase {
     assert(got.values.max === 3L)
     assert(got.values.exists(_ < 3L))
   }
+
+  test("q195 degree distribution: buckets partition all nodes, handshake sum holds") {
+    val rows = GraphOps.q195.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.map(_._2).sum === Tables.documents(spark, sf).count())
+    // handshake lemma: sum(degree * n_nodes) = 2 * |E| of the simple graph
+    val n = Tables.documents(spark, sf).count()
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val edges = ids.flatMap(i => Seq((i * 31 + 17) % n, (i * i * 7 + 3) % n)
+      .filter(_ != i).map(d => (math.min(i, d), math.max(i, d)))).toSet
+    assert(rows.map { case (d, c) => d * c }.sum === 2L * edges.size)
+  }
 }
