@@ -1891,7 +1891,7 @@ object TextOps {
       val wFp = (1 to K).map(d =>
         math.round((1 - p) * math.pow(p, d - 1) * 1000000000L))
       val wRows = wFp.zipWithIndex
-        .map { case (w, i) => s"(${i + 1}, CAST($w AS BIGINT))" }
+        .map { case (w, i) => s"(CAST(${i + 1} AS BIGINT), CAST($w AS BIGINT))" }
         .mkString(", ")
       Some(s"""WITH w(d, w_fp) AS (VALUES $wRows),
               |docs AS (
@@ -1984,11 +1984,13 @@ object TextOps {
            |         ('fr', 150000), ('zh', 100000)),
            |supply AS (
            |  SELECT d.lang, CAST(w.weight_ppm AS BIGINT) AS weight_ppm,
-           |         SUM(CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT)) AS tokens
+           |         CAST(SUM(CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT))
+           |              AS BIGINT) AS tokens
            |  FROM documents d JOIN w ON d.lang = w.lang
            |  GROUP BY 1, 2),
-           |b AS (SELECT MIN((tokens // weight_ppm) * 1000000
-           |                 + ((tokens % weight_ppm) * 1000000) // weight_ppm) AS budget
+           |b AS (SELECT CAST(MIN((tokens // weight_ppm) * 1000000
+           |                 + ((tokens % weight_ppm) * 1000000) // weight_ppm)
+           |             AS BIGINT) AS budget
            |      FROM supply),
            |p AS (SELECT s.*, b.budget,
            |             CAST((b.budget // 1000000) * weight_ppm

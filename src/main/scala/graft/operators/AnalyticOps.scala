@@ -722,7 +722,7 @@ object AnalyticOps {
       hashed
         .withColumn("rkc", row_number().over(wCell))
         .filter(col("rkc") <= 5)
-        .withColumn("rk", row_number().over(wSrc))
+        .withColumn("rk", row_number().over(wSrc).cast("long"))
         .filter(col("rk") <= 5)
         .select(col("source"), col("rk"), col("doc_id"), col("h"))
         .orderBy("source", "rk")
@@ -2405,8 +2405,12 @@ object AnalyticOps {
     * with the CDF cutoffs pre-multiplied into integer literals — weight
     * assignment is pure BIGINT comparison, bit-stable across engines,
     * partitionings, and retries (the q42/q149 membership rule).
-    * Replicate means are rounded once to 6dp (q95's boundary rule) and
-    * ranked as decimals; the point mean is the q11 exact-sum device.
+    * Replicate means are carried as EXACT half-up-rounded micro-units
+    * (mean6 = (2·s·100 + n) div (2·n) on BIGINT sums of 1e-4 price
+    * units) and ranked as integers — no double enters the ordering.
+    * Every emitted double is a single IEEE division of two exact
+    * integers < 2^53 (the q131 Mann–Whitney device); the round-2 red
+    * row was the DECIMAL(18,4)→DOUBLE conversion hazard this removes.
     */
   val q156 = Query(
     "q156_bootstrap_ci",
@@ -2415,7 +2419,9 @@ object AnalyticOps {
       // inverse-CDF cutoffs: floor(P(X<=j) * 1000000007) for Poisson(1)
       val (t0, t1, t2, t3) = (367879443L, 735758887L, 919698609L, 981011849L)
       val o = Tables.orders(s, dir)
-        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          (graft.Canon.dec(col("o_totalprice")) * lit(10000))
+            .cast("long").as("units"))
       val reps = o
         .withColumn("b", explode(sequence(lit(1), lit(B))))
         .withColumn("u", graft.Canon.md5Residue(
@@ -2426,36 +2432,42 @@ object AnalyticOps {
             .when(col("u") < t2, 2L).when(col("u") < t3, 3L).otherwise(4L))
         .groupBy(col("o_orderpriority"), col("b"))
         .agg(sum(col("w")).as("n_b"),
-          sum(col("w") * graft.Canon.dec(col("o_totalprice"))).as("s_b"))
-        .withColumn("mean_b",
-          round(col("s_b").cast("decimal(18,4)").cast("double") /
-            col("n_b").cast("double"), 6).cast("decimal(18,6)"))
+          sum(col("w") * col("units")).as("s_units"))
+        .withColumn("mean6",
+          expr("(2 * s_units * 100 + n_b) div (2 * n_b)"))
       val wR = Window.partitionBy("o_orderpriority")
-        .orderBy(col("mean_b").asc, col("b").asc)
+        .orderBy(col("mean6").asc, col("b").asc)
       val bands = reps.withColumn("rn", row_number().over(wR))
         .groupBy("o_orderpriority")
-        .agg(max(when(col("rn") === 2, col("mean_b"))).as("boot_lo"),
-          max(when(col("rn") === B - 1, col("mean_b"))).as("boot_hi"))
+        .agg(max(when(col("rn") === 2, col("mean6"))).as("lo6"),
+          max(when(col("rn") === B - 1, col("mean6"))).as("hi6"))
+        .select(col("o_orderpriority"),
+          (col("lo6").cast("double") / lit(1e6)).as("boot_lo"),
+          (col("hi6").cast("double") / lit(1e6)).as("boot_hi"))
       val point = o.groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"),
-          graft.Canon.davg(col("o_totalprice")).as("point_mean"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("units")).as("sum_units"))
+        .withColumn("point_mean",
+          col("sum_units").cast("double") /
+            (col("n_orders") * lit(10000L)).cast("double"))
       point.join(bands, "o_orderpriority")
         .select("o_orderpriority", "n_orders", "point_mean", "boot_lo", "boot_hi")
         .orderBy("o_orderpriority")
     },
     Some("""WITH o AS (
-           |  SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders),
+           |  SELECT o_orderpriority, o_orderkey,
+           |         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS units
+           |  FROM orders),
            |reps AS (
            |  SELECT o_orderpriority, b,
            |         CAST(SUM(w) AS BIGINT) AS n_b,
-           |         SUM(w * CAST(o_totalprice AS DECIMAL(18,4))) AS s_b
+           |         CAST(SUM(w * units) AS BIGINT) AS s_units
            |  FROM (
            |    SELECT o_orderpriority, b,
            |           CASE WHEN u < 367879443 THEN 0
            |                WHEN u < 735758887 THEN 1
            |                WHEN u < 919698609 THEN 2
            |                WHEN u < 981011849 THEN 3 ELSE 4 END AS w,
-           |           o_totalprice
+           |           units
            |    FROM (
            |      SELECT o.*, b,
            |             CAST(concat('0x', substr(md5(concat(
@@ -2465,20 +2477,21 @@ object AnalyticOps {
            |  GROUP BY 1, 2),
            |means AS (
            |  SELECT o_orderpriority, b,
-           |         CAST(round(CAST(CAST(s_b AS DECIMAL(18,4)) AS DOUBLE)
-           |                    / CAST(n_b AS DOUBLE), 6) AS DECIMAL(18,6)) AS mean_b
+           |         (2 * s_units * 100 + n_b) // (2 * n_b) AS mean6
            |  FROM reps),
            |bands AS (
            |  SELECT o_orderpriority,
-           |         max(CASE WHEN rn = 2 THEN mean_b END) AS boot_lo,
-           |         max(CASE WHEN rn = 15 THEN mean_b END) AS boot_hi
+           |         CAST(max(CASE WHEN rn = 2 THEN mean6 END) AS DOUBLE)
+           |           / 1000000 AS boot_lo,
+           |         CAST(max(CASE WHEN rn = 15 THEN mean6 END) AS DOUBLE)
+           |           / 1000000 AS boot_hi
            |  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
-           |                    ORDER BY mean_b, b) AS rn FROM means)
+           |                    ORDER BY mean6, b) AS rn FROM means)
            |  GROUP BY 1),
            |pt AS (
            |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-           |              AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS point_mean
+           |         CAST(CAST(SUM(units) AS BIGINT) AS DOUBLE)
+           |           / CAST(COUNT(*) * 10000 AS DOUBLE) AS point_mean
            |  FROM o GROUP BY 1)
            |SELECT pt.o_orderpriority, n_orders, point_mean, boot_lo, boot_hi
            |FROM pt JOIN bands USING (o_orderpriority)

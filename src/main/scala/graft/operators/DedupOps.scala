@@ -1030,8 +1030,14 @@ object DedupOps {
           col("c_nationkey").as("r_nationkey"),
           (balC + pmod(col("c_custkey"), lit(5)).cast("decimal(18,4)") *
             lit(0.01).cast("decimal(6,4)")).cast("decimal(18,4)").as("r_bal"))
-      def blockKey(name: Column): Column =
-        pmod(regexp_replace(lower(name), "[^0-9]", "").cast("long"), lit(50))
+      // A digit-free name yields '' — Spark casts '' to NULL (silent row
+      // drop) while DuckDB's CAST raises; the '0' sentinel gives BOTH
+      // engines the same degraded-but-defined block for such names.
+      def blockKey(name: Column): Column = {
+        val digits = regexp_replace(lower(name), "[^0-9]", "")
+        pmod(when(digits === "", lit("0")).otherwise(digits).cast("long"),
+          lit(50))
+      }
       val cands = cust
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"), balC.as("c_bal"))
         .join(reg,
@@ -1073,8 +1079,8 @@ object DedupOps {
            |         CAST(floor(abs((r.r_bal - CAST(c.c_acctbal AS DECIMAL(18,4))) * 100)) AS BIGINT) AS bal_delta_cents
            |  FROM customer c JOIN reg r
            |    ON c.c_nationkey = r.r_nationkey
-           |   AND CAST(regexp_replace(lower(c.c_name), '[^0-9]', '', 'g') AS BIGINT) % 50
-           |     = CAST(regexp_replace(lower(r.r_name), '[^0-9]', '', 'g') AS BIGINT) % 50)
+           |   AND CAST(coalesce(nullif(regexp_replace(lower(c.c_name), '[^0-9]', '', 'g'), ''), '0') AS BIGINT) % 50
+           |     = CAST(coalesce(nullif(regexp_replace(lower(r.r_name), '[^0-9]', '', 'g'), ''), '0') AS BIGINT) % 50)
            |SELECT c_custkey, reg_id, name_dist, bal_delta_cents,
            |       name_dist <= 3 AND bal_delta_cents <= 5 AS matched
            |FROM cands

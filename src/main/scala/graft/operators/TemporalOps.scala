@@ -1619,9 +1619,9 @@ object TemporalOps {
            |                    AND CURRENT ROW) AS BIGINT) AS hwm
            |  FROM events),
            |lat AS (
-           |  SELECT CASE WHEN hwm - es = 0 THEN 0 WHEN hwm - es <= 300 THEN 1
+           |  SELECT CAST(CASE WHEN hwm - es = 0 THEN 0 WHEN hwm - es <= 300 THEN 1
            |              WHEN hwm - es <= 600 THEN 2 WHEN hwm - es <= 1800 THEN 3
-           |              WHEN hwm - es <= 3600 THEN 4 ELSE 5 END AS bucket_id,
+           |              WHEN hwm - es <= 3600 THEN 4 ELSE 5 END AS BIGINT) AS bucket_id,
            |         hwm - es AS late_s
            |  FROM hw)
            |SELECT bucket_id,
@@ -1885,7 +1885,7 @@ object TemporalOps {
            |  SELECT event_id,
            |         CASE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 13
            |           WHEN 0 THEN substr(props, 1, len(props) - 1)
-           |           WHEN 1 THEN regexp_replace(props, '"k": ([0-9]+)', '"k": "s\1"')
+           |           WHEN 1 THEN regexp_replace(props, '"k": ([0-9]+)', '"k": "s\1"', 'g')
            |           ELSE props END AS raw
            |  FROM events),
            |cl AS (

@@ -672,20 +672,26 @@ class AnalyticSpec extends SparkTestBase {
       val p = r.getString(0)
       val rows = o.filter(_._1 == p)
       assert(r.getLong(1) === rows.length.toLong)
+      // exact-integer device: prices as 1e-4 units, half-up 6dp integer mean
+      def units(v: Double): Long =
+        (BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000)
+          .toLongExact
       val means = (1 to 16).map { b =>
         var n = 0L
-        var s = BigDecimal(0)
+        var sU = 0L
         rows.foreach { case (_, k, v) =>
           val w = wOf(residue(s"$k:$b"))
           n += w
-          s += BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) * w
+          sU += w * units(v)
         }
-        (BigDecimal(s.toDouble / n)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP), b)
+        ((2L * sU * 100L + n) / (2L * n), b) // mean in 1e-6 units, half-up
       }.sorted
-      assert(BigDecimal(r.getDecimal(3)).compare(means(1)._1) === 0)  // rank 2
-      assert(BigDecimal(r.getDecimal(4)).compare(means(14)._1) === 0) // rank 15
+      assert(r.getDouble(3) === means(1)._1.toDouble / 1e6)  // rank 2
+      assert(r.getDouble(4) === means(14)._1.toDouble / 1e6) // rank 15
       assert(means(1)._1 < means(14)._1) // a real band
+      val sumU = rows.map { case (_, _, v) => units(v) }.sum
+      assert(r.getDouble(2) ===
+        sumU.toDouble / (rows.length.toLong * 10000L).toDouble)
     }
   }
 

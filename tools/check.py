@@ -25,7 +25,57 @@ if not skip_verify:
         if "[verify]" in line:
             print(line)
 
-import duckdb, pyarrow.parquet as pq
+import duckdb, pyarrow as pa, pyarrow.parquet as pq
+
+# ---- type-parity lint ------------------------------------------------------
+# The driver's hash is TYPE-sensitive (round-1 q71 and round-2 q187 both died
+# to DuckDB HUGEINT leaking from an uncast SUM while the Python value compare
+# below saw identical ints). Normalize both engines' column types to one tag
+# and fail on ANY drift: int width, float width, decimal precision/scale,
+# HUGEINT, list element types. Timestamps compare kind-only (Spark parquet is
+# tz=UTC, DuckDB results are naive — the driver normalizes that).
+
+def duck_tag(t):
+    s = str(t).upper()
+    if s.endswith("[]"):
+        return "list<%s>" % duck_tag(s[:-2])
+    if s.startswith("DECIMAL"):
+        return s.replace(" ", "").lower()
+    m = {"TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+         "BIGINT": "int64", "HUGEINT": "int128", "UTINYINT": "uint8",
+         "USMALLINT": "uint16", "UINTEGER": "uint32", "UBIGINT": "uint64",
+         "DOUBLE": "float64", "FLOAT": "float32", "REAL": "float32",
+         "VARCHAR": "string", "BOOLEAN": "bool", "DATE": "date",
+         "BLOB": "binary", "INTERVAL": "interval", "JSON": "string"}
+    if s in m: return m[s]
+    if s.startswith("TIMESTAMP"): return "timestamp"
+    if s.startswith("STRUCT") or s.startswith("MAP") or s.startswith("UNION"):
+        return "nested"
+    return s.lower()
+
+def arrow_tag(t):
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list<%s>" % arrow_tag(t.value_type)
+    if pa.types.is_decimal(t):
+        return "decimal(%d,%d)" % (t.precision, t.scale)
+    if pa.types.is_timestamp(t): return "timestamp"
+    if pa.types.is_date(t): return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t): return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "binary"
+    if pa.types.is_struct(t) or pa.types.is_map(t): return "nested"
+    return {"double": "float64", "float": "float32", "halffloat": "float16"
+            }.get(str(t), str(t))  # int8..int64, uint*, bool come out right
+
+def type_drift(scols, stypes, dcols, dtypes):
+    """Columns matched by name; returns [(col, spark_tag, duck_tag), ...]."""
+    dmap = {c: duck_tag(t) for c, t in zip(dcols, dtypes)}
+    out = []
+    for c, t in zip(scols, stypes):
+        st = arrow_tag(t)
+        if c in dmap and st != dmap[c]:
+            out.append((c, st, dmap[c]))
+    return out
+# ---------------------------------------------------------------------------
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 con = duckdb.connect()
@@ -65,6 +115,12 @@ for name in names:
         print(f"{name:28s} ORACLE ERROR: {str(e)[:140]}"); fails.append(name); continue
     if sorted(scols) != sorted(dcols):
         print(f"{name:28s} SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
+        fails.append(name); continue
+    drift = type_drift(scols, [tbl.schema.field(c).type for c in scols],
+                       dcols, res.types)
+    if drift:
+        print(f"{name:28s} TYPE DRIFT " + "; ".join(
+            f"{c}: spark={a} duck={b}" for c, a, b in drift))
         fails.append(name); continue
     if srows == drows:
         print(f"{name:28s} OK ({len(srows)} rows)")
