@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticOps, DedupOps, GeoOps, GraphOps, LakeOps, RelationalOps, SkewOps, TemporalOps}
+import graft.operators.{AnalyticOps, DedupOps, GeoOps, GraphOps, LakeOps, RelationalOps, ScaleOps, SkewOps, TemporalOps}
 import graft.functions.{MultimodalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,7 +17,7 @@ object SparkEntry {
   val inventory: Seq[Query] =
     RelationalOps.all ++ AnalyticOps.all ++ SkewOps.all ++ TemporalOps.all ++
       TextOps.all ++ DedupOps.all ++ GraphOps.all ++ GeoOps.all ++
-      SimilarityOps.all ++ MultimodalOps.all ++ LakeOps.all
+      SimilarityOps.all ++ MultimodalOps.all ++ LakeOps.all ++ ScaleOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star join is the reference's whole purpose in one plan

@@ -21,7 +21,7 @@ object TemporalOps {
     * derive epoch-seconds (`es`) and a naive-UTC second-truncated
     * timestamp (`tss`, TIMESTAMP_NTZ to match how both engines see the
     * other naive columns). */
-  private def eventsTss(s: SparkSession, dir: String): DataFrame =
+  private[operators] def eventsTss(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("es", expr("ts div 1000000000"))
       .withColumn("tss", timestamp_seconds(col("es")).cast("timestamp_ntz"))
