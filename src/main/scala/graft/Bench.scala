@@ -89,7 +89,18 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val okTimes = results.collect { case (_, v) if v >= 0 => v }.sorted
     val p50out = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"p50":$p50out%.2f,"queries":$slowest,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+    val short =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"p50":$p50out%.2f,"queries":$slowest,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+    // Both BENCH rounds so far came back `parsed: null` driver-side —
+    // sbt's trailing "[success]" lines can displace even the short line
+    // from a tail capture. Persist the summary to a FIXED file too, so
+    // the parseable artifact exists regardless of stdout windowing.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json").toAbsolutePath,
+      (short + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_SUMMARY.json write failed: ${e.getMessage}") }
+    println(short)
     Console.out.flush()
     spark.stop()
   }

@@ -82,5 +82,69 @@ object LakeOps {
            |FROM base GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q179)
+  /** Q196 — the SQL-catalog surface end-to-end: commit `orders` as v1,
+    * schema-EVOLVE v2 with an appended backfill batch that adds a
+    * `chan` column ([[Sources.commitVersionEvolving]]), then consume
+    * both versions from PURE SQL — `CREATE TEMPORARY VIEW … USING
+    * graft OPTIONS (path, versionAsOf)` ([[graft.sources.GraftDataSource]])
+    * — and aggregate: v2 grouped by `chan` (the v1-era rows surface it
+    * as NULL → 'ORIGINAL', the null-filled-history contract made
+    * oracle-visible) with v1's pinned row count as the time-travel
+    * witness column. The oracle never sees a manifest: it restates the
+    * end state relationally over the raw fixture, so a hash match
+    * proves evolving-commit + version pinning + the SQL read surface
+    * compose to the declared semantics. Scratch table per sf dir,
+    * wiped and rebuilt each run (the q179 device).
+    */
+  val q196 = Query(
+    "q196_sql_time_travel",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-sql-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val table = root.resolve("orders_sql").toString
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      Sources.commitVersion(
+        orders.repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), table)
+      Sources.commitStats(s, table, 1, Seq("o_orderkey"))
+      Sources.commitVersionEvolving(
+        orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("chan", lit("BACKFILL")), table)
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_t_v1 USING graft " +
+        s"OPTIONS (path '$table', versionAsOf '1')")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_t_v2 USING graft " +
+        s"OPTIONS (path '$table', versionAsOf '2')")
+      s.sql("""SELECT coalesce(chan, 'ORIGINAL') AS chan,
+              |       COUNT(*) AS n,
+              |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+              |            AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+              |       (SELECT COUNT(*) FROM graft_t_v1) AS n_v1
+              |FROM graft_t_v2
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    Some("""WITH ext AS (
+           |  SELECT o_totalprice, 'ORIGINAL' AS chan FROM orders
+           |  UNION ALL
+           |  SELECT o_totalprice, 'BACKFILL' FROM orders
+           |  WHERE o_orderkey % 10 = 0),
+           |v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_v1 FROM orders)
+           |SELECT chan, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+           |            AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |       n_v1
+           |FROM ext, v1 GROUP BY chan, n_v1 ORDER BY chan""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q179, q196)
 }

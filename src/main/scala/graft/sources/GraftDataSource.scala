@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** The versioned table as a registered Spark data source — the SQL
+  * surface the round-2 audit named as the top missing piece: until now
+  * the format (commit / time travel / merge / vacuum / CDF,
+  * [[Sources]]) was API-only, while the reference's consumption model
+  * is SQL-first (inspection queries, createDW.sql:12-15,51-56). With
+  * the `META-INF/services` registration, a pure-SQL user writes
+  *
+  * {{{
+  * CREATE TEMPORARY VIEW t USING graft
+  *   OPTIONS (path '/data/orders_t', versionAsOf '3');
+  * SELECT * FROM t WHERE o_orderkey BETWEEN 100 AND 200
+  * }}}
+  *
+  * and gets the committed version's EXACT file set through the
+  * stats-skipping [[ManifestFileIndex]]: the relation below is a
+  * [[HadoopFsRelation]] whose FileIndex is the manifest index, so
+  * FileSourceStrategy plans a normal vectorized parquet scan
+  * (WholeStageCodegen'd, row-group pruning intact) and every predicate
+  * Catalyst pushes reaches `listFiles` as `dataFilters` — file skipping
+  * with no API in sight (numFiles plan-asserted in SourcesSpec). The
+  * DataFrame form `spark.read.format("graft").option("versionAsOf", 3)
+  * .load(path)` resolves through the same provider.
+  *
+  * The served schema is the version's DECLARED schema
+  * ([[Sources.schemaOf]]): after an additive evolution, files that
+  * predate a column read as nulls (the parquet reader's missing-column
+  * contract). A RENAMED column's pre-rename files need per-generation
+  * alignment ([[Sources.readVersionEvolved]]) — plain parquet files
+  * carry no field IDs, so a single unaligned scan cannot map them (the
+  * same reason Delta's column mapping rewrites metadata); the SQL
+  * surface documents that boundary instead of guessing.
+  *
+  * V1 `RelationProvider` rather than a DSv2 `TableProvider` is a
+  * deliberate choice, not a shortcut: HadoopFsRelation is the ONE
+  * integration point that accepts a custom FileIndex while keeping
+  * Spark's whole parquet execution stack; the DSv2 file path
+  * (`FileTable`) requires a `PartitioningAwareFileIndex`, whose
+  * directory-listing contract a manifest-pinned file set exists to
+  * replace.
+  */
+class GraftDataSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val table = params.getOrElse("path", throw new IllegalArgumentException(
+      "graft datasource: the 'path' option (table root) is required"))
+    val version = params.get("versionasof").orElse(params.get("version"))
+      .map(_.trim.toInt).getOrElse(-1)
+    GraftDataSource.relation(sqlContext.sparkSession, table, version)
+  }
+}
+
+object GraftDataSource {
+
+  /** The version-pinned HadoopFsRelation: manifest-backed FileIndex +
+    * declared schema + Spark's own parquet format. */
+  private[sources] def relation(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String, version: Int): HadoopFsRelation = {
+    val v = if (version < 0) Sources.latestVersion(table) else version
+    val index = new ManifestFileIndex(spark, table, v)
+    val schema = Sources.schemaOf(spark, table, v)
+    HadoopFsRelation(index, StructType(Nil), schema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+  }
+}

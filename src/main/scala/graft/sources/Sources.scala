@@ -69,31 +69,38 @@ object Sources {
     * the same shape a table format's catalog uses: schema-per-snapshot,
     * resolved at read, no data rewrite. */
   def readParquetEvolved(spark: SparkSession, generations: Seq[String],
-      target: StructType, renames: Map[String, String] = Map.empty): DataFrame = {
+      target: StructType, renames: Map[String, String] = Map.empty): DataFrame =
+    generations.map(path => alignToSchema(spark.read.parquet(path), target, renames))
+      .reduce(_ unionByName _)
+
+  /** Align one generation (a DataFrame read under its stored schema) to
+    * `target`: stored columns cast with checked LOSSLESS widening,
+    * renamed columns mapped via `renames: old -> new`, absent columns
+    * surfaced as typed nulls. The shared alignment step of
+    * [[readParquetEvolved]] and [[readVersionEvolved]]. */
+  private[sources] def alignToSchema(df: DataFrame, target: StructType,
+      renames: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     def checkedCast(name: String, from: org.apache.spark.sql.types.DataType,
         to: org.apache.spark.sql.types.DataType): Unit =
       require(from == to ||
         org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to),
         s"column $name: stored type $from does not widen losslessly to $to")
-    generations.map { path =>
-      val df = spark.read.parquet(path)
-      val stored = df.schema.map(f => f.name -> f.dataType).toMap
-      val cols = target.fields.map { f =>
-        val source =
-          if (stored.contains(f.name)) Some(f.name)
-          else renames.collectFirst {
-            case (o, n) if n == f.name && stored.contains(o) => o
-          }
-        source match {
-          case Some(s) =>
-            checkedCast(s, stored(s), f.dataType)
-            col(s).cast(f.dataType).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
+    val stored = df.schema.map(f => f.name -> f.dataType).toMap
+    val cols = target.fields.map { f =>
+      val source =
+        if (stored.contains(f.name)) Some(f.name)
+        else renames.collectFirst {
+          case (o, n) if n == f.name && stored.contains(o) => o
         }
+      source match {
+        case Some(s) =>
+          checkedCast(s, stored(s), f.dataType)
+          col(s).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
       }
-      df.select(cols.toSeq: _*)
-    }.reduce(_ unionByName _)
+    }
+    df.select(cols.toSeq: _*)
   }
 
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
@@ -278,6 +285,18 @@ object Sources {
       .distinct().collect().map(_.getString(0).stripPrefix("file://")).sorted
   }
 
+  /** Recursively delete a batch directory (rejected by a failed check
+    * or orphaned by a lost conflict-detecting publish) — partitioned
+    * writes create subdirectories, so a flat listFiles().delete() would
+    * silently leave the tree (and its data) stranded on disk. */
+  private def deleteBatchDir(path: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(path)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   /** The ONE contended-publish loop shared by every commutable commit
     * path ([[commitVersion]], [[commitVersionChecked]]): claim
     * latest+1, and on losing the race re-read the new latest (append
@@ -331,9 +350,14 @@ object Sources {
     * rollback with zero data movement. Conflict-detecting: if another
     * commit lands while rolling back, the rollback FAILS (restoring
     * over an unseen commit would silently discard it). */
-  def rollbackTo(table: String, version: Int): Int =
-    publishIfLatest(table, latestVersion(table), filesOf(table, version),
-      "rollback")
+  def rollbackTo(table: String, version: Int): Int = {
+    val next = publishIfLatest(table, latestVersion(table),
+      filesOf(table, version), "rollback")
+    // a rollback restores the old SCHEMA contract too, or readers of
+    // the restored file set would see a later declared schema
+    declaredSchema(table, version).foreach(publishSchema(table, next, _))
+    next
+  }
 
   /** Atomically publish `files` as the `version` manifest, or throw
     * `FileAlreadyExistsException` if that version was already claimed.
@@ -368,6 +392,129 @@ object Sources {
     val files = filesOf(table, v)
     require(files.nonEmpty, s"$table v$v has an empty file list")
     spark.read.parquet(files: _*)
+  }
+
+  // ---- schema-per-version: the evolution half of the format ---------
+  //
+  // A version's schema is pinned in a `v<N>.schema` sidecar (JSON,
+  // published with the same temp-file + atomic-link protocol as the
+  // manifest). Readers of an OLD version see that version's pinned
+  // schema forever; an evolving commit widens/renames/extends the
+  // declared schema so readers of the NEW version see old files
+  // null-filled (added columns), losslessly widened, or mapped through
+  // the recorded rename. Sidecar-less versions (every pre-evolution
+  // commit) fall back to the head data file's footer, so the feature is
+  // strictly additive.
+
+  /** Field-metadata key recording a rename's previous column name. */
+  val RenamedFrom = "graft.renamedFrom"
+
+  private[sources] def publishSchema(table: String, version: Int,
+      schema: StructType): Unit = {
+    val dir = java.nio.file.Paths.get(table)
+    val tmp = java.nio.file.Files.createTempFile(dir, s".v$version-schema", ".tmp")
+    java.nio.file.Files.write(tmp, schema.json.getBytes("UTF-8"))
+    try java.nio.file.Files.createLink(dir.resolve(s"v$version.schema"), tmp)
+    catch { // a racing duplicate publish of the same version is benign
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** The declared (pinned) schema of `version`, if one was published. */
+  def declaredSchema(table: String, version: Int): Option[StructType] = {
+    val p = java.nio.file.Paths.get(table, s"v$version.schema")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      .asInstanceOf[StructType])
+  }
+
+  /** Effective schema of `version`: the pinned sidecar, else the head
+    * data file's footer (pre-evolution versions). */
+  def schemaOf(spark: SparkSession, table: String, version: Int): StructType =
+    declaredSchema(table, version).getOrElse(
+      spark.read.parquet(filesOf(table, version).head).schema)
+
+  /** Evolve `prev` (the table's declared schema) by `cur` (the incoming
+    * batch's): kept fields widen losslessly or keep their type,
+    * `renames: old -> new` re-key a field (the old name is recorded in
+    * field metadata so readers can map pre-rename files), fields absent
+    * from the batch stay (nullable — new files null-fill them), new
+    * fields append (nullable — old files null-fill them). A narrowing
+    * type change fails fast: silently truncating 100 TB is a data bug,
+    * not an evolution. */
+  private[sources] def evolveSchema(prev: StructType, cur: StructType,
+      renames: Map[String, String]): StructType = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField}
+    val curBy = cur.fields.map(f => f.name -> f).toMap
+    val kept = prev.fields.map { f =>
+      val newName = renames.getOrElse(f.name, f.name)
+      val meta =
+        if (newName != f.name)
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putString(RenamedFrom, f.name).build()
+        else f.metadata
+      curBy.get(newName) match {
+        case Some(c) if c.dataType == f.dataType =>
+          StructField(newName, f.dataType, f.nullable || c.nullable, meta)
+        case Some(c) if Cast.canUpCast(f.dataType, c.dataType) =>
+          StructField(newName, c.dataType, f.nullable || c.nullable, meta)
+        case Some(c) =>
+          require(Cast.canUpCast(c.dataType, f.dataType),
+            s"column $newName: ${c.dataType} vs ${f.dataType} is a narrowing evolution")
+          StructField(newName, f.dataType, f.nullable || c.nullable, meta)
+        case None => StructField(newName, f.dataType, nullable = true, meta)
+      }
+    }
+    val keptNames = kept.map(_.name).toSet
+    val added = cur.fields.filterNot(f => keptNames.contains(f.name))
+      .map(f => StructField(f.name, f.dataType, nullable = true, f.metadata))
+    StructType(kept ++ added)
+  }
+
+  /** Append-commit `df` under SCHEMA EVOLUTION: the new version's
+    * declared schema is the previous declared schema evolved by `df`'s
+    * (see [[evolveSchema]]). Old versions keep their pinned schema;
+    * [[readVersionEvolved]] of the new version aligns every file
+    * generation to the declared one. Assumes a single evolving writer
+    * (concurrent SCHEMA changes need a catalog lock in any format;
+    * concurrent data appends remain safe — the data publish still goes
+    * through the OCC loop). */
+  def commitVersionEvolving(df: DataFrame, table: String,
+      renames: Map[String, String] = Map.empty): Int = {
+    val prevV = latestVersion(table)
+    val declared =
+      if (prevV == 0) df.schema
+      else evolveSchema(schemaOf(df.sparkSession, table, prevV), df.schema, renames)
+    val v = publishNextVersion(table, writeBatch(df, table), overwrite = false)
+    publishSchema(table, v, declared)
+    v
+  }
+
+  /** Read `version` under its DECLARED schema, aligning every file
+    * generation: stored columns cast with checked lossless widening,
+    * renamed columns mapped via the recorded [[RenamedFrom]] metadata,
+    * columns a generation predates arriving as typed nulls. A
+    * generation = the files sharing one footer schema — bounded by the
+    * number of evolutions, never the file count (the footer probe is
+    * one driver-side read per file here; a catalog-scale format pins a
+    * file -> schema-id instead, same alignment). */
+  def readVersionEvolved(spark: SparkSession, table: String,
+      version: Int = -1): DataFrame = {
+    val v = if (version < 0) latestVersion(table) else version
+    require(v > 0, s"$table has no committed versions")
+    val declared = schemaOf(spark, table, v)
+    val renames = declared.fields.flatMap { f =>
+      if (f.metadata.contains(RenamedFrom))
+        Some(f.metadata.getString(RenamedFrom) -> f.name)
+      else None
+    }.toMap
+    filesOf(table, v)
+      .groupBy(f => spark.read.parquet(f).schema)
+      .values.toSeq
+      .map(g => alignToSchema(spark.read.parquet(g: _*), declared, renames))
+      .reduce(_ unionByName _)
   }
 
   /** Per-file min/max column statistics for a version, persisted as a
@@ -471,7 +618,8 @@ object Sources {
     * metadata (CDC-batch-sized), not data. Returns (new version,
     * affected files rewritten, files carried untouched). */
   def mergeVersion(spark: SparkSession, table: String, changes: DataFrame,
-      key: String, opCol: String = "op"): (Int, Int, Int) = {
+      key: String, opCol: String = "op",
+      keyProbeLimit: Int = 100000): (Int, Int, Int) = {
     val v = latestVersion(table)
     require(v > 0, s"$table has no committed versions")
     val stats = statsOf(table, v)
@@ -480,18 +628,51 @@ object Sources {
     // a NULL merge key equals no stored key (SQL semantics): it selects
     // no file for rewrite and deletes nothing; a null-key upsert row
     // still flows through the insert union below
-    val changeKeys = changes.filter(col(key).isNotNull)
-      .select(col(key).cast("decimal(38,6)")).distinct().collect()
-      .map(r => BigDecimal(r.getDecimal(0))).sorted
-    val (affected, untouched) = files.partition { f =>
-      stats.get((f, key)) match {
-        case Some((mn, mx)) =>
-          // any change key inside the file's interval? (sorted probe)
-          val i = changeKeys.search(mn)(Ordering[BigDecimal]).insertionPoint
-          i < changeKeys.length && changeKeys(i) <= mx
-        case None => true // no stats: must assume affected
+    //
+    // The change-key collect is BOUNDED: at most keyProbeLimit+1
+    // distinct keys come to the driver. A small (CDC-batch-sized)
+    // change set uses the sorted driver probe; a wide delta switches to
+    // the join path below, whose driver-side result is the FILE list
+    // (bounded by file count), never the key set.
+    val probe = changes.filter(col(key).isNotNull)
+      .select(col(key).cast("decimal(38,6)")).distinct()
+      .limit(keyProbeLimit + 1).collect()
+    val (affected, untouched) =
+      if (probe.length <= keyProbeLimit) {
+        val changeKeys = probe.map(r => BigDecimal(r.getDecimal(0))).sorted
+        files.partition { f =>
+          stats.get((f, key)) match {
+            case Some((mn, mx)) =>
+              // any change key inside the file's interval? (sorted probe)
+              val i = changeKeys.search(mn)(Ordering[BigDecimal]).insertionPoint
+              i < changeKeys.length && changeKeys(i) <= mx
+            case None => true // no stats: must assume affected
+          }
+        }
+      } else {
+        // join-based file-interval intersection: broadcast the tiny
+        // (file, min, max) relation from the driver-held stats against
+        // the distributed change keys; only hit FILE NAMES are
+        // collected. Interval ends are relaxed by one key quantum
+        // (decimal(38,6)) so the cast can only widen, never shrink —
+        // keeping an extra file is correct, missing one is data loss.
+        val statted = files.flatMap(f =>
+          stats.get((f, key)).map { case (mn, mx) =>
+            (f, mn.toString, mx.toString) })
+        val noStats = files.filter(f => !stats.contains((f, key))).toSet
+        import spark.implicits._
+        val hit =
+          if (statted.isEmpty) Set.empty[String]
+          else changes.filter(col(key).isNotNull)
+            .select(col(key).cast("decimal(38,6)").as("__k"))
+            .join(org.apache.spark.sql.functions.broadcast(
+              statted.toDF("__f", "__mn", "__mx").select(col("__f"),
+                (col("__mn").cast("decimal(38,6)") - lit(0.000001)).as("__mn"),
+                (col("__mx").cast("decimal(38,6)") + lit(0.000001)).as("__mx"))),
+              col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+            .select("__f").distinct().collect().map(_.getString(0)).toSet
+        files.partition(f => noStats.contains(f) || hit.contains(f))
       }
-    }
     val base =
       if (affected.nonEmpty) spark.read.parquet(affected: _*)
       else spark.read.parquet(files.head)
@@ -509,9 +690,17 @@ object Sources {
     // conflict-DETECTING publish: the untouched list was computed
     // against v — a blind next-number retry after a racing commit would
     // silently drop the racer's files, so a lost race must fail loudly
-    // (the caller re-reads and re-merges)
-    val next = publishIfLatest(table, v, untouched ++ newFiles, "merge")
+    // (the caller re-reads and re-merges). The just-written batch is
+    // deleted first: no manifest references it, and a retried merge
+    // writes a fresh batch, so leaving it would strand disk forever.
+    val next =
+      try publishIfLatest(table, v, untouched ++ newFiles, "merge")
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          deleteBatchDir(batch); throw e
+      }
     commitStats(spark, table, next, Seq(key), carryFrom = v)
+    declaredSchema(table, v).foreach(publishSchema(table, next, _))
     (next, affected.length, untouched.length)
   }
 
@@ -627,9 +816,8 @@ object Sources {
       name -> obs.get(name).asInstanceOf[Long] }.toMap
     if (violations.valuesIterator.exists(_ > 0L)) {
       // rejected: remove the just-written batch so nothing is stranded
-      val dir = batch.toFile
-      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-      dir.delete()
+      // (recursive — a partitioned write nests directories)
+      deleteBatchDir(batch)
       Left(violations)
     } else {
       val newFiles = spark.read.parquet(batch.toString)
@@ -714,8 +902,15 @@ object Sources {
     val deadFiles = expired.flatMap(v => filesOf(table, v)).toSet -- keepFiles
     deadFiles.foreach(f =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
-    expired.foreach(v => java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(table, s"v$v.manifest")))
+    expired.foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(table, s"v$v.manifest"))
+      // sidecars travel with their manifest
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(table, s"v$v.stats"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(table, s"v$v.schema"))
+    }
     (expired.length, deadFiles.size)
   }
 
@@ -735,9 +930,19 @@ object Sources {
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRecordsPerFile).toInt)
     // conflict-DETECTING publish: the compacted content was read at v —
     // an overwrite retry after a racing append would silently discard
-    // the racer's rows, so a lost race fails loudly instead
-    val next = publishIfLatest(table, v,
-      writeBatch(df.repartition(nFiles), table), "compaction")
+    // the racer's rows, so a lost race fails loudly instead. On loss
+    // the just-written (unreferenced) compacted batch is deleted so a
+    // retried compaction cannot strand disk.
+    val newFiles = writeBatch(df.repartition(nFiles), table)
+    val next =
+      try publishIfLatest(table, v, newFiles, "compaction")
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          newFiles.headOption.foreach(f => deleteBatchDir(
+            java.nio.file.Paths.get(f).getParent))
+          throw e
+      }
+    declaredSchema(table, v).foreach(publishSchema(table, next, _))
     (next, before, filesOf(table, next).length)
   }
 }

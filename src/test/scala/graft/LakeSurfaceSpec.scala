@@ -1,0 +1,211 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Round-3 table-format surfaces: the `USING graft` SQL datasource
+  * (version pinning + file skipping with no API in sight), the
+  * schema-evolution contract across ≥3 generations (add / widen /
+  * rename), the join-based wide-delta merge path, and the no-stranded-
+  * batch guarantees on rejected or race-losing commits. */
+class LakeSurfaceSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def scansOf(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def go(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case o => o.children.flatMap(go)
+      }
+    go(df.queryExecution.executedPlan)
+  }
+
+  test("USING graft: pure SQL reads a pinned version with file skipping") {
+    val table = tmp("sqlds") + "/orders_sql"
+    val orders = Tables.orders(spark, sf)
+    val v1 = Sources.commitVersion(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), table)
+    Sources.commitStats(spark, table, v1, Seq("o_orderkey"))
+
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW g_t USING graft " +
+      s"OPTIONS (path '$table')")
+    val all = spark.sql("SELECT * FROM g_t")
+    assert(all.count() === orders.count())
+
+    // a plain SQL WHERE — no pruning API in sight — skips manifest files
+    val filtered = spark.sql(
+      "SELECT * FROM g_t WHERE o_orderkey BETWEEN 100 AND 300")
+    val expected = orders
+      .filter(col("o_orderkey") >= 100 && col("o_orderkey") <= 300)
+    filtered.collect()
+    assert(filtered.count() === expected.count() && expected.count() > 0)
+    val numFiles = scansOf(filtered).map(_.metrics("numFiles").value).sum
+    assert(numFiles < 8 && numFiles >= 1,
+      s"expected file skipping through SQL, scanned $numFiles of 8")
+
+    // versionAsOf pins time travel across a destructive overwrite
+    Sources.commitVersion(orders.limit(10), table, overwrite = true)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW g_t1 USING graft " +
+      s"OPTIONS (path '$table', versionAsOf '$v1')")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM g_t1").head().getLong(0)
+      === orders.count())
+    // the DataFrame form resolves through the same registered provider
+    assert(spark.read.format("graft").load(table).count() === 10)
+    assert(spark.read.format("graft").option("versionAsOf", v1)
+      .load(table).count() === orders.count())
+  }
+
+  test("schema evolution: add + widen + rename across three versions, " +
+    "old versions pinned, new version aligns every generation") {
+    import spark.implicits._
+    val t = tmp("evol") + "/t"
+    val g1 = Seq((1, 10), (2, 20)).toDF("id", "price") // id int, price int
+    val v1 = Sources.commitVersionEvolving(g1, t)
+    val g2 = Seq((3L, 300, 30), (4L, 400, 40)).toDF("id", "price", "qty")
+    val v2 = Sources.commitVersionEvolving(g2, t) // id widens, qty appends
+    val g3 = Seq((5L, 500, 50)).toDF("id", "amount", "qty")
+    val v3 = Sources.commitVersionEvolving(g3, t,
+      renames = Map("price" -> "amount"))
+    assert((v1, v2, v3) === (1, 2, 3))
+
+    // declared schemas: v1 pinned narrow; v2 widened + extended; v3 renamed
+    val s1 = Sources.declaredSchema(t, 1).get
+    assert(s1.fieldNames.toSeq === Seq("id", "price"))
+    assert(s1("id").dataType === IntegerType)
+    val s2 = Sources.declaredSchema(t, 2).get
+    assert(s2.fieldNames.toSeq === Seq("id", "price", "qty"))
+    assert(s2("id").dataType === LongType)
+    val s3 = Sources.declaredSchema(t, 3).get
+    assert(s3.fieldNames.toSeq === Seq("id", "amount", "qty"))
+    assert(s3("amount").metadata.getString(Sources.RenamedFrom) === "price")
+
+    // v1 readers keep seeing exactly the v1 world
+    assert(Sources.readVersionEvolved(spark, t, 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      === Set((1, 10), (2, 20)))
+    // v3 readers: ids widened, price history mapped into amount,
+    // pre-qty generations null-filled
+    val got = Sources.readVersionEvolved(spark, t, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSet
+    assert(got === Set((1L, 10, -1), (2L, 20, -1),
+      (3L, 300, 30), (4L, 400, 40), (5L, 500, 50)))
+
+    // the SQL surface serves the declared schema (add/widen; a rename's
+    // pre-rename files are readVersionEvolved's job and read as null)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW g_ev USING graft " +
+      s"OPTIONS (path '$t', versionAsOf '2')")
+    val sq = spark.sql(
+      "SELECT COUNT(*) AS n, COUNT(qty) AS n_qty FROM g_ev").head()
+    assert(sq.getLong(0) === 4 && sq.getLong(1) === 2)
+
+    // vacuum sweeps sidecars with their manifests
+    Sources.vacuumVersions(t, keepLast = 1)
+    assert(Sources.declaredSchema(t, 1).isEmpty)
+    assert(Sources.declaredSchema(t, 3).nonEmpty)
+  }
+
+  test("mergeVersion wide-delta path: join-based file probe matches the " +
+    "driver probe and never collects change keys") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    import spark.implicits._
+    val keyMax = orders.agg(max("o_orderkey")).head().getLong(0)
+    val someKeys = orders.orderBy("o_orderkey").limit(3)
+      .collect().map(_.getLong(0))
+    val changes = Seq(
+      (someKeys(0), 99L, "MERGED", "upsert"),
+      (someKeys(1), 98L, "MERGED", "upsert"),
+      (someKeys(2), 0L, "", "delete"),
+      (keyMax + 1000, 97L, "MERGED-NEW", "upsert"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "op")
+
+    def build(name: String): String = {
+      val t = tmp(name) + "/orders_m"
+      val v1 = Sources.commitVersion(
+        orders.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), t)
+      Sources.commitStats(spark, t, v1, Seq("o_orderkey"))
+      t
+    }
+    val tProbe = build("vmerge-probe")
+    val tJoin = build("vmerge-join")
+    val a = Sources.mergeVersion(spark, tProbe, changes, "o_orderkey")
+    // keyProbeLimit=1 < 4 distinct keys forces the join-based path
+    val b = Sources.mergeVersion(spark, tJoin, changes, "o_orderkey",
+      keyProbeLimit = 1)
+    assert(a === b, s"paths disagree: driver-probe $a vs join $b")
+    assert(b._2 === 1 && b._3 === 7,
+      s"join path should rewrite 1 / carry 7, got ${b._2} / ${b._3}")
+    val ra = Sources.readVersion(spark, tProbe).orderBy("o_orderkey").collect()
+    val rb = Sources.readVersion(spark, tJoin).orderBy("o_orderkey").collect()
+    assert(ra.toSeq === rb.toSeq)
+  }
+
+  test("conflict-losing merge deletes its batch: no unreferenced data dirs") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    val t = tmp("vrace") + "/orders_r"
+    val v1 = Sources.commitVersion(
+      orders.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), t)
+    Sources.commitStats(spark, t, v1, Seq("o_orderkey"))
+    import spark.implicits._
+    def changesFor(tag: String) = Seq(
+      (1L, 1L, tag, "upsert")).toDF("o_orderkey", "o_custkey",
+      "o_orderpriority", "op")
+    // two merges based on the same version race; exactly one wins
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence(Seq("A", "B").map { tag =>
+        Future(
+          try Right(Sources.mergeVersion(spark, t, changesFor(tag), "o_orderkey"))
+          catch { case e: java.util.ConcurrentModificationException => Left(e) })
+      }), 120.seconds)
+    assert(results.count(_.isRight) === 1 && results.count(_.isLeft) === 1,
+      s"expected exactly one winner, got $results")
+    // every batch dir on disk is referenced by some surviving manifest
+    val referenced = (1 to Sources.latestVersion(t))
+      .flatMap(v => readManifest(t, v))
+      .map(f => java.nio.file.Paths.get(f).getParent.getFileName.toString)
+      .toSet
+    val onDisk = Option(new java.io.File(t, "data").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    assert((onDisk -- referenced).isEmpty,
+      s"stranded batch dirs: ${onDisk -- referenced}")
+  }
+
+  private def readManifest(table: String, v: Int): Seq[String] = {
+    val p = java.nio.file.Paths.get(table, s"v$v.manifest")
+    if (!java.nio.file.Files.exists(p)) Nil
+    else scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  test("rejected checked commit leaves no batch directory behind") {
+    import spark.implicits._
+    val t = tmp("vreject") + "/t"
+    Sources.commitVersion(Seq((1L, 5L)).toDF("k", "v"), t)
+    val bad = Seq((2L, -1L)).toDF("k", "v")
+    val res = Sources.commitVersionChecked(bad, t,
+      checks = Seq("v_nonneg" -> (col("v") >= 0)))
+    assert(res.isLeft)
+    val dataDirs = Option(new java.io.File(t, "data").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+    // only v1's batch remains — the rejected batch tree is fully gone
+    assert(dataDirs.length === 1,
+      s"expected 1 surviving batch dir, got ${dataDirs.map(_.getName).toSeq}")
+  }
+}
