@@ -348,35 +348,54 @@ object SimilarityOps {
     * is one anti-join keyed (cell, vec_id). No global all-pairs stage
     * anywhere.
     */
+  /** q98's nearest-seed cell assignment with the cluster-granularity
+    * knob `k` EXPOSED: seeds are the first k vec_ids (deterministic),
+    * every vector lands in its argmax-cosine cell. k is the per-cell
+    * quadratic bound's denominator — at corpus scale it must GROW with
+    * n so expected cell size n/k (and the within-cell pair work
+    * Σ c_i²) stays fixed; `TextDedupSpec` asserts the bound executes
+    * (doubling k shrinks both the max cell and Σ c_i² on the fixture)
+    * rather than living in a comment. */
+  def semdedupCells(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, dir))
+    val seeds = broadcast(emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"),
+        col("nrm").as("cn")))
+    val wc = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    emb.crossJoin(seeds)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        (dotNative(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+          .as("csim"))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "nrm", "cell")
+  }
+
+  /** q98's full SemDeDup pass at granularity `k` and cosine threshold
+    * `threshold`: within-cell pair join, similar-to-ANY-earlier drop
+    * rule, keep verdict per vector. */
+  def semdedup(s: SparkSession, dir: String, k: Int,
+      threshold: Double = 0.4): DataFrame = {
+    val cells = semdedupCells(s, dir, k)
+    val a = cells.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = cells.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter((dotNative(col("ea"), col("eb")) / (col("na") * col("nb")))
+        > threshold)
+      .select(col("cell"), col("b_id").as("vec_id")).distinct()
+    cells.select("vec_id", "cell")
+      .join(dropped.withColumn("hit", lit(1)), Seq("cell", "vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("hit").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   val q98 = Query(
     "q98_semdedup",
-    (s, dir) => {
-      val emb = withNorm(Tables.embeddings(s, dir))
-      val seeds = broadcast(emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cell"), col("embedding").as("ce"),
-          col("nrm").as("cn")))
-      val wc = Window.partitionBy("vec_id")
-        .orderBy(col("csim").desc, col("cell").asc)
-      val cells = emb.crossJoin(seeds)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
-          (dotNative(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
-            .as("csim"))
-        .withColumn("rn", row_number().over(wc))
-        .filter(col("rn") === 1)
-        .select("vec_id", "embedding", "nrm", "cell")
-      val a = cells.select(col("cell"), col("vec_id").as("a_id"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val b = cells.select(col("cell"), col("vec_id").as("b_id"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      val dropped = a.join(b, Seq("cell"))
-        .filter(col("a_id") < col("b_id"))
-        .filter((dotNative(col("ea"), col("eb")) / (col("na") * col("nb"))) > 0.4)
-        .select(col("cell"), col("b_id").as("vec_id")).distinct()
-      cells.select("vec_id", "cell")
-        .join(dropped.withColumn("hit", lit(1)), Seq("cell", "vec_id"), "left")
-        .select(col("vec_id"), col("cell"), col("hit").isNull.as("keep"))
-        .orderBy("vec_id")
-    },
+    (s, dir) => semdedup(s, dir, k = 8),
     Some(s"""WITH seeds AS (
             |  SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
             |cells AS (

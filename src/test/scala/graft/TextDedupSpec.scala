@@ -342,6 +342,33 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("q98 semdedup: k is an executable knob — doubling granularity shrinks " +
+    "the per-cell quadratic; any k partitions totally and keeps seeds") {
+    val n = Tables.embeddings(spark, sf).count()
+    def cellProfile(k: Int): (Long, Long, Long) = {
+      val sizes = SimilarityOps.semdedupCells(spark, sf, k)
+        .groupBy("cell").count().collect().map(_.getLong(1))
+      (sizes.length.toLong, sizes.max, sizes.map(c => c * c).sum)
+    }
+    val (cells4, max4, quad4) = cellProfile(4)
+    val (cells16, max16, quad16) = cellProfile(16)
+    // total partition at every k
+    assert(SimilarityOps.semdedup(spark, sf, 4).count() === n)
+    assert(SimilarityOps.semdedup(spark, sf, 16).count() === n)
+    assert(cells4 === 4L && cells16 === 16L, "a seed cell went empty")
+    // the claim from the scaladoc, executed: finer granularity bounds
+    // the within-cell pair work (Σ c², the join's candidate count) and
+    // the worst cell, which is what must stay fixed as n grows 100×
+    assert(quad16 < quad4,
+      s"per-cell quadratic did not shrink: k=16 -> $quad16, k=4 -> $quad4")
+    assert(max16 <= max4,
+      s"max cell grew with finer granularity: $max16 > $max4")
+    // seeds always survive at any k (first occupant of their own cell)
+    SimilarityOps.semdedup(spark, sf, 16)
+      .filter(col("vec_id") < 16).collect()
+      .foreach(r => assert(r.getBoolean(2), s"seed ${r.getLong(0)} dropped"))
+  }
+
   test("q125 bm25: 50 ranked hits, scores descending, hits contain a query term") {
     val df = TextOps.q125.build(spark, sf).cache()
     assert(df.count() === 50)
