@@ -1005,9 +1005,10 @@ object TextOps {
       val nAvg = dl.agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
           .as("avgdl"))
-      val wTop = Window.orderBy(col("cnt").desc, col("tok").asc)
+      // vocab top-3 via TakeOrderedAndProject — never window-sort the
+      // whole vocabulary on one task
       val qterms = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+        .orderBy(col("cnt").desc, col("tok").asc).limit(3)
         .select("tok")
       val dfreq = toks.join(broadcast(qterms), "tok")
         .groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
@@ -1028,9 +1029,9 @@ object TextOps {
         .groupBy("doc_id")
         .agg(sum(round(col("contrib"), 6).cast("decimal(18,6)"))
           .cast("decimal(18,6)").as("score_dec"))
-      val wR = Window.orderBy(col("score_dec").desc, col("doc_id").asc)
-      scored.withColumn("rank", row_number().over(wR).cast("long"))
-        .filter(col("rank") <= 50)
+      // global top-50 via TakeOrderedAndProject, rank over 50 survivors
+      graft.plans.TopKOps.rankedTopK(scored,
+          Seq(col("score_dec").desc, col("doc_id").asc), 50)
         .select(col("rank"), col("doc_id"),
           col("score_dec").cast("double").as("score"))
         .orderBy("rank")
@@ -1167,9 +1168,8 @@ object TextOps {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val toks = tokensWithPos(docs).select("doc_id", "tok")
-      val wTop = Window.orderBy(col("cnt").desc, col("tok").asc)
       val qterms = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+        .orderBy(col("cnt").desc, col("tok").asc).limit(3)
         .select("tok")
       val rel = toks.distinct().join(broadcast(qterms), "tok")
         .groupBy("doc_id").agg(count(lit(1)).as("rel"))
@@ -1452,9 +1452,8 @@ object TextOps {
       val pres = tokensWithPos(Tables.documents(s, dir))
         .select("doc_id", "tok").distinct()
       val dfreq = pres.groupBy("tok").agg(count(lit(1)).as("n"))
-      val wTop = Window.orderBy(col("n").desc, col("tok").asc)
-      val top = dfreq.withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= 50).select("tok", "n")
+      val top = dfreq.orderBy(col("n").desc, col("tok").asc).limit(50)
+        .select("tok", "n")
       val sel = pres.join(broadcast(top), "tok")
       val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
       sel.as("a").join(sel.as("b"),
@@ -1625,9 +1624,8 @@ object TextOps {
     (s, dir) => {
       val bm = q125.build(s, dir).select(col("rank").as("rank_a"), col("doc_id"))
       val toks = tokensWithPos(Tables.documents(s, dir)).select("doc_id", "tok")
-      val wTop = Window.orderBy(col("cnt").desc, col("tok").asc)
       val qterms = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+        .orderBy(col("cnt").desc, col("tok").asc).limit(3)
         .select("tok")
       val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
       val dfreq = toks.join(broadcast(qterms), "tok")
@@ -1851,16 +1849,15 @@ object TextOps {
           size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
             .cast("long").as("n_tokens"),
           length(col("text")).cast("long").as("n_chars"))
-      val ra = docs
-        .select(col("doc_id"), row_number().over(
-          Window.orderBy(col("n_tokens").desc, col("doc_id").asc))
-          .cast("long").as("ra"))
-        .filter(col("ra") <= K)
-      val rb = docs
-        .select(col("doc_id"), row_number().over(
-          Window.orderBy(col("n_chars").desc, col("doc_id").asc))
-          .cast("long").as("rb"))
-        .filter(col("rb") <= K)
+      // both top-20 cuts via TakeOrderedAndProject + bounded rank —
+      // a doc-grain unpartitioned window would sort the corpus once
+      // per ranker
+      val ra = graft.plans.TopKOps.rankedTopK(docs,
+          Seq(col("n_tokens").desc, col("doc_id").asc), K, "ra")
+        .select("doc_id", "ra")
+      val rb = graft.plans.TopKOps.rankedTopK(docs,
+          Seq(col("n_chars").desc, col("doc_id").asc), K, "rb")
+        .select("doc_id", "rb")
       val joint = ra.join(rb, "doc_id")
         .select(greatest(col("ra"), col("rb")).as("m"))
       val depths = s.range(1, K + 1).select(col("id").as("d"))

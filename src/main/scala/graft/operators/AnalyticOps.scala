@@ -1060,16 +1060,16 @@ object AnalyticOps {
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val w = Window.orderBy(col("support").desc, col("part_a").asc,
-        col("part_b").asc)
-      li.as("a").join(li.as("b"),
+      val pairs = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
         .groupBy(col("a.l_partkey").as("part_a"),
           col("b.l_partkey").as("part_b"))
         .agg(count(lit(1)).as("support"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 50)
+      // top-50 via TakeOrderedAndProject, rank over the 50 survivors —
+      // the pair relation is huge at scale; never window-sort it whole
+      graft.plans.TopKOps.rankedTopK(pairs,
+          Seq(col("support").desc, col("part_a").asc, col("part_b").asc), 50)
         .orderBy("rank")
     },
     Some("""WITH li AS (
@@ -1181,16 +1181,15 @@ object AnalyticOps {
         .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("p"))
         .agg(min(col("o_orderdate")).as("first_d"),
           max(col("o_orderdate")).as("last_d"))
-      val w = Window.orderBy(col("support").desc, col("part_a").asc,
-        col("part_b").asc)
-      spans.as("a").join(spans.as("b"),
+      val pairs = spans.as("a").join(spans.as("b"),
           col("a.cust") === col("b.cust") &&
             col("a.first_d") < col("b.last_d") &&
             col("a.p") =!= col("b.p"))
         .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
         .agg(count(lit(1)).as("support"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 50)
+      // top-50 via TakeOrderedAndProject + bounded rank (the q109 fix)
+      graft.plans.TopKOps.rankedTopK(pairs,
+          Seq(col("support").desc, col("part_a").asc, col("part_b").asc), 50)
         .orderBy("rank")
     },
     Some("""WITH ol AS (

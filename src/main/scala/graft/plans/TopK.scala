@@ -183,6 +183,23 @@ case class FinalTopKExec(
 /** User-facing API for the native per-key top-k. */
 object TopKOps {
 
+  /** Distributed GLOBAL top-k with a rank column: the k-bounded
+    * selection runs as TakeOrderedAndProject (per-partition bounded
+    * heaps, one k-row driver merge — never a full-relation sort), then
+    * the row_number window ranks the K survivors only. Drop-in
+    * replacement for the `row_number().over(Window.orderBy(...))`
+    * + `filter(rank <= k)` anti-pattern, whose unpartitioned window
+    * sorts the whole relation on ONE task. The ordering must be total
+    * (unique tiebreak) — same determinism contract as row_number. */
+  def rankedTopK(df: DataFrame, order: Seq[Column], k: Int,
+      rankCol: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    df.orderBy(order: _*).limit(k)
+      .withColumn(rankCol,
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+  }
+
   /** The k best rows per key under `order` (pass `col.desc`/`col.asc`
     * sort columns; bare columns default to ascending), with a `rank`
     * column (= row_number, 1-based). Make the ordering total — include

@@ -1,9 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 /** The versioned table as a registered Spark data source — the SQL
@@ -46,7 +46,8 @@ import org.apache.spark.sql.types.StructType
   * directory-listing contract a manifest-pinned file set exists to
   * replace.
   */
-class GraftDataSource extends RelationProvider with DataSourceRegister {
+class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -58,6 +59,41 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
     val version = params.get("versionasof").orElse(params.get("version"))
       .map(_.trim.toInt).getOrElse(-1)
     GraftDataSource.relation(sqlContext.sparkSession, table, version)
+  }
+
+  /** The write surface: `df.write.format("graft").mode(m).save(path)`
+    * commits through the table format's OCC protocol — Append adds a
+    * version carrying the previous file set, Overwrite publishes a
+    * replacing version (old versions stay time-travelable; nothing is
+    * deleted until vacuum), ErrorIfExists/Ignore consult the manifest
+    * history. `option("statsColumns", "a,b")` harvests the min/max
+    * skipping sidecar as part of the commit — the write-side half of
+    * the read path's file pruning. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val table = params.getOrElse("path", throw new IllegalArgumentException(
+      "graft datasource: the 'path' option (table root) is required"))
+    val existing = Sources.latestVersion(table)
+    val committed: Option[Int] = mode match {
+      case SaveMode.Append =>
+        Some(Sources.commitVersion(data, table))
+      case SaveMode.Overwrite =>
+        Some(Sources.commitVersion(data, table, overwrite = true))
+      case SaveMode.ErrorIfExists =>
+        if (existing > 0) throw new IllegalStateException(
+          s"graft table $table already has $existing committed version(s)")
+        Some(Sources.commitVersion(data, table))
+      case SaveMode.Ignore =>
+        if (existing > 0) None else Some(Sources.commitVersion(data, table))
+    }
+    committed.foreach { v =>
+      params.get("statscolumns").map(_.split(",").map(_.trim).toSeq
+        .filter(_.nonEmpty)).filter(_.nonEmpty)
+        .foreach(cols =>
+          Sources.commitStats(data.sparkSession, table, v, cols))
+    }
+    GraftDataSource.relation(sqlContext.sparkSession, table, -1)
   }
 }
 

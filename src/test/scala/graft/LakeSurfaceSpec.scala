@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.Sources
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -192,6 +193,41 @@ class LakeSurfaceSpec extends SparkTestBase {
     if (!java.nio.file.Files.exists(p)) Nil
     else scala.jdk.CollectionConverters.ListHasAsScala(
       java.nio.file.Files.readAllLines(p)).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  test("write surface: df.write.format(graft) commits versions with stats; " +
+    "modes honor manifest history") {
+    import spark.implicits._
+    val t = tmp("gwrite") + "/t"
+    val d1 = (1L to 100L).toDF("k").withColumn("v", col("k") * 2)
+    // ErrorIfExists on a fresh table commits v1
+    d1.repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.format("graft").mode(SaveMode.ErrorIfExists)
+      .option("statsColumns", "k").save(t)
+    assert(Sources.latestVersion(t) === 1)
+    // ...and refuses a second time
+    intercept[Exception] {
+      d1.write.format("graft").mode(SaveMode.ErrorIfExists).save(t)
+    }
+    // Ignore is a no-op on an existing table
+    d1.write.format("graft").mode(SaveMode.Ignore).save(t)
+    assert(Sources.latestVersion(t) === 1)
+    // Append carries v1's files; Overwrite replaces
+    (101L to 120L).toDF("k").withColumn("v", col("k") * 2)
+      .write.format("graft").mode(SaveMode.Append).save(t)
+    assert(Sources.latestVersion(t) === 2)
+    assert(spark.read.format("graft").load(t).count() === 120)
+    assert(spark.read.format("graft").option("versionAsOf", 1)
+      .load(t).count() === 100)
+    d1.limit(7).write.format("graft").mode(SaveMode.Overwrite).save(t)
+    assert(spark.read.format("graft").load(t).count() === 7)
+    assert(spark.read.format("graft").option("versionAsOf", 2)
+      .load(t).count() === 120)
+    // the statsColumns option produced a skipping sidecar for v1
+    val (kept, skipped) = Sources.pruneFiles(t, 1, "k",
+      BigDecimal(1), BigDecimal(10))
+    assert(skipped.nonEmpty && kept.nonEmpty,
+      s"expected write-side stats to enable skipping, kept=${kept.size}")
   }
 
   test("rejected checked commit leaves no batch directory behind") {
