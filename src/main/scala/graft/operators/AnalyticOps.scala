@@ -2763,9 +2763,75 @@ object AnalyticOps {
            |FROM events GROUP BY 1 ORDER BY day""".stripMargin)
   )
 
+  /** Q197 — GROUPING SETS with explicit grouping bits: the
+    * (priority × status) cell grid, both one-dimension rollups, and the
+    * grand total in ONE aggregation pass — the generalized form of
+    * q13's ROLLUP that BI layers emit for cross-tab totals. The
+    * grouping level is computed as `grouping(a)·2 + grouping(b)`
+    * EXPLICITLY rather than via `grouping_id()` so both engines state
+    * the identical bit order (standard SQL GROUPING, 1 = aggregated
+    * away). Scale shape: Spark expands the sets map-side and feeds one
+    * combinable HashAggregate — no per-set re-scan.
+    */
+  val q197 = Query(
+    "q197_grouping_sets",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("gs_orders")
+      s.sql("""SELECT o_orderpriority, o_orderstatus,
+              |       CAST(grouping(o_orderpriority) * 2 +
+              |            grouping(o_orderstatus) AS BIGINT) AS lvl,
+              |       COUNT(*) AS n,
+              |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+              |            AS DECIMAL(18,4)) AS DOUBLE) AS rev
+              |FROM gs_orders
+              |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+              |                        (o_orderpriority), (o_orderstatus), ())
+              |ORDER BY lvl, o_orderpriority, o_orderstatus""".stripMargin)
+    },
+    Some("""SELECT o_orderpriority, o_orderstatus,
+           |       CAST(grouping(o_orderpriority) * 2 +
+           |            grouping(o_orderstatus) AS BIGINT) AS lvl,
+           |       CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+           |            AS DECIMAL(18,4)) AS DOUBLE) AS rev
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+           |                        (o_orderpriority), (o_orderstatus), ())
+           |ORDER BY lvl, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+  )
+
+  /** Q198 — LATERAL per-group top-k (each nation's 3 highest-balance
+    * customers), stated as the correlated subquery a SQL user writes.
+    * The point is what Catalyst DOES with it: DecorrelateInnerQuery
+    * rewrites the per-nation ORDER BY … LIMIT into a window
+    * PARTITIONED BY the correlation key — the exact scale-correct plan
+    * [[graft.plans.TopKOps.topKPerKey]] builds natively — so the naive
+    * SQL formulation and the hand-optimized one converge. Tiebreak
+    * c_name (unique) keeps the cut deterministic in both engines.
+    */
+  val q198 = Query(
+    "q198_lateral_topk",
+    (s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("lat_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
+      s.sql("""SELECT n.n_name, t.c_name, t.c_acctbal
+              |FROM lat_nation n,
+              |LATERAL (SELECT c_name, c_acctbal FROM lat_customer c
+              |         WHERE c.c_nationkey = n.n_nationkey
+              |         ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+              |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+    },
+    Some("""SELECT n.n_name, t.c_name, t.c_acctbal
+           |FROM nation n,
+           |LATERAL (SELECT c_name, c_acctbal FROM customer c
+           |         WHERE c.c_nationkey = n.n_nationkey
+           |         ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+           |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115, q180, q181,
     q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142,
-    q144, q148, q149, q153, q156, q159, q160, q161, q166, q190)
+    q144, q148, q149, q153, q156, q159, q160, q161, q166, q190, q197, q198)
 }

@@ -768,4 +768,59 @@ class AnalyticSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got === expect)
   }
+
+  test("q197 grouping sets: levels telescope to the same total; one Expand pass") {
+    val df = AnalyticOps.q197.build(spark, sf).cache()
+    val byLvl = df.groupBy("lvl").agg(sum("n").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = Tables.orders(spark, sf).count()
+    // every grouping level partitions the same fact set
+    assert(byLvl === Map(0L -> total, 1L -> total, 2L -> total, 3L -> total))
+    // one scan: the sets come from ONE Expand + aggregate, not per-set re-scans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert("FileScan|Scan parquet".r.findAllIn(plan).size <= 1 ||
+      plan.contains("InMemory")) // cached: the point is no 4x scan fan-out
+    df.unpersist()
+  }
+
+  test("q198 lateral top-k: decorrelates to a PARTITIONED window; " +
+    "equals the native per-key top-k") {
+    val df = AnalyticOps.q198.build(spark, sf)
+    val rows = df.collect()
+    // 25 nations x up to 3 customers
+    assert(rows.length === 75)
+    // Catalyst must rewrite the correlated LIMIT into a window
+    // partitioned by the correlation key — never an unpartitioned sort
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec        => nodes(q.plan)
+        case o                        => o.children.flatMap(nodes)
+      })
+    val ns = nodes(df.queryExecution.executedPlan)
+    assert(ns.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty)
+    assert(ns.exists {
+      case w: WindowExec => w.partitionSpec.nonEmpty
+      case w: WindowGroupLimitExec => w.partitionSpec.nonEmpty
+      case _ => false
+    }, "expected a partitioned window/group-limit from decorrelation")
+    // value parity with the hand-built partitioned-window top-k
+    import org.apache.spark.sql.expressions.Window
+    val nat = Tables.customer(spark, sf).join(
+        Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("n_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_name").asc)))
+      .filter(col("rk") <= 3)
+      .select("n_name", "c_name", "c_acctbal")
+      .orderBy(col("n_name"), col("c_acctbal").desc, col("c_name"))
+      .collect()
+    assert(rows.toSeq === nat.toSeq)
+  }
 }
