@@ -172,4 +172,33 @@ class PropertySpec extends SparkTestBase {
     val clean = sample(spk.range(0, 10000, 1, 4).toDF("id"))
     assert(withRetry === clean)
   }
+
+  test("property: withExactRank == unpartitioned row_number for random " +
+    "data (heavy ties), any bucket count, both directions") {
+    import spark.implicits._
+    // heavy duplicate values stress the boundary-tiling argument: rows
+    // equal on the value column MUST still rank identically because the
+    // composite boundary includes the unique tiebreak
+    val dataGen = Gen.listOfN(300, Gen.choose(0, 9))
+    seeds.foreach { s =>
+      val vals = sample(dataGen, s)
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (v.toLong, i.toLong) }.toDF("v", "id")
+        .repartition(7) // scatter rows so buckets span partitions
+      for ((asc, buckets) <- Seq((true, 2), (true, 32), (false, 5))) {
+        val ord =
+          if (asc) Seq(col("v").asc, col("id").asc)
+          else Seq(col("v").desc, col("id").asc)
+        val expected = df.withColumn("rn",
+            row_number().over(Window.orderBy(ord: _*)).cast("long"))
+          .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(2)))
+        val got = graft.operators.ScaleOps.withExactRank(df, "rn",
+            Seq("v" -> asc, "id" -> true), buckets = buckets,
+            sampleFraction = 0.5)
+          .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(2)))
+        assert(got.toSeq === expected.toSeq,
+          s"seed=$s asc=$asc buckets=$buckets")
+      }
+    }
+  }
 }
