@@ -550,22 +550,40 @@ object Sources {
     // without touching the data — what makes per-commit stats O(delta)
     val carried: Map[(String, String), (BigDecimal, BigDecimal)] =
       if (carryFrom > 0) statsOf(table, carryFrom) else Map.empty
+    val carriedStr: Map[(String, String), (String, String)] =
+      if (carryFrom > 0) statsOfString(table, carryFrom) else Map.empty
     val (have, need) = files.partition(f =>
-      cols.forall(c => carried.contains((f, c))))
+      cols.forall(c => carried.contains((f, c)) ||
+        carriedStr.contains((f, c))))
     val computed = if (need.isEmpty) Seq.empty[String] else {
       val df = spark.read.parquet(need: _*)
-      // min/max rendered as plain strings, NOT rounded through a fixed
-      // decimal scale: a half-up-rounded stored max below the true max
-      // would let pruning drop files that contain matching rows (the
+      val strCols = cols.filter(c =>
+        df.schema.fields.exists(f => f.name == c &&
+          f.dataType == org.apache.spark.sql.types.StringType)).toSet
+      // numeric min/max rendered as plain strings, NOT rounded through a
+      // fixed decimal scale: a half-up-rounded stored max below the true
+      // max would let pruning drop files that contain matching rows (the
       // one bug class a stats sidecar must never have). BigDecimal
       // parses the full double/decimal/integer renderings exactly;
       // unparseable values (NaN/Infinity) and all-NULL files simply get
       // no stats row — unstatted means never pruned.
+      //
+      // STRING columns (the lang/source/category predicates that
+      // dominate text-corpus scans) get tagged `S:`+base64 lines — a
+      // pre-string reader's BigDecimal parse fails on the tag and
+      // degrades to "no stats" (never a wrong prune). ASCII-only guard:
+      // Spark computes string min/max in UTF-8 binary order while the
+      // driver-side prune compares UTF-16 code units; the two agree
+      // exactly on ASCII and can diverge beyond it, so non-ASCII bounds
+      // are simply not written (conservative, file always read).
       val aggs = cols.flatMap(c => Seq(
         org.apache.spark.sql.functions.min(col(c))
           .cast("string").as(s"min_$c"),
         org.apache.spark.sql.functions.max(col(c))
           .cast("string").as(s"max_$c")))
+      def asciiOk(s: String) = s.forall(_ < 128) && s.length <= 256
+      def b64(s: String) = java.util.Base64.getEncoder
+        .encodeToString(s.getBytes("UTF-8"))
       df.groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().toSeq
@@ -573,6 +591,10 @@ object Sources {
           val file = r.getString(0).stripPrefix("file://")
           cols.zipWithIndex.flatMap { case (c, i) =>
             (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))) match {
+              case (Some(lo), Some(hi)) if strCols.contains(c) =>
+                if (asciiOk(lo) && asciiOk(hi))
+                  Some(s"$file\t$c\tS:${b64(lo)}\tS:${b64(hi)}")
+                else None
               case (Some(lo), Some(hi))
                   if scala.util.Try(BigDecimal(lo)).isSuccess &&
                     scala.util.Try(BigDecimal(hi)).isSuccess =>
@@ -582,8 +604,13 @@ object Sources {
           }
         }
     }
-    val carriedLines = have.flatMap(f => cols.map { c =>
-      val (lo, hi) = carried((f, c)); s"$f\t$c\t$lo\t$hi"
+    val carriedLines = have.flatMap(f => cols.flatMap { c =>
+      carried.get((f, c)).map { case (lo, hi) => s"$f\t$c\t$lo\t$hi" }
+        .orElse(carriedStr.get((f, c)).map { case (lo, hi) =>
+          val enc = java.util.Base64.getEncoder
+          s"$f\t$c\tS:${enc.encodeToString(lo.getBytes("UTF-8"))}" +
+            s"\tS:${enc.encodeToString(hi.getBytes("UTF-8"))}"
+        })
     })
     val lines = (carriedLines ++ computed).sorted
     val dir = java.nio.file.Paths.get(table)
@@ -717,6 +744,28 @@ object Sources {
         // a malformed/legacy line must degrade to "no stats" (file
         // always read), never to a read-path exception
         scala.util.Try((f, c) -> (BigDecimal(lo), BigDecimal(hi))).toOption
+      }.toMap
+  }
+
+  /** (file, col) -> (min, max) STRING stats for a version — the tagged
+    * `S:`+base64 lines [[commitStats]] writes for string columns.
+    * Malformed lines degrade to "no stats" (file always read), same
+    * contract as the numeric map. */
+  def statsOfString(table: String,
+      version: Int): Map[(String, String), (String, String)] = {
+    val p = java.nio.file.Paths.get(table, s"v$version.stats")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala
+      .filter(_.nonEmpty)
+      .flatMap { line =>
+        scala.util.Try {
+          val Array(f, c, lo, hi) = line.split("\t", 4)
+          require(lo.startsWith("S:") && hi.startsWith("S:"))
+          val dec = java.util.Base64.getDecoder
+          (f, c) -> (new String(dec.decode(lo.drop(2)), "UTF-8"),
+            new String(dec.decode(hi.drop(2)), "UTF-8"))
+        }.toOption
       }.toMap
   }
 
