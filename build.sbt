@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness json-parses the tail of sbt's stdout. Two
+// things broke that in every round so far (BENCH_r0{1,2,3}.json all
+// show "parsed": null): the logger's "[info] " prefix on each forked-
+// process line, and the trailing "[success] Total time" banner landing
+// after the JSON line. Stream forked output raw and drop the banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -9,57 +9,140 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata (training-data-pipeline
   * mandate).
   *
-  * The container has no media codecs, so the decode step is a STUB — a
-  * deterministic fake "decoder" ([[FakeMedia.decode]]) — but the
-  * Spark-side plumbing is real: a binary column, a typed batch decode
-  * over `mapPartitions` (one decoder init per partition, the same batch
-  * shape a JNI/FFI decoder would need), and a columnar metadata path
-  * that stays inside WholeStageCodegen.
+  * The image path is a REAL codec round trip: [[ImageCodec]] encodes
+  * deterministic grayscale PNGs and decodes arbitrary payloads through
+  * the JDK's `javax.imageio` (pure-Java PNG/JPEG plugins — no external
+  * codecs needed, headless-safe). [[decodeMedia]] runs that decoder
+  * over `mapPartitions` (per-partition decoder lifecycle, the batch
+  * shape a JNI/FFI video decoder would also need); [[q199]] pins it
+  * with an exact DuckDB oracle: the generated image's dimensions and
+  * pixel sum are predictable in closed form, so a hash match proves the
+  * decoder extracted REAL header fields and REAL raster samples from
+  * real PNG bytes. Audio/video stay header-stub territory (no codecs in
+  * the JDK), but share the same plumbing.
   */
 object MultimodalOps {
 
-  /** A decoded media record — what a real image decoder would yield. */
+  /** A decoded media record: actual encoded size, actual decoded
+    * dimensions/bands, exact band-0 sample sum, payload digest. */
   final case class MediaMeta(
       doc_id: Long, byte_len: Long, width: Long, height: Long,
-      frames: Long, digest: String)
+      channels: Long, px_sum: Long, digest: String)
 
-  /** STUBBED decoder: a real implementation would parse the codec
-    * header / frames here (e.g. via a per-partition JNI handle). The
-    * fake derives deterministic "dimensions" from the payload so tests
-    * and oracles stay exact. */
-  object FakeMedia {
-    def decode(docId: Long, payload: Array[Byte], nChars: Long): MediaMeta = {
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(payload).map("%02x".format(_)).mkString
-      MediaMeta(
-        doc_id = docId,
-        byte_len = payload.length.toLong,
-        width = payload.length.toLong % 640 + 1,
-        height = nChars % 480 + 1,
-        frames = docId % 30 + 1,
-        digest = digest)
+  /** Real PNG encode/decode via `javax.imageio` — the JDK ships a
+    * pure-Java PNG plugin, so this runs in any headless executor. */
+  object ImageCodec {
+
+    /** Deterministic w×h grayscale PNG: sample(x, y) = (x + y + seed)
+      * mod 256. 8-bit gray PNG is lossless, so the decode side recovers
+      * these exact samples — what makes an exact cross-engine oracle
+      * possible for a binary codec. */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          raster.setSample(x, y, 0, ((x + y + seed) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
+
+    /** Decode any image payload the JDK recognizes: (width, height,
+      * bands, band-0 sample sum). Undecodable/corrupt payloads yield
+      * None — a 100 TB corpus always contains broken files, and a
+      * decoder that throws kills the task instead of routing the row to
+      * a quarantine side-output. */
+    def decodeMeta(payload: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))).map { img =>
+        val r = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += r.getSample(x, y, 0)
+            x += 1
+          }
+          y += 1
+        }
+        (img.getWidth, img.getHeight, r.getNumBands, sum)
+      } catch { case _: java.io.IOException => None }
   }
 
-  /** Typed batch-decode path: binary payloads → `mapPartitions` decode
-    * (per-partition decoder lifecycle, vectorizable batch shape). Used
-    * by tests to prove the plumbing; q36 computes the same result
-    * columnar for the oracle. */
+  /** Per-doc deterministic image dimensions (small: tests and oracle
+    * stay cheap; the decode path is size-oblivious). */
+  private[graft] def dimsOf(docId: Long): (Int, Int) =
+    ((docId % 24 + 4).toInt, (docId % 16 + 4).toInt)
+
+  /** Typed batch-decode path: synthesize each doc's PNG payload (the
+    * bytes a real pipeline would pull from object storage / a [[q82]]
+    * bundle), then REALLY decode it back through `javax.imageio` in the
+    * same partition — an executor-distributed encode→decode round trip.
+    * Every emitted field comes from the DECODED image, not the
+    * generation parameters; a doc whose payload fails to decode fails
+    * loudly here (the quarantine form is `flatMap` over
+    * [[ImageCodec.decodeMeta]]). */
   def decodeMedia(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        col("n_chars"))
-      .as[(Long, Array[Byte], Long)]
-      .mapPartitions { rows =>
-        // one decoder init per partition would live here
-        rows.map { case (id, payload, nChars) => FakeMedia.decode(id, payload, nChars) }
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // a JNI/FFI decoder would init once per partition here
+        ids.map { id =>
+          val (w, h) = dimsOf(id)
+          val payload = ImageCodec.encodePng(w, h, id)
+          val (dw, dh, bands, pxSum) = ImageCodec.decodeMeta(payload)
+            .getOrElse(throw new IllegalStateException(
+              s"payload of doc $id did not decode"))
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(payload).map("%02x".format(_)).mkString
+          MediaMeta(id, payload.length.toLong, dw.toLong, dh.toLong,
+            bands.toLong, pxSum, digest)
+        }
       }
   }
 
-  /** Q36 — multimodal metadata extraction, columnar formulation (binary
-    * cast + octet_length + sha2 + the deterministic fake-decode
-    * arithmetic), hash-checked against DuckDB. */
+  /** Q199 — the real-decode gate: dimensions and exact pixel sum read
+    * from DECODED PNG rasters, hash-checked against the closed-form
+    * oracle (the encoder writes sample (x+y+id) mod 256, so DuckDB can
+    * predict the sum without ever seeing a PNG byte). PNG byte length
+    * and digest are excluded: they pin the JDK encoder's compression
+    * choices, not the decode contract. */
+  val q199 = Query(
+    "q199_png_decode",
+    (s, dir) => {
+      import s.implicits._
+      decodeMedia(s, dir)
+        .map(m => (m.doc_id, m.width, m.height, m.channels, m.px_sum))
+        .toDF("doc_id", "width", "height", "channels", "px_sum")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT d.doc_id,
+           |       CAST(d.doc_id % 24 + 4 AS BIGINT) AS width,
+           |       CAST(d.doc_id % 16 + 4 AS BIGINT) AS height,
+           |       CAST(1 AS BIGINT) AS channels,
+           |       CAST(SUM((x.x + y.y + d.doc_id) % 256) AS BIGINT) AS px_sum
+           |FROM documents d,
+           |     LATERAL (SELECT unnest(range(0, d.doc_id % 24 + 4)) AS x) x,
+           |     LATERAL (SELECT unnest(range(0, d.doc_id % 16 + 4)) AS y) y
+           |GROUP BY d.doc_id
+           |ORDER BY d.doc_id""".stripMargin)
+  )
+
+  /** Q36 — typed-metadata extraction over opaque binary payloads,
+    * columnar formulation (binary cast + octet_length + sha2 + derived
+    * synthetic dimensions), hash-checked against DuckDB. This is the
+    * metadata-column path (stays inside WholeStageCodegen, no decoder);
+    * the REAL decode path is [[q199]]. */
   val q36 = Query(
     "q36_multimodal_meta",
     (s, dir) =>
@@ -203,5 +286,5 @@ object MultimodalOps {
       }
   }
 
-  val all: Seq[Query] = Seq(q36, q63, q64, q82)
+  val all: Seq[Query] = Seq(q36, q63, q64, q82, q199)
 }

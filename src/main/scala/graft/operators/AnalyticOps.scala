@@ -2432,8 +2432,14 @@ object AnalyticOps {
         .groupBy(col("o_orderpriority"), col("b"))
         .agg(sum(col("w")).as("n_b"),
           sum(col("w") * col("units")).as("s_units"))
+        // mean6 through a decimal(38,0) intermediate: 200·s_units in
+        // BIGINT overflows around SF50-100 (where Spark would wrap
+        // silently while DuckDB raises — cross-engine divergence at
+        // exactly the scale this device exists for); decimal(38,0) here
+        // / HUGEINT oracle-side buy ~1e19 more headroom, and `div`
+        // still lands the quotient back in BIGINT
         .withColumn("mean6",
-          expr("(2 * s_units * 100 + n_b) div (2 * n_b)"))
+          expr("(2 * cast(s_units as decimal(38,0)) * 100 + n_b) div (2 * n_b)"))
       val wR = Window.partitionBy("o_orderpriority")
         .orderBy(col("mean6").asc, col("b").asc)
       val bands = reps.withColumn("rn", row_number().over(wR))
@@ -2476,7 +2482,7 @@ object AnalyticOps {
            |  GROUP BY 1, 2),
            |means AS (
            |  SELECT o_orderpriority, b,
-           |         (2 * s_units * 100 + n_b) // (2 * n_b) AS mean6
+           |         (2 * CAST(s_units AS HUGEINT) * 100 + n_b) // (2 * n_b) AS mean6
            |  FROM reps),
            |bands AS (
            |  SELECT o_orderpriority,

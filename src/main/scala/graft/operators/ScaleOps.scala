@@ -67,12 +67,24 @@ object ScaleOps {
     val sortCols = order.map { case (c, asc) =>
       if (asc) col(c).asc else col(c).desc
     }
+    // null-aware, matching Spark's default null ordering: asc → NULLS
+    // FIRST, desc → NULLS LAST (so a NULL key is the sort-order minimum
+    // under asc and the maximum under desc, in BOTH the driver-side
+    // sample sort and the codegen'd bucket predicate below — a
+    // direction-dependent rule, which is why it cannot live in cmpAny)
     def rowLt(a: Row, b: Row): Boolean = {
       var i = 0
       while (i < order.length) {
-        val c = cmpAny(a.get(i), b.get(i))
-        val signed = if (order(i)._2) c else -c
-        if (signed != 0) return signed < 0
+        val asc = order(i)._2
+        val an = a.isNullAt(i); val bn = b.isNullAt(i)
+        if (an || bn) {
+          if (an != bn) return if (asc) an else bn
+          // both null: tied on this column, fall through
+        } else {
+          val c = cmpAny(a.get(i), b.get(i))
+          val signed = if (asc) c else -c
+          if (signed != 0) return signed < 0
+        }
         i += 1
       }
       false
@@ -83,16 +95,28 @@ object ScaleOps {
     val step = math.max(1, sample.length / buckets)
     val bnds = (1 until buckets).map(_ * step)
       .filter(_ < sample.length).map(sample).distinct
-    // row >= boundary, lexicographic, honoring per-column direction
+    // row >= boundary, lexicographic, honoring per-column direction AND
+    // null position (asc: NULLS FIRST, desc: NULLS LAST). A NULL row
+    // value under asc makes `c > lb` evaluate to NULL, which when(...)
+    // counts as 0 — exactly "before every non-null boundary", so that
+    // case is correct for free; desc needs the explicit `|| c.isNull`
+    // (null sorts AFTER every boundary) and a null BOUNDARY needs its
+    // own branch (lit(null) comparisons would void the whole chain).
     def geRow(b: Row): Column = {
       def rec(i: Int): Column =
         if (i == order.length) lit(true)
         else {
           val (name, asc) = order(i)
           val c = col(name)
-          val lb = lit(b.get(i))
-          val gt = if (asc) c > lb else c < lb
-          gt || (c <=> lb && rec(i + 1))
+          if (b.isNullAt(i)) {
+            // null boundary sits at the very front (asc) / back (desc)
+            val gt = if (asc) c.isNotNull else lit(false)
+            gt || (c.isNull && rec(i + 1))
+          } else {
+            val lb = lit(b.get(i))
+            val gt = if (asc) c > lb else (c < lb) || c.isNull
+            gt || (c <=> lb && rec(i + 1))
+          }
         }
       rec(0)
     }

@@ -48,6 +48,7 @@ class ManifestFileIndex(spark: SparkSession, table: String,
     Sources.filesOf(table, v).map(f => fs.getFileStatus(new Path(f)))
   }
   private val stats = Sources.statsOf(table, v)
+  private val strStats = Sources.statsOfString(table, v)
 
   override def rootPaths: Seq[Path] = Seq(new Path(table))
   override def partitionSchema: StructType = StructType(Nil)
@@ -110,17 +111,74 @@ class ManifestFileIndex(spark: SparkSession, table: String,
     perCol.toMap
   }
 
+  /** String-column bounds from the pushed predicates — the read-side
+    * consumer of [[Sources.commitStats]]'s `S:`+base64 sidecar lines
+    * (lang/source/category predicates that dominate text-corpus scans).
+    * Comparison safety: stored bounds are write-side-guarded to ASCII,
+    * and UTF-8 binary order (Spark's string min/max) agrees with Java's
+    * UTF-16 compareTo whenever ONE side is pure ASCII — the first
+    * differing position pits an ASCII unit against anything, and ASCII
+    * sorts below every non-ASCII unit in both encodings — so an
+    * arbitrary query literal against ASCII bounds can never misorder. */
+  private def stringBoundsOf(filters: Seq[Expression])
+      : Map[String, (Option[String], Option[String])] = {
+    def lit(e: Expression): Option[String] = e match {
+      case Literal(null, _) => None
+      case Literal(s, org.apache.spark.sql.types.StringType) =>
+        Option(s).map(_.toString)
+      case _ => None
+    }
+    val perCol = scala.collection.mutable.Map
+      .empty[String, (Option[String], Option[String])]
+    def add(name: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (l0, h0) = perCol.getOrElse(name, (None, None))
+      perCol(name) = (
+        (l0 ++ lo).reduceOption((a, b) => if (a.compareTo(b) >= 0) a else b),
+        (h0 ++ hi).reduceOption((a, b) => if (a.compareTo(b) <= 0) a else b))
+    }
+    filters.foreach {
+      case GreaterThanOrEqual(a: AttributeReference, l) => add(a.name, lit(l), None)
+      case GreaterThan(a: AttributeReference, l) => add(a.name, lit(l), None)
+      case LessThanOrEqual(a: AttributeReference, l) => add(a.name, None, lit(l))
+      case LessThan(a: AttributeReference, l) => add(a.name, None, lit(l))
+      case EqualTo(a: AttributeReference, l) => add(a.name, lit(l), lit(l))
+      case GreaterThanOrEqual(l, a: AttributeReference) => add(a.name, None, lit(l))
+      case GreaterThan(l, a: AttributeReference) => add(a.name, None, lit(l))
+      case LessThanOrEqual(l, a: AttributeReference) => add(a.name, lit(l), None)
+      case LessThan(l, a: AttributeReference) => add(a.name, lit(l), None)
+      case EqualTo(l, a: AttributeReference) => add(a.name, lit(l), lit(l))
+      case In(a: AttributeReference, vs) if vs.nonEmpty =>
+        val bds = vs.map(lit)
+        if (bds.forall(_.isDefined)) {
+          val xs = bds.flatten
+          add(a.name, Some(xs.min), Some(xs.max))
+        }
+      case And(x, y) =>
+        val inner = stringBoundsOf(Seq(x, y))
+        inner.foreach { case (n, (lo, hi)) => add(n, lo, hi) }
+      case _ => ()
+    }
+    perCol.toMap
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = boundsOf(dataFilters)
+    val strBounds = stringBoundsOf(dataFilters)
     val kept =
-      if (bounds.isEmpty) statuses
+      if (bounds.isEmpty && strBounds.isEmpty) statuses
       else statuses.filter { st =>
         val f = st.getPath.toUri.getPath
         bounds.forall { case (c, (lo, hi)) =>
           stats.get((f, c)) match {
             case Some((mn, mx)) =>
               lo.forall(mx >= _) && hi.forall(mn <= _)
+            case None => true // no stats row: must keep
+          }
+        } && strBounds.forall { case (c, (lo, hi)) =>
+          strStats.get((f, c)) match {
+            case Some((mn, mx)) =>
+              lo.forall(mx.compareTo(_) >= 0) && hi.forall(mn.compareTo(_) <= 0)
             case None => true // no stats row: must keep
           }
         }

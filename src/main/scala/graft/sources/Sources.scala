@@ -270,8 +270,19 @@ object Sources {
     * a bounded attempt count turns pathological contention into a loud
     * failure instead of livelock. */
   def commitVersion(df: DataFrame, table: String,
-      overwrite: Boolean = false): Int =
-    publishNextVersion(table, writeBatch(df, table), overwrite)
+      overwrite: Boolean = false): Int = {
+    val files = writeBatch(df, table)
+    try publishNextVersion(table, files, overwrite,
+      batchSchema = Some(df.schema))
+    catch { case e: IllegalArgumentException =>
+      // schema-incompatible append (or exhausted publish race): nothing
+      // was published, so the just-written batch would be stranded —
+      // delete it before surfacing the rejection
+      files.headOption.foreach(f =>
+        deleteBatchDir(java.nio.file.Paths.get(f).getParent))
+      throw e
+    }
+  }
 
   /** Write `df` as an immutable, uniquely-named batch directory under
     * the table and return its file list — the data half of every
@@ -306,14 +317,32 @@ object Sources {
     * [[mergeVersion]]/[[rollbackTo]], whose semantics do not commute
     * with a racing commit — they DETECT the conflict instead. */
   private def publishNextVersion(table: String, newFiles: Seq[String],
-      overwrite: Boolean): Int = {
+      overwrite: Boolean, batchSchema: Option[StructType] = None): Int = {
     var attempt = 0
     while (true) {
       val prev = latestVersion(table)
       val next = prev + 1
       val carried = if (overwrite || prev == 0) Nil else filesOf(table, prev)
+      // Declared-schema carry-forward: once a table has been evolved
+      // (some prior version pinned a sidecar), a PLAIN append must not
+      // silently revert the read surface to "footer of the first data
+      // file" — with mixed file generations that is an arbitrary
+      // generation, and evolved columns can vanish from SQL reads. So
+      // an append onto a declared version re-declares: previous schema
+      // evolved by the incoming batch's (strict — a narrowing batch is
+      // REJECTED here, before any manifest is published, same contract
+      // as commitVersionEvolving). Overwrites replace the file set
+      // wholesale, so the batch footer IS the schema — no sidecar.
+      // Computed before the publish so an incompatible batch fails
+      // without claiming a version number.
+      val declaredNext: Option[StructType] =
+        if (overwrite || prev == 0) None
+        else batchSchema.flatMap(bs =>
+          declaredSchema(table, prev).map(ds =>
+            evolveSchema(ds, bs, Map.empty)))
       try {
         publishManifest(table, next, carried ++ newFiles)
+        declaredNext.foreach(publishSchema(table, next, _))
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -872,7 +901,12 @@ object Sources {
       val newFiles = spark.read.parquet(batch.toString)
         .select(org.apache.spark.sql.functions.input_file_name())
         .distinct().collect().map(_.getString(0).stripPrefix("file://")).sorted
-      Right(publishNextVersion(table, newFiles, overwrite))
+      try Right(publishNextVersion(table, newFiles, overwrite,
+        batchSchema = Some(df.schema)))
+      catch { case e: IllegalArgumentException =>
+        deleteBatchDir(batch) // incompatible-schema rejection: no strand
+        throw e
+      }
     }
   }
 

@@ -24,6 +24,10 @@ class LakeSurfaceSpec extends SparkTestBase {
     def go(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
       p match {
         case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        // AQE wraps materialized stages in leaf QueryStageExec nodes —
+        // children is empty, the real subtree hangs off .plan
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          go(s.plan)
         case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
         case o => o.children.flatMap(go)
       }
@@ -114,6 +118,94 @@ class LakeSurfaceSpec extends SparkTestBase {
     Sources.vacuumVersions(t, keepLast = 1)
     assert(Sources.declaredSchema(t, 1).isEmpty)
     assert(Sources.declaredSchema(t, 3).nonEmpty)
+  }
+
+  test("plain append after an evolution carries the declared schema forward; " +
+    "narrowing append rejected before any manifest publish") {
+    import spark.implicits._
+    val t = tmp("carry") + "/t"
+    Sources.commitVersionEvolving(Seq((1, 10)).toDF("id", "price"), t)
+    // evolve: id int -> long, qty appended
+    Sources.commitVersionEvolving(
+      Seq((2L, 20, 200)).toDF("id", "price", "qty"), t)
+    // a PLAIN append (no qty column) must re-declare, not fall back to
+    // "footer of the lexicographically-first file" — the pre-fix failure
+    // mode where evolved columns vanish from the SQL surface
+    val v3 = Sources.commitVersion(Seq((3L, 30)).toDF("id", "price"), t)
+    val s3 = Sources.declaredSchema(t, v3)
+    assert(s3.nonEmpty, "append dropped the schema sidecar")
+    assert(s3.get.fieldNames.toSeq === Seq("id", "price", "qty"))
+    assert(s3.get("id").dataType === LongType)
+    // the SQL surface serves all three generations under that schema
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW g_carry USING graft " +
+      s"OPTIONS (path '$t')")
+    val r = spark.sql(
+      "SELECT COUNT(*) AS n, COUNT(qty) AS n_qty, SUM(id) AS s FROM g_carry").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (3L, 1L, 6L))
+    // datasource Append path carries too
+    Seq((4L, 40, 400)).toDF("id", "price", "qty")
+      .write.format("graft").mode(SaveMode.Append).save(t)
+    val v4 = Sources.latestVersion(t)
+    assert(Sources.declaredSchema(t, v4).get.fieldNames.toSeq
+      === Seq("id", "price", "qty"))
+    // incompatible batch: boolean vs declared int price — no up-cast in
+    // either direction, so the append is rejected with the manifest
+    // history unchanged (note int->string WOULD evolve: Spark's
+    // canUpCast treats atomic->string as lossless)
+    val before = Sources.latestVersion(t)
+    intercept[IllegalArgumentException] {
+      Sources.commitVersion(Seq((true, 1L)).toDF("price", "id"), t)
+    }
+    assert(Sources.latestVersion(t) === before)
+    // ...and the rejected batch did not strand a data dir
+    val referenced = (1 to Sources.latestVersion(t))
+      .flatMap(v => readManifest(t, v))
+      .map(f => java.nio.file.Paths.get(f).getParent.getFileName.toString)
+      .toSet
+    val onDisk = Option(new java.io.File(t, "data").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    assert((onDisk -- referenced).isEmpty,
+      s"stranded batch dirs: ${onDisk -- referenced}")
+    // an OVERWRITE wipes the file set: batch schema rules again
+    Sources.commitVersion(Seq((9, 9)).toDF("id", "price"), t, overwrite = true)
+    assert(Sources.schemaOf(spark, t, Sources.latestVersion(t))
+      .fieldNames.toSeq === Seq("id", "price"))
+  }
+
+  test("string stats prune files through the SQL surface (lang-style predicate)") {
+    import spark.implicits._
+    val t = tmp("strstats") + "/docs"
+    // 8 files, each a single language — the text-corpus layout where
+    // string skipping pays
+    val langs = Seq("ar", "de", "en", "es", "fr", "it", "ja", "pt")
+    val df = langs.zipWithIndex.flatMap { case (l, i) =>
+      (0 until 50).map(j => (i * 50 + j, l, s"doc $j in $l"))
+    }.toDF("doc_id", "lang", "body")
+    val v = Sources.commitVersion(
+      df.repartitionByRange(8, col("lang")).sortWithinPartitions("lang"), t)
+    Sources.commitStats(spark, t, v, Seq("lang", "doc_id"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW g_docs USING graft " +
+      s"OPTIONS (path '$t')")
+    // NB: collect(), not head() — head() routes through a separate
+    // limit(1) QueryExecution, leaving this frame's plan unexecuted and
+    // its numFiles metrics at zero
+    val q = spark.sql("SELECT COUNT(*) AS n FROM g_docs WHERE lang = 'en'")
+    assert(q.collect().head.getLong(0) === 50)
+    val scanned = scansOf(q).map(_.metrics("numFiles").value).sum
+    assert(scanned < 8 && scanned >= 1,
+      s"string-equality predicate should skip files, scanned $scanned of 8")
+    // range + IN shapes prune as well, and results stay exact
+    val q2 = spark.sql(
+      "SELECT COUNT(*) AS n FROM g_docs WHERE lang >= 'es' AND lang <= 'fr'")
+    assert(q2.collect().head.getLong(0) === 100)
+    assert(scansOf(q2).map(_.metrics("numFiles").value).sum < 8)
+    val q3 = spark.sql(
+      "SELECT COUNT(*) AS n FROM g_docs WHERE lang IN ('ja', 'pt')")
+    assert(q3.collect().head.getLong(0) === 100)
+    assert(scansOf(q3).map(_.metrics("numFiles").value).sum < 8)
+    // non-ASCII literal against ASCII bounds: safe, still correct
+    assert(spark.sql("SELECT COUNT(*) AS n FROM g_docs WHERE lang = 'é'")
+      .collect().head.getLong(0) === 0)
   }
 
   test("mergeVersion wide-delta path: join-based file probe matches the " +

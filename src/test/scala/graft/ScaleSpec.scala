@@ -73,6 +73,26 @@ class ScaleSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("exact rank device: NULL sort keys match the window under asc AND desc") {
+    import spark.implicits._
+    // every 7th key NULL — at 5% sampling some boundary tuples will be
+    // null too, exercising both the null-row and null-boundary branches
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("v"))
+    for (asc <- Seq(true, false)) {
+      val ord = if (asc) col("v").asc else col("v").desc
+      val expected = base.withColumn("rn", row_number()
+          .over(Window.orderBy(ord, col("o_orderkey").asc)).cast("long"))
+        .orderBy("o_orderkey").collect().toSeq
+      val got = ScaleOps.withExactRank(base, "rn",
+          Seq("v" -> asc, "o_orderkey" -> true), sampleFraction = 0.5)
+        .orderBy("o_orderkey").collect().toSeq
+      assert(got === expected, s"asc=$asc diverged on NULL keys")
+    }
+  }
+
   test("ntile closed form matches the ntile window for all n in 1..25, k=4") {
     import spark.implicits._
     for (n <- 1 to 25) {

@@ -132,15 +132,48 @@ class TextDedupSpec extends SparkTestBase {
     assert(toks(1L) !== toks(2L))
   }
 
-  test("multimodal decode: mapPartitions plumbing matches columnar q36") {
-    val typed = MultimodalOps.decodeMedia(spark, sf).toDF()
-    val columnar = MultimodalOps.q36.build(spark, sf)
-    assert(typed.count() === columnar.count())
-    val joined = typed.select(col("doc_id"), col("digest").as("d1"),
-        col("width").as("w1"))
-      .join(columnar.select(col("doc_id"), col("digest"), col("width")), "doc_id")
-      .filter(col("d1") =!= col("digest") || col("w1") =!= col("width"))
-    assert(joined.count() === 0)
+  test("multimodal decode: every synthesized PNG really decodes to its " +
+    "generation parameters via javax.imageio") {
+    val metas = MultimodalOps.decodeMedia(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(metas.length.toLong === nDocs)
+    metas.foreach { m =>
+      val (w, h) = MultimodalOps.dimsOf(m.doc_id)
+      assert(m.width === w.toLong && m.height === h.toLong,
+        s"doc ${m.doc_id}: decoded ${m.width}x${m.height}, expected ${w}x$h")
+      assert(m.channels === 1L)
+      // exact pixel sum: Σ over raster of (x + y + id) mod 256 — proves
+      // the decoder read the SAMPLES, not just the header
+      var expect = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        expect += (x + y + m.doc_id) % 256
+      assert(m.px_sum === expect, s"doc ${m.doc_id} pixel sum")
+      // a PNG is bigger than its 8-byte signature and carries one
+      assert(m.byte_len > 8L)
+    }
+  }
+
+  test("image decode handles corrupt and non-image payloads gracefully") {
+    import MultimodalOps.ImageCodec
+    val good = ImageCodec.encodePng(12, 9, 7L)
+    assert(ImageCodec.decodeMeta(good).contains((12, 9, 1, {
+      var s = 0L
+      for (y <- 0 until 9; x <- 0 until 12) s += (x + y + 7) % 256
+      s
+    })))
+    // truncated PNG: decoder must not throw
+    assert(ImageCodec.decodeMeta(good.take(20)).isEmpty)
+    // arbitrary non-image bytes
+    assert(ImageCodec.decodeMeta("not an image".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.decodeMeta(Array.emptyByteArray).isEmpty)
+    // RGB decode reports 3 bands (decoder is not gray-only)
+    val img = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rgb = ImageCodec.decodeMeta(bos.toByteArray)
+    assert(rgb.map(r => (r._1, r._2, r._3)).contains((5, 4, 3)))
   }
 
   test("q82 media bundles reconstruct every payload by (offset, len) slice") {
