@@ -629,6 +629,64 @@ object DedupOps {
     * all-shared-shingle semantics; identical results prove the
     * pruning lossless.
     */
+  /** The exact PPJoin+ candidate stage over any (doc_id, sh) relation:
+    * rare-first prefixes, length filter, and the POSITIONAL overlap
+    * upper bound — all three lossless for J ≥ 0.6.
+    *
+    * The positional filter is the skew armor: a match on prefix ranks
+    * (ra, rb) bounds the whole intersection by 1 + min(na−ra, nb−rb)
+    * (every other common shingle sits after the match in BOTH
+    * rare-first orders, because the earliest common shingle is globally
+    * smallest), so a pair must satisfy 8·(1 + min(na−ra, nb−rb)) ≥
+    * 3·(na+nb) at SOME shared prefix shingle or it cannot reach τ —
+    * correct because the earliest shared prefix shingle always carries
+    * the loosest bound. Heavy shingles are doubly disarmed: rare-first
+    * ordering pushes a high-df shingle out of every prefix that has
+    * rarer content, and where one does slip into a big bucket, only
+    * low-rank×low-rank rank pairs survive the bound — candidate volume
+    * per bucket collapses from |bucket|² to the near-duplicate mass
+    * (spec-pinned on a 50 %-hot-shingle corpus). Returns distinct
+    * (a_doc, b_doc). */
+  private[graft] def setSimCandidates(sh: DataFrame): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(freq, "sh").join(sz, "doc_id")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc))
+        .cast("long"))
+      .filter(col("r") <= col("n") - expr("(3 * n + 4) div 5") + lit(1))
+      .select("doc_id", "sh", "n", "r")
+      .localCheckpoint()
+    prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          lit(5L) * least(col("a.n"), col("b.n")) >=
+            lit(3L) * greatest(col("a.n"), col("b.n")) &&
+          lit(8L) * (lit(1L) + least(col("a.n") - col("a.r"),
+            col("b.n") - col("b.r"))) >=
+            lit(3L) * (col("a.n") + col("b.n")))
+      .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+      .distinct()
+  }
+
+  /** Full exact set-similarity pipeline over any (doc_id, sh) relation:
+    * [[setSimCandidates]] → shared-shingle count → τ predicate. */
+  private[graft] def setSimPairs(sh: DataFrame): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = setSimCandidates(sh)
+      .join(sh.select(col("doc_id").as("a_doc"), col("sh")), "a_doc")
+      .join(sh.select(col("doc_id").as("b_doc"), col("sh")), Seq("b_doc", "sh"))
+      .groupBy("a_doc", "b_doc").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.select(col("doc_id").as("a_doc"), col("n").as("na")), "a_doc")
+      .join(sz.select(col("doc_id").as("b_doc"), col("n").as("nb")), "b_doc")
+      .filter(lit(5L) * col("n_inter") >=
+        lit(3L) * (col("na") + col("nb") - col("n_inter")))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .select("a_doc", "b_doc", "n_inter", "jaccard")
+      .orderBy("a_doc", "b_doc")
+  }
+
   val q137 = Query(
     "q137_setsim_prefix",
     (s, dir) => {
@@ -641,34 +699,7 @@ object DedupOps {
       // 2.4× SLOWER here: candidate volume × array payload beats the
       // explode's shuffle. The aggregation form is the right one when
       // prefixes admit many candidates.)
-      val sh = shingles(s, dir).localCheckpoint()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      val prefix = sh.join(freq, "sh").join(sz, "doc_id")
-        .withColumn("r", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)))
-        .filter(col("r") <= col("n") - expr("(3 * n + 4) div 5") + lit(1))
-        .select("doc_id", "sh", "n")
-        .localCheckpoint()
-      val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-            lit(5L) * least(col("a.n"), col("b.n")) >=
-              lit(3L) * greatest(col("a.n"), col("b.n")))
-        .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
-        .distinct()
-      val inter = cand
-        .join(sh.select(col("doc_id").as("a_doc"), col("sh")), "a_doc")
-        .join(sh.select(col("doc_id").as("b_doc"), col("sh")), Seq("b_doc", "sh"))
-        .groupBy("a_doc", "b_doc").agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sz.select(col("doc_id").as("a_doc"), col("n").as("na")), "a_doc")
-        .join(sz.select(col("doc_id").as("b_doc"), col("n").as("nb")), "b_doc")
-        .filter(lit(5L) * col("n_inter") >=
-          lit(3L) * (col("na") + col("nb") - col("n_inter")))
-        .withColumn("jaccard", col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter")).cast("double"))
-        .select("a_doc", "b_doc", "n_inter", "jaccard")
-        .orderBy("a_doc", "b_doc")
+      setSimPairs(shingles(s, dir).localCheckpoint())
     },
     Some(s"""WITH $shinglesSql,
             |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),

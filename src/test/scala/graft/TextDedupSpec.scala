@@ -91,7 +91,10 @@ class TextDedupSpec extends SparkTestBase {
     val total = bf.count()
     val recall = hits.toDouble / total
     info(f"PQ recall@1 = $recall%.3f ($hits/$total)")
-    assert(recall >= 0.8, f"PQ recall@1 $recall%.3f ($hits/$total)")
+    // trained per-subspace codebook holds 0.96 on this fixture (the
+    // first-K-seeds codebook it replaced measured the same but with no
+    // margin in how codewords cover the subspace density)
+    assert(recall >= 0.96, f"PQ recall@1 $recall%.3f ($hits/$total)")
     // deterministic end-to-end: same codebook, same codes, same answer
     val again = SimilarityOps.q173.build(spark, sf).collect()
     val first = SimilarityOps.q173.build(spark, sf).collect()
@@ -99,7 +102,22 @@ class TextDedupSpec extends SparkTestBase {
       .sameElements(again.map(r => (r.getLong(0), r.getLong(1)))))
   }
 
-  test("q31d IVF ANN: recall@1 >= 0.8 vs brute force") {
+  test("lloyd codebook training is deterministic and covers all clusters") {
+    val pts = Array.tabulate(200)(i =>
+      Array.tabulate(4)(j => ((i * 31 + j * 7) % 97).toDouble))
+    val a = SimilarityOps.lloyd(pts, 16)
+    val b = SimilarityOps.lloyd(pts, 16)
+    assert(a.length === 16)
+    a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    // converged centroids are means of their members: every centroid
+    // must lie inside the data's bounding box
+    val lo = (0 until 4).map(j => pts.map(_(j)).min)
+    val hi = (0 until 4).map(j => pts.map(_(j)).max)
+    a.foreach(c => (0 until 4).foreach(j =>
+      assert(c(j) >= lo(j) && c(j) <= hi(j))))
+  }
+
+  test("q31d IVF ANN: recall@1 >= 0.9 vs brute force (trained centroids)") {
     val bf = SimilarityOps.q31.build(spark, sf)
       .select(col("a_id"), col("sim").as("bf_sim"))
     val ivf = SimilarityOps.q31d.build(spark, sf)
@@ -111,7 +129,9 @@ class TextDedupSpec extends SparkTestBase {
     val total = bf.count()
     val recall = hits.toDouble / total
     info(f"IVF recall@1 = $recall%.3f ($hits/$total)")
-    assert(recall >= 0.8, f"IVF recall@1 $recall%.3f ($hits/$total)")
+    // lloyd-converged coarse quantizer: 0.96 measured at nprobe=4
+    // (was 0.82 with the single-iteration centroids)
+    assert(recall >= 0.9, f"IVF recall@1 $recall%.3f ($hits/$total)")
   }
 
   test("q32 langid: every doc classified, score >= 0") {
@@ -512,6 +532,57 @@ class TextDedupSpec extends SparkTestBase {
       assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / u) < 1e-12)
       assert(r.getDouble(3) >= 0.6 - 1e-12)
     }
+  }
+
+  test("setsim skew armor: a shingle in 50% of docs yields candidates " +
+    "== near-dup mass, never a quadratic bucket; output stays exact") {
+    import spark.implicits._
+    // 445 docs, one shingle HOT in half of them:
+    //  - 200 docs {HOT} ∪ 9 unique shingles  (distinct content)
+    //  - 200 docs with 10 unique shingles    (clean background)
+    //  - 5 true near-dup pairs sharing 8/10 unique shingles (J=0.667)
+    //  - 20 identical docs {HOT, x, y}       (true-dup clique, J=1)
+    val rows = Seq.newBuilder[(Long, String)]
+    for (i <- 0 until 200) {
+      rows += ((i.toLong, "HOT"))
+      for (j <- 0 until 9) rows += ((i.toLong, s"u_${i}_$j"))
+    }
+    for (i <- 200 until 400; j <- 0 until 10)
+      rows += ((i.toLong, s"u_${i}_$j"))
+    for (i <- 0 until 5) {
+      for (j <- 0 until 8) {
+        rows += ((1000L + i, s"p_${i}_$j")); rows += ((2000L + i, s"p_${i}_$j"))
+      }
+      for (j <- 8 until 10) {
+        rows += ((1000L + i, s"a_${i}_$j")); rows += ((2000L + i, s"b_${i}_$j"))
+      }
+    }
+    for (i <- 3000 until 3020)
+      Seq("HOT", "xx", "yy").foreach(t => rows += ((i.toLong, t)))
+    val sh = rows.result().toDF("doc_id", "sh").repartition(8).cache()
+
+    val cands = DedupOps.setSimCandidates(sh).cache()
+    val nCand = cands.count()
+    // the HOT bucket alone would be 220·219/2 = 24 090 naive pairs;
+    // rare-first prefixes exclude HOT wherever a doc has rarer content,
+    // so candidates collapse to exactly the true near-dup mass:
+    // 5 injected pairs + C(20,2) identical-doc pairs (irreducible —
+    // they ARE the output)
+    assert(nCand === 5L + 190L, s"candidate stage produced $nCand pairs")
+
+    // and the pruning is still lossless: output == naive brute force
+    val sets = rows.result().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val ids = sets.keys.toSeq.sorted
+    val naive = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = (sets(a) & sets(b)).size.toLong
+      if 5 * inter >= 3 * (sets(a).size + sets(b).size - inter)
+    } yield (a, b, inter)).toSet
+    val got = DedupOps.setSimPairs(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === naive)
+    assert(naive.size === 195)
   }
 
   test("q138 negative sampling: 3 cross-lang negatives per doc, md5-deterministic") {
