@@ -2835,9 +2835,107 @@ object AnalyticOps {
            |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
   )
 
+  /** Q200 — the TPC-H Q21 operator shape: multi-correlated EXISTS /
+    * NOT EXISTS self-joins against the fact ("suppliers who were the
+    * ONLY late supplier on a multi-supplier finished order", restated
+    * on this fixture's columns with a fixed lateness cutoff). The
+    * point is the plan: Catalyst's RewritePredicateSubquery turns the
+    * EXISTS into a LEFT SEMI and the NOT EXISTS into a LEFT ANTI join
+    * on l_orderkey (spec-asserted) — each lineitem-side subquery is
+    * scanned ONCE and shuffled on the join key, never re-executed per
+    * outer row, which is what makes the correlated-SQL form safe at
+    * fact scale. Non-equi conjuncts (l_suppkey <>) ride along as join
+    * conditions. */
+  val q200 = Query(
+    "q200_exists_waiters",
+    (s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("w_supplier")
+      Tables.lineitem(s, dir).createOrReplaceTempView("w_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("w_orders")
+      Tables.nation(s, dir).createOrReplaceTempView("w_nation")
+      s.sql("""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+              |FROM w_supplier, w_lineitem l1, w_orders, w_nation
+              |WHERE s_suppkey = l1.l_suppkey
+              |  AND o_orderkey = l1.l_orderkey
+              |  AND o_orderstatus = 'F'
+              |  AND l1.l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+              |  AND EXISTS (SELECT 1 FROM w_lineitem l2
+              |              WHERE l2.l_orderkey = l1.l_orderkey
+              |                AND l2.l_suppkey <> l1.l_suppkey)
+              |  AND NOT EXISTS (SELECT 1 FROM w_lineitem l3
+              |                  WHERE l3.l_orderkey = l1.l_orderkey
+              |                    AND l3.l_suppkey <> l1.l_suppkey
+              |                    AND l3.l_shipdate > TIMESTAMP '1999-01-01 00:00:00')
+              |  AND s_nationkey = n_nationkey
+              |GROUP BY s_name
+              |ORDER BY numwait DESC, s_name""".stripMargin)
+    },
+    Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+           |FROM supplier, lineitem l1, orders, nation
+           |WHERE s_suppkey = l1.l_suppkey
+           |  AND o_orderkey = l1.l_orderkey
+           |  AND o_orderstatus = 'F'
+           |  AND l1.l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+           |  AND EXISTS (SELECT 1 FROM lineitem l2
+           |              WHERE l2.l_orderkey = l1.l_orderkey
+           |                AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+           |                  WHERE l3.l_orderkey = l1.l_orderkey
+           |                    AND l3.l_suppkey <> l1.l_suppkey
+           |                    AND l3.l_shipdate > TIMESTAMP '1999-01-01 00:00:00')
+           |  AND s_nationkey = n_nationkey
+           |GROUP BY s_name
+           |ORDER BY numwait DESC, s_name""".stripMargin)
+  )
+
+  /** Q201 — the TPC-H Q17 operator shape: correlated scalar AGGREGATE
+    * subqueries against the fact ("revenue from below-one-fifth-of-
+    * average-quantity line items, per brand"). Catalyst decorrelates
+    * each scalar subquery into a standalone per-partkey aggregate
+    * LEFT-OUTER-joined back on the correlation key — the fact is
+    * scanned a bounded number of times total (once per distinct
+    * subquery), never per row. The threshold predicate is pure integer
+    * arithmetic (5·q·cnt < Σq on BIGINTs — quantities are integral) so
+    * the boundary is exact cross-engine; revenue follows the exact-
+    * decimal-then-one-division rule. */
+  val q201 = Query(
+    "q201_corr_agg_smallqty",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("sq_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("sq_part")
+      s.sql("""SELECT p_brand,
+              |       CAST(count(*) AS BIGINT) AS n_small,
+              |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+              |            AS DECIMAL(18,4)) AS DOUBLE) / 7.0 AS avg_yearly
+              |FROM sq_lineitem l, sq_part p
+              |WHERE p.p_partkey = l.l_partkey
+              |  AND 5 * CAST(l.l_quantity AS BIGINT) *
+              |      (SELECT count(*) FROM sq_lineitem l2
+              |       WHERE l2.l_partkey = p.p_partkey)
+              |      < (SELECT CAST(SUM(CAST(l3.l_quantity AS BIGINT)) AS BIGINT)
+              |         FROM sq_lineitem l3 WHERE l3.l_partkey = p.p_partkey)
+              |GROUP BY p_brand
+              |ORDER BY p_brand""".stripMargin)
+    },
+    Some("""SELECT p_brand,
+           |       CAST(count(*) AS BIGINT) AS n_small,
+           |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+           |            AS DECIMAL(18,4)) AS DOUBLE) / 7.0 AS avg_yearly
+           |FROM lineitem l, part p
+           |WHERE p.p_partkey = l.l_partkey
+           |  AND 5 * CAST(l.l_quantity AS BIGINT) *
+           |      (SELECT count(*) FROM lineitem l2
+           |       WHERE l2.l_partkey = p.p_partkey)
+           |      < (SELECT CAST(SUM(CAST(l3.l_quantity AS BIGINT)) AS BIGINT)
+           |         FROM lineitem l3 WHERE l3.l_partkey = p.p_partkey)
+           |GROUP BY p_brand
+           |ORDER BY p_brand""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115, q180, q181,
     q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142,
-    q144, q148, q149, q153, q156, q159, q160, q161, q166, q190, q197, q198)
+    q144, q148, q149, q153, q156, q159, q160, q161, q166, q190, q197, q198,
+    q200, q201)
 }

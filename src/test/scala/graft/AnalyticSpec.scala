@@ -823,4 +823,48 @@ class AnalyticSpec extends SparkTestBase {
       .collect()
     assert(rows.toSeq === nat.toSeq)
   }
+
+  test("q200 EXISTS/NOT EXISTS waiters: decorrelated to semi + anti joins, " +
+    "no per-row re-scan") {
+    val df = AnalyticOps.q200.build(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // counts are per-(supplier, qualifying lineitem): numwait sums to
+    // the number of qualifying l1 rows, each counted exactly once
+    assert(rows.map(_.getLong(1)).sum > 0)
+    // RewritePredicateSubquery must plan LEFT SEMI (EXISTS) and LEFT
+    // ANTI (NOT EXISTS) joins; a correlated re-execution would surface
+    // as a subquery node per outer row instead
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join in plan:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join in plan:\n$plan")
+    // the optimized logical plan carries no residual correlated
+    // predicate subqueries
+    val lp = df.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("exists#"), "EXISTS survived decorrelation")
+  }
+
+  test("q201 correlated scalar aggregates: decorrelated to joined " +
+    "aggregates; threshold is exact integer arithmetic") {
+    val df = AnalyticOps.q201.build(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // decorrelation: no ScalarSubquery left in the optimized plan — the
+    // per-partkey aggregates become standalone subtrees joined back
+    val lp = df.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("scalar-subquery"),
+      s"scalar subquery survived decorrelation:\n$lp")
+    // value parity with a direct two-aggregate formulation
+    val li = Tables.lineitem(spark, sf)
+    val perPart = li.groupBy("l_partkey").agg(
+      count(lit(1)).as("cnt"),
+      sum(col("l_quantity").cast("long")).as("qsum"))
+    val expect = li.join(Tables.part(spark, sf),
+        col("p_partkey") === col("l_partkey"))
+      .join(perPart, "l_partkey")
+      .filter(lit(5L) * col("l_quantity").cast("long") * col("cnt") < col("qsum"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n_small"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap === expect)
+  }
 }
