@@ -146,5 +146,73 @@ object LakeOps {
            |FROM ext, v1 GROUP BY chan, n_v1 ORDER BY chan""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q179, q196)
+  /** Q202 — the DSv2 catalog surface end-to-end, oracle-gated: a
+    * [[graft.sources.GraftCatalog]] is registered on the session, then
+    * the WHOLE lifecycle runs as catalog SQL — `CREATE TABLE`
+    * (declared-schema v1), two `INSERT INTO` commits (v2, v3), a
+    * file-granular `DELETE FROM … WHERE` (v4), and a final read that
+    * joins the head state with a `VERSION AS OF 2` time-travel witness.
+    * The oracle restates the end state relationally over the raw
+    * fixture — a hash match proves CREATE + OCC INSERT + COW DELETE +
+    * SQL time travel compose to the declared semantics with no API
+    * calls in the query path.
+    *
+    * Catalog instances are cached per session by NAME, so the catalog
+    * name carries the sf-dir hash — each fixture gets its own pinned
+    * warehouse, rebuilt from scratch each run (the q179 device). */
+  val q202 = Query(
+    "q202_catalog_dml",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-cat-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val cat = s"gq_${math.abs(dir.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root.toString)
+      Tables.orders(s, dir).createOrReplaceTempView("dml_orders_src")
+      s.sql(s"""CREATE TABLE $cat.orders_dml (
+               |  o_orderkey BIGINT, o_custkey BIGINT,
+               |  o_totalprice DOUBLE, o_orderpriority STRING)""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.orders_dml
+               |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+               |FROM dml_orders_src WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.orders_dml
+               |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+               |FROM dml_orders_src WHERE o_orderkey % 2 = 1""".stripMargin)
+      // predicate shapes Spark can push as source filters (SupportsDelete
+      // refuses untranslatable conditions rather than guessing)
+      s.sql(s"DELETE FROM $cat.orders_dml " +
+        "WHERE o_orderpriority = '1-URGENT' OR o_orderkey < 50")
+      val head = s.sql(
+        s"SELECT o_orderpriority, o_totalprice FROM $cat.orders_dml")
+      val witness = s.sql(
+        s"SELECT COUNT(*) AS n_v2 FROM $cat.orders_dml VERSION AS OF 2")
+      head.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .crossJoin(witness)
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderpriority, o_totalprice FROM orders
+           |  WHERE o_orderpriority <> '1-URGENT' AND o_orderkey >= 50),
+           |v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_v2 FROM orders
+           |       WHERE o_orderkey % 2 = 0)
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |       n_v2
+           |FROM base, v2
+           |GROUP BY o_orderpriority, n_v2 ORDER BY o_orderpriority""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q179, q196, q202)
 }

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, LogicalRelation, PartitionDirectory, PartitioningAwareFileIndex, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
@@ -36,7 +36,15 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType,
   * task already opened.
   */
 class ManifestFileIndex(spark: SparkSession, table: String,
-    version: Int = -1) extends FileIndex {
+    version: Int = -1)
+  extends PartitioningAwareFileIndex(spark, Map.empty, None,
+    FileStatusCache.getOrCreate(spark)) {
+  // PartitioningAwareFileIndex (not the bare FileIndex trait) so ONE
+  // index class serves both read stacks: the V1 HadoopFsRelation
+  // (`USING graft`, accepts any FileIndex) and the DSv2 FileTable
+  // catalog path (which requires this class). The leaf-file maps are
+  // the manifest's pinned set; the pruning listFiles below overrides
+  // the base implementation outright.
 
   private val v =
     if (version < 0) Sources.latestVersion(table) else version
@@ -51,7 +59,15 @@ class ManifestFileIndex(spark: SparkSession, table: String,
   private val strStats = Sources.statsOfString(table, v)
 
   override def rootPaths: Seq[Path] = Seq(new Path(table))
-  override def partitionSchema: StructType = StructType(Nil)
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+  override def leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+    statuses.foreach(st => m += (st.getPath -> st))
+    m
+  }
+  override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    statuses.groupBy(_.getPath.getParent)
+      .map { case (d, fs) => d -> fs.toArray }
   override def inputFiles: Array[String] =
     statuses.map(_.getPath.toString).toArray
   override def sizeInBytes: Long = statuses.map(_.getLen).sum

@@ -910,6 +910,79 @@ object Sources {
     }
   }
 
+  /** ALTER TABLE as a metadata-only commit: re-publish the latest
+    * version's exact file set under `schema` as a new version. Zero
+    * data movement; conflict-detecting (an ALTER racing a data commit
+    * must not silently drop the racer's files). */
+  def alterSchema(table: String, schema: StructType): Int = {
+    val v = latestVersion(table)
+    require(v > 0, s"$table has no committed versions")
+    val next = publishIfLatest(table, v, filesOf(table, v), "alter")
+    publishSchema(table, next, schema)
+    next
+  }
+
+  /** Create an empty table: version 1 is an empty file set whose
+    * declared schema is the DDL schema — what `CREATE TABLE g.t (...)`
+    * through [[GraftCatalog]] publishes. Readers of v1 see an empty
+    * relation under exactly that schema; the first data commit evolves
+    * from it like any append. */
+  def createEmptyTable(table: String, schema: StructType): Int = {
+    require(latestVersion(table) == 0,
+      s"$table already has committed versions")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    publishManifest(table, 1, Nil)
+    publishSchema(table, 1, schema)
+    1
+  }
+
+  /** File-granular copy-on-write DELETE: files that `fileMayMatch`
+    * proves cannot contain a matching row are carried untouched into
+    * the new version (no read, no write); the rest are rewritten with
+    * the negated predicate. SQL semantics: rows where the predicate is
+    * NULL survive. Conflict-detecting publish (a racing commit fails
+    * the delete loudly); stats and declared schema carry forward.
+    * Returns (new version, files rewritten, files carried) — with a
+    * provable no-op (zero affected files) the CURRENT version is
+    * returned unchanged, no empty commit. */
+  def deleteWhere(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column,
+      fileMayMatch: String => Boolean = _ => true): (Int, Int, Int) = {
+    val v = latestVersion(table)
+    require(v > 0, s"$table has no committed versions")
+    val files = filesOf(table, v)
+    val (affected, carried) = files.partition(fileMayMatch)
+    if (affected.isEmpty) return (v, 0, carried.length)
+    val survivors = spark.read.parquet(affected: _*)
+      .filter(!coalesce(cond, lit(false)))
+    val batch = java.nio.file.Paths.get(table, "data",
+      s"batch-delete-${java.util.UUID.randomUUID().toString.take(8)}")
+    survivors.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    // a delete that empties every affected file writes no part files at
+    // all — the batch dir then holds only _SUCCESS and a parquet read
+    // would fail on schema inference
+    val hasParts = Option(batch.toFile.listFiles).getOrElse(Array.empty)
+      .exists(_.getName.endsWith(".parquet"))
+    val newFiles =
+      if (!hasParts) Seq.empty[String]
+      else spark.read.parquet(batch.toString)
+        .select(org.apache.spark.sql.functions.input_file_name())
+        .distinct().collect().map(_.getString(0).stripPrefix("file://"))
+        .sorted.toSeq
+    val next =
+      try publishIfLatest(table, v, carried ++ newFiles, "delete")
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          deleteBatchDir(batch); throw e
+      }
+    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    val stattedCols = statsOf(table, v).keys.map(_._2).toSeq.distinct ++
+      statsOfString(table, v).keys.map(_._2).toSeq.distinct
+    if (stattedCols.nonEmpty)
+      commitStats(spark, table, next, stattedCols.distinct, carryFrom = v)
+    (next, affected.length, carried.length)
+  }
+
   /** Change data feed between two versions — what a downstream consumer
     * replays instead of re-reading the table (Delta's CDF, derived here
     * from the manifest structure alone): because data files are

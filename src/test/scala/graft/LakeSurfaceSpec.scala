@@ -245,6 +245,115 @@ class LakeSurfaceSpec extends SparkTestBase {
     assert(ra.toSeq === rb.toSeq)
   }
 
+  test("DSv2 catalog: CREATE/INSERT/DELETE/time-travel SQL routes to the " +
+    "versioned format; catalog reads skip files via manifest stats") {
+    import graft.sources.Sources
+    val wh = tmp("gcat")
+    spark.conf.set("spark.sql.catalog.g", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g.warehouse", wh)
+
+    // CREATE TABLE publishes v1: empty file set + declared schema
+    spark.sql("CREATE TABLE g.orders_c (k BIGINT, grp STRING, v DOUBLE)")
+    val dir = s"$wh/orders_c"
+    assert(Sources.latestVersion(dir) === 1)
+    assert(spark.sql("SELECT * FROM g.orders_c").count() === 0)
+
+    // INSERT INTO appends through the OCC commit
+    spark.sql("""INSERT INTO g.orders_c
+                |SELECT id AS k, concat('g', CAST(id % 4 AS STRING)) AS grp,
+                |       CAST(id AS DOUBLE) / 2 AS v
+                |FROM range(0, 1000)""".stripMargin)
+    assert(Sources.latestVersion(dir) === 2)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM g.orders_c")
+      .collect().head.getLong(0) === 1000)
+
+    // a second INSERT carries the first batch's files
+    spark.sql("INSERT INTO g.orders_c SELECT id, 'late', 0.0 FROM range(1000, 1100)")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM g.orders_c")
+      .collect().head.getLong(0) === 1100)
+
+    // VERSION AS OF pins history through pure SQL
+    assert(spark.sql("SELECT COUNT(*) AS n FROM g.orders_c VERSION AS OF 2")
+      .collect().head.getLong(0) === 1000)
+
+    // DELETE FROM ... WHERE routes to the file-granular COW delete
+    spark.sql("DELETE FROM g.orders_c WHERE grp = 'late' OR k >= 1090")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM g.orders_c")
+      .collect().head.getLong(0) === 1000)
+    // pre-delete versions still readable
+    assert(spark.sql("SELECT COUNT(*) AS n FROM g.orders_c VERSION AS OF 3")
+      .collect().head.getLong(0) === 1100)
+
+    // INSERT OVERWRITE publishes a replacing version
+    spark.sql("INSERT OVERWRITE g.orders_c SELECT id, 'ow', 1.0 FROM range(0, 10)")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM g.orders_c")
+      .collect().head.getLong(0) === 10)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM g.orders_c VERSION AS OF 4")
+      .collect().head.getLong(0) === 1000)
+
+    // catalog reads prune via manifest stats: rebuild range-clustered
+    spark.sql("DROP TABLE g.orders_c")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+
+    spark.sql("CREATE TABLE g.orders_s (k BIGINT, v DOUBLE)")
+    val sDir = s"$wh/orders_s"
+    Sources.commitVersion(
+      spark.range(0, 10000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"), sDir)
+    Sources.commitStats(spark, sDir, Sources.latestVersion(sDir), Seq("k"))
+    val q = spark.sql("SELECT COUNT(*) AS n FROM g.orders_s WHERE k BETWEEN 100 AND 300")
+    assert(q.collect().head.getLong(0) === 201)
+    val scanned = scansOfV2(q)
+    assert(scanned < 8 && scanned >= 1,
+      s"catalog read should skip files via manifest stats, scanned $scanned of 8")
+
+    // the DELETE is file-granular: only stats-affected files rewrite
+    val vBefore = Sources.latestVersion(sDir)
+    val filesBefore = readManifest(sDir, vBefore).toSet
+    spark.sql("DELETE FROM g.orders_s WHERE k < 1250")
+    val vAfter = Sources.latestVersion(sDir)
+    val filesAfter = readManifest(sDir, vAfter).toSet
+    assert((filesBefore & filesAfter).nonEmpty,
+      "delete rewrote every file — stats pruning did not carry untouched files")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM g.orders_s")
+      .collect().head.getLong(0) === 10000 - 1250)
+
+    // ALTER TABLE ADD COLUMN: metadata-only commit, old files null-fill
+    spark.sql("ALTER TABLE g.orders_s ADD COLUMN tag STRING")
+    val r = spark.sql(
+      "SELECT COUNT(*) AS n, COUNT(tag) AS n_tag FROM g.orders_s").collect().head
+    assert(r.getLong(0) === 8750 && r.getLong(1) === 0)
+    spark.sql("INSERT INTO g.orders_s SELECT 20000, 1.0, 'tagged'")
+    assert(spark.sql("SELECT COUNT(tag) AS n FROM g.orders_s")
+      .collect().head.getLong(0) === 1)
+
+    spark.sql("DROP TABLE g.orders_s")
+  }
+
+  /** numFiles summed over v2 BatchScans (and any v1 scans) in the
+    * AQE-final plan. */
+  private def scansOfV2(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def go(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case s: QueryStageExec => go(s.plan)
+        case o => o.children.flatMap(go)
+      })
+    go(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.length.toLong).sum
+          case _ => 0L
+        }
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.sum
+  }
+
   test("conflict-losing merge deletes its batch: no unreferenced data dirs") {
     val orders = Tables.orders(spark, sf)
       .select("o_orderkey", "o_custkey", "o_orderpriority")
