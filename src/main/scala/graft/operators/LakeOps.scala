@@ -150,12 +150,13 @@ object LakeOps {
     * [[graft.sources.GraftCatalog]] is registered on the session, then
     * the WHOLE lifecycle runs as catalog SQL — `CREATE TABLE`
     * (declared-schema v1), two `INSERT INTO` commits (v2, v3), a
-    * file-granular `DELETE FROM … WHERE` (v4), and a final read that
+    * `MERGE INTO` through the group-based row-level rewrite (v4), a
+    * file-granular `DELETE FROM … WHERE` (v5), and a final read that
     * joins the head state with a `VERSION AS OF 2` time-travel witness.
     * The oracle restates the end state relationally over the raw
-    * fixture — a hash match proves CREATE + OCC INSERT + COW DELETE +
-    * SQL time travel compose to the declared semantics with no API
-    * calls in the query path.
+    * fixture — a hash match proves CREATE + OCC INSERT + SQL MERGE +
+    * COW DELETE + time travel compose to the declared semantics with
+    * no API calls in the query path.
     *
     * Catalog instances are cached per session by NAME, so the catalog
     * name carries the sf-dir hash — each fixture gets its own pinned
@@ -188,8 +189,18 @@ object LakeOps {
       s.sql(s"""INSERT INTO $cat.orders_dml
                |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
                |FROM dml_orders_src WHERE o_orderkey % 2 = 1""".stripMargin)
-      // predicate shapes Spark can push as source filters (SupportsDelete
-      // refuses untranslatable conditions rather than guessing)
+      // standard-SQL MERGE through SupportsRowLevelOperations: the
+      // group-based rewrite reads the target via the stats-skipping
+      // scan and commits the replacement as a new version
+      s.sql(s"""MERGE INTO $cat.orders_dml t
+               |USING (SELECT o_orderkey FROM dml_orders_src
+               |       WHERE o_orderkey % 100 = 0) src
+               |ON t.o_orderkey = src.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET o_orderpriority = '0-MERGED'
+               |""".stripMargin)
+      // predicate shapes Spark can push as source filters route to the
+      // file-granular SupportsDelete path (untranslatable ones fall
+      // back to the row-level rewrite instead of erroring)
       s.sql(s"DELETE FROM $cat.orders_dml " +
         "WHERE o_orderpriority = '1-URGENT' OR o_orderkey < 50")
       val head = s.sql(
@@ -201,8 +212,13 @@ object LakeOps {
         .crossJoin(witness)
         .orderBy("o_orderpriority")
     },
-    Some("""WITH base AS (
-           |  SELECT o_orderpriority, o_totalprice FROM orders
+    Some("""WITH merged AS (
+           |  SELECT o_orderkey, o_totalprice,
+           |         CASE WHEN o_orderkey % 100 = 0 THEN '0-MERGED'
+           |              ELSE o_orderpriority END AS o_orderpriority
+           |  FROM orders),
+           |base AS (
+           |  SELECT o_orderpriority, o_totalprice FROM merged
            |  WHERE o_orderpriority <> '1-URGENT' AND o_orderkey >= 50),
            |v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_v2 FROM orders
            |       WHERE o_orderkey % 2 = 0)

@@ -182,7 +182,8 @@ class GraftCatalog extends TableCatalog {
   * stats-skipping file index, a V1-fallback OCC write, and
   * file-granular SQL DELETE. */
 class GraftTable(spark: SparkSession, path: String, version: Int)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations {
 
   private val pinned =
     if (version < 0) Sources.latestVersion(path) else version
@@ -210,6 +211,24 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path)
+
+  // ---- MERGE INTO / UPDATE (group-based row-level operations) -------
+  //
+  // With no required metadata attributes the whole table is ONE group:
+  // Spark's RewriteMergeIntoTable / RewriteUpdateTable read the target
+  // through `newScanBuilder`, apply the merge/update actions, and hand
+  // the COMPLETE survivor+result row set to the write below — which
+  // commits it as a REPLACING version through the conflict-detecting
+  // publish. Table-granular copy-on-write: coarser than
+  // [[Sources.mergeVersion]]'s file-granular path (the API form for
+  // keyed CDC batches), but the standard-SQL MERGE surface with full
+  // WHEN MATCHED / NOT MATCHED [BY SOURCE] semantics, correct under
+  // time travel by construction. DELETEs whose predicates cannot be
+  // pushed as source filters also route here instead of erroring.
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(spark, path, this, info.command())
 
   // ---- DELETE FROM g.t WHERE ... ------------------------------------
 
@@ -326,6 +345,205 @@ object GraftTable {
       case _ => true
     }
   }
+}
+
+/** The group-based row-level operation: target scanned through the
+  * table's own stats-skipping v2 parquet scan, replacement rows written
+  * back by [[GraftBatchWrite]] as a replacing commit. */
+private[sources] class GraftRowLevelOperation(
+    spark: SparkSession, table: String, graftTable: GraftTable,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    graftTable.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new GraftBatchWrite(spark, table, info.schema())
+        }
+    }
+}
+
+/** A real DSv2 `BatchWrite` over the format: executors stream
+  * `InternalRow`s through Spark's own parquet `OutputWriter` (obtained
+  * from `ParquetFileFormat.prepareWrite` on the driver and shipped to
+  * tasks), each task commits its file names, and the driver publish is
+  * one conflict-detecting manifest swap naming exactly the committed
+  * files — the two-phase protocol every DSv2 sink implements, here
+  * ending in a versioned-table commit instead of a directory rename. */
+private[sources] class GraftBatchWrite(spark: SparkSession, table: String,
+    schema: StructType)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  private val basedOn = Sources.latestVersion(table)
+  private val batchDir = java.nio.file.Paths.get(table, "data",
+    s"batch-rlo-${java.util.UUID.randomUUID().toString.take(12)}")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(batchDir)
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    job.setOutputKeyClass(classOf[Void])
+    job.setOutputValueClass(classOf[org.apache.spark.sql.catalyst.InternalRow])
+    val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, schema)
+    new GraftDataWriterFactory(owf,
+      new SerializableConf(job.getConfiguration), batchDir.toString, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case GraftWriteMessage(fs) => fs
+    }.flatten.toSeq.sorted
+    try Sources.publishReplacing(table, basedOn, files)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        abort(messages); throw e
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    if (java.nio.file.Files.exists(batchDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(batchDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}
+
+private[sources] case class GraftWriteMessage(files: Seq[String])
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Ships the prepared Hadoop job configuration to executor tasks
+  * (Hadoop's Configuration is not Serializable; its own
+  * write/readFields round-trips every entry). */
+private[sources] class SerializableConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private[sources] class GraftDataWriterFactory(
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: SerializableConf, dir: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+      import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+      private val ctx = new TaskAttemptContextImpl(conf.value,
+        new TaskAttemptID(
+          new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId),
+          (taskId & 0x7fffffff).toInt))
+      // lazily opened so empty partitions leave no empty files behind
+      private var path: String = _
+      private var out: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      // Group-based ReplaceData rows arrive one field WIDER than the
+      // write schema: MergeRows prepends the __row_operation int, and
+      // Spark applies its stored rowProjection only for connectors
+      // that declared metadata attributes (DataAndMetadataWritingSpark-
+      // Task) — with none declared, stripping the column is the
+      // writer's job. All emitted rows are survivors to write; the op
+      // value only selects metadata handling upstream.
+      private val shifted = new OffsetRow(1)
+
+      override def write(row: InternalRow): Unit = {
+        if (out == null) {
+          path = f"$dir/part-$partitionId%05d-$taskId${owf.getFileExtension(ctx)}"
+          out = owf.newInstance(path, schema, ctx)
+        }
+        if (row.numFields == schema.length) out.write(row)
+        else {
+          require(row.numFields == schema.length + 1,
+            s"row has ${row.numFields} fields for a ${schema.length}-column write")
+          shifted.target(row)
+          out.write(shifted)
+        }
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (out != null) out.close()
+        GraftWriteMessage(if (path == null) Nil else Seq(path))
+      }
+
+      override def abort(): Unit = {
+        if (out != null) out.close()
+        if (path != null)
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+      }
+
+      override def close(): Unit = ()
+    }
+}
+
+/** A reusable view of an [[org.apache.spark.sql.catalyst.InternalRow]]
+  * with the first `offset` fields hidden — zero-allocation per row, the
+  * ProjectingInternalRow idea without the codegen dependency. */
+private[sources] final class OffsetRow(offset: Int)
+  extends org.apache.spark.sql.catalyst.InternalRow {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.DataType
+
+  private var row: InternalRow = _
+  def target(r: InternalRow): Unit = row = r
+
+  override def numFields: Int = row.numFields - offset
+  override def setNullAt(i: Int): Unit = row.setNullAt(i + offset)
+  override def update(i: Int, value: Any): Unit = row.update(i + offset, value)
+  override def copy(): InternalRow = {
+    val c = new OffsetRow(offset)
+    c.target(row.copy())
+    c
+  }
+  override def isNullAt(i: Int): Boolean = row.isNullAt(i + offset)
+  override def getBoolean(i: Int): Boolean = row.getBoolean(i + offset)
+  override def getByte(i: Int): Byte = row.getByte(i + offset)
+  override def getShort(i: Int): Short = row.getShort(i + offset)
+  override def getInt(i: Int): Int = row.getInt(i + offset)
+  override def getLong(i: Int): Long = row.getLong(i + offset)
+  override def getFloat(i: Int): Float = row.getFloat(i + offset)
+  override def getDouble(i: Int): Double = row.getDouble(i + offset)
+  override def getDecimal(i: Int, precision: Int, scale: Int) =
+    row.getDecimal(i + offset, precision, scale)
+  override def getUTF8String(i: Int) = row.getUTF8String(i + offset)
+  override def getBinary(i: Int): Array[Byte] = row.getBinary(i + offset)
+  override def getInterval(i: Int) = row.getInterval(i + offset)
+  override def getStruct(i: Int, numFields: Int) =
+    row.getStruct(i + offset, numFields)
+  override def getArray(i: Int) = row.getArray(i + offset)
+  override def getMap(i: Int) = row.getMap(i + offset)
+  override def getVariant(i: Int) = row.getVariant(i + offset)
+  override def getGeography(i: Int) = row.getGeography(i + offset)
+  override def getGeometry(i: Int) = row.getGeometry(i + offset)
+  override def get(i: Int, dataType: DataType): AnyRef =
+    row.get(i + offset, dataType)
 }
 
 /** Append/overwrite through the format's OCC commit — the V1 write

@@ -910,6 +910,18 @@ object Sources {
     }
   }
 
+  /** Publish `files` as a REPLACING version derived from `basedOn` —
+    * the commit half of the row-level-operation BatchWrite (MERGE /
+    * UPDATE rewrites): conflict-detecting because the replacement rows
+    * were computed against `basedOn`, and declared schema carries
+    * forward (the rewrite preserves the table schema). */
+  private[sources] def publishReplacing(table: String, basedOn: Int,
+      files: Seq[String]): Int = {
+    val next = publishIfLatest(table, basedOn, files, "row-level rewrite")
+    declaredSchema(table, basedOn).foreach(publishSchema(table, next, _))
+    next
+  }
+
   /** ALTER TABLE as a metadata-only commit: re-publish the latest
     * version's exact file set under `schema` as a new version. Zero
     * data movement; conflict-detecting (an ALTER racing a data commit

@@ -330,6 +330,53 @@ class LakeSurfaceSpec extends SparkTestBase {
     spark.sql("DROP TABLE g.orders_s")
   }
 
+  test("DSv2 catalog: MERGE INTO and UPDATE run as group-based row-level " +
+    "rewrites; untranslatable DELETE falls back to the rewrite") {
+    import graft.sources.Sources
+    val wh = tmp("gmerge")
+    spark.conf.set("spark.sql.catalog.gm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    spark.sql("CREATE TABLE gm.t (k BIGINT, v DOUBLE, tag STRING)")
+    spark.sql("INSERT INTO gm.t SELECT id, CAST(id AS DOUBLE), 'base' FROM range(0, 100)")
+    spark.sql("SELECT id AS k, CAST(id * 10 AS DOUBLE) AS v FROM range(90, 110)")
+      .createOrReplaceTempView("gm_src")
+    spark.sql("""MERGE INTO gm.t t USING gm_src src ON t.k = src.k
+                |WHEN MATCHED THEN UPDATE SET v = src.v, tag = 'merged'
+                |WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (src.k, src.v, 'inserted')
+                |""".stripMargin)
+    val dir = s"$wh/t"
+    assert(Sources.latestVersion(dir) === 3) // create, insert, merge
+    val byTag = spark.sql("SELECT tag, COUNT(*) AS n FROM gm.t GROUP BY tag")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTag === Map("base" -> 90L, "merged" -> 10L, "inserted" -> 10L))
+    assert(spark.sql("SELECT v FROM gm.t WHERE k = 95")
+      .collect().head.getDouble(0) === 950.0)
+
+    spark.sql("UPDATE gm.t SET tag = 'hot' WHERE k % 7 = 0")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gm.t WHERE tag = 'hot'")
+      .collect().head.getLong(0) === 16) // 0,7,...,105
+
+    // modulo predicate is not source-filter-translatable: routes to the
+    // row-level rewrite instead of erroring
+    spark.sql("DELETE FROM gm.t WHERE k % 10 = 3")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gm.t")
+      .collect().head.getLong(0) === 99)
+
+    // every rewrite is just another commit: pre-merge history pinned
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gm.t VERSION AS OF 2")
+      .collect().head.getLong(0) === 100)
+    // and no batch dir is stranded: all on-disk dirs referenced
+    val referenced = (1 to Sources.latestVersion(dir))
+      .flatMap(v => readManifest(dir, v))
+      .map(f => java.nio.file.Paths.get(f).getParent.getFileName.toString)
+      .toSet
+    val onDisk = Option(new java.io.File(dir, "data").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    assert((onDisk -- referenced).isEmpty,
+      s"stranded batch dirs: ${onDisk -- referenced}")
+    spark.sql("DROP TABLE gm.t")
+  }
+
   /** numFiles summed over v2 BatchScans (and any v1 scans) in the
     * AQE-final plan. */
   private def scansOfV2(df: org.apache.spark.sql.DataFrame): Long = {
