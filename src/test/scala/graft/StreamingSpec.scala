@@ -629,4 +629,107 @@ class StreamingSpec extends SparkTestBase {
     assert(clean.count() + dlq.count() === Tables.events(spark, sf).count())
     assert(clean.select("event_id").distinct().count() === clean.count())
   }
+
+  test("graft-cdf streaming source: commit -> CDF -> incremental rollup " +
+    "equals full recompute across four versions, checkpoint-resumed") {
+    import graft.sources.Sources
+    import org.apache.spark.sql.DataFrame
+    import scala.collection.mutable
+
+    val root = tmp("cdfstream")
+    val t = s"$root/tbl"
+    val ckpt = s"$root/ckpt"
+    import spark.implicits._
+
+    def batchDf(rows: Seq[(Long, String, Long)]): DataFrame =
+      rows.toDF("k", "grp", "amount")
+
+    // the incrementally-maintained rollup: grp -> (sum, count), updated
+    // ONLY from CDF deltas (inserts add, deletes subtract)
+    val state = mutable.Map.empty[String, (Long, Long)]
+    var rowsSeen = 0L
+    def runAvailableNow(): Unit = {
+      val q = spark.readStream.format("graft-cdf").option("path", t).load()
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val delta = batch
+            .withColumn("sgn",
+              when(col("_change_type") === "insert", 1L).otherwise(-1L))
+            .groupBy("grp")
+            .agg(sum(col("sgn") * col("amount")).as("ds"),
+              sum(col("sgn")).as("dn"),
+              count(lit(1)).as("raw"))
+            .collect()
+          delta.foreach { r =>
+            val (s0, n0) = state.getOrElse(r.getString(0), (0L, 0L))
+            state(r.getString(0)) = (s0 + r.getLong(1), n0 + r.getLong(2))
+            rowsSeen += r.getLong(3)
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def fullRecompute(): Map[String, (Long, Long)] =
+      Sources.readVersion(spark, t).groupBy("grp")
+        .agg(sum("amount").as("s"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def liveState: Map[String, (Long, Long)] =
+      state.filter { case (_, (_, n)) => n != 0 }.toMap
+
+    // v1: initial load
+    Sources.commitVersion(batchDf(
+      (0L until 100L).map(i => (i, s"g${i % 4}", i))), t)
+    runAvailableNow()
+    assert(liveState === fullRecompute())
+    val seenAfterV1 = rowsSeen
+
+    // v2: append — the resumed stream must read ONLY the delta file(s)
+    Sources.commitVersion(batchDf(
+      (100L until 140L).map(i => (i, s"g${i % 4}", i * 10))), t)
+    runAvailableNow()
+    assert(liveState === fullRecompute())
+    assert(rowsSeen - seenAfterV1 === 40L,
+      s"expected the 40-row delta only, read ${rowsSeen - seenAfterV1}")
+
+    // v3: copy-on-write MERGE (upserts + deletes) — rewritten files
+    // surface as delete+insert, carried files contribute nothing
+    Sources.commitStats(spark, t, Sources.latestVersion(t), Seq("k"))
+    val changes = batchDf((0L until 10L).map(i => (i, s"g${i % 4}", 1000L + i)))
+      .withColumn("op", lit("upsert"))
+      .unionByName(batchDf((90L until 100L).map(i => (i, s"g${i % 4}", 0L)))
+        .withColumn("op", lit("delete")))
+    Sources.mergeVersion(spark, t, changes, "k")
+    runAvailableNow()
+    assert(liveState === fullRecompute())
+
+    // v4: a whole group disappears via the COW delete
+    Sources.deleteWhere(spark, t, col("grp") === "g3")
+    runAvailableNow()
+    assert(liveState === fullRecompute())
+    assert(!liveState.contains("g3"))
+
+    // a FRESH stream (no checkpoint) replays the whole history to the
+    // same end state — the CDF is a complete, replayable log
+    val state2 = mutable.Map.empty[String, (Long, Long)]
+    val q2 = spark.readStream.format("graft-cdf").option("path", t).load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt2")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.withColumn("sgn",
+            when(col("_change_type") === "insert", 1L).otherwise(-1L))
+          .groupBy("grp")
+          .agg(sum(col("sgn") * col("amount")).as("ds"), sum(col("sgn")).as("dn"))
+          .collect()
+          .foreach { r =>
+            val (s0, n0) = state2.getOrElse(r.getString(0), (0L, 0L))
+            state2(r.getString(0)) = (s0 + r.getLong(1), n0 + r.getLong(2))
+          }
+        ()
+      }.start()
+    q2.awaitTermination()
+    assert(state2.filter(_._2._2 != 0).toMap === fullRecompute())
+  }
 }
