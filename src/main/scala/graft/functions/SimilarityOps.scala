@@ -631,5 +631,97 @@ object SimilarityOps {
     None
   )
 
-  val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65, q98, q140, q173)
+  /** Q203 — IVF-ADC, the two stages composed (Jégou et al.'s IVFADC,
+    * the index layout behind every production billion-vector ANN
+    * deployment): the [[lloyd]]-trained coarse quantizer (q31d) bounds
+    * the candidate set to the probe's `nprobe` nearest CELLS, and
+    * PQ-ADC ranking (q173) scores those candidates from 16-nibble
+    * codes — at 100 TB the scan touches only the probed cells'
+    * code lists (≈ nprobe/k of the corpus, 32× compressed), never a
+    * full-precision vector until the final top-40 exact re-rank.
+    * Residual-free variant (codes encode the raw vectors, not
+    * cell-relative residuals): simpler, and on this fixture's
+    * near-noise geometry the residual rotation buys nothing the
+    * deeper re-rank doesn't.
+    *
+    * Approximate by design → rows-only; SimilaritySpec gates recall@1
+    * vs q31 brute force and determinism end-to-end.
+    */
+  val q203 = Query(
+    "q203_ivfadc",
+    (s, dir) => {
+      val emb = withNorm(Tables.embeddings(s, dir)).cache()
+      val kCells = 8
+      val M = 16; val K = 16; val sub = 4
+      val sample = trainSample(emb, 2048)
+      // both model states from the SAME bounded sample, one scan
+      val cents: Seq[Array[Double]] = lloyd(sample, kCells).toSeq
+      val cb: Array[Array[Array[Double]]] =
+        Array.tabulate(M)(m =>
+          lloyd(sample.map(_.slice(m * sub, (m + 1) * sub)), K))
+      val c2: Array[Array[Double]] =
+        Array.tabulate(M, K)((m, k) => cb(m)(k).map(x => x * x).sum)
+      def centroidCol(c: Array[Double]): Column = array(c.map(lit): _*)
+      def cellScore(c: Array[Double]): Column =
+        dotNative(col("embedding"), centroidCol(c)) -
+          lit(c.map(x => x * x).sum / 2.0)
+      def cwCol(m: Int, k: Int): Column =
+        array(cb(m)(k).map(x => lit(x.toFloat)): _*)
+      def subv(m: Int): Column = slice(col("embedding"), m * sub + 1, sub)
+      def score(m: Int, k: Int): Column =
+        lit(c2(m)(k)) - lit(2.0) * dotNative(subv(m), cwCol(m, k))
+
+      // the INDEX: every vector carries its cell id + its PQ code —
+      // one map-side pass, the "posting lists" of IVFADC
+      val nearestCell = greatest(cents.zipWithIndex.map { case (c, i) =>
+        struct(cellScore(c).as("s"), lit(i.toLong).as("cell"))
+      }: _*).getField("cell")
+      val index = emb.select(col("vec_id").as("b_id"),
+        nearestCell.as("cell"),
+        array((0 until M).map { m =>
+          least((0 until K).map { k =>
+            struct(score(m, k).as("d"), lit(k).as("k"))
+          }: _*).getField("k")
+        }: _*).as("codes"))
+
+      // probes: nprobe=4 nearest cells + the per-probe ADC table
+      val probes = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+          slice(reverse(array_sort(array(cents.zipWithIndex.map {
+            case (c, i) => struct(cellScore(c).as("s"), lit(i.toLong).as("cell"))
+          }: _*))), 1, 4).getField("cell").as("probed"),
+          array((for (m <- 0 until M; k <- 0 until K)
+            yield score(m, k)): _*).as("tbl"))
+      val probeCells = probes
+        .select(col("a_id"), col("tbl"), explode(col("probed")).as("cell"))
+      val adcSum = (0 until M).map(m =>
+        element_at(col("tbl"),
+          (lit(m * K) + element_at(col("codes"), m + 1) + 1).cast("int")))
+        .reduce(_ + _)
+      // candidates ONLY from probed cells — the equi-join on cell id is
+      // what replaces q173's cross join at scale
+      val adc = index.join(broadcast(probeCells), Seq("cell"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), adcSum.as("adc"))
+      val wAdc = Window.partitionBy("a_id").orderBy(col("adc").asc, col("b_id").asc)
+      val cand = adc.withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 40).drop("rn", "adc")
+      val full = emb
+        .select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
+      val wSim = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+      cand.join(broadcast(probes.select(col("a_id"), col("ea"))), "a_id")
+        .join(full, "b_id")
+        .select(col("a_id"), col("b_id"),
+          (dotNative(col("ea"), col("eb")) /
+            (sqrt(dotNative(col("ea"), col("ea"))) * col("nb"))).as("sim"))
+        .withColumn("rn", row_number().over(wSim))
+        .filter(col("rn") === 1)
+        .select("a_id", "b_id", "sim")
+        .orderBy("a_id")
+    },
+    None
+  )
+
+  val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65, q98, q140, q173, q203)
 }

@@ -102,6 +102,25 @@ class TextDedupSpec extends SparkTestBase {
       .sameElements(again.map(r => (r.getLong(0), r.getLong(1)))))
   }
 
+  test("q203 IVF-ADC composed ANN: recall@1 vs brute force; deterministic") {
+    val bf = SimilarityOps.q31.build(spark, sf)
+      .select(col("a_id"), col("sim").as("bf_sim"))
+    val ann = SimilarityOps.q203.build(spark, sf)
+      .select(col("a_id"), col("sim").as("ann_sim"))
+    val hits = bf.join(ann, Seq("a_id"), "left")
+      .filter(col("ann_sim").isNotNull &&
+        col("ann_sim") >= col("bf_sim") - 1e-9)
+      .count()
+    val total = bf.count()
+    val recall = hits.toDouble / total
+    info(f"IVFADC recall@1 = $recall%.3f ($hits/$total)")
+    assert(recall >= 0.9, f"IVFADC recall@1 $recall%.3f ($hits/$total)")
+    val a = SimilarityOps.q203.build(spark, sf).collect()
+    val b = SimilarityOps.q203.build(spark, sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1)))
+      .sameElements(b.map(r => (r.getLong(0), r.getLong(1)))))
+  }
+
   test("lloyd codebook training is deterministic and covers all clusters") {
     val pts = Array.tabulate(200)(i =>
       Array.tabulate(4)(j => ((i * 31 + j * 7) % 97).toDouble))
