@@ -117,6 +117,17 @@ class GraftCatalog extends TableCatalog {
     require(partitions.isEmpty,
       "graft tables cluster via range/z-order layout, not directory partitions")
     Sources.createEmptyTable(tableDir(ident), schema)
+    // persist user TBLPROPERTIES — `stats.columns` makes the table
+    // SELF-MAINTAINING for file skipping: every later commit harvests
+    // the min/max sidecar incrementally with no API in sight
+    import scala.jdk.CollectionConverters._
+    val user = properties.asScala.toMap
+      .filterNot { case (k, _) => k.startsWith("option.") ||
+        Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+          TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
+          TableCatalog.PROP_EXTERNAL).contains(k) }
+    if (user.nonEmpty)
+      Sources.writeTableProperties(tableDir(ident), user)
     new GraftTable(spark, tableDir(ident), -1)
   }
 
@@ -190,6 +201,12 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
 
   override def name(): String =
     s"graft:$path" + (if (version > 0) s"@v$version" else "")
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    Sources.tableProperties(path).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   override lazy val schema: StructType = Sources.schemaOf(spark, path, pinned)
 
@@ -407,11 +424,18 @@ private[sources] class GraftBatchWrite(spark: SparkSession, table: String,
     val files = messages.collect {
       case GraftWriteMessage(fs) => fs
     }.flatten.toSeq.sorted
-    try Sources.publishReplacing(table, basedOn, files)
-    catch {
-      case e: java.util.ConcurrentModificationException =>
-        abort(messages); throw e
-    }
+    val next =
+      try Sources.publishReplacing(table, basedOn, files)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          abort(messages); throw e
+      }
+    // self-maintaining skipping holds through rewrites too (all files
+    // are new after a whole-table-group rewrite: nothing to carry)
+    val cols = Sources.statsColumnsOf(table)
+      .filter(schema.fieldNames.contains(_))
+    if (cols.nonEmpty && files.nonEmpty)
+      Sources.commitStats(spark, table, next, cols)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -574,7 +598,18 @@ private[sources] class GraftWriteBuilder(table: String)
   override def build(): org.apache.spark.sql.connector.write.Write =
     new V1Write {
       override def toInsertableRelation: InsertableRelation =
-        (data: org.apache.spark.sql.DataFrame, _: Boolean) =>
-          Sources.commitVersion(data, table, overwrite = replace)
+        (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+          val v = Sources.commitVersion(data, table, overwrite = replace)
+          // self-maintaining skipping: `stats.columns` tables harvest
+          // the min/max sidecar on EVERY commit — incremental
+          // (carryFrom copies the carried files' stats forward, only
+          // the new batch is scanned) for appends, fresh for overwrite
+          val cols = Sources.statsColumnsOf(table)
+            .filter(data.schema.fieldNames.contains(_))
+          if (cols.nonEmpty)
+            Sources.commitStats(data.sparkSession, table, v, cols,
+              carryFrom = if (replace) -1 else v - 1)
+          ()
+        }
     }
 }

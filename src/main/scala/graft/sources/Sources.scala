@@ -383,8 +383,10 @@ object Sources {
     val next = publishIfLatest(table, latestVersion(table),
       filesOf(table, version), "rollback")
     // a rollback restores the old SCHEMA contract too, or readers of
-    // the restored file set would see a later declared schema
+    // the restored file set would see a later declared schema — and
+    // the old stats sidecar (identical file set, identical stats)
     declaredSchema(table, version).foreach(publishSchema(table, next, _))
+    copyStatsSidecar(table, version, next)
     next
   }
 
@@ -925,14 +927,58 @@ object Sources {
   /** ALTER TABLE as a metadata-only commit: re-publish the latest
     * version's exact file set under `schema` as a new version. Zero
     * data movement; conflict-detecting (an ALTER racing a data commit
-    * must not silently drop the racer's files). */
+    * must not silently drop the racer's files). The stats sidecar is
+    * copied verbatim — identical file set, identical stats — so file
+    * skipping survives a schema change. */
   def alterSchema(table: String, schema: StructType): Int = {
     val v = latestVersion(table)
     require(v > 0, s"$table has no committed versions")
     val next = publishIfLatest(table, v, filesOf(table, v), "alter")
     publishSchema(table, next, schema)
+    copyStatsSidecar(table, v, next)
     next
   }
+
+  private[sources] def copyStatsSidecar(table: String, from: Int,
+      to: Int): Unit = {
+    val src = java.nio.file.Paths.get(table, s"v$from.stats")
+    if (java.nio.file.Files.exists(src))
+      java.nio.file.Files.copy(src,
+        java.nio.file.Paths.get(table, s"v$to.stats"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Per-table properties sidecar (`table.properties`, JSON) — catalog
+    * metadata like `stats.columns` that must outlive any one session.
+    * Written once at CREATE; absent file reads as empty. */
+  def writeTableProperties(table: String, props: Map[String, String]): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    val json = props.toSeq.sortBy(_._1).map { case (k, v) =>
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      "\"" + esc(k) + "\":\"" + esc(v) + "\""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "table.properties"),
+      json.getBytes("UTF-8"))
+  }
+
+  def tableProperties(table: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(table, "table.properties")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      // flat string->string JSON object (the only shape we write)
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      val pat = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      def unesc(x: String) = x.replace("\\\"", "\"").replace("\\\\", "\\")
+      pat.findAllMatchIn(s).map(m =>
+        unesc(m.group(1)) -> unesc(m.group(2))).toMap
+    }
+  }
+
+  /** The `stats.columns` table property parsed to column names. */
+  private[sources] def statsColumnsOf(table: String): Seq[String] =
+    tableProperties(table).get("stats.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
   /** Create an empty table: version 1 is an empty file set whose
     * declared schema is the DDL schema — what `CREATE TABLE g.t (...)`

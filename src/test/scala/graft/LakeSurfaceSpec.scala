@@ -377,6 +377,56 @@ class LakeSurfaceSpec extends SparkTestBase {
     spark.sql("DROP TABLE gm.t")
   }
 
+  test("DSv2 catalog: stats.columns tables self-maintain file skipping " +
+    "across INSERT, DELETE, MERGE, and ALTER — no stats API in sight") {
+    import graft.sources.Sources
+    val wh = tmp("gauto")
+    spark.conf.set("spark.sql.catalog.ga", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ga.warehouse", wh)
+    spark.sql("""CREATE TABLE ga.t (k BIGINT, v DOUBLE)
+                |TBLPROPERTIES ('stats.columns' = 'k')""".stripMargin)
+    val dir = s"$wh/t"
+    assert(Sources.tableProperties(dir) === Map("stats.columns" -> "k"))
+
+    // range-clustered INSERT: the commit harvests the sidecar itself
+    spark.range(0, 10000)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .createOrReplaceTempView("ga_src")
+    spark.sql("INSERT INTO ga.t SELECT * FROM ga_src")
+    assert(Sources.statsOf(dir, Sources.latestVersion(dir)).nonEmpty,
+      "INSERT did not harvest the stats sidecar")
+    def scanned(sql: String, expect: Long): Long = {
+      val q = spark.sql(sql)
+      assert(q.collect().head.getLong(0) === expect)
+      scansOfV2(q)
+    }
+    val s1 = scanned("SELECT COUNT(*) AS n FROM ga.t WHERE k BETWEEN 100 AND 300", 201)
+    assert(s1 < 8 && s1 >= 1, s"expected skipping after plain INSERT, scanned $s1/8")
+
+    // a second append re-harvests incrementally (carried files' stats
+    // copy forward; only the new batch is scanned)
+    spark.sql("INSERT INTO ga.t SELECT id, 0.0 FROM range(20000, 20100)")
+    val s2 = scanned("SELECT COUNT(*) AS n FROM ga.t WHERE k >= 20000", 100)
+    assert(s2 < 9, s"appended-table skipping lost, scanned $s2")
+
+    // file-granular DELETE keeps skipping alive (stats recommitted)
+    spark.sql("DELETE FROM ga.t WHERE k < 1250")
+    val s3 = scanned("SELECT COUNT(*) AS n FROM ga.t WHERE k BETWEEN 5000 AND 5100", 101)
+    assert(s3 < 8, s"post-DELETE skipping lost, scanned $s3")
+
+    // ALTER carries the sidecar verbatim (same files, same stats)
+    spark.sql("ALTER TABLE ga.t ADD COLUMN tag STRING")
+    assert(Sources.statsOf(dir, Sources.latestVersion(dir)).nonEmpty,
+      "ALTER dropped the stats sidecar")
+
+    // a row-level rewrite (UPDATE) recomputes stats over the new files
+    spark.sql("UPDATE ga.t SET tag = 'x' WHERE k % 1000 = 0")
+    assert(Sources.statsOf(dir, Sources.latestVersion(dir)).nonEmpty,
+      "row-level rewrite dropped the stats sidecar")
+    spark.sql("DROP TABLE ga.t")
+  }
+
   /** numFiles summed over v2 BatchScans (and any v1 scans) in the
     * AQE-final plan. */
   private def scansOfV2(df: org.apache.spark.sql.DataFrame): Long = {
