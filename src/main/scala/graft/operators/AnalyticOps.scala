@@ -2932,10 +2932,54 @@ object AnalyticOps {
            |ORDER BY p_brand""".stripMargin)
   )
 
+  /** Q204 — the TPC-H Q22 operator shape: a GLOBAL scalar aggregate
+    * subquery (the above-average-balance cutoff — one broadcastable
+    * scalar, not correlated) combined with a NOT EXISTS ANTI JOIN
+    * against the fact ("wealthy customers who never placed an urgent
+    * order"). The average cutoff is restated as two exact-integer
+    * scalar subqueries (bal·10⁴ units × count vs unit sum, both
+    * BIGINT) so the comparison boundary cannot drift between engines'
+    * float summation orders — the q201 device applied to a global
+    * aggregate. Plan shape: two tiny scalar-subquery stages + one
+    * left-anti join on o_custkey, the fact scanned once. */
+  val q204 = Query(
+    "q204_global_scalar_anti",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("gs_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("gs_orders")
+      s.sql("""SELECT c_nationkey AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+              |       CAST(CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4)
+              |         AS DECIMAL(18,4)) AS DOUBLE) AS totacctbal
+              |FROM gs_customer c
+              |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT) *
+              |      (SELECT COUNT(*) FROM gs_customer WHERE c_acctbal > 0)
+              |      > (SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,4))
+              |                * 10000 AS BIGINT)) AS BIGINT)
+              |         FROM gs_customer WHERE c_acctbal > 0)
+              |  AND NOT EXISTS (SELECT 1 FROM gs_orders o
+              |                  WHERE o.o_custkey = c.c_custkey
+              |                    AND o.o_orderpriority = '1-URGENT')
+              |GROUP BY c_nationkey ORDER BY cntry""".stripMargin)
+    },
+    Some("""SELECT c_nationkey AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+           |       CAST(CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS totacctbal
+           |FROM customer c
+           |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT) *
+           |      (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+           |      > (SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,4))
+           |                * 10000 AS BIGINT)) AS BIGINT)
+           |         FROM customer WHERE c_acctbal > 0)
+           |  AND NOT EXISTS (SELECT 1 FROM orders o
+           |                  WHERE o.o_custkey = c.c_custkey
+           |                    AND o.o_orderpriority = '1-URGENT')
+           |GROUP BY c_nationkey ORDER BY cntry""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q58, q59, q60, q61, q62, q69, q70, q75,
     q88, q89, q90, q91, q96, q104, q105, q108, q109, q111, q114, q115, q180, q181,
     q118, q120, q123, q124, q129, q131, q135, q136, q139, q141, q142,
     q144, q148, q149, q153, q156, q159, q160, q161, q166, q190, q197, q198,
-    q200, q201)
+    q200, q201, q204)
 }

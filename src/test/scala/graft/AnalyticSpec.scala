@@ -867,4 +867,27 @@ class AnalyticSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap === expect)
   }
+
+  test("q204 global scalar + NOT EXISTS: anti join planned, cutoff exact") {
+    val df = AnalyticOps.q204.build(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti join in plan:\n$plan")
+    // the integer cutoff equals the float-free definition: strictly
+    // above the mean of positive balances
+    val c = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,4)") * 10000).cast("long").as("u"))
+    val pos = c.filter(col("u") > 0)
+      .agg(count(lit(1)).as("n"), sum("u").as("s")).collect().head
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val expect = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .filter(col("u") * lit(pos.getLong(0)) > lit(pos.getLong(1)))
+      .groupBy("c_nationkey").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getInt(0) -> r.getLong(1)).toMap === expect)
+  }
 }
