@@ -383,6 +383,39 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Change-feed wiring of [[dedupBatchAgainstStore]] — the full
+    * lake → streaming → dedup composition: documents are COMMITTED to a
+    * versioned graft table (by any writer — the API, catalog SQL
+    * `INSERT INTO`, a merge), and the dedup pipeline tails the table's
+    * change data feed (`graft-cdf`, offsets = manifest versions)
+    * instead of a landing directory. Each micro-batch dedups the new
+    * documents against the accumulating band store and appends
+    * survivors; a checkpoint restart resumes at the recorded version,
+    * so every commit is processed exactly once no matter how the
+    * producer batches its writes.
+    *
+    * Dedup is defined over an APPEND-ONLY corpus (the crawl case);
+    * a delete arriving in the feed means the table is not append-only
+    * and the query fails loudly rather than silently leaving the
+    * band store inconsistent with the corpus. */
+  def cdfDedupQuery(spark: SparkSession, table: String,
+      storePath: String, outPath: String): StreamingQuery =
+    spark.readStream.format("graft-cdf").option("path", table).load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outPath/_ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        require(batch.filter(col("_change_type") =!= "insert").isEmpty,
+          "cdfDedupQuery requires an append-only document table " +
+            "(saw non-insert changes in the feed)")
+        val docs = batch.drop("_change_type", "_commit_version")
+        dedupBatchAgainstStore(docs, storePath)
+          .write.mode(SaveMode.Append).parquet(s"$outPath/kept")
+        ()
+      }
+      .start()
+
   /** Incremental heavy-hitter sketches — the streaming form of q90:
     * each micro-batch folds its per-language token Count-Min sketch
     * into a persistent sketch store. CMS counters are LINEAR (same

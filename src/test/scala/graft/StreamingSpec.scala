@@ -732,4 +732,43 @@ class StreamingSpec extends SparkTestBase {
     q2.awaitTermination()
     assert(state2.filter(_._2._2 != 0).toMap === fullRecompute())
   }
+
+  test("cdf-driven incremental dedup: three commits through the change " +
+    "feed equal the single-shot batch dedup rule") {
+    import graft.sources.Sources
+    val root = tmp("cdfdedup")
+    val t = s"$root/docs"
+    val store = s"$root/store"
+    val out = s"$root/out"
+    // the fixture documents, committed in three doc_id slices — each
+    // commit is one producer write; the dedup pipeline only sees the
+    // table's change feed
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").cache()
+    val n = docs.count()
+    val cut1 = n / 3; val cut2 = 2 * n / 3
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    def drain(): Unit = {
+      val q = StreamingPipeline.cdfDedupQuery(spark, t, store, out)
+      q.awaitTermination()
+    }
+    Sources.commitVersion(slice(0, cut1), t); drain()
+    Sources.commitVersion(slice(cut1, cut2), t); drain()
+    Sources.commitVersion(slice(cut2, Long.MaxValue), t); drain()
+
+    val kept = spark.read.parquet(s"$out/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // single-shot batch rule over the whole corpus: drop b iff some
+    // a < b shares a band signature
+    val bands = graft.operators.DedupOps.bandsOf(docs)
+    val droppedBatch = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (allIds -- droppedBatch))
+    assert(droppedBatch.nonEmpty, "fixture has near-dups; empty is vacuous")
+  }
 }
