@@ -54,7 +54,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * granularity; the V1 fallback is the honest integration (Kafka's
   * sink ships the same way).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -182,6 +182,71 @@ class GraftCatalog extends TableCatalog {
     java.nio.file.Files.move(
       java.nio.file.Paths.get(tableDir(oldIdent)),
       java.nio.file.Paths.get(tableDir(newIdent)))
+  }
+
+  // ---- namespaces = directories under the warehouse -----------------
+  // (the minimal SupportsNamespaces so SHOW TABLES / SHOW NAMESPACES /
+  // CREATE NAMESPACE / USE g.ns resolve; a namespace is a plain
+  // directory, a table is a directory with committed manifests)
+
+  private def nsDir(ns: Array[String]): java.nio.file.Path =
+    java.nio.file.Paths.get((warehouse +: ns.toSeq).mkString("/"))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new java.io.File(warehouse)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && Sources.latestVersion(d.getPath) == 0)
+      .map(d => Array(d.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      if (!namespaceExists(namespace))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+          namespace)
+      Array.empty // one level deep is the supported nesting
+    }
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || java.nio.file.Files.isDirectory(nsDir(namespace))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace)
+    new util.HashMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    java.nio.file.Files.createDirectories(nsDir(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!java.nio.file.Files.exists(dir)) false
+    else {
+      if (!cascade)
+        require(listTables(namespace).isEmpty,
+          s"namespace ${namespace.mkString(".")} is not empty")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      true
+    }
   }
 }
 

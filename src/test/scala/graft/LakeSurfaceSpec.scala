@@ -427,6 +427,27 @@ class LakeSurfaceSpec extends SparkTestBase {
     spark.sql("DROP TABLE ga.t")
   }
 
+  test("DSv2 catalog namespaces: CREATE NAMESPACE, nested tables, SHOW") {
+    val wh = tmp("gns")
+    spark.conf.set("spark.sql.catalog.gn", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gn.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gn.raw")
+    spark.sql("CREATE TABLE gn.raw.docs (id BIGINT)")
+    spark.sql("INSERT INTO gn.raw.docs SELECT id FROM range(0, 5)")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gn.raw.docs")
+      .collect().head.getLong(0) === 5)
+    val shown = spark.sql("SHOW TABLES IN gn.raw")
+      .collect().map(_.getString(1))
+    assert(shown.contains("docs"))
+    val ns = spark.sql("SHOW NAMESPACES IN gn")
+      .collect().map(_.getString(0))
+    assert(ns.contains("raw"))
+    // non-cascade drop refuses a non-empty namespace
+    intercept[Exception] { spark.sql("DROP NAMESPACE gn.raw") }
+    spark.sql("DROP NAMESPACE gn.raw CASCADE")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/raw")))
+  }
+
   /** numFiles summed over v2 BatchScans (and any v1 scans) in the
     * AQE-final plan. */
   private def scansOfV2(df: org.apache.spark.sql.DataFrame): Long = {
