@@ -664,7 +664,13 @@ private[sources] class GraftWriteBuilder(table: String)
     new V1Write {
       override def toInsertableRelation: InsertableRelation =
         (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
-          val v = Sources.commitVersion(data, table, overwrite = replace)
+          // declared clustering (`layout.range`/`layout.zorder`
+          // TBLPROPERTIES) applies PER BATCH at insert time — tight
+          // per-file intervals for the stats sidecar without the
+          // writer knowing anything; compaction re-clusters globally
+          val v = Sources.commitVersion(
+            Sources.clusterByLayout(data, table), table,
+            overwrite = replace)
           // self-maintaining skipping: `stats.columns` tables harvest
           // the min/max sidecar on EVERY commit — incremental
           // (carryFrom copies the carried files' stats forward, only

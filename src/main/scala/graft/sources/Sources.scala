@@ -141,12 +141,16 @@ object Sources {
     * handful of row groups. The sort is per-partition (no global
     * sort barrier beyond the range exchange's sampling pass). */
   def writeRangeLayout(df: DataFrame, path: String, keyCol: String,
-      numFiles: Int): Unit = {
-    import org.apache.spark.sql.functions.col
+      numFiles: Int): Unit =
+    rangeCluster(df, keyCol, numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** The clustering transform alone (range exchange + in-partition
+    * sort) — reused by the path writer above, by catalog inserts
+    * honoring `layout.range`, and by layout-aware compaction. */
+  def rangeCluster(df: DataFrame, keyCol: String, numFiles: Int): DataFrame =
     df.repartitionByRange(numFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
-      .write.mode(SaveMode.Overwrite).parquet(path)
-  }
 
   /** Bit-interleaved Z-order key over two non-negative integer columns
     * (each masked to `bits` low bits): bit i of `x` lands at position
@@ -180,10 +184,19 @@ object Sources {
     * rank (quantile) normalization instead — documented trade-off.
     */
   def writeZOrderLayout(df: DataFrame, path: String, c1: String, c2: String,
-      numFiles: Int, bits: Int = 10): Unit = {
+      numFiles: Int, bits: Int = 10): Unit =
+    zorderCluster(df, c1, c2, numFiles, bits)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** The Z-order clustering transform alone (min-max normalize, range
+    * exchange + sort by the interleaved key) — see [[writeZOrderLayout]]
+    * for the layout contract. */
+  def zorderCluster(df: DataFrame, c1: String, c2: String,
+      numFiles: Int, bits: Int = 10): DataFrame = {
     val r = df.agg(
       min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) return df // empty batch: as-is
     val (lo1, hi1, lo2, hi2) =
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     val n = (1L << bits) - 1
@@ -197,7 +210,33 @@ object Sources {
       .repartitionByRange(numFiles, col(zk))
       .sortWithinPartitions(zk)
       .drop(zk)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Apply the table's DECLARED clustering (`layout.range` = one key,
+    * or `layout.zorder` = "c1,c2"; `layout.files` caps files per
+    * batch) to a batch about to be committed. Columns missing from the
+    * batch (or no declared layout) pass the batch through unchanged —
+    * layout is an optimization, never a write barrier. */
+  private[sources] def clusterByLayout(df: DataFrame,
+      table: String): DataFrame =
+    clusterByLayoutProps(df, tableProperties(table))
+
+  private[sources] def clusterByLayoutProps(df: DataFrame,
+      props: Map[String, String]): DataFrame = {
+    val files = props.get("layout.files").map(_.trim.toInt).getOrElse(8)
+    props.get("layout.range").map(_.trim) match {
+      case Some(key) if df.schema.fieldNames.contains(key) =>
+        rangeCluster(df, key, files)
+      case _ =>
+        props.get("layout.zorder")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty)) match {
+          case Some(Array(c1, c2))
+              if df.schema.fieldNames.contains(c1) &&
+                df.schema.fieldNames.contains(c2) =>
+            zorderCluster(df, c1, c2, files)
+          case _ => df
+        }
+    }
   }
 
   def writeCsv(df: DataFrame, path: String): Unit =
@@ -1147,7 +1186,20 @@ object Sources {
     // the racer's rows, so a lost race fails loudly instead. On loss
     // the just-written (unreferenced) compacted batch is deleted so a
     // retried compaction cannot strand disk.
-    val newFiles = writeBatch(df.repartition(nFiles), table)
+    //
+    // A table with a DECLARED layout (`layout.range`/`layout.zorder`
+    // properties) is re-CLUSTERED here, not just coalesced — compaction
+    // is the global pass that restores tight per-file intervals after
+    // many per-batch-clustered appends (Delta's OPTIMIZE ZORDER BY).
+    val compacted = {
+      val props = tableProperties(table)
+      if (props.contains("layout.range") || props.contains("layout.zorder")) {
+        val withCount = props + ("layout.files" ->
+          props.getOrElse("layout.files", nFiles.toString))
+        clusterByLayoutProps(df, withCount)
+      } else df.repartition(nFiles)
+    }
+    val newFiles = writeBatch(compacted, table)
     val next =
       try publishIfLatest(table, v, newFiles, "compaction")
       catch {

@@ -427,6 +427,51 @@ class LakeSurfaceSpec extends SparkTestBase {
     spark.sql("DROP TABLE ga.t")
   }
 
+  test("declared layout: layout.range tables cluster every INSERT and " +
+    "re-cluster on compaction; skipping works on UNSORTED producer data") {
+    import graft.sources.Sources
+    val wh = tmp("glayout")
+    spark.conf.set("spark.sql.catalog.gl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gl.warehouse", wh)
+    spark.sql("""CREATE TABLE gl.t (k BIGINT, v DOUBLE)
+                |TBLPROPERTIES ('stats.columns' = 'k',
+                |               'layout.range' = 'k',
+                |               'layout.files' = '8')""".stripMargin)
+    val dir = s"$wh/t"
+    // producer data arrives in RANDOM key order — the declared layout,
+    // not the writer, is what makes the files skippable
+    spark.range(0, 10000)
+      .selectExpr("CAST(pmod(id * 2654435761, 10000) AS BIGINT) AS k",
+        "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("gl_src")
+    spark.sql("INSERT INTO gl.t SELECT * FROM gl_src")
+    val q = spark.sql("SELECT COUNT(*) AS n FROM gl.t WHERE k BETWEEN 100 AND 300")
+    val expect = q.collect().head.getLong(0)
+    assert(expect > 0)
+    val s1 = scansOfV2(q)
+    assert(s1 < 8 && s1 >= 1,
+      s"declared layout should make unsorted inserts skippable, scanned $s1/8")
+
+    // a second unsorted insert: each batch clusters independently, so
+    // the range query reads at most a couple of files per batch
+    spark.sql("INSERT INTO gl.t SELECT k + 10000, v FROM gl_src")
+    val q2 = spark.sql("SELECT COUNT(*) AS n FROM gl.t WHERE k BETWEEN 100 AND 300")
+    assert(q2.collect().head.getLong(0) === expect)
+    val s2 = scansOfV2(q2)
+    assert(s2 <= s1 + 8 && s2 < 16, s"per-batch clustering lost, scanned $s2/16")
+
+    // compaction honors the declared layout: global re-cluster, stats
+    // recomputed by the catalog-independent API path
+    val (cv, before, after) = Sources.compactVersion(spark, dir, 2500L)
+    Sources.commitStats(spark, dir, cv, Seq("k"))
+    assert(after < before)
+    val q3 = spark.sql("SELECT COUNT(*) AS n FROM gl.t WHERE k BETWEEN 100 AND 300")
+    assert(q3.collect().head.getLong(0) === expect)
+    val s3 = scansOfV2(q3)
+    assert(s3 <= 2, s"compaction should restore tight intervals, scanned $s3/$after")
+    spark.sql("DROP TABLE gl.t")
+  }
+
   test("DSv2 catalog namespaces: CREATE NAMESPACE, nested tables, SHOW") {
     val wh = tmp("gns")
     spark.conf.set("spark.sql.catalog.gn", "graft.sources.GraftCatalog")
