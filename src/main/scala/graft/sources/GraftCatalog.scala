@@ -39,20 +39,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * manifests, stats sidecars, and pinned readers all behave exactly as
   * through the API.
   *
-  * Read path: [[GraftTable]] subclasses Spark's own DSv2
-  * [[ParquetTable]], overriding ONLY the file index with the manifest-
-  * pinned, stats-skipping [[ManifestFileIndex]] — so the scan is
-  * Spark's vectorized/codegen'd v2 parquet reader over the committed
-  * version's exact file set, with pushed data filters reaching
-  * `listFiles` for manifest-stats file skipping (same division of labor
-  * as the V1 `USING graft` path, now with catalog identity).
+  * Read path: [[GraftTable]] COMPOSES Spark's own DSv2
+  * `ParquetScanBuilder` with the manifest-pinned, stats-skipping
+  * [[ManifestFileIndex]] — so the scan is Spark's vectorized/codegen'd
+  * v2 parquet reader over the committed version's exact file set, with
+  * pushed data filters reaching `listFiles` for manifest-stats file
+  * skipping (same division of labor as the V1 `USING graft` path, now
+  * with catalog identity). Deliberately NOT a `FileTable` subclass:
+  * the analyzer's `FallBackFileSourceV2` rule reroutes INSERTs into
+  * any FileTable to a raw directory write, bypassing the commit.
   *
-  * Write path: `V1_BATCH_WRITE` capability + [[V1Write]] — the write
-  * arrives as a full DataFrame and commits through the OCC protocol.
-  * A format whose commit is "publish a manifest naming immutable
-  * files" gains nothing from per-task DSv2 commit messages at this
-  * granularity; the V1 fallback is the honest integration (Kafka's
-  * sink ships the same way).
+  * Write paths: `V1_BATCH_WRITE` + [[V1Write]] for INSERT (the write
+  * arrives as a full DataFrame and commits through the OCC protocol —
+  * a manifest-publish commit gains nothing from per-task commit
+  * messages at this granularity); a REAL `BatchWrite` for the
+  * row-level rewrites (MERGE/UPDATE), where the per-task file protocol
+  * IS the point; and an exactly-once [[GraftStreamingWrite]] for
+  * `writeStream.toTable`, one versioned append per epoch.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -282,6 +285,7 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
     util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.TRUNCATE)
 
@@ -292,7 +296,7 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
       new CaseInsensitiveStringMap(util.Map.of()))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(path)
+    new GraftWriteBuilder(path, info)
 
   // ---- MERGE INTO / UPDATE (group-based row-level operations) -------
   //
@@ -513,7 +517,7 @@ private[sources] class GraftBatchWrite(spark: SparkSession, table: String,
   }
 }
 
-private[sources] case class GraftWriteMessage(files: Seq[String])
+private[graft] case class GraftWriteMessage(files: Seq[String])
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 /** Ships the prepared Hadoop job configuration to executor tasks
@@ -543,6 +547,16 @@ private[sources] class GraftDataWriterFactory(
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
+    mkWriter(partitionId, taskId, epoch = None)
+
+  /** Streaming-epoch variant: the epoch id lands in the file name so a
+    * replayed epoch's files never collide with the original's. */
+  def createEpochWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    mkWriter(partitionId, taskId, epoch = Some(epochId))
+
+  private def mkWriter(partitionId: Int, taskId: Long,
+      epoch: Option[Long]): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
       import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
@@ -551,6 +565,7 @@ private[sources] class GraftDataWriterFactory(
         new TaskAttemptID(
           new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId),
           (taskId & 0x7fffffff).toInt))
+      private val stem = epoch.fold("part")(e => s"part-e$e")
       // lazily opened so empty partitions leave no empty files behind
       private var path: String = _
       private var out: org.apache.spark.sql.execution.datasources.OutputWriter = _
@@ -565,7 +580,7 @@ private[sources] class GraftDataWriterFactory(
 
       override def write(row: InternalRow): Unit = {
         if (out == null) {
-          path = f"$dir/part-$partitionId%05d-$taskId${owf.getFileExtension(ctx)}"
+          path = f"$dir/$stem-$partitionId%05d-$taskId${owf.getFileExtension(ctx)}"
           out = owf.newInstance(path, schema, ctx)
         }
         if (row.numFields == schema.length) out.write(row)
@@ -641,7 +656,8 @@ private[sources] final class OffsetRow(offset: Int)
   * `INSERT OVERWRITE` arrives through [[SupportsOverwrite]] (truncate
   * ≡ overwrite-by-AlwaysTrue) and publishes a replacing version — old
   * versions stay time-travelable either way. */
-private[sources] class GraftWriteBuilder(table: String)
+private[sources] class GraftWriteBuilder(table: String,
+    info: LogicalWriteInfo)
   extends WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
@@ -682,5 +698,83 @@ private[sources] class GraftWriteBuilder(table: String)
               carryFrom = if (replace) -1 else v - 1)
           ()
         }
+
+      // `df.writeStream.toTable("g.t")`: every micro-batch epoch is one
+      // versioned append commit — the ingest end of the loop whose read
+      // end is the graft-cdf source
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new GraftStreamingWrite(SparkSession.active, table, info.schema())
     }
+}
+
+/** Exactly-once streaming sink over the versioned table: executor
+  * tasks write parquet through the same machinery as the row-level
+  * BatchWrite, and each epoch's driver commit is one OCC append
+  * publish. Restart safety: a replayed epoch finds its `e<N>.commit`
+  * marker (claimed with the same atomic-create primitive as manifest
+  * versions), deletes its re-written duplicate files, and commits
+  * NOTHING — so the table holds each epoch exactly once no matter how
+  * the checkpoint recovers, which is precisely the contract
+  * `commitVersionedBatch` offers foreachBatch users, now native to
+  * `writeStream.toTable`. */
+private[graft] class GraftStreamingWrite(spark: SparkSession,
+    table: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val streamDir = java.nio.file.Paths.get(table, "data",
+    s"stream-${java.util.UUID.randomUUID().toString.take(12)}")
+
+  private def ensureDir(): Unit =
+    java.nio.file.Files.createDirectories(streamDir)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    ensureDir()
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    job.setOutputKeyClass(classOf[Void])
+    job.setOutputValueClass(classOf[org.apache.spark.sql.catalyst.InternalRow])
+    val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, schema)
+    val factory = new GraftDataWriterFactory(owf,
+      new SerializableConf(job.getConfiguration), streamDir.toString, schema)
+    (partitionId: Int, taskId: Long, epochId: Long) =>
+      factory.createEpochWriter(partitionId, taskId, epochId)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case GraftWriteMessage(fs) => fs
+    }.flatten.toSeq.sorted
+    // claim the epoch atomically; a replay loses the claim, cleans up
+    // its duplicate files, and commits nothing
+    ensureDir()
+    val marker = streamDir.resolve(s"e$epochId.commit")
+    val claimed =
+      try { java.nio.file.Files.createFile(marker); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!claimed) {
+      files.foreach(f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+      return
+    }
+    if (files.nonEmpty) {
+      val v = Sources.commitVersionFiles(table, files, Some(schema))
+      val cols = Sources.statsColumnsOf(table)
+        .filter(schema.fieldNames.contains(_))
+      if (cols.nonEmpty)
+        Sources.commitStats(spark, table, v, cols, carryFrom = v - 1)
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case GraftWriteMessage(fs) => fs }.flatten
+      .foreach(f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
 }

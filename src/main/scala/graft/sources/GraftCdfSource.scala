@@ -97,12 +97,27 @@ private[sources] case class GraftCdfPartition(path: String, bytes: Long,
     changeType: String, version: Int) extends InputPartition
 
 private[sources] class GraftCdfStream(spark: SparkSession, table: String,
-    dataSchema: StructType, startingVersion: Int) extends MicroBatchStream {
+    dataSchema: StructType, startingVersion: Int) extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = GraftCdfOffset(startingVersion)
 
+  // Trigger.AvailableNow contract: pin the end offset at prepare time
+  // so the run drains exactly the versions that existed when it
+  // started, then terminates — commits racing in mid-run wait for the
+  // next run (their versions are stable offsets, nothing is lost)
+  private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Sources.latestVersion(table))
+
   override def latestOffset(): Offset =
-    GraftCdfOffset(Sources.latestVersion(table))
+    GraftCdfOffset(availableNowCap.getOrElse(Sources.latestVersion(table)))
+
+  // SupportsAdmissionControl (super-interface of AvailableNow): this
+  // source takes no read limits — a version is the natural batch unit
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     GraftCdfOffset(json.trim.toInt)

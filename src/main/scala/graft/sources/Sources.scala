@@ -323,6 +323,15 @@ object Sources {
     }
   }
 
+  /** Append-commit PRE-WRITTEN immutable files (a streaming epoch's
+    * task outputs) as the next version — the publish half of
+    * [[commitVersion]] for writers that already landed their parquet
+    * through the executor-side writer machinery. */
+  def commitVersionFiles(table: String, files: Seq[String],
+      batchSchema: Option[StructType] = None): Int =
+    publishNextVersion(table, files, overwrite = false,
+      batchSchema = batchSchema)
+
   /** Write `df` as an immutable, uniquely-named batch directory under
     * the table and return its file list — the data half of every
     * commit path. */

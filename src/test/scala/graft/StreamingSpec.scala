@@ -733,6 +733,80 @@ class StreamingSpec extends SparkTestBase {
     assert(state2.filter(_._2._2 != 0).toMap === fullRecompute())
   }
 
+  test("writeStream.toTable: each epoch is one versioned append commit; " +
+    "the cdf source tails it; a replayed epoch commits nothing") {
+    import graft.sources.Sources
+    val root = tmp("gsink")
+    val wh = s"$root/wh"
+    spark.conf.set("spark.sql.catalog.gsk", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsk.warehouse", wh)
+    spark.sql("CREATE TABLE gsk.ev (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('stats.columns' = 'k')")
+    val dir = s"$wh/ev"
+
+    // landing: three parquet files -> maxFilesPerTrigger=1 -> 3 epochs
+    val landing = s"$root/landing"
+    (0 until 3).foreach { i =>
+      spark.range(i * 100L, i * 100L + 100L)
+        .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .coalesce(1).write.mode("append").parquet(landing)
+    }
+    val schema = spark.read.parquet(landing).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .toTable("gsk.ev")
+    q.awaitTermination()
+
+    // v1 CREATE + one version per epoch
+    assert(Sources.latestVersion(dir) === 4,
+      s"expected 4 versions, got ${Sources.latestVersion(dir)}")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gsk.ev")
+      .collect().head.getLong(0) === 300)
+    // stats.columns harvested by the streaming commits too
+    assert(Sources.statsOf(dir, 4).nonEmpty)
+    // the change feed sees one insert batch per epoch version
+    val cdf = spark.read.parquet({
+      // drain via the streaming source into a collectable frame
+      val out = s"$root/cdfout"
+      val qc = spark.readStream.format("graft-cdf").option("path", dir).load()
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/cdfckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(out); ()
+        }.start()
+      qc.awaitTermination()
+      out
+    })
+    assert(cdf.count() === 300)
+    assert(cdf.filter(col("_change_type") =!= "insert").count() === 0)
+    assert(cdf.select("_commit_version").distinct().count() === 3)
+
+    // exactly-once: a commit REPLAY for an already-claimed epoch must
+    // clean up its duplicate files and publish no version
+    val sw = new graft.sources.GraftStreamingWrite(spark, dir, schema)
+    val dupe = s"$dir/data/replay-dupe.parquet"
+    spark.range(0, 5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.parquet(s"$root/dupe")
+    val part = new java.io.File(s"$root/dupe").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dupe))
+    val msg = Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      graft.sources.GraftWriteMessage(Seq(dupe)))
+    val vBefore = Sources.latestVersion(dir)
+    sw.commit(7L, msg) // first claim: commits a version
+    assert(Sources.latestVersion(dir) === vBefore + 1)
+    val dupe2 = dupe.replace("replay-dupe", "replay-dupe2")
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dupe2))
+    sw.commit(7L, Array(graft.sources.GraftWriteMessage(Seq(dupe2))))
+    assert(Sources.latestVersion(dir) === vBefore + 1,
+      "replayed epoch published a duplicate version")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dupe2)),
+      "replayed epoch left its duplicate files behind")
+  }
+
   test("cdf-driven incremental dedup: three commits through the change " +
     "feed equal the single-shot batch dedup rule") {
     import graft.sources.Sources
