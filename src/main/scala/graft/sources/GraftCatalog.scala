@@ -88,8 +88,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftTable(spark, tableDir(ident), -1)
+    // metadata tables, Trino/Iceberg style: SELECT * FROM g.`t$history`
+    // (one row per version) / g.`t$files` (the pinned file inventory)
+    ident.name().split("\\$", 2) match {
+      case Array(base, meta) if meta.nonEmpty =>
+        val baseIdent = Identifier.of(ident.namespace(), base)
+        if (!tableExists(baseIdent)) throw new NoSuchTableException(ident)
+        val dir = tableDir(baseIdent)
+        val df = meta match {
+          case "history" => Sources.history(spark, dir)
+          case "files" =>
+            val s = spark
+            import s.implicits._
+            val v = Sources.latestVersion(dir)
+            val stats = Sources.statsOf(dir, v)
+              .keys.map(_._1).toSet ++
+              Sources.statsOfString(dir, v).keys.map(_._1).toSet
+            Sources.filesOf(dir, v).map(f =>
+              (f, java.nio.file.Files.size(java.nio.file.Paths.get(f)),
+                stats.contains(f)))
+              .toDF("file", "bytes", "has_stats")
+          case other => throw new NoSuchTableException(ident)
+        }
+        new GraftMetaTable(s"graft:$dir$$$meta", df)
+      case _ =>
+        if (!tableExists(ident)) throw new NoSuchTableException(ident)
+        new GraftTable(spark, tableDir(ident), -1)
+    }
   }
 
   /** `SELECT ... FROM g.t VERSION AS OF <n>` — SQL time travel straight
@@ -431,6 +456,36 @@ object GraftTable {
       case _ => true
     }
   }
+}
+
+/** A driver-computed metadata relation (version history / file
+  * inventory) served through the V1 scan fallback — the rows are
+  * KB-scale table METADATA, so the RowDataSourceScan path is exactly
+  * right; nothing data-sized ever flows through it. */
+private[graft] class GraftMetaTable(tableName: String,
+    df: org.apache.spark.sql.DataFrame)
+  extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = df.schema
+      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](
+          context: org.apache.spark.sql.SQLContext): T =
+        (new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = df.schema
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            df.rdd
+        }).asInstanceOf[T]
+    }
 }
 
 /** The group-based row-level operation: target scanned through the

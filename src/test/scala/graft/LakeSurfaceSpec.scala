@@ -472,6 +472,30 @@ class LakeSurfaceSpec extends SparkTestBase {
     spark.sql("DROP TABLE gl.t")
   }
 
+  test("metadata tables: g.`t$history` and g.`t$files` read version and " +
+    "file inventories through pure SQL") {
+    import graft.sources.Sources
+    val wh = tmp("gmeta")
+    spark.conf.set("spark.sql.catalog.gmt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmt.warehouse", wh)
+    spark.sql("CREATE TABLE gmt.t (k BIGINT) TBLPROPERTIES ('stats.columns'='k')")
+    spark.sql("INSERT INTO gmt.t SELECT id FROM range(0, 100)")
+    spark.sql("INSERT INTO gmt.t SELECT id FROM range(100, 150)")
+    val hist = spark.sql(
+      "SELECT version, n_files, has_stats FROM gmt.`t$history` ORDER BY version")
+      .collect()
+    assert(hist.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    assert(hist.last.getBoolean(2), "latest version should carry stats")
+    val files = spark.sql("SELECT * FROM gmt.`t$files`").collect()
+    assert(files.length.toLong === hist.last.getLong(1))
+    assert(files.forall(_.getBoolean(2)), "all files statted via stats.columns")
+    // aggregates compose like any relation
+    val totalBytes = spark.sql("SELECT SUM(bytes) AS b FROM gmt.`t$files`")
+      .collect().head.getLong(0)
+    assert(totalBytes > 0)
+    spark.sql("DROP TABLE gmt.t")
+  }
+
   test("DSv2 catalog namespaces: CREATE NAMESPACE, nested tables, SHOW") {
     val wh = tmp("gns")
     spark.conf.set("spark.sql.catalog.gn", "graft.sources.GraftCatalog")
