@@ -496,6 +496,71 @@ class LakeSurfaceSpec extends SparkTestBase {
     spark.sql("DROP TABLE gmt.t")
   }
 
+  test("property: SQL DELETE == full-filter semantics for random " +
+    "translatable predicates (stats pruning can never lose rows)") {
+    import graft.sources.Sources
+    val wh = tmp("gdelprop")
+    spark.conf.set("spark.sql.catalog.gdp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdp.warehouse", wh)
+    val rnd = new scala.util.Random(42)
+    // a deterministic grammar of translatable predicates over (k, g, s)
+    def somePred(): String = {
+      def leaf(): String = rnd.nextInt(6) match {
+        case 0 => s"k = ${rnd.nextInt(2000)}"
+        case 1 => s"k < ${rnd.nextInt(2000)}"
+        case 2 => s"k >= ${rnd.nextInt(2000)}"
+        case 3 => s"g = 'g${rnd.nextInt(5)}'"
+        case 4 => s"k IN (${Seq.fill(3)(rnd.nextInt(2000)).mkString(", ")})"
+        case 5 => s"s IS NULL"
+      }
+      rnd.nextInt(3) match {
+        case 0 => leaf()
+        case 1 => s"(${leaf()} AND ${leaf()})"
+        case 2 => s"(${leaf()} OR ${leaf()})"
+      }
+    }
+    for (trial <- 0 until 8) {
+      val t = s"tp$trial"
+      spark.sql(s"""CREATE TABLE gdp.$t (k BIGINT, g STRING, s STRING)
+                   |TBLPROPERTIES ('stats.columns' = 'k,g',
+                   |               'layout.range' = 'k')""".stripMargin)
+      spark.sql(s"""INSERT INTO gdp.$t
+                   |SELECT id AS k, concat('g', CAST(id % 5 AS STRING)) AS g,
+                   |       CASE WHEN id % 7 = 0 THEN NULL
+                   |            ELSE concat('s', CAST(id AS STRING)) END AS s
+                   |FROM range(0, 2000)""".stripMargin)
+      val pred = somePred()
+      val expectKept = spark.sql(
+        s"SELECT k FROM gdp.$t WHERE NOT coalesce($pred, false)")
+        .collect().map(_.getLong(0)).toSet
+      spark.sql(s"DELETE FROM gdp.$t WHERE $pred")
+      val kept = spark.sql(s"SELECT k FROM gdp.$t")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === expectKept, s"trial $trial predicate [$pred]")
+      spark.sql(s"DROP TABLE gdp.$t")
+    }
+  }
+
+  test("concurrent catalog INSERTs both land through the OCC commit") {
+    import graft.sources.Sources
+    val wh = tmp("grace")
+    spark.conf.set("spark.sql.catalog.grc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grc.warehouse", wh)
+    spark.sql("CREATE TABLE grc.t (k BIGINT)")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence((0 until 4).map { i =>
+      Future {
+        spark.sql(s"INSERT INTO grc.t SELECT id FROM range(${i * 1000}, ${i * 1000 + 1000})")
+      }
+    }), 120.seconds)
+    assert(spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT k) AS d FROM grc.t")
+      .collect().head match { case r => r.getLong(0) == 4000 && r.getLong(1) == 4000 })
+    assert(Sources.latestVersion(s"$wh/t") === 5) // create + 4 appends
+    spark.sql("DROP TABLE grc.t")
+  }
+
   test("DSv2 catalog namespaces: CREATE NAMESPACE, nested tables, SHOW") {
     val wh = tmp("gns")
     spark.conf.set("spark.sql.catalog.gn", "graft.sources.GraftCatalog")
