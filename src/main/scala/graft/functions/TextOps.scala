@@ -2075,8 +2075,57 @@ object TextOps {
            |FROM stripes GROUP BY lang ORDER BY lang""".stripMargin)
   )
 
+  /** Q205 — per-epoch training-data shuffle + sharding: every training
+    * epoch needs its OWN deterministic permutation of the corpus
+    * (re-feeding one fixed order measurably hurts convergence; an
+    * irreproducible order makes runs undebuggable), materialized as
+    * (epoch, shard, position) coordinates a data loader reads
+    * sequentially. Permutation key = the portable md5 residue of
+    * (doc_id, epoch) — bit-stable across engines, partitionings, and
+    * retries (the q42/q156 membership device); shard = key mod 8 (a
+    * modular split of an already-uniform key, so shards balance);
+    * position = rank within (epoch, shard) by (key, doc_id) — a
+    * PARTITIONED window, never a global sort: at 100 TB each epoch's
+    * order materializes with shard-local sorts only, which is exactly
+    * how training shards are written anyway. 3 epochs × |docs| rows.
+    */
+  val q205 = Query(
+    "q205_epoch_shuffle",
+    (s, dir) => {
+      val nShards = 8
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .withColumn("epoch", explode(sequence(lit(1), lit(3))))
+        .withColumn("u", graft.Canon.md5Residue(
+          concat(lit("ep:"), col("epoch"), lit(":"), col("doc_id")),
+          1000000007L))
+        .withColumn("shard", pmod(col("u"), lit(nShards)).cast("long"))
+      keyed
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("epoch", "shard")
+            .orderBy(col("u").asc, col("doc_id").asc)).cast("long"))
+        .select(col("epoch").cast("long").as("epoch"), col("shard"),
+          col("pos"), col("doc_id"))
+        .orderBy("epoch", "shard", "pos")
+    },
+    Some("""WITH keyed AS (
+           |  SELECT epoch, doc_id,
+           |         CAST(concat('0x', substr(md5(concat(
+           |           'ep:', CAST(epoch AS VARCHAR), ':',
+           |           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           |           % 1000000007 AS u
+           |  FROM documents, unnest(generate_series(1, 3)) AS t(epoch))
+           |SELECT CAST(epoch AS BIGINT) AS epoch,
+           |       CAST(u % 8 AS BIGINT) AS shard,
+           |       CAST(row_number() OVER (PARTITION BY epoch, u % 8
+           |            ORDER BY u, doc_id) AS BIGINT) AS pos,
+           |       doc_id
+           |FROM keyed
+           |ORDER BY epoch, shard, pos""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
-      q154, q155, q163, q168, q171, q174, q176, q187, q188)
+      q154, q155, q163, q168, q171, q174, q176, q187, q188, q205)
 }

@@ -40,6 +40,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the recorded version exactly. Delta's CDF readStream is the same
   * contract; here it falls out of immutable files + versioned
   * manifests alone.
+  *
+  * Retention contract: [[Sources.vacuumVersions]] bounds time travel —
+  * and therefore REPLAY — to its kept horizon. A consumer lagging past
+  * vacuumed versions fails loudly on the missing files (the Delta
+  * behavior; silently skipping vacuumed deltas would corrupt every
+  * downstream incremental state). Operate vacuum's `keepLast` above
+  * the slowest consumer's lag, same as any log-compacted feed.
   */
 class GraftCdfDataSource extends TableProvider with DataSourceRegister {
 
