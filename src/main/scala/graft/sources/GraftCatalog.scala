@@ -176,6 +176,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case (s, rn: TableChange.RenameColumn) =>
         require(rn.fieldNames().length == 1,
           "nested RENAME COLUMN is not supported")
+        // the DSv2 scan reads files under the declared names with no
+        // per-generation alignment (that is readVersionEvolved's job),
+        // so renaming over EXISTING data files would silently null the
+        // column in catalog reads — and a later rewrite would persist
+        // the nulls. Reject unless the file set is empty; the API
+        // surface (commitVersionEvolving + readVersionEvolved) remains
+        // the documented rename path for populated tables.
+        require(Sources.filesOf(dir, v).isEmpty,
+          "RENAME COLUMN on a populated graft table is supported only " +
+            "through commitVersionEvolving/readVersionEvolved (the " +
+            "catalog scan does not realign pre-rename file generations)")
         StructType(s.fields.map { f =>
           if (f.name == rn.fieldNames().head)
             f.copy(name = rn.newName(),
@@ -194,13 +205,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val dir = java.nio.file.Paths.get(tableDir(ident))
     if (!java.nio.file.Files.exists(dir)) false
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      true
-    }
+    else { Sources.deleteTree(dir); true }
   }
 
   override def renameTable(oldIdent: Identifier,
@@ -269,10 +274,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (!cascade)
         require(listTables(namespace).isEmpty,
           s"namespace ${namespace.mkString(".")} is not empty")
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      Sources.deleteTree(dir)
       true
     }
   }
@@ -289,7 +291,7 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations {
 
-  private val pinned =
+  private[sources] val pinned =
     if (version < 0) Sources.latestVersion(path) else version
 
   override def name(): String =
@@ -509,7 +511,13 @@ private[sources] class GraftRowLevelOperation(
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
-            new GraftBatchWrite(spark, table, info.schema())
+            // basedOn = the version the SCAN pinned at loadTable time,
+            // NOT latest-at-write-time: the rewrite's survivor rows
+            // were computed from that snapshot, so a commit landing
+            // between analysis and write must fail the publish loudly
+            // instead of being silently erased by the rewrite
+            new GraftBatchWrite(spark, table, info.schema(),
+              graftTable.pinned)
         }
     }
 }
@@ -522,12 +530,10 @@ private[sources] class GraftRowLevelOperation(
   * files — the two-phase protocol every DSv2 sink implements, here
   * ending in a versioned-table commit instead of a directory rename. */
 private[sources] class GraftBatchWrite(spark: SparkSession, table: String,
-    schema: StructType)
+    schema: StructType, basedOn: Int)
   extends org.apache.spark.sql.connector.write.BatchWrite {
 
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
-
-  private val basedOn = Sources.latestVersion(table)
   private val batchDir = java.nio.file.Paths.get(table, "data",
     s"batch-rlo-${java.util.UUID.randomUUID().toString.take(12)}")
 
@@ -554,6 +560,9 @@ private[sources] class GraftBatchWrite(spark: SparkSession, table: String,
         case e: java.util.ConcurrentModificationException =>
           abort(messages); throw e
       }
+    // a rewrite that deletes everything publishes an EMPTY version:
+    // pin the write schema or the table has no schema source left
+    if (files.isEmpty) Sources.publishSchema(table, next, schema)
     // self-maintaining skipping holds through rewrites too (all files
     // are new after a whole-table-group rewrite: nothing to carry)
     val cols = Sources.statsColumnsOf(table)
@@ -562,14 +571,8 @@ private[sources] class GraftBatchWrite(spark: SparkSession, table: String,
       Sources.commitStats(spark, table, next, cols)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    if (java.nio.file.Files.exists(batchDir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(batchDir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    Sources.deleteTree(batchDir)
 }
 
 private[graft] case class GraftWriteMessage(files: Seq[String])
@@ -759,7 +762,8 @@ private[sources] class GraftWriteBuilder(table: String,
       // end is the graft-cdf source
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new GraftStreamingWrite(SparkSession.active, table, info.schema())
+        new GraftStreamingWrite(SparkSession.active, table, info.schema(),
+          info.queryId())
     }
 }
 
@@ -774,17 +778,26 @@ private[sources] class GraftWriteBuilder(table: String,
   * `commitVersionedBatch` offers foreachBatch users, now native to
   * `writeStream.toTable`. */
 private[graft] class GraftStreamingWrite(spark: SparkSession,
-    table: String, schema: StructType)
+    table: String, schema: StructType, queryId: String)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
+  // data files per write INSTANCE (names never collide across
+  // restarts), but epoch-claim markers per QUERY: a restarted query
+  // constructs a fresh GraftStreamingWrite, and exactly-once only
+  // holds if the replayed epoch finds the ORIGINAL run's marker — so
+  // markers key on the stable streaming query id, not the instance
   private val streamDir = java.nio.file.Paths.get(table, "data",
     s"stream-${java.util.UUID.randomUUID().toString.take(12)}")
+  private val markerDir = java.nio.file.Paths.get(table, "_streams",
+    queryId)
 
-  private def ensureDir(): Unit =
+  private def ensureDir(): Unit = {
     java.nio.file.Files.createDirectories(streamDir)
+    java.nio.file.Files.createDirectories(markerDir)
+  }
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -809,7 +822,7 @@ private[graft] class GraftStreamingWrite(spark: SparkSession,
     // claim the epoch atomically; a replay loses the claim, cleans up
     // its duplicate files, and commits nothing
     ensureDir()
-    val marker = streamDir.resolve(s"e$epochId.commit")
+    val marker = markerDir.resolve(s"e$epochId.commit")
     val claimed =
       try { java.nio.file.Files.createFile(marker); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }

@@ -233,7 +233,11 @@ object Sources {
           case Some(Array(c1, c2))
               if df.schema.fieldNames.contains(c1) &&
                 df.schema.fieldNames.contains(c2) =>
-            zorderCluster(df, c1, c2, files)
+            // pin the batch before the bounds aggregate: the z-order
+            // normalization needs min/max FIRST, and without
+            // materialization an INSERT ... SELECT's arbitrary query
+            // would execute twice (once for bounds, once for the write)
+            zorderCluster(df.localCheckpoint(), c1, c2, files)
           case _ => df
         }
     }
@@ -339,22 +343,32 @@ object Sources {
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-${java.util.UUID.randomUUID().toString.take(12)}")
     df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
-    df.sparkSession.read.parquet(batch.toString)
+    // a 0-partition input (e.g. TRUNCATE's empty frame) writes no part
+    // files at all; reading the dir back would die on schema inference
+    val hasParts = Option(batch.toFile.listFiles).getOrElse(Array.empty)
+      .exists(_.getName.endsWith(".parquet"))
+    if (!hasParts) Seq.empty
+    else df.sparkSession.read.parquet(batch.toString)
       .select(org.apache.spark.sql.functions.input_file_name())
-      .distinct().collect().map(_.getString(0).stripPrefix("file://")).sorted
+      .distinct().collect().map(_.getString(0).stripPrefix("file://"))
+      .sorted.toSeq
   }
 
-  /** Recursively delete a batch directory (rejected by a failed check
-    * or orphaned by a lost conflict-detecting publish) — partitioned
-    * writes create subdirectories, so a flat listFiles().delete() would
-    * silently leave the tree (and its data) stranded on disk. */
-  private def deleteBatchDir(path: java.nio.file.Path): Unit =
+  /** Recursively delete a directory tree (a rejected/orphaned batch
+    * dir, a dropped table, a dropped namespace) — partitioned writes
+    * create subdirectories, so a flat listFiles().delete() would
+    * silently leave the tree (and its data) stranded on disk. The ONE
+    * destructive-filesystem helper; every caller routes through it. */
+  private[graft] def deleteTree(path: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(path)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(path).iterator().asScala.toSeq
         .sortBy(-_.getNameCount)
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
+
+  private def deleteBatchDir(path: java.nio.file.Path): Unit =
+    deleteTree(path)
 
   /** The ONE contended-publish loop shared by every commutable commit
     * path ([[commitVersion]], [[commitVersionChecked]]): claim
@@ -384,7 +398,11 @@ object Sources {
       // Computed before the publish so an incompatible batch fails
       // without claiming a version number.
       val declaredNext: Option[StructType] =
-        if (overwrite || prev == 0) None
+        if (overwrite || prev == 0)
+          // an EMPTY replacing/first version has no data-file footer to
+          // fall back to — pin the batch schema or the table becomes
+          // unreadable (schemaOf would .head an empty file list)
+          if (newFiles.isEmpty) batchSchema else None
         else batchSchema.flatMap(bs =>
           declaredSchema(table, prev).map(ds =>
             evolveSchema(ds, bs, Map.empty)))
@@ -779,9 +797,13 @@ object Sources {
             .select("__f").distinct().collect().map(_.getString(0)).toSet
         files.partition(f => noStats.contains(f) || hit.contains(f))
       }
+    // read affected files under the DECLARED schema where one exists —
+    // a mixed-generation rewrite must not narrow to one file's footer
+    val mReader = declaredSchema(table, v)
+      .fold(spark.read)(s => spark.read.schema(s))
     val base =
-      if (affected.nonEmpty) spark.read.parquet(affected: _*)
-      else spark.read.parquet(files.head)
+      if (affected.nonEmpty) mReader.parquet(affected: _*)
+      else mReader.parquet(files.head)
         .filter(org.apache.spark.sql.functions.lit(false))
     val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
     val survivors = base.join(
@@ -1059,7 +1081,14 @@ object Sources {
     val files = filesOf(table, v)
     val (affected, carried) = files.partition(fileMayMatch)
     if (affected.isEmpty) return (v, 0, carried.length)
-    val survivors = spark.read.parquet(affected: _*)
+    // rewrite under the DECLARED schema: mixed-generation affected
+    // files (an ADD COLUMN between appends) must not have the survivor
+    // rewrite silently narrowed to whichever file's footer schema
+    // inference happened to pick — older files null-fill, newer files
+    // keep their evolved columns
+    val reader = declaredSchema(table, v)
+      .fold(spark.read)(s => spark.read.schema(s))
+    val survivors = reader.parquet(affected: _*)
       .filter(!coalesce(cond, lit(false)))
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-delete-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1081,7 +1110,13 @@ object Sources {
         case e: java.util.ConcurrentModificationException =>
           deleteBatchDir(batch); throw e
       }
-    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    if ((carried ++ newFiles).isEmpty)
+      // delete-all on a sidecar-less version: pin the pre-delete
+      // effective schema or the empty version has NO schema source at
+      // all and every later read/insert dies resolving it
+      publishSchema(table, next, schemaOf(spark, table, v))
+    else
+      declaredSchema(table, v).foreach(publishSchema(table, next, _))
     val stattedCols = statsOf(table, v).keys.map(_._2).toSeq.distinct ++
       statsOfString(table, v).keys.map(_._2).toSeq.distinct
     if (stattedCols.nonEmpty)

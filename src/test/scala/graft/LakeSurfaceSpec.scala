@@ -561,6 +561,51 @@ class LakeSurfaceSpec extends SparkTestBase {
     spark.sql("DROP TABLE grc.t")
   }
 
+  test("DELETE across file generations keeps evolved-column values; " +
+    "delete-all and truncate leave a readable, insertable empty table") {
+    import graft.sources.Sources
+    val wh = tmp("gmixed")
+    spark.conf.set("spark.sql.catalog.gmx", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmx.warehouse", wh)
+    spark.sql("CREATE TABLE gmx.t (k BIGINT)")
+    spark.sql("INSERT INTO gmx.t SELECT id FROM range(0, 100)")
+    spark.sql("ALTER TABLE gmx.t ADD COLUMN tag STRING")
+    spark.sql("INSERT INTO gmx.t SELECT id, 'new' FROM range(100, 200)")
+    // the delete predicate hits BOTH generations' files: the survivor
+    // rewrite must keep the new generation's tag values (pre-fix, the
+    // rewrite could narrow to the old generation's footer schema)
+    spark.sql("DELETE FROM gmx.t WHERE k >= 50 AND k < 150")
+    val r = spark.sql(
+      "SELECT COUNT(*) AS n, COUNT(tag) AS n_tag FROM gmx.t").collect().head
+    assert(r.getLong(0) === 100 && r.getLong(1) === 50,
+      s"expected 100 rows with 50 tagged, got ${r.getLong(0)}/${r.getLong(1)}")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gmx.t WHERE tag = 'new'")
+      .collect().head.getLong(0) === 50)
+
+    // INSERT OVERWRITE (sidecar-less version) then delete EVERYTHING:
+    // the empty version must still serve a schema
+    spark.sql("INSERT OVERWRITE gmx.t SELECT id, 'ow' FROM range(0, 10)")
+    spark.sql("DELETE FROM gmx.t WHERE k >= 0")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gmx.t")
+      .collect().head.getLong(0) === 0)
+    spark.sql("INSERT INTO gmx.t SELECT 1, 'back'")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gmx.t")
+      .collect().head.getLong(0) === 1)
+
+    // TRUNCATE TABLE: empty replacing commit, schema intact
+    spark.sql("TRUNCATE TABLE gmx.t")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gmx.t")
+      .collect().head.getLong(0) === 0)
+    spark.sql("INSERT INTO gmx.t SELECT 2, 'again'")
+    assert(spark.sql("SELECT tag FROM gmx.t").collect().head.getString(0)
+      === "again")
+    // catalog RENAME over populated data is rejected, not silently null
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gmx.t RENAME COLUMN tag TO label")
+    }
+    spark.sql("DROP TABLE gmx.t")
+  }
+
   test("DSv2 catalog namespaces: CREATE NAMESPACE, nested tables, SHOW") {
     val wh = tmp("gns")
     spark.conf.set("spark.sql.catalog.gn", "graft.sources.GraftCatalog")

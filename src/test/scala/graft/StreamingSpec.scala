@@ -784,9 +784,11 @@ class StreamingSpec extends SparkTestBase {
     assert(cdf.filter(col("_change_type") =!= "insert").count() === 0)
     assert(cdf.select("_commit_version").distinct().count() === 3)
 
-    // exactly-once: a commit REPLAY for an already-claimed epoch must
-    // clean up its duplicate files and publish no version
-    val sw = new graft.sources.GraftStreamingWrite(spark, dir, schema)
+    // exactly-once under RESTART: the replayed epoch arrives through a
+    // FRESH GraftStreamingWrite instance (that is what a driver restart
+    // constructs) with the same stable streaming query id — the marker
+    // must be found across instances, or replays double-commit
+    val sw = new graft.sources.GraftStreamingWrite(spark, dir, schema, "q-test")
     val dupe = s"$dir/data/replay-dupe.parquet"
     spark.range(0, 5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
       .coalesce(1).write.parquet(s"$root/dupe")
@@ -798,13 +800,22 @@ class StreamingSpec extends SparkTestBase {
     val vBefore = Sources.latestVersion(dir)
     sw.commit(7L, msg) // first claim: commits a version
     assert(Sources.latestVersion(dir) === vBefore + 1)
+    val swRestarted =
+      new graft.sources.GraftStreamingWrite(spark, dir, schema, "q-test")
     val dupe2 = dupe.replace("replay-dupe", "replay-dupe2")
     java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dupe2))
-    sw.commit(7L, Array(graft.sources.GraftWriteMessage(Seq(dupe2))))
+    swRestarted.commit(7L, Array(graft.sources.GraftWriteMessage(Seq(dupe2))))
     assert(Sources.latestVersion(dir) === vBefore + 1,
-      "replayed epoch published a duplicate version")
+      "replayed epoch published a duplicate version across restart")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dupe2)),
       "replayed epoch left its duplicate files behind")
+    // a DIFFERENT query writing the same table keeps its own ledger
+    val swOther =
+      new graft.sources.GraftStreamingWrite(spark, dir, schema, "q-other")
+    val dupe3 = dupe.replace("replay-dupe", "replay-dupe3")
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dupe3))
+    swOther.commit(7L, Array(graft.sources.GraftWriteMessage(Seq(dupe3))))
+    assert(Sources.latestVersion(dir) === vBefore + 2)
   }
 
   test("cdf-driven incremental dedup: three commits through the change " +
