@@ -754,6 +754,13 @@ private[sources] class GraftWriteBuilder(table: String,
           if (cols.nonEmpty)
             Sources.commitStats(data.sparkSession, table, v, cols,
               carryFrom = if (replace) -1 else v - 1)
+          // `bloom.columns`: per-file bloom sidecar for point-predicate
+          // skipping on non-clustering columns, same incremental carry
+          val bcols = Sources.bloomColumnsOf(table)
+            .filter(data.schema.fieldNames.contains(_))
+          if (bcols.nonEmpty)
+            Sources.commitBlooms(data.sparkSession, table, v, bcols,
+              carryFrom = if (replace) -1 else v - 1)
           ()
         }
 

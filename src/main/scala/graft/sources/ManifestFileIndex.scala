@@ -57,6 +57,13 @@ class ManifestFileIndex(spark: SparkSession, table: String,
   }
   private val stats = Sources.statsOf(table, v)
   private val strStats = Sources.statsOfString(table, v)
+  // per-file bloom filters, deserialized once per index instance —
+  // the point-predicate skipping device for non-clustering columns
+  private lazy val blooms: Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
+    Sources.bloomsOf(table, v).map { case (k, bytes) =>
+      k -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    }
 
   override def rootPaths: Seq[Path] = Seq(new Path(table))
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
@@ -177,12 +184,43 @@ class ManifestFileIndex(spark: SparkSession, table: String,
     perCol.toMap
   }
 
+  /** Top-level point-equality conjuncts as (column, candidate values)
+    * — one entry PER CONJUNCT (two `c = …` conjuncts on one column
+    * must both hold). Values render as the string the write side
+    * hashed (`cast(col as string)`); only integral and string literal
+    * types are rendered — other types' cast renderings are not
+    * guaranteed to match literal.toString, and skipping a render just
+    * keeps the file. */
+  private def pointChecksOf(filters: Seq[Expression])
+      : Seq[(String, Seq[String])] = {
+    def render(v: Any, dt: org.apache.spark.sql.types.DataType): Option[String] =
+      dt match {
+        case _ if v == null => None
+        case ByteType | ShortType | IntegerType | LongType => Some(v.toString)
+        case org.apache.spark.sql.types.StringType => Some(v.toString)
+        case _ => None
+      }
+    filters.flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+        render(v, dt).map(s => a.name -> Seq(s))
+      case EqualTo(Literal(v, dt), a: AttributeReference) =>
+        render(v, dt).map(s => a.name -> Seq(s))
+      case In(a: AttributeReference, vs) if vs.nonEmpty =>
+        val rs = vs.map { case Literal(v, dt) => render(v, dt); case _ => None }
+        if (rs.forall(_.isDefined)) Some(a.name -> rs.flatten)
+        else None
+      case And(x, y) => pointChecksOf(Seq(x)) ++ pointChecksOf(Seq(y))
+      case _ => None
+    }
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = boundsOf(dataFilters)
     val strBounds = stringBoundsOf(dataFilters)
+    val points = if (blooms.isEmpty) Nil else pointChecksOf(dataFilters)
     val kept =
-      if (bounds.isEmpty && strBounds.isEmpty) statuses
+      if (bounds.isEmpty && strBounds.isEmpty && points.isEmpty) statuses
       else statuses.filter { st =>
         val f = st.getPath.toUri.getPath
         bounds.forall { case (c, (lo, hi)) =>
@@ -196,6 +234,13 @@ class ManifestFileIndex(spark: SparkSession, table: String,
             case Some((mn, mx)) =>
               lo.forall(mx.compareTo(_) >= 0) && hi.forall(mn.compareTo(_) <= 0)
             case None => true // no stats row: must keep
+          }
+        } && points.forall { case (c, vals) =>
+          blooms.get((f, c)) match {
+            // bloom "might contain" keeps; definite absence of EVERY
+            // candidate value drops — false positives only ever read
+            case Some(b) => vals.exists(b.mightContainString)
+            case None => true // no bloom: must keep
           }
         }
       }

@@ -717,6 +717,79 @@ object Sources {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Per-file BLOOM FILTER sidecar (`v<N>.bloom`) — the skipping device
+    * min/max stats cannot be: a POINT predicate (`k = X`, `k IN (…)`)
+    * on a high-cardinality column that is NOT the clustering key hits
+    * every file's [min, max] interval, but a per-file Bloom answers
+    * "definitely absent" for all but the files that contain (or
+    * falsely claim) the key — Delta's bloom filter index, derived here
+    * from one distributed `aggregateByKey` over the version's files
+    * (BloomFilter is mergeable, so the build is map-side combinable;
+    * at 100 TB each file's bloom is built by the tasks that would read
+    * it anyway at commit time). False positives only ever KEEP a file;
+    * absence of a sidecar or a column keeps the file too — pruning is
+    * an optimization, never a filter. `carryFrom` copies immutable
+    * files' blooms forward, so per-commit cost is O(delta). */
+  def commitBlooms(spark: SparkSession, table: String, version: Int,
+      cols: Seq[String], expectedPerFile: Long = 100000L,
+      fpp: Double = 0.01, carryFrom: Int = -1): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val files = filesOf(table, version)
+    val carried: Map[(String, String), Array[Byte]] =
+      if (carryFrom > 0) bloomsOf(table, carryFrom) else Map.empty
+    val (have, need) = files.partition(f =>
+      cols.forall(c => carried.contains((f, c))))
+    val computed: Seq[((String, String), Array[Byte])] =
+      if (need.isEmpty) Seq.empty
+      else {
+        val df = spark.read.parquet(need: _*)
+        val present = cols.filter(df.schema.fieldNames.contains(_))
+        present.flatMap { c =>
+          df.select(org.apache.spark.sql.functions.input_file_name().as("f"),
+              col(c).cast("string").as("v"))
+            .filter(col("v").isNotNull)
+            .rdd.map(r => (r.getString(0).stripPrefix("file://"), r.getString(1)))
+            .aggregateByKey(
+              BloomFilter.create(expectedPerFile, fpp))(
+              (b, v) => { b.putString(v); b },
+              (a, b) => { a.mergeInPlace(b); a })
+            .collect().toSeq
+            .map { case (f, b) =>
+              val bos = new java.io.ByteArrayOutputStream()
+              b.writeTo(bos)
+              (f, c) -> bos.toByteArray
+            }
+        }
+      }
+    val lines = (have.flatMap(f => cols.flatMap(c =>
+      carried.get((f, c)).map(bytes => (f, c) -> bytes))) ++ computed)
+      .map { case ((f, c), bytes) =>
+        s"$f\t$c\t${java.util.Base64.getEncoder.encodeToString(bytes)}"
+      }.sorted
+    val dir = java.nio.file.Paths.get(table)
+    val tmp = java.nio.file.Files.createTempFile(dir, s".b$version", ".tmp")
+    java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve(s"v$version.bloom"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** (file, col) -> serialized bloom for a version; malformed lines
+    * degrade to "no bloom" (file kept), same contract as stats. */
+  def bloomsOf(table: String,
+      version: Int): Map[(String, String), Array[Byte]] = {
+    val p = java.nio.file.Paths.get(table, s"v$version.bloom")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala
+      .filter(_.nonEmpty)
+      .flatMap { line =>
+        scala.util.Try {
+          val Array(f, c, b64) = line.split("\t", 3)
+          (f, c) -> java.util.Base64.getDecoder.decode(b64)
+        }.toOption
+      }.toMap
+  }
+
   /** MERGE as a copy-on-write commit at FILE granularity — the table
     * format's answer to "update/delete a handful of keys in a
     * thousand-file table without rewriting it". `changes` carries the
@@ -1048,6 +1121,11 @@ object Sources {
   /** The `stats.columns` table property parsed to column names. */
   private[sources] def statsColumnsOf(table: String): Seq[String] =
     tableProperties(table).get("stats.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** The `bloom.columns` table property parsed to column names. */
+  private[sources] def bloomColumnsOf(table: String): Seq[String] =
+    tableProperties(table).get("bloom.columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
   /** Create an empty table: version 1 is an empty file set whose

@@ -606,6 +606,53 @@ class LakeSurfaceSpec extends SparkTestBase {
     spark.sql("DROP TABLE gmx.t")
   }
 
+  test("bloom.columns: point predicates on an UNCLUSTERED high-cardinality " +
+    "column skip files min/max stats cannot") {
+    import graft.sources.Sources
+    val wh = tmp("gbloom")
+    spark.conf.set("spark.sql.catalog.gb", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gb.warehouse", wh)
+    spark.sql("""CREATE TABLE gb.t (id STRING, k BIGINT)
+                |TBLPROPERTIES ('stats.columns' = 'k',
+                |               'bloom.columns' = 'id,k')""".stripMargin)
+    val dir = s"$wh/t"
+    // ids hash-scrambled across 8 files: every file's [min,max] id/k
+    // interval covers nearly the whole domain, so interval stats keep
+    // ALL files for a point probe — the bloom is what skips
+    spark.range(0, 8000)
+      .selectExpr("concat('id-', CAST(pmod(id * 2654435761, 8000) AS STRING)) AS id",
+        "CAST(pmod(id * 40503, 8000) AS BIGINT) AS k")
+      .repartition(8)
+      .createOrReplaceTempView("gb_src")
+    spark.sql("INSERT INTO gb.t SELECT * FROM gb_src")
+    assert(Sources.bloomsOf(dir, Sources.latestVersion(dir)).nonEmpty,
+      "INSERT did not harvest the bloom sidecar")
+
+    def scanned(sql: String, expect: Long): Long = {
+      val q = spark.sql(sql)
+      assert(q.collect().head.getLong(0) === expect)
+      scansOfV2(q)
+    }
+    // string point probe
+    val s1 = scanned("SELECT COUNT(*) AS n FROM gb.t WHERE id = 'id-4242'", 1)
+    assert(s1 <= 3, s"bloom should skip most files for a string point, scanned $s1/8")
+    // long point probe (k is also interval-statted, but unclustered)
+    val s2 = scanned("SELECT COUNT(*) AS n FROM gb.t WHERE k = 1234", 1)
+    assert(s2 <= 3, s"bloom should skip most files for a long point, scanned $s2/8")
+    // IN probe: union of candidates, still bounded
+    val s3 = scanned(
+      "SELECT COUNT(*) AS n FROM gb.t WHERE id IN ('id-1', 'id-2', 'id-3')", 3)
+    assert(s3 <= 6, s"bloom IN probe scanned $s3/8")
+    // absent key: provably-empty scan, zero files
+    val s4 = scanned("SELECT COUNT(*) AS n FROM gb.t WHERE id = 'id-99999'", 0)
+    assert(s4 === 0, s"absent key should scan zero files, scanned $s4")
+    // a second INSERT carries blooms incrementally and stays exact
+    spark.sql("INSERT INTO gb.t SELECT concat('x-', CAST(id AS STRING)), id FROM range(0, 100)")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gb.t WHERE id = 'x-7'")
+      .collect().head.getLong(0) === 1)
+    spark.sql("DROP TABLE gb.t")
+  }
+
   test("DSv2 catalog namespaces: CREATE NAMESPACE, nested tables, SHOW") {
     val wh = tmp("gns")
     spark.conf.set("spark.sql.catalog.gn", "graft.sources.GraftCatalog")
