@@ -569,6 +569,10 @@ private[sources] class GraftBatchWrite(spark: SparkSession, table: String,
       .filter(schema.fieldNames.contains(_))
     if (cols.nonEmpty && files.nonEmpty)
       Sources.commitStats(spark, table, next, cols)
+    val bcols = Sources.bloomColumnsOf(table)
+      .filter(schema.fieldNames.contains(_))
+    if (bcols.nonEmpty && files.nonEmpty)
+      Sources.commitBlooms(spark, table, next, bcols)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -742,9 +746,13 @@ private[sources] class GraftWriteBuilder(table: String,
           // TBLPROPERTIES) applies PER BATCH at insert time — tight
           // per-file intervals for the stats sidecar without the
           // writer knowing anything; compaction re-clusters globally
-          val v = Sources.commitVersion(
-            Sources.clusterByLayout(data, table), table,
-            overwrite = replace)
+          val toRelease =
+            scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+          val v =
+            try Sources.commitVersion(
+              Sources.clusterByLayout(data, table, toRelease), table,
+              overwrite = replace)
+            finally toRelease.foreach(_.unpersist(false))
           // self-maintaining skipping: `stats.columns` tables harvest
           // the min/max sidecar on EVERY commit — incremental
           // (carryFrom copies the carried files' stats forward, only
@@ -777,13 +785,30 @@ private[sources] class GraftWriteBuilder(table: String,
 /** Exactly-once streaming sink over the versioned table: executor
   * tasks write parquet through the same machinery as the row-level
   * BatchWrite, and each epoch's driver commit is one OCC append
-  * publish. Restart safety: a replayed epoch finds its `e<N>.commit`
-  * marker (claimed with the same atomic-create primitive as manifest
-  * versions), deletes its re-written duplicate files, and commits
-  * NOTHING — so the table holds each epoch exactly once no matter how
-  * the checkpoint recovers, which is precisely the contract
-  * `commitVersionedBatch` offers foreachBatch users, now native to
-  * `writeStream.toTable`. */
+  * publish.
+  *
+  * Restart safety is a TWO-PHASE epoch ledger under
+  * `table/_streams/<queryId>/` (query id, not write instance — a
+  * restarted driver builds a fresh GraftStreamingWrite and must still
+  * see the original run's ledger):
+  *
+  *  1. claim `e<N>.commit` atomically, content = the epoch's FILE LIST
+  *     (state: pending);
+  *  2. publish the manifest version;
+  *  3. rewrite the marker content to `committed`.
+  *
+  * A replay that finds `committed` deletes its duplicate files and
+  * returns. A replay that finds `pending` hit the crash window and
+  * RESOLVES it from the ground truth: if the recorded files appear in
+  * any manifest, the publish happened — finalize and skip; if not but
+  * the recorded files still exist on disk (they were fully written —
+  * task commits preceded the driver commit), ADOPT them and publish
+  * exactly those, so the original epoch's rows land once; only if the
+  * recorded files are gone does the replay fall back to its own
+  * re-written files. A publish FAILURE deletes the pending marker
+  * before rethrowing, so the retry is never mistaken for a duplicate.
+  * Either way: every epoch lands exactly once, under any interleaving
+  * of crash and restart. */
 private[graft] class GraftStreamingWrite(spark: SparkSession,
     table: String, schema: StructType, queryId: String)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
@@ -821,30 +846,79 @@ private[graft] class GraftStreamingWrite(spark: SparkSession,
       factory.createEpochWriter(partitionId, taskId, epochId)
   }
 
-  override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect {
-      case GraftWriteMessage(fs) => fs
-    }.flatten.toSeq.sorted
-    // claim the epoch atomically; a replay loses the claim, cleans up
-    // its duplicate files, and commits nothing
-    ensureDir()
-    val marker = markerDir.resolve(s"e$epochId.commit")
-    val claimed =
-      try { java.nio.file.Files.createFile(marker); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (!claimed) {
-      files.foreach(f =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
-      return
-    }
+  private def deleteAll(files: Seq[String]): Unit =
+    files.foreach(f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+
+  private def publishEpoch(files: Seq[String]): Unit =
     if (files.nonEmpty) {
       val v = Sources.commitVersionFiles(table, files, Some(schema))
       val cols = Sources.statsColumnsOf(table)
         .filter(schema.fieldNames.contains(_))
       if (cols.nonEmpty)
         Sources.commitStats(spark, table, v, cols, carryFrom = v - 1)
+      val bcols = Sources.bloomColumnsOf(table)
+        .filter(schema.fieldNames.contains(_))
+      if (bcols.nonEmpty)
+        Sources.commitBlooms(spark, table, v, bcols, carryFrom = v - 1)
     }
+
+  /** Does any manifest version reference `probe`? (ground truth for
+    * resolving a pending marker's crash window) */
+  private def everPublished(probe: String): Boolean =
+    Sources.versionsOf(table).exists(v =>
+      Sources.filesOf(table, v).contains(probe))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case GraftWriteMessage(fs) => fs
+    }.flatten.toSeq.sorted
+    ensureDir()
+    val marker = markerDir.resolve(s"e$epochId.commit")
+    val pendingContent = ("pending\n" + files.mkString("\n")).getBytes("UTF-8")
+    val claimed =
+      try {
+        java.nio.file.Files.write(marker, pendingContent,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!claimed) {
+      // the epoch was claimed by a previous run: resolve its state
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(marker), "UTF-8").split("\n").toSeq
+      if (lines.headOption.contains("committed")) {
+        deleteAll(files) // plain duplicate replay
+        return
+      }
+      // pending: the claimant died between claim and publish-finalize
+      val recorded = lines.drop(1).filter(_.nonEmpty)
+      val published = recorded.headOption.exists(everPublished)
+      if (!published) {
+        val recordedIntact = recorded.nonEmpty && recorded.forall(f =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
+        if (recordedIntact) publishEpoch(recorded) // adopt the original
+        else {
+          // original files lost with the claimant: commit OUR replay
+          java.nio.file.Files.write(marker,
+            ("pending\n" + files.mkString("\n")).getBytes("UTF-8"))
+          publishEpoch(files)
+          java.nio.file.Files.write(marker, "committed".getBytes("UTF-8"))
+          return
+        }
+      }
+      java.nio.file.Files.write(marker, "committed".getBytes("UTF-8"))
+      if (!(recorded == files)) deleteAll(files)
+      return
+    }
+    // fresh claim: publish, then finalize; a failed publish releases
+    // the claim so the retry/replay is never mistaken for a duplicate
+    try publishEpoch(files)
+    catch { case e: Throwable =>
+      java.nio.file.Files.deleteIfExists(marker)
+      throw e
+    }
+    java.nio.file.Files.write(marker, "committed".getBytes("UTF-8"))
   }
 
   override def abort(epochId: Long,

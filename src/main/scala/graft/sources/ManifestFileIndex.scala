@@ -197,6 +197,7 @@ class ManifestFileIndex(spark: SparkSession, table: String,
       dt match {
         case _ if v == null => None
         case ByteType | ShortType | IntegerType | LongType => Some(v.toString)
+        // covers both Literal values and InSet's raw UTF8String members
         case org.apache.spark.sql.types.StringType => Some(v.toString)
         case _ => None
       }
@@ -209,6 +210,13 @@ class ManifestFileIndex(spark: SparkSession, table: String,
         val rs = vs.map { case Literal(v, dt) => render(v, dt); case _ => None }
         if (rs.forall(_.isDefined)) Some(a.name -> rs.flatten)
         else None
+      // OptimizeIn rewrites long IN lists (> conversion threshold) to
+      // InSet before predicates reach the planner — the many-candidate
+      // point lookup is where bloom skipping matters most
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        val rs = hset.toSeq.map(v => render(v, a.dataType))
+        if (rs.forall(_.isDefined)) Some(a.name -> rs.flatten.sorted)
+        else None
       case And(x, y) => pointChecksOf(Seq(x)) ++ pointChecksOf(Seq(y))
       case _ => None
     }
@@ -218,7 +226,11 @@ class ManifestFileIndex(spark: SparkSession, table: String,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = boundsOf(dataFilters)
     val strBounds = stringBoundsOf(dataFilters)
-    val points = if (blooms.isEmpty) Nil else pointChecksOf(dataFilters)
+    // analyze the PREDICATES first (pure expression work): the bloom
+    // sidecar only deserializes when a point check actually exists
+    val pointCandidates = pointChecksOf(dataFilters)
+    val points = if (pointCandidates.isEmpty || blooms.isEmpty) Nil
+                 else pointCandidates
     val kept =
       if (bounds.isEmpty && strBounds.isEmpty && points.isEmpty) statuses
       else statuses.filter { st =>

@@ -217,12 +217,14 @@ object Sources {
     * batch) to a batch about to be committed. Columns missing from the
     * batch (or no declared layout) pass the batch through unchanged —
     * layout is an optimization, never a write barrier. */
-  private[sources] def clusterByLayout(df: DataFrame,
-      table: String): DataFrame =
-    clusterByLayoutProps(df, tableProperties(table))
+  private[sources] def clusterByLayout(df: DataFrame, table: String,
+      toRelease: scala.collection.mutable.Buffer[DataFrame]): DataFrame =
+    clusterByLayoutProps(df, tableProperties(table), toRelease)
 
   private[sources] def clusterByLayoutProps(df: DataFrame,
-      props: Map[String, String]): DataFrame = {
+      props: Map[String, String],
+      toRelease: scala.collection.mutable.Buffer[DataFrame] =
+        scala.collection.mutable.Buffer.empty): DataFrame = {
     val files = props.get("layout.files").map(_.trim.toInt).getOrElse(8)
     props.get("layout.range").map(_.trim) match {
       case Some(key) if df.schema.fieldNames.contains(key) =>
@@ -236,8 +238,14 @@ object Sources {
             // pin the batch before the bounds aggregate: the z-order
             // normalization needs min/max FIRST, and without
             // materialization an INSERT ... SELECT's arbitrary query
-            // would execute twice (once for bounds, once for the write)
-            zorderCluster(df.localCheckpoint(), c1, c2, files)
+            // would execute twice (once for bounds, once for the
+            // write). persist (recomputable, caller unpersists after
+            // the commit via clusterCleanup) rather than
+            // localCheckpoint (non-fault-tolerant, never released)
+            val pinned = df.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            toRelease.append(pinned)
+            zorderCluster(pinned, c1, c2, files)
           case _ => df
         }
     }
@@ -279,7 +287,7 @@ object Sources {
 
   private def manifestDir(table: String) = new java.io.File(table)
 
-  private def versionsOf(table: String): Seq[Int] = {
+  private[sources] def versionsOf(table: String): Seq[Int] = {
     val d = manifestDir(table)
     if (!d.exists()) Nil
     else d.listFiles().toSeq.map(_.getName)
@@ -487,8 +495,16 @@ object Sources {
     val v = if (version < 0) latestVersion(table) else version
     require(v > 0, s"$table has no committed versions")
     val files = filesOf(table, v)
-    require(files.nonEmpty, s"$table v$v has an empty file list")
-    spark.read.parquet(files: _*)
+    if (files.isEmpty)
+      // an emptied version (delete-all / TRUNCATE / CREATE) serves its
+      // pinned declared schema as an empty relation
+      declaredSchema(table, v) match {
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => throw new IllegalArgumentException(
+          s"$table v$v has an empty file list and no declared schema")
+      }
+    else spark.read.parquet(files: _*)
   }
 
   // ---- schema-per-version: the evolution half of the format ---------
@@ -742,7 +758,11 @@ object Sources {
     val computed: Seq[((String, String), Array[Byte])] =
       if (need.isEmpty) Seq.empty
       else {
-        val df = spark.read.parquet(need: _*)
+        // DECLARED-schema read, like deleteWhere/mergeVersion: a
+        // mixed-generation `need` set must not lose evolved columns to
+        // one file's footer inference
+        val df = declaredSchema(table, version)
+          .fold(spark.read)(sc => spark.read.schema(sc)).parquet(need: _*)
         val present = cols.filter(df.schema.fieldNames.contains(_))
         present.flatMap { c =>
           df.select(org.apache.spark.sql.functions.input_file_name().as("f"),
@@ -876,8 +896,14 @@ object Sources {
       .fold(spark.read)(s => spark.read.schema(s))
     val base =
       if (affected.nonEmpty) mReader.parquet(affected: _*)
-      else mReader.parquet(files.head)
+      else if (files.nonEmpty) mReader.parquet(files.head)
         .filter(org.apache.spark.sql.functions.lit(false))
+      else
+        // merging into an emptied (delete-all/TRUNCATE) version: the
+        // whole change set is inserts against the pinned schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schemaOf(spark, table, v))
     val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
     val survivors = base.join(
       changes.select(col(key)).distinct(), Seq(key), "left_anti")
@@ -1084,11 +1110,15 @@ object Sources {
 
   private[sources] def copyStatsSidecar(table: String, from: Int,
       to: Int): Unit = {
-    val src = java.nio.file.Paths.get(table, s"v$from.stats")
-    if (java.nio.file.Files.exists(src))
-      java.nio.file.Files.copy(src,
-        java.nio.file.Paths.get(table, s"v$to.stats"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // bloom sidecars travel with stats — every caller has an identical
+    // file set, so both sidecars stay valid verbatim
+    Seq("stats", "bloom").foreach { kind =>
+      val src = java.nio.file.Paths.get(table, s"v$from.$kind")
+      if (java.nio.file.Files.exists(src))
+        java.nio.file.Files.copy(src,
+          java.nio.file.Paths.get(table, s"v$to.$kind"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Per-table properties sidecar (`table.properties`, JSON) — catalog
@@ -1199,6 +1229,9 @@ object Sources {
       statsOfString(table, v).keys.map(_._2).toSeq.distinct
     if (stattedCols.nonEmpty)
       commitStats(spark, table, next, stattedCols.distinct, carryFrom = v)
+    val bloomCols = bloomsOf(table, v).keys.map(_._2).toSeq.distinct
+    if (bloomCols.nonEmpty && (carried ++ newFiles).nonEmpty)
+      commitBlooms(spark, table, next, bloomCols, carryFrom = v)
     (next, affected.length, carried.length)
   }
 
@@ -1284,6 +1317,8 @@ object Sources {
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(table, s"v$v.stats"))
       java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(table, s"v$v.bloom"))
+      java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(table, s"v$v.schema"))
     }
     (expired.length, deadFiles.size)
@@ -1313,15 +1348,18 @@ object Sources {
     // properties) is re-CLUSTERED here, not just coalesced — compaction
     // is the global pass that restores tight per-file intervals after
     // many per-batch-clustered appends (Delta's OPTIMIZE ZORDER BY).
+    val toRelease = scala.collection.mutable.Buffer.empty[DataFrame]
     val compacted = {
       val props = tableProperties(table)
       if (props.contains("layout.range") || props.contains("layout.zorder")) {
         val withCount = props + ("layout.files" ->
           props.getOrElse("layout.files", nFiles.toString))
-        clusterByLayoutProps(df, withCount)
+        clusterByLayoutProps(df, withCount, toRelease)
       } else df.repartition(nFiles)
     }
-    val newFiles = writeBatch(compacted, table)
+    val newFiles =
+      try writeBatch(compacted, table)
+      finally toRelease.foreach(_.unpersist(false))
     val next =
       try publishIfLatest(table, v, newFiles, "compaction")
       catch {

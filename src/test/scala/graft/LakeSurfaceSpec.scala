@@ -646,8 +646,19 @@ class LakeSurfaceSpec extends SparkTestBase {
     // absent key: provably-empty scan, zero files
     val s4 = scanned("SELECT COUNT(*) AS n FROM gb.t WHERE id = 'id-99999'", 0)
     assert(s4 === 0, s"absent key should scan zero files, scanned $s4")
+    // a long IN list (beyond the optimizer's In->InSet threshold) still
+    // bloom-skips — the many-candidate lookup is the headline case
+    val inList = (0 until 12).map(i => s"'id-$i'").mkString(", ")
+    val s5 = scanned(s"SELECT COUNT(*) AS n FROM gb.t WHERE id IN ($inList)", 12)
+    assert(s5 < 8, s"InSet probe should still skip, scanned $s5/8")
     // a second INSERT carries blooms incrementally and stays exact
     spark.sql("INSERT INTO gb.t SELECT concat('x-', CAST(id AS STRING)), id FROM range(0, 100)")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gb.t WHERE id = 'x-7'")
+      .collect().head.getLong(0) === 1)
+    // bloom sidecar survives a file-granular DELETE and keeps skipping
+    spark.sql("DELETE FROM gb.t WHERE k = 1234")
+    assert(Sources.bloomsOf(dir, Sources.latestVersion(dir)).nonEmpty,
+      "DELETE dropped the bloom sidecar")
     assert(spark.sql("SELECT COUNT(*) AS n FROM gb.t WHERE id = 'x-7'")
       .collect().head.getLong(0) === 1)
     spark.sql("DROP TABLE gb.t")

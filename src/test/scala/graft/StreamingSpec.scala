@@ -816,6 +816,50 @@ class StreamingSpec extends SparkTestBase {
     java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dupe3))
     swOther.commit(7L, Array(graft.sources.GraftWriteMessage(Seq(dupe3))))
     assert(Sources.latestVersion(dir) === vBefore + 2)
+
+    // CRASH WINDOW between claim and publish: the claimant died with a
+    // pending marker whose recorded files exist but were never
+    // published — the replay must ADOPT the recorded files (so the
+    // ORIGINAL epoch's rows land exactly once) and drop its own
+    val orphan = s"$dir/data/orphan-epoch.parquet"
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(orphan))
+    val pendDir = java.nio.file.Paths.get(dir, "_streams", "q-crash")
+    java.nio.file.Files.createDirectories(pendDir)
+    java.nio.file.Files.write(pendDir.resolve("e3.commit"),
+      s"pending\n$orphan".getBytes("UTF-8"))
+    val swCrash =
+      new graft.sources.GraftStreamingWrite(spark, dir, schema, "q-crash")
+    val replayFile = s"$dir/data/orphan-replay.parquet"
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(replayFile))
+    val vC = Sources.latestVersion(dir)
+    swCrash.commit(3L, Array(graft.sources.GraftWriteMessage(Seq(replayFile))))
+    assert(Sources.latestVersion(dir) === vC + 1)
+    def manifestFiles(v: Int): Seq[String] = {
+      val p = java.nio.file.Paths.get(dir, s"v$v.manifest")
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.toSeq.filter(_.nonEmpty)
+    }
+    assert(manifestFiles(vC + 1).contains(orphan),
+      "recovery should publish the ORIGINAL epoch's recorded files")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(replayFile)),
+      "recovery should discard the replay duplicates")
+    // and the marker is finalized: one more replay is a pure no-op
+    val rf2 = s"$dir/data/orphan-replay2.parquet"
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(rf2))
+    swCrash.commit(3L, Array(graft.sources.GraftWriteMessage(Seq(rf2))))
+    assert(Sources.latestVersion(dir) === vC + 1)
+
+    // CRASH WINDOW between publish and finalize: pending marker whose
+    // files ARE in a manifest — resolve to committed, publish nothing
+    val committedFile = manifestFiles(vC + 1).head
+    java.nio.file.Files.write(pendDir.resolve("e4.commit"),
+      s"pending\n$committedFile".getBytes("UTF-8"))
+    val rf3 = s"$dir/data/orphan-replay3.parquet"
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(rf3))
+    swCrash.commit(4L, Array(graft.sources.GraftWriteMessage(Seq(rf3))))
+    assert(Sources.latestVersion(dir) === vC + 1,
+      "post-publish crash recovery must not double-commit")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(rf3)))
   }
 
   test("cdf-driven incremental dedup: three commits through the change " +
