@@ -416,6 +416,47 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Table→table REPLICATION off the change feed — the disaster-
+    * recovery / cross-region loop: a keyed downstream copy of a graft
+    * table maintained purely from `graft-cdf` deltas, never a source
+    * re-read. Per micro-batch, each key's outcome is decided by its
+    * LAST change (highest commit version; an insert at that version
+    * beats the delete from the same file rewrite — the standard CDF
+    * apply rule), and the net change set lands on the replica through
+    * [[Sources.mergeVersion]]'s file-granular copy-on-write. Exactly-
+    * once by composition: the CDF source resumes at the checkpointed
+    * version, and the replica's merge is one conflict-detecting
+    * commit. The replica is itself a first-class graft table — time
+    * travel, stats, its own CDF — so replication chains compose. */
+  def replicateTable(spark: SparkSession, srcTable: String,
+      dstTable: String, key: String, checkpoint: String): StreamingQuery =
+    spark.readStream.format("graft-cdf").option("path", srcTable).load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(key)
+            .orderBy(col("_commit_version").desc,
+              when(col("_change_type") === "insert", 1).otherwise(0).desc)
+          val changes = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .withColumn("op", when(col("_change_type") === "insert",
+              "upsert").otherwise("delete"))
+            .drop("_change_type", "_commit_version", "__rn")
+          if (graft.sources.Sources.latestVersion(dstTable) == 0)
+            graft.sources.Sources.createEmptyTable(dstTable,
+              org.apache.spark.sql.types.StructType(
+                changes.schema.fields.filterNot(_.name == "op")))
+          graft.sources.Sources.mergeVersion(spark, dstTable, changes, key)
+          ()
+        }
+      }
+      .start()
+
   /** Incremental heavy-hitter sketches — the streaming form of q90:
     * each micro-batch folds its per-language token Count-Min sketch
     * into a persistent sketch store. CMS counters are LINEAR (same

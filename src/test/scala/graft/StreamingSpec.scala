@@ -862,6 +862,63 @@ class StreamingSpec extends SparkTestBase {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(rf3)))
   }
 
+  test("table-to-table replication off the change feed: replica tracks " +
+    "the source through append, merge, and delete, exactly once") {
+    import graft.sources.Sources
+    val root = tmp("replicate")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    val ckpt = s"$root/ckpt"
+    import spark.implicits._
+    def drain(): Unit = {
+      val q = StreamingPipeline.replicateTable(spark, src, dst, "k", ckpt)
+      q.awaitTermination()
+    }
+    def snapshot(t: String): Set[(Long, String, Long)] =
+      Sources.readVersion(spark, t)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // v1: initial load
+    Sources.commitVersion(
+      (0L until 200L).map(i => (i, s"g${i % 3}", i)).toDF("k", "grp", "amount"),
+      src)
+    drain()
+    assert(snapshot(dst) === snapshot(src))
+
+    // v2: append
+    Sources.commitVersion(
+      (200L until 260L).map(i => (i, "late", i * 2)).toDF("k", "grp", "amount"),
+      src)
+    drain()
+    assert(snapshot(dst) === snapshot(src))
+
+    // v3: file-granular merge on the SOURCE (updates + deletes)
+    Sources.commitStats(spark, src, Sources.latestVersion(src), Seq("k"))
+    val changes = (0L until 10L).map(i => (i, "upd", 999L))
+      .toDF("k", "grp", "amount").withColumn("op", lit("upsert"))
+      .unionByName((50L until 60L).map(i => (i, "x", 0L))
+        .toDF("k", "grp", "amount").withColumn("op", lit("delete")))
+    Sources.mergeVersion(spark, src, changes, "k")
+    drain()
+    assert(snapshot(dst) === snapshot(src))
+    assert(snapshot(dst).exists(_._2 == "upd"))
+    assert(!snapshot(dst).exists(t => t._1 >= 50 && t._1 < 60))
+
+    // v4: delete-all then refill — the replica follows through the
+    // empty state (exercises the empty-version merge base)
+    Sources.deleteWhere(spark, src, col("k") >= 0)
+    drain()
+    assert(snapshot(dst) === snapshot(src) && snapshot(src).isEmpty)
+    Sources.commitVersion(
+      Seq((1000L, "re", 1L)).toDF("k", "grp", "amount"), src)
+    drain()
+    assert(snapshot(dst) === snapshot(src))
+    // a re-run with nothing pending is a no-op (no phantom versions)
+    val vDst = Sources.latestVersion(dst)
+    drain()
+    assert(Sources.latestVersion(dst) === vDst)
+  }
+
   test("cdf-driven incremental dedup: three commits through the change " +
     "feed equal the single-shot batch dedup rule") {
     import graft.sources.Sources
