@@ -851,6 +851,48 @@ object Sources {
     // change set uses the sorted driver probe; a wide delta switches to
     // the join path below, whose driver-side result is the FILE list
     // (bounded by file count), never the key set.
+    // the file-interval probe is TYPED: numeric keys compare through
+    // decimal(38,6) against the numeric stats sidecar; STRING keys
+    // compare as strings against the S:-tagged sidecar (ASCII-guarded
+    // write side makes the comparison order-safe); any other key type
+    // degrades to "every file affected" — coarser, never wrong
+    val keyType = changes.schema(key).dataType
+    val numericKey = keyType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType |
+           _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
+    val stringKey = keyType == org.apache.spark.sql.types.StringType
+    if (!numericKey) {
+      val (affected, untouched) =
+        if (!stringKey) (files, Seq.empty[String])
+        else {
+          val sStats = statsOfString(table, v)
+          val sProbe = changes.filter(col(key).isNotNull)
+            .select(col(key).cast("string")).distinct()
+            .limit(keyProbeLimit + 1).collect().map(_.getString(0))
+          if (sProbe.length > keyProbeLimit) (files, Seq.empty[String])
+          else {
+            val sorted = sProbe.sorted
+            files.partition { f =>
+              sStats.get((f, key)) match {
+                case Some((mn, mx)) =>
+                  import scala.collection.Searching._
+                  val i = sorted.search(mn).insertionPoint
+                  i < sorted.length && sorted(i).compareTo(mx) <= 0
+                case None => true
+              }
+            }
+          }
+        }
+      return mergeRewrite(spark, table, v, changes, key, opCol,
+        affected, untouched, files)
+    }
     val probe = changes.filter(col(key).isNotNull)
       .select(col(key).cast("decimal(38,6)")).distinct()
       .limit(keyProbeLimit + 1).collect()
@@ -890,6 +932,16 @@ object Sources {
             .select("__f").distinct().collect().map(_.getString(0)).toSet
         files.partition(f => noStats.contains(f) || hit.contains(f))
       }
+    mergeRewrite(spark, table, v, changes, key, opCol,
+      affected, untouched, files)
+  }
+
+  /** The rewrite-and-publish half of [[mergeVersion]], shared by the
+    * numeric-, string-, and untyped-key probe paths. */
+  private def mergeRewrite(spark: SparkSession, table: String, v: Int,
+      changes: DataFrame, key: String, opCol: String,
+      affected: Seq[String], untouched: Seq[String],
+      files: Seq[String]): (Int, Int, Int) = {
     // read affected files under the DECLARED schema where one exists —
     // a mixed-generation rewrite must not narrow to one file's footer
     val mReader = declaredSchema(table, v)

@@ -423,11 +423,23 @@ object StreamingPipeline {
     * LAST change (highest commit version; an insert at that version
     * beats the delete from the same file rewrite — the standard CDF
     * apply rule), and the net change set lands on the replica through
-    * [[Sources.mergeVersion]]'s file-granular copy-on-write. Exactly-
-    * once by composition: the CDF source resumes at the checkpointed
-    * version, and the replica's merge is one conflict-detecting
-    * commit. The replica is itself a first-class graft table — time
-    * travel, stats, its own CDF — so replication chains compose. */
+    * [[Sources.mergeVersion]]'s file-granular copy-on-write.
+    *
+    * Delivery: EFFECTIVELY once. The CDF source resumes at the
+    * checkpointed version and a batch-id marker on the replica absorbs
+    * Spark's routine re-delivery of the last uncommitted batch; the
+    * one residual window (crash between merge and marker) re-applies
+    * an idempotent keyed merge — replica CONTENT is always exact, at
+    * worst one content-identical extra version appears in its history.
+    *
+    * Contract: `key` must be a non-null unique key of the source (a
+    * null key fails the batch loudly — a keyed replica of null-keyed
+    * rows is not well-defined), the source schema must not contain the
+    * reserved `op` column, and a source SCHEMA evolution requires
+    * recreating/evolving the replica (the merge rejects unknown
+    * columns loudly rather than guessing). The replica is itself a
+    * first-class graft table — time travel, stats, its own CDF — so
+    * replication chains compose. */
   def replicateTable(spark: SparkSession, srcTable: String,
       dstTable: String, key: String, checkpoint: String): StreamingQuery =
     spark.readStream.format("graft-cdf").option("path", srcTable).load()
@@ -435,24 +447,38 @@ object StreamingPipeline {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(key)
-            .orderBy(col("_commit_version").desc,
-              when(col("_change_type") === "insert", 1).otherwise(0).desc)
-          val changes = batch
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1)
-            .withColumn("op", when(col("_change_type") === "insert",
-              "upsert").otherwise("delete"))
-            .drop("_change_type", "_commit_version", "__rn")
-          if (graft.sources.Sources.latestVersion(dstTable) == 0)
-            graft.sources.Sources.createEmptyTable(dstTable,
-              org.apache.spark.sql.types.StructType(
-                changes.schema.fields.filterNot(_.name == "op")))
-          graft.sources.Sources.mergeVersion(spark, dstTable, changes, key)
-          ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = java.nio.file.Paths.get(dstTable, "_replication",
+          s"batch-$batchId.done")
+        if (!java.nio.file.Files.exists(marker) && !batch.isEmpty) {
+          require(!batch.schema.fieldNames.contains("op"),
+            "replicateTable: the source schema reserves no 'op' column")
+          // one pass feeds the null-check and the three merge actions
+          val pinned = batch.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            require(pinned.filter(col(key).isNull).isEmpty,
+              s"replicateTable: null $key in the change feed — a keyed " +
+                "replica of null-keyed rows is not well-defined")
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(key)
+              .orderBy(col("_commit_version").desc,
+                when(col("_change_type") === "insert", 1).otherwise(0).desc)
+            val changes = pinned
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1)
+              .withColumn("op", when(col("_change_type") === "insert",
+                "upsert").otherwise("delete"))
+              .drop("_change_type", "_commit_version", "__rn")
+            if (graft.sources.Sources.latestVersion(dstTable) == 0)
+              graft.sources.Sources.createEmptyTable(dstTable,
+                org.apache.spark.sql.types.StructType(
+                  changes.schema.fields.filterNot(_.name == "op")))
+            graft.sources.Sources.mergeVersion(spark, dstTable, changes, key)
+            java.nio.file.Files.createDirectories(marker.getParent)
+            java.nio.file.Files.write(marker, Array.emptyByteArray)
+            ()
+          } finally pinned.unpersist(false)
         }
       }
       .start()

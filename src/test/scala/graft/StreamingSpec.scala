@@ -917,6 +917,56 @@ class StreamingSpec extends SparkTestBase {
     val vDst = Sources.latestVersion(dst)
     drain()
     assert(Sources.latestVersion(dst) === vDst)
+
+    // MULTI-VERSION batch: several source commits drain in ONE batch,
+    // so the per-key last-change-wins ordering actually discriminates —
+    // 1000 is upserted THEN deleted (must vanish), 2000 appears only in
+    // the later commit (must land)
+    Sources.commitStats(spark, src, Sources.latestVersion(src), Seq("k"))
+    Sources.mergeVersion(spark, src,
+      Seq((1000L, "re2", 2L)).toDF("k", "grp", "amount")
+        .withColumn("op", lit("upsert")), "k")
+    Sources.mergeVersion(spark, src,
+      Seq((1000L, "re2", 2L)).toDF("k", "grp", "amount")
+        .withColumn("op", lit("delete"))
+        .unionByName(Seq((2000L, "fresh", 9L)).toDF("k", "grp", "amount")
+          .withColumn("op", lit("upsert"))), "k")
+    drain()
+    assert(snapshot(dst) === snapshot(src))
+    assert(!snapshot(dst).exists(_._1 == 1000L))
+    assert(snapshot(dst).exists(_._1 == 2000L))
+  }
+
+  test("string-keyed merge and replication: the file probe degrades " +
+    "safely to string stats / full rewrite") {
+    import graft.sources.Sources
+    val root = tmp("strkey")
+    val src = s"$root/src"
+    import spark.implicits._
+    Sources.commitVersion(
+      (0 until 100).map(i => (f"u_$i%03d", i.toLong)).toDF("uid", "amount")
+        .repartitionByRange(4, col("uid")).sortWithinPartitions("uid"), src)
+    Sources.commitStats(spark, src, 1, Seq("uid"))
+    // string-keyed MERGE: driver probe against the S:-tagged sidecar
+    val changes = Seq(("u_005", 999L)).toDF("uid", "amount")
+      .withColumn("op", lit("upsert"))
+      .unionByName(Seq(("u_050", 0L)).toDF("uid", "amount")
+        .withColumn("op", lit("delete")))
+    val (v2, rewrote, carried) = Sources.mergeVersion(spark, src, changes, "uid")
+    assert(carried > 0, "string stats should carry untouched files")
+    val after = Sources.readVersion(spark, src, v2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("u_005") === 999L)
+    assert(!after.contains("u_050"))
+    assert(after.size === 99)
+
+    // and a string-keyed replica tracks it
+    val dst = s"$root/dst"
+    val q = StreamingPipeline.replicateTable(spark, src, dst, "uid", s"$root/ckpt")
+    q.awaitTermination()
+    val rep = Sources.readVersion(spark, dst)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep === after)
   }
 
   test("cdf-driven incremental dedup: three commits through the change " +
