@@ -805,17 +805,19 @@ object DedupOps {
       val labels = connectedComponents(pairs)
         .select(col("n").as("doc_id"), col("l").as("cluster_id"))
         .localCheckpoint()
-      val within = labels.as("a")
-        .join(labels.as("b"),
-          col("a.cluster_id") === col("b.cluster_id") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+      // n_within is closed-form from cluster sizes: a cluster of c docs
+      // contributes c·(c−1)/2 unordered pairs. Materializing the pair
+      // self-join to COUNT it would be quadratic in the largest cluster —
+      // the very pathology this audit exists to flag — so on the
+      // mega-cluster corpus it's meant to detect, the audit itself would
+      // blow up. The oracle states the pair-join semantics explicitly,
+      // proving this closed form equivalent.
       val csz = labels.groupBy("cluster_id").agg(count(lit(1)).as("c"))
       val agg1 = labels.agg(count(lit(1)).as("n_docs"))
-      val agg2 = csz.agg(count(lit(1)).as("n_clusters"), max(col("c")).as("max_cluster"))
+      val agg2 = csz.agg(count(lit(1)).as("n_clusters"), max(col("c")).as("max_cluster"),
+        shiftright(sum(col("c") * (col("c") - lit(1))).cast("long"), 1).as("n_within"))
       val agg3 = pairs.agg(count(lit(1)).as("n_direct"))
-      val agg4 = within.agg(count(lit(1)).as("n_within"))
-      agg1.crossJoin(agg2).crossJoin(agg3).crossJoin(agg4)
+      agg1.crossJoin(agg2).crossJoin(agg3)
         .select(col("n_docs"), col("n_clusters"), col("max_cluster"),
           col("n_direct"), col("n_within"),
           (col("n_within") - col("n_direct")).as("n_transitive"))

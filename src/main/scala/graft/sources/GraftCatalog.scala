@@ -869,6 +869,36 @@ private[graft] class GraftStreamingWrite(spark: SparkSession,
     Sources.versionsOf(table).exists(v =>
       Sources.filesOf(table, v).contains(probe))
 
+  /** Atomically CLAIM `marker` with `content` (temp file + hard link —
+    * the link either appears with COMPLETE bytes or fails because a
+    * racing/previous claimant already owns the epoch). Returns false on
+    * an existing marker. A plain CREATE_NEW+write is NOT crash-safe: a
+    * death mid-write leaves a torn marker that parses as neither
+    * pending nor committed. */
+  private def claimMarker(marker: java.nio.file.Path,
+      content: String): Boolean = {
+    val tmp = java.nio.file.Files.createTempFile(markerDir, ".claim", ".tmp")
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    try { java.nio.file.Files.createLink(marker, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** Atomically TRANSITION `marker` to `content` (temp file +
+    * ATOMIC_MOVE with REPLACE_EXISTING — readers observe either the old
+    * complete state or the new complete state, never a truncated
+    * in-between). A plain Files.write truncates first, so a crash
+    * mid-rewrite would leave an empty marker and the replay would
+    * re-publish an already-published epoch. */
+  private def transitionMarker(marker: java.nio.file.Path,
+      content: String): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(markerDir, ".state", ".tmp")
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect {
@@ -876,13 +906,7 @@ private[graft] class GraftStreamingWrite(spark: SparkSession,
     }.flatten.toSeq.sorted
     ensureDir()
     val marker = markerDir.resolve(s"e$epochId.commit")
-    val pendingContent = ("pending\n" + files.mkString("\n")).getBytes("UTF-8")
-    val claimed =
-      try {
-        java.nio.file.Files.write(marker, pendingContent,
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    val claimed = claimMarker(marker, "pending\n" + files.mkString("\n"))
     if (!claimed) {
       // the epoch was claimed by a previous run: resolve its state
       val lines = new String(
@@ -891,6 +915,15 @@ private[graft] class GraftStreamingWrite(spark: SparkSession,
         deleteAll(files) // plain duplicate replay
         return
       }
+      if (!lines.headOption.contains("pending"))
+        // Unreachable with the atomic claim/transition protocol above
+        // (every marker state is complete-or-absent). An unparsable
+        // marker therefore means external corruption; re-publishing on
+        // guesswork would break exactly-once, so fail loudly instead.
+        throw new IllegalStateException(
+          s"unparsable epoch marker $marker: " +
+            s"'${lines.headOption.getOrElse("")}' — resolve manually " +
+            "(delete if the epoch is absent from every manifest)")
       // pending: the claimant died between claim and publish-finalize
       val recorded = lines.drop(1).filter(_.nonEmpty)
       val published = recorded.headOption.exists(everPublished)
@@ -900,25 +933,35 @@ private[graft] class GraftStreamingWrite(spark: SparkSession,
         if (recordedIntact) publishEpoch(recorded) // adopt the original
         else {
           // original files lost with the claimant: commit OUR replay
-          java.nio.file.Files.write(marker,
-            ("pending\n" + files.mkString("\n")).getBytes("UTF-8"))
+          transitionMarker(marker, "pending\n" + files.mkString("\n"))
           publishEpoch(files)
-          java.nio.file.Files.write(marker, "committed".getBytes("UTF-8"))
+          transitionMarker(marker, "committed")
           return
         }
       }
-      java.nio.file.Files.write(marker, "committed".getBytes("UTF-8"))
+      transitionMarker(marker, "committed")
       if (!(recorded == files)) deleteAll(files)
       return
     }
-    // fresh claim: publish, then finalize; a failed publish releases
-    // the claim so the retry/replay is never mistaken for a duplicate
+    // fresh claim: publish, then finalize; a failed publish deletes the
+    // epoch's task files (the retry re-writes its own output — leaving
+    // them would strand unreferenced parquet under data/ forever, since
+    // vacuum only sweeps manifest-referenced files) and releases the
+    // claim so the retry/replay is never mistaken for a duplicate
     try publishEpoch(files)
     catch { case e: Throwable =>
-      java.nio.file.Files.deleteIfExists(marker)
+      if (files.headOption.exists(everPublished))
+        // the manifest landed and only a stats/bloom sidecar failed:
+        // the data IS committed — finalize so the retry sees a plain
+        // duplicate (sidecars are skipping-only; reads stay correct)
+        transitionMarker(marker, "committed")
+      else {
+        deleteAll(files)
+        java.nio.file.Files.deleteIfExists(marker)
+      }
       throw e
     }
-    java.nio.file.Files.write(marker, "committed".getBytes("UTF-8"))
+    transitionMarker(marker, "committed")
   }
 
   override def abort(epochId: Long,

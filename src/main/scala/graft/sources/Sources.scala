@@ -978,7 +978,19 @@ object Sources {
         case e: java.util.ConcurrentModificationException =>
           deleteBatchDir(batch); throw e
       }
-    commitStats(spark, table, next, Seq(key), carryFrom = v)
+    // stats for the merge key PLUS every declared stats column — a
+    // merge that recorded only the key would silently drop the other
+    // columns' skipping metadata for this version; reads stay correct
+    // but the NEXT commit's carryFrom would miss and rescan the table
+    val schemaCols = schemaOf(spark, table, v).fieldNames.toSet
+    val statCols = (Seq(key) ++ statsColumnsOf(table))
+      .distinct.filter(schemaCols.contains)
+    commitStats(spark, table, next, statCols, carryFrom = v)
+    // same for the bloom sidecar: untouched files carry their filters
+    // forward, rewritten files get fresh ones (mirrors GraftBatchWrite)
+    val bloomCols = bloomColumnsOf(table).filter(schemaCols.contains)
+    if (bloomCols.nonEmpty)
+      commitBlooms(spark, table, next, bloomCols, carryFrom = v)
     declaredSchema(table, v).foreach(publishSchema(table, next, _))
     (next, affected.length, untouched.length)
   }

@@ -334,7 +334,8 @@ object StreamingPipeline {
     * raw text never re-reads. Wrap in `foreachBatch` via
     * [[incrementalDedupQuery]].
     */
-  def dedupBatchAgainstStore(batch: DataFrame, storePath: String): DataFrame = {
+  def dedupBatchAgainstStore(batch: DataFrame, storePath: String,
+      batchId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val spark = batch.sparkSession
     val bands = graft.operators.DedupOps.bandsOf(batch).cache()
@@ -344,9 +345,30 @@ object StreamingPipeline {
     // colliding with its just-written self and drop every document
     // (observed: kept=0). With pinned paths the plan is append-immune
     // no matter when (or how often) it executes.
-    val histFiles = Option(new java.io.File(storePath).listFiles())
-      .map(_.filter(f => f.getName.endsWith(".parquet")).map(_.getPath).toSeq)
-      .getOrElse(Seq.empty)
+    //
+    // REPLAY SAFETY (foreachBatch is at-least-once): when a batchId is
+    // supplied, the store is laid out as storePath/bid=<id>/ and the
+    // history probe EXCLUDES the current batch's own directory — a
+    // replayed batch would otherwise match its own signatures from the
+    // first attempt's append and drop every document, permanently
+    // losing the batch's survivors. The append itself is then an
+    // idempotent per-batch OVERWRITE instead of a blind flat append.
+    val root = new java.io.File(storePath)
+    def parquetsUnder(d: java.io.File): Seq[String] =
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap {
+        case f if f.isDirectory => parquetsUnder(f)
+        case f if f.getName.endsWith(".parquet") => Seq(f.getPath)
+        case _ => Seq.empty
+      }
+    val histFiles = Option(root.listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty).flatMap {
+        case d if d.isDirectory &&
+            batchId.exists(id => d.getName == s"bid=$id") =>
+          Seq.empty // the replayed batch's own prior append
+        case d if d.isDirectory => parquetsUnder(d)
+        case f if f.getName.endsWith(".parquet") => Seq(f.getPath)
+        case _ => Seq.empty
+      }
     val dupVsHist =
       if (histFiles.isEmpty) None
       else Some(bands
@@ -358,9 +380,13 @@ object StreamingPipeline {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("b.doc_id").as("doc_id")).distinct()
     val dropped = dupVsHist.fold(dupInBatch)(_ unionByName dupInBatch).distinct()
-    // append EVERY batch band (kept + dropped) so later batches compare
+    // record EVERY batch band (kept + dropped) so later batches compare
     // against all seen docs, matching the batch any-earlier-id rule
-    bands.write.mode(SaveMode.Append).parquet(storePath)
+    batchId match {
+      case Some(id) => bands.write.mode(SaveMode.Overwrite)
+        .parquet(s"$storePath/bid=$id")
+      case None => bands.write.mode(SaveMode.Append).parquet(storePath)
+    }
     batch.join(broadcast(dropped), Seq("doc_id"), "left_anti")
   }
 
@@ -377,9 +403,12 @@ object StreamingPipeline {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$outPath/_ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        dedupBatchAgainstStore(batch, storePath)
-          .write.mode(SaveMode.Append).parquet(s"$outPath/kept")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-keyed store + OVERWRITE-per-batch kept dir: a replayed
+        // micro-batch (foreachBatch is at-least-once) redoes the batch
+        // byte-identically instead of double-appending survivors
+        dedupBatchAgainstStore(batch, storePath, Some(batchId))
+          .write.mode(SaveMode.Overwrite).parquet(s"$outPath/kept/bid=$batchId")
       }
       .start()
 
@@ -405,13 +434,17 @@ object StreamingPipeline {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$outPath/_ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         require(batch.filter(col("_change_type") =!= "insert").isEmpty,
           "cdfDedupQuery requires an append-only document table " +
             "(saw non-insert changes in the feed)")
         val docs = batch.drop("_change_type", "_commit_version")
-        dedupBatchAgainstStore(docs, storePath)
-          .write.mode(SaveMode.Append).parquet(s"$outPath/kept")
+        // batch-keyed store + OVERWRITE-per-batch kept dir: foreachBatch
+        // is at-least-once, so a replayed batch must redo its work
+        // cleanly — with a flat append the replay would match its OWN
+        // first-attempt signatures in the store and drop every document
+        dedupBatchAgainstStore(docs, storePath, Some(batchId))
+          .write.mode(SaveMode.Overwrite).parquet(s"$outPath/kept/bid=$batchId")
         ()
       }
       .start()
@@ -440,6 +473,19 @@ object StreamingPipeline {
     * columns loudly rather than guessing). The replica is itself a
     * first-class graft table — time travel, stats, its own CDF — so
     * replication chains compose. */
+  /** The stable streaming-query id recorded in a checkpoint's
+    * `metadata` file ({"id":"<uuid>"}), or "boot" before the first
+    * trigger materializes it. Regenerated when a checkpoint is
+    * recreated — exactly the identity an idempotence ledger needs. */
+  private[streaming] def checkpointQueryId(checkpoint: String): String = {
+    val p = java.nio.file.Paths.get(checkpoint, "metadata")
+    if (!java.nio.file.Files.exists(p)) "boot"
+    else """"id"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      .map(_.group(1)).getOrElse("boot")
+  }
+
   def replicateTable(spark: SparkSession, srcTable: String,
       dstTable: String, key: String, checkpoint: String): StreamingQuery =
     spark.readStream.format("graft-cdf").option("path", srcTable).load()
@@ -448,8 +494,15 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Markers are keyed by (streaming query id, batch id), NOT batch
+        // id alone: restarting with a FRESH checkpoint resets batch ids
+        // to 0, and a bare batch-N.done from the previous run would make
+        // the new run silently skip real batches as already-applied —
+        // the replica would stop tracking the source. The query id lives
+        // in the checkpoint's metadata file and is regenerated whenever
+        // the checkpoint is recreated, so each run keeps its own ledger.
         val marker = java.nio.file.Paths.get(dstTable, "_replication",
-          s"batch-$batchId.done")
+          checkpointQueryId(checkpoint), s"batch-$batchId.done")
         if (!java.nio.file.Files.exists(marker) && !batch.isEmpty) {
           require(!batch.schema.fieldNames.contains("op"),
             "replicateTable: the source schema reserves no 'op' column")
