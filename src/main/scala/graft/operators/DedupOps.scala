@@ -814,8 +814,11 @@ object DedupOps {
       // proving this closed form equivalent.
       val csz = labels.groupBy("cluster_id").agg(count(lit(1)).as("c"))
       val agg1 = labels.agg(count(lit(1)).as("n_docs"))
+      // coalesce: on a dup-free corpus `pairs` (hence `csz`) is empty and
+      // the global sum is NULL — the oracle's COUNT-based pair join says 0
       val agg2 = csz.agg(count(lit(1)).as("n_clusters"), max(col("c")).as("max_cluster"),
-        shiftright(sum(col("c") * (col("c") - lit(1))).cast("long"), 1).as("n_within"))
+        shiftright(coalesce(sum(col("c") * (col("c") - lit(1))), lit(0L))
+          .cast("long"), 1).as("n_within"))
       val agg3 = pairs.agg(count(lit(1)).as("n_direct"))
       agg1.crossJoin(agg2).crossJoin(agg3)
         .select(col("n_docs"), col("n_clusters"), col("max_cluster"),

@@ -230,5 +230,95 @@ object LakeOps {
            |GROUP BY o_orderpriority, n_v2 ORDER BY o_orderpriority""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q179, q196, q202)
+  /** Q206 — merge-on-read DELETION VECTORS end-to-end, oracle-gated:
+    * commit `orders` range-clustered (v1), DV-delete one narrow key set
+    * ([[Sources.deleteWhereDv]] — the manifest stays byte-identical,
+    * zero data files rewritten), append a backfill batch (the DV must
+    * CARRY — deleted rows stay deleted under an unrelated commit), then
+    * DV-delete a second key set that spans both generations (the
+    * sidecars MERGE). The final state reads through the stats-skipping
+    * indexed scan with the DV filter applied; witness columns pin the
+    * time-traveled v1 row count, the total marked positions, and — the
+    * merge-on-read claim itself — that the last delete changed the FILE
+    * COUNT not at all (`files_stable`). The oracle restates the whole
+    * lifecycle relationally over the raw fixture: a hash match proves
+    * mark + carry + merge + every-read-stack-filters compose to exactly
+    * DELETE semantics, with no rewrite anywhere in the delete path.
+    *
+    * Scale note: at 100 TB this is the difference between a point
+    * GDPR-delete commit of a few KB of sidecar metadata and a rewrite
+    * of every file containing a matching row — and the read tax is one
+    * broadcast bitset probe ONLY on versions that carry DVs (purge and
+    * compaction restore the untouched fast path, DeletionVectorSpec). */
+  val q206 = Query(
+    "q206_deletion_vectors",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-dv-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val table = root.resolve("orders_dv").toString
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val v1 = Sources.commitVersion(
+        orders.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), table)
+      Sources.commitStats(s, table, v1, Seq("o_orderkey"))
+      // point delete #1: DV commit, manifest unchanged
+      Sources.deleteWhereDv(s, table,
+        pmod(col("o_orderkey"), lit(499)) === 0)
+      // unrelated append: the DV must carry (no resurrection)
+      val vAppend = Sources.commitVersion(
+        orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_orderpriority", lit("9-BACKFILL")), table)
+      // point delete #2 spans BOTH generations: sidecars merge
+      val (vFinal, _, usedDv) = Sources.deleteWhereDv(s, table,
+        pmod(col("o_orderkey"), lit(499)) === 1)
+      val nf = Sources.history(s, table).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // the merge-on-read witness: the second delete added ZERO files
+      val filesStable =
+        if (usedDv && nf(vFinal) == nf(vAppend)) 1L else 0L
+      val nV1 = Sources.readVersion(s, table, v1).count()
+      val dvRows = Sources.dvRowCount(table, vFinal)
+      ManifestFileIndex.readVersionIndexed(s, table)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_v1", lit(nV1))
+        .withColumn("dv_rows", lit(dvRows))
+        .withColumn("files_stable", lit(filesStable))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH state AS (
+           |  SELECT o_totalprice, o_orderpriority FROM orders
+           |  WHERE o_orderkey % 499 <> 0 AND o_orderkey % 499 <> 1
+           |  UNION ALL
+           |  SELECT o_totalprice, '9-BACKFILL' FROM orders
+           |  WHERE o_orderkey % 10 = 0 AND o_orderkey % 499 <> 1),
+           |w AS (
+           |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_v1,
+           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+           |          WHERE o_orderkey % 499 = 0 OR o_orderkey % 499 = 1)
+           |         + (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+           |            WHERE o_orderkey % 10 = 0 AND o_orderkey % 499 = 1)
+           |         AS dv_rows)
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |       n_v1, dv_rows, CAST(1 AS BIGINT) AS files_stable
+           |FROM state, w
+           |GROUP BY o_orderpriority, n_v1, dv_rows
+           |ORDER BY o_orderpriority""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q179, q196, q202, q206)
 }

@@ -318,9 +318,16 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-      spark, fileIndex, schema, schema,
-      new CaseInsensitiveStringMap(util.Map.of()))
+    if (Sources.dvOf(path, pinned).nonEmpty)
+      // the version carries deletion vectors: serve the DV-applying
+      // scan (correctness first; MERGE/UPDATE rewrites reading through
+      // here absorb the DVs, and purge/compaction restores this direct
+      // vectorized path for later versions)
+      new GraftDvScanBuilder(spark, path, pinned, schema)
+    else
+      new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+        spark, fileIndex, schema, schema,
+        new CaseInsensitiveStringMap(util.Map.of()))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
@@ -341,7 +348,21 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(spark, path, this, info.command())
+    () => {
+      // Spark's group-based row-level planning builds the target scan
+      // OUTSIDE V2ScanRelationPushDown, so the DV-applying V1Scan
+      // cannot serve it (no V1ScanWrapper there). PURGE first: the
+      // bounded rewrite of only the DV'd files yields a clean version,
+      // and the rewrite proceeds on the vectorized scan against it —
+      // deleted rows stay deleted, basedOn tracks the purged version.
+      val effective =
+        if (pinned == Sources.latestVersion(path) &&
+            Sources.dvOf(path, pinned).nonEmpty) {
+          Sources.purgeDv(spark, path)
+          new GraftTable(spark, path, -1)
+        } else this
+      new GraftRowLevelOperation(spark, path, effective, info.command())
+    }
 
   // ---- DELETE FROM g.t WHERE ... ------------------------------------
 
@@ -354,7 +375,11 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
     val v = Sources.latestVersion(path)
     val num = Sources.statsOf(path, v)
     val str = Sources.statsOfString(path, v)
-    Sources.deleteWhere(spark, path, cond,
+    // merge-on-read by default: a point/narrow DELETE commits only a
+    // DV sidecar (zero data-file rewrite); deleteWhereDv itself falls
+    // back to the copy-on-write rewrite when the match set is too wide
+    // for commit metadata — the right cost model at both extremes
+    Sources.deleteWhereDv(spark, path, cond,
       file => filters.forall(f => GraftTable.fileMayMatch(f, file, num, str)))
   }
 
@@ -458,6 +483,55 @@ object GraftTable {
       case _ => true
     }
   }
+}
+
+/** The DSv2 scan for a version carrying deletion vectors: a V1Scan
+  * whose rows come from the DV-applying indexed read
+  * ([[ManifestFileIndex.readVersionIndexed]]). Column pruning and
+  * filter pushdown are honored by re-applying them INSIDE the wrapped
+  * DataFrame — where they reach the parquet scan and the manifest
+  * index — while every pushed filter is also reported residual, so
+  * Spark re-evaluates it above and pushing stays a pure optimization.
+  * The direct vectorized `ParquetScanBuilder` path returns as soon as
+  * purge/compaction absorbs the DVs. */
+private[sources] class GraftDvScanBuilder(spark: SparkSession,
+    table: String, version: Int, tableSchema: StructType)
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftTable.filterToColumn(f).isDefined)
+    filters // ALL residual: Spark re-evaluates, pushing is advisory
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = required
+      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](
+          context: org.apache.spark.sql.SQLContext): T =
+        (new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = required
+          override def buildScan()
+              : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            var df = ManifestFileIndex.readVersionIndexed(
+              spark, table, version)
+            pushed.flatMap(GraftTable.filterToColumn)
+              .foreach(c => df = df.filter(c))
+            df.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
+          }
+        }).asInstanceOf[T]
+    }
 }
 
 /** A driver-computed metadata relation (version history / file

@@ -99,15 +99,50 @@ class GraftDataSource extends RelationProvider
 
 object GraftDataSource {
 
-  /** The version-pinned HadoopFsRelation: manifest-backed FileIndex +
-    * declared schema + Spark's own parquet format. */
+  /** The version-pinned relation: manifest-backed FileIndex + declared
+    * schema + Spark's own parquet format. A version carrying deletion
+    * vectors instead serves the DV-applying [[DvRelation]] — correct
+    * rows first; [[Sources.purgeDv]]/compaction restore this direct
+    * HadoopFsRelation fast path. */
   private[sources] def relation(
       spark: org.apache.spark.sql.SparkSession,
-      table: String, version: Int): HadoopFsRelation = {
+      table: String, version: Int): BaseRelation = {
     val v = if (version < 0) Sources.latestVersion(table) else version
-    val index = new ManifestFileIndex(spark, table, v)
-    val schema = Sources.schemaOf(spark, table, v)
-    HadoopFsRelation(index, StructType(Nil), schema, None,
-      new ParquetFileFormat, Map.empty[String, String])(spark)
+    if (Sources.dvOf(table, v).nonEmpty)
+      new DvRelation(spark, table, v)
+    else {
+      val index = new ManifestFileIndex(spark, table, v)
+      val schema = Sources.schemaOf(spark, table, v)
+      HadoopFsRelation(index, StructType(Nil), schema, None,
+        new ParquetFileFormat, Map.empty[String, String])(spark)
+    }
+  }
+}
+
+/** The read relation for a DV'd version: rows come from the
+  * stats-skipping indexed scan with the deletion-vector filter applied
+  * ([[ManifestFileIndex.readVersionIndexed]]). `PrunedFilteredScan`, so
+  * Catalyst still hands down the query's column set and predicates —
+  * re-applied INSIDE the wrapped DataFrame, where they reach the
+  * parquet scan (pushdown) and the manifest index (file skipping); the
+  * default `unhandledFilters` keeps Spark re-evaluating everything
+  * above, so pushing is purely an optimization. */
+private[sources] class DvRelation(
+    spark: org.apache.spark.sql.SparkSession,
+    table: String, version: Int)
+  extends BaseRelation
+  with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = Sources.schemaOf(spark, table, version)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    var df = ManifestFileIndex.readVersionIndexed(spark, table, version)
+    filters.flatMap(GraftTable.filterToColumn)
+      .foreach(c => df = df.filter(c))
+    df.select(requiredColumns.toIndexedSeq.map(
+      org.apache.spark.sql.functions.col): _*).rdd
   }
 }

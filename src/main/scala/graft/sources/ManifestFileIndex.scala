@@ -268,11 +268,17 @@ object ManifestFileIndex {
     * at planning time. */
   def readVersionIndexed(spark: SparkSession, table: String,
       version: Int = -1): DataFrame = {
-    val index = new ManifestFileIndex(spark, table, version)
-    val schema = spark.read.parquet(index.inputFiles.head).schema
+    val v = if (version < 0) Sources.latestVersion(table) else version
+    val index = new ManifestFileIndex(spark, table, v)
+    val schema = Sources.schemaOf(spark, table, v)
     val relation = HadoopFsRelation(index, StructType(Nil), schema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
-    org.apache.spark.sql.graftbridge.Bridge.ofRows(
-      spark, LogicalRelation(relation))
+    // DV application ABOVE the indexed scan: deleted positions filter
+    // out via the scan's own _metadata probe while file skipping,
+    // pushdown, and the vectorized reader all stay intact (the DV
+    // predicate is one extra deterministic conjunct; clean versions
+    // skip it entirely)
+    Sources.applyDv(org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      spark, LogicalRelation(relation)), Sources.dvOf(table, v))
   }
 }

@@ -417,6 +417,10 @@ object Sources {
       try {
         publishManifest(table, next, carried ++ newFiles)
         declaredNext.foreach(publishSchema(table, next, _))
+        // DV carry: an APPEND keeps the previous files in the manifest,
+        // so their deleted rows must stay deleted in the new version;
+        // an overwrite replaces the file set and starts clean
+        if (!overwrite && prev > 0) carryDv(table, prev, next, carried)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -489,7 +493,8 @@ object Sources {
 
   /** Read `table` at `version` (default: latest) by its pinned file
     * list. An empty table (version 0) is an error by design — there is
-    * no schema to serve. */
+    * no schema to serve. Deleted-row positions recorded in the
+    * version's DV sidecar ([[deleteWhereDv]]) are filtered out. */
   def readVersion(spark: SparkSession, table: String,
       version: Int = -1): DataFrame = {
     val v = if (version < 0) latestVersion(table) else version
@@ -504,7 +509,216 @@ object Sources {
         case None => throw new IllegalArgumentException(
           s"$table v$v has an empty file list and no declared schema")
       }
-    else spark.read.parquet(files: _*)
+    else applyDv(spark.read.parquet(files: _*), dvOf(table, v))
+  }
+
+  // ---- deletion vectors: merge-on-read row-level deletes -------------
+  //
+  // A point DELETE on a copy-on-write table rewrites the whole
+  // containing file — at 100 TB a one-row GDPR erasure becomes a
+  // multi-GB write. The `v<N>.dv` sidecar replaces that with
+  // MERGE-ON-READ: the delete COMMIT records only (file -> deleted row
+  // positions) next to an UNCHANGED manifest (zero data-file rewrite),
+  // and every reader filters the marked positions out via the scan's
+  // own `_metadata.row_index`. Deletes become metadata-speed; the read
+  // tax is one broadcast bitset probe per row of a DV'd file, and it is
+  // RECLAIMED — compaction ([[compactVersion]]) and the targeted
+  // [[purgeDv]] rewrite absorb DVs back into clean files. This is the
+  // Delta/Iceberg deletion-vector design on the manifest format:
+  //  - positions come from the parquet scan's stable `_metadata.row_index`
+  //    (data files are immutable, so a position pins a row forever);
+  //  - the sidecar is commit metadata (KBs), published with the same
+  //    atomic protocol as the manifest, versioned with it (time travel
+  //    sees each version's own DVs; rollback restores them);
+  //  - appends CARRY the previous version's DVs forward (a deleted row
+  //    must not resurrect under an unrelated commit), rewrites DROP the
+  //    entries of the files they replace, vacuum sweeps the sidecar
+  //    with its manifest.
+
+  /** file -> deleted-row positions for a version; empty if the version
+    * has no DV sidecar. Malformed lines degrade to "no DV" for their
+    * file — that file's rows all read as live, which is the only safe
+    * default (a dropped DELETE is recoverable by re-running it; rows
+    * silently vanishing to a parse bug are not). */
+  def dvOf(table: String, version: Int): Map[String, java.util.BitSet] = {
+    val p = java.nio.file.Paths.get(table, s"v$version.dv")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala
+      .filter(_.nonEmpty)
+      .flatMap { line =>
+        scala.util.Try {
+          val Array(f, b64) = line.split("\t", 2)
+          f -> java.util.BitSet.valueOf(
+            java.util.Base64.getDecoder.decode(b64))
+        }.toOption
+      }.toMap
+  }
+
+  /** Total deleted positions recorded for a version — the DV pressure
+    * gauge a table owner reads before scheduling [[purgeDv]]. */
+  def dvRowCount(table: String, version: Int): Long =
+    dvOf(table, version).valuesIterator.map(_.cardinality().toLong).sum
+
+  /** Publish `dv` as the version's DV sidecar (atomic move, same
+    * protocol as stats). An empty map publishes nothing — absence IS
+    * the clean state. */
+  private[sources] def publishDv(table: String, version: Int,
+      dv: Map[String, java.util.BitSet]): Unit =
+    if (dv.nonEmpty) {
+      val lines = dv.toSeq.sortBy(_._1).map { case (f, bits) =>
+        s"$f\t${java.util.Base64.getEncoder.encodeToString(bits.toByteArray)}"
+      }
+      val dir = java.nio.file.Paths.get(table)
+      val tmp = java.nio.file.Files.createTempFile(dir, s".dv$version", ".tmp")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dir.resolve(s"v$version.dv"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  /** `file:`-scheme scan paths normalized to the absolute form
+    * manifests store (`_metadata.file_path` renders `file:///x`,
+    * `input_file_name()` renders `file://x` — both must hit the same
+    * sidecar key). */
+  private[graft] def normalizePath(p: String): String =
+    if (p.startsWith("file:")) p.replaceFirst("^file:/+", "/") else p
+
+  /** Filter `df` (a file-sourced scan of this table's parquet) down to
+    * rows NOT marked deleted in `dv`. The probe is one broadcast-held
+    * bitset lookup on the scan's own (file_path, row_index) metadata —
+    * no join, no shuffle; files without a DV entry pass through on the
+    * map-side fast path. Kept out of the plan entirely when `dv` is
+    * empty, so clean versions keep the untouched vectorized scan. */
+  private[graft] def applyDv(df: DataFrame,
+      dv: Map[String, java.util.BitSet]): DataFrame =
+    dvFilter(df, dv, keepDeleted = false)
+
+  /** The shared DV row filter: `keepDeleted = false` keeps live rows
+    * (every read path), `true` keeps exactly the marked rows (the CDF's
+    * delete emission for a grown DV). */
+  private def dvFilter(df: DataFrame, dv: Map[String, java.util.BitSet],
+      keepDeleted: Boolean): DataFrame =
+    if (dv.isEmpty) df
+    else {
+      val holder = new DvHolder(dv.map { case (f, b) => f -> b.toByteArray })
+      val keep =
+        if (keepDeleted) udf((p: String, i: Long) => !holder.alive(p, i))
+        else udf((p: String, i: Long) => holder.alive(p, i))
+      val cols = df.columns
+      df.withColumn("__dv_path", col("_metadata.file_path"))
+        .withColumn("__dv_idx", col("_metadata.row_index"))
+        .filter(keep(col("__dv_path"), col("__dv_idx")))
+        .select(cols.map(col).toSeq: _*)
+    }
+
+  /** Carry the previous version's DV entries forward for the files
+    * still present in the new manifest — the append-path invariant that
+    * keeps deleted rows deleted under unrelated commits. */
+  private def carryDv(table: String, from: Int, to: Int,
+      keptFiles: Seq[String]): Unit = {
+    val kept = keptFiles.toSet
+    publishDv(table, to, dvOf(table, from).filter { case (f, _) => kept(f) })
+  }
+
+  /** Merge-on-read DELETE: rows matching `cond` are MARKED in the DV
+    * sidecar of a new version whose manifest is byte-identical to the
+    * previous one — no data file is read beyond the candidate scan, and
+    * NONE is rewritten. SQL semantics match [[deleteWhere]] (NULL
+    * predicate rows survive). `fileMayMatch` prunes the candidate scan
+    * the way it prunes deleteWhere's rewrite set; `maxDvRows` bounds
+    * the driver-held position set — a delete wider than that is not a
+    * point delete and FALLS BACK to the copy-on-write path, whose cost
+    * model (rewrite the affected files) is right for bulk deletes.
+    * Returns (version, rows marked, usedDv). */
+  def deleteWhereDv(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column,
+      fileMayMatch: String => Boolean = _ => true,
+      maxDvRows: Int = 1 << 20): (Int, Long, Boolean) = {
+    val v = latestVersion(table)
+    require(v > 0, s"$table has no committed versions")
+    val files = filesOf(table, v)
+    val candidates = files.filter(fileMayMatch)
+    if (candidates.isEmpty) return (v, 0L, true)
+    val prevDv = dvOf(table, v)
+    val reader = declaredSchema(table, v)
+      .fold(spark.read)(s => spark.read.schema(s))
+    // candidate scan: matching rows' (file, position), minus rows the
+    // previous DV already deleted (marking twice would double-count)
+    val matched = applyDv(reader.parquet(candidates: _*), prevDv)
+      .filter(coalesce(cond, lit(false)))
+      .select(col("_metadata.file_path").as("__p"),
+        col("_metadata.row_index").as("__i"))
+      .limit(maxDvRows + 1).collect()
+    if (matched.length > maxDvRows)
+      // bulk delete: the position set would outgrow commit metadata —
+      // the copy-on-write rewrite is the right tool at this width
+      return deleteWhere(spark, table, cond, fileMayMatch) match {
+        case (nv, _, _) => (nv, -1L, false)
+      }
+    if (matched.isEmpty) return (v, 0L, true) // provable no-op: no commit
+    val merged = scala.collection.mutable.Map.empty[String, java.util.BitSet]
+    prevDv.foreach { case (f, b) =>
+      merged(f) = b.clone().asInstanceOf[java.util.BitSet] }
+    matched.foreach { r =>
+      val f = normalizePath(r.getString(0))
+      val i = r.getLong(1)
+      require(i <= Int.MaxValue, s"row index $i overflows the DV bitset")
+      merged.getOrElseUpdate(f, new java.util.BitSet()).set(i.toInt)
+    }
+    // same file list, new version: the whole commit is sidecar metadata
+    val next = publishIfLatest(table, v, files, "dv-delete")
+    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    copyStatsSidecar(table, v, next) // identical files: stats/bloom hold
+    publishDv(table, next, merged.toMap) // overwrite the copied DV
+    (next, matched.length.toLong, true)
+  }
+
+  /** REORG PURGE: rewrite ONLY the DV'd files with their deletions
+    * applied and publish a version with no DV entries for them — the
+    * reclamation half of merge-on-read (Delta's `REORG TABLE ... APPLY
+    * (PURGE)`). Untouched files (the vast majority at 100 TB) carry
+    * forward with their stats; the rewrite is bounded by DV'd-file
+    * bytes, not table bytes. Returns (version, files purged). */
+  def purgeDv(spark: SparkSession, table: String): (Int, Int) = {
+    val v = latestVersion(table)
+    require(v > 0, s"$table has no committed versions")
+    val dv = dvOf(table, v)
+    if (dv.isEmpty) return (v, 0)
+    val files = filesOf(table, v)
+    val affected = files.filter(dv.contains)
+    val carried = files.filterNot(dv.contains)
+    val reader = declaredSchema(table, v)
+      .fold(spark.read)(s => spark.read.schema(s))
+    val survivors = applyDv(reader.parquet(affected: _*), dv)
+    val batch = java.nio.file.Paths.get(table, "data",
+      s"batch-purge-${java.util.UUID.randomUUID().toString.take(8)}")
+    survivors.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    val hasParts = Option(batch.toFile.listFiles).getOrElse(Array.empty)
+      .exists(_.getName.endsWith(".parquet"))
+    val newFiles =
+      if (!hasParts) Seq.empty[String]
+      else spark.read.parquet(batch.toString)
+        .select(org.apache.spark.sql.functions.input_file_name())
+        .distinct().collect().map(_.getString(0).stripPrefix("file://"))
+        .sorted.toSeq
+    val next =
+      try publishIfLatest(table, v, carried ++ newFiles, "dv-purge")
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          deleteBatchDir(batch); throw e
+      }
+    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    val stattedCols = statsOf(table, v).keys.map(_._2).toSeq.distinct ++
+      statsOfString(table, v).keys.map(_._2).toSeq.distinct
+    if (stattedCols.nonEmpty && (carried ++ newFiles).nonEmpty)
+      commitStats(spark, table, next, stattedCols.distinct, carryFrom = v)
+    val bloomCols = bloomsOf(table, v).keys.map(_._2).toSeq.distinct
+    if (bloomCols.nonEmpty && (carried ++ newFiles).nonEmpty)
+      commitBlooms(spark, table, next, bloomCols, carryFrom = v)
+    // no DV publish: every DV'd file was rewritten — the new version is
+    // clean and reads on the untouched vectorized fast path again
+    (next, affected.length)
   }
 
   // ---- schema-per-version: the evolution half of the format ---------
@@ -623,10 +837,14 @@ object Sources {
         Some(f.metadata.getString(RenamedFrom) -> f.name)
       else None
     }.toMap
+    val dv = dvOf(table, v)
     filesOf(table, v)
       .groupBy(f => spark.read.parquet(f).schema)
       .values.toSeq
-      .map(g => alignToSchema(spark.read.parquet(g: _*), declared, renames))
+      // DV filter BEFORE alignment: the position probe needs the file
+      // scan's own _metadata columns, which the aligning select drops
+      .map(g => alignToSchema(applyDv(spark.read.parquet(g: _*), dv),
+        declared, renames))
       .reduce(_ unionByName _)
   }
 
@@ -947,7 +1165,10 @@ object Sources {
     val mReader = declaredSchema(table, v)
       .fold(spark.read)(s => spark.read.schema(s))
     val base =
-      if (affected.nonEmpty) mReader.parquet(affected: _*)
+      if (affected.nonEmpty)
+        // DV'd rows are already deleted: the rewrite drops them for
+        // good (untouched files keep their DV entries via carryDv)
+        applyDv(mReader.parquet(affected: _*), dvOf(table, v))
       else if (files.nonEmpty) mReader.parquet(files.head)
         .filter(org.apache.spark.sql.functions.lit(false))
       else
@@ -992,6 +1213,7 @@ object Sources {
     if (bloomCols.nonEmpty)
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
     declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    carryDv(table, v, next, untouched)
     (next, affected.length, untouched.length)
   }
 
@@ -1062,7 +1284,7 @@ object Sources {
       readVersion(spark, table, v)
         .filter(org.apache.spark.sql.functions.lit(false))
     } else {
-      val df = spark.read.parquet(kept: _*)
+      val df = applyDv(spark.read.parquet(kept: _*), dvOf(table, v))
       // bounds cast to the COLUMN's type on the literal side, so the
       // residual range predicate still pushes down to the parquet scan
       val dt = df.schema(column).dataType
@@ -1174,9 +1396,10 @@ object Sources {
 
   private[sources] def copyStatsSidecar(table: String, from: Int,
       to: Int): Unit = {
-    // bloom sidecars travel with stats — every caller has an identical
-    // file set, so both sidecars stay valid verbatim
-    Seq("stats", "bloom").foreach { kind =>
+    // bloom and DV sidecars travel with stats — every caller has an
+    // identical file set, so all three stay valid verbatim (rollback
+    // restores the target version's own DVs with its files)
+    Seq("stats", "bloom", "dv").foreach { kind =>
       val src = java.nio.file.Paths.get(table, s"v$from.$kind")
       if (java.nio.file.Files.exists(src))
         java.nio.file.Files.copy(src,
@@ -1260,7 +1483,9 @@ object Sources {
     // keep their evolved columns
     val reader = declaredSchema(table, v)
       .fold(spark.read)(s => spark.read.schema(s))
-    val survivors = reader.parquet(affected: _*)
+    // DV'd rows of the affected files are already deleted — the rewrite
+    // must not resurrect them (carried files keep their DV entries)
+    val survivors = applyDv(reader.parquet(affected: _*), dvOf(table, v))
       .filter(!coalesce(cond, lit(false)))
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-delete-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1296,6 +1521,7 @@ object Sources {
     val bloomCols = bloomsOf(table, v).keys.map(_._2).toSeq.distinct
     if (bloomCols.nonEmpty && (carried ++ newFiles).nonEmpty)
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
+    carryDv(table, v, next, carried) // rewritten files' DVs are absorbed
     (next, affected.length, carried.length)
   }
 
@@ -1319,20 +1545,39 @@ object Sources {
     val after = filesOf(table, toVersion).toSet
     val gone = (before -- after).toSeq.sorted
     val added = (after -- before).toSeq.sorted
-    def read(fs: Seq[String], change: String): Option[DataFrame] =
+    val dvFrom = dvOf(table, fromVersion)
+    val dvTo = dvOf(table, toVersion)
+    // DV view of the feed: a departing file's rows already DV-deleted at
+    // `from` were emitted in an earlier delta — don't re-delete them; an
+    // arriving file's rows DV-deleted at `to` never became visible — don't
+    // insert them; and a CARRIED file whose DV grew contributes exactly
+    // the newly-marked positions as deletes (the merge-on-read commit's
+    // whole delta — still O(changed rows), never O(table))
+    def read(fs: Seq[String], dv: Map[String, java.util.BitSet],
+        change: String): Option[DataFrame] =
       if (fs.isEmpty) None
-      else Some(spark.read.parquet(fs: _*)
+      else Some(applyDv(spark.read.parquet(fs: _*), dv)
         .withColumn("_change_type", org.apache.spark.sql.functions.lit(change)))
-    (read(gone, "delete"), read(added, "insert")) match {
-      case (Some(d), Some(i)) => d.unionByName(i)
-      case (Some(d), None) => d
-      case (None, Some(i)) => i
-      case (None, None) =>
-        readVersion(spark, table, toVersion)
-          .withColumn("_change_type",
-            org.apache.spark.sql.functions.lit("insert"))
-          .filter(org.apache.spark.sql.functions.lit(false))
-    }
+    val dvDelta: Map[String, java.util.BitSet] =
+      (before & after).toSeq.flatMap { f =>
+        val grown = dvTo.getOrElse(f, new java.util.BitSet())
+          .clone().asInstanceOf[java.util.BitSet]
+        dvFrom.get(f).foreach(grown.andNot)
+        if (grown.isEmpty) None else Some(f -> grown)
+      }.toMap
+    val dvDeletes: Option[DataFrame] =
+      if (dvDelta.isEmpty) None
+      else Some(dvFilter(spark.read.parquet(dvDelta.keys.toSeq.sorted: _*),
+        dvDelta, keepDeleted = true)
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
+    val parts = Seq(read(gone, dvFrom, "delete"), dvDeletes,
+      read(added, dvTo, "insert")).flatten
+    if (parts.nonEmpty) parts.reduce(_ unionByName _)
+    else
+      readVersion(spark, table, toVersion)
+        .withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("insert"))
+        .filter(org.apache.spark.sql.functions.lit(false))
   }
 
   /** The table's commit log as a DataFrame — DESCRIBE HISTORY for the
@@ -1384,6 +1629,8 @@ object Sources {
         java.nio.file.Paths.get(table, s"v$v.bloom"))
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(table, s"v$v.schema"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(table, s"v$v.dv"))
     }
     (expired.length, deadFiles.size)
   }
@@ -1433,6 +1680,23 @@ object Sources {
           throw e
       }
     declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    // no DV carry: compaction reads through readVersion (DVs applied)
+    // and rewrites every file — the new version is clean by definition
     (next, before, filesOf(table, next).length)
   }
+}
+
+/** Executor-side deletion-vector probe: ships the serialized bitsets
+  * once per task (closure broadcast), deserializes them LAZILY per JVM
+  * (transient), and answers "is (file, position) live" with one hash
+  * probe + one bit test — no join, no shuffle, no per-row decode. */
+private[graft] final class DvHolder(ser: Map[String, Array[Byte]])
+  extends Serializable {
+  @transient private lazy val sets: Map[String, java.util.BitSet] =
+    ser.map { case (f, b) => f -> java.util.BitSet.valueOf(b) }
+  def alive(path: String, idx: Long): Boolean =
+    sets.get(Sources.normalizePath(path)) match {
+      case Some(bits) => idx > Int.MaxValue || !bits.get(idx.toInt)
+      case None => true
+    }
 }
