@@ -477,7 +477,7 @@ object StreamingPipeline {
     * `metadata` file ({"id":"<uuid>"}), or "boot" before the first
     * trigger materializes it. Regenerated when a checkpoint is
     * recreated — exactly the identity an idempotence ledger needs. */
-  private[streaming] def checkpointQueryId(checkpoint: String): String = {
+  private[graft] def checkpointQueryId(checkpoint: String): String = {
     val p = java.nio.file.Paths.get(checkpoint, "metadata")
     if (!java.nio.file.Files.exists(p)) "boot"
     else """"id"\s*:\s*"([^"]+)"""".r

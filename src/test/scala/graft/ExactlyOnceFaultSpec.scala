@@ -1,0 +1,202 @@
+package graft
+
+import graft.sources.Sources
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.functions._
+
+/** Fault-injection specs for the exactly-once machinery: the round-5
+  * hardening (batch-keyed dedup store, atomic epoch markers,
+  * publish-failure cleanup, query-id-keyed replication ledger) shipped
+  * behind happy-path tests only — these exercise the CRASH and REPLAY
+  * scenarios that code exists for. */
+class ExactlyOnceFaultSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  private def keptIds(out: String): Set[Long] =
+    spark.read.parquet(s"$out/kept").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+  test("a replayed foreachBatch (duplicate batchId) redoes the cdf dedup " +
+    "byte-identically: kept set unchanged, store not double-counted") {
+    val root = tmp("replay-dedup")
+    val t = s"$root/docs"
+    val store = s"$root/store"
+    val out = s"$root/out"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    val n = docs.count()
+    val cut = n / 2
+    def drain(): Unit = {
+      val q = StreamingPipeline.cdfDedupQuery(spark, t, store, out)
+      q.awaitTermination()
+    }
+    Sources.commitVersion(docs.filter(col("doc_id") < cut), t); drain()
+    val v1 = Sources.latestVersion(t)
+    Sources.commitVersion(docs.filter(col("doc_id") >= cut), t); drain()
+    val v2 = Sources.latestVersion(t)
+    val keptBefore = keptIds(out)
+    def bidDirs(p: String): Set[String] =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("bid="))
+        .map(_.getName).toSet
+    val storeBids = bidDirs(store)
+    val keptBids = bidDirs(s"$out/kept")
+    assert(storeBids.size >= 2, s"expected batch-keyed store dirs, got $storeBids")
+    // REPLAY INJECTION: re-run the foreachBatch body with the LAST
+    // batch's id and its exact input (the second commit's change feed) —
+    // foreachBatch is at-least-once, so this is a legal delivery. The
+    // batch-keyed store must exclude the batch's own first-attempt
+    // signatures (else every doc matches itself and the kept set
+    // collapses), and the per-batch OVERWRITE must leave the kept
+    // output byte-identical instead of double-appending.
+    val lastBid = keptBids.map(_.stripPrefix("bid=").toLong).max
+    val replayInput = Sources.readChanges(spark, t, v1, v2)
+      .drop("_change_type")
+    StreamingPipeline.dedupBatchAgainstStore(replayInput, store, Some(lastBid))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/kept/bid=$lastBid")
+    assert(keptIds(out) === keptBefore,
+      "a duplicate-batchId replay must not change the kept set")
+    assert(bidDirs(store) === storeBids,
+      "a replay must overwrite its own store slice, not add one")
+    // and a THIRD commit after the replay still dedups against the
+    // full history (the replayed slice wasn't lost from the store)
+    Sources.commitVersion(docs.filter(col("doc_id") < 3), t)
+    drain()
+    assert(keptIds(out) === keptBefore,
+      "post-replay batches must still match historical signatures")
+  }
+
+  test("an epoch whose publish FAILS releases its claim and deletes its " +
+    "files — the retry is a fresh claim, never a mistaken duplicate") {
+    val root = tmp("pubfail")
+    val dir = s"$root/t"
+    import org.apache.spark.sql.types._
+    // declared schema k BOOLEAN vs epoch write schema k LONG (upcasts
+    // in neither direction): the declared-carry evolution check throws
+    // BEFORE any manifest publish — a deterministic injection at
+    // exactly the claim->publish window
+    Sources.createEmptyTable(dir, StructType(Seq(StructField("k", BooleanType))))
+    val writeSchema = StructType(Seq(StructField("k", LongType)))
+    val sw = new graft.sources.GraftStreamingWrite(spark, dir, writeSchema,
+      "q-pubfail")
+    spark.range(0, 5).selectExpr("id AS k").coalesce(1)
+      .write.parquet(s"$root/payload")
+    val part = new java.io.File(s"$root/payload").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    def stage(name: String): String = {
+      val p = s"$dir/data/$name.parquet"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir, "data"))
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(p))
+      p
+    }
+    val f1 = stage("epoch-fail-1")
+    val marker = java.nio.file.Paths.get(dir, "_streams", "q-pubfail",
+      "e5.commit")
+    val vBefore = Sources.latestVersion(dir)
+    intercept[IllegalArgumentException] {
+      sw.commit(5L, Array(graft.sources.GraftWriteMessage(Seq(f1))))
+    }
+    assert(Sources.latestVersion(dir) === vBefore, "nothing published")
+    assert(!java.nio.file.Files.exists(marker),
+      "a failed publish must release the epoch claim")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(f1)),
+      "a failed publish must delete the stranded task files")
+    // the RETRY claims afresh — were the marker left 'pending', the
+    // retry would adopt the deleted files and publish an empty epoch
+    val f2 = stage("epoch-fail-2")
+    intercept[IllegalArgumentException] {
+      sw.commit(5L, Array(graft.sources.GraftWriteMessage(Seq(f2))))
+    }
+    assert(!java.nio.file.Files.exists(marker))
+    assert(Sources.latestVersion(dir) === vBefore)
+  }
+
+  test("a hand-corrupted epoch marker fails LOUDLY instead of guessing " +
+    "at re-publish") {
+    val root = tmp("tornmarker")
+    val dir = s"$root/t"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    spark.range(0, 5).selectExpr("id AS k").coalesce(1)
+      .write.parquet(s"$root/payload")
+    val part = new java.io.File(s"$root/payload").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Sources.commitVersion(spark.read.parquet(s"$root/payload"), dir)
+    // external corruption: a marker that is neither pending nor
+    // committed (the atomic claim/transition protocol cannot produce
+    // this state — only outside interference can)
+    val mdir = java.nio.file.Paths.get(dir, "_streams", "q-torn")
+    java.nio.file.Files.createDirectories(mdir)
+    java.nio.file.Files.write(mdir.resolve("e2.commit"),
+      "garbage-state\n/nonexistent".getBytes("UTF-8"))
+    val sw = new graft.sources.GraftStreamingWrite(spark, dir, schema, "q-torn")
+    val replay = s"$dir/data/torn-replay.parquet"
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(replay))
+    val vBefore = Sources.latestVersion(dir)
+    val e = intercept[IllegalStateException] {
+      sw.commit(2L, Array(graft.sources.GraftWriteMessage(Seq(replay))))
+    }
+    assert(e.getMessage.contains("unparsable epoch marker"))
+    assert(Sources.latestVersion(dir) === vBefore,
+      "corruption must block publication, not double it")
+  }
+
+  test("replication restarted with a FRESH checkpoint keeps tracking: " +
+    "the ledger is query-id-keyed, so reset batch ids skip nothing") {
+    import spark.implicits._
+    val root = tmp("fresh-ckpt")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Sources.commitVersion(
+      (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k"), src)
+    Sources.commitStats(spark, src, 1, Seq("k"))
+    val q1 = StreamingPipeline.replicateTable(spark, src, dst, "k",
+      s"$root/ckptA")
+    q1.awaitTermination()
+    def content(t: String): Map[Long, String] =
+      Sources.readVersion(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(content(dst) === content(src))
+    // source advances, then the operator LOSES the checkpoint (the
+    // classic ops accident) and restarts replication from scratch
+    Sources.mergeVersion(spark, src,
+      Seq((7L, "v7-updated")).toDF("k", "v").withColumn("op", lit("upsert"))
+        .unionByName(Seq((13L, "x")).toDF("k", "v")
+          .withColumn("op", lit("delete"))), "k")
+    val q2 = StreamingPipeline.replicateTable(spark, src, dst, "k",
+      s"$root/ckptB")
+    q2.awaitTermination()
+    // a batch-id-only ledger would see dst/_replication/batch-0.done
+    // from run A and silently skip run B's batch 0 — the replica would
+    // freeze at the old state. The query-id key gives run B its own
+    // ledger; the keyed merge re-applies idempotently.
+    assert(content(dst) === content(src),
+      "fresh-checkpoint restart must keep tracking the source")
+    assert(content(dst)(7L) === "v7-updated")
+    assert(!content(dst).contains(13L))
+    val ledgers = Option(new java.io.File(s"$dst/_replication").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    assert(ledgers.size === 2,
+      s"each run keeps its own query-id ledger, got $ledgers")
+  }
+
+  test("checkpointQueryId: parses the checkpoint metadata id, degrades " +
+    "to 'boot' when absent or unreadable") {
+    val root = tmp("qid")
+    assert(StreamingPipeline.checkpointQueryId(s"$root/nope") === "boot")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "metadata"),
+      """{"id":"abc-123"}""".getBytes("UTF-8"))
+    assert(StreamingPipeline.checkpointQueryId(root) === "abc-123")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "metadata"),
+      "not json at all".getBytes("UTF-8"))
+    assert(StreamingPipeline.checkpointQueryId(root) === "boot")
+  }
+}
