@@ -650,75 +650,37 @@ object SimilarityOps {
   val q203 = Query(
     "q203_ivfadc",
     (s, dir) => {
-      val emb = withNorm(Tables.embeddings(s, dir)).cache()
-      val kCells = 8
-      val M = 16; val K = 16; val sub = 4
-      val sample = trainSample(emb, 2048)
-      // both model states from the SAME bounded sample, one scan
-      val cents: Seq[Array[Double]] = lloyd(sample, kCells).toSeq
-      val cb: Array[Array[Array[Double]]] =
-        Array.tabulate(M)(m =>
-          lloyd(sample.map(_.slice(m * sub, (m + 1) * sub)), K))
-      val c2: Array[Array[Double]] =
-        Array.tabulate(M, K)((m, k) => cb(m)(k).map(x => x * x).sum)
-      def centroidCol(c: Array[Double]): Column = array(c.map(lit): _*)
-      def cellScore(c: Array[Double]): Column =
-        dotNative(col("embedding"), centroidCol(c)) -
-          lit(c.map(x => x * x).sum / 2.0)
-      def cwCol(m: Int, k: Int): Column =
-        array(cb(m)(k).map(x => lit(x.toFloat)): _*)
-      def subv(m: Int): Column = slice(col("embedding"), m * sub + 1, sub)
-      def score(m: Int, k: Int): Column =
-        lit(c2(m)(k)) - lit(2.0) * dotNative(subv(m), cwCol(m, k))
-
-      // the INDEX: every vector carries its cell id + its PQ code —
-      // one map-side pass, the "posting lists" of IVFADC
-      val nearestCell = greatest(cents.zipWithIndex.map { case (c, i) =>
-        struct(cellScore(c).as("s"), lit(i.toLong).as("cell"))
-      }: _*).getField("cell")
-      val index = emb.select(col("vec_id").as("b_id"),
-        nearestCell.as("cell"),
-        array((0 until M).map { m =>
-          least((0 until K).map { k =>
-            struct(score(m, k).as("d"), lit(k).as("k"))
-          }: _*).getField("k")
-        }: _*).as("codes"))
-
-      // probes: nprobe=4 nearest cells + the per-probe ADC table
-      val probes = emb.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
-          slice(reverse(array_sort(array(cents.zipWithIndex.map {
-            case (c, i) => struct(cellScore(c).as("s"), lit(i.toLong).as("cell"))
-          }: _*))), 1, 4).getField("cell").as("probed"),
-          array((for (m <- 0 until M; k <- 0 until K)
-            yield score(m, k)): _*).as("tbl"))
-      val probeCells = probes
-        .select(col("a_id"), col("tbl"), explode(col("probed")).as("cell"))
-      val adcSum = (0 until M).map(m =>
-        element_at(col("tbl"),
-          (lit(m * K) + element_at(col("codes"), m + 1) + 1).cast("int")))
-        .reduce(_ + _)
-      // candidates ONLY from probed cells — the equi-join on cell id is
-      // what replaces q173's cross join at scale
-      val adc = index.join(broadcast(probeCells), Seq("cell"))
-        .filter(col("a_id") =!= col("b_id"))
-        .select(col("a_id"), col("b_id"), adcSum.as("adc"))
-      val wAdc = Window.partitionBy("a_id").orderBy(col("adc").asc, col("b_id").asc)
-      val cand = adc.withColumn("rn", row_number().over(wAdc))
-        .filter(col("rn") <= 40).drop("rn", "adc")
-      val full = emb
-        .select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-          col("nrm").as("nb"))
-      val wSim = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
-      cand.join(broadcast(probes.select(col("a_id"), col("ea"))), "a_id")
-        .join(full, "b_id")
-        .select(col("a_id"), col("b_id"),
-          (dotNative(col("ea"), col("eb")) /
-            (sqrt(dotNative(col("ea"), col("ea"))) * col("nb"))).as("sim"))
-        .withColumn("rn", row_number().over(wSim))
-        .filter(col("rn") === 1)
-        .select("a_id", "b_id", "sim")
-        .orderBy("a_id")
+      // the PERSISTED form (round-6): the corpus is COMMITTED to a
+      // graft table in producer slices, [[AnnIndex.init]] trains + pins
+      // the model once, [[AnnIndex.maintainQuery]] builds the index
+      // table off the change feed (per commit: encode the delta, keyed
+      // merge — the corpus is never re-read, the model never
+      // re-trained), and the search joins the index table's probed
+      // posting lists. Output is bit-identical to the former inline
+      // form (same lloyd sample, same expressions); recall@1 stays
+      // gated in SimilaritySpec; incremental ≡ rebuild in AnnIndexSpec.
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-ann-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val src = root.resolve("emb_t").toString
+      val idx = root.resolve("emb_idx").toString
+      val emb = Tables.embeddings(s, dir)
+      graft.sources.Sources.commitVersion(
+        emb.filter(col("vec_id") < 1000), src)
+      graft.sources.Sources.commitVersion(
+        emb.filter(col("vec_id") >= 1000), src)
+      AnnIndex.init(s, src, idx)
+      AnnIndex.maintainQuery(s, src, idx, s"$root/ckpt").awaitTermination()
+      AnnIndex.searchFromIndex(s, emb, idx, col("vec_id") < 50)
     },
     None
   )

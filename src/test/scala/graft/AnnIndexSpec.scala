@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.AnnIndex
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+/** The persisted IVFADC index ([[AnnIndex]]): CDF-maintained index
+  * table ≡ full rebuild, updates/deletes track, replay idempotent. */
+class AnnIndexSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  private def indexContent(idx: String): Set[(Long, Long, Seq[Int])] =
+    Sources.readVersion(spark, idx)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2)))
+      .toSet
+
+  test("a 3-commit incrementally maintained index equals the full " +
+    "rebuild; re-embeds re-encode, deletes leave; replay is idempotent") {
+    val root = tmp("ann-idx")
+    val src = s"$root/emb"
+    val idx = s"$root/idx"
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding", "label")
+    val n = emb.count()
+    val (c1, c2) = (n / 3, 2 * n / 3)
+    Sources.commitVersion(emb.filter(col("vec_id") < c1), src)
+    // model trained ONCE at init, from the source head — later commits
+    // must encode under exactly this pinned model
+    AnnIndex.init(spark, src, idx)
+    def drain(ckpt: String = s"$root/ckpt"): Unit = {
+      val q = AnnIndex.maintainQuery(spark, src, idx, ckpt)
+      q.awaitTermination()
+    }
+    drain()
+    Sources.commitVersion(
+      emb.filter(col("vec_id") >= c1 && col("vec_id") < c2), src)
+    drain()
+    Sources.commitVersion(emb.filter(col("vec_id") >= c2), src)
+    drain()
+    val model = AnnIndex.loadModel(idx)
+    val fullRebuild = AnnIndex.encode(emb, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    assert(indexContent(idx) === fullRebuild,
+      "3-commit incremental maintenance must equal the one-shot rebuild")
+    assert(indexContent(idx).size === n)
+
+    // source UPDATE (re-embed vec 5: reversed vector) + DELETE (vec 6):
+    // the index must re-encode one and drop the other, off the feed
+    val upd = emb.filter(col("vec_id") === 5)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+        col("label"), lit("upsert").as("op"))
+    val del = emb.filter(col("vec_id") === 6)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        lit("delete").as("op"))
+    Sources.mergeVersion(spark, src, upd.unionByName(del), "vec_id")
+    drain()
+    val after = indexContent(idx)
+    assert(after.size === n - 1)
+    assert(!after.exists(_._1 === 6L), "deleted vector must leave the index")
+    val expected5 = AnnIndex.encode(
+      emb.filter(col("vec_id") === 5)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      model).collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2)))
+      .head
+    assert(after.filter(_._1 === 5L) === Set(expected5),
+      "re-embedded vector must carry codes of the NEW embedding")
+
+    // ops accident: the checkpoint is lost and maintenance restarts
+    // from scratch — the full feed re-applies through the keyed merge
+    // and the query-id ledger; index content must be unchanged
+    drain(s"$root/ckpt-fresh")
+    assert(indexContent(idx) === after,
+      "fresh-checkpoint replay must be content-idempotent")
+
+    // and the search path actually uses the persisted rows: searching
+    // with the index table returns 1 row per probe
+    val res = AnnIndex.searchFromIndex(spark, emb, idx,
+      col("vec_id") < 20)
+    assert(res.count() === 20)
+  }
+}
