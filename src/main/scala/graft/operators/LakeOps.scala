@@ -320,5 +320,75 @@ object LakeOps {
            |ORDER BY o_orderpriority""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q179, q196, q202, q206)
+  /** Q207 — identity-PARTITIONED catalog table end-to-end, oracle-
+    * gated: `CREATE TABLE ... PARTITIONED BY (prio)` (the
+    * `partition.columns` property → hive-laid batch dirs), one INSERT
+    * (every commit clusters rows under `prio=.../`), a partition+key
+    * DELETE (merge-on-read or CoW — either way partition values
+    * survive the rewrite), and a final per-partition aggregate read
+    * through the DSv2 scan, whose `partitionFilters` now prune whole
+    * directories (numFiles-asserted in PartitionedTableSpec; here the
+    * `part_files_lt_total` witness pins that the partition's file
+    * subset is a strict subset via the `$files` metadata table). The
+    * oracle restates the lifecycle relationally — a hash match proves
+    * partitioned commit + partition-aware delete + partition-column
+    * reconstitution compose to plain SQL semantics. */
+  val q207 = Query(
+    "q207_partitioned_table",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-part-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val cat = s"gp_${math.abs(dir.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root.toString)
+      Tables.orders(s, dir).createOrReplaceTempView("part_orders_src")
+      s.sql(s"""CREATE TABLE $cat.orders_part (
+               |  o_orderkey BIGINT, o_custkey BIGINT,
+               |  o_totalprice DOUBLE, prio STRING)
+               |PARTITIONED BY (prio)""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.orders_part
+               |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+               |FROM part_orders_src""".stripMargin)
+      val vPre = s.sql(s"SELECT COUNT(*) FROM $cat.orders_part")
+        .head().getLong(0)
+      s.sql(s"DELETE FROM $cat.orders_part " +
+        "WHERE prio = '1-URGENT' AND o_orderkey < 5000")
+      // partition layout witness off the $files metadata table: the
+      // '1-URGENT' partition's files are a strict subset of the table's
+      val fileRows = s.sql(s"SELECT file FROM $cat.`orders_part$$files`")
+        .collect().map(_.getString(0))
+      val partLt =
+        if (fileRows.count(_.contains("prio=1-URGENT")) > 0 &&
+            fileRows.count(_.contains("prio=1-URGENT")) < fileRows.length)
+          1L else 0L
+      s.sql(s"SELECT prio, o_totalprice FROM $cat.orders_part")
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_pre", lit(vPre))
+        .withColumn("part_files_lt_total", lit(partLt))
+        .orderBy("prio")
+    },
+    Some("""WITH state AS (
+           |  SELECT o_orderpriority AS prio, o_totalprice FROM orders
+           |  WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey < 5000)),
+           |w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pre FROM orders)
+           |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |       n_pre, CAST(1 AS BIGINT) AS part_files_lt_total
+           |FROM state, w
+           |GROUP BY prio, n_pre ORDER BY prio""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q179, q196, q202, q206, q207)
 }

@@ -142,8 +142,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "graft tables cluster via range/z-order layout, not directory partitions")
+    // `PARTITIONED BY (c, ...)` — IDENTITY transforms only (bucket/
+    // days/etc. would need transform evaluation on the write path);
+    // recorded as the `partition.columns` property, which makes every
+    // commit write hive-laid-out batch dirs and the manifest index
+    // serve a real partition spec for partitionFilters pruning
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 =>
+        require(t.references().head.fieldNames().length == 1,
+          "nested partition columns are not supported")
+        val name = t.references().head.fieldNames().head
+        require(schema.fieldNames.contains(name),
+          s"partition column $name is not in the table schema")
+        name
+      case t => throw new UnsupportedOperationException(
+        s"graft PARTITIONED BY supports identity columns only, got $t")
+    }
     Sources.createEmptyTable(tableDir(ident), schema)
     // persist user TBLPROPERTIES — `stats.columns` makes the table
     // SELF-MAINTAINING for file skipping: every later commit harvests
@@ -154,8 +168,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
           TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
           TableCatalog.PROP_EXTERNAL).contains(k) }
-    if (user.nonEmpty)
-      Sources.writeTableProperties(tableDir(ident), user)
+    val all = user ++ (if (partCols.nonEmpty)
+      Map("partition.columns" -> partCols.mkString(",")) else Map.empty)
+    if (all.nonEmpty)
+      Sources.writeTableProperties(tableDir(ident), all)
     new GraftTable(spark, tableDir(ident), -1)
   }
 
@@ -305,6 +321,11 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
 
   override lazy val schema: StructType = Sources.schemaOf(spark, path, pinned)
 
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    Sources.partitionColumnsOf(path).map(
+      org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+
   lazy val fileIndex: PartitioningAwareFileIndex =
     new ManifestFileIndex(spark, path, pinned)
 
@@ -324,10 +345,16 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
       // here absorb the DVs, and purge/compaction restores this direct
       // vectorized path for later versions)
       new GraftDvScanBuilder(spark, path, pinned, schema)
-    else
+    else {
+      // dataSchema excludes identity-partition columns — they live in
+      // the hive paths and the scan serves them from partition values
+      val partNames = Sources.partitionColumnsOf(path).toSet
+      val dataSchema = StructType(
+        schema.fields.filterNot(f => partNames.contains(f.name)))
       new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-        spark, fileIndex, schema, schema,
+        spark, fileIndex, schema, dataSchema,
         new CaseInsensitiveStringMap(util.Map.of()))
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
@@ -355,8 +382,18 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
       // bounded rewrite of only the DV'd files yields a clean version,
       // and the rewrite proceeds on the vectorized scan against it —
       // deleted rows stay deleted, basedOn tracks the purged version.
+      // Spark REWRITES every DELETE through here too (the metadata-only
+      // optimization replaces the plan later), so this builder must be
+      // side-effect-free for DELETE: purging would defeat merge-on-read
+      // on the very statement DVs exist for. MERGE/UPDATE genuinely
+      // execute the group rewrite, whose scan cannot apply DVs (no
+      // V1ScanWrapper in row-level scan planning) — purge first for
+      // those. A non-translatable DELETE on a DV-carrying version is
+      // the one unsupported corner (purgeDv manually first).
+      val isDelete = info.command() ==
+        org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE
       val effective =
-        if (pinned == Sources.latestVersion(path) &&
+        if (!isDelete && pinned == Sources.latestVersion(path) &&
             Sources.dvOf(path, pinned).nonEmpty) {
           Sources.purgeDv(spark, path)
           new GraftTable(spark, path, -1)
@@ -584,7 +621,16 @@ private[sources] class GraftRowLevelOperation(
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch
-              : org.apache.spark.sql.connector.write.BatchWrite =
+              : org.apache.spark.sql.connector.write.BatchWrite = {
+            // reached ONLY when the group rewrite actually executes
+            // (metadata-only DELETEs are replaced before the physical
+            // write plans) — the flat epoch writers would corrupt a
+            // hive-partitioned layout, so refuse here with the API
+            // alternative, not mid-analysis of every DELETE
+            require(Sources.partitionColumnsOf(table).isEmpty,
+              "MERGE INTO/UPDATE on a PARTITIONED graft table is not " +
+                "supported — use Sources.mergeVersion (partition-aware " +
+                "keyed merge) or a filter-translatable DELETE FROM")
             // basedOn = the version the SCAN pinned at loadTable time,
             // NOT latest-at-write-time: the rewrite's survivor rows
             // were computed from that snapshot, so a commit landing
@@ -592,6 +638,7 @@ private[sources] class GraftRowLevelOperation(
             // instead of being silently erased by the rewrite
             new GraftBatchWrite(spark, table, info.schema(),
               graftTable.pinned)
+          }
         }
     }
 }
@@ -850,9 +897,16 @@ private[sources] class GraftWriteBuilder(table: String,
       // versioned append commit — the ingest end of the loop whose read
       // end is the graft-cdf source
       override def toStreaming
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        // epoch task writers emit flat files; mixing them into a
+        // hive-partitioned table would corrupt partition inference
+        require(Sources.partitionColumnsOf(table).isEmpty,
+          "writeStream.toTable into a PARTITIONED graft table is not " +
+            "supported — ingest unpartitioned and INSERT...SELECT, or " +
+            "use foreachBatch with commitVersion")
         new GraftStreamingWrite(SparkSession.active, table, info.schema(),
           info.queryId())
+      }
     }
 }
 

@@ -36,7 +36,7 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType,
   * task already opened.
   */
 class ManifestFileIndex(spark: SparkSession, table: String,
-    version: Int = -1)
+    version: Int = -1, only: Option[Set[String]] = None)
   extends PartitioningAwareFileIndex(spark, Map.empty, None,
     FileStatusCache.getOrCreate(spark)) {
   // PartitioningAwareFileIndex (not the bare FileIndex trait) so ONE
@@ -44,7 +44,9 @@ class ManifestFileIndex(spark: SparkSession, table: String,
   // (`USING graft`, accepts any FileIndex) and the DSv2 FileTable
   // catalog path (which requires this class). The leaf-file maps are
   // the manifest's pinned set; the pruning listFiles below overrides
-  // the base implementation outright.
+  // the base implementation outright. `only` restricts the index to a
+  // file subset — the partition-aware reader rewrite paths use
+  // (delete survivors, merge base, DV candidates).
 
   private val v =
     if (version < 0) Sources.latestVersion(table) else version
@@ -53,7 +55,71 @@ class ManifestFileIndex(spark: SparkSession, table: String,
   private val statuses: Seq[FileStatus] = {
     val fs = new Path(table).getFileSystem(
       spark.sessionState.newHadoopConf())
-    Sources.filesOf(table, v).map(f => fs.getFileStatus(new Path(f)))
+    Sources.filesOf(table, v)
+      .filter(f => only.forall(_.contains(f)))
+      .map(f => fs.getFileStatus(new Path(f)))
+  }
+
+  // identity-partitioned table (`partition.columns` property): the
+  // hive-laid-out batch dirs carry `c=v` segments, and the spec is
+  // built DIRECTLY from the manifest's paths — Spark's own
+  // inferPartitioning cannot serve a multi-batch layout (its
+  // discovered-base-path validation requires ONE parent above the
+  // partition dirs; every commit's immutable batch dir is a different
+  // parent, exactly like Delta — which also builds its own spec).
+  // Value types come from the declared schema (DDL); absent that,
+  // strings. Catalyst's partitionFilters then drop whole directories
+  // before stats pruning even looks.
+  private lazy val spec: PartitionSpec = {
+    val partCols = Sources.partitionColumnsOf(table)
+    if (partCols.isEmpty) PartitionSpec.emptySpec
+    else {
+      val declared = Sources.declaredSchema(table, v)
+        .map(_.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+      val colTypes: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        partCols.map { c =>
+          c -> (declared.get(c) match {
+            case Some(t @ (ByteType | ShortType | IntegerType | LongType)) => t
+            case Some(org.apache.spark.sql.types.StringType) =>
+              org.apache.spark.sql.types.StringType
+            case _ => org.apache.spark.sql.types.StringType
+          })
+        }
+      def segValue(dir: Path, c: String): Option[String] = {
+        var p = dir
+        while (p != null) {
+          val n = p.getName
+          if (n.startsWith(s"$c=")) return Some(
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(n.substring(c.length + 1)))
+          p = p.getParent
+        }
+        None
+      }
+      def convert(raw: Option[String],
+          t: org.apache.spark.sql.types.DataType): Any = raw match {
+        case None | Some("__HIVE_DEFAULT_PARTITION__") => null
+        case Some(s) => t match {
+          case ByteType => s.toByte
+          case ShortType => s.toShort
+          case IntegerType => s.toInt
+          case LongType => s.toLong
+          case _ => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        }
+      }
+      val dirs = statuses.map(_.getPath.getParent).distinct
+      val partitions = dirs.map { d =>
+        org.apache.spark.sql.execution.datasources.PartitionPath(
+          InternalRow.fromSeq(colTypes.map { case (c, t) =>
+            convert(segValue(d, c), t) }),
+          d)
+      }
+      PartitionSpec(
+        StructType(colTypes.map { case (c, t) =>
+          org.apache.spark.sql.types.StructField(c, t) }),
+        partitions)
+    }
   }
   private val stats = Sources.statsOf(table, v)
   private val strStats = Sources.statsOfString(table, v)
@@ -66,7 +132,7 @@ class ManifestFileIndex(spark: SparkSession, table: String,
     }
 
   override def rootPaths: Seq[Path] = Seq(new Path(table))
-  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+  override def partitionSpec(): PartitionSpec = spec
   override def leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
     statuses.foreach(st => m += (st.getPath -> st))
@@ -222,8 +288,11 @@ class ManifestFileIndex(spark: SparkSession, table: String,
     }
   }
 
-  override def listFiles(partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+  /** The per-file stats/bloom keep-decision for one predicate set —
+    * shared by the flat and the partitioned listFiles paths. Returns a
+    * trivially-true keeper when no predicate yields a usable bound, so
+    * the common no-filter scan pays nothing. */
+  private def statsKeeper(dataFilters: Seq[Expression]): String => Boolean = {
     val bounds = boundsOf(dataFilters)
     val strBounds = stringBoundsOf(dataFilters)
     // analyze the PREDICATES first (pure expression work): the bloom
@@ -231,32 +300,44 @@ class ManifestFileIndex(spark: SparkSession, table: String,
     val pointCandidates = pointChecksOf(dataFilters)
     val points = if (pointCandidates.isEmpty || blooms.isEmpty) Nil
                  else pointCandidates
-    val kept =
-      if (bounds.isEmpty && strBounds.isEmpty && points.isEmpty) statuses
-      else statuses.filter { st =>
-        val f = st.getPath.toUri.getPath
-        bounds.forall { case (c, (lo, hi)) =>
-          stats.get((f, c)) match {
-            case Some((mn, mx)) =>
-              lo.forall(mx >= _) && hi.forall(mn <= _)
-            case None => true // no stats row: must keep
-          }
-        } && strBounds.forall { case (c, (lo, hi)) =>
-          strStats.get((f, c)) match {
-            case Some((mn, mx)) =>
-              lo.forall(mx.compareTo(_) >= 0) && hi.forall(mn.compareTo(_) <= 0)
-            case None => true // no stats row: must keep
-          }
-        } && points.forall { case (c, vals) =>
-          blooms.get((f, c)) match {
-            // bloom "might contain" keeps; definite absence of EVERY
-            // candidate value drops — false positives only ever read
-            case Some(b) => vals.exists(b.mightContainString)
-            case None => true // no bloom: must keep
-          }
+    if (bounds.isEmpty && strBounds.isEmpty && points.isEmpty) _ => true
+    else f =>
+      bounds.forall { case (c, (lo, hi)) =>
+        stats.get((f, c)) match {
+          case Some((mn, mx)) =>
+            lo.forall(mx >= _) && hi.forall(mn <= _)
+          case None => true // no stats row: must keep
+        }
+      } && strBounds.forall { case (c, (lo, hi)) =>
+        strStats.get((f, c)) match {
+          case Some((mn, mx)) =>
+            lo.forall(mx.compareTo(_) >= 0) && hi.forall(mn.compareTo(_) <= 0)
+          case None => true // no stats row: must keep
+        }
+      } && points.forall { case (c, vals) =>
+        blooms.get((f, c)) match {
+          // bloom "might contain" keeps; definite absence of EVERY
+          // candidate value drops — false positives only ever read
+          case Some(b) => vals.exists(b.mightContainString)
+          case None => true // no bloom: must keep
         }
       }
-    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val keep = statsKeeper(dataFilters)
+    if (spec.partitionColumns.nonEmpty)
+      // partitioned table: the BASE implementation prunes partitions
+      // against partitionFilters (whole directories drop before any
+      // file is considered); the per-file stats/bloom tier then thins
+      // each surviving partition's file list on dataFilters
+      super.listFiles(partitionFilters, dataFilters)
+        .map(pd => pd.copy(files =
+          pd.files.filter(f => keep(f.getPath.toUri.getPath))))
+    else
+      Seq(PartitionDirectory(InternalRow.empty,
+        statuses.filter(st => keep(st.getPath.toUri.getPath)).toArray))
   }
 }
 
@@ -269,16 +350,44 @@ object ManifestFileIndex {
   def readVersionIndexed(spark: SparkSession, table: String,
       version: Int = -1): DataFrame = {
     val v = if (version < 0) Sources.latestVersion(table) else version
-    val index = new ManifestFileIndex(spark, table, v)
-    val schema = Sources.schemaOf(spark, table, v)
-    val relation = HadoopFsRelation(index, StructType(Nil), schema, None,
-      new ParquetFileFormat, Map.empty[String, String])(spark)
     // DV application ABOVE the indexed scan: deleted positions filter
     // out via the scan's own _metadata probe while file skipping,
     // pushdown, and the vectorized reader all stay intact (the DV
     // predicate is one extra deterministic conjunct; clean versions
     // skip it entirely)
-    Sources.applyDv(org.apache.spark.sql.graftbridge.Bridge.ofRows(
-      spark, LogicalRelation(relation)), Sources.dvOf(table, v))
+    Sources.applyDv(frameForFiles(spark, table, v, None),
+      Sources.dvOf(table, v))
+  }
+
+  /** The manifest-pinned HadoopFsRelation as a DataFrame, optionally
+    * restricted to a FILE SUBSET (`only`) — the partition-aware reader
+    * shared by the indexed read, the rewrite paths' survivor scans, and
+    * the DV candidate scan. Partitioned tables serve their partition
+    * columns from the hive paths (cast to the declared types, declared
+    * column order); NO deletion-vector filter here — callers decide. */
+  private[sources] def frameForFiles(spark: SparkSession, table: String,
+      version: Int, only: Option[Set[String]]): DataFrame = {
+    val index = new ManifestFileIndex(spark, table, version, only)
+    val partSchema = index.partitionSchema
+    val partNames = partSchema.fieldNames.toSet
+    // API tables without a declared-schema sidecar fall back to a data
+    // file's footer, which never contains the partition columns (they
+    // live in paths) — append them so the served schema is complete
+    val declared0 = Sources.schemaOf(spark, table, version)
+    val declared = StructType(declared0.fields ++
+      partSchema.fields.filterNot(f => declared0.fieldNames.contains(f.name)))
+    val dataSchema = StructType(
+      declared.fields.filterNot(f => partNames.contains(f.name)))
+    val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+    val df = org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      spark, LogicalRelation(relation))
+    if (partSchema.isEmpty) df
+    else
+      // declared order + declared types (partition values are inferred
+      // from path strings — int today, but the DDL may say long/string)
+      df.select(declared.fields.toSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name)
+          .cast(f.dataType).as(f.name)): _*)
   }
 }

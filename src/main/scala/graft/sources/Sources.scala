@@ -350,16 +350,10 @@ object Sources {
   private def writeBatch(df: DataFrame, table: String): Seq[String] = {
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-${java.util.UUID.randomUUID().toString.take(12)}")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
-    // a 0-partition input (e.g. TRUNCATE's empty frame) writes no part
-    // files at all; reading the dir back would die on schema inference
-    val hasParts = Option(batch.toFile.listFiles).getOrElse(Array.empty)
-      .exists(_.getName.endsWith(".parquet"))
-    if (!hasParts) Seq.empty
-    else df.sparkSession.read.parquet(batch.toString)
-      .select(org.apache.spark.sql.functions.input_file_name())
-      .distinct().collect().map(_.getString(0).stripPrefix("file://"))
-      .sorted.toSeq
+    writePartitionedBatch(df, table, batch.toString)
+    // recursive walk (partitioned batches nest c=v/ dirs); a
+    // 0-partition input (e.g. TRUNCATE's empty frame) yields Nil
+    batchParquetFiles(batch)
   }
 
   /** Recursively delete a directory tree (a rejected/orphaned batch
@@ -509,6 +503,11 @@ object Sources {
         case None => throw new IllegalArgumentException(
           s"$table v$v has an empty file list and no declared schema")
       }
+    else if (partitionColumnsOf(table).nonEmpty)
+      // partitioned: the manifest index reattaches partition columns
+      // from the hive paths (a flat read would null them)
+      applyDv(ManifestFileIndex.frameForFiles(spark, table, v, None),
+        dvOf(table, v))
     else applyDv(spark.read.parquet(files: _*), dvOf(table, v))
   }
 
@@ -641,11 +640,10 @@ object Sources {
     val candidates = files.filter(fileMayMatch)
     if (candidates.isEmpty) return (v, 0L, true)
     val prevDv = dvOf(table, v)
-    val reader = declaredSchema(table, v)
-      .fold(spark.read)(s => spark.read.schema(s))
     // candidate scan: matching rows' (file, position), minus rows the
-    // previous DV already deleted (marking twice would double-count)
-    val matched = applyDv(reader.parquet(candidates: _*), prevDv)
+    // previous DV already deleted (marking twice would double-count);
+    // partition-aware so the predicate may reference partition columns
+    val matched = applyDv(readFileSubset(spark, table, v, candidates), prevDv)
       .filter(coalesce(cond, lit(false)))
       .select(col("_metadata.file_path").as("__p"),
         col("_metadata.row_index").as("__i"))
@@ -688,20 +686,11 @@ object Sources {
     val files = filesOf(table, v)
     val affected = files.filter(dv.contains)
     val carried = files.filterNot(dv.contains)
-    val reader = declaredSchema(table, v)
-      .fold(spark.read)(s => spark.read.schema(s))
-    val survivors = applyDv(reader.parquet(affected: _*), dv)
+    val survivors = applyDv(readFileSubset(spark, table, v, affected), dv)
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-purge-${java.util.UUID.randomUUID().toString.take(8)}")
-    survivors.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
-    val hasParts = Option(batch.toFile.listFiles).getOrElse(Array.empty)
-      .exists(_.getName.endsWith(".parquet"))
-    val newFiles =
-      if (!hasParts) Seq.empty[String]
-      else spark.read.parquet(batch.toString)
-        .select(org.apache.spark.sql.functions.input_file_name())
-        .distinct().collect().map(_.getString(0).stripPrefix("file://"))
-        .sorted.toSeq
+    writePartitionedBatch(survivors, table, batch.toString)
+    val newFiles = batchParquetFiles(batch)
     val next =
       try publishIfLatest(table, v, carried ++ newFiles, "dv-purge")
       catch {
@@ -888,7 +877,11 @@ object Sources {
         carriedStr.contains((f, c))))
     val computed = if (need.isEmpty) Seq.empty[String] else {
       val df = spark.read.parquet(need: _*)
-      val strCols = cols.filter(c =>
+      // partition columns live in paths, not data files — a declared
+      // stats column absent from the files is skipped (its pruning is
+      // the partition filter's job), never an unresolved-column crash
+      val presentCols = cols.filter(df.schema.fieldNames.contains(_))
+      val strCols = presentCols.filter(c =>
         df.schema.fields.exists(f => f.name == c &&
           f.dataType == org.apache.spark.sql.types.StringType)).toSet
       // numeric min/max rendered as plain strings, NOT rounded through a
@@ -907,7 +900,7 @@ object Sources {
       // driver-side prune compares UTF-16 code units; the two agree
       // exactly on ASCII and can diverge beyond it, so non-ASCII bounds
       // are simply not written (conservative, file always read).
-      val aggs = cols.flatMap(c => Seq(
+      val aggs = presentCols.flatMap(c => Seq(
         org.apache.spark.sql.functions.min(col(c))
           .cast("string").as(s"min_$c"),
         org.apache.spark.sql.functions.max(col(c))
@@ -915,12 +908,13 @@ object Sources {
       def asciiOk(s: String) = s.forall(_ < 128) && s.length <= 256
       def b64(s: String) = java.util.Base64.getEncoder
         .encodeToString(s.getBytes("UTF-8"))
-      df.groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
+      if (aggs.isEmpty) Seq.empty[String]
+      else df.groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().toSeq
         .flatMap { r =>
           val file = r.getString(0).stripPrefix("file://")
-          cols.zipWithIndex.flatMap { case (c, i) =>
+          presentCols.zipWithIndex.flatMap { case (c, i) =>
             (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))) match {
               case (Some(lo), Some(hi)) if strCols.contains(c) =>
                 if (asciiOk(lo) && asciiOk(hi))
@@ -1161,16 +1155,16 @@ object Sources {
       affected: Seq[String], untouched: Seq[String],
       files: Seq[String]): (Int, Int, Int) = {
     // read affected files under the DECLARED schema where one exists —
-    // a mixed-generation rewrite must not narrow to one file's footer
-    val mReader = declaredSchema(table, v)
-      .fold(spark.read)(s => spark.read.schema(s))
+    // a mixed-generation rewrite must not narrow to one file's footer;
+    // subset reads are partition-aware (hive path values reattach)
     val base =
       if (affected.nonEmpty)
         // DV'd rows are already deleted: the rewrite drops them for
         // good (untouched files keep their DV entries via carryDv)
-        applyDv(mReader.parquet(affected: _*), dvOf(table, v))
-      else if (files.nonEmpty) mReader.parquet(files.head)
-        .filter(org.apache.spark.sql.functions.lit(false))
+        applyDv(readFileSubset(spark, table, v, affected), dvOf(table, v))
+      else if (files.nonEmpty)
+        readFileSubset(spark, table, v, Seq(files.head))
+          .filter(org.apache.spark.sql.functions.lit(false))
       else
         // merging into an emptied (delete-all/TRUNCATE) version: the
         // whole change set is inserts against the pinned schema
@@ -1183,10 +1177,8 @@ object Sources {
     val rewritten = survivors.unionByName(upserts)
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-merge-${java.util.UUID.randomUUID().toString.take(8)}")
-    rewritten.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
-    val newFiles = spark.read.parquet(batch.toString)
-      .select(org.apache.spark.sql.functions.input_file_name())
-      .distinct().collect().map(_.getString(0).stripPrefix("file://")).sorted
+    writePartitionedBatch(rewritten, table, batch.toString)
+    val newFiles = batchParquetFiles(batch)
     // conflict-DETECTING publish: the untouched list was computed
     // against v — a blind next-number retry after a racing commit would
     // silently drop the racer's files, so a lost race must fail loudly
@@ -1345,8 +1337,8 @@ object Sources {
     }
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-${java.util.UUID.randomUUID().toString.take(12)}")
-    df.observe(obs, aggs.head, aggs.tail: _*)
-      .write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    writePartitionedBatch(df.observe(obs, aggs.head, aggs.tail: _*),
+      table, batch.toString)
     val violations = checks.map { case (name, _) =>
       name -> obs.get(name).asInstanceOf[Long] }.toMap
     if (violations.valuesIterator.exists(_ > 0L)) {
@@ -1355,9 +1347,7 @@ object Sources {
       deleteBatchDir(batch)
       Left(violations)
     } else {
-      val newFiles = spark.read.parquet(batch.toString)
-        .select(org.apache.spark.sql.functions.input_file_name())
-        .distinct().collect().map(_.getString(0).stripPrefix("file://")).sorted
+      val newFiles = batchParquetFiles(batch)
       try Right(publishNextVersion(table, newFiles, overwrite,
         batchSchema = Some(df.schema)))
       catch { case e: IllegalArgumentException =>
@@ -1445,6 +1435,62 @@ object Sources {
     tableProperties(table).get("bloom.columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
+  /** The `partition.columns` table property — identity partition
+    * columns declared at CREATE (`PARTITIONED BY (c)` through the
+    * catalog). Batches land hive-laid-out (`c=v/` dirs inside the
+    * immutable batch dir), values live in paths not data files, and
+    * [[ManifestFileIndex]] serves a real partition spec so Catalyst's
+    * `partitionFilters` drop whole directories at planning time —
+    * the coarse pruning tier ABOVE stats/bloom skipping. */
+  def partitionColumnsOf(table: String): Seq[String] =
+    tableProperties(table).get("partition.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Write `df` into `batchPath` honoring the table's declared identity
+    * partitioning — the ONE physical-batch writer every commit and
+    * rewrite path routes through, so a partitioned table can never
+    * accumulate mixed flat/hive batches (which would make partition
+    * inference throw on read). */
+  private def writePartitionedBatch(df: DataFrame, table: String,
+      batchPath: String): Unit = {
+    val parts = partitionColumnsOf(table)
+      .filter(df.schema.fieldNames.contains(_))
+    val w = df.write.mode(SaveMode.ErrorIfExists)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(batchPath)
+  }
+
+  /** List the parquet files of a just-written batch dir (recursive —
+    * partitioned batches nest `c=v/` directories). */
+  private def batchParquetFiles(batch: java.nio.file.Path): Seq[String] = {
+    if (!java.nio.file.Files.exists(batch)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(batch).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(p))
+      .map(_.toString).toSeq.sorted
+  }
+
+  /** Read an explicit FILE SUBSET of a version under the declared
+    * schema, with partition-column values reattached from the paths —
+    * the reader every rewrite path (delete survivors, merge base, DV
+    * candidates, purge) must use on a partitioned table, because a
+    * plain `spark.read.parquet(files)` would surface the partition
+    * columns as NULL (they live in directory names, not data files)
+    * and a rewrite would PERSIST those nulls. Non-partitioned tables
+    * take the direct multi-file read unchanged. */
+  private[sources] def readFileSubset(spark: SparkSession, table: String,
+      version: Int, files: Seq[String]): DataFrame =
+    if (partitionColumnsOf(table).isEmpty)
+      declaredSchema(table, version)
+        .fold(spark.read)(s => spark.read.schema(s)).parquet(files: _*)
+    else
+      // partition-aware: a restricted manifest index serves the subset
+      // as ONE relation with partition columns reattached from the
+      // hive paths (a flat multi-file read would surface them as NULL
+      // and a rewrite would persist the nulls)
+      ManifestFileIndex.frameForFiles(spark, table, version,
+        Some(files.toSet))
+
   /** Create an empty table: version 1 is an empty file set whose
     * declared schema is the DDL schema — what `CREATE TABLE g.t (...)`
     * through [[GraftCatalog]] publishes. Readers of v1 see an empty
@@ -1481,26 +1527,17 @@ object Sources {
     // rewrite silently narrowed to whichever file's footer schema
     // inference happened to pick — older files null-fill, newer files
     // keep their evolved columns
-    val reader = declaredSchema(table, v)
-      .fold(spark.read)(s => spark.read.schema(s))
     // DV'd rows of the affected files are already deleted — the rewrite
-    // must not resurrect them (carried files keep their DV entries)
-    val survivors = applyDv(reader.parquet(affected: _*), dvOf(table, v))
+    // must not resurrect them (carried files keep their DV entries);
+    // partition-aware subset read, or a partitioned rewrite would
+    // persist NULL partition columns
+    val survivors = applyDv(readFileSubset(spark, table, v, affected),
+        dvOf(table, v))
       .filter(!coalesce(cond, lit(false)))
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-delete-${java.util.UUID.randomUUID().toString.take(8)}")
-    survivors.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
-    // a delete that empties every affected file writes no part files at
-    // all — the batch dir then holds only _SUCCESS and a parquet read
-    // would fail on schema inference
-    val hasParts = Option(batch.toFile.listFiles).getOrElse(Array.empty)
-      .exists(_.getName.endsWith(".parquet"))
-    val newFiles =
-      if (!hasParts) Seq.empty[String]
-      else spark.read.parquet(batch.toString)
-        .select(org.apache.spark.sql.functions.input_file_name())
-        .distinct().collect().map(_.getString(0).stripPrefix("file://"))
-        .sorted.toSeq
+    writePartitionedBatch(survivors, table, batch.toString)
+    val newFiles = batchParquetFiles(batch)
     val next =
       try publishIfLatest(table, v, carried ++ newFiles, "delete")
       catch {
