@@ -390,5 +390,73 @@ object LakeOps {
            |GROUP BY prio, n_pre ORDER BY prio""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q179, q196, q202, q206, q207)
+  /** Q208 — schema-evolution + SQL maintenance lifecycle through the
+    * gate: CREATE, INSERT, `ALTER TABLE ADD COLUMN`, a second insert
+    * carrying the new column, `ALTER COLUMN ... TYPE BIGINT` (pre-widen
+    * int32 files read through parquet's widening promotion — metadata-
+    * only), a third insert with values only the widened type can hold,
+    * `DROP COLUMN` (the column leaves the read surface; old versions
+    * keep it), then `CALL g.system.optimize` compacts the evolved
+    * mixed-generation table. The oracle restates the end state
+    * relationally — a hash match proves every step is semantics-
+    * preserving metadata, and the n_mid witness pins time travel into
+    * the middle of the evolution. */
+  val q208 = Query(
+    "q208_schema_evolution_sql",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-ev-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val cat = s"ge_${math.abs(dir.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root.toString)
+      Tables.orders(s, dir).createOrReplaceTempView("ev_orders_src")
+      s.sql(s"CREATE TABLE $cat.ev (k BIGINT, cnt INT)")
+      s.sql(s"""INSERT INTO $cat.ev
+               |SELECT o_orderkey, CAST(o_orderkey % 100 AS INT)
+               |FROM ev_orders_src WHERE o_orderkey % 3 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.ev ADD COLUMN tag STRING")
+      s.sql(s"""INSERT INTO $cat.ev
+               |SELECT o_orderkey, CAST(o_orderkey % 100 AS INT), 'B'
+               |FROM ev_orders_src WHERE o_orderkey % 3 = 1""".stripMargin)
+      val vMid = graft.sources.Sources.latestVersion(
+        root.resolve("ev").toString)
+      s.sql(s"ALTER TABLE $cat.ev ALTER COLUMN cnt TYPE BIGINT")
+      s.sql(s"""INSERT INTO $cat.ev
+               |SELECT o_orderkey, o_orderkey + 3000000000, 'C'
+               |FROM ev_orders_src WHERE o_orderkey % 3 = 2""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.ev DROP COLUMN tag")
+      s.sql(s"CALL $cat.system.optimize('ev', target_records => 1000000)")
+      val nMid = s.sql(s"SELECT COUNT(*) FROM $cat.ev VERSION AS OF $vMid")
+        .head().getLong(0)
+      s.sql(s"SELECT k % 3 AS bucket, cnt FROM $cat.ev")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sum_cnt"))
+        .withColumn("n_mid", lit(nMid))
+        .orderBy("bucket")
+    },
+    Some("""WITH state AS (
+           |  SELECT o_orderkey AS k, CAST(o_orderkey % 100 AS BIGINT) AS cnt
+           |  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+           |  UNION ALL
+           |  SELECT o_orderkey, o_orderkey + 3000000000
+           |  FROM orders WHERE o_orderkey % 3 = 2),
+           |w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mid FROM orders
+           |      WHERE o_orderkey % 3 IN (0, 1))
+           |SELECT k % 3 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(SUM(cnt) AS BIGINT) AS sum_cnt, n_mid
+           |FROM state, w
+           |GROUP BY k % 3, n_mid ORDER BY bucket""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q179, q196, q202, q206, q207, q208)
 }

@@ -57,7 +57,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * IS the point; and an exactly-once [[GraftStreamingWrite]] for
   * `writeStream.toTable`, one versioned append per epoch.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -211,6 +212,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                 .putString(Sources.RenamedFrom, f.name).build())
           else f
         })
+      case (s, del: TableChange.DeleteColumn) =>
+        // DROP COLUMN is a metadata-only commit: the column leaves the
+        // DECLARED schema, so every scan stops reading it (dataSchema
+        // excludes it) and every rewrite stops carrying it — the bytes
+        // linger in existing files until compaction absorbs them, old
+        // versions keep their pinned schema (the column is still there
+        // under VERSION AS OF). Zero data movement, Delta's contract.
+        require(del.fieldNames().length == 1,
+          "nested DROP COLUMN is not supported")
+        val name = del.fieldNames().head
+        require(s.fieldNames.contains(name),
+          s"DROP COLUMN: no column $name")
+        require(!Sources.partitionColumnsOf(dir).contains(name),
+          s"cannot drop partition column $name")
+        require(s.fields.length > 1,
+          "cannot drop a table's only column")
+        StructType(s.fields.filterNot(_.name == name))
+      case (s, ut: TableChange.UpdateColumnType) =>
+        // ALTER COLUMN TYPE widens under the same lossless-upcast
+        // contract as commitVersionEvolving — old files' narrower
+        // values read through the parquet reader's widening promotion
+        // (int→long, float→double); a narrowing change is a data bug
+        // and fails fast
+        require(ut.fieldNames().length == 1,
+          "nested ALTER COLUMN TYPE is not supported")
+        val name = ut.fieldNames().head
+        val f = s.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER COLUMN TYPE: no column $name"))
+        require(f.dataType == ut.newDataType() ||
+          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(
+            f.dataType, ut.newDataType()),
+          s"column $name: ${f.dataType} does not widen losslessly to " +
+            s"${ut.newDataType()}")
+        StructType(s.fields.map(x =>
+          if (x.name == name) x.copy(dataType = ut.newDataType()) else x))
       case (_, ch) => throw new UnsupportedOperationException(
         s"graft ALTER TABLE does not support $ch")
     }
@@ -232,6 +269,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       java.nio.file.Paths.get(tableDir(oldIdent)),
       java.nio.file.Paths.get(tableDir(newIdent)))
   }
+
+  // ---- SQL-callable maintenance: CALL g.system.<proc>(...) -----------
+  // (optimize/vacuum/purge_dv/analyze/rollback — GraftProcedures; table
+  // arguments are catalog-relative names resolved under the warehouse)
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, name => {
+      val parts = name.split("\\.").toSeq
+      val id = Identifier.of(parts.init.toArray, parts.last)
+      if (!tableExists(id)) throw new NoSuchTableException(id)
+      tableDir(id)
+    })
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.toSeq == Seq("system"))
+      GraftProcedures.all
+    else Array.empty
 
   // ---- namespaces = directories under the warehouse -----------------
   // (the minimal SupportsNamespaces so SHOW TABLES / SHOW NAMESPACES /

@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The SQL-callable MAINTENANCE surface (`CALL g.system.<proc>(...)`,
+  * Spark 4's DSv2 procedure API — the same shape as Iceberg's
+  * `system.rewrite_data_files`): table housekeeping a pure-SQL operator
+  * runs with no JVM API in sight. Each procedure resolves its table
+  * through the owning catalog's warehouse, drives the corresponding
+  * [[Sources]] commit (pinned readers unharmed by construction — every
+  * maintenance op is just another conflict-detected version), and
+  * returns its outcome as a one-row LocalScan result set. */
+private[sources] object GraftProcedures {
+
+  /** One maintenance procedure: fixed IN parameters, one result row. */
+  private final class Proc(
+      procName: String,
+      params: Seq[(String, DataType, Option[String])],
+      resultSchema: StructType,
+      body: (SparkSession, InternalRow) => Seq[Any])
+    extends UnboundProcedure with BoundProcedure {
+
+    override def name(): String = procName
+    override def description(): String = s"graft maintenance: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] =
+      params.map { case (n, t, dflt) =>
+        val b = ProcedureParameter.in(n, t)
+        dflt.foreach(b.defaultValue)
+        b.build()
+      }.toArray
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val out = body(SparkSession.active, input)
+      val row = InternalRow.fromSeq(out.map {
+        case s: String => UTF8String.fromString(s)
+        case x => x
+      })
+      java.util.List.of[Scan](new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(row)
+      }).iterator()
+    }
+  }
+
+  /** Procedures of `catalog` — table args are catalog-relative names
+    * (`'ns.t'` or `'t'`), resolved against the warehouse root. */
+  def load(ident: Identifier, resolve: String => String): UnboundProcedure = {
+    def table(input: InternalRow, i: Int): String =
+      resolve(input.getUTF8String(i).toString)
+    val proc: Option[Proc] =
+      (ident.namespace().toSeq, ident.name().toLowerCase) match {
+        case (Seq("system"), "optimize") => Some(new Proc(
+          "optimize",
+          Seq(("table", StringType, None),
+            ("target_records", LongType, Some("1000000"))),
+          StructType(Seq(StructField("version", IntegerType),
+            StructField("files_before", IntegerType),
+            StructField("files_after", IntegerType))),
+          (spark, in) => {
+            val (v, before, after) = Sources.compactVersion(
+              spark, table(in, 0), in.getLong(1))
+            Seq(v, before, after)
+          }))
+        case (Seq("system"), "vacuum") => Some(new Proc(
+          "vacuum",
+          Seq(("table", StringType, None),
+            ("keep_last", IntegerType, Some("2"))),
+          StructType(Seq(StructField("manifests_removed", IntegerType),
+            StructField("data_files_deleted", IntegerType))),
+          (_, in) => {
+            val (m, f) = Sources.vacuumVersions(table(in, 0), in.getInt(1))
+            Seq(m, f)
+          }))
+        case (Seq("system"), "purge_dv") => Some(new Proc(
+          "purge_dv",
+          Seq(("table", StringType, None)),
+          StructType(Seq(StructField("version", IntegerType),
+            StructField("files_purged", IntegerType))),
+          (spark, in) => {
+            val (v, purged) = Sources.purgeDv(spark, table(in, 0))
+            Seq(v, purged)
+          }))
+        case (Seq("system"), "analyze") => Some(new Proc(
+          "analyze",
+          Seq(("table", StringType, None),
+            ("columns", StringType, None)),
+          StructType(Seq(StructField("version", IntegerType),
+            StructField("n_columns", IntegerType))),
+          (spark, in) => {
+            val t = table(in, 0)
+            val cols = in.getUTF8String(1).toString.split(",")
+              .map(_.trim).filter(_.nonEmpty).toSeq
+            val v = Sources.latestVersion(t)
+            Sources.commitStats(spark, t, v, cols)
+            Seq(v, cols.length)
+          }))
+        case (Seq("system"), "rollback") => Some(new Proc(
+          "rollback",
+          Seq(("table", StringType, None),
+            ("version", IntegerType, None)),
+          StructType(Seq(StructField("restored_as_version", IntegerType))),
+          (_, in) => Seq(Sources.rollbackTo(table(in, 0), in.getInt(1)))))
+        case _ => None
+      }
+    proc.getOrElse(throw new RuntimeException(
+      s"graft has no procedure ${ident.namespace().mkString(".")}." +
+        ident.name() + " — see system.{optimize,vacuum,purge_dv," +
+        "analyze,rollback}"))
+  }
+
+  val all: Array[Identifier] =
+    Array("optimize", "vacuum", "purge_dv", "analyze", "rollback")
+      .map(Identifier.of(Array("system"), _))
+}

@@ -508,7 +508,15 @@ object Sources {
       // from the hive paths (a flat read would null them)
       applyDv(ManifestFileIndex.frameForFiles(spark, table, v, None),
         dvOf(table, v))
-    else applyDv(spark.read.parquet(files: _*), dvOf(table, v))
+    else
+      // DECLARED schema where one exists: after a type widening, file
+      // generations mix (int32 and int64 cnt); footer inference would
+      // pick whichever file lists first and crash on the other
+      // generation — the declared read widens narrow generations
+      // through the parquet reader's type promotion instead
+      applyDv(declaredSchema(table, v)
+        .fold(spark.read)(sc => spark.read.schema(sc))
+        .parquet(files: _*), dvOf(table, v))
   }
 
   // ---- deletion vectors: merge-on-read row-level deletes -------------
@@ -1276,7 +1284,9 @@ object Sources {
       readVersion(spark, table, v)
         .filter(org.apache.spark.sql.functions.lit(false))
     } else {
-      val df = applyDv(spark.read.parquet(kept: _*), dvOf(table, v))
+      val df = applyDv(declaredSchema(table, v)
+        .fold(spark.read)(sc => spark.read.schema(sc))
+        .parquet(kept: _*), dvOf(table, v))
       // bounds cast to the COLUMN's type on the literal side, so the
       // residual range predicate still pushes down to the parquet scan
       val dt = df.schema(column).dataType
