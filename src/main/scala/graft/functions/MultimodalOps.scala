@@ -286,5 +286,119 @@ object MultimodalOps {
       }
   }
 
-  val all: Seq[Query] = Seq(q36, q63, q64, q82, q199)
+  /** A decoded audio record: byte length of the WAV container, decoded
+    * format fields, exact sample sum, frame count. */
+  final case class AudioMeta(
+      doc_id: Long, byte_len: Long, sample_rate: Long, channels: Long,
+      bits: Long, n_samples: Long, smp_sum: Long)
+
+  /** Real WAV/PCM encode/decode via `javax.sound.sampled` — the JDK
+    * ships a pure-Java WAVE reader/writer, so this runs headless on any
+    * executor, q199's PNG story for the audio modality. */
+  object AudioCodec {
+
+    /** Deterministic mono 16-bit PCM WAV: sample(i) =
+      * ((i·31 + seed·17) mod 65536) − 32768 — exactly recoverable
+      * (PCM is lossless), so the decode side hash-checks against a
+      * closed-form oracle that never sees a WAV byte. */
+    def encodeWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val v = (((i.toLong * 31 + seed * 17) % 65536) - 32768).toInt
+        pcm(2 * i) = (v & 0xff).toByte // little-endian signed 16-bit
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode any WAV payload the JDK recognizes: (sampleRate, channels,
+      * bits, frames, signed-sample sum over all channels). Corrupt or
+      * non-audio payloads yield None — quarantine, never a task kill. */
+    def decodeMeta(payload: Array[Byte])
+        : Option[(Int, Int, Int, Long, Long)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+        val bytes = ais.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i + 1 < bytes.length) {
+          sum += ((bytes(i) & 0xff) | (bytes(i + 1).toInt << 8)).toShort
+          i += 2
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, ais.getFrameLength, sum))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+        case _: IllegalArgumentException => None
+      }
+  }
+
+  /** Per-doc deterministic sample count (small; the decode path is
+    * length-oblivious). */
+  private[graft] def samplesOf(docId: Long): Int = (docId % 400 + 50).toInt
+
+  /** Executor-distributed WAV encode→decode round trip, [[decodeMedia]]
+    * for the audio modality: every emitted field comes from the DECODED
+    * container (header fields from the parsed RIFF/fmt chunks, the sum
+    * from the PCM frames), never from generation parameters. */
+  def decodeAudio(spark: SparkSession, dir: String): Dataset[AudioMeta] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val payload = AudioCodec.encodeWav(samplesOf(id), 8000, id)
+          val (rate, ch, bits, frames, sum) = AudioCodec.decodeMeta(payload)
+            .getOrElse(throw new IllegalStateException(
+              s"payload of doc $id did not decode"))
+          AudioMeta(id, payload.length.toLong, rate.toLong, ch.toLong,
+            bits.toLong, frames, sum)
+        }
+      }
+  }
+
+  /** Q209 — the real audio-decode gate: format fields and the exact
+    * signed-sample sum read from DECODED WAV payloads, hash-checked
+    * against the closed-form oracle (the encoder writes sample
+    * (i·31 + id·17) mod 65536 − 32768, so DuckDB predicts the sum
+    * without a WAV byte in sight). Container byte length is excluded —
+    * it pins the JDK writer's header layout, not the decode contract. */
+  val q209 = Query(
+    "q209_wav_decode",
+    (s, dir) => {
+      import s.implicits._
+      decodeAudio(s, dir)
+        .map(m => (m.doc_id, m.sample_rate, m.channels, m.bits,
+          m.n_samples, m.smp_sum))
+        .toDF("doc_id", "sample_rate", "channels", "bits", "n_samples",
+          "smp_sum")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT d.doc_id,
+           |       CAST(8000 AS BIGINT) AS sample_rate,
+           |       CAST(1 AS BIGINT) AS channels,
+           |       CAST(16 AS BIGINT) AS bits,
+           |       CAST(d.doc_id % 400 + 50 AS BIGINT) AS n_samples,
+           |       CAST(SUM((i.i * 31 + d.doc_id * 17) % 65536 - 32768)
+           |         AS BIGINT) AS smp_sum
+           |FROM documents d,
+           |     LATERAL (SELECT unnest(range(0, d.doc_id % 400 + 50)) AS i) i
+           |GROUP BY d.doc_id
+           |ORDER BY d.doc_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q36, q63, q64, q82, q199, q209)
 }

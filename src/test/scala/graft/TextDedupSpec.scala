@@ -215,6 +215,25 @@ class TextDedupSpec extends SparkTestBase {
     assert(rgb.map(r => (r._1, r._2, r._3)).contains((5, 4, 3)))
   }
 
+  test("wav decode recovers exact PCM samples; corrupt payloads quarantine") {
+    import MultimodalOps.AudioCodec
+    val good = AudioCodec.encodeWav(100, 8000, 7L)
+    val decoded = AudioCodec.decodeMeta(good)
+    assert(decoded.isDefined)
+    val (rate, ch, bits, frames, sum) = decoded.get
+    assert((rate, ch, bits, frames) === (8000, 1, 16, 100L))
+    val expected = (0 until 100).map(i =>
+      (i.toLong * 31 + 7L * 17) % 65536 - 32768).sum
+    assert(sum === expected, "PCM round trip must be bit-exact")
+    // truncated container: quarantine, never a throw
+    assert(AudioCodec.decodeMeta(good.take(16)).isEmpty)
+    assert(AudioCodec.decodeMeta("not audio".getBytes("UTF-8")).isEmpty)
+    assert(AudioCodec.decodeMeta(Array.emptyByteArray).isEmpty)
+    // a PNG is not audio either (cross-modality confusion)
+    assert(AudioCodec.decodeMeta(
+      MultimodalOps.ImageCodec.encodePng(8, 8, 1L)).isEmpty)
+  }
+
   test("q82 media bundles reconstruct every payload by (offset, len) slice") {
     val idx = MultimodalOps.q82.build(spark, sf)
       .collect()
