@@ -458,5 +458,81 @@ object LakeOps {
            |GROUP BY k % 3, n_mid ORDER BY bucket""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q179, q196, q202, q206, q207, q208)
+  /** Q210 — the CDF-maintained MATERIALIZED star view through the
+    * gate: fact (`orders`) lands in two commits, the q04-shaped view
+    * (fact ⋈ customer dim) is maintained purely from the change feeds
+    * ([[graft.streaming.MaterializedView]] — per fact commit the work
+    * is Δfact ⋈ broadcast dim, never a fact re-scan; a dim update
+    * refreshes exactly its fact rows through the keyed merge), then the
+    * VIEW is aggregated. The oracle restates the join relationally over
+    * the raw fixtures with the dim update applied — a hash match proves
+    * incremental maintenance converged to the declared join semantics.
+    * MaterializedViewSpec additionally pins 3-commit ≡ recompute,
+    * deletes, replay absorption, and the per-version delta counts. */
+  val q210 = Query(
+    "q210_materialized_view",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-mv-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val fact = root.resolve("fact").toString
+      val dim = root.resolve("dim").toString
+      val view = root.resolve("view").toString
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey").as("cust_key"),
+        col("o_totalprice"))
+      val customer = Tables.customer(s, dir).select(
+        col("c_custkey").as("cust_key"), col("c_mktsegment"))
+      Sources.commitVersion(customer
+        .repartitionByRange(4, col("cust_key"))
+        .sortWithinPartitions("cust_key"), dim)
+      Sources.commitStats(s, dim, 1, Seq("cust_key"))
+      Sources.commitVersion(
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), fact)
+      graft.streaming.MaterializedView.init(
+        s, fact, dim, "cust_key", "o_orderkey", view)
+      def drainFact(): Unit =
+        graft.streaming.MaterializedView.maintainFactQuery(
+          s, fact, dim, "cust_key", view, s"$root/ckpt-fact")
+          .awaitTermination()
+      drainFact()
+      Sources.commitVersion(
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), fact)
+      drainFact()
+      // dim update: every BUILDING-segment customer reclassifies
+      val dimChanges = customer
+        .filter(col("c_mktsegment") === "BUILDING")
+        .withColumn("c_mktsegment", lit("RETAIL"))
+        .withColumn("op", lit("upsert"))
+      Sources.mergeVersion(s, dim, dimChanges, "cust_key")
+      graft.streaming.MaterializedView.maintainDimQuery(
+        s, dim, "cust_key", "o_orderkey", view, s"$root/ckpt-dim")
+        .awaitTermination()
+      Sources.readVersion(s, view)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH dim2 AS (
+           |  SELECT c_custkey,
+           |         CASE WHEN c_mktsegment = 'BUILDING' THEN 'RETAIL'
+           |              ELSE c_mktsegment END AS c_mktsegment
+           |  FROM customer)
+           |SELECT d.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(CAST(round(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+           |FROM orders o JOIN dim2 d ON o.o_custkey = d.c_custkey
+           |GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q179, q196, q202, q206, q207, q208, q210)
 }
