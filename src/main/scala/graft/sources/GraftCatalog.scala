@@ -1061,10 +1061,13 @@ private[graft] class GraftStreamingWrite(spark: SparkSession,
   private def claimMarker(marker: java.nio.file.Path,
       content: String): Boolean = {
     val tmp = java.nio.file.Files.createTempFile(markerDir, ".claim", ".tmp")
-    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
-    try { java.nio.file.Files.createLink(marker, tmp); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    finally java.nio.file.Files.deleteIfExists(tmp)
+    // the write sits INSIDE the try so a failed write (disk full)
+    // can't leak the tmp file in markerDir permanently
+    try {
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      try { java.nio.file.Files.createLink(marker, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   /** Atomically TRANSITION `marker` to `content` (temp file +
@@ -1076,10 +1079,16 @@ private[graft] class GraftStreamingWrite(spark: SparkSession,
   private def transitionMarker(marker: java.nio.file.Path,
       content: String): Unit = {
     val tmp = java.nio.file.Files.createTempFile(markerDir, ".state", ".tmp")
-    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, marker,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // a successful move CONSUMES tmp; clean it up only on failure
+    // (write or move) so a disk-full write can't leak it permanently
+    try {
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, marker,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
+      java.nio.file.Files.deleteIfExists(tmp); throw e
+    }
   }
 
   override def commit(epochId: Long,

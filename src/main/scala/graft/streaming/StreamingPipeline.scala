@@ -335,7 +335,7 @@ object StreamingPipeline {
     * [[incrementalDedupQuery]].
     */
   def dedupBatchAgainstStore(batch: DataFrame, storePath: String,
-      batchId: Option[Long] = None): DataFrame = {
+      batchId: Option[Long] = None, runId: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val spark = batch.sparkSession
     val bands = graft.operators.DedupOps.bandsOf(batch).cache()
@@ -353,6 +353,16 @@ object StreamingPipeline {
     // first attempt's append and drop every document, permanently
     // losing the batch's survivors. The append itself is then an
     // idempotent per-batch OVERWRITE instead of a blind flat append.
+    //
+    // FRESH-CHECKPOINT SAFETY: batch ids restart at 0 when a query's
+    // checkpoint is recreated over the SAME persistent storePath, and a
+    // bare bid=0 slot would OVERWRITE (and self-exclude) the previous
+    // run's bid=0 bands — silently losing dedup history. Callers inside
+    // a streaming query therefore pass the query's stable `runId`
+    // (checkpoint metadata uuid) and the slot becomes bid=<run>_<id>:
+    // a new run gets fresh slots while probing every prior run's bands
+    // as ordinary history.
+    val slotName = batchId.map(id => s"bid=${runId.fold("")(_ + "_")}$id")
     val root = new java.io.File(storePath)
     def parquetsUnder(d: java.io.File): Seq[String] =
       Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap {
@@ -362,8 +372,7 @@ object StreamingPipeline {
       }
     val histFiles = Option(root.listFiles())
       .map(_.toSeq).getOrElse(Seq.empty).flatMap {
-        case d if d.isDirectory &&
-            batchId.exists(id => d.getName == s"bid=$id") =>
+        case d if d.isDirectory && slotName.contains(d.getName) =>
           Seq.empty // the replayed batch's own prior append
         case d if d.isDirectory => parquetsUnder(d)
         case f if f.getName.endsWith(".parquet") => Seq(f.getPath)
@@ -382,9 +391,9 @@ object StreamingPipeline {
     val dropped = dupVsHist.fold(dupInBatch)(_ unionByName dupInBatch).distinct()
     // record EVERY batch band (kept + dropped) so later batches compare
     // against all seen docs, matching the batch any-earlier-id rule
-    batchId match {
-      case Some(id) => bands.write.mode(SaveMode.Overwrite)
-        .parquet(s"$storePath/bid=$id")
+    slotName match {
+      case Some(slot) => bands.write.mode(SaveMode.Overwrite)
+        .parquet(s"$storePath/$slot")
       case None => bands.write.mode(SaveMode.Append).parquet(storePath)
     }
     batch.join(broadcast(dropped), Seq("doc_id"), "left_anti")
@@ -392,7 +401,17 @@ object StreamingPipeline {
 
   /** File-stream wiring of [[dedupBatchAgainstStore]]: documents land
     * as parquet files, each micro-batch dedups against the store and
-    * appends survivors to `outPath`. */
+    * appends survivors to `outPath`.
+    *
+    * OUTPUT LAYOUT: survivors land under `outPath/kept/bid=<run>_<id>`
+    * — hive-style per-batch slots, so `spark.read.parquet(outPath +
+    * "/kept")` sees an extra discovered string partition column `bid`
+    * alongside the document columns. The `bid=` slot (vs a flat
+    * append) is what makes a replayed at-least-once micro-batch an
+    * idempotent OVERWRITE; the `<run>_` prefix (the streaming query's
+    * checkpoint uuid) is what keeps a FRESH checkpoint, whose batch
+    * ids restart at 0, from clobbering a previous run's slots in the
+    * same persistent store/out dirs. */
   def incrementalDedupQuery(spark: SparkSession, landingDir: String,
       schema: org.apache.spark.sql.types.StructType, storePath: String,
       outPath: String): StreamingQuery =
@@ -404,11 +423,14 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$outPath/_ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // batch-keyed store + OVERWRITE-per-batch kept dir: a replayed
-        // micro-batch (foreachBatch is at-least-once) redoes the batch
-        // byte-identically instead of double-appending survivors
-        dedupBatchAgainstStore(batch, storePath, Some(batchId))
-          .write.mode(SaveMode.Overwrite).parquet(s"$outPath/kept/bid=$batchId")
+        // run+batch-keyed store slot + OVERWRITE-per-batch kept slot:
+        // a replayed micro-batch (foreachBatch is at-least-once) redoes
+        // the batch byte-identically instead of double-appending
+        // survivors; a fresh checkpoint gets fresh slots (see Scaladoc)
+        val run = checkpointQueryId(s"$outPath/_ckpt")
+        dedupBatchAgainstStore(batch, storePath, Some(batchId), Some(run))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$outPath/kept/bid=${run}_$batchId")
       }
       .start()
 
@@ -439,12 +461,16 @@ object StreamingPipeline {
           "cdfDedupQuery requires an append-only document table " +
             "(saw non-insert changes in the feed)")
         val docs = batch.drop("_change_type", "_commit_version")
-        // batch-keyed store + OVERWRITE-per-batch kept dir: foreachBatch
-        // is at-least-once, so a replayed batch must redo its work
-        // cleanly — with a flat append the replay would match its OWN
-        // first-attempt signatures in the store and drop every document
-        dedupBatchAgainstStore(docs, storePath, Some(batchId))
-          .write.mode(SaveMode.Overwrite).parquet(s"$outPath/kept/bid=$batchId")
+        // run+batch-keyed store slot + OVERWRITE-per-batch kept slot:
+        // foreachBatch is at-least-once, so a replayed batch must redo
+        // its work cleanly — with a flat append the replay would match
+        // its OWN first-attempt signatures in the store and drop every
+        // document; a fresh checkpoint gets fresh slots (see the
+        // layout note on [[incrementalDedupQuery]])
+        val run = checkpointQueryId(s"$outPath/_ckpt")
+        dedupBatchAgainstStore(docs, storePath, Some(batchId), Some(run))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$outPath/kept/bid=${run}_$batchId")
         ()
       }
       .start()
@@ -474,16 +500,30 @@ object StreamingPipeline {
     * first-class graft table — time travel, stats, its own CDF — so
     * replication chains compose. */
   /** The stable streaming-query id recorded in a checkpoint's
-    * `metadata` file ({"id":"<uuid>"}), or "boot" before the first
-    * trigger materializes it. Regenerated when a checkpoint is
-    * recreated — exactly the identity an idempotence ledger needs. */
+    * `metadata` file ({"id":"<uuid>"}). Regenerated when a checkpoint
+    * is recreated — exactly the identity an idempotence ledger needs.
+    *
+    * FAILS LOUDLY when the file is missing or unparsable: every caller
+    * runs inside `foreachBatch`, where Spark guarantees the metadata
+    * file exists (it's written at stream start, before batch 0). A
+    * silent fallback id would collapse every run into one shared
+    * ledger — reintroducing, silently, the exact fresh-checkpoint
+    * batch-id-reset bug this identity exists to prevent. A miss here
+    * means the checkpoint lives on a filesystem java.nio can't see —
+    * a deployment error to surface, not paper over. */
   private[graft] def checkpointQueryId(checkpoint: String): String = {
     val p = java.nio.file.Paths.get(checkpoint, "metadata")
-    if (!java.nio.file.Files.exists(p)) "boot"
-    else """"id"\s*:\s*"([^"]+)"""".r
+    if (!java.nio.file.Files.exists(p))
+      throw new IllegalStateException(
+        s"no streaming metadata at $p — checkpointQueryId must be " +
+          "called inside foreachBatch of a query checkpointed on a " +
+          "java.nio-visible filesystem")
+    """"id"\s*:\s*"([^"]+)"""".r
       .findFirstMatchIn(
         new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-      .map(_.group(1)).getOrElse("boot")
+      .map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"unparsable streaming metadata at $p (no \"id\" field)"))
   }
 
   def replicateTable(spark: SparkSession, srcTable: String,

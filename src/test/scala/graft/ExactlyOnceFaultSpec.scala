@@ -52,12 +52,16 @@ class ExactlyOnceFaultSpec extends SparkTestBase {
     // signatures (else every doc matches itself and the kept set
     // collapses), and the per-batch OVERWRITE must leave the kept
     // output byte-identical instead of double-appending.
-    val lastBid = keptBids.map(_.stripPrefix("bid=").toLong).max
+    // slots are bid=<run>_<id>; replay the highest batch id of the run
+    val run = StreamingPipeline.checkpointQueryId(s"$out/_ckpt")
+    val lastBid = keptBids
+      .map(_.stripPrefix(s"bid=${run}_").toLong).max
     val replayInput = Sources.readChanges(spark, t, v1, v2)
       .drop("_change_type")
-    StreamingPipeline.dedupBatchAgainstStore(replayInput, store, Some(lastBid))
+    StreamingPipeline.dedupBatchAgainstStore(replayInput, store,
+      Some(lastBid), Some(run))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$out/kept/bid=$lastBid")
+      .parquet(s"$out/kept/bid=${run}_$lastBid")
     assert(keptIds(out) === keptBefore,
       "a duplicate-batchId replay must not change the kept set")
     assert(bidDirs(store) === storeBids,
@@ -186,10 +190,13 @@ class ExactlyOnceFaultSpec extends SparkTestBase {
       s"each run keeps its own query-id ledger, got $ledgers")
   }
 
-  test("checkpointQueryId: parses the checkpoint metadata id, degrades " +
-    "to 'boot' when absent or unreadable") {
+  test("checkpointQueryId: parses the checkpoint metadata id, FAILS " +
+    "LOUDLY when absent or unparsable (a silent fallback would merge " +
+    "every run into one ledger)") {
     val root = tmp("qid")
-    assert(StreamingPipeline.checkpointQueryId(s"$root/nope") === "boot")
+    intercept[IllegalStateException] {
+      StreamingPipeline.checkpointQueryId(s"$root/nope")
+    }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(root, "metadata"),
       """{"id":"abc-123"}""".getBytes("UTF-8"))
@@ -197,6 +204,59 @@ class ExactlyOnceFaultSpec extends SparkTestBase {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(root, "metadata"),
       "not json at all".getBytes("UTF-8"))
-    assert(StreamingPipeline.checkpointQueryId(root) === "boot")
+    intercept[IllegalStateException] {
+      StreamingPipeline.checkpointQueryId(root)
+    }
+  }
+
+  test("incremental dedup restarted with a FRESH checkpoint over the " +
+    "same persistent store keeps its history: run-keyed slots mean a " +
+    "reset batch 0 cannot clobber (and self-exclude) run A's bands") {
+    val root = tmp("fresh-dedup")
+    val t = s"$root/docs"
+    val store = s"$root/store"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    val n = docs.count()
+    val cut = n / 2
+    // run A sees the first half of the corpus
+    Sources.commitVersion(docs.filter(col("doc_id") < cut), t)
+    StreamingPipeline.cdfDedupQuery(spark, t, store, s"$root/outA")
+      .awaitTermination()
+    val keptA = keptIds(s"$root/outA")
+    // the checkpoint is LOST (outB has its own) but the store persists;
+    // run B starts at batch 0 over the SAME store and must treat run
+    // A's bid=<runA>_0 slot as history, not its own replay slice
+    Sources.commitVersion(docs.filter(col("doc_id") >= cut), t)
+    StreamingPipeline.cdfDedupQuery(spark, t, store, s"$root/outB")
+      .awaitTermination()
+    // oracle: the one-shot batch rule over the full corpus (drop b iff
+    // some a < b shares a band signature). Run B re-reads the WHOLE
+    // table (fresh checkpoint = CDF from version 0): the re-delivered
+    // first-half docs must ALL drop (they match their own run-A bands
+    // in the store — already emitted once, never emitted twice), and
+    // the second half must dedup against run A's history. Were batch
+    // 0's slot a bare bid=0, it would OVERWRITE run A's bid=0 bands
+    // AND self-exclude them — run B would keep first-half docs again
+    // (duplicate emission) and miss cross-half collisions.
+    val bands = graft.operators.DedupOps.bandsOf(docs)
+    val droppedExpect = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val batchKept = docs.select("doc_id")
+      .collect().map(_.getLong(0)).toSet -- droppedExpect
+    val keptB = keptIds(s"$root/outB")
+    assert(keptA.intersect(keptB).isEmpty,
+      "a survivor must never be emitted by both runs")
+    assert((keptA ++ keptB) === batchKept,
+      "across the checkpoint loss, emitted-once survivors must equal " +
+        "the single-shot batch verdict")
+    val slots = Option(new java.io.File(store).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    assert(slots.count(_.startsWith("bid=")) === slots.size &&
+      slots.map(_.stripPrefix("bid=").takeWhile(_ != '_')).size >= 2,
+      s"expected slots from two distinct runs, got $slots")
   }
 }
