@@ -534,5 +534,108 @@ object LakeOps {
            |GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q179, q196, q202, q206, q207, q208, q210)
+  /** Q211 — merge-on-read MERGE through the gate
+    * ([[Sources.mergeVersionDv]], MorMergeSpec for the plan-level
+    * claims): a CDC point batch — updates, brand-new keys, deletes —
+    * lands as DV marks + ONE appended batch with every base file
+    * carried byte-identical; a second, delete-only merge adds ZERO
+    * files (the `files_stable` witness — the merge-on-read claim
+    * itself); `purgeDv` then absorbs every mark and the content is
+    * unchanged (the final read happens AFTER the purge). The oracle
+    * restates both merges relationally over the raw fixture — a hash
+    * match proves mark + append + carry + purge compose to exactly
+    * MERGE semantics, and the `dv_rows` witness pins the marked
+    * position count (updated keys retire their stored row AND, when
+    * later deleted, their appended row — two positions).
+    *
+    * Scale note: at 100 TB a CDC batch of point updates under
+    * copy-on-write rewrites every hit file — with range-clustered
+    * 1 GB files, a 1000-key update batch could rewrite a terabyte.
+    * Merge-on-read commits O(changed rows): the appended batch plus
+    * position bits. */
+  val q211 = Query(
+    "q211_mor_merge",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-mor-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val table = root.resolve("orders_mor").toString
+      val k = col("o_orderkey")
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val v1 = Sources.commitVersion(
+        orders.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), table)
+      Sources.commitStats(s, table, v1, Seq("o_orderkey"))
+      // merge #1: the canonical CDC point batch
+      val upd = orders
+        .filter(pmod(k, lit(397)) === 0 && pmod(k, lit(499)) =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100))
+        .withColumn("o_orderpriority", lit("U-MERGED"))
+        .withColumn("op", lit("upsert"))
+      val ins = orders.filter(pmod(k, lit(1000)) === 0)
+        .withColumn("o_orderkey", k + lit(10000000L))
+        .withColumn("o_orderpriority", lit("I-NEW"))
+        .withColumn("op", lit("upsert"))
+      val del = orders.filter(pmod(k, lit(499)) === 0)
+        .withColumn("op", lit("delete"))
+      val (vM1, _, used1) = Sources.mergeVersionDv(
+        s, table, upd.unionByName(ins).unionByName(del), "o_orderkey")
+      // merge #2, delete-only: appends NOTHING — file count stable
+      val del2 = Sources.readVersion(s, table)
+        .filter(pmod(k, lit(499)) === 1)
+        .withColumn("op", lit("delete"))
+      val (vM2, _, used2) = Sources.mergeVersionDv(
+        s, table, del2, "o_orderkey")
+      val nf = Sources.history(s, table).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val filesStable =
+        if (used1 && used2 && nf(vM2) == nf(vM1)) 1L else 0L
+      val dvRows = Sources.dvRowCount(table, vM2)
+      // reclaim: purge rewrites only the DV'd files; content holds
+      Sources.purgeDv(s, table)
+      ManifestFileIndex.readVersionIndexed(s, table)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("dv_rows", lit(dvRows))
+        .withColumn("files_stable", lit(filesStable))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH m1 AS (
+           |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+           |  WHERE o_orderkey % 499 <> 0 AND o_orderkey % 397 <> 0
+           |  UNION ALL
+           |  SELECT o_orderkey, o_totalprice + 100, 'U-MERGED' FROM orders
+           |  WHERE o_orderkey % 397 = 0 AND o_orderkey % 499 <> 0
+           |  UNION ALL
+           |  SELECT o_orderkey + 10000000, o_totalprice, 'I-NEW' FROM orders
+           |  WHERE o_orderkey % 1000 = 0),
+           |fin AS (SELECT * FROM m1 WHERE o_orderkey % 499 <> 1),
+           |w AS (SELECT
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+           |   WHERE o_orderkey % 499 = 0)
+           |  + (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+           |     WHERE o_orderkey % 397 = 0 AND o_orderkey % 499 <> 0)
+           |  + (SELECT CAST(COUNT(*) AS BIGINT) FROM m1
+           |     WHERE o_orderkey % 499 = 1) AS dv_rows)
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |       dv_rows, CAST(1 AS BIGINT) AS files_stable
+           |FROM fin, w
+           |GROUP BY o_orderpriority, dv_rows
+           |ORDER BY o_orderpriority""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q179, q196, q202, q206, q207, q208, q210, q211)
 }

@@ -1059,6 +1059,20 @@ object Sources {
       keyProbeLimit: Int = 100000): (Int, Int, Int) = {
     val v = latestVersion(table)
     require(v > 0, s"$table has no committed versions")
+    val files = filesOf(table, v)
+    val (affected, untouched) =
+      mergeAffected(spark, table, v, changes, key, keyProbeLimit)
+    mergeRewrite(spark, table, v, changes, key, opCol,
+      affected, untouched, files)
+  }
+
+  /** The merge-key → affected-file probe shared by [[mergeVersion]]
+    * and [[mergeVersionDv]]: partition version `v`'s files into
+    * (affected, untouched) by intersecting each file's stats interval
+    * for `key` with the change set's distinct keys. */
+  private def mergeAffected(spark: SparkSession, table: String, v: Int,
+      changes: DataFrame, key: String,
+      keyProbeLimit: Int): (Seq[String], Seq[String]) = {
     val stats = statsOf(table, v)
     val files = filesOf(table, v)
     import scala.collection.Searching._
@@ -1110,8 +1124,7 @@ object Sources {
             }
           }
         }
-      return mergeRewrite(spark, table, v, changes, key, opCol,
-        affected, untouched, files)
+      return (affected, untouched)
     }
     val probe = changes.filter(col(key).isNotNull)
       .select(col(key).cast("decimal(38,6)")).distinct()
@@ -1152,8 +1165,7 @@ object Sources {
             .select("__f").distinct().collect().map(_.getString(0)).toSet
         files.partition(f => noStats.contains(f) || hit.contains(f))
       }
-    mergeRewrite(spark, table, v, changes, key, opCol,
-      affected, untouched, files)
+    (affected, untouched)
   }
 
   /** The rewrite-and-publish half of [[mergeVersion]], shared by the
@@ -1215,6 +1227,109 @@ object Sources {
     declaredSchema(table, v).foreach(publishSchema(table, next, _))
     carryDv(table, v, next, untouched)
     (next, affected.length, untouched.length)
+  }
+
+  /** Merge-on-read MERGE: the keyed merge lands WITHOUT rewriting any
+    * base file. Matched base rows — the stored versions of keys being
+    * upserted or deleted — are MARKED in the new version's DV sidecar;
+    * the upsert rows append as one new file batch; every base file
+    * carries forward byte-identical with its stats/bloom sidecars. The
+    * read tax is the same broadcast bitset probe the DV delete pays,
+    * only on DV-carrying versions; [[purgeDv]] reclaims.
+    *
+    * At 100 TB this turns a CDC batch of point updates from "rewrite
+    * every hit file" ([[mergeVersion]]'s copy-on-write, right for wide
+    * deltas) into "append the new rows + publish positions": commit
+    * I/O is O(changed rows), not O(hit-file bytes) — a one-row update
+    * in a clustered 1 GB file costs a position bit and one appended
+    * row, not a gigabyte rewrite.
+    *
+    * SEMANTICS equal [[mergeVersion]]: for each change key the stored
+    * rows disappear; each `upsert` row appears exactly once; `delete`
+    * ops just remove; a NULL change key matches nothing. CDF consumers
+    * observe an updated key as delete(old)+insert(new) inside one
+    * version — the standard shape ([[readChanges]] emits a carried
+    * file's newly-marked positions as deletes). A change set whose
+    * matched-position count exceeds `maxDvRows` is not a point merge:
+    * it FALLS BACK to the copy-on-write rewrite, whose cost model is
+    * right at that width. Returns (version, rows marked, usedDv). */
+  def mergeVersionDv(spark: SparkSession, table: String,
+      changes: DataFrame, key: String, opCol: String = "op",
+      maxDvRows: Int = 1 << 20,
+      keyProbeLimit: Int = 100000): (Int, Long, Boolean) = {
+    val v = latestVersion(table)
+    require(v > 0, s"$table has no committed versions")
+    val files = filesOf(table, v)
+    val (affected, _) =
+      mergeAffected(spark, table, v, changes, key, keyProbeLimit)
+    val prevDv = dvOf(table, v)
+    // positions of live base rows whose key appears in the change set
+    // (upsert AND delete ops both retire the stored row) — bounded
+    // collect, minus rows the previous DV already deleted
+    val matched =
+      if (affected.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else applyDv(readFileSubset(spark, table, v, affected), prevDv)
+        .select(col(key), col("_metadata.file_path").as("__p"),
+          col("_metadata.row_index").as("__i"))
+        .join(changes.filter(col(key).isNotNull).select(key).distinct(),
+          Seq(key), "left_semi")
+        .select("__p", "__i")
+        .limit(maxDvRows + 1).collect()
+    if (matched.length > maxDvRows)
+      return mergeVersion(spark, table, changes, key, opCol,
+        keyProbeLimit) match { case (nv, _, _) => (nv, -1L, false) }
+    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+    val hasUpserts = !upserts.isEmpty
+    if (matched.isEmpty && !hasUpserts) return (v, 0L, true) // no-op
+    val merged = scala.collection.mutable.Map.empty[String, java.util.BitSet]
+    prevDv.foreach { case (f, b) =>
+      merged(f) = b.clone().asInstanceOf[java.util.BitSet] }
+    matched.foreach { r =>
+      val f = normalizePath(r.getString(0))
+      val i = r.getLong(1)
+      require(i <= Int.MaxValue, s"row index $i overflows the DV bitset")
+      merged.getOrElseUpdate(f, new java.util.BitSet()).set(i.toInt)
+    }
+    // the appended rows must be aligned to the version's effective
+    // schema themselves — the rewrite path gets that from unionByName
+    // with the base; lossy types fail loudly, missing columns null-fill.
+    // On a PARTITIONED table the footer-derived schemaOf misses the
+    // partition columns (they live in paths) — take the target schema
+    // from the partition-aware subset reader instead, so the batch
+    // keeps the partition column and lands hive-laid.
+    val targetSchema =
+      if (files.nonEmpty)
+        readFileSubset(spark, table, v, Seq(files.head)).schema
+      else schemaOf(spark, table, v)
+    val batch = java.nio.file.Paths.get(table, "data",
+      s"batch-dvmerge-${java.util.UUID.randomUUID().toString.take(8)}")
+    val newFiles =
+      if (!hasUpserts) Seq.empty[String]
+      else {
+        writePartitionedBatch(
+          alignToSchema(upserts, targetSchema, Map.empty),
+          table, batch.toString)
+        batchParquetFiles(batch)
+      }
+    val next =
+      try publishIfLatest(table, v, files ++ newFiles, "dv-merge")
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (hasUpserts) deleteBatchDir(batch); throw e
+      }
+    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    // carried files carry their stats/blooms; only the appended batch
+    // is scanned (a DV'd file's interval stays conservative — it may
+    // cover deleted rows, which can only keep extra files, never lose)
+    val schemaCols = schemaOf(spark, table, v).fieldNames.toSet
+    val statCols = (Seq(key) ++ statsColumnsOf(table))
+      .distinct.filter(schemaCols.contains)
+    commitStats(spark, table, next, statCols, carryFrom = v)
+    val bloomCols = bloomColumnsOf(table).filter(schemaCols.contains)
+    if (bloomCols.nonEmpty)
+      commitBlooms(spark, table, next, bloomCols, carryFrom = v)
+    publishDv(table, next, merged.toMap)
+    (next, matched.length.toLong, true)
   }
 
   /** (file, col) -> (min, max) stats for a version, or empty if the
