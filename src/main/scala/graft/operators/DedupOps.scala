@@ -1125,7 +1125,96 @@ object DedupOps {
            |ORDER BY c_custkey""".stripMargin)
   )
 
+  /** Q213 — EXACT SUBSTRING dedup (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" semantics, restated
+    * distributed): find document pairs sharing a VERBATIM token span of
+    * ≥ 16 tokens. The suffix-array formulation of the paper is
+    * single-machine; the distributed restatement is a FINGERPRINT
+    * DIAGONAL RUN:
+    *
+    *  1. every position emits its 8-token k-gram (`transform` +
+    *     `slice` over the token array — pure codegen, no window, no
+    *     UDF);
+    *  2. an EQUI-join on the gram pairs up positions across documents
+    *     (never all-pairs: only positions sharing a verbatim 8-gram
+    *     meet);
+    *  3. matches on the same DIAGONAL (p1 − p2 constant) at CONSECUTIVE
+    *     positions are one shared span: gaps-and-islands per
+    *     (d1, d2, diag) — a run of r consecutive matching grams is a
+    *     verbatim span of r + 7 tokens. Exact, not probabilistic: two
+    *     documents share a ≥16-token span iff a ≥9-run of 8-grams
+    *     exists on some diagonal.
+    *
+    * Scale: the join key is the gram itself (content-hash-partitioned);
+    * at 100 TB hot grams (boilerplate) are capped by document-frequency
+    * before the join — here the exact form runs because the oracle
+    * states exact semantics. Window state is per (pair, diagonal) —
+    * keyed, never global. */
+  val q213 = Query(
+    "q213_substring_dedup",
+    (s, dir) => {
+      val K = 8
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= K)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(toks) - ${K - 1}),
+             |  i -> struct(i AS pos,
+             |              array_join(slice(toks, i, $K), ' ') AS gram))"""
+            .stripMargin)).as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"),
+          col("pg.gram").as("gram"))
+      val a = grams.select(col("doc_id").as("d1"), col("pos").as("p1"),
+        col("gram"))
+      val b = grams.select(col("doc_id").as("d2"), col("pos").as("p2"),
+        col("gram"))
+      val pairs = a.join(b, Seq("gram"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), col("p1"),
+          (col("p1") - col("p2")).as("diag"))
+      val w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+      val spans = pairs
+        .withColumn("isl", col("p1") - row_number().over(w))
+        .groupBy("d1", "d2", "diag", "isl")
+        .agg((count(lit(1)) + lit(K - 1)).cast("long").as("span"))
+      spans.groupBy("d1", "d2")
+        .agg(max(col("span")).as("max_span"),
+          count(lit(1)).cast("long").as("n_runs"))
+        .filter(col("max_span") >= 16)
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, u.tok, u.pos
+           |  FROM documents,
+           |  LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+           |                  unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos) u
+           |),
+           |grams AS (
+           |  SELECT doc_id, pos,
+           |         array_to_string(list(tok) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING), ' ') AS gram,
+           |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+           |  FROM toks),
+           |g AS (SELECT doc_id, pos, gram FROM grams WHERE w = 8),
+           |pairs AS (
+           |  SELECT a.doc_id d1, b.doc_id d2, a.pos p1, a.pos - b.pos AS diag
+           |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+           |runs AS (
+           |  SELECT d1, d2, diag,
+           |         p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS isl
+           |  FROM pairs),
+           |spans AS (
+           |  SELECT d1, d2, CAST(COUNT(*) + 7 AS BIGINT) AS span
+           |  FROM runs GROUP BY d1, d2, diag, isl)
+           |SELECT d1, d2, MAX(span) AS max_span,
+           |       CAST(COUNT(*) AS BIGINT) AS n_runs
+           |FROM spans GROUP BY d1, d2
+           |HAVING MAX(span) >= 16
+           |ORDER BY d1, d2""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68, q74, q137, q164, q165,
-      q167, q175, q185)
+      q167, q175, q185, q213)
 }

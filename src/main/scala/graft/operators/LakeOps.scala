@@ -637,5 +637,114 @@ object LakeOps {
            |ORDER BY o_orderpriority""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q179, q196, q202, q206, q207, q208, q210, q211)
+  /** Q212 — STORAGE-PARTITIONED JOIN through the catalog: `orders` and
+    * `lineitem` land as hash-bucketed tables (`PARTITIONED BY
+    * (bucket(8, orderkey))` — every commit routes rows to
+    * `pmod(hash(k), 8)` dirs), and the fact-to-fact equi-join + the
+    * group-by ON THE BUCKET COLUMN both ride the scans' reported
+    * `KeyGroupedPartitioning` with ZERO shuffle exchanges — witnessed
+    * by walking the AQE-final physical plan (`spj_shuffle_free`). The
+    * oracle restates the join/aggregate relationally; a hash match
+    * proves the bucket routing is a pure layout change (no row lost or
+    * duplicated across bucket boundaries).
+    *
+    * Scale note: this is THE plan shape for 100 TB fact-to-fact joins —
+    * a shuffled sort-merge join of two such tables moves both entire
+    * tables across the network; co-bucketed storage-partitioned joins
+    * move ZERO bytes and start merging immediately. The same layout
+    * makes point predicates on the bucket column prune to 1/n of the
+    * files before any footer is read (BucketedTableSpec pins that). */
+  val q212 = Query(
+    "q212_bucketed_spj",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-spj-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val cat = s"gb_${math.abs(dir.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root.toString)
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("spj_o_src")
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .createOrReplaceTempView("spj_l_src")
+      s.sql(s"""CREATE TABLE $cat.o (
+               |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+               |PARTITIONED BY (bucket(8, o_orderkey))""".stripMargin)
+      s.sql(s"""CREATE TABLE $cat.l (
+               |  l_orderkey BIGINT, l_quantity DOUBLE,
+               |  l_extendedprice DOUBLE)
+               |PARTITIONED BY (bucket(8, l_orderkey))""".stripMargin)
+      s.sql(s"INSERT INTO $cat.o SELECT * FROM spj_o_src")
+      s.sql(s"INSERT INTO $cat.l SELECT * FROM spj_l_src")
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val olds = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        // join + per-orderkey aggregate, both on the bucket column:
+        // the ENTIRE pipeline below the final projection is exchange-
+        // free under SPJ
+        val joined = s.sql(
+          s"""SELECT /*+ MERGE(l) */ o.o_orderkey AS okey,
+             |       l.l_quantity, l.l_extendedprice, o.o_totalprice
+             |FROM $cat.o o JOIN $cat.l l
+             |ON o.o_orderkey = l.l_orderkey""".stripMargin)
+        val spj = joined.groupBy("okey").agg(
+          count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          max(col("o_totalprice")).as("total_price"))
+        spj.count() // materialize so the AQE-final plan is inspectable
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] =
+          p +: (p match {
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => nodes(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive
+                .QueryStageExec => nodes(q.plan)
+            case o => o.children.flatMap(nodes)
+          })
+        val shuffles = nodes(spj.queryExecution.executedPlan).count {
+          case _: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeExec => true
+          case _ => false
+        }
+        val witness = if (shuffles == 0) 1L else 0L
+        spj.filter(col("okey") % 50 === 0)
+          .withColumn("spj_shuffle_free", lit(witness))
+          .orderBy("okey")
+      } finally olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+    Some("""SELECT o.o_orderkey AS okey,
+           |       CAST(COUNT(*) AS BIGINT) AS n_items,
+           |       CAST(CAST(round(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+           |       CAST(CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |       MAX(o.o_totalprice) AS total_price,
+           |       CAST(1 AS BIGINT) AS spj_shuffle_free
+           |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           |WHERE o.o_orderkey % 50 = 0
+           |GROUP BY o.o_orderkey
+           |ORDER BY okey""".stripMargin)
+  )
+
+  val all: Seq[Query] =
+    Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212)
 }

@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNull}
+import org.apache.spark.sql.types.StructType
+
+/** The catalog scan for HASH-BUCKETED graft tables (`PARTITIONED BY
+  * (bucket(n, k))`) — the piece that turns the on-disk `_b=<id>` layout
+  * into SHUFFLE-FREE JOINS:
+  *
+  *  - reports `KeyGroupedPartitioning(bucket(n, k), #buckets)`;
+  *    Catalyst resolves the transform through [[GraftBucketFunction]]
+  *    and `EnsureRequirements` then recognizes two co-bucketed scans as
+  *    co-partitioned — a sort-merge join of two 100 TB tables runs with
+  *    ZERO Exchange on either side (storage-partitioned join, the DSv2
+  *    successor of hive bucketed joins);
+  *  - every input partition carries its bucket id as the partition
+  *    key, so Spark groups the per-file partitions into one task per
+  *    bucket exactly when SPJ engages
+  *    (`spark.sql.sources.v2.bucketing.enabled`), and keeps per-file
+  *    parallelism otherwise;
+  *  - point predicates on the bucket column PRUNE whole buckets
+  *    driver-side (`WHERE k = 42` reads 1/n of the files before any
+  *    footer is opened), composing with the parquet row-group pruning
+  *    the pushed filters buy below.
+  *
+  * Executors read through Spark's own vectorized parquet reader
+  * function (the [[GraftCdfStream]] pattern); pushed filters reach the
+  * reader for row-group stat pruning and are ALSO left in the plan as
+  * residuals, so correctness never depends on parquet's evaluation.
+  */
+private[sources] class GraftBucketedScanBuilder(spark: SparkSession,
+    table: String, version: Int, schema: StructType,
+    bucketCol: String, numBuckets: Int)
+  extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // everything is kept as a residual (Spark re-evaluates above the
+    // scan); the conjuncts are handed to parquet for row-group pruning
+    // and mined for bucket pruning below
+    pushed = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Buckets that can hold rows passing ALL pushed conjuncts — None
+    * means no bucket-column point predicate, scan all. Each conjunct
+    * must hold for every surviving row, so intersecting per-conjunct
+    * bucket sets is lossless. */
+  private def prunedBuckets: Option[Set[Int]] = {
+    def bucketsOf(f: Filter): Option[Set[Int]] = f match {
+      case EqualTo(c, v) if c == bucketCol && v != null =>
+        Some(Set(GraftBucketFunction.bucketOf(v, dt, numBuckets)))
+      case In(c, vs) if c == bucketCol =>
+        Some(vs.filter(_ != null)
+          .map(GraftBucketFunction.bucketOf(_, dt, numBuckets)).toSet)
+      case IsNull(c) if c == bucketCol =>
+        // the writer hashes NULL to the seed, so every null-keyed row
+        // sits in one known bucket
+        Some(Set(GraftBucketFunction.bucketOf(null, dt, numBuckets)))
+      case _ => None
+    }
+    val sets = pushed.toSeq.flatMap(bucketsOf(_))
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  private def dt = schema(bucketCol).dataType
+
+  override def build(): Scan =
+    new GraftBucketedScan(spark, table, version, schema, required,
+      pushed.toSeq, bucketCol, numBuckets, prunedBuckets)
+}
+
+private[sources] case class GraftBucketPartition(path: String,
+    bytes: Long, bucketId: Int) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+
+private[sources] class GraftBucketedScan(spark: SparkSession,
+    table: String, version: Int, dataSchema: StructType,
+    required: StructType, filters: Seq[Filter],
+    bucketCol: String, numBuckets: Int, buckets: Option[Set[Int]])
+  extends Scan with Batch
+  with SupportsReportPartitioning with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-bucketed:$table@v$version bucket($numBuckets, $bucketCol)" +
+      buckets.fold("")(b => s" buckets=${b.toSeq.sorted.mkString(",")}")
+
+  // one input partition per (bucket, file): full per-file parallelism
+  // on plain scans, grouped to one task per bucket when SPJ engages
+  private lazy val parts: Array[GraftBucketPartition] = {
+    val all = Sources.filesOf(table, version).map { f =>
+      val b = GraftBucketedScan.bucketIdOf(f).getOrElse(
+        throw new IllegalStateException(
+          s"bucketed table $table: data file outside a _b=<id> dir: $f " +
+            "(the table has non-bucketed batches — it was written " +
+            "outside the catalog commit path)"))
+      GraftBucketPartition(f,
+        java.nio.file.Files.size(java.nio.file.Paths.get(f)), b)
+    }
+    buckets.fold(all)(keep => all.filter(p => keep.contains(p.bucketId)))
+      .sortBy(p => (p.bucketId, p.path)).toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    parts.toArray[InputPartition]
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(numBuckets, bucketCol)),
+      parts.map(_.bucketId).distinct.length)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(parts.map(_.bytes).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Spark's own parquet reader function, built once driver-side; the
+    // pushed conjuncts buy row-group pruning, older-generation files
+    // missing ADD COLUMN fields null-fill through schema clipping
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, dataSchema, StructType(Nil), required, filters,
+      Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConf())
+    new GraftBucketedReaderFactory(readFunc)
+  }
+}
+
+private[sources] object GraftBucketedScan {
+  private val BucketDir = ".*/_b=(\\d+)/[^/]+$".r
+
+  /** The bucket id a data file was routed to, parsed from its `_b=`
+    * directory (the writer's hive layout). */
+  def bucketIdOf(path: String): Option[Int] = path match {
+    case BucketDir(b) => Some(b.toInt)
+    case _ => None
+  }
+}
+
+private[sources] class GraftBucketedReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow])
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftBucketPartition]
+    val pf = PartitionedFile(
+      InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(gp.path),
+      0L, gp.bytes, Array.empty[String], 0L, gp.bytes,
+      Map.empty[String, Any])
+    new PartitionReader[InternalRow] {
+      private val it = readFunc(pf)
+      override def next(): Boolean = it.hasNext
+      override def get(): InternalRow = it.next()
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -58,6 +58,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `writeStream.toTable`, one versioned append per epoch.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog
   with ProcedureCatalog {
 
   private var catalogName: String = _
@@ -72,6 +73,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catalogName
+
+  // ---- FunctionCatalog: the V2 `bucket` function ---------------------
+  //
+  // Resolving a bucketed scan's reported KeyGroupedPartitioning walks
+  // `V2ExpressionUtils.loadV2FunctionOpt(catalog, "bucket", args)` —
+  // this is the hook that lets EnsureRequirements recognize two
+  // co-bucketed graft tables as co-partitioned and plan the join with
+  // NO Exchange on either side (storage-partitioned join).
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -143,12 +162,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    // `PARTITIONED BY (c, ...)` — IDENTITY transforms only (bucket/
-    // days/etc. would need transform evaluation on the write path);
-    // recorded as the `partition.columns` property, which makes every
-    // commit write hive-laid-out batch dirs and the manifest index
-    // serve a real partition spec for partitionFilters pruning
-    val partCols = partitions.toSeq.map {
+    // `PARTITIONED BY (c, ...)` — IDENTITY transforms (hive-laid-out
+    // batch dirs + a real partition spec for partitionFilters pruning,
+    // via the `partition.columns` property) or ONE `bucket(n, c)`
+    // transform (hash-bucket layout + KeyGroupedPartitioning scans for
+    // storage-partitioned joins, via `bucket.column`/`bucket.count`)
+    val (bucketTs, identTs) = partitions.toSeq.partition(_.name == "bucket")
+    require(bucketTs.length <= 1,
+      "at most one bucket(...) transform is supported")
+    require(bucketTs.isEmpty || identTs.isEmpty,
+      "bucket(...) cannot be combined with identity partition columns")
+    val partCols = identTs.map {
       case t if t.name == "identity" && t.references().length == 1 =>
         require(t.references().head.fieldNames().length == 1,
           "nested partition columns are not supported")
@@ -157,8 +181,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"partition column $name is not in the table schema")
         name
       case t => throw new UnsupportedOperationException(
-        s"graft PARTITIONED BY supports identity columns only, got $t")
+        s"graft PARTITIONED BY supports identity columns and " +
+          s"bucket(n, c) only, got $t")
     }
+    val bucketProps: Map[String, String] = bucketTs.headOption.map { t =>
+      val refs = t.references()
+      require(refs.length == 1 && refs.head.fieldNames().length == 1,
+        "bucket(...) takes exactly one top-level column")
+      val cname = refs.head.fieldNames().head
+      val field = schema.fields.find(_.name == cname).getOrElse(
+        throw new IllegalArgumentException(
+          s"bucket column $cname is not in the table schema"))
+      require(GraftBucketFunction.supported.contains(field.dataType),
+        s"bucket column type ${field.dataType.catalogString} is not " +
+          "supported")
+      require(!schema.fieldNames.contains("_b"),
+        "column name _b is reserved for the bucket layout")
+      val n = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"bucket transform needs a literal bucket count: $t"))
+      require(n > 0, s"bucket count must be positive, got $n")
+      Map("bucket.column" -> cname, "bucket.count" -> n.toString)
+    }.getOrElse(Map.empty)
     Sources.createEmptyTable(tableDir(ident), schema)
     // persist user TBLPROPERTIES — `stats.columns` makes the table
     // SELF-MAINTAINING for file skipping: every later commit harvests
@@ -170,7 +217,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
           TableCatalog.PROP_EXTERNAL).contains(k) }
     val all = user ++ (if (partCols.nonEmpty)
-      Map("partition.columns" -> partCols.mkString(",")) else Map.empty)
+      Map("partition.columns" -> partCols.mkString(",")) else Map.empty) ++
+      bucketProps
     if (all.nonEmpty)
       Sources.writeTableProperties(tableDir(ident), all)
     new GraftTable(spark, tableDir(ident), -1)
@@ -378,8 +426,13 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
 
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    Sources.partitionColumnsOf(path).map(
-      org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+    Sources.bucketSpecOf(path) match {
+      case Some((c, n)) => Array(
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c))
+      case None => Sources.partitionColumnsOf(path).map(
+        org.apache.spark.sql.connector.expressions.Expressions.identity)
+        .toArray
+    }
 
   lazy val fileIndex: PartitioningAwareFileIndex =
     new ManifestFileIndex(spark, path, pinned)
@@ -400,15 +453,21 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
       // here absorb the DVs, and purge/compaction restores this direct
       // vectorized path for later versions)
       new GraftDvScanBuilder(spark, path, pinned, schema)
-    else {
-      // dataSchema excludes identity-partition columns — they live in
-      // the hive paths and the scan serves them from partition values
-      val partNames = Sources.partitionColumnsOf(path).toSet
-      val dataSchema = StructType(
-        schema.fields.filterNot(f => partNames.contains(f.name)))
-      new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-        spark, fileIndex, schema, dataSchema,
-        new CaseInsensitiveStringMap(util.Map.of()))
+    else Sources.bucketSpecOf(path) match {
+      case Some((c, n)) =>
+        // hash-bucketed: the scan reports KeyGroupedPartitioning so
+        // co-bucketed joins plan shuffle-free (SPJ) and point
+        // predicates on the bucket column prune whole buckets
+        new GraftBucketedScanBuilder(spark, path, pinned, schema, c, n)
+      case None =>
+        // dataSchema excludes identity-partition columns — they live in
+        // the hive paths and the scan serves them from partition values
+        val partNames = Sources.partitionColumnsOf(path).toSet
+        val dataSchema = StructType(
+          schema.fields.filterNot(f => partNames.contains(f.name)))
+        new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+          spark, fileIndex, schema, dataSchema,
+          new CaseInsensitiveStringMap(util.Map.of()))
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -682,10 +741,12 @@ private[sources] class GraftRowLevelOperation(
             // write plans) — the flat epoch writers would corrupt a
             // hive-partitioned layout, so refuse here with the API
             // alternative, not mid-analysis of every DELETE
-            require(Sources.partitionColumnsOf(table).isEmpty,
-              "MERGE INTO/UPDATE on a PARTITIONED graft table is not " +
-                "supported — use Sources.mergeVersion (partition-aware " +
-                "keyed merge) or a filter-translatable DELETE FROM")
+            require(Sources.partitionColumnsOf(table).isEmpty &&
+                Sources.bucketSpecOf(table).isEmpty,
+              "MERGE INTO/UPDATE on a PARTITIONED/BUCKETED graft table " +
+                "is not supported — use Sources.mergeVersion / " +
+                "mergeVersionDv (layout-aware keyed merge) or a " +
+                "filter-translatable DELETE FROM")
             // basedOn = the version the SCAN pinned at loadTable time,
             // NOT latest-at-write-time: the rewrite's survivor rows
             // were computed from that snapshot, so a commit landing
@@ -954,11 +1015,13 @@ private[sources] class GraftWriteBuilder(table: String,
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         // epoch task writers emit flat files; mixing them into a
-        // hive-partitioned table would corrupt partition inference
-        require(Sources.partitionColumnsOf(table).isEmpty,
-          "writeStream.toTable into a PARTITIONED graft table is not " +
-            "supported — ingest unpartitioned and INSERT...SELECT, or " +
-            "use foreachBatch with commitVersion")
+        // hive-partitioned or hash-bucketed table would corrupt the
+        // directory layout both read paths key on
+        require(Sources.partitionColumnsOf(table).isEmpty &&
+            Sources.bucketSpecOf(table).isEmpty,
+          "writeStream.toTable into a PARTITIONED/BUCKETED graft table " +
+            "is not supported — ingest unpartitioned and " +
+            "INSERT...SELECT, or use foreachBatch with commitVersion")
         new GraftStreamingWrite(SparkSession.active, table, info.schema(),
           info.queryId())
       }

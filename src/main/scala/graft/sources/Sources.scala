@@ -1571,17 +1571,49 @@ object Sources {
     tableProperties(table).get("partition.columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
+  /** The `bucket.column`/`bucket.count` table properties — the hash
+    * bucket layout declared at CREATE (`PARTITIONED BY (bucket(n, c))`
+    * through the catalog). Every commit routes rows to
+    * `pmod(hash(c), n)` and lands them under `_b=<id>` dirs; the
+    * catalog serves bucketed versions through a scan that reports
+    * `KeyGroupedPartitioning`, so co-bucketed joins skip the shuffle
+    * entirely (storage-partitioned join) and point predicates on the
+    * bucket column prune to a single bucket's files. */
+  def bucketSpecOf(table: String): Option[(String, Int)] =
+    for {
+      c <- tableProperties(table).get("bucket.column")
+      n <- tableProperties(table).get("bucket.count")
+    } yield (c.trim, n.trim.toInt)
+
+  /** The writer-side bucket id — codegen'd column expression, no UDF:
+    * Spark's `hash()` is Murmur3 seed 42, exactly what
+    * [[GraftBucketFunction]] declares to the optimizer. */
+  private[sources] def bucketIdColumn(c: Column, n: Int): Column =
+    pmod(hash(c), lit(n))
+
   /** Write `df` into `batchPath` honoring the table's declared identity
     * partitioning — the ONE physical-batch writer every commit and
     * rewrite path routes through, so a partitioned table can never
     * accumulate mixed flat/hive batches (which would make partition
     * inference throw on read). */
   private def writePartitionedBatch(df: DataFrame, table: String,
-      batchPath: String): Unit = {
-    val parts = partitionColumnsOf(table)
-      .filter(df.schema.fieldNames.contains(_))
-    val w = df.write.mode(SaveMode.ErrorIfExists)
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(batchPath)
+      batchPath: String): Unit = bucketSpecOf(table) match {
+    case Some((c, n)) =>
+      require(df.schema.fieldNames.contains(c),
+        s"bucketed table $table: batch is missing bucket column $c")
+      // hash-bucket layout: the id lives in `_b=<id>` DIR NAMES (parsed
+      // back by the SPJ scan), never in data files; repartition on it
+      // first so one commit writes ~one file per bucket instead of
+      // tasks x buckets small files
+      df.withColumn("_b", bucketIdColumn(col(c), n))
+        .repartition(n, col("_b"))
+        .write.mode(SaveMode.ErrorIfExists).partitionBy("_b")
+        .parquet(batchPath)
+    case None =>
+      val parts = partitionColumnsOf(table)
+        .filter(df.schema.fieldNames.contains(_))
+      val w = df.write.mode(SaveMode.ErrorIfExists)
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(batchPath)
   }
 
   /** List the parquet files of a just-written batch dir (recursive —
