@@ -150,11 +150,12 @@ object LakeOps {
     * [[graft.sources.GraftCatalog]] is registered on the session, then
     * the WHOLE lifecycle runs as catalog SQL — `CREATE TABLE`
     * (declared-schema v1), two `INSERT INTO` commits (v2, v3), a
-    * `MERGE INTO` through the group-based row-level rewrite (v4), a
-    * file-granular `DELETE FROM … WHERE` (v5), and a final read that
+    * `MERGE INTO` through the DELTA row-level path (v4 — DV marks +
+    * one appended batch, merge-on-read), a file-granular
+    * `DELETE FROM … WHERE` (v5), and a final read that
     * joins the head state with a `VERSION AS OF 2` time-travel witness.
     * The oracle restates the end state relationally over the raw
-    * fixture — a hash match proves CREATE + OCC INSERT + SQL MERGE +
+    * fixture — a hash match proves CREATE + OCC INSERT + SQL MoR MERGE +
     * COW DELETE + time travel compose to the declared semantics with
     * no API calls in the query path.
     *
@@ -189,9 +190,9 @@ object LakeOps {
       s.sql(s"""INSERT INTO $cat.orders_dml
                |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
                |FROM dml_orders_src WHERE o_orderkey % 2 = 1""".stripMargin)
-      // standard-SQL MERGE through SupportsRowLevelOperations: the
-      // group-based rewrite reads the target via the stats-skipping
-      // scan and commits the replacement as a new version
+      // standard-SQL MERGE through SupportsDelta: the delta scan
+      // serves (row, file, position), matched rows become DV marks +
+      // one appended batch — merge-on-read, never a table rewrite
       s.sql(s"""MERGE INTO $cat.orders_dml t
                |USING (SELECT o_orderkey FROM dml_orders_src
                |       WHERE o_orderkey % 100 = 0) src

@@ -52,9 +52,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Write paths: `V1_BATCH_WRITE` + [[V1Write]] for INSERT (the write
   * arrives as a full DataFrame and commits through the OCC protocol —
   * a manifest-publish commit gains nothing from per-task commit
-  * messages at this granularity); a REAL `BatchWrite` for the
-  * row-level rewrites (MERGE/UPDATE), where the per-task file protocol
-  * IS the point; and an exactly-once [[GraftStreamingWrite]] for
+  * messages at this granularity); DELTA row-level operations
+  * (`SupportsDelta`, [[GraftDeltaOperation]]) for MERGE/UPDATE/DELETE —
+  * merge-on-read through SQL: DV marks + one appended batch, never a
+  * table rewrite; and an exactly-once [[GraftStreamingWrite]] for
   * `writeStream.toTable`, one versioned append per epoch.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
@@ -408,7 +409,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * file-granular SQL DELETE. */
 class GraftTable(spark: SparkSession, path: String, version: Int)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-  with SupportsRowLevelOperations {
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   private[sources] val pinned =
     if (version < 0) Sources.latestVersion(path) else version
@@ -473,47 +474,46 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
 
-  // ---- MERGE INTO / UPDATE (group-based row-level operations) -------
+  // ---- MERGE INTO / UPDATE / DELETE (delta row-level operations) -----
   //
-  // With no required metadata attributes the whole table is ONE group:
-  // Spark's RewriteMergeIntoTable / RewriteUpdateTable read the target
-  // through `newScanBuilder`, apply the merge/update actions, and hand
-  // the COMPLETE survivor+result row set to the write below — which
-  // commits it as a REPLACING version through the conflict-detecting
-  // publish. Table-granular copy-on-write: coarser than
-  // [[Sources.mergeVersion]]'s file-granular path (the API form for
-  // keyed CDC batches), but the standard-SQL MERGE surface with full
-  // WHEN MATCHED / NOT MATCHED [BY SOURCE] semantics, correct under
-  // time travel by construction. DELETEs whose predicates cannot be
-  // pushed as source filters also route here instead of erroring.
+  // DELTA-based (`SupportsDelta`), i.e. MERGE-ON-READ through SQL: the
+  // target scan serves rows with their (file, position) identity and
+  // existing DVs applied, matched rows come back as per-row DELETE /
+  // UPDATE / INSERT operations, and the commit is O(changed rows) —
+  // carried manifest + appended batch + merged DV sidecar
+  // ([[GraftDeltaOperation]]). The earlier group-based form rewrote the
+  // whole table per MERGE; at 100 TB that is the difference between a
+  // CDC batch costing megabytes and costing the table. Translatable
+  // DELETEs never reach here (the metadata-only `deleteWhere` plan
+  // replacement fires first); untranslatable ones become pure DV marks
+  // — on ANY layout, DV-carrying versions included.
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => {
-      // Spark's group-based row-level planning builds the target scan
-      // OUTSIDE V2ScanRelationPushDown, so the DV-applying V1Scan
-      // cannot serve it (no V1ScanWrapper there). PURGE first: the
-      // bounded rewrite of only the DV'd files yields a clean version,
-      // and the rewrite proceeds on the vectorized scan against it —
-      // deleted rows stay deleted, basedOn tracks the purged version.
-      // Spark REWRITES every DELETE through here too (the metadata-only
-      // optimization replaces the plan later), so this builder must be
-      // side-effect-free for DELETE: purging would defeat merge-on-read
-      // on the very statement DVs exist for. MERGE/UPDATE genuinely
-      // execute the group rewrite, whose scan cannot apply DVs (no
-      // V1ScanWrapper in row-level scan planning) — purge first for
-      // those. A non-translatable DELETE on a DV-carrying version is
-      // the one unsupported corner (purgeDv manually first).
-      val isDelete = info.command() ==
-        org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE
-      val effective =
-        if (!isDelete && pinned == Sources.latestVersion(path) &&
-            Sources.dvOf(path, pinned).nonEmpty) {
-          Sources.purgeDv(spark, path)
-          new GraftTable(spark, path, -1)
-        } else this
-      new GraftRowLevelOperation(spark, path, effective, info.command())
-    }
+    () => new GraftDeltaOperation(spark, path, this, info.command())
+
+  /** The row identity the delta operations key on — Iceberg's
+    * `_file`/`_pos` contract: manifest path + physical parquet row
+    * index (the DV sidecar's position space). Served by the row-level
+    * scan; a plain SELECT referencing them reads through the same
+    * machinery only on that path. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_gfile"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "manifest path of the row's file"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_gpos"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "physical row index within the file"
+      })
 
   // ---- DELETE FROM g.t WHERE ... ------------------------------------
 
@@ -712,50 +712,6 @@ private[graft] class GraftMetaTable(tableName: String,
           override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
             df.rdd
         }).asInstanceOf[T]
-    }
-}
-
-/** The group-based row-level operation: target scanned through the
-  * table's own stats-skipping v2 parquet scan, replacement rows written
-  * back by [[GraftBatchWrite]] as a replacing commit. */
-private[sources] class GraftRowLevelOperation(
-    spark: SparkSession, table: String, graftTable: GraftTable,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
-  extends org.apache.spark.sql.connector.write.RowLevelOperation {
-
-  override def command()
-      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : org.apache.spark.sql.connector.read.ScanBuilder =
-    graftTable.newScanBuilder(options)
-
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.Write {
-          override def toBatch
-              : org.apache.spark.sql.connector.write.BatchWrite = {
-            // reached ONLY when the group rewrite actually executes
-            // (metadata-only DELETEs are replaced before the physical
-            // write plans) — the flat epoch writers would corrupt a
-            // hive-partitioned layout, so refuse here with the API
-            // alternative, not mid-analysis of every DELETE
-            require(Sources.partitionColumnsOf(table).isEmpty &&
-                Sources.bucketSpecOf(table).isEmpty,
-              "MERGE INTO/UPDATE on a PARTITIONED/BUCKETED graft table " +
-                "is not supported — use Sources.mergeVersion / " +
-                "mergeVersionDv (layout-aware keyed merge) or a " +
-                "filter-translatable DELETE FROM")
-            // basedOn = the version the SCAN pinned at loadTable time,
-            // NOT latest-at-write-time: the rewrite's survivor rows
-            // were computed from that snapshot, so a commit landing
-            // between analysis and write must fail the publish loudly
-            // instead of being silently erased by the rewrite
-            new GraftBatchWrite(spark, table, info.schema(),
-              graftTable.pinned)
-          }
-        }
     }
 }
 

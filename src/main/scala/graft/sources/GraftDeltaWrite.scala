@@ -1,0 +1,326 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, SupportsDelta, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL MERGE / UPDATE / DELETE as DELTA-BASED row-level operations
+  * (`SupportsDelta`) — MERGE-ON-READ through pure SQL.
+  *
+  * The group-based form this replaces rewrote the WHOLE table for every
+  * MERGE/UPDATE (copy-on-write at table granularity): correct, but at
+  * 100 TB a 1000-row CDC merge would rewrite 100 TB. The delta form
+  * commits O(changed rows):
+  *
+  *  - the target scan serves every live row PLUS its physical identity
+  *    — `_gfile` (manifest path) and `_gpos` (parquet row index, from
+  *    the reader's own row-index machinery, so positions stay exact
+  *    even under row-group pruning) — and applies existing deletion
+  *    vectors inline (deleted rows are not match candidates, their
+  *    positions stay occupied);
+  *  - Spark's WriteDelta feeds matched rows back as (operation, id,
+  *    row): DELETEs become DV position marks, INSERTs stream through
+  *    the same executor-side parquet writer the streaming sink uses,
+  *    UPDATEs are both;
+  *  - the driver commit is ONE conflict-detecting manifest publish:
+  *    every base file carried byte-identical, the appended batch, and
+  *    the merged DV sidecar. `purgeDv` / compaction absorb the marks
+  *    later, exactly as for API-side [[Sources.mergeVersionDv]].
+  *
+  * Row identity is (file, position) — Iceberg's `_file`/`_pos` delta
+  * contract. On PARTITIONED/BUCKETED tables delete-only statements work
+  * (marks are layout-blind); statements that INSERT refuse at commit
+  * (executor writers emit flat files, which would corrupt the
+  * directory layout both read stacks key on) with the API alternative
+  * named. */
+private[sources] class GraftDeltaOperation(spark: SparkSession,
+    table: String, graftTable: GraftTable,
+    cmd: RowLevelOperation.Command)
+  extends RowLevelOperation with SupportsDelta {
+
+  private val basedOn = graftTable.pinned
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_gfile"), Expressions.column("_gpos"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftDeltaScanBuilder(spark, table, basedOn, graftTable.schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(spark, table, info.schema(), basedOn)
+    }
+
+  override def description(): String = s"graft-delta[$cmd] $table@v$basedOn"
+}
+
+// ---- the delta scan: data columns + (_gfile, _gpos), DVs applied ----
+
+private[sources] class GraftDeltaScanBuilder(spark: SparkSession,
+    table: String, version: Int, tableSchema: StructType)
+  extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // parquet can only evaluate data-column conjuncts; everything stays
+    // residual (Spark re-applies above), so pushing is pruning-only —
+    // and the row-index column keeps positions EXACT under row-group
+    // skips, which is the whole reason to use the official machinery
+    pushed = filters.filter(
+      _.references.forall(tableSchema.fieldNames.contains))
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftDeltaScan(spark, table, version, tableSchema, required,
+      pushed.toSeq)
+}
+
+private[sources] case class GraftDeltaPartition(path: String, bytes: Long,
+    dv: Option[Array[Byte]]) extends InputPartition
+
+private[sources] class GraftDeltaScan(spark: SparkSession, table: String,
+    version: Int, tableSchema: StructType, required: StructType,
+    filters: Seq[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-delta-scan:$table@v$version"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dv = Sources.dvOf(table, version)
+    Sources.filesOf(table, version).sorted.map { f =>
+      GraftDeltaPartition(f,
+        java.nio.file.Files.size(java.nio.file.Paths.get(f)),
+        dv.get(f).map(_.toByteArray))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val meta = Set("_gfile", "_gpos")
+    val dataFields = required.fields.filter(f => !meta.contains(f.name))
+    // the reader's schema: requested data columns + Spark's own
+    // row-index generator column (filled by the parquet reader with the
+    // row's PHYSICAL position — the same value `_metadata.row_index`
+    // serves, i.e. the DV sidecar's position space)
+    // NULLABLE: the reader's missing-column check treats a required
+    // absent field as an error before the row-index generator sees it
+    val readerSchema = StructType(dataFields :+ StructField(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType,
+      nullable = true))
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, tableSchema, StructType(Nil), readerSchema, filters,
+      Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConf())
+    new GraftDeltaReaderFactory(readFunc, required,
+      dataFields.map(_.name))
+  }
+}
+
+private[sources] class GraftDeltaReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    required: StructType, dataNames: Array[String])
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftDeltaPartition]
+    val pf = PartitionedFile(
+      InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(gp.path),
+      0L, gp.bytes, Array.empty[String], 0L, gp.bytes,
+      Map.empty[String, Any])
+    val bits = gp.dv.map(java.util.BitSet.valueOf)
+    val pathU = UTF8String.fromString(gp.path)
+    val rowIdxPos = dataNames.length
+    // per-output-field extraction plan: data ordinal, or a metadata tag
+    val dataIdx = dataNames.zipWithIndex.toMap
+    val fields = required.fields.map { f =>
+      f.name match {
+        case "_gpos" => (-1, f.dataType)
+        case "_gfile" => (-2, f.dataType)
+        case n => (dataIdx(n), f.dataType)
+      }
+    }
+    new PartitionReader[InternalRow] {
+      private val it = readFunc(pf)
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val r = it.next()
+          val alive = bits match {
+            case Some(b) =>
+              val i = r.getLong(rowIdxPos)
+              require(i <= Int.MaxValue,
+                s"row index $i overflows the DV bitset")
+              !b.get(i.toInt)
+            case None => true
+          }
+          if (alive) { cur = r; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = {
+        val out = new GenericInternalRow(fields.length)
+        var i = 0
+        while (i < fields.length) {
+          fields(i) match {
+            case (-1, _) => out.update(i, cur.getLong(rowIdxPos))
+            case (-2, _) => out.update(i, pathU)
+            case (j, dt) => out.update(i,
+              if (cur.isNullAt(j)) null else cur.get(j, dt))
+          }
+          i += 1
+        }
+        out
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+// ---- the delta write: DV marks + appended batch, one OCC publish ----
+
+private[sources] class GraftDeltaWrite(spark: SparkSession, table: String,
+    rowSchema: StructType, basedOn: Int) extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite =
+    new GraftDeltaBatchWrite(spark, table, rowSchema, basedOn)
+}
+
+private[sources] case class GraftDeltaMessage(files: Seq[String],
+    dv: Map[String, Array[Byte]]) extends WriterCommitMessage
+
+private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
+    table: String, rowSchema: StructType, basedOn: Int)
+  extends DeltaBatchWrite {
+
+  private val batchDir = java.nio.file.Paths.get(table, "data",
+    s"batch-delta-${java.util.UUID.randomUUID().toString.take(12)}")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    // a delete-only delta (DELETE command) plans no row columns — no
+    // parquet writer machinery is prepared and no batch dir appears
+    val inner = if (rowSchema.fields.nonEmpty) {
+      java.nio.file.Files.createDirectories(batchDir)
+      val job = org.apache.hadoop.mapreduce.Job.getInstance(
+        spark.sessionState.newHadoopConf())
+      job.setOutputKeyClass(classOf[Void])
+      job.setOutputValueClass(classOf[InternalRow])
+      val owf = new ParquetFileFormat()
+        .prepareWrite(spark, job, Map.empty, rowSchema)
+      Some(new GraftDataWriterFactory(owf,
+        new SerializableConf(job.getConfiguration), batchDir.toString,
+        rowSchema))
+    } else None
+    new GraftDeltaWriterFactory(inner)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: GraftDeltaMessage => m }
+    val newFiles = msgs.flatMap(_.files).toSeq.sorted
+    val deletes = scala.collection.mutable.Map.empty[String, java.util.BitSet]
+    msgs.foreach(_.dv.foreach { case (f, bytes) =>
+      val b = java.util.BitSet.valueOf(bytes)
+      deletes.get(f) match {
+        case Some(acc) => acc.or(b)
+        case None => deletes(f) = b
+      }
+    })
+    if (newFiles.isEmpty && deletes.isEmpty) {
+      // provable no-op (nothing matched): no commit, no empty version
+      Sources.deleteTree(batchDir)
+      return
+    }
+    // executor writers emit flat files — publishing them into a
+    // hive-partitioned/bucketed layout would corrupt both read stacks,
+    // so refuse BEFORE the manifest swap (delete-only deltas are
+    // layout-blind and proceed on any table)
+    if (newFiles.nonEmpty &&
+        (Sources.partitionColumnsOf(table).nonEmpty ||
+          Sources.bucketSpecOf(table).nonEmpty)) {
+      Sources.deleteTree(batchDir)
+      throw new UnsupportedOperationException(
+        "MERGE INTO/UPDATE inserting rows into a PARTITIONED/BUCKETED " +
+          "graft table is not supported — use Sources.mergeVersionDv " +
+          "(layout-aware keyed merge-on-read) or DELETE + INSERT")
+    }
+    try Sources.commitDelta(spark, table, basedOn, deletes.toMap, newFiles)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        Sources.deleteTree(batchDir); throw e
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    Sources.deleteTree(batchDir)
+}
+
+private[sources] class GraftDeltaWriterFactory(
+    inner: Option[GraftDataWriterFactory]) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriterImpl(
+      inner.map(_.createWriter(partitionId, taskId)))
+}
+
+/** Per-task delta writer: DELETEs accumulate (file -> position bitset),
+  * INSERTs stream through the shared executor parquet writer, UPDATEs
+  * are both. The bitsets ride home in the commit message — positions
+  * are metadata-sized (a million marks is ~125 KB), never rows. */
+private[sources] class GraftDeltaWriterImpl(
+    inner: Option[org.apache.spark.sql.connector.write.DataWriter[InternalRow]])
+  extends DeltaWriter[InternalRow] {
+
+  private val dv = scala.collection.mutable.Map.empty[String, java.util.BitSet]
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val f = id.getUTF8String(0).toString
+    val pos = id.getLong(1)
+    require(pos <= Int.MaxValue, s"row index $pos overflows the DV bitset")
+    dv.getOrElseUpdate(f, new java.util.BitSet()).set(pos.toInt)
+  }
+
+  override def insert(row: InternalRow): Unit =
+    inner.getOrElse(throw new IllegalStateException(
+      "delta write planned no insert schema but received an insert"))
+      .write(row)
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val files = inner.map(_.commit()).collect {
+      case GraftWriteMessage(fs) => fs
+    }.getOrElse(Seq.empty)
+    GraftDeltaMessage(files,
+      dv.map { case (f, b) => f -> b.toByteArray }.toMap)
+  }
+
+  override def abort(): Unit = inner.foreach(_.abort())
+  override def close(): Unit = inner.foreach(_.close())
+}

@@ -587,9 +587,19 @@ object Sources {
   /** `file:`-scheme scan paths normalized to the absolute form
     * manifests store (`_metadata.file_path` renders `file:///x`,
     * `input_file_name()` renders `file://x` — both must hit the same
-    * sidecar key). */
+    * sidecar key). The URI form is also percent-ENCODED — a space in a
+    * hive partition value (`prio=4-NOT SPECIFIED`) renders `%20` — so
+    * decode through java.net.URI; an unparsable (already-raw) string
+    * falls back to the scheme strip. */
   private[graft] def normalizePath(p: String): String =
-    if (p.startsWith("file:")) p.replaceFirst("^file:/+", "/") else p
+    if (!p.startsWith("file:")) p
+    else scala.util.Try {
+      val u = new java.net.URI(p)
+      val path = Option(u.getPath).filter(_.nonEmpty)
+      // a host-less `file://x/y` form parses `x` as authority — reattach
+      path.map(pt => Option(u.getAuthority).fold(pt)(a => s"/$a$pt"))
+        .getOrElse(p.replaceFirst("^file:/+", "/"))
+    }.getOrElse(p.replaceFirst("^file:/+", "/"))
 
   /** Filter `df` (a file-sourced scan of this table's parquet) down to
     * rows NOT marked deleted in `dv`. The probe is one broadcast-held
@@ -678,6 +688,43 @@ object Sources {
     copyStatsSidecar(table, v, next) // identical files: stats/bloom hold
     publishDv(table, next, merged.toMap) // overwrite the copied DV
     (next, matched.length.toLong, true)
+  }
+
+  /** Commit a DELTA: every base file of `basedOn` carried
+    * byte-identical, `newFiles` appended, and `deletes` OR-merged into
+    * the carried DV sidecar — the driver half of the SQL
+    * MERGE/UPDATE/DELETE merge-on-read path ([[GraftDeltaBatchWrite]]).
+    * Conflict-detecting (a racing commit fails the publish loudly);
+    * schema, stats, and blooms carry forward, only the appended batch
+    * is scanned. */
+  private[sources] def commitDelta(spark: SparkSession, table: String,
+      basedOn: Int, deletes: Map[String, java.util.BitSet],
+      newFiles: Seq[String]): Int = {
+    val files = filesOf(table, basedOn)
+    val known = files.toSet
+    deletes.keys.foreach(f => require(known.contains(f),
+      s"delta delete references a file outside v$basedOn: $f"))
+    val merged = scala.collection.mutable.Map.empty[String, java.util.BitSet]
+    dvOf(table, basedOn).foreach { case (f, b) =>
+      merged(f) = b.clone().asInstanceOf[java.util.BitSet] }
+    deletes.foreach { case (f, b) =>
+      merged.get(f) match {
+        case Some(acc) => acc.or(b)
+        case None => merged(f) = b
+      }
+    }
+    val next = publishIfLatest(table, basedOn, files ++ newFiles,
+      "delta-write")
+    declaredSchema(table, basedOn).foreach(publishSchema(table, next, _))
+    val schemaCols = schemaOf(spark, table, basedOn).fieldNames.toSet
+    val statCols = statsColumnsOf(table).filter(schemaCols.contains)
+    if (statCols.nonEmpty)
+      commitStats(spark, table, next, statCols, carryFrom = basedOn)
+    val bloomCols = bloomColumnsOf(table).filter(schemaCols.contains)
+    if (bloomCols.nonEmpty)
+      commitBlooms(spark, table, next, bloomCols, carryFrom = basedOn)
+    publishDv(table, next, merged.toMap)
+    next
   }
 
   /** REORG PURGE: rewrite ONLY the DV'd files with their deletions

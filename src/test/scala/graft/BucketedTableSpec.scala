@@ -174,6 +174,35 @@ class BucketedTableSpec extends SparkTestBase {
     }
   }
 
+  test("one-sided SPJ: joining a bucketed table with a PLAIN view " +
+    "shuffles only the view — through the V2 bucket function itself") {
+    val (cat, _) = freshCatalog()
+    orders.createOrReplaceTempView("bk_os_src")
+    spark.sql(s"""CREATE TABLE $cat.os (
+                 |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+                 |PARTITIONED BY (bucket($N, o_orderkey))""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.os SELECT * FROM bk_os_src")
+    val plain = lineitem
+    plain.createOrReplaceTempView("bk_os_plain")
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        s"""SELECT /*+ MERGE(l) */ o.o_orderkey, l.l_quantity
+           |FROM $cat.os o JOIN bk_os_plain l
+           |ON o.o_orderkey = l.l_orderkey""".stripMargin)
+      val n = j.collect().length
+      assert(n === lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey")).count())
+      // exactly ONE exchange: the plain side shuffled INTO the bucketed
+      // layout by EVALUATING GraftBucketBound.produceResult per row —
+      // the storage side stays exchange-free
+      assert(shuffleCount(j) === 1,
+        s"expected one-sided shuffle, got\n${j.queryExecution.executedPlan}")
+    }
+  }
+
   test("bucket pruning: a point predicate on the bucket column plans " +
     "only that bucket's files; IN prunes to the union") {
     val (cat, _) = freshCatalog()

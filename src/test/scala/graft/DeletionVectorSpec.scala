@@ -229,8 +229,12 @@ class DeletionVectorSpec extends SparkTestBase {
       === total - nVictims)
     assert(spark.sql("SELECT COUNT(*) FROM dv_v WHERE o_orderkey = 1")
       .head().getLong(0) === 0)
-    // MERGE INTO through the row-level rewrite: reads the DV-applying
-    // scan, so the rewrite ABSORBS the deletions instead of resurrecting
+    // MERGE INTO through the DELTA row-level path: the scan applies the
+    // existing DV (deleted rows are not match candidates), the updated
+    // row's OLD position joins the marks, and the commit is DV + one
+    // appended row — merge-on-read all the way down, never a rewrite
+    val nfPre = Sources.history(spark, t).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     spark.sql(s"""MERGE INTO $cat.t t
                  |USING (SELECT 7 AS k) s ON t.o_orderkey = s.k
                  |WHEN MATCHED THEN UPDATE SET o_orderpriority = 'M-DV'
@@ -240,8 +244,23 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(spark.sql(
       s"SELECT COUNT(*) FROM $cat.t WHERE o_orderkey IN (1,2,3)")
       .head().getLong(0) === 0)
-    assert(Sources.dvOf(t, Sources.latestVersion(t)).isEmpty,
-      "the whole-table row-level rewrite leaves a clean version")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t " +
+      "WHERE o_orderpriority = 'M-DV'").head().getLong(0) >= 1)
+    val vMerge = Sources.latestVersion(t)
+    val dvAfter = Sources.dvOf(t, vMerge)
+    assert(dvAfter.nonEmpty &&
+      dvAfter.valuesIterator.map(_.cardinality()).sum > nVictims.toInt,
+      "the delta MERGE marks the updated row's old position, no rewrite")
+    // every pre-merge file carried byte-identical: file count grew by
+    // at most the appended batch, nothing was rewritten
+    val nfPost = Sources.history(spark, t).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(nfPost(vMerge) >= nfPre.values.max)
+    // purge absorbs all marks and preserves content
+    Sources.purgeDv(spark, t)
+    assert(Sources.dvOf(t, Sources.latestVersion(t)).isEmpty)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0)
+      === total - nVictims)
     spark.sql(s"DROP TABLE $cat.t")
   }
 

@@ -330,8 +330,8 @@ class LakeSurfaceSpec extends SparkTestBase {
     spark.sql("DROP TABLE g.orders_s")
   }
 
-  test("DSv2 catalog: MERGE INTO and UPDATE run as group-based row-level " +
-    "rewrites; untranslatable DELETE falls back to the rewrite") {
+  test("DSv2 catalog: MERGE INTO and UPDATE run as DELTA row-level " +
+    "operations; untranslatable DELETE becomes pure DV marks") {
     import graft.sources.Sources
     val wh = tmp("gmerge")
     spark.conf.set("spark.sql.catalog.gm", "graft.sources.GraftCatalog")

@@ -178,4 +178,100 @@ class MorMergeSpec extends SparkTestBase {
     assert(head.filter(col("o_orderkey").isin(delKeys: _*)).count() === 0)
     assert(head.count() === ordersBase.count() - 1)
   }
+
+  test("SQL MERGE/UPDATE/DELETE are DELTA row-level operations: every " +
+    "base file carried byte-identical, delete-only statements append " +
+    "nothing, untranslatable DELETE is pure marks on ANY layout") {
+    val wh = java.nio.file.Files.createTempDirectory("mor-sql")
+    wh.toFile.deleteOnExit()
+    val cat = s"ms${math.abs(wh.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    ordersBase.createOrReplaceTempView("mor_sql_src")
+    spark.sql(s"""CREATE TABLE $cat.t (
+                 |  o_orderkey BIGINT, o_custkey BIGINT,
+                 |  o_totalprice DOUBLE, o_orderpriority STRING)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM mor_sql_src")
+    val t = s"$wh/t"
+    val vBase = Sources.latestVersion(t)
+    val baseFiles = manifestFiles(t, vBase).toSet
+    val total = ordersBase.count()
+    // MERGE with update+insert+delete arms: carried manifest + one
+    // appended batch + DV marks — NO base file rewritten
+    spark.sql(s"""MERGE INTO $cat.t t
+                 |USING (SELECT o_orderkey AS k FROM mor_sql_src
+                 |       ORDER BY o_orderkey LIMIT 3) s
+                 |ON t.o_orderkey = s.k
+                 |WHEN MATCHED AND s.k % 2 = 0
+                 |  THEN UPDATE SET o_orderpriority = 'SQL-MOR'
+                 |WHEN MATCHED THEN DELETE""".stripMargin)
+    val vM = Sources.latestVersion(t)
+    assert(baseFiles.subsetOf(manifestFiles(t, vM).toSet),
+      "delta MERGE must carry every base file byte-identical")
+    val keys3 = ordersBase.select("o_orderkey").orderBy("o_orderkey")
+      .limit(3).collect().map(_.getLong(0))
+    val nUpd = keys3.count(_ % 2 == 0)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0)
+      === total - (3 - nUpd))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t " +
+      "WHERE o_orderpriority = 'SQL-MOR'").head().getLong(0) === nUpd)
+    assert(Sources.dvOf(t, vM).valuesIterator.map(_.cardinality()).sum
+      === 3, "3 matched rows retire their stored positions")
+    // delete-only UNTRANSLATABLE predicate: pure DV marks, zero appends
+    val nMod = spark.sql(
+      s"SELECT COUNT(*) FROM $cat.t WHERE o_custkey % 9 = 3")
+      .head().getLong(0)
+    spark.sql(s"DELETE FROM $cat.t WHERE o_custkey % 9 = 3")
+    val vD = Sources.latestVersion(t)
+    assert(manifestFiles(t, vD).toSet === manifestFiles(t, vM).toSet,
+      "untranslatable delete-only delta must append NOTHING")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0)
+      === total - (3 - nUpd) - nMod)
+    // the same untranslatable DELETE works on a PARTITIONED table
+    // (delete-only deltas are layout-blind); inserts refuse loudly
+    spark.sql(s"""CREATE TABLE $cat.p (
+                 |  o_orderkey BIGINT, o_custkey BIGINT,
+                 |  o_totalprice DOUBLE, prio STRING)
+                 |PARTITIONED BY (prio)""".stripMargin)
+    spark.sql(s"""INSERT INTO $cat.p
+                 |SELECT o_orderkey, o_custkey, o_totalprice,
+                 |       o_orderpriority FROM mor_sql_src""".stripMargin)
+    val pMod = spark.sql(
+      s"SELECT COUNT(*) FROM $cat.p WHERE o_custkey % 9 = 3")
+      .head().getLong(0)
+    spark.sql(s"DELETE FROM $cat.p WHERE o_custkey % 9 = 3")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.p").head().getLong(0)
+      === total - pMod)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.p " +
+      "WHERE prio IS NULL").head().getLong(0) === 0,
+      "partition values survive the DV-only delete")
+    // an INSERT-ONLY merge never reaches the row-level path — Spark
+    // plans it as a plain append, which the layout-aware V1 writer
+    // lands hive-laid: it WORKS on a partitioned table
+    val preIns = spark.sql(s"SELECT COUNT(*) FROM $cat.p").head().getLong(0)
+    spark.sql(s"""MERGE INTO $cat.p t
+                 |USING (SELECT * FROM mor_sql_src LIMIT 5) s
+                 |ON t.o_orderkey = s.o_orderkey + 9000000
+                 |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+                 |  o_totalprice, prio) VALUES (s.o_orderkey + 9000000,
+                 |  s.o_custkey, s.o_totalprice, s.o_orderpriority)
+                 |""".stripMargin)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.p").head().getLong(0)
+      === preIns + 5, "insert-only MERGE appends through the V1 writer")
+    // a MATCHED UPDATE merge must append rewritten rows — the flat
+    // executor writers would corrupt the hive layout, so it refuses
+    val err = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.p t USING mor_sql_src s
+                   |ON t.o_orderkey = s.o_orderkey
+                   |WHEN MATCHED THEN UPDATE SET o_totalprice = 0.0
+                   |""".stripMargin)
+    }
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Seq.empty
+      else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    assert(msgs(err).exists(_.contains("PARTITIONED/BUCKETED")),
+      s"expected the layout guard, got $err")
+    spark.sql(s"DROP TABLE $cat.t")
+    spark.sql(s"DROP TABLE $cat.p")
+  }
 }
