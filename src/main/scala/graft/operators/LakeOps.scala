@@ -746,6 +746,87 @@ object LakeOps {
            |ORDER BY okey""".stripMargin)
   )
 
+  /** Q214 — CDF-maintained incremental AGGREGATE view through the gate
+    * ([[graft.streaming.MaterializedView.maintainAggQuery]]): a GROUP
+    * BY rollup over a versioned base table is kept current across (1) a
+    * plain insert commit, (2) a MERGE-ON-READ CDC batch whose updates
+    * MOVE rows between groups (DV-delete + re-insert in one commit),
+    * and (3) a DV-ONLY delete (identical manifest, sidecar-only) — the
+    * change feed emits grown deletion vectors as delete rows, inserts
+    * contribute +1/+value, deletes −1/−value, and only TOUCHED groups
+    * keyed-merge into the view (groups counting to zero leave). The
+    * oracle restates the final rollup relationally over the raw
+    * fixture: a hash match proves three maintenance passes compose to
+    * exactly the recompute, down to the exact-decimal sums.
+    *
+    * Scale note: the base's history is never re-aggregated — per commit
+    * the maintenance work is O(Δbase) + a merge bounded by touched
+    * groups. At 100 TB that is the difference between a rollup refresh
+    * costing megabytes and a full table scan. */
+  val q214 = Query(
+    "q214_incremental_agg_mv",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-aggmv-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val base = root.resolve("base").toString
+      val view = root.resolve("aggview").toString
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority").as("prio"),
+        col("o_totalprice"))
+      val k = col("o_orderkey")
+      Sources.commitVersion(orders.filter(pmod(k, lit(2)) === 0)
+        .repartitionByRange(4, k).sortWithinPartitions("o_orderkey"), base)
+      Sources.commitStats(s, base, 1, Seq("o_orderkey"))
+      graft.streaming.MaterializedView.initAgg(
+        s, base, "prio", "o_totalprice", view)
+      def drain(): Unit =
+        graft.streaming.MaterializedView.maintainAggQuery(
+          s, base, "prio", "o_totalprice", view, s"$root/ckpt-agg")
+          .awaitTermination()
+      drain()
+      // merge-on-read CDC batch: group moves, deletes, a new group
+      val upd = orders.filter(pmod(k, lit(2)) === 0 && pmod(k, lit(7)) === 0)
+        .withColumn("prio", lit("X-MOVED")).withColumn("op", lit("upsert"))
+      val del = orders.filter(pmod(k, lit(2)) === 0 &&
+          pmod(k, lit(11)) === 0 && pmod(k, lit(7)) =!= 0)
+        .withColumn("op", lit("delete"))
+      val ins = orders.filter(pmod(k, lit(2)) === 1 && pmod(k, lit(9)) === 0)
+        .withColumn("prio", lit("Z-NEW")).withColumn("op", lit("upsert"))
+      Sources.mergeVersionDv(
+        s, base, upd.unionByName(del).unionByName(ins), "o_orderkey")
+      drain()
+      // DV-only commit: the X-MOVED group zeroes out and must LEAVE
+      Sources.deleteWhereDv(s, base, col("prio") === lit("X-MOVED"))
+      drain()
+      Sources.readVersion(s, view)
+        .select(col("prio"), col("n_rows"),
+          col("sum_val").cast("decimal(18,4)").cast("double")
+            .as("sum_price"))
+        .orderBy("prio")
+    },
+    Some("""WITH fin AS (
+           |  SELECT o_orderpriority AS prio, o_totalprice FROM orders
+           |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+           |    AND o_orderkey % 11 <> 0
+           |  UNION ALL
+           |  SELECT 'Z-NEW', o_totalprice FROM orders
+           |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0)
+           |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+           |FROM fin GROUP BY prio ORDER BY prio""".stripMargin)
+  )
+
   val all: Seq[Query] =
-    Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212)
+    Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214)
 }

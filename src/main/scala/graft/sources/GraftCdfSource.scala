@@ -19,9 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** The table format's change data feed as a STRUCTURED STREAMING
   * source — the loop that closes commit → delta → incremental
   * consumer. [[Sources.readChanges]] already derives a version range's
-  * delta purely from manifest diffs (files that left the set are
-  * deletes, files that joined are inserts, carried files contribute
-  * nothing); this source turns that into a `MicroBatchStream` whose
+  * delta purely from manifest + DV-sidecar diffs (files that left the
+  * set are deletes, files that joined are inserts, carried files whose
+  * deletion vector GREW contribute exactly the newly-marked rows as
+  * deletes — a merge-on-read SQL DELETE/MERGE/UPDATE's whole footprint);
+  * this source turns that into a `MicroBatchStream` whose
   * OFFSETS ARE VERSION NUMBERS:
   *
   * {{{
@@ -101,7 +103,16 @@ private[sources] case class GraftCdfOffset(version: Int) extends Offset {
 }
 
 private[sources] case class GraftCdfPartition(path: String, bytes: Long,
-    changeType: String, version: Int) extends InputPartition
+    changeType: String, version: Int,
+    // DV composition, mirroring Sources.readChanges exactly:
+    //  - skipDv: positions NOT part of this delta (a departing file's
+    //    rows already DV-deleted at `from` were emitted earlier; an
+    //    arriving file's rows DV-deleted at `to` never became visible)
+    //  - onlyDv: emit ONLY these positions (a carried file whose DV
+    //    grew contributes exactly the newly-marked rows as deletes —
+    //    the merge-on-read commit's whole delta)
+    skipDv: Option[Array[Byte]] = None,
+    onlyDv: Option[Array[Byte]] = None) extends InputPartition
 
 private[sources] class GraftCdfStream(spark: SparkSession, table: String,
     dataSchema: StructType, startingVersion: Int) extends MicroBatchStream
@@ -130,7 +141,11 @@ private[sources] class GraftCdfStream(spark: SparkSession, table: String,
     GraftCdfOffset(json.trim.toInt)
 
   /** One partition per changed file of every version in
-    * `(start, end]` — manifest walking only, no data IO. */
+    * `(start, end]` — manifest + DV sidecar walking only, no data IO.
+    * Mirrors [[Sources.readChanges]]: file diffs carry inserts/deletes
+    * (filtered by the relevant side's DV), and a CARRIED file whose DV
+    * GREW — a merge-on-read DELETE/MERGE/UPDATE commit — contributes
+    * exactly the newly-marked positions as deletes. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftCdfOffset].version
     val e = end.asInstanceOf[GraftCdfOffset].version
@@ -139,12 +154,26 @@ private[sources] class GraftCdfStream(spark: SparkSession, table: String,
         if (v <= 1) Set.empty[String]
         else Sources.filesOf(table, v - 1).toSet
       val after = Sources.filesOf(table, v).toSet
+      val dvFrom = if (v <= 1) Map.empty[String, java.util.BitSet]
+        else Sources.dvOf(table, v - 1)
+      val dvTo = Sources.dvOf(table, v)
       def size(f: String): Long =
         java.nio.file.Files.size(java.nio.file.Paths.get(f))
+      val grown = (before & after).toSeq.sorted.flatMap { f =>
+        val g = dvTo.getOrElse(f, new java.util.BitSet())
+          .clone().asInstanceOf[java.util.BitSet]
+        dvFrom.get(f).foreach(g.andNot)
+        if (g.isEmpty) None
+        else Some(GraftCdfPartition(f, size(f), "delete", v,
+          onlyDv = Some(g.toByteArray)))
+      }
       (after -- before).toSeq.sorted.map(f =>
-        GraftCdfPartition(f, size(f), "insert", v)) ++
+        GraftCdfPartition(f, size(f), "insert", v,
+          skipDv = dvTo.get(f).map(_.toByteArray))) ++
         (before -- after).toSeq.sorted.map(f =>
-          GraftCdfPartition(f, size(f), "delete", v))
+          GraftCdfPartition(f, size(f), "delete", v,
+            skipDv = dvFrom.get(f).map(_.toByteArray))) ++
+        grown
     }.toArray
   }
 
@@ -158,7 +187,20 @@ private[sources] class GraftCdfStream(spark: SparkSession, table: String,
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
-    new GraftCdfReaderFactory(readFunc)
+    // DV-aware variant: data columns + the reader's row-index generator
+    // column, so position bitsets filter rows exactly as the sidecar
+    // recorded them (only built for partitions that carry a bitset)
+    val idxSchema = StructType(dataSchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true))
+    val readFuncIdx = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, dataSchema, StructType(Nil), idxSchema, Nil,
+      Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConf())
+    new GraftCdfReaderFactory(readFunc, readFuncIdx,
+      dataSchema.fields.map(_.dataType))
   }
 
   override def commit(end: Offset): Unit = ()
@@ -166,8 +208,12 @@ private[sources] class GraftCdfStream(spark: SparkSession, table: String,
 }
 
 private[sources] class GraftCdfReaderFactory(
-    readFunc: PartitionedFile => Iterator[InternalRow])
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    readFuncIdx: PartitionedFile => Iterator[InternalRow],
+    dataTypes: Array[org.apache.spark.sql.types.DataType])
   extends PartitionReaderFactory {
+
+  private def nDataCols: Int = dataTypes.length
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftCdfPartition]
@@ -179,11 +225,49 @@ private[sources] class GraftCdfReaderFactory(
     val meta = new GenericInternalRow(Array[Any](
       UTF8String.fromString(gp.changeType), gp.version.toLong))
     val joined = new JoinedRow
-    new PartitionReader[InternalRow] {
-      private val it = readFunc(pf)
-      override def next(): Boolean = it.hasNext
-      override def get(): InternalRow = joined(it.next(), meta)
-      override def close(): Unit = ()
+    if (gp.skipDv.isEmpty && gp.onlyDv.isEmpty)
+      // clean file: the fast path, no row-index column, no copies
+      new PartitionReader[InternalRow] {
+        private val it = readFunc(pf)
+        override def next(): Boolean = it.hasNext
+        override def get(): InternalRow = joined(it.next(), meta)
+        override def close(): Unit = ()
+      }
+    else {
+      // DV-filtered: the reader serves rows + their physical row index;
+      // `skipDv` drops marked positions (insert/delete of a changed
+      // file set), `onlyDv` KEEPS exactly the marked positions (the
+      // delete emission of a grown DV); the index column never leaves
+      val skip = gp.skipDv.map(java.util.BitSet.valueOf)
+      val only = gp.onlyDv.map(java.util.BitSet.valueOf)
+      new PartitionReader[InternalRow] {
+        private val it = readFuncIdx(pf)
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          while (it.hasNext) {
+            val r = it.next()
+            val i = r.getLong(nDataCols)
+            val keep = (i <= Int.MaxValue) && {
+              val pos = i.toInt
+              skip.forall(!_.get(pos)) && only.forall(_.get(pos))
+            } || (i > Int.MaxValue && only.isEmpty)
+            if (keep) { cur = r; return true }
+          }
+          false
+        }
+        override def get(): InternalRow = {
+          // copy the data prefix (drop the trailing row-index column)
+          val out = new GenericInternalRow(nDataCols)
+          var i = 0
+          while (i < nDataCols) {
+            out.update(i, if (cur.isNullAt(i)) null
+              else cur.get(i, dataTypes(i)))
+            i += 1
+          }
+          joined(out, meta)
+        }
+        override def close(): Unit = ()
+      }
     }
   }
 }

@@ -106,4 +106,68 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(Sources.readVersion(spark, view, 3).count() === s1 + s2)
     assert(Sources.readVersion(spark, view, 4).count() === n)
   }
+
+  test("incremental AGGREGATE view: inserts, a merge-on-read CDC merge, " +
+    "and a DV-only delete all maintain the rollup equal to the full " +
+    "recompute — the stream reads DV growth as deletes") {
+    val root = tmp("mv-agg")
+    val base = s"$root/base"
+    val view = s"$root/aggview"
+    val ckpt = s"$root/ckpt-agg"
+    val orders = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_orderpriority").as("prio"),
+      col("o_totalprice"))
+    val k = col("o_orderkey")
+    Sources.commitVersion(orders.filter(pmod(k, lit(2)) === 0)
+      .repartitionByRange(4, k).sortWithinPartitions("o_orderkey"), base)
+    Sources.commitStats(spark, base, 1, Seq("o_orderkey"))
+    MaterializedView.initAgg(spark, base, "prio", "o_totalprice", view)
+    def drain(): Unit = {
+      val q = MaterializedView.maintainAggQuery(spark, base, "prio",
+        "o_totalprice", view, ckpt)
+      q.awaitTermination()
+    }
+    def recompute() = Sources.readVersion(spark, base)
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(28,4)"))
+          .cast("decimal(28,4)").as("sum_val"))
+    def viewNow() = Sources.readVersion(spark, view)
+      .select("prio", "n_rows", "sum_val")
+    def assertEq(tag: String): Unit = {
+      val diff = viewNow().exceptAll(recompute()).count() +
+        recompute().exceptAll(viewNow()).count()
+      assert(diff === 0L, s"$tag: view != recompute")
+    }
+    // commit 1: plain inserts
+    drain(); assertEq("after insert commit")
+    // commit 2: a merge-on-read CDC batch — updates (DV-delete + insert
+    // with a CHANGED group: rows move between groups), a delete, and a
+    // brand-new group
+    val upd = orders.filter(pmod(k, lit(2)) === 0 && pmod(k, lit(7)) === 0)
+      .withColumn("prio", lit("X-MOVED"))
+      .withColumn("op", lit("upsert"))
+    val del = orders.filter(pmod(k, lit(2)) === 0 && pmod(k, lit(11)) === 0
+        && pmod(k, lit(7)) =!= 0)
+      .withColumn("op", lit("delete"))
+    val ins = orders.filter(pmod(k, lit(2)) === 1).limit(20)
+      .withColumn("prio", lit("Z-NEW"))
+      .withColumn("op", lit("upsert"))
+    val (_, _, usedDv) = Sources.mergeVersionDv(
+      spark, base, upd.unionByName(del).unionByName(ins), "o_orderkey")
+    assert(usedDv, "the CDC batch must land merge-on-read")
+    drain(); assertEq("after merge-on-read commit")
+    // commit 3: a DV-ONLY delete — identical manifest, sidecar-only:
+    // the stream must still emit the marked rows as deletes
+    val (_, marked, dvOnly) = Sources.deleteWhereDv(spark, base,
+      col("prio") === lit("X-MOVED"))
+    assert(dvOnly && marked > 0)
+    drain(); assertEq("after DV-only delete commit")
+    assert(viewNow().filter(col("prio") === "X-MOVED").count() === 0,
+      "the zeroed group must LEAVE the view")
+    // replay absorption: a fresh run with the same checkpoint is a no-op
+    val vPre = Sources.latestVersion(view)
+    drain()
+    assert(Sources.latestVersion(view) === vPre)
+  }
 }
