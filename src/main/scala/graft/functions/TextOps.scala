@@ -2124,8 +2124,83 @@ object TextOps {
            |ORDER BY epoch, shard, pos""".stripMargin)
   )
 
+  /** Q215 — intra-document REPETITION signals (the Gopher/MassiveText
+    * quality-filter rules, Rae et al. §A1.1): per document, the
+    * occupancy of DUPLICATED 3-gram occurrences and the share of the
+    * single most frequent 2-gram — the two strongest boilerplate /
+    * degenerate-generation tells. N-grams come from codegen'd
+    * `transform`+`slice` over the token array (no window, no UDF); the
+    * per-doc aggregation is one keyed groupBy — embarrassingly parallel
+    * at any corpus size, the map-side-combinable shape a 100 TB quality
+    * pass needs. Counts stay exact BIGINT; the flag thresholds (>20 %
+    * duplicated-3-gram occupancy or >10 % top-2-gram share) are
+    * evaluated on exact integer cross-multiplication, so the
+    * cross-engine hash can never hinge on float division. */
+  val q215 = Query(
+    "q215_repetition_signal",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      def grams(n: Int) = toks.select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> array_join(slice(toks, i, $n), ' '))")).as("g"))
+      val d3 = grams(3).groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+          .cast("long").as("n_dup3"),
+          sum(col("c")).cast("long").as("n_3grams"))
+      val d2 = grams(2).groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).cast("long").as("top2_n"),
+          sum(col("c")).cast("long").as("n_2grams"))
+      d3.join(d2, "doc_id")
+        .select(col("doc_id"), col("n_3grams"), col("n_dup3"),
+          col("n_2grams"), col("top2_n"),
+          (col("n_dup3") * lit(5L) > col("n_3grams") ||
+            col("top2_n") * lit(10L) > col("n_2grams"))
+            .cast("long").as("flagged"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, u.tok, u.pos
+           |  FROM documents,
+           |  LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+           |                  unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos) u),
+           |g3 AS (
+           |  SELECT doc_id,
+           |         array_to_string(list(tok) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING), ' ') AS g,
+           |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS w
+           |  FROM toks),
+           |g2 AS (
+           |  SELECT doc_id,
+           |         array_to_string(list(tok) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING), ' ') AS g,
+           |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS w
+           |  FROM toks),
+           |a3 AS (
+           |  SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup3,
+           |         CAST(SUM(c) AS BIGINT) AS n_3grams
+           |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g3 WHERE w = 3
+           |        GROUP BY doc_id, g) GROUP BY doc_id),
+           |a2 AS (
+           |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2_n,
+           |         CAST(SUM(c) AS BIGINT) AS n_2grams
+           |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 WHERE w = 2
+           |        GROUP BY doc_id, g) GROUP BY doc_id)
+           |SELECT a3.doc_id, n_3grams, n_dup3, n_2grams, top2_n,
+           |       CAST(n_dup3 * 5 > n_3grams OR top2_n * 10 > n_2grams
+           |            AS BIGINT) AS flagged
+           |FROM a3 JOIN a2 ON a3.doc_id = a2.doc_id
+           |ORDER BY a3.doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
-      q154, q155, q163, q168, q171, q174, q176, q187, q188, q205)
+      q154, q155, q163, q168, q171, q174, q176, q187, q188, q205, q215)
 }

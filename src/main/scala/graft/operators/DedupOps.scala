@@ -1214,7 +1214,116 @@ object DedupOps {
            |ORDER BY d1, d2""".stripMargin)
   )
 
+  /** Q216 — exact substring REMOVAL (the transform half of the Lee et
+    * al. pipeline; [[q213]] is the detection half): every token span of
+    * ≥ 16 tokens shared VERBATIM with a lower-doc_id document is CUT
+    * from the higher document — first occurrence wins, later copies
+    * lose exactly the duplicated positions, the surrounding text
+    * survives. Same fingerprint-diagonal machinery as q213, then the
+    * spans explode to covered (doc, position) pairs and an ANTI-join
+    * drops them from the token stream; the cleaned text reassembles
+    * position-ordered. Everything is keyed (gram → pair → doc) — no
+    * stage holds more than one document's positions together, the
+    * property that lets the transform run over a 100 TB corpus. */
+  val q216 = Query(
+    "q216_substring_removal",
+    (s, dir) => {
+      val K = 8
+      val toksDf = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val grams = toksDf
+        .filter(size(col("toks")) >= K)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(toks) - ${K - 1}),
+             |  i -> struct(i AS pos,
+             |              array_join(slice(toks, i, $K), ' ') AS gram))"""
+            .stripMargin)).as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"),
+          col("pg.gram").as("gram"))
+      val a = grams.select(col("doc_id").as("d1"), col("pos").as("p1"),
+        col("gram"))
+      val b = grams.select(col("doc_id").as("d2"), col("pos").as("p2"),
+        col("gram"))
+      val pairs = a.join(b, Seq("gram"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), col("p1"), col("p2"),
+          (col("p1") - col("p2")).as("diag"))
+      val w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+      val spans = pairs
+        .withColumn("isl", col("p1") - row_number().over(w))
+        .groupBy("d1", "d2", "diag", "isl")
+        .agg(min(col("p2")).cast("long").as("p2s"),
+          (count(lit(1)) + lit(K - 1)).cast("long").as("len"))
+        .filter(col("len") >= 16)
+      val cov = spans
+        .select(col("d2").as("doc_id"),
+          explode(sequence(col("p2s"),
+            col("p2s") + col("len") - lit(1L))).as("pos"))
+        .distinct()
+      val tokPos = toksDf
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + lit(1)).cast("long").as("pos"),
+          col("tok"))
+      val kept = tokPos.join(cov, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+            " ").as("cleaned"))
+      toksDf.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("cleaned"), lit("")).as("cleaned"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, u.tok, u.pos
+           |  FROM documents,
+           |  LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+           |                  unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos) u),
+           |grams AS (
+           |  SELECT doc_id, pos,
+           |         array_to_string(list(tok) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING), ' ') AS gram,
+           |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+           |  FROM toks),
+           |g AS (SELECT doc_id, pos, gram FROM grams WHERE w = 8),
+           |pairs AS (
+           |  SELECT a.doc_id d1, b.doc_id d2, a.pos p1, b.pos p2,
+           |         a.pos - b.pos AS diag
+           |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+           |runs AS (
+           |  SELECT d1, d2, diag, p2,
+           |         p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS isl
+           |  FROM pairs),
+           |spans AS (
+           |  SELECT d2, MIN(p2) AS p2s, CAST(COUNT(*) + 7 AS BIGINT) AS len
+           |  FROM runs GROUP BY d1, d2, diag, isl
+           |  HAVING COUNT(*) + 7 >= 16),
+           |cov AS (
+           |  SELECT DISTINCT d2 AS doc_id, CAST(t.u AS BIGINT) AS pos
+           |  FROM spans, LATERAL unnest(range(p2s, p2s + len)) AS t(u)),
+           |kept AS (
+           |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |         string_agg(t.tok, ' ' ORDER BY t.pos) AS cleaned
+           |  FROM toks t LEFT JOIN cov c
+           |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+           |  WHERE c.pos IS NULL GROUP BY t.doc_id),
+           |n AS (SELECT doc_id,
+           |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           |      FROM documents)
+           |SELECT n.doc_id, n.n_toks,
+           |       coalesce(k.n_kept, 0) AS n_kept,
+           |       n.n_toks - coalesce(k.n_kept, 0) AS n_removed,
+           |       coalesce(k.cleaned, '') AS cleaned
+           |FROM n LEFT JOIN kept k ON n.doc_id = k.doc_id
+           |ORDER BY n.doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68, q74, q137, q164, q165,
-      q167, q175, q185, q213)
+      q167, q175, q185, q213, q216)
 }
