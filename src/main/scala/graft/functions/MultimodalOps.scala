@@ -400,5 +400,94 @@ object MultimodalOps {
            |ORDER BY d.doc_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q36, q63, q64, q82, q199, q209)
+  /** Decode a 16-bit little-endian WAV to its raw samples — the PCM
+    * feed for window-level feature extraction. Corrupt payloads yield
+    * None (quarantine, never a task kill). */
+  private[graft] def decodeSamples(payload: Array[Byte])
+      : Option[Array[Short]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+      val bytes = ais.readAllBytes()
+      val out = new Array[Short](bytes.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1).toInt << 8)).toShort
+        i += 1
+      }
+      Some(out)
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None
+    }
+
+  /** Q217 — WINDOWED audio features over real WAV decode: each
+    * payload's PCM stream splits into fixed 64-sample windows and every
+    * window folds to (Σ|s|, max|s|) — the energy/peak envelope a
+    * speech-quality or silence-trim pass runs before transcription.
+    * The decode and the fold both happen EXECUTOR-side inside one
+    * `mapPartitions` pass (per-task state is one window's
+    * accumulators, O(1) memory regardless of clip length); the oracle
+    * recomputes every window closed-form from the synth waveform, so a
+    * hash match proves the real decoder + the window fold bit-exact.
+    * Integers end to end — no float envelope to drift cross-engine. */
+  val q217 = Query(
+    "q217_audio_windows",
+    (s, dir) => {
+      import s.implicits._
+      val W = 64
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val payload = AudioCodec.encodeWav(samplesOf(id), 8000, id)
+            val smp = decodeSamples(payload).getOrElse(
+              throw new IllegalStateException(s"doc $id did not decode"))
+            var win = 0; var i = 0
+            var nWin = 0L; var peak = 0L; var loudSum = 0L; var loudWin = 0L
+            while (i < smp.length) {
+              val end = math.min(i + W, smp.length)
+              var wsum = 0L; var wpeak = 0L
+              var j = i
+              while (j < end) {
+                val a = math.abs(smp(j).toLong)
+                wsum += a; if (a > wpeak) wpeak = a
+                j += 1
+              }
+              nWin += 1
+              if (wpeak > peak) peak = wpeak
+              if (wsum > loudSum) { loudSum = wsum; loudWin = win.toLong }
+              win += 1; i = end
+            }
+            (id, nWin, peak, loudSum, loudWin)
+          }
+        }
+        .toDF("doc_id", "n_windows", "peak", "loud_sum", "loud_win")
+        .orderBy("doc_id")
+    },
+    Some("""WITH s AS (
+           |  SELECT d.doc_id, i.i AS i,
+           |         (i.i * 31 + d.doc_id * 17) % 65536 - 32768 AS v
+           |  FROM documents d,
+           |       LATERAL (SELECT unnest(range(0, d.doc_id % 400 + 50)) AS i) i),
+           |w AS (
+           |  SELECT doc_id, i // 64 AS win,
+           |         SUM(ABS(v)) AS wsum, MAX(ABS(v)) AS wpeak
+           |  FROM s GROUP BY doc_id, i // 64),
+           |a AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           |         CAST(MAX(wpeak) AS BIGINT) AS peak,
+           |         CAST(MAX(wsum) AS BIGINT) AS loud_sum
+           |  FROM w GROUP BY doc_id)
+           |SELECT a.doc_id, a.n_windows, a.peak, a.loud_sum,
+           |       CAST(MIN(w.win) AS BIGINT) AS loud_win
+           |FROM a JOIN w ON a.doc_id = w.doc_id AND w.wsum = a.loud_sum
+           |GROUP BY a.doc_id, a.n_windows, a.peak, a.loud_sum
+           |ORDER BY a.doc_id""".stripMargin)
+  )
+
+  val all: Seq[Query] = Seq(q36, q63, q64, q82, q199, q209, q217)
 }

@@ -201,4 +201,52 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("bucket function: the V2 produceResult == the writer column == " +
+    "bucketOf for random longs/strings + null, any bucket count; " +
+    "results always land in [0, n)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.GraftBucketFunction
+    seeds.foreach { s =>
+      val n = sample(Gen.choose(1, 64), s)
+      // LONG keys (negative included — floorMod, not %)
+      val longs = sample(Gen.listOfN(60,
+        Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)), s)
+      val viaCol = longs.toDF("k")
+        .select(pmod(hash(col("k")), lit(n)).as("b"))
+        .collect().map(_.getInt(0)).toSeq
+      val viaOf = longs.map(v =>
+        GraftBucketFunction.bucketOf(v, LongType, n))
+      val boundL = GraftBucketFunction.bind(StructType(Seq(
+        StructField("_0", IntegerType), StructField("_1", LongType))))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.functions
+          .ScalarFunction[Integer]]
+      val viaFn = longs.map(v =>
+        boundL.produceResult(InternalRow(n, v)).intValue())
+      assert(viaCol === viaOf, s"seed=$s n=$n: bucketOf drifted")
+      assert(viaCol === viaFn, s"seed=$s n=$n: produceResult drifted")
+      assert(viaCol.forall(b => b >= 0 && b < n))
+      // STRING keys + the null row (hash(null) = seed on every path)
+      val strs = sample(Gen.listOfN(40, Gen.alphaNumStr), s)
+      val viaColS = strs.toDF("k")
+        .select(pmod(hash(col("k")), lit(n)).as("b"))
+        .collect().map(_.getInt(0)).toSeq
+      val boundS = GraftBucketFunction.bind(StructType(Seq(
+        StructField("_0", IntegerType), StructField("_1", StringType))))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.functions
+          .ScalarFunction[Integer]]
+      val viaFnS = strs.map(v =>
+        boundS.produceResult(InternalRow(n, UTF8String.fromString(v)))
+          .intValue())
+      assert(viaColS === viaFnS, s"seed=$s n=$n: string bucket drifted")
+      val nullCol = Seq(Option.empty[String]).toDF("k")
+        .select(pmod(hash(col("k")), lit(n)).as("b"))
+        .head().getInt(0)
+      assert(nullCol === boundS.produceResult(InternalRow(n, null))
+        .intValue(), s"seed=$s n=$n: null bucket drifted")
+    }
+  }
 }
