@@ -109,9 +109,12 @@ private[sources] class GraftBucketedScan(spark: SparkSession,
       buckets.fold("")(b => s" buckets=${b.toSeq.sorted.mkString(",")}")
 
   // one input partition per (bucket, file): full per-file parallelism
-  // on plain scans, grouped to one task per bucket when SPJ engages
+  // on plain scans, grouped to one task per bucket when SPJ engages;
+  // pruning composes in tiers — bucket ids from point predicates on the
+  // bucket column, then per-file stats/bloom sidecars on everything else
   private lazy val parts: Array[GraftBucketPartition] = {
-    val all = Sources.filesOf(table, version).map { f =>
+    val statsKeep = Sources.filterKeeper(table, version, filters)
+    val all = Sources.filesOf(table, version).filter(statsKeep).map { f =>
       val b = GraftBucketedScan.bucketIdOf(f).getOrElse(
         throw new IllegalStateException(
           s"bucketed table $table: data file outside a _b=<id> dir: $f " +

@@ -690,6 +690,95 @@ object Sources {
     (next, matched.length.toLong, true)
   }
 
+  /** Per-file keep-decision from V1 `sources.Filter` conjuncts against
+    * the stats/bloom sidecars — [[ManifestFileIndex]]'s `statsKeeper`
+    * restated for scans that receive pushdown as source filters (the
+    * bucketed scan). Strictly conservative: any shape or type it does
+    * not understand KEEPS the file; dropping is only ever proven by a
+    * recorded min/max interval or a bloom's definite absence. */
+  private[sources] def filterKeeper(table: String, version: Int,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : String => Boolean = {
+    import org.apache.spark.sql.sources._
+    if (filters.isEmpty) return _ => true
+    val numStats = statsOf(table, version)
+    val strStats = statsOfString(table, version)
+    lazy val blooms: Map[(String, String),
+        org.apache.spark.util.sketch.BloomFilter] =
+      bloomsOf(table, version).map { case (k, bytes) =>
+        k -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+      }
+    val haveBlooms = bloomColumnsOf(table).nonEmpty
+    def num(v: Any): Option[BigDecimal] = v match {
+      case null => None
+      case b: Byte => Some(BigDecimal(b.toInt))
+      case s: Short => Some(BigDecimal(s.toInt))
+      case i: Int => Some(BigDecimal(i))
+      case l: Long => Some(BigDecimal(l))
+      case f: Float => Some(BigDecimal(f.toDouble))
+      case d: Double => Some(BigDecimal(d))
+      case bd: java.math.BigDecimal => Some(BigDecimal(bd))
+      case bd: BigDecimal => Some(bd)
+      case _ => None
+    }
+    def render(v: Any): Option[String] = v match {
+      case null => None
+      case _: Byte | _: Short | _: Int | _: Long => Some(v.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    def keep(f: String, flt: Filter): Boolean = flt match {
+      case EqualTo(c, v) =>
+        val range = num(v).forall(x => numStats.get((f, c)).forall {
+          case (mn, mx) => mn <= x && x <= mx
+        }) && (v match {
+          case s: String => strStats.get((f, c)).forall {
+            case (mn, mx) => mn.compareTo(s) <= 0 && mx.compareTo(s) >= 0
+          }
+          case _ => true
+        })
+        val bloomOk = !haveBlooms || render(v).forall(s =>
+          blooms.get((f, c)).forall(_.mightContainString(s)))
+        range && bloomOk
+      case In(c, vs) =>
+        val cand = vs.filter(_ != null)
+        cand.isEmpty || cand.exists(v => keep(f, EqualTo(c, v)))
+      case GreaterThan(c, v) =>
+        num(v).forall(x => numStats.get((f, c)).forall(_._2 > x)) &&
+          (v match {
+            case s: String =>
+              strStats.get((f, c)).forall(_._2.compareTo(s) > 0)
+            case _ => true
+          })
+      case GreaterThanOrEqual(c, v) =>
+        num(v).forall(x => numStats.get((f, c)).forall(_._2 >= x)) &&
+          (v match {
+            case s: String =>
+              strStats.get((f, c)).forall(_._2.compareTo(s) >= 0)
+            case _ => true
+          })
+      case LessThan(c, v) =>
+        num(v).forall(x => numStats.get((f, c)).forall(_._1 < x)) &&
+          (v match {
+            case s: String =>
+              strStats.get((f, c)).forall(_._1.compareTo(s) < 0)
+            case _ => true
+          })
+      case LessThanOrEqual(c, v) =>
+        num(v).forall(x => numStats.get((f, c)).forall(_._1 <= x)) &&
+          (v match {
+            case s: String =>
+              strStats.get((f, c)).forall(_._1.compareTo(s) <= 0)
+            case _ => true
+          })
+      case And(l, r) => keep(f, l) && keep(f, r)
+      case Or(l, r) => keep(f, l) || keep(f, r)
+      case _ => true
+    }
+    f => filters.forall(keep(f, _))
+  }
+
   /** Commit a DELTA: every base file of `basedOn` carried
     * byte-identical, `newFiles` appended, and `deletes` OR-merged into
     * the carried DV sidecar — the driver half of the SQL

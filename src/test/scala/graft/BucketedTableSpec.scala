@@ -236,6 +236,42 @@ class BucketedTableSpec extends SparkTestBase {
       full.filter(col("o_orderkey").isin(ks.toIndexedSeq: _*)).count())
   }
 
+  test("stats-sidecar skipping composes with bucket pruning: a range " +
+    "predicate on a NON-bucket stats column drops whole commits' files") {
+    val (cat, wh) = freshCatalog()
+    orders.createOrReplaceTempView("bk_s_src")
+    spark.sql(s"""CREATE TABLE $cat.s (
+                 |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+                 |PARTITIONED BY (bucket($N, o_orderkey))
+                 |TBLPROPERTIES ('stats.columns' = 'o_custkey')""".stripMargin)
+    val mid = orders.select("o_custkey").orderBy("o_custkey")
+      .collect().map(_.getLong(0)).apply((orders.count() / 2).toInt)
+    spark.sql(s"INSERT INTO $cat.s SELECT * FROM bk_s_src " +
+      s"WHERE o_custkey <= $mid")
+    spark.sql(s"INSERT INTO $cat.s SELECT * FROM bk_s_src " +
+      s"WHERE o_custkey > $mid")
+    val full = spark.sql(s"SELECT * FROM $cat.s")
+    full.collect()
+    val totalParts = scanPartitions(full)
+    // the high-range predicate can only live in the second commit's
+    // files: the first commit's are min/max-proven absent
+    val hi = spark.sql(s"SELECT * FROM $cat.s WHERE o_custkey > $mid")
+    val nHi = hi.collect().length
+    assert(nHi === orders.filter(col("o_custkey") > mid).count())
+    val hiParts = scanPartitions(hi)
+    assert(hiParts < totalParts && hiParts >= 1,
+      s"stats skipping on bucketed scan: $hiParts of $totalParts")
+    // equality on the BUCKET column composes both tiers: one bucket,
+    // and within it only the commit whose interval covers the key
+    val k = orders.filter(col("o_custkey") > mid)
+      .select("o_orderkey").head().getLong(0)
+    val point = spark.sql(
+      s"SELECT * FROM $cat.s WHERE o_orderkey = $k AND o_custkey > $mid")
+    point.collect()
+    assert(scanPartitions(point) <= 1,
+      s"bucket+stats composed pruning: ${scanPartitions(point)}")
+  }
+
   test("rewrites preserve the bucket layout: DELETE re-buckets survivors, " +
     "compaction re-buckets globally; guards refuse layout-corrupting " +
     "writers") {
