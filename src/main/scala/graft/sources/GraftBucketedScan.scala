@@ -89,7 +89,8 @@ private[sources] class GraftBucketedScanBuilder(spark: SparkSession,
 }
 
 private[sources] case class GraftBucketPartition(path: String,
-    bytes: Long, bucketId: Int) extends InputPartition with HasPartitionKey {
+    bytes: Long, bucketId: Int, dv: Option[Array[Byte]] = None)
+  extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucketId))
 }
@@ -112,6 +113,8 @@ private[sources] class GraftBucketedScan(spark: SparkSession,
   // on plain scans, grouped to one task per bucket when SPJ engages;
   // pruning composes in tiers — bucket ids from point predicates on the
   // bucket column, then per-file stats/bloom sidecars on everything else
+  private lazy val dv = Sources.dvOf(table, version)
+
   private lazy val parts: Array[GraftBucketPartition] = {
     val statsKeep = Sources.filterKeeper(table, version, filters)
     val all = Sources.filesOf(table, version).filter(statsKeep).map { f =>
@@ -121,7 +124,8 @@ private[sources] class GraftBucketedScan(spark: SparkSession,
             "(the table has non-bucketed batches — it was written " +
             "outside the catalog commit path)"))
       GraftBucketPartition(f,
-        java.nio.file.Files.size(java.nio.file.Paths.get(f)), b)
+        java.nio.file.Files.size(java.nio.file.Paths.get(f)), b,
+        dv.get(f).map(_.toByteArray))
     }
     buckets.fold(all)(keep => all.filter(p => keep.contains(p.bucketId)))
       .sortBy(p => (p.bucketId, p.path)).toArray
@@ -150,7 +154,23 @@ private[sources] class GraftBucketedScan(spark: SparkSession,
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
-    new GraftBucketedReaderFactory(readFunc)
+    // DV-carrying versions keep SPJ: a second reader function requests
+    // the row-index generator column and the per-file bitset drops the
+    // marked positions inline (positions exact under row-group pruning)
+    val readFuncIdx =
+      if (dv.isEmpty) readFunc
+      else new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark, dataSchema, StructType(Nil),
+        StructType(required.fields :+
+          org.apache.spark.sql.types.StructField(
+            ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+            org.apache.spark.sql.types.LongType, nullable = true)),
+        filters,
+        Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        spark.sessionState.newHadoopConf())
+    new GraftBucketedReaderFactory(readFunc, readFuncIdx,
+      required.fields.map(_.dataType))
   }
 }
 
@@ -166,7 +186,9 @@ private[sources] object GraftBucketedScan {
 }
 
 private[sources] class GraftBucketedReaderFactory(
-    readFunc: PartitionedFile => Iterator[InternalRow])
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    readFuncIdx: PartitionedFile => Iterator[InternalRow],
+    dataTypes: Array[org.apache.spark.sql.types.DataType])
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -176,11 +198,44 @@ private[sources] class GraftBucketedReaderFactory(
       org.apache.spark.paths.SparkPath.fromPathString(gp.path),
       0L, gp.bytes, Array.empty[String], 0L, gp.bytes,
       Map.empty[String, Any])
-    new PartitionReader[InternalRow] {
-      private val it = readFunc(pf)
-      override def next(): Boolean = it.hasNext
-      override def get(): InternalRow = it.next()
-      override def close(): Unit = ()
+    gp.dv match {
+      case None =>
+        new PartitionReader[InternalRow] {
+          private val it = readFunc(pf)
+          override def next(): Boolean = it.hasNext
+          override def get(): InternalRow = it.next()
+          override def close(): Unit = ()
+        }
+      case Some(dvBytes) =>
+        // merge-on-read: skip DV'd positions inline, then project the
+        // row-index column back out (it rides last)
+        val bits = java.util.BitSet.valueOf(dvBytes)
+        val n = dataTypes.length
+        new PartitionReader[InternalRow] {
+          private val it = readFuncIdx(pf)
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            while (it.hasNext) {
+              val r = it.next()
+              val i = r.getLong(n)
+              require(i <= Int.MaxValue,
+                s"row index $i overflows the DV bitset")
+              if (!bits.get(i.toInt)) { cur = r; return true }
+            }
+            false
+          }
+          override def get(): InternalRow = {
+            val out = new GenericInternalRow(n)
+            var i = 0
+            while (i < n) {
+              out.update(i,
+                if (cur.isNullAt(i)) null else cur.get(i, dataTypes(i)))
+              i += 1
+            }
+            out
+          }
+          override def close(): Unit = ()
+        }
     }
   }
 }

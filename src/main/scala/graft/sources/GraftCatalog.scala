@@ -448,18 +448,19 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    if (Sources.dvOf(path, pinned).nonEmpty)
-      // the version carries deletion vectors: serve the DV-applying
-      // scan (correctness first; MERGE/UPDATE rewrites reading through
-      // here absorb the DVs, and purge/compaction restores this direct
-      // vectorized path for later versions)
-      new GraftDvScanBuilder(spark, path, pinned, schema)
-    else Sources.bucketSpecOf(path) match {
+    Sources.bucketSpecOf(path) match {
       case Some((c, n)) =>
         // hash-bucketed: the scan reports KeyGroupedPartitioning so
         // co-bucketed joins plan shuffle-free (SPJ) and point
-        // predicates on the bucket column prune whole buckets
+        // predicates on the bucket column prune whole buckets; it
+        // applies DVs itself (row-index + bitset), so merge-on-read
+        // deletes never cost the join its partitioning
         new GraftBucketedScanBuilder(spark, path, pinned, schema, c, n)
+      case None if Sources.dvOf(path, pinned).nonEmpty =>
+        // the version carries deletion vectors: serve the DV-applying
+        // scan (correctness first; purge/compaction restores the direct
+        // vectorized path for later versions)
+        new GraftDvScanBuilder(spark, path, pinned, schema)
       case None =>
         // dataSchema excludes identity-partition columns — they live in
         // the hive paths and the scan serves them from partition values

@@ -272,6 +272,44 @@ class BucketedTableSpec extends SparkTestBase {
       s"bucket+stats composed pruning: ${scanPartitions(point)}")
   }
 
+  test("merge-on-read DELETE on a bucketed table keeps SPJ: DVs apply " +
+    "inline in the bucketed scan, the group-by stays shuffle-free") {
+    val (cat, wh) = freshCatalog()
+    orders.createOrReplaceTempView("bk_dv_src")
+    spark.sql(s"""CREATE TABLE $cat.v (
+                 |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+                 |PARTITIONED BY (bucket($N, o_orderkey))""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.v SELECT * FROM bk_dv_src")
+    val t = s"$wh/v"
+    val total = orders.count()
+    val nDel = orders.filter(col("o_custkey") % 9 === 3).count()
+    // untranslatable predicate -> delta row-level path -> pure DV marks
+    spark.sql(s"DELETE FROM $cat.v WHERE o_custkey % 9 = 3")
+    val v = Sources.latestVersion(t)
+    assert(Sources.dvRowCount(t, v) === nDel,
+      "the delete must land as DV marks, not a rewrite")
+    // the bucketed scan applies the DVs itself
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.v").head().getLong(0)
+      === total - nDel)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.v WHERE o_custkey % 9 = 3")
+      .head().getLong(0) === 0)
+    // ... and still reports KeyGroupedPartitioning: shuffle-free agg
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val agg = spark.sql(
+        s"SELECT o_orderkey, COUNT(*) c FROM $cat.v GROUP BY 1")
+      val n = agg.collect().length
+      assert(n === orders.filter(col("o_custkey") % 9 =!= 3)
+        .select("o_orderkey").distinct().count())
+      assert(shuffleCount(agg) === 0,
+        "SPJ must survive a merge-on-read delete")
+    }
+    // purge absorbs the marks; content holds
+    Sources.purgeDv(spark, t)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.v").head().getLong(0)
+      === total - nDel)
+  }
+
   test("rewrites preserve the bucket layout: DELETE re-buckets survivors, " +
     "compaction re-buckets globally; guards refuse layout-corrupting " +
     "writers") {
