@@ -827,6 +827,112 @@ object LakeOps {
            |FROM fin GROUP BY prio ORDER BY prio""".stripMargin)
   )
 
+  /** Q218 — SQL MERGE as a MERGE-ON-READ delta, witnessed: a pure-SQL
+    * CDC batch (matched-UPDATE, matched-DELETE, not-matched-INSERT arms
+    * in one `MERGE INTO`) lands through the `SupportsDelta` row-level
+    * path — every base file carried byte-identical into the new
+    * manifest (`files_carried` witness), matched rows retiring their
+    * stored positions as DV marks (`dv_rows` witness, closed-form in
+    * the oracle), inserts as ONE appended batch. The oracle restates
+    * the end state relationally; the hash match proves scan-identity →
+    * per-row ops → carried-manifest commit compose to exactly standard
+    * MERGE semantics.
+    *
+    * Scale note: the group-based form this replaced rewrote the WHOLE
+    * table per MERGE — at 100 TB, this statement's footprint drops from
+    * the table's size to O(changed rows). */
+  val q218 = Query(
+    "q218_sql_mor_merge",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-sqlmor-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val cat = s"gs_${math.abs(dir.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root.toString)
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .createOrReplaceTempView("mor_orders_src")
+      s.sql(s"""CREATE TABLE $cat.t (
+               |  o_orderkey BIGINT, o_custkey BIGINT,
+               |  o_totalprice DOUBLE, o_orderpriority STRING)""".stripMargin)
+      s.sql(s"INSERT INTO $cat.t SELECT * FROM mor_orders_src")
+      val t = root.resolve("t").toString
+      val vBase = Sources.latestVersion(t)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW mor_batch AS
+          |SELECT o_orderkey AS k, o_custkey, o_totalprice, 'u' AS op
+          |FROM mor_orders_src WHERE o_orderkey % 97 = 0
+          |UNION ALL
+          |SELECT o_orderkey, o_custkey, o_totalprice, 'd'
+          |FROM mor_orders_src
+          |WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+          |UNION ALL
+          |SELECT o_orderkey + 20000000, o_custkey, o_totalprice, 'i'
+          |FROM mor_orders_src WHERE o_orderkey % 500 = 0""".stripMargin)
+      s.sql(s"""MERGE INTO $cat.t t USING mor_batch s
+               |ON t.o_orderkey = s.k
+               |WHEN MATCHED AND s.op = 'u' THEN UPDATE SET
+               |  o_totalprice = t.o_totalprice + 50.0,
+               |  o_orderpriority = 'S-MOR'
+               |WHEN MATCHED AND s.op = 'd' THEN DELETE
+               |WHEN NOT MATCHED AND s.op = 'i' THEN INSERT
+               |  (o_orderkey, o_custkey, o_totalprice, o_orderpriority)
+               |  VALUES (s.k, s.o_custkey, s.o_totalprice, 'M-NEW')
+               |""".stripMargin)
+      val vM = Sources.latestVersion(t)
+      val dvRows = Sources.dvRowCount(t, vM)
+      // carried-manifest witness via the $files metadata table is not
+      // version-pinned, so read the manifests directly
+      def manifest(v: Int): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(t, s"v$v.manifest")).asScala.toSet
+          .filter(_.nonEmpty)
+      }
+      val carried =
+        if (manifest(vBase).subsetOf(manifest(vM))) 1L else 0L
+      s.sql(s"SELECT o_orderpriority, o_totalprice FROM $cat.t")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("dv_rows", lit(dvRows))
+        .withColumn("files_carried", lit(carried))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH fin AS (
+           |  SELECT o_orderpriority, o_totalprice FROM orders
+           |  WHERE o_orderkey % 97 <> 0
+           |    AND NOT (o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0)
+           |  UNION ALL
+           |  SELECT 'S-MOR', o_totalprice + 50.0 FROM orders
+           |  WHERE o_orderkey % 97 = 0
+           |  UNION ALL
+           |  SELECT 'M-NEW', o_totalprice FROM orders
+           |  WHERE o_orderkey % 500 = 0),
+           |w AS (SELECT
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+           |   WHERE o_orderkey % 97 = 0)
+           |  + (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+           |     WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0)
+           |  AS dv_rows)
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |       dv_rows, CAST(1 AS BIGINT) AS files_carried
+           |FROM fin, w
+           |GROUP BY o_orderpriority, dv_rows
+           |ORDER BY o_orderpriority""".stripMargin)
+  )
+
   val all: Seq[Query] =
-    Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214)
+    Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218)
 }
