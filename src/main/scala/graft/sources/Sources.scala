@@ -1996,7 +1996,12 @@ object Sources {
         val withCount = props + ("layout.files" ->
           props.getOrElse("layout.files", nFiles.toString))
         clusterByLayoutProps(df, withCount, toRelease)
-      } else df.repartition(nFiles)
+      } else if (bucketSpecOf(table).isDefined)
+        // the batch writer re-buckets (repartition on the bucket id)
+        // anyway — a coalescing pre-shuffle here would just be a second
+        // exchange of the whole table
+        df
+      else df.repartition(nFiles)
     }
     val newFiles =
       try writeBatch(compacted, table)
