@@ -125,10 +125,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             val stats = Sources.statsOf(dir, v)
               .keys.map(_._1).toSet ++
               Sources.statsOfString(dir, v).keys.map(_._1).toSet
+            val dv = Sources.dvOf(dir, v)
             Sources.filesOf(dir, v).map(f =>
               (f, java.nio.file.Files.size(java.nio.file.Paths.get(f)),
-                stats.contains(f)))
-              .toDF("file", "bytes", "has_stats")
+                stats.contains(f),
+                dv.get(f).map(_.cardinality().toLong).getOrElse(0L)))
+              .toDF("file", "bytes", "has_stats", "dv_rows")
+          case "dv" =>
+            // the merge-on-read pressure gauge: per-file marked-row
+            // counts for the HEAD version — what a table owner reads
+            // before scheduling CALL g.system.purge_dv
+            val s = spark
+            import s.implicits._
+            val v = Sources.latestVersion(dir)
+            Sources.dvOf(dir, v).toSeq.sortBy(_._1)
+              .map { case (f, b) => (f, b.cardinality().toLong) }
+              .toDF("file", "dv_rows")
           case other => throw new NoSuchTableException(ident)
         }
         new GraftMetaTable(s"graft:$dir$$$meta", df)

@@ -493,6 +493,15 @@ class LakeSurfaceSpec extends SparkTestBase {
     val totalBytes = spark.sql("SELECT SUM(bytes) AS b FROM gmt.`t$files`")
       .collect().head.getLong(0)
     assert(totalBytes > 0)
+    // g.`t$dv`: the merge-on-read pressure gauge — empty while clean,
+    // per-file marked-row counts after a DV delete, mirrored in $files
+    assert(spark.sql("SELECT * FROM gmt.`t$dv`").collect().isEmpty)
+    Sources.deleteWhereDv(spark, s"$wh/t",
+      org.apache.spark.sql.functions.col("k") === 5)
+    assert(spark.sql("SELECT SUM(dv_rows) FROM gmt.`t$dv`")
+      .head().getLong(0) === 1L)
+    assert(spark.sql("SELECT SUM(dv_rows) FROM gmt.`t$files`")
+      .head().getLong(0) === 1L)
     spark.sql("DROP TABLE gmt.t")
   }
 
