@@ -2141,9 +2141,13 @@ object TextOps {
     (s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      def grams(n: Int) = toks.select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> array_join(slice(toks, i, $n), ' '))")).as("g"))
+      def grams(n: Int) = toks
+        .filter(size(col("toks")) >= n) // docs shorter than n have no n-gram;
+        // without the guard sequence(1, size-(n-1)) descends and slice(toks,0,n)
+        // throws — the oracle drops these docs via its w=n filter, so must we
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), " +
+            s"i -> array_join(slice(toks, i, $n), ' '))")).as("g"))
       val d3 = grams(3).groupBy("doc_id", "g")
         .agg(count(lit(1)).as("c"))
         .groupBy("doc_id")

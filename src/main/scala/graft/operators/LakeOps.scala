@@ -708,7 +708,10 @@ object LakeOps {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_price"),
           max(col("o_totalprice")).as("total_price"))
-        spj.count() // materialize so the AQE-final plan is inspectable
+        // Execute THIS QueryExecution (not a derived count() plan) so the
+        // adaptive plan we inspect below is the one that actually ran:
+        // toRdd.count() finalizes AQE in place on spj.queryExecution.
+        spj.queryExecution.toRdd.count()
         def nodes(p: org.apache.spark.sql.execution.SparkPlan)
             : Seq[org.apache.spark.sql.execution.SparkPlan] =
           p +: (p match {
@@ -724,9 +727,15 @@ object LakeOps {
           case _ => false
         }
         val witness = if (shuffles == 0) 1L else 0L
-        spj.filter(col("okey") % 50 === 0)
+        val out = spj.filter(col("okey") % 50 === 0)
           .withColumn("spj_shuffle_free", lit(witness))
           .orderBy("okey")
+        // Materialize inside the conf window: the gate's result must come
+        // from the SPJ-enabled plan, not a lazy re-run after the finally
+        // block restores the original bucketing/broadcast confs.
+        val rows = out.collect()
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       } finally olds.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)

@@ -12,6 +12,7 @@ import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNull}
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The catalog scan for HASH-BUCKETED graft tables (`PARTITIONED BY
   * (bucket(n, k))`) — the piece that turns the on-disk `_b=<id>` layout
@@ -146,22 +147,31 @@ private[sources] class GraftBucketedScan(spark: SparkSession,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // the query may request the table's _gfile/_gpos metadata columns:
+    // they are synthesized reader-side (file path from the partition,
+    // position from the row-index generator column), never read from
+    // parquet — schema clipping would null-fill them silently otherwise
+    val hasMeta = required.fieldNames.exists(GraftTable.metaColumnNames)
+    val dataFields = required.fields.filterNot(
+      f => GraftTable.metaColumnNames(f.name))
+    val dataStruct = StructType(dataFields)
     // Spark's own parquet reader function, built once driver-side; the
     // pushed conjuncts buy row-group pruning, older-generation files
     // missing ADD COLUMN fields null-fill through schema clipping
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, dataSchema, StructType(Nil), required, filters,
+      spark, dataSchema, StructType(Nil), dataStruct, filters,
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
     // DV-carrying versions keep SPJ: a second reader function requests
     // the row-index generator column and the per-file bitset drops the
-    // marked positions inline (positions exact under row-group pruning)
+    // marked positions inline (positions exact under row-group pruning);
+    // metadata-column requests ride the same indexed function
     val readFuncIdx =
-      if (dv.isEmpty) readFunc
+      if (dv.isEmpty && !hasMeta) readFunc
       else new ParquetFileFormat().buildReaderWithPartitionValues(
         spark, dataSchema, StructType(Nil),
-        StructType(required.fields :+
+        StructType(dataFields :+
           org.apache.spark.sql.types.StructField(
             ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
             org.apache.spark.sql.types.LongType, nullable = true)),
@@ -169,8 +179,17 @@ private[sources] class GraftBucketedScan(spark: SparkSession,
         Map(org.apache.spark.sql.execution.datasources.FileFormat
           .OPTION_RETURNING_BATCH -> "false"),
         spark.sessionState.newHadoopConf())
-    new GraftBucketedReaderFactory(readFunc, readFuncIdx,
-      required.fields.map(_.dataType))
+    // per-output-field extraction plan: data ordinal, or a metadata tag
+    // (-1 = row index, -2 = file path) — the delta scan's shape
+    val dataIdx = dataFields.map(_.name).zipWithIndex.toMap
+    val fields = required.fields.map { f =>
+      f.name match {
+        case "_gpos" => (-1, f.dataType)
+        case "_gfile" => (-2, f.dataType)
+        case n => (dataIdx(n), f.dataType)
+      }
+    }
+    new GraftBucketedReaderFactory(readFunc, readFuncIdx, fields, hasMeta)
   }
 }
 
@@ -188,7 +207,8 @@ private[sources] object GraftBucketedScan {
 private[sources] class GraftBucketedReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     readFuncIdx: PartitionedFile => Iterator[InternalRow],
-    dataTypes: Array[org.apache.spark.sql.types.DataType])
+    fields: Array[(Int, org.apache.spark.sql.types.DataType)],
+    hasMeta: Boolean)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -198,44 +218,57 @@ private[sources] class GraftBucketedReaderFactory(
       org.apache.spark.paths.SparkPath.fromPathString(gp.path),
       0L, gp.bytes, Array.empty[String], 0L, gp.bytes,
       Map.empty[String, Any])
-    gp.dv match {
-      case None =>
-        new PartitionReader[InternalRow] {
-          private val it = readFunc(pf)
-          override def next(): Boolean = it.hasNext
-          override def get(): InternalRow = it.next()
-          override def close(): Unit = ()
-        }
-      case Some(dvBytes) =>
-        // merge-on-read: skip DV'd positions inline, then project the
-        // row-index column back out (it rides last)
-        val bits = java.util.BitSet.valueOf(dvBytes)
-        val n = dataTypes.length
-        new PartitionReader[InternalRow] {
-          private val it = readFuncIdx(pf)
-          private var cur: InternalRow = _
-          override def next(): Boolean = {
-            while (it.hasNext) {
-              val r = it.next()
-              val i = r.getLong(n)
-              require(i <= Int.MaxValue,
-                s"row index $i overflows the DV bitset")
-              if (!bits.get(i.toInt)) { cur = r; return true }
+    if (gp.dv.isEmpty && !hasMeta)
+      // fast path: no DV to apply, no metadata column to synthesize —
+      // the reader's rows ARE the output rows, zero copying
+      new PartitionReader[InternalRow] {
+        private val it = readFunc(pf)
+        override def next(): Boolean = it.hasNext
+        override def get(): InternalRow = it.next()
+        override def close(): Unit = ()
+      }
+    else {
+      // merge-on-read / metadata path: the indexed function appends the
+      // row-index generator column (riding last, after the data
+      // fields); DV'd positions drop inline, the extraction plan maps
+      // data ordinals through and fills -1/-2 with index/path
+      val bits = gp.dv.map(java.util.BitSet.valueOf)
+      val pathU = UTF8String.fromString(gp.path)
+      val rowIdxPos = fields.count(_._1 >= 0)
+      new PartitionReader[InternalRow] {
+        private val it = readFuncIdx(pf)
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          while (it.hasNext) {
+            val r = it.next()
+            val alive = bits match {
+              case Some(b) =>
+                val i = r.getLong(rowIdxPos)
+                require(i <= Int.MaxValue,
+                  s"row index $i overflows the DV bitset")
+                !b.get(i.toInt)
+              case None => true
             }
-            false
+            if (alive) { cur = r; return true }
           }
-          override def get(): InternalRow = {
-            val out = new GenericInternalRow(n)
-            var i = 0
-            while (i < n) {
-              out.update(i,
-                if (cur.isNullAt(i)) null else cur.get(i, dataTypes(i)))
-              i += 1
-            }
-            out
-          }
-          override def close(): Unit = ()
+          false
         }
+        override def get(): InternalRow = {
+          val out = new GenericInternalRow(fields.length)
+          var i = 0
+          while (i < fields.length) {
+            fields(i) match {
+              case (-1, _) => out.update(i, cur.getLong(rowIdxPos))
+              case (-2, _) => out.update(i, pathU)
+              case (j, dt) => out.update(i,
+                if (cur.isNullAt(j)) null else cur.get(j, dt))
+            }
+            i += 1
+          }
+          out
+        }
+        override def close(): Unit = ()
+      }
     }
   }
 }

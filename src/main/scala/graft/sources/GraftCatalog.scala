@@ -479,9 +479,19 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
         val partNames = Sources.partitionColumnsOf(path).toSet
         val dataSchema = StructType(
           schema.fields.filterNot(f => partNames.contains(f.name)))
-        new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-          spark, fileIndex, schema, dataSchema,
-          new CaseInsensitiveStringMap(util.Map.of()))
+        val plain =
+          new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+            spark, fileIndex, schema, dataSchema,
+            new CaseInsensitiveStringMap(util.Map.of()))
+        // the router keeps the stock vectorized builder on the common
+        // path (catalyst filter pushdown delegated verbatim) and swaps
+        // in the _metadata-probing scan only when the query actually
+        // references _gfile/_gpos — which ParquetScanBuilder would
+        // otherwise null-fill silently
+        new org.apache.spark.sql.graftbridge.MetaRoutingScanBuilder(
+          plain, GraftTable.metaColumnNames,
+          (req, exprs) => GraftTable.metaColumnScan(spark, path, pinned,
+            req, exprs))
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -507,9 +517,12 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
 
   /** The row identity the delta operations key on — Iceberg's
     * `_file`/`_pos` contract: manifest path + physical parquet row
-    * index (the DV sidecar's position space). Served by the row-level
-    * scan; a plain SELECT referencing them reads through the same
-    * machinery only on that path. */
+    * index (the DV sidecar's position space). Served by EVERY read
+    * stack: the row-level delta scan natively, the bucketed scan via
+    * its extraction plan, the DV scan and the plain parquet path via
+    * the `_metadata` probe (the plain path routes through
+    * [[org.apache.spark.sql.graftbridge.MetaRoutingScanBuilder]] only
+    * when the columns are actually referenced). */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(
@@ -558,6 +571,64 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
 }
 
 object GraftTable {
+
+  /** The table's advertised metadata columns (Iceberg's `_file`/`_pos`
+    * contract restated): every read stack serves them, not only the
+    * row-level-operation scan. */
+  private[sources] val metaColumnNames: Set[String] = Set("_gfile", "_gpos")
+
+  /** Append `_gfile`/`_gpos` to a parquet-backed frame of this table
+    * from the scan's own `_metadata` probe — file_path normalized to
+    * the manifest path so values match the DV sidecar key space and
+    * the delta scan's rowId. */
+  private[sources] def withMetaColumns(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val norm = org.apache.spark.sql.functions.udf(
+      (p: String) => Sources.normalizePath(p))
+    df.withColumn("_gfile", norm(col("_metadata.file_path")))
+      .withColumn("_gpos", col("_metadata.row_index"))
+  }
+
+  /** The meta-capable fallback scan for a plain (unbucketed, DV-less)
+    * table when `_gfile`/`_gpos` are referenced: the indexed read plus
+    * the `_metadata` probe, wrapped as a V1 scan. Re-applies EVERY
+    * catalyst conjunct the router collected — the stock builder had
+    * consumed partition filters as non-residual, so the swapped scan
+    * must evaluate them itself (rebound by NAME: the pushed
+    * expressions carry foreign exprIds). The inner DataFrame plans
+    * through the optimizer, so the re-applied filters still reach the
+    * parquet scan and the manifest index for pruning. */
+  private[sources] def metaColumnScan(spark: SparkSession, table: String,
+      version: Int, required: StructType,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.connector.read.Scan =
+    new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = required
+      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](
+          context: org.apache.spark.sql.SQLContext): T =
+        (new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = required
+          override def buildScan()
+              : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            var df = withMetaColumns(
+              ManifestFileIndex.readVersionIndexed(spark, table, version))
+            filters.foreach { e =>
+              val byName = e.transform {
+                case a: org.apache.spark.sql.catalyst.expressions
+                    .AttributeReference =>
+                  org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedAttribute.quoted(a.name)
+              }
+              df = df.filter(
+                org.apache.spark.sql.GraftColumnBridge.column(byName))
+            }
+            df.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
+          }
+        }).asInstanceOf[T]
+    }
 
   /** V1 `Filter` → `Column`, total over the shapes Spark pushes for
     * DELETE; a None makes `canDeleteWhere` refuse (Spark then reports
@@ -690,6 +761,12 @@ private[sources] class GraftDvScanBuilder(spark: SparkSession,
               : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
             var df = ManifestFileIndex.readVersionIndexed(
               spark, table, version)
+            // a plain SELECT may request the table's _gfile/_gpos
+            // metadata columns: serve them from the scan's own
+            // _metadata probe (file_path normalized to the manifest
+            // path — the same value the delta scan's rowId carries)
+            if (required.fieldNames.exists(GraftTable.metaColumnNames))
+              df = GraftTable.withMetaColumns(df)
             pushed.flatMap(GraftTable.filterToColumn)
               .foreach(c => df = df.filter(c))
             df.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd

@@ -57,11 +57,24 @@ private[sources] class GraftDeltaOperation(spark: SparkSession,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftDeltaScanBuilder(spark, table, basedOn, graftTable.schema)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
+    // the insert schema is known HERE, at planning time: a statement
+    // that would append rows into a partitioned/bucketed layout refuses
+    // before any executor writes a byte (the commit-time guard stays as
+    // the backstop). Delete-only deltas plan no row columns and are
+    // layout-blind — they proceed on any table.
+    if (info.schema().fields.nonEmpty &&
+        (Sources.partitionColumnsOf(table).nonEmpty ||
+          Sources.bucketSpecOf(table).nonEmpty))
+      throw new UnsupportedOperationException(
+        "MERGE INTO/UPDATE inserting rows into a PARTITIONED/BUCKETED " +
+          "graft table is not supported — use Sources.mergeVersionDv " +
+          "(layout-aware keyed merge-on-read) or DELETE + INSERT")
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new GraftDeltaWrite(spark, table, info.schema(), basedOn)
     }
+  }
 
   override def description(): String = s"graft-delta[$cmd] $table@v$basedOn"
 }
