@@ -474,14 +474,17 @@ object SimilarityOps {
     * mutual nearest neighbors across languages are the alignment
     * candidates worth keeping.
     *
-    * Scale shape: the fixture-scale form is the exact all-cross-pairs
-    * scan (codegen'd [[graft.plans.VectorExpressions.DotProduct]],
-    * one per-vector top-1 window); at 100 TB the SAME mutual-check
-    * composes with the q31d IVF index — candidates come from shared
-    * centroid buckets instead of the full cross product, and the
-    * per-vector argmax + mutual self-join below are unchanged. The
-    * mutual check itself is a self-join of the 1-row-per-vector
-    * `best` relation on (a, b) = (b, a) — linear, never quadratic.
+    * Scale shape: THIS form is the exact fixture-scale oracle (the
+    * all-cross-pairs scan, codegen'd
+    * [[graft.plans.VectorExpressions.DotProduct]], one per-vector
+    * top-1 window); the 100 TB form is [[q140b]] — the SAME
+    * mutual-check composed with the persisted IVF index
+    * ([[AnnIndex.mutualKnnFromIndex]]), candidates from shared probed
+    * cells instead of the full cross product, per-vector argmax +
+    * mutual self-join unchanged, recall gated ≥0.9 vs this query in
+    * AnnIndexSpec. The mutual check itself is a self-join of the
+    * 1-row-per-vector `best` relation on (a, b) = (b, a) — linear,
+    * never quadratic.
     *
     * Cross-engine exactness: cosine is the q24-proven device (fixed
     * left-to-right accumulation both engines reproduce bit-for-bit);
@@ -685,5 +688,42 @@ object SimilarityOps {
     None
   )
 
-  val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65, q98, q140, q173, q203)
+  /** Q140b — mutual-kNN COMPOSED WITH THE PERSISTED INDEX
+    * ([[AnnIndex.mutualKnnFromIndex]]): the q140 semantics with
+    * candidates from shared probed IVF cells (posting-list equi-join)
+    * instead of the all-cross-pairs theta join — the ScaleOps
+    * restatement of the inventory's last cross product. The per-vector
+    * argmax and the mutual self-join are byte-identical to q140; only
+    * the candidate generation changes. q140 stays as the exact
+    * fixture-scale oracle; AnnIndexSpec gates recall vs it (≥0.9) and
+    * plan-asserts no BroadcastNestedLoopJoin survives anywhere in the
+    * composed query. Approximate by design → rows-only. */
+  val q140b = Query(
+    "q140b_mutual_knn_scale",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-mknn-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val src = root.resolve("emb_t").toString
+      val idx = root.resolve("emb_idx").toString
+      val emb = Tables.embeddings(s, dir)
+      graft.sources.Sources.commitVersion(emb, src)
+      AnnIndex.init(s, src, idx)
+      AnnIndex.maintainQuery(s, src, idx, s"$root/ckpt").awaitTermination()
+      AnnIndex.mutualKnnFromIndex(s, emb, idx)
+    },
+    None
+  )
+
+  val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65, q98, q140,
+    q140b, q173, q203)
 }

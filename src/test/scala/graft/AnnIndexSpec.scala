@@ -82,4 +82,55 @@ class AnnIndexSpec extends SparkTestBase {
       col("vec_id") < 20)
     assert(res.count() === 20)
   }
+
+  /** Walk the AQE-final physical plan, descending into stages. */
+  private def planNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def go(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case s: QueryStageExec => go(s.plan)
+        case o => o.children.flatMap(go)
+      })
+    go(df.queryExecution.executedPlan)
+  }
+
+  private def crossProducts(df: org.apache.spark.sql.DataFrame): Int =
+    planNodes(df).count {
+      case _: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => true
+      case _: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => true
+      case _ => false
+    }
+
+  test("q140b composed mutual-kNN: pair recall >= 0.9 vs the exact " +
+    "q140, and NO BroadcastNestedLoopJoin/cartesian survives — while " +
+    "the exact form provably plans one (the contrast the composition " +
+    "removes)") {
+    def pairs(name: String): (Set[(Long, Long)],
+        org.apache.spark.sql.DataFrame) = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      (df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet, df)
+    }
+    val (exact, exactDf) = pairs("q140_mutual_knn")
+    val (approx, approxDf) = pairs("q140b_mutual_knn_scale")
+    assert(exact.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"composed mutual-kNN pair recall $recall below the 0.9 gate " +
+        s"(exact=${exact.size}, approx=${approx.size})")
+    // the scale claim itself: the composed query's EXECUTED plan has no
+    // cross-product node anywhere — candidates come from posting-list
+    // equi-joins; the exact fixture-scale form does plan one, which is
+    // precisely what q140b exists to remove
+    assert(crossProducts(approxDf) === 0,
+      "q140b must plan no BroadcastNestedLoopJoin/CartesianProduct")
+    assert(crossProducts(exactDf) > 0,
+      "q140's all-cross-pairs form is expected to plan a BNLJ at " +
+        "fixture scale — if this starts failing, the contrast gate " +
+        "needs a new witness")
+  }
 }
