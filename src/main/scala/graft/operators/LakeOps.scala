@@ -942,6 +942,110 @@ object LakeOps {
            |ORDER BY o_orderpriority""".stripMargin)
   )
 
+  /** Q219 — TEMPORAL PARTITION TRANSFORM lifecycle through the gate
+    * (`PARTITIONED BY (months(ets))`, [[Sources.PartTransform]]): the
+    * Iceberg-style HIDDEN partitioning a 100 TB events table actually
+    * runs on. Events (spread over 3 calendar months, deterministic by
+    * key) are INSERTed into a months-partitioned catalog table — every
+    * file lands under a `_pt=yyyy-MM` dir, the derived value never in
+    * data files or the schema — then a point DELETE goes merge-on-read
+    * (DV sidecar; layout untouched), and the final monthly rollup
+    * filters on the RAW timestamp: [[ManifestFileIndex]]'s transform
+    * keeper converts the `ets >=` bound to a window test against each
+    * file's `_pt` segment and drops whole months driver-side
+    * (numFiles-asserted in TransformPartitionSpec; here the
+    * `month_files_pruned` witness re-checks it on the executed plan).
+    * The oracle restates the lifecycle relationally — hash match
+    * proves hidden-transform commit + DV delete + window pruning
+    * compose to plain SQL semantics. */
+  val q219 = Query(
+    "q219_transform_partition",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-xform-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val cat = s"gx_${math.abs(dir.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root.toString)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          (timestamp_micros((col("ts") / 1000L).cast("long")) +
+            make_interval(lit(0), (col("event_id") % 3).cast("int")))
+            .as("ets"))
+        .createOrReplaceTempView("xform_events_src")
+      s.sql(s"""CREATE TABLE $cat.ev (
+               |  event_id BIGINT, user_id BIGINT, value DOUBLE,
+               |  ets TIMESTAMP)
+               |PARTITIONED BY (months(ets))""".stripMargin)
+      s.sql(s"INSERT INTO $cat.ev SELECT * FROM xform_events_src")
+      // pruning witness on the EXECUTED pre-delete plan (the q212
+      // device): the raw-ts predicate must scan strictly fewer files
+      // than the table holds. Computed BEFORE the DV delete because a
+      // DV-carrying version reads through the V1 wrap, whose inner
+      // (equally pruned) scan is invisible to the outer plan walk —
+      // TransformPartitionSpec covers the post-DV read stack.
+      val probe = s.sql(
+        s"""SELECT ets, user_id, value FROM $cat.ev
+           |WHERE ets >= TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)
+      probe.queryExecution.toRdd.count()
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: (p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => nodes(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => nodes(q.plan)
+          case o => o.children.flatMap(nodes)
+        })
+      val scanned = nodes(probe.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.listFiles(f.partitionFilters, f.dataFilters)
+                .map(_.files.length.toLong).sum
+            case _ => 0L
+          }
+      }.sum
+      val totalFiles = s.sql(s"SELECT COUNT(*) FROM $cat.`ev$$files`")
+        .head().getLong(0)
+      val witness = if (scanned > 0 && scanned < totalFiles) 1L else 0L
+      s.sql(s"DELETE FROM $cat.ev WHERE event_id IN (1, 2, 3)")
+      s.sql(
+        s"""SELECT ets, user_id, value FROM $cat.ev
+           |WHERE ets >= TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)
+        .groupBy(date_format(col("ets"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value"))
+        .withColumn("month_files_pruned", lit(witness)).orderBy("month")
+    },
+    Some("""WITH src AS (
+           |  SELECT event_id, user_id, value,
+           |         ts + CAST(event_id % 3 AS INT) * INTERVAL 1 MONTH AS ets
+           |  FROM events),
+           |state AS (
+           |  SELECT * FROM src WHERE event_id NOT IN (1, 2, 3))
+           |SELECT strftime(ets, '%Y-%m') AS month,
+           |       CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           |       CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_value,
+           |       CAST(1 AS BIGINT) AS month_files_pruned
+           |FROM state
+           |WHERE ets >= TIMESTAMP '2024-02-01 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
   val all: Seq[Query] =
-    Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218)
+    Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218,
+      q219)
 }

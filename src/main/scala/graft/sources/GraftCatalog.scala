@@ -177,14 +177,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     // `PARTITIONED BY (c, ...)` — IDENTITY transforms (hive-laid-out
     // batch dirs + a real partition spec for partitionFilters pruning,
-    // via the `partition.columns` property) or ONE `bucket(n, c)`
+    // via the `partition.columns` property), ONE `bucket(n, c)`
     // transform (hash-bucket layout + KeyGroupedPartitioning scans for
-    // storage-partitioned joins, via `bucket.column`/`bucket.count`)
-    val (bucketTs, identTs) = partitions.toSeq.partition(_.name == "bucket")
+    // storage-partitioned joins, via `bucket.column`/`bucket.count`),
+    // or ONE HIDDEN transform — days/months/years/hours(ts) or
+    // truncate(n, c) — whose derived value lives only in `_pt=<v>`
+    // dirs and prunes on raw-column predicates (`ptransform.*` props)
+    val temporalKinds = Set("years", "months", "days", "hours")
+    val (bucketTs, rest) = partitions.toSeq.partition(_.name == "bucket")
+    val (xformTs, identTs) = rest.partition(t =>
+      temporalKinds.contains(t.name) || t.name == "truncate")
     require(bucketTs.length <= 1,
       "at most one bucket(...) transform is supported")
+    require(xformTs.length <= 1,
+      "at most one days/months/years/hours/truncate transform is supported")
     require(bucketTs.isEmpty || identTs.isEmpty,
       "bucket(...) cannot be combined with identity partition columns")
+    require(xformTs.isEmpty || (identTs.isEmpty && bucketTs.isEmpty),
+      "a hidden partition transform cannot be combined with identity " +
+        "columns or bucket(...)")
+    val xformProps: Map[String, String] = xformTs.headOption.map { t =>
+      val refs = t.references()
+      require(refs.length == 1 && refs.head.fieldNames().length == 1,
+        s"${t.name}(...) takes exactly one top-level column")
+      val cname = refs.head.fieldNames().head
+      val field = schema.fields.find(_.name == cname).getOrElse(
+        throw new IllegalArgumentException(
+          s"transform column $cname is not in the table schema"))
+      require(!schema.fieldNames.contains("_pt"),
+        "column name _pt is reserved for the transform layout")
+      import org.apache.spark.sql.types._
+      if (temporalKinds.contains(t.name)) {
+        val ok = field.dataType match {
+          case DateType => t.name != "hours" // hours of a DATE is void
+          case TimestampType | TimestampNTZType => true
+          case _ => false
+        }
+        require(ok, s"${t.name}(${cname}) needs a DATE/TIMESTAMP column, " +
+          s"got ${field.dataType.catalogString}")
+        Map("ptransform.kind" -> t.name, "ptransform.column" -> cname)
+      } else { // truncate(n, c)
+        val ok = field.dataType match {
+          case StringType | ByteType | ShortType | IntegerType |
+              LongType => true
+          case _ => false
+        }
+        require(ok, s"truncate($cname) needs a STRING or integral " +
+          s"column, got ${field.dataType.catalogString}")
+        val w = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"truncate transform needs a literal width: $t"))
+        require(w > 0, s"truncate width must be positive, got $w")
+        Map("ptransform.kind" -> "truncate", "ptransform.column" -> cname,
+          "ptransform.width" -> w.toString)
+      }
+    }.getOrElse(Map.empty)
     val partCols = identTs.map {
       case t if t.name == "identity" && t.references().length == 1 =>
         require(t.references().head.fieldNames().length == 1,
@@ -231,7 +281,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           TableCatalog.PROP_EXTERNAL).contains(k) }
     val all = user ++ (if (partCols.nonEmpty)
       Map("partition.columns" -> partCols.mkString(",")) else Map.empty) ++
-      bucketProps
+      bucketProps ++ xformProps
     if (all.nonEmpty)
       Sources.writeTableProperties(tableDir(ident), all)
     new GraftTable(spark, tableDir(ident), -1)
@@ -438,14 +488,25 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
   override lazy val schema: StructType = Sources.schemaOf(spark, path, pinned)
 
   override def partitioning()
-      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
     Sources.bucketSpecOf(path) match {
-      case Some((c, n)) => Array(
-        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c))
-      case None => Sources.partitionColumnsOf(path).map(
-        org.apache.spark.sql.connector.expressions.Expressions.identity)
-        .toArray
+      case Some((c, n)) => Array(Expressions.bucket(n, c))
+      case None => Sources.partTransformOf(path) match {
+        case Some(t) => Array(t.kind match {
+          case "years" => Expressions.years(t.column)
+          case "months" => Expressions.months(t.column)
+          case "days" => Expressions.days(t.column)
+          case "hours" => Expressions.hours(t.column)
+          case "truncate" => Expressions.apply("truncate",
+            Expressions.literal(Integer.valueOf(t.width)),
+            Expressions.column(t.column))
+        })
+        case None => Sources.partitionColumnsOf(path)
+          .map(Expressions.identity).toArray
+      }
     }
+  }
 
   lazy val fileIndex: PartitioningAwareFileIndex =
     new ManifestFileIndex(spark, path, pinned)
@@ -1064,7 +1125,8 @@ private[sources] class GraftWriteBuilder(table: String,
         // hive-partitioned or hash-bucketed table would corrupt the
         // directory layout both read paths key on
         require(Sources.partitionColumnsOf(table).isEmpty &&
-            Sources.bucketSpecOf(table).isEmpty,
+            Sources.bucketSpecOf(table).isEmpty &&
+            Sources.partTransformOf(table).isEmpty,
           "writeStream.toTable into a PARTITIONED/BUCKETED graft table " +
             "is not supported — ingest unpartitioned and " +
             "INSERT...SELECT, or use foreachBatch with commitVersion")

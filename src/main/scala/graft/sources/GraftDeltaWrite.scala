@@ -65,7 +65,8 @@ private[sources] class GraftDeltaOperation(spark: SparkSession,
     // layout-blind — they proceed on any table.
     if (info.schema().fields.nonEmpty &&
         (Sources.partitionColumnsOf(table).nonEmpty ||
-          Sources.bucketSpecOf(table).nonEmpty))
+          Sources.bucketSpecOf(table).nonEmpty ||
+          Sources.partTransformOf(table).nonEmpty))
       throw new UnsupportedOperationException(
         "MERGE INTO/UPDATE inserting rows into a PARTITIONED/BUCKETED " +
           "graft table is not supported — use Sources.mergeVersionDv " +
@@ -271,7 +272,8 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
     // layout-blind and proceed on any table)
     if (newFiles.nonEmpty &&
         (Sources.partitionColumnsOf(table).nonEmpty ||
-          Sources.bucketSpecOf(table).nonEmpty)) {
+          Sources.bucketSpecOf(table).nonEmpty ||
+          Sources.partTransformOf(table).nonEmpty)) {
       Sources.deleteTree(batchDir)
       throw new UnsupportedOperationException(
         "MERGE INTO/UPDATE inserting rows into a PARTITIONED/BUCKETED " +

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, LogicalRelation, PartitionDirectory, PartitioningAwareFileIndex, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{ByteType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampNTZType, TimestampType}
 
 /** The versioned table surfaced as a first-class Catalyst scan: a
   * custom [[FileIndex]] (the integration point Delta's TahoeFileIndex
@@ -324,9 +324,160 @@ class ManifestFileIndex(spark: SparkSession, table: String,
       }
   }
 
+  // ---- HIDDEN partition-transform pruning (days/months/years/hours/
+  // truncate): a pushed predicate on the RAW source column converts to
+  // a window test against each file's `_pt=<v>` directory segment.
+  // This is the coarse tier for transform-partitioned tables (their
+  // partition spec is deliberately EMPTY — the derived column is
+  // hidden), sitting above stats/bloom exactly where identity tables'
+  // partitionFilters sit. Conservative throughout: unparsable dir
+  // values, exotic predicate shapes, or non-literal bounds keep the
+  // file; Spark re-evaluates every predicate above the scan. ----------
+
+  private lazy val ptransform = Sources.partTransformOf(table)
+
+  /** The unescaped `_pt=` segment of a manifest path, if any. */
+  private def ptValueOf(path: String): Option[String] =
+    path.split('/').find(_.startsWith("_pt=")).map(seg =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.substring(4)))
+
+  /** Single-column literal bounds in a caller-chosen numeric space —
+    * the temporal sibling of [[boundsOf]] (strict relaxed to
+    * inclusive; unknown shapes contribute nothing). */
+  private def pickBounds(colName: String, filters: Seq[Expression],
+      toLong: Expression => Option[Long]): (Option[Long], Option[Long]) = {
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def add(l: Option[Long], h: Option[Long]): Unit = {
+      lo = (lo ++ l).reduceOption(_ max _)
+      hi = (hi ++ h).reduceOption(_ min _)
+    }
+    def walk(fs: Seq[Expression]): Unit = fs.foreach {
+      case GreaterThanOrEqual(a: AttributeReference, l)
+        if a.name == colName => add(toLong(l), None)
+      case GreaterThan(a: AttributeReference, l)
+        if a.name == colName => add(toLong(l), None)
+      case LessThanOrEqual(a: AttributeReference, l)
+        if a.name == colName => add(None, toLong(l))
+      case LessThan(a: AttributeReference, l)
+        if a.name == colName => add(None, toLong(l))
+      case EqualTo(a: AttributeReference, l)
+        if a.name == colName => add(toLong(l), toLong(l))
+      case GreaterThanOrEqual(l, a: AttributeReference)
+        if a.name == colName => add(None, toLong(l))
+      case GreaterThan(l, a: AttributeReference)
+        if a.name == colName => add(None, toLong(l))
+      case LessThanOrEqual(l, a: AttributeReference)
+        if a.name == colName => add(toLong(l), None)
+      case LessThan(l, a: AttributeReference)
+        if a.name == colName => add(toLong(l), None)
+      case EqualTo(l, a: AttributeReference)
+        if a.name == colName => add(toLong(l), toLong(l))
+      case In(a: AttributeReference, vs)
+        if a.name == colName && vs.nonEmpty =>
+        val bds = vs.map(toLong)
+        if (bds.forall(_.isDefined)) {
+          val xs = bds.flatten
+          add(Some(xs.min), Some(xs.max))
+        }
+      case And(x, y) => walk(Seq(x, y))
+      case _ => ()
+    }
+    walk(filters)
+    (lo, hi)
+  }
+
+  private def transformKeeper(dataFilters: Seq[Expression])
+      : String => Boolean = ptransform match {
+    case None => _ => true
+    case Some(t) =>
+      val srcType = Sources.declaredSchema(table, v)
+        .flatMap(_.fields.find(_.name == t.column)).map(_.dataType)
+      (t.kind, srcType) match {
+        case ("truncate", Some(StringType)) =>
+          stringBoundsOf(dataFilters).get(t.column) match {
+            case None | Some((None, None)) => _ => true
+            case Some((lo, hi)) => f => ptValueOf(f).forall { p =>
+              // file values x satisfy x.take(w) == p, and prefixing is
+              // monotone under lexicographic order, so overlap with
+              // [lo, hi] requires lo.take(w) <= p <= hi.take(w)
+              lo.forall(_.take(t.width).compareTo(p) <= 0) &&
+                hi.forall(_.take(t.width).compareTo(p) >= 0)
+            }
+          }
+        case ("truncate", Some(ByteType | ShortType | IntegerType |
+            LongType)) =>
+          boundsOf(dataFilters).get(t.column) match {
+            case None | Some((None, None)) => _ => true
+            case Some((lo, hi)) => f => ptValueOf(f).forall { p =>
+              // file values lie in [base, base + width)
+              scala.util.Try(BigDecimal(p)).toOption.forall(base =>
+                lo.forall(_ < base + t.width) && hi.forall(_ >= base))
+            }
+          }
+        case (_, Some(dt @ (DateType | TimestampType | TimestampNTZType))) =>
+          val zone = dt match {
+            case TimestampType => java.time.ZoneId.of(
+              spark.sessionState.conf.sessionLocalTimeZone)
+            case _ => java.time.ZoneOffset.UTC // NTZ/date: wall clock
+          }
+          // comparable space: DATE in epoch days, timestamps in micros
+          val toLong: Expression => Option[Long] = {
+            case Literal(null, _) => None
+            case Literal(d: Int, DateType) if dt == DateType => Some(d.toLong)
+            case Literal(d: Int, DateType) => // date literal vs ts column
+              Some(java.time.LocalDate.ofEpochDay(d.toLong)
+                .atStartOfDay(zone).toInstant.toEpochMilli * 1000L)
+            case Literal(x: Long, TimestampType | TimestampNTZType)
+              if dt != DateType => Some(x)
+            case _ => None
+          }
+          val (lo, hi) = pickBounds(t.column, dataFilters, toLong)
+          if (lo.isEmpty && hi.isEmpty) _ => true
+          else f => ptValueOf(f).forall { p =>
+            windowOf(t.kind, p, zone, dt).forall { case (ws, we) =>
+              lo.forall(_ < we) && hi.forall(_ >= ws)
+            }
+          }
+        case _ => _ => true // undeclared/unsupported source type: no pruning
+      }
+  }
+
+  /** [start, end) of a `_pt` dir value in the comparable space (epoch
+    * days for DATE sources, epoch/wall-clock micros for timestamps);
+    * None keeps the file (null partition, unparsable value). */
+  private def windowOf(kind: String, p: String, zone: java.time.ZoneId,
+      dt: org.apache.spark.sql.types.DataType): Option[(Long, Long)] =
+    scala.util.Try {
+      if (kind == "hours") {
+        val h = java.time.LocalDateTime.parse(p,
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH"))
+        (h.atZone(zone).toInstant.toEpochMilli * 1000L,
+          h.plusHours(1).atZone(zone).toInstant.toEpochMilli * 1000L)
+      } else {
+        val (start, end) = kind match {
+          case "years" =>
+            val y = java.time.Year.parse(p)
+            (y.atDay(1), y.plusYears(1).atDay(1))
+          case "months" =>
+            val m = java.time.YearMonth.parse(p)
+            (m.atDay(1), m.plusMonths(1).atDay(1))
+          case "days" =>
+            val d = java.time.LocalDate.parse(p)
+            (d, d.plusDays(1))
+        }
+        if (dt == DateType) (start.toEpochDay, end.toEpochDay)
+        else (start.atStartOfDay(zone).toInstant.toEpochMilli * 1000L,
+          end.atStartOfDay(zone).toInstant.toEpochMilli * 1000L)
+      }
+    }.toOption
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val keep = statsKeeper(dataFilters)
+    val statsKeep = statsKeeper(dataFilters)
+    val ptKeep = transformKeeper(dataFilters)
+    val keep: String => Boolean = f => ptKeep(f) && statsKeep(f)
     if (spec.partitionColumns.nonEmpty)
       // partitioned table: the BASE implementation prunes partitions
       // against partitionFilters (whole directories drop before any

@@ -1727,6 +1727,52 @@ object Sources {
   private[sources] def bucketIdColumn(c: Column, n: Int): Column =
     pmod(hash(c), lit(n))
 
+  /** A HIDDEN partition transform (Iceberg's model): `PARTITIONED BY
+    * (days(ts) | months(ts) | years(ts) | hours(ts) | truncate(n, c))`
+    * through the catalog. The derived value lives ONLY in `_pt=<v>`
+    * directory names — never in data files, never in the read schema —
+    * and is recomputed from the source column on every write/rewrite,
+    * so DML can never desynchronize it. Pruning happens in
+    * [[ManifestFileIndex.listFiles]]: a pushed predicate on the RAW
+    * source column converts to a window test against each file's
+    * `_pt` segment (a 100 TB daily-partitioned events table drops
+    * whole days driver-side before stats are even consulted). `width`
+    * is the truncate width; 0 for the temporal kinds. */
+  case class PartTransform(kind: String, column: String, width: Int)
+
+  /** The declared hidden transform, from the `ptransform.*` table
+    * properties ([[GraftCatalog.createTable]] writes them). */
+  def partTransformOf(table: String): Option[PartTransform] = {
+    val props = tableProperties(table)
+    for {
+      kind <- props.get("ptransform.kind")
+      c <- props.get("ptransform.column")
+    } yield PartTransform(kind.trim, c.trim,
+      props.get("ptransform.width").map(_.trim.toInt).getOrElse(0))
+  }
+
+  /** The writer-side derived partition value — codegen'd expressions.
+    * Temporal kinds format in the session time zone for TIMESTAMP (the
+    * engine standardizes on UTC), wall-clock for TIMESTAMP_NTZ, and
+    * calendar-day for DATE; dir values sort lexically = chronologically.
+    * Integral truncate is floor-to-multiple via `pmod` (negative values
+    * truncate toward -inf, Iceberg's contract); string truncate is the
+    * first `width` chars. */
+  private[sources] def transformColumn(t: PartTransform, c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = t.kind match {
+    case "years" => date_format(c, "yyyy")
+    case "months" => date_format(c, "yyyy-MM")
+    case "days" => date_format(c, "yyyy-MM-dd")
+    case "hours" => date_format(c, "yyyy-MM-dd-HH")
+    case "truncate" => dt match {
+      case org.apache.spark.sql.types.StringType =>
+        substring(c, 1, t.width)
+      case _ => (c - pmod(c, lit(t.width))).cast(dt)
+    }
+    case other => throw new IllegalStateException(
+      s"unknown partition transform kind $other")
+  }
+
   /** Write `df` into `batchPath` honoring the table's declared identity
     * partitioning — the ONE physical-batch writer every commit and
     * rewrite path routes through, so a partitioned table can never
@@ -1745,11 +1791,26 @@ object Sources {
         .repartition(n, col("_b"))
         .write.mode(SaveMode.ErrorIfExists).partitionBy("_b")
         .parquet(batchPath)
-    case None =>
-      val parts = partitionColumnsOf(table)
-        .filter(df.schema.fieldNames.contains(_))
-      val w = df.write.mode(SaveMode.ErrorIfExists)
-      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(batchPath)
+    case None => partTransformOf(table) match {
+      case Some(t) =>
+        require(df.schema.fieldNames.contains(t.column),
+          s"transform-partitioned table $table: batch is missing " +
+            s"source column ${t.column}")
+        // hidden transform layout: the derived value lives in `_pt=<v>`
+        // DIR NAMES only (recomputed from the source column on every
+        // write, so rewrites can never desynchronize it) — data files
+        // keep the full declared schema including the source column
+        df.withColumn("_pt",
+            transformColumn(t, col(t.column), df.schema(t.column).dataType))
+          .write.mode(SaveMode.ErrorIfExists).partitionBy("_pt")
+          .parquet(batchPath)
+      case None =>
+        val parts = partitionColumnsOf(table)
+          .filter(df.schema.fieldNames.contains(_))
+        val w = df.write.mode(SaveMode.ErrorIfExists)
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+          .parquet(batchPath)
+    }
   }
 
   /** List the parquet files of a just-written batch dir (recursive —
