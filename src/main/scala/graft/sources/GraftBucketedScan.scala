@@ -146,29 +146,45 @@ private[sources] class GraftBucketedScan(spark: SparkSession,
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // the query may request the table's _gfile/_gpos metadata columns:
-    // they are synthesized reader-side (file path from the partition,
-    // position from the row-index generator column), never read from
-    // parquet — schema clipping would null-fill them silently otherwise
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftBucketedScan.readerFactory(spark, dataSchema, required, filters,
+      haveDv = dv.nonEmpty)
+}
+
+private[sources] object GraftBucketedScan {
+  private val BucketDir = ".*/_b=(\\d+)/[^/]+$".r
+
+  /** The bucket id a data file was routed to, parsed from its `_b=`
+    * directory (the writer's hive layout). */
+  def bucketIdOf(path: String): Option[Int] = path match {
+    case BucketDir(b) => Some(b.toInt)
+    case _ => None
+  }
+
+  /** The shared per-file reader construction for the native batch
+    * scans (bucketed and plain-DV): Spark's own parquet reader
+    * function built once driver-side — pushed conjuncts buy row-group
+    * pruning, older-generation files missing ADD COLUMN fields
+    * null-fill through schema clipping. The `_gfile`/`_gpos` metadata
+    * columns are synthesized reader-side (file path from the
+    * partition, position from the row-index generator column), never
+    * read from parquet — schema clipping would null-fill them
+    * silently otherwise. DV'd positions drop inline via the indexed
+    * reader function (positions exact under row-group pruning). */
+  def readerFactory(spark: SparkSession, dataSchema: StructType,
+      required: StructType, filters: Seq[Filter], haveDv: Boolean)
+      : PartitionReaderFactory = {
     val hasMeta = required.fieldNames.exists(GraftTable.metaColumnNames)
     val dataFields = required.fields.filterNot(
       f => GraftTable.metaColumnNames(f.name))
     val dataStruct = StructType(dataFields)
-    // Spark's own parquet reader function, built once driver-side; the
-    // pushed conjuncts buy row-group pruning, older-generation files
-    // missing ADD COLUMN fields null-fill through schema clipping
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       spark, dataSchema, StructType(Nil), dataStruct, filters,
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
-    // DV-carrying versions keep SPJ: a second reader function requests
-    // the row-index generator column and the per-file bitset drops the
-    // marked positions inline (positions exact under row-group pruning);
-    // metadata-column requests ride the same indexed function
     val readFuncIdx =
-      if (dv.isEmpty && !hasMeta) readFunc
+      if (!haveDv && !hasMeta) readFunc
       else new ParquetFileFormat().buildReaderWithPartitionValues(
         spark, dataSchema, StructType(Nil),
         StructType(dataFields :+
@@ -193,15 +209,74 @@ private[sources] class GraftBucketedScan(spark: SparkSession,
   }
 }
 
-private[sources] object GraftBucketedScan {
-  private val BucketDir = ".*/_b=(\\d+)/[^/]+$".r
+/** The native DSv2 scan for a DV-carrying UNPARTITIONED table (the
+  * common dimension case): the same reader machinery as the bucketed
+  * scan — stats/bloom file skipping, inline DV application, metadata
+  * columns — minus the bucket grouping, PLUS planner-visible
+  * statistics. The V1-wrapped [[GraftDvScanBuilder]] stays for
+  * identity/transform-partitioned DV'd tables (their partition values
+  * live in paths and need the manifest index to reattach); it cannot
+  * report statistics through `V1ScanWrapper`, which is exactly why
+  * this scan exists: a nation-sized DV'd dimension must broadcast at
+  * PLAN time, not wait for AQE. */
+private[sources] class GraftDvBatchScanBuilder(spark: SparkSession,
+    table: String, version: Int, schema: StructType)
+  extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  /** The bucket id a data file was routed to, parsed from its `_b=`
-    * directory (the writer's hive layout). */
-  def bucketIdOf(path: String): Option[Int] = path match {
-    case BucketDir(b) => Some(b.toInt)
-    case _ => None
+  private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // everything residual (Spark re-evaluates above); the conjuncts
+    // buy row-group pruning in the reader and stats/bloom file
+    // skipping below
+    pushed = filters
+    filters
   }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftDvBatchScan(spark, table, version, schema, required,
+      pushed.toSeq)
+}
+
+private[sources] class GraftDvBatchScan(spark: SparkSession,
+    table: String, version: Int, dataSchema: StructType,
+    required: StructType, filters: Seq[Filter])
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-dv:$table@v$version"
+
+  private lazy val dv = Sources.dvOf(table, version)
+
+  private lazy val parts: Array[GraftBucketPartition] = {
+    val keep = Sources.filterKeeper(table, version, filters)
+    Sources.filesOf(table, version).filter(keep).sorted.map { f =>
+      GraftBucketPartition(f,
+        java.nio.file.Files.size(java.nio.file.Paths.get(f)), 0,
+        dv.get(f).map(_.toByteArray))
+    }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    parts.toArray[InputPartition]
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(parts.map(_.bytes).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftBucketedScan.readerFactory(spark, dataSchema, required, filters,
+      haveDv = dv.nonEmpty)
 }
 
 private[sources] class GraftBucketedReaderFactory(

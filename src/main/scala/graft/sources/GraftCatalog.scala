@@ -530,10 +530,16 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
         // deletes never cost the join its partitioning
         new GraftBucketedScanBuilder(spark, path, pinned, schema, c, n)
       case None if Sources.dvOf(path, pinned).nonEmpty =>
-        // the version carries deletion vectors: serve the DV-applying
-        // scan (correctness first; purge/compaction restores the direct
-        // vectorized path for later versions)
-        new GraftDvScanBuilder(spark, path, pinned, schema)
+        // the version carries deletion vectors: unpartitioned tables
+        // take the NATIVE DV batch scan (stats/bloom skipping, inline
+        // DV application, planner-visible statistics → a DV'd
+        // dimension still broadcasts without AQE); partition/transform
+        // layouts keep the V1 wrap, whose manifest-indexed inner read
+        // reattaches partition values from the hive paths
+        if (Sources.partitionColumnsOf(path).isEmpty &&
+            Sources.partTransformOf(path).isEmpty)
+          new GraftDvBatchScanBuilder(spark, path, pinned, schema)
+        else new GraftDvScanBuilder(spark, path, pinned, schema)
       case None =>
         // dataSchema excludes identity-partition columns — they live in
         // the hive paths and the scan serves them from partition values
@@ -663,7 +669,16 @@ object GraftTable {
       version: Int, required: StructType,
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.connector.read.Scan =
-    new org.apache.spark.sql.connector.read.V1Scan {
+    new org.apache.spark.sql.connector.read.V1Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+      override def estimateStatistics()
+          : org.apache.spark.sql.connector.read.Statistics =
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.of(Sources.versionBytes(table, version))
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.empty()
+        }
       override def readSchema(): StructType = required
       override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
           with org.apache.spark.sql.sources.TableScan](
@@ -809,8 +824,20 @@ private[sources] class GraftDvScanBuilder(spark: SparkSession,
     required = requiredSchema
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    new org.apache.spark.sql.connector.read.V1Scan {
+    new org.apache.spark.sql.connector.read.V1Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
       override def readSchema(): StructType = required
+      // manifest-known physical size → the planner sees a DV'd
+      // dimension's true bytes and can broadcast WITHOUT AQE (the V1
+      // wrap would otherwise report the huge V1 default)
+      override def estimateStatistics()
+          : org.apache.spark.sql.connector.read.Statistics =
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.of(Sources.versionBytes(table, version))
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.empty()
+        }
       override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
           with org.apache.spark.sql.sources.TableScan](
           context: org.apache.spark.sql.SQLContext): T =
@@ -818,6 +845,8 @@ private[sources] class GraftDvScanBuilder(spark: SparkSession,
             with org.apache.spark.sql.sources.TableScan {
           override def sqlContext: org.apache.spark.sql.SQLContext = context
           override def schema: StructType = required
+          override def sizeInBytes: Long =
+            Sources.versionBytes(table, version)
           override def buildScan()
               : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
             var df = ManifestFileIndex.readVersionIndexed(
@@ -851,19 +880,60 @@ private[graft] class GraftMetaTable(tableName: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    () => new org.apache.spark.sql.connector.read.V1Scan {
+    () => new org.apache.spark.sql.connector.read.Scan
+      with org.apache.spark.sql.connector.read.Batch
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+      // a NATIVE batch scan (not a V1Scan: the V1ScanWrapper hides
+      // SupportsReportStatistics, pinning every metadata table at the
+      // huge V1 default and vetoing planner-side broadcasts): the rows
+      // are KB-scale driver-computed metadata, collected once and
+      // shipped inside the single input partition
+      private lazy val rows: Array[org.apache.spark.sql.catalyst.InternalRow] =
+        df.queryExecution.executedPlan.executeCollect()
       override def readSchema(): StructType = df.schema
-      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
-          with org.apache.spark.sql.sources.TableScan](
-          context: org.apache.spark.sql.SQLContext): T =
-        (new org.apache.spark.sql.sources.BaseRelation
-            with org.apache.spark.sql.sources.TableScan {
-          override def sqlContext: org.apache.spark.sql.SQLContext = context
-          override def schema: StructType = df.schema
-          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-            df.rdd
-        }).asInstanceOf[T]
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+      override def description(): String = tableName
+      override def estimateStatistics()
+          : org.apache.spark.sql.connector.read.Statistics =
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.of(math.max(1L, rows.map {
+              case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+                u.getSizeInBytes.toLong
+              case _ => 64L
+            }.sum))
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.of(rows.length.toLong)
+        }
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] =
+        Array(GraftMetaPartition(rows))
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new GraftMetaReaderFactory
     }
+}
+
+private[sources] case class GraftMetaPartition(
+    rows: Array[org.apache.spark.sql.catalyst.InternalRow])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] class GraftMetaReaderFactory
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val it = p.asInstanceOf[GraftMetaPartition].rows.iterator
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** A real DSv2 `BatchWrite` over the format: executors stream

@@ -136,6 +136,12 @@ private[sources] class DvRelation(
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = Sources.schemaOf(spark, table, version)
 
+  // the manifest knows the version's exact physical size — without the
+  // override the V1 default (spark.sql.defaultSizeInBytes = huge) makes
+  // a nation-sized DV'd dimension ineligible for a planner-side
+  // broadcast and leaves the join decision to AQE alone
+  override def sizeInBytes: Long = Sources.versionBytes(table, version)
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[org.apache.spark.sql.sources.Filter])
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {

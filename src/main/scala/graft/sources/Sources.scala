@@ -1696,6 +1696,19 @@ object Sources {
     tableProperties(table).get("bloom.columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
+  /** Exact physical bytes of a version — the manifest's file list
+    * sized from the filesystem (driver-side, metadata-cheap). The
+    * planner-statistics source for every scan path that is not a
+    * FileScan (the V1 DV wrap, the meta-column scan): Catalyst's
+    * broadcast decision then fires BEFORE AQE, exactly as for a plain
+    * parquet dimension. */
+  private[sources] def versionBytes(table: String, version: Int): Long = {
+    val v = if (version < 0) latestVersion(table) else version
+    filesOf(table, v).map(f =>
+      scala.util.Try(java.nio.file.Files.size(
+        java.nio.file.Paths.get(f))).getOrElse(0L)).sum
+  }
+
   /** The `partition.columns` table property — identity partition
     * columns declared at CREATE (`PARTITIONED BY (c)` through the
     * catalog). Batches land hive-laid-out (`c=v/` dirs inside the

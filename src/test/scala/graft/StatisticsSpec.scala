@@ -1,0 +1,121 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Planner-visible statistics for graft tables
+  * ([[Sources.versionBytes]] surfaced through
+  * `SupportsReportStatistics` / `BaseRelation.sizeInBytes`): the
+  * broadcast decision must fire at PLAN time from the manifest's known
+  * size — before AQE — for every read stack, including the V1-wrapped
+  * DV scan that previously reported the huge V1 default. */
+class StatisticsSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  private def freshCatalog(): (String, String) = {
+    val wh = tmp("stat-cat")
+    val cat = s"st${math.abs(wh.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Initial (pre-execution) physical plan — AQE is disabled in these
+    * tests, so this IS the plan that runs; the point is precisely that
+    * no runtime re-plan is needed. */
+  private def initialNodes(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    def go(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(go)
+    go(df.queryExecution.executedPlan)
+  }
+
+  private def broadcastJoins(df: DataFrame): Int = initialNodes(df).count {
+    case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+    case _ => false
+  }
+
+  private def sortMergeJoins(df: DataFrame): Int = initialNodes(df).count {
+    case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+    case _ => false
+  }
+
+  test("a dimension-sized graft table broadcasts WITHOUT AQE; a " +
+    "fact-sized one does not; a DV-carrying dimension (V1 wrap) " +
+    "still broadcasts") {
+    val (cat, wh) = freshCatalog()
+    Tables.nation(spark, sf).createOrReplaceTempView("stat_nation_src")
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      .createOrReplaceTempView("stat_fact_src")
+    spark.sql(s"""CREATE TABLE $cat.dim (
+                 |  n_nationkey BIGINT, n_name STRING,
+                 |  n_regionkey BIGINT)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.dim SELECT * FROM stat_nation_src")
+    spark.sql(s"""CREATE TABLE $cat.fact (
+                 |  l_orderkey BIGINT, l_suppkey BIGINT,
+                 |  l_quantity DOUBLE, l_extendedprice DOUBLE)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.fact SELECT * FROM stat_fact_src")
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (8 * 1024).toString) {
+      // dim (~3 KB) joins fact: the planner must know the dim's size
+      // from the manifest and pick a broadcast join with NO AQE help
+      val dimJoin = spark.sql(
+        s"""SELECT f.l_orderkey, d.n_name FROM $cat.fact f
+           |JOIN $cat.dim d ON f.l_suppkey % 25 = d.n_nationkey""".stripMargin)
+      assert(broadcastJoins(dimJoin) === 1 && sortMergeJoins(dimJoin) === 0,
+        s"plain dim must broadcast without AQE:\n" +
+          dimJoin.queryExecution.executedPlan)
+      // fact (~100 KB > 32 KB threshold) joins fact: no broadcast
+      val factJoin = spark.sql(
+        s"""SELECT a.l_orderkey FROM $cat.fact a
+           |JOIN $cat.fact b ON a.l_orderkey = b.l_orderkey""".stripMargin)
+      assert(broadcastJoins(factJoin) === 0 && sortMergeJoins(factJoin) === 1,
+        s"fact-fact must not broadcast at an 8 KB threshold:\n" +
+          factJoin.queryExecution.executedPlan)
+      // DV the dimension: the read routes through the V1 wrap, whose
+      // BaseRelation/Scan now report the manifest size — still a
+      // planner-side broadcast
+      val t = s"$wh/dim"
+      val (_, marked, usedDv) = Sources.deleteWhereDv(spark, t,
+        col("n_nationkey") === 0L)
+      assert(usedDv && marked === 1L)
+      val dvJoin = spark.sql(
+        s"""SELECT f.l_orderkey, d.n_name FROM $cat.fact f
+           |JOIN $cat.dim d ON f.l_suppkey % 25 = d.n_nationkey""".stripMargin)
+      assert(broadcastJoins(dvJoin) === 1 && sortMergeJoins(dvJoin) === 0,
+        s"DV'd dim must still broadcast without AQE:\n" +
+          dvJoin.queryExecution.executedPlan)
+      assert(dvJoin.filter(col("n_name").isNull).count() === 0)
+      // and the metadata tables report their true KB-scale size to the
+      // planner instead of the V1 default (which would veto broadcasts)
+      val metaStats = spark.sql(s"SELECT * FROM $cat.`fact$$files`")
+        .queryExecution.optimizedPlan.stats
+      assert(metaStats.sizeInBytes < 1024 * 1024,
+        s"the $$files metadata table must report KB-scale stats, got " +
+          s"${metaStats.sizeInBytes}")
+      // the DV'd dim's logical stats are the manifest's physical bytes
+      val dimStats = spark.sql(s"SELECT * FROM $cat.dim")
+        .queryExecution.optimizedPlan.stats
+      assert(dimStats.sizeInBytes < 8 * 1024,
+        s"DV'd dim must report manifest bytes, got ${dimStats.sizeInBytes}")
+    }
+  }
+}
