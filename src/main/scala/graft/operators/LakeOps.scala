@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Query, Tables}
 import graft.Canon.dsum
-import graft.sources.{ManifestFileIndex, Sources}
+import graft.sources.{ManifestFileIndex, Refs, Sources}
 import org.apache.spark.sql.functions._
 
 /** The versioned-table ("lake") lifecycle as an ORACLE-GATED query —
@@ -1045,7 +1045,217 @@ object LakeOps {
            |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
+  /** Q220 — EQUALITY DELETES end-to-end, oracle-gated: the O(keys)
+    * CDC upsert path ([[Sources.mergeVersionEq]], the Iceberg
+    * equality-delete-file design on the manifest format). Two CDC
+    * batches land as key sidecars + appended upsert batches with NO
+    * base-file scan at commit time (EqualityDeleteSpec pins the
+    * zero-input-records witness; here `files_carried` pins that every
+    * eq commit's manifest is the previous one plus appended files —
+    * the no-rewrite half of the claim), an unrelated append carries
+    * both pending entries, [[Sources.purgeEq]] absorbs them back into
+    * clean files, and the final state reads back through the indexed
+    * scan. Batch 2 re-upserts half of batch 1's keys, so the hash
+    * match also proves LAST-WRITER-WINS composes across scoped
+    * entries: each entry shadows exactly the files committed before
+    * it, never its own (or any later) batch. The oracle restates the
+    * lifecycle relationally over the raw `orders` fixture.
+    *
+    * Scale note: this is the 100 TB streaming-CDC shape — commit cost
+    * O(change keys) instead of [[Sources.mergeVersionDv]]'s
+    * O(candidate-file rows) write-time position scan; readers pay a
+    * broadcast anti-join per pending entry until the (bounded,
+    * schedulable) purge rewrite reclaims the fast path. */
+  val q220 = Query(
+    "q220_equality_deletes",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-eq-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val table = root.resolve("orders_eq").toString
+      def manifest(v: Int): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(table, s"v$v.manifest")).asScala.toSeq
+          .filter(_.nonEmpty)
+      }
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val v1 = Sources.commitVersion(
+        orders.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), table)
+      // CDC batch 1: every key ≡ 0 (mod 7) upserted, every key ≡ 0
+      // (mod 499) ∧ ≢ 0 (mod 7) deleted — one changeset, one eq commit
+      val b1 = orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_orderpriority", lit("Z1-CDC"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0d)
+        .withColumn("op", lit("upsert"))
+        .unionByName(orders
+          .filter(pmod(col("o_orderkey"), lit(499)) === 0 &&
+            pmod(col("o_orderkey"), lit(7)) =!= 0)
+          .withColumn("op", lit("delete")))
+      val (v2, _) = Sources.mergeVersionEq(s, table, b1, Seq("o_orderkey"))
+      // CDC batch 2 re-upserts the even half of batch 1's keys — the
+      // LWW composition the scoped-entry design must get right
+      val b2 = orders.filter(pmod(col("o_orderkey"), lit(14)) === 0)
+        .withColumn("o_orderpriority", lit("Z2-CDC"))
+        .withColumn("o_totalprice", col("o_totalprice") + 2.0d)
+        .withColumn("op", lit("upsert"))
+      val (v3, _) = Sources.mergeVersionEq(s, table, b2, Seq("o_orderkey"))
+      // the no-rewrite witness: each eq commit CARRIED every prior file
+      val carried =
+        if (manifest(v2).take(manifest(v1).length) == manifest(v1) &&
+          manifest(v3).take(manifest(v2).length) == manifest(v2)) 1L else 0L
+      // unrelated append: both pending entries must carry
+      Sources.commitVersion(
+        orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_orderpriority", lit("9-BACKFILL")), table)
+      val pending = Sources.eqOf(table, Sources.latestVersion(table))
+        .length.toLong
+      // reclaim: purge rewrites exactly the in-scope files; the head
+      // version is clean again
+      Sources.purgeEq(s, table)
+      val clean =
+        if (Sources.eqOf(table, Sources.latestVersion(table)).isEmpty) 1L
+        else 0L
+      ManifestFileIndex.readVersionIndexed(s, table)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("files_carried", lit(carried))
+        .withColumn("eq_pending", lit(pending))
+        .withColumn("eq_clean", lit(clean))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH state AS (
+           |  SELECT o_totalprice, o_orderpriority FROM orders
+           |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 499 <> 0
+           |  UNION ALL
+           |  SELECT o_totalprice + 1, 'Z1-CDC' FROM orders
+           |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 14 <> 0
+           |  UNION ALL
+           |  SELECT o_totalprice + 2, 'Z2-CDC' FROM orders
+           |  WHERE o_orderkey % 14 = 0
+           |  UNION ALL
+           |  SELECT o_totalprice, '9-BACKFILL' FROM orders
+           |  WHERE o_orderkey % 10 = 0)
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |       CAST(1 AS BIGINT) AS files_carried,
+           |       CAST(2 AS BIGINT) AS eq_pending,
+           |       CAST(1 AS BIGINT) AS eq_clean
+           |FROM state
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin)
+  )
+
+  /** Q221 — WRITE-AUDIT-PUBLISH end-to-end, oracle-gated: tag the
+    * baseline, fork a branch ([[graft.sources.Refs.createBranch]] —
+    * one manifest write, zero data movement), land a keyed
+    * merge-on-read MERGE on the BRANCH chain (the full commit
+    * machinery works there because a branch IS a table), verify main
+    * readers still serve the untouched baseline (`main_stable`), then
+    * fast-forward publish — whose metadata-only nature is pinned by
+    * `publish_no_write`: the count of parquet files on disk (parent
+    * pool + branch pool together) is IDENTICAL before and after, the
+    * local batches having RENAMED into the parent pool. The tag keeps
+    * serving the pre-branch state afterwards (`tag_stable`), i.e. WAP
+    * composes with time travel. The oracle restates the published end
+    * state relationally over the raw `orders` fixture.
+    *
+    * Scale note: at 100 TB, audit-then-swap beats audit-in-place
+    * exactly because both fork and publish move ZERO data bytes — the
+    * expensive step (writing the staged changes) happens once, on the
+    * branch, invisible to production readers until the one-manifest
+    * swap. */
+  val q221 = Query(
+    "q221_branch_wap",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-wap-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val table = root.resolve("orders_wap").toString
+      def parquetCount(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala
+          .count(_.toString.endsWith(".parquet")).toLong
+      }
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val nBase = orders.count()
+      Sources.commitVersion(
+        orders.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), table)
+      Refs.tagVersion(table, "pre-wap")
+      val forkBase = Sources.latestVersion(table)
+      val bd = Refs.createBranch(table, "audit")
+      // the staged change, committed on the BRANCH chain: keyed MoR
+      // merge — every key ≡ 0 (mod 100) upserted, ≡ 1 (mod 100) deleted
+      val changes = orders.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .withColumn("o_orderpriority", lit("W-STAGED"))
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0d)
+        .withColumn("op", lit("upsert"))
+        .unionByName(orders
+          .filter(pmod(col("o_orderkey"), lit(100)) === 1)
+          .withColumn("op", lit("delete")))
+      Sources.mergeVersionDv(s, table = bd, changes = changes,
+        key = "o_orderkey")
+      // AUDIT gate: main is byte-stable while the branch carries the work
+      val mainStable =
+        if (Sources.latestVersion(table) == forkBase &&
+          Sources.readVersion(s, table).count() == nBase) 1L else 0L
+      val diskBefore = parquetCount()
+      Refs.publishBranch(table, "audit")
+      val publishNoWrite = if (parquetCount() == diskBefore) 1L else 0L
+      Refs.dropBranch(table, "audit")
+      val tagStable =
+        if (Refs.readRef(s, table, "pre-wap").count() == nBase) 1L else 0L
+      ManifestFileIndex.readVersionIndexed(s, table)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("main_stable", lit(mainStable))
+        .withColumn("publish_no_write", lit(publishNoWrite))
+        .withColumn("tag_stable", lit(tagStable))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH state AS (
+           |  SELECT o_totalprice, o_orderpriority FROM orders
+           |  WHERE o_orderkey % 100 <> 0 AND o_orderkey % 100 <> 1
+           |  UNION ALL
+           |  SELECT o_totalprice + 5, 'W-STAGED' FROM orders
+           |  WHERE o_orderkey % 100 = 0)
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |       CAST(1 AS BIGINT) AS main_stable,
+           |       CAST(1 AS BIGINT) AS publish_no_write,
+           |       CAST(1 AS BIGINT) AS tag_stable
+           |FROM state
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218,
-      q219)
+      q219, q220, q221)
 }

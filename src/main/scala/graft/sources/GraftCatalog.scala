@@ -141,6 +141,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             Sources.dvOf(dir, v).toSeq.sortBy(_._1)
               .map { case (f, b) => (f, b.cardinality().toLong) }
               .toDF("file", "dv_rows")
+          case "refs" =>
+            // tags + branches in one audit surface: kind, name, the
+            // version a tag pins / a branch forked from, and a
+            // branch's current head (tags repeat their version)
+            val s = spark
+            import s.implicits._
+            val tags = Refs.tagsOf(dir).toSeq.sorted
+              .map { case (n, v) => ("tag", n, v, v) }
+            val branches = Refs.branchesOf(dir).toSeq.sortBy(_._1)
+              .map { case (n, (base, head)) => ("branch", n, base, head) }
+            (tags ++ branches)
+              .toDF("kind", "name", "version", "head")
+          case "eq" =>
+            // pending equality-delete entries for the HEAD version: key
+            // columns, retired-key count, and scope width — the gauge
+            // read before CALL g.system.purge_eq
+            val s = spark
+            import s.implicits._
+            val v = Sources.latestVersion(dir)
+            Sources.eqOf(dir, v).map { e =>
+              val nKeys = scala.util.Try(
+                s.read.parquet(e.dataPath).count()).getOrElse(0L)
+              (e.keyCols.mkString(","), nKeys, e.basedOn)
+            }.toDF("key_columns", "n_keys", "based_on")
           case other => throw new NoSuchTableException(ident)
         }
         new GraftMetaTable(s"graft:$dir$$$meta", df)
@@ -151,10 +175,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `SELECT ... FROM g.t VERSION AS OF <n>` — SQL time travel straight
-    * off the manifest history. */
+    * off the manifest history. A NON-numeric version is a ref name:
+    * a tag resolves to its pinned version, a branch name to the branch
+    * chain's head (`VERSION AS OF 'dev'` audits a WAP branch in SQL). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftTable(spark, tableDir(ident), version.trim.toInt)
+    val dir = tableDir(ident)
+    val v = version.trim
+    if (v.matches("-?\\d+")) new GraftTable(spark, dir, v.toInt)
+    else Refs.resolve(dir, v) match {
+      case Some((refDir, refV)) => new GraftTable(spark, refDir, refV)
+      case None => throw new IllegalArgumentException(
+        s"${ident.name()} has no version, tag, or branch '$v'")
+    }
   }
 
   /** `TIMESTAMP AS OF` — latest version whose manifest was published at
@@ -521,7 +554,14 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    Sources.bucketSpecOf(path) match {
+    if (Sources.eqOf(path, pinned).nonEmpty)
+      // pending equality deletes: every row must pass the per-entry
+      // broadcast anti-joins, which only the V1 wrap's indexed read
+      // composes today — the version temporarily trades the native
+      // batch scan (and a bucketed table its SPJ partitioning) for
+      // correctness; CALL g.system.purge_eq restores the fast paths
+      new GraftDvScanBuilder(spark, path, pinned, schema)
+    else Sources.bucketSpecOf(path) match {
       case Some((c, n)) =>
         // hash-bucketed: the scan reports KeyGroupedPartitioning so
         // co-bucketed joins plan shuffle-free (SPJ) and point
@@ -579,8 +619,19 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
   // — on ANY layout, DV-carrying versions included.
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // PLANNING-time guard: the delta scan serves rows by (file, pos)
+    // with per-partition DV bitsets — it cannot compose the pending
+    // equality-delete anti-joins, so a MERGE/UPDATE/DELETE here would
+    // treat eq-retired rows as matchable. Refuse before any work runs.
+    if (Sources.eqOf(path, pinned).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$path carries pending equality deletes — run " +
+          "CALL <catalog>.system.purge_eq('<table>') (or the " +
+          "Sources.purgeEq API) before SQL row-level DML; the keyed " +
+          "mergeVersionEq/mergeVersionDv APIs remain available")
     () => new GraftDeltaOperation(spark, path, this, info.command())
+  }
 
   /** The row identity the delta operations key on — Iceberg's
     * `_file`/`_pos` contract: manifest path + physical parquet row

@@ -150,6 +150,18 @@ private[sources] class GraftCdfStream(spark: SparkSession, table: String,
     val s = start.asInstanceOf[GraftCdfOffset].version
     val e = end.asInstanceOf[GraftCdfOffset].version
     (s + 1 to e).flatMap { v =>
+      // the stream's unit is a (file, position-bitset) partition; an
+      // equality-delete commit's delta is a KEY JOIN against in-scope
+      // files, which no per-file partition can carry — refuse loudly
+      // rather than silently drop the deletes (batch readChanges IS
+      // eq-aware; purge_eq re-enables the stream)
+      val eqPrev = (if (v <= 1) Nil else Sources.eqOf(table, v - 1))
+        .map(_.dataPath).toSet
+      if (Sources.eqOf(table, v).exists(en => !eqPrev.contains(en.dataPath)))
+        throw new UnsupportedOperationException(
+          s"$table v$v adds equality-delete entries; the streaming CDF " +
+            "cannot emit key-join deltas — consume this range with " +
+            "Sources.readChanges, or purge_eq before streaming")
       val before =
         if (v <= 1) Set.empty[String]
         else Sources.filesOf(table, v - 1).toSet

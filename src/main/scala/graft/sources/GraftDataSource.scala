@@ -108,7 +108,7 @@ object GraftDataSource {
       spark: org.apache.spark.sql.SparkSession,
       table: String, version: Int): BaseRelation = {
     val v = if (version < 0) Sources.latestVersion(table) else version
-    if (Sources.dvOf(table, v).nonEmpty)
+    if (Sources.dvOf(table, v).nonEmpty || Sources.eqOf(table, v).nonEmpty)
       new DvRelation(spark, table, v)
     else {
       val index = new ManifestFileIndex(spark, table, v)

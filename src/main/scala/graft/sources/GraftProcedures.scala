@@ -88,6 +88,15 @@ private[sources] object GraftProcedures {
             val (v, purged) = Sources.purgeDv(spark, table(in, 0))
             Seq(v, purged)
           }))
+        case (Seq("system"), "purge_eq") => Some(new Proc(
+          "purge_eq",
+          Seq(("table", StringType, None)),
+          StructType(Seq(StructField("version", IntegerType),
+            StructField("files_rewritten", IntegerType))),
+          (spark, in) => {
+            val (v, rewritten) = Sources.purgeEq(spark, table(in, 0))
+            Seq(v, rewritten)
+          }))
         case (Seq("system"), "analyze") => Some(new Proc(
           "analyze",
           Seq(("table", StringType, None),
@@ -108,15 +117,51 @@ private[sources] object GraftProcedures {
             ("version", IntegerType, None)),
           StructType(Seq(StructField("restored_as_version", IntegerType))),
           (_, in) => Seq(Sources.rollbackTo(table(in, 0), in.getInt(1)))))
+        case (Seq("system"), "tag") => Some(new Proc(
+          "tag",
+          Seq(("table", StringType, None), ("name", StringType, None),
+            ("version", IntegerType, Some("-1"))),
+          StructType(Seq(StructField("tagged_version", IntegerType))),
+          (_, in) => Seq(Refs.tagVersion(table(in, 0),
+            in.getUTF8String(1).toString, in.getInt(2)))))
+        case (Seq("system"), "drop_tag") => Some(new Proc(
+          "drop_tag",
+          Seq(("table", StringType, None), ("name", StringType, None)),
+          StructType(Seq(StructField("dropped", BooleanType))),
+          (_, in) => Seq(Refs.dropTag(table(in, 0),
+            in.getUTF8String(1).toString))))
+        case (Seq("system"), "create_branch") => Some(new Proc(
+          "create_branch",
+          Seq(("table", StringType, None), ("name", StringType, None)),
+          StructType(Seq(StructField("branch_dir", StringType))),
+          (_, in) => Seq(Refs.createBranch(table(in, 0),
+            in.getUTF8String(1).toString))))
+        case (Seq("system"), "publish_branch") => Some(new Proc(
+          "publish_branch",
+          Seq(("table", StringType, None), ("name", StringType, None)),
+          StructType(Seq(StructField("published_as_version", IntegerType))),
+          (_, in) => Seq(Refs.publishBranch(table(in, 0),
+            in.getUTF8String(1).toString))))
+        case (Seq("system"), "drop_branch") => Some(new Proc(
+          "drop_branch",
+          Seq(("table", StringType, None), ("name", StringType, None)),
+          StructType(Seq(StructField("dropped", BooleanType))),
+          (_, in) => {
+            Refs.dropBranch(table(in, 0), in.getUTF8String(1).toString)
+            Seq(true)
+          }))
         case _ => None
       }
     proc.getOrElse(throw new RuntimeException(
       s"graft has no procedure ${ident.namespace().mkString(".")}." +
         ident.name() + " — see system.{optimize,vacuum,purge_dv," +
-        "analyze,rollback}"))
+        "purge_eq,analyze,rollback,tag,drop_tag,create_branch," +
+        "publish_branch,drop_branch}"))
   }
 
   val all: Array[Identifier] =
-    Array("optimize", "vacuum", "purge_dv", "analyze", "rollback")
+    Array("optimize", "vacuum", "purge_dv", "purge_eq", "analyze",
+        "rollback", "tag", "drop_tag", "create_branch", "publish_branch",
+        "drop_branch")
       .map(Identifier.of(Array("system"), _))
 }

@@ -501,13 +501,14 @@ object ManifestFileIndex {
   def readVersionIndexed(spark: SparkSession, table: String,
       version: Int = -1): DataFrame = {
     val v = if (version < 0) Sources.latestVersion(table) else version
-    // DV application ABOVE the indexed scan: deleted positions filter
-    // out via the scan's own _metadata probe while file skipping,
-    // pushdown, and the vectorized reader all stay intact (the DV
-    // predicate is one extra deterministic conjunct; clean versions
-    // skip it entirely)
-    Sources.applyDv(frameForFiles(spark, table, v, None),
-      Sources.dvOf(table, v))
+    // DV + equality-delete application ABOVE the indexed scan: deleted
+    // positions filter out via the scan's own _metadata probe, eq key
+    // sets via broadcast anti-joins, while file skipping, pushdown, and
+    // the vectorized reader all stay intact (clean versions skip both
+    // entirely)
+    Sources.applyEq(spark,
+      Sources.applyDv(frameForFiles(spark, table, v, None),
+        Sources.dvOf(table, v)), table, v)
   }
 
   /** The manifest-pinned HadoopFsRelation as a DataFrame, optionally

@@ -411,10 +411,13 @@ object Sources {
       try {
         publishManifest(table, next, carried ++ newFiles)
         declaredNext.foreach(publishSchema(table, next, _))
-        // DV carry: an APPEND keeps the previous files in the manifest,
-        // so their deleted rows must stay deleted in the new version;
-        // an overwrite replaces the file set and starts clean
-        if (!overwrite && prev > 0) carryDv(table, prev, next, carried)
+        // DV + eq carry: an APPEND keeps the previous files in the
+        // manifest, so their deleted rows must stay deleted in the new
+        // version; an overwrite replaces the file set and starts clean
+        if (!overwrite && prev > 0) {
+          carryDv(table, prev, next, carried)
+          carryEq(table, prev, next, carried)
+        }
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -474,7 +477,7 @@ object Sources {
     * exists-check + rename is NOT atomic on POSIX — two racing
     * committers could both pass the check and the second rename would
     * silently OVERWRITE the first manifest, losing a commit. */
-  private def publishManifest(table: String, version: Int,
+  private[sources] def publishManifest(table: String, version: Int,
       files: Seq[String]): Unit = {
     val dir = java.nio.file.Paths.get(table)
     java.nio.file.Files.createDirectories(dir)
@@ -506,17 +509,19 @@ object Sources {
     else if (partitionColumnsOf(table).nonEmpty)
       // partitioned: the manifest index reattaches partition columns
       // from the hive paths (a flat read would null them)
-      applyDv(ManifestFileIndex.frameForFiles(spark, table, v, None),
-        dvOf(table, v))
+      applyEq(spark,
+        applyDv(ManifestFileIndex.frameForFiles(spark, table, v, None),
+          dvOf(table, v)), table, v)
     else
       // DECLARED schema where one exists: after a type widening, file
       // generations mix (int32 and int64 cnt); footer inference would
       // pick whichever file lists first and crash on the other
       // generation — the declared read widens narrow generations
       // through the parquet reader's type promotion instead
-      applyDv(declaredSchema(table, v)
-        .fold(spark.read)(sc => spark.read.schema(sc))
-        .parquet(files: _*), dvOf(table, v))
+      applyEq(spark,
+        applyDv(declaredSchema(table, v)
+          .fold(spark.read)(sc => spark.read.schema(sc))
+          .parquet(files: _*), dvOf(table, v)), table, v)
   }
 
   // ---- deletion vectors: merge-on-read row-level deletes -------------
@@ -659,9 +664,12 @@ object Sources {
     if (candidates.isEmpty) return (v, 0L, true)
     val prevDv = dvOf(table, v)
     // candidate scan: matching rows' (file, position), minus rows the
-    // previous DV already deleted (marking twice would double-count);
+    // previous DV (or a pending eq entry) already deleted — marking a
+    // dead row would double-count here and double-delete in the CDF;
     // partition-aware so the predicate may reference partition columns
-    val matched = applyDv(readFileSubset(spark, table, v, candidates), prevDv)
+    val matched = applyEq(spark,
+        applyDv(readFileSubset(spark, table, v, candidates), prevDv),
+        table, v)
       .filter(coalesce(cond, lit(false)))
       .select(col("_metadata.file_path").as("__p"),
         col("_metadata.row_index").as("__i"))
@@ -813,6 +821,7 @@ object Sources {
     if (bloomCols.nonEmpty)
       commitBlooms(spark, table, next, bloomCols, carryFrom = basedOn)
     publishDv(table, next, merged.toMap)
+    carryEq(table, basedOn, next, files) // base files all carry
     next
   }
 
@@ -830,7 +839,11 @@ object Sources {
     val files = filesOf(table, v)
     val affected = files.filter(dv.contains)
     val carried = files.filterNot(dv.contains)
-    val survivors = applyDv(readFileSubset(spark, table, v, affected), dv)
+    // eq-deleted rows of a rewritten file must not resurrect (the new
+    // files fall outside every entry's scope) — apply pending eq sets
+    // here; carried files keep their entries via carryEq below
+    val survivors = applyEq(spark,
+      applyDv(readFileSubset(spark, table, v, affected), dv), table, v)
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-purge-${java.util.UUID.randomUUID().toString.take(8)}")
     writePartitionedBatch(survivors, table, batch.toString)
@@ -851,6 +864,304 @@ object Sources {
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
     // no DV publish: every DV'd file was rewritten — the new version is
     // clean and reads on the untouched vectorized fast path again
+    // (pending eq entries DO carry for the untouched files)
+    carryEq(table, v, next, carried)
+    (next, affected.length)
+  }
+
+  // ---- equality deletes: O(keys) CDC upsert commits -----------------
+  //
+  // [[mergeVersionDv]] is merge-on-read on the WRITE side too — but it
+  // still pays a write-time candidate scan to turn retired keys into
+  // file positions. At streaming-CDC rates against 100 TB that scan IS
+  // the commit cost: every micro-batch opens every candidate file the
+  // key stats cannot rule out. Iceberg's equality delete files answer
+  // this by recording only the RETIRED KEYS and deferring the position
+  // lookup to read and compaction time. The `v<N>.eq` sidecar lists
+  // entries `keyCols \t keysParquetDir \t basedOnVersion`:
+  //  - an entry's SCOPE is the manifest of `basedOn` — exactly the
+  //    files committed BEFORE it — intersected with the reading
+  //    version's manifest. A commit's own appended rows (and every
+  //    later append) are outside every earlier scope, so
+  //    last-writer-wins composes across any number of eq commits;
+  //  - the write cost is O(distinct change keys): one metadata-scale
+  //    parquet of keys plus the appended upsert batch. NO base data
+  //    file is opened at commit time (EqualityDeleteSpec pins this
+  //    with an input-metrics listener);
+  //  - every reader drops in-scope rows matching a key set via a
+  //    broadcast anti-join per entry — the read tax that [[purgeEq]]
+  //    (and any full rewrite, e.g. compaction) reclaims;
+  //  - [[vacuumVersions]] retains expired manifests that are still
+  //    pinned as a kept version's scope (the manifest file only — its
+  //    data files follow the normal liveness rule).
+
+  /** One pending equality-delete set: `keyCols` name the equality
+    * columns, `dataPath` the parquet directory of distinct retired key
+    * tuples, `basedOn` the version whose manifest is the entry's file
+    * scope. */
+  case class EqEntry(keyCols: Seq[String], dataPath: String, basedOn: Int)
+
+  /** The version's pending equality-delete entries; empty if none.
+    * Malformed lines degrade to "no entry" — same recoverable-loud
+    * default as [[dvOf]] (a dropped delete is re-runnable; rows
+    * silently vanishing to a parse bug would not be). */
+  def eqOf(table: String, version: Int): Seq[EqEntry] = {
+    val p = java.nio.file.Paths.get(table, s"v$version.eq")
+    if (!java.nio.file.Files.exists(p)) Nil
+    else scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala.toSeq
+      .filter(_.nonEmpty)
+      .flatMap { line =>
+        scala.util.Try {
+          val Array(k, d, b) = line.split("\t", 3)
+          EqEntry(k.split(",").toSeq, d, b.toInt)
+        }.toOption
+      }
+  }
+
+  /** Total pending equality-delete keys for a version — the pressure
+    * gauge a table owner reads before scheduling [[purgeEq]], computed
+    * from the key parquets' footers (metadata-scale, no scan). */
+  def eqKeyCount(spark: SparkSession, table: String, version: Int): Long =
+    eqOf(table, version).map(e =>
+      scala.util.Try(spark.read.parquet(e.dataPath).count()).getOrElse(0L)).sum
+
+  private[sources] def publishEq(table: String, version: Int,
+      entries: Seq[EqEntry]): Unit =
+    if (entries.nonEmpty) {
+      val lines = entries.map(e =>
+        s"${e.keyCols.mkString(",")}\t${e.dataPath}\t${e.basedOn}")
+      val dir = java.nio.file.Paths.get(table)
+      val tmp = java.nio.file.Files.createTempFile(dir, s".eq$version", ".tmp")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dir.resolve(s"v$version.eq"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  /** An entry's file scope: `basedOn`'s manifest, normalized; a
+    * vacuumed (or otherwise unreadable) scope manifest degrades to the
+    * empty scope — [[vacuumVersions]] retains pinned manifests, so
+    * this is strictly a belt-and-braces default. */
+  private def eqScope(table: String, e: EqEntry): Set[String] =
+    scala.util.Try(filesOf(table, e.basedOn)).getOrElse(Nil)
+      .map(normalizePath).toSet
+
+  /** Carry the pending eq entries whose scope still intersects the new
+    * version's kept files — the append-path invariant (mirrors
+    * [[carryDv]]); entries whose every in-scope file was rewritten or
+    * dropped are absorbed and disappear. */
+  private def carryEq(table: String, from: Int, to: Int,
+      keptFiles: Seq[String]): Unit = {
+    val kept = keptFiles.map(normalizePath).toSet
+    publishEq(table, to,
+      eqOf(table, from).filter(e => (eqScope(table, e) & kept).nonEmpty))
+  }
+
+  /** Drop rows of in-scope files whose key tuple appears in a pending
+    * equality-delete set — the read half of the eq design: one
+    * BROADCAST anti-join per entry (key sets are metadata-scale), with
+    * the file-scope test riding the join condition so out-of-scope
+    * rows (each entry's own upserts and everything appended later)
+    * never match. `df` must be a file-sourced scan of this version's
+    * parquet (the probe reads `_metadata.file_path`). */
+  private[sources] def applyEq(spark: SparkSession, df: DataFrame,
+      table: String, version: Int): DataFrame =
+    eqFilterEntries(spark, df, table, version, eqOf(table, version))
+
+  /** [[applyEq]]'s core over an explicit entry list — [[readChanges]]
+    * needs to apply the from-time subset against the to-time frame. */
+  private def eqFilterEntries(spark: SparkSession, df: DataFrame,
+      table: String, version: Int, entries: Seq[EqEntry]): DataFrame = {
+    if (entries.isEmpty) df
+    else {
+      val current = filesOf(table, version).map(normalizePath).toSet
+      val cols = df.columns
+      val tagged = df.withColumn("__eq_path", col("_metadata.file_path"))
+      entries.foldLeft(tagged) { (acc, e) =>
+        val scope = eqScope(table, e) & current
+        // a generation predating a key column serves it as NULL, and a
+        // NULL key matches nothing — skipping the entry for such a
+        // frame (readVersionEvolved applies per generation) IS the
+        // declared semantic, not a hole
+        if (scope.isEmpty || !e.keyCols.forall(cols.contains)) acc
+        else {
+          val inScope = udf((p: String) => scope.contains(normalizePath(p)))
+          val keys = spark.read.parquet(e.dataPath)
+          val keyCond = e.keyCols.map(k => acc(k) === keys(k)).reduce(_ && _)
+          acc.join(broadcast(keys),
+            keyCond && inScope(col("__eq_path")), "left_anti")
+        }
+      }.select(cols.map(col).toSeq: _*)
+    }
+  }
+
+  /** Exactly the rows a set of eq `entries` retires from `df` — the
+    * CDF's delete-emission helper ([[readChanges]]): marker left-outer
+    * joins instead of anti (a row matching several entries must still
+    * appear once, with its original multiplicity). */
+  private def eqRetired(spark: SparkSession, df: DataFrame, table: String,
+      currentFiles: Set[String], entries: Seq[EqEntry]): DataFrame = {
+    val cols = df.columns
+    val tagged = df.withColumn("__eq_path", col("_metadata.file_path"))
+    val (marked, names) =
+      entries.zipWithIndex.foldLeft((tagged, Seq.empty[String])) {
+        case ((acc, ns), (e, i)) =>
+          val scope = eqScope(table, e) & currentFiles
+          if (scope.isEmpty) (acc, ns)
+          else {
+            val inScope = udf((p: String) => scope.contains(normalizePath(p)))
+            val hit = s"__eq_hit_$i"
+            val keys = spark.read.parquet(e.dataPath)
+              .withColumn(hit, lit(1))
+            val keyCond = e.keyCols.map(k => acc(k) === keys(k)).reduce(_ && _)
+            val joined = acc.join(broadcast(keys),
+              keyCond && inScope(col("__eq_path")), "left_outer")
+            // shed the keys-side columns (same names as the row's own)
+            (e.keyCols.foldLeft(joined)((d, k) => d.drop(keys(k))),
+              ns :+ hit)
+          }
+      }
+    if (names.isEmpty) df.filter(lit(false))
+    else marked
+      .filter(names.map(n => col(n) === 1).reduce(_ || _))
+      .select(cols.map(col).toSeq: _*)
+  }
+
+  /** Equality-delete MERGE: the O(keys) CDC upsert commit. Semantics
+    * equal [[mergeVersionDv]]/[[mergeVersion]] — for each change key
+    * the stored rows disappear, each `upsert` row appears exactly once,
+    * `delete` ops just remove, a NULL change key matches nothing — but
+    * the commit NEVER opens a base file: it writes the distinct change
+    * keys as an equality-delete parquet scoped to the pre-commit
+    * manifest, appends the upsert rows, and publishes both as sidecar
+    * metadata. Write cost O(change keys); the deferred position work
+    * moves to readers (broadcast anti-join per pending entry) until
+    * [[purgeEq]] absorbs it. Returns (version, retired key count). */
+  def mergeVersionEq(spark: SparkSession, table: String,
+      changes: DataFrame, keyCols: Seq[String],
+      opCol: String = "op"): (Int, Long) = {
+    require(keyCols.nonEmpty, "mergeVersionEq needs at least one key column")
+    val v = latestVersion(table)
+    require(v > 0, s"$table has no committed versions")
+    val files = filesOf(table, v)
+    val eqDir = java.nio.file.Paths.get(table, "eqdel",
+      s"eq-${java.util.UUID.randomUUID().toString.take(12)}")
+    // the retired-key set: upsert AND delete ops both retire the stored
+    // row; NULL-keyed changes match nothing (dropped here, so the key
+    // parquet stays a pure equality set)
+    changes.select(keyCols.map(col): _*).na.drop("any", keyCols)
+      .distinct().coalesce(1)
+      .write.parquet(eqDir.toString)
+    val nKeys = spark.read.parquet(eqDir.toString).count()
+    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+    val hasUpserts = !upserts.isEmpty
+    if (nKeys == 0 && !hasUpserts) { // provable no-op: no commit
+      deleteTree(eqDir)
+      return (v, 0L)
+    }
+    // appended rows align to the version's effective schema — the
+    // partition-aware subset reader's shape, so a partitioned table's
+    // batch keeps its partition column and lands hive-laid. Schema
+    // only: a footer probe, never a data scan.
+    val targetSchema =
+      if (files.nonEmpty)
+        readFileSubset(spark, table, v, Seq(files.head)).schema
+      else schemaOf(spark, table, v)
+    val batch = java.nio.file.Paths.get(table, "data",
+      s"batch-eqmerge-${java.util.UUID.randomUUID().toString.take(8)}")
+    val newFiles =
+      if (!hasUpserts) Seq.empty[String]
+      else {
+        writePartitionedBatch(
+          alignToSchema(upserts, targetSchema, Map.empty),
+          table, batch.toString)
+        batchParquetFiles(batch)
+      }
+    val next =
+      try publishIfLatest(table, v, files ++ newFiles, "eq-merge")
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (hasUpserts) deleteBatchDir(batch)
+          deleteTree(eqDir)
+          throw e
+      }
+    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    // stats/blooms: carried files carry; ONLY the appended batch is
+    // scanned, and only when the table already keeps skipping sidecars
+    // — a bare table's eq merge touches zero data files beyond its own
+    // batch write
+    val schemaCols = schemaOf(spark, table, v).fieldNames.toSet
+    if (statsOf(table, v).nonEmpty || statsOfString(table, v).nonEmpty ||
+        statsColumnsOf(table).nonEmpty) {
+      val statCols = (keyCols ++ statsColumnsOf(table))
+        .distinct.filter(schemaCols.contains)
+      if (statCols.nonEmpty)
+        commitStats(spark, table, next, statCols, carryFrom = v)
+    }
+    val bloomCols = bloomColumnsOf(table).filter(schemaCols.contains)
+    if (bloomCols.nonEmpty)
+      commitBlooms(spark, table, next, bloomCols, carryFrom = v)
+    carryDv(table, v, next, files)
+    publishEq(table, next,
+      eqOf(table, v) :+ EqEntry(keyCols, eqDir.toString, v))
+    (next, nKeys)
+  }
+
+  /** REORG PURGE for equality deletes: rewrite exactly the in-scope
+    * files with every pending key set (and their DVs) applied, publish
+    * a version with NO eq sidecar — the reclamation half of the eq
+    * design. Out-of-scope files (each entry's own upserts plus
+    * everything later) carry forward byte-identical with their
+    * stats/blooms/DVs; the rewrite is bounded by in-scope bytes.
+    * Returns (version, files rewritten). */
+  def purgeEq(spark: SparkSession, table: String): (Int, Int) = {
+    val v = latestVersion(table)
+    require(v > 0, s"$table has no committed versions")
+    val entries = eqOf(table, v)
+    if (entries.isEmpty) return (v, 0)
+    val current = filesOf(table, v)
+    val inScope = entries.map(e => eqScope(table, e))
+      .reduce(_ | _) & current.map(normalizePath).toSet
+    val (affected, carried) =
+      current.partition(f => inScope.contains(normalizePath(f)))
+    if (affected.isEmpty) { // stale entries: absorb as metadata only
+      val next = publishIfLatest(table, v, current, "eq-purge")
+      declaredSchema(table, v).foreach(publishSchema(table, next, _))
+      copyStatsSidecar(table, v, next)
+      // copyStatsSidecar copied the stale eq sidecar verbatim — drop
+      // it; absorbing the dead entries is this branch's whole point
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(table, s"v$next.eq"))
+      return (next, 0)
+    }
+    val dv = dvOf(table, v)
+    val survivors = applyEq(spark,
+      applyDv(readFileSubset(spark, table, v, affected), dv),
+      table, v)
+    val batch = java.nio.file.Paths.get(table, "data",
+      s"batch-eqpurge-${java.util.UUID.randomUUID().toString.take(8)}")
+    writePartitionedBatch(survivors, table, batch.toString)
+    val newFiles = batchParquetFiles(batch)
+    val next =
+      try publishIfLatest(table, v, carried ++ newFiles, "eq-purge")
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          deleteBatchDir(batch); throw e
+      }
+    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    val stattedCols = statsOf(table, v).keys.map(_._2).toSeq.distinct ++
+      statsOfString(table, v).keys.map(_._2).toSeq.distinct
+    if (stattedCols.nonEmpty && (carried ++ newFiles).nonEmpty)
+      commitStats(spark, table, next, stattedCols.distinct, carryFrom = v)
+    val bloomCols = bloomsOf(table, v).keys.map(_._2).toSeq.distinct
+    if (bloomCols.nonEmpty && (carried ++ newFiles).nonEmpty)
+      commitBlooms(spark, table, next, bloomCols, carryFrom = v)
+    // rewritten files' DVs are absorbed with their eq entries; carried
+    // (out-of-scope) files keep theirs
+    val keptDv = dv.filter { case (f, _) => !inScope.contains(f) }
+    publishDv(table, next, keptDv)
+    // no eq publish: every in-scope file was rewritten — clean version
     (next, affected.length)
   }
 
@@ -974,9 +1285,10 @@ object Sources {
     filesOf(table, v)
       .groupBy(f => spark.read.parquet(f).schema)
       .values.toSeq
-      // DV filter BEFORE alignment: the position probe needs the file
+      // DV/eq filters BEFORE alignment: the probes need the file
       // scan's own _metadata columns, which the aligning select drops
-      .map(g => alignToSchema(applyDv(spark.read.parquet(g: _*), dv),
+      .map(g => alignToSchema(
+        applyEq(spark, applyDv(spark.read.parquet(g: _*), dv), table, v),
         declared, renames))
       .reduce(_ unionByName _)
   }
@@ -1315,9 +1627,12 @@ object Sources {
     // subset reads are partition-aware (hive path values reattach)
     val base =
       if (affected.nonEmpty)
-        // DV'd rows are already deleted: the rewrite drops them for
-        // good (untouched files keep their DV entries via carryDv)
-        applyDv(readFileSubset(spark, table, v, affected), dvOf(table, v))
+        // DV'd/eq-deleted rows are already deleted: the rewrite drops
+        // them for good (untouched files keep their entries via
+        // carryDv/carryEq)
+        applyEq(spark,
+          applyDv(readFileSubset(spark, table, v, affected), dvOf(table, v)),
+          table, v)
       else if (files.nonEmpty)
         readFileSubset(spark, table, v, Seq(files.head))
           .filter(org.apache.spark.sql.functions.lit(false))
@@ -1362,6 +1677,7 @@ object Sources {
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
     declaredSchema(table, v).foreach(publishSchema(table, next, _))
     carryDv(table, v, next, untouched)
+    carryEq(table, v, next, untouched)
     (next, affected.length, untouched.length)
   }
 
@@ -1404,7 +1720,9 @@ object Sources {
     // collect, minus rows the previous DV already deleted
     val matched =
       if (affected.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else applyDv(readFileSubset(spark, table, v, affected), prevDv)
+      else applyEq(spark,
+          applyDv(readFileSubset(spark, table, v, affected), prevDv),
+          table, v)
         .select(col(key), col("_metadata.file_path").as("__p"),
           col("_metadata.row_index").as("__i"))
         .join(changes.filter(col(key).isNotNull).select(key).distinct(),
@@ -1465,6 +1783,7 @@ object Sources {
     if (bloomCols.nonEmpty)
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
     publishDv(table, next, merged.toMap)
+    carryEq(table, v, next, files) // every base file carries
     (next, matched.length.toLong, true)
   }
 
@@ -1647,10 +1966,11 @@ object Sources {
 
   private[sources] def copyStatsSidecar(table: String, from: Int,
       to: Int): Unit = {
-    // bloom and DV sidecars travel with stats — every caller has an
-    // identical file set, so all three stay valid verbatim (rollback
-    // restores the target version's own DVs with its files)
-    Seq("stats", "bloom", "dv").foreach { kind =>
+    // bloom, DV and eq sidecars travel with stats — every caller has an
+    // identical file set, so all four stay valid verbatim (rollback
+    // restores the target version's own DVs/eq entries with its files;
+    // eq scopes are version-pinned manifests, unaffected by the copy)
+    Seq("stats", "bloom", "dv", "eq").foreach { kind =>
       val src = java.nio.file.Paths.get(table, s"v$from.$kind")
       if (java.nio.file.Files.exists(src))
         java.nio.file.Files.copy(src,
@@ -1894,12 +2214,13 @@ object Sources {
     // rewrite silently narrowed to whichever file's footer schema
     // inference happened to pick — older files null-fill, newer files
     // keep their evolved columns
-    // DV'd rows of the affected files are already deleted — the rewrite
-    // must not resurrect them (carried files keep their DV entries);
-    // partition-aware subset read, or a partitioned rewrite would
-    // persist NULL partition columns
-    val survivors = applyDv(readFileSubset(spark, table, v, affected),
-        dvOf(table, v))
+    // DV'd and eq-deleted rows of the affected files are already
+    // deleted — the rewrite must not resurrect them (carried files keep
+    // their DV/eq entries); partition-aware subset read, or a
+    // partitioned rewrite would persist NULL partition columns
+    val survivors = applyEq(spark,
+        applyDv(readFileSubset(spark, table, v, affected), dvOf(table, v)),
+        table, v)
       .filter(!coalesce(cond, lit(false)))
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-delete-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1926,6 +2247,7 @@ object Sources {
     if (bloomCols.nonEmpty && (carried ++ newFiles).nonEmpty)
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
     carryDv(table, v, next, carried) // rewritten files' DVs are absorbed
+    carryEq(table, v, next, carried) // ... and their eq entries with them
     (next, affected.length, carried.length)
   }
 
@@ -1957,10 +2279,17 @@ object Sources {
     // insert them; and a CARRIED file whose DV grew contributes exactly
     // the newly-marked positions as deletes (the merge-on-read commit's
     // whole delta — still O(changed rows), never O(table))
+    // each side reads under ITS version's full delete state (DV + eq):
+    // a departing file's eq-dead rows were emitted as deletes when
+    // their entry arrived — re-emitting them on departure would double-
+    // delete; an arriving file can likewise already sit inside a
+    // later-range entry's scope
     def read(fs: Seq[String], dv: Map[String, java.util.BitSet],
-        change: String): Option[DataFrame] =
+        atVersion: Int, change: String): Option[DataFrame] =
       if (fs.isEmpty) None
-      else Some(applyDv(spark.read.parquet(fs: _*), dv)
+      else Some(
+        eqFilterEntries(spark, applyDv(spark.read.parquet(fs: _*), dv),
+          table, atVersion, eqOf(table, atVersion))
         .withColumn("_change_type", org.apache.spark.sql.functions.lit(change)))
     val dvDelta: Map[String, java.util.BitSet] =
       (before & after).toSeq.flatMap { f =>
@@ -1974,8 +2303,38 @@ object Sources {
       else Some(dvFilter(spark.read.parquet(dvDelta.keys.toSeq.sorted: _*),
         dvDelta, keepDeleted = true)
         .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
-    val parts = Seq(read(gone, dvFrom, "delete"), dvDeletes,
-      read(added, dvTo, "insert")).flatten
+    // equality-delete view of the feed: entries ADDED in (from, to]
+    // retire the still-live rows of their in-scope carried files —
+    // emitted as deletes. "Still-live" means live under the FROM-time
+    // delete state (dvTo on carried files equals dvFrom + the dvDelta
+    // already emitted above; OLD eq entries' rows were dead at `from`),
+    // so: read the new entries' scoped files, apply dvTo and the old
+    // entries, keep exactly the rows the new key sets hit. This is the
+    // deferred-position trade made explicit — the CDF pays the scan the
+    // eq COMMIT skipped, still bounded by in-scope files, never O(table).
+    val eqFromPaths = eqOf(table, fromVersion).map(_.dataPath).toSet
+    val eqToAll = eqOf(table, toVersion)
+    val (eqOld, eqNew) = eqToAll.partition(e => eqFromPaths.contains(e.dataPath))
+    val eqDeletes: Option[DataFrame] =
+      if (eqNew.isEmpty) None
+      else {
+        val afterNorm = after.map(normalizePath)
+        val scoped = eqNew.map(e => eqScope(table, e))
+          .reduce(_ | _) & afterNorm & before.map(normalizePath)
+        if (scoped.isEmpty) None
+        else {
+          val scopedFiles = after.toSeq.filter(f =>
+            scoped.contains(normalizePath(f))).sorted
+          val live = eqFilterEntries(spark,
+            applyDv(spark.read.parquet(scopedFiles: _*), dvTo),
+            table, toVersion, eqOld)
+          val retired = eqRetired(spark, live, table, afterNorm, eqNew)
+          Some(retired.withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("delete")))
+        }
+      }
+    val parts = Seq(read(gone, dvFrom, fromVersion, "delete"), dvDeletes,
+      eqDeletes, read(added, dvTo, toVersion, "insert")).flatten
     if (parts.nonEmpty) parts.reduce(_ unionByName _)
     else
       readVersion(spark, table, toVersion)
@@ -2018,14 +2377,35 @@ object Sources {
   def vacuumVersions(table: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the latest version")
     val versions = versionsOf(table)
-    val (expired, kept) = versions.splitAt(math.max(0, versions.length - keepLast))
-    val keepFiles = kept.flatMap(v => filesOf(table, v)).toSet
+    // a TAGGED version is pinned: its manifest, sidecars, and files
+    // all survive the sweep regardless of age (drop_tag releases it)
+    val tagged = Refs.tagsOf(table).values.toSet
+    val (expired0, kept0) = versions.splitAt(math.max(0, versions.length - keepLast))
+    val (keptTagged, expired) = expired0.partition(tagged.contains)
+    val kept = keptTagged ++ kept0
+    // a live BRANCH's manifests reference parent files (the fork carries
+    // them verbatim) — every file any branch version lists is pinned, or
+    // a parent vacuum could cut the ground from under an open WAP branch
+    val branchFiles = Refs.branchesOf(table).keysIterator.flatMap { b =>
+      val bd = Refs.branchDir(table, b)
+      versionsOf(bd).flatMap(bv => filesOf(bd, bv))
+    }.toSet
+    val keepFiles = kept.flatMap(v => filesOf(table, v)).toSet ++ branchFiles
     val deadFiles = expired.flatMap(v => filesOf(table, v)).toSet -- keepFiles
     deadFiles.foreach(f =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    // a kept version's eq entries pin their scope MANIFESTS (the file
+    // list is how the scope resolves at read time) and their key
+    // parquets — both survive the sweep; the scope's DATA files follow
+    // the normal liveness rule above (a vanished scope file simply
+    // drops out of the intersection)
+    val keptEq = kept.flatMap(v => eqOf(table, v))
+    val pinnedScopes = keptEq.map(_.basedOn).toSet
+    val pinnedEqData = keptEq.map(e => normalizePath(e.dataPath)).toSet
     expired.foreach { v =>
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(table, s"v$v.manifest"))
+      if (!pinnedScopes.contains(v))
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(table, s"v$v.manifest"))
       // sidecars travel with their manifest
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(table, s"v$v.stats"))
@@ -2035,6 +2415,13 @@ object Sources {
         java.nio.file.Paths.get(table, s"v$v.schema"))
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(table, s"v$v.dv"))
+      // an expired version's eq sidecar goes; its key parquets go too
+      // unless a kept version still lists them
+      eqOf(table, v).map(e => normalizePath(e.dataPath)).distinct
+        .filterNot(pinnedEqData.contains)
+        .foreach(d => deleteTree(java.nio.file.Paths.get(d)))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(table, s"v$v.eq"))
     }
     (expired.length, deadFiles.size)
   }

@@ -1,0 +1,229 @@
+package graft
+
+import graft.sources.{Refs, Sources}
+import org.apache.spark.sql.functions._
+
+/** Snapshot refs ([[Refs]]): tags pin versions against vacuum and
+  * resolve in SQL time travel; branches give write-audit-publish —
+  * branch commits invisible to main, audit reads on the branch,
+  * publish as one fast-forward metadata commit (zero data-file reads
+  * AND zero data-file writes, listener- and disk-witnessed), conflicts
+  * loud, rollback intact afterwards. */
+class BranchTagSpec extends SparkTestBase {
+
+  private def freshTable(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.resolve("t").toString
+  }
+
+  private def ordersBase = Tables.orders(spark, sf)
+    .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+  private def parquetOnDisk(root: String): Set[String] = {
+    val dir = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(dir)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(_.getFileName.toString).toSet
+    }
+  }
+
+  test("tags: pin a version, survive vacuum with files, resolve in " +
+    "SQL time travel, immutable until dropped") {
+    val t = freshTable("ref-tag")
+    val v1 = Sources.commitVersion(ordersBase, t)
+    val n1 = ordersBase.count()
+    Refs.tagVersion(t, "audit-w1")
+    // advance: overwrite (so v1's files share nothing with the head)
+    Sources.commitVersion(ordersBase.limit(5), t, overwrite = true)
+    Sources.commitVersion(ordersBase.limit(5), t, overwrite = true)
+    Sources.commitVersion(ordersBase.limit(5), t, overwrite = true)
+    Sources.vacuumVersions(t, 1)
+    // the tagged version survives with its manifest AND data files
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, s"v$v1.manifest")))
+    assert(Refs.readRef(spark, t, "audit-w1").count() === n1,
+      "a tagged version must stay readable after vacuum")
+    assert(Sources.readVersion(spark, t).count() === 5L)
+    // immutability
+    intercept[IllegalArgumentException] { Refs.tagVersion(t, "audit-w1") }
+    assert(Refs.dropTag(t, "audit-w1"))
+    Refs.tagVersion(t, "audit-w1") // re-taggable once dropped
+    // dropped + re-pointed tags release the OLD pin on the next vacuum
+    Refs.dropTag(t, "audit-w1")
+    Sources.vacuumVersions(t, 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, s"v$v1.manifest")),
+      "dropping the tag releases the version to the sweep")
+  }
+
+  test("WAP: branch writes invisible to main; audit on the branch; " +
+    "publish = pure metadata (0 records read, no parquet written); " +
+    "rollback intact") {
+    val t = freshTable("ref-wap")
+    Sources.commitVersion(
+      ordersBase.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), t)
+    val baseState = Sources.readVersion(spark, t)
+      .orderBy("o_orderkey").collect()
+    val forkBase = Sources.latestVersion(t)
+    val bd = Refs.createBranch(t, "staging")
+    // write on the branch: an append AND a DV point delete (two commit
+    // paths exercised on the branch chain)
+    val victim = baseState.head.getLong(0)
+    Sources.commitVersion(
+      ordersBase.filter(col("o_orderkey") =!= victim).limit(3)
+        .withColumn("o_orderpriority", lit("B-STAGED")), bd)
+    Sources.deleteWhereDv(spark, bd, col("o_orderkey") === victim)
+    // invisible to main
+    assert(Sources.latestVersion(t) === forkBase)
+    assert(Sources.readVersion(spark, t).orderBy("o_orderkey")
+      .collect().toSeq === baseState.toSeq,
+      "main readers must not see branch commits")
+    // audit on the branch (API + SQL VERSION AS OF '<branch>')
+    val audited = Sources.readVersion(spark, bd).collect()
+    assert(audited.count(_.getString(3) == "B-STAGED") === 3)
+    assert(!audited.exists(_.getLong(0) == victim))
+    // publish: zero data-file reads, zero parquet files created/removed
+    val diskBefore = parquetOnDisk(t) // branch nests under t — one walk
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    val published =
+      try {
+        val p = Refs.publishBranch(t, "staging")
+        org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
+        p
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(acc.get() === 0L, "publish must not scan any data")
+    assert(parquetOnDisk(t) === diskBefore,
+      "publish must not write or delete any parquet file (renames only)")
+    assert(published === forkBase + 1)
+    // main now serves exactly the audited branch state
+    val mainNow = Sources.readVersion(spark, t).collect()
+    assert(mainNow.sortBy(_.getLong(0)).toSeq ===
+      audited.sortBy(_.getLong(0)).toSeq)
+    // the branch dir is reclaimable; main keeps serving the state
+    Refs.dropBranch(t, "staging")
+    assert(Sources.readVersion(spark, t).count() === mainNow.length.toLong)
+    // rollback to the fork base still works (WAP is just a commit)
+    Sources.rollbackTo(t, forkBase)
+    assert(Sources.readVersion(spark, t).orderBy("o_orderkey")
+      .collect().toSeq === baseState.toSeq)
+  }
+
+  test("publish conflicts loudly when main advanced since the fork, " +
+    "and the branch stays fully valid afterwards") {
+    val t = freshTable("ref-conflict")
+    Sources.commitVersion(ordersBase, t)
+    val bd = Refs.createBranch(t, "dev")
+    Sources.commitVersion(ordersBase.limit(2)
+      .withColumn("o_orderpriority", lit("B-DEV")), bd)
+    // main advances AFTER the fork
+    Sources.commitVersion(ordersBase.limit(1), t)
+    val branchState = Sources.readVersion(spark, bd)
+      .orderBy("o_orderkey", "o_orderpriority").collect()
+    intercept[java.util.ConcurrentModificationException] {
+      Refs.publishBranch(t, "dev")
+    }
+    // compensation: the branch chain still reads exactly as before
+    assert(Sources.readVersion(spark, bd)
+      .orderBy("o_orderkey", "o_orderpriority").collect().toSeq ===
+      branchState.toSeq,
+      "a failed publish must leave the branch chain untouched")
+  }
+
+  test("SQL surface: CALL tag/create_branch/publish_branch, " +
+    "VERSION AS OF tag and branch names, the $refs gauge") {
+    val wh = java.nio.file.Files.createTempDirectory("ref-cat").toString
+    spark.conf.set("spark.sql.catalog.refcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.refcat.warehouse", wh)
+    ordersBase.createOrReplaceTempView("ref_orders_src")
+    spark.sql("CREATE TABLE refcat.t (o_orderkey BIGINT, o_custkey BIGINT," +
+      " o_totalprice DOUBLE, o_orderpriority STRING)")
+    spark.sql("INSERT INTO refcat.t SELECT * FROM ref_orders_src")
+    val n = ordersBase.count()
+    spark.sql("CALL refcat.system.tag('t', 'baseline')")
+    spark.sql("CALL refcat.system.create_branch('t', 'wap')")
+    // stage a change on the branch through the API (branch dir IS a table)
+    val bd = Refs.branchDir(s"$wh/t", "wap")
+    Sources.commitVersion(ordersBase.limit(2)
+      .withColumn("o_orderpriority", lit("B-WAP")), bd)
+    // audit both refs in SQL
+    assert(spark.sql(
+      "SELECT * FROM refcat.t VERSION AS OF 'baseline'").count() === n)
+    assert(spark.sql(
+      "SELECT * FROM refcat.t VERSION AS OF 'wap' " +
+        "WHERE o_orderpriority = 'B-WAP'").count() === 2L)
+    assert(spark.sql("SELECT * FROM refcat.t " +
+      "WHERE o_orderpriority = 'B-WAP'").count() === 0L,
+      "main must not see the staged rows")
+    val refs = spark.sql("SELECT kind, name FROM refcat.`t$refs`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(refs === Set(("tag", "baseline"), ("branch", "wap")))
+    spark.sql("CALL refcat.system.publish_branch('t', 'wap')")
+    assert(spark.sql("SELECT * FROM refcat.t " +
+      "WHERE o_orderpriority = 'B-WAP'").count() === 2L,
+      "publish fast-forwards main to the branch state")
+    spark.sql("CALL refcat.system.drop_branch('t', 'wap')")
+    assert(spark.sql("SELECT * FROM refcat.t " +
+      "WHERE o_orderpriority = 'B-WAP'").count() === 2L)
+    spark.sql("DROP TABLE refcat.t")
+  }
+
+  test("parent vacuum pins every file a live branch references") {
+    val t = freshTable("ref-pin")
+    Sources.commitVersion(ordersBase, t)
+    val n = ordersBase.count()
+    val bd = Refs.createBranch(t, "longlived")
+    // main moves on with OVERWRITES — the fork's files leave every
+    // kept main manifest
+    Sources.commitVersion(ordersBase.limit(5), t, overwrite = true)
+    Sources.commitVersion(ordersBase.limit(5), t, overwrite = true)
+    Sources.vacuumVersions(t, 1)
+    assert(Sources.readVersion(spark, bd).count() === n,
+      "the branch must survive a parent vacuum intact")
+    Refs.dropBranch(t, "longlived")
+    // with the branch gone, the next sweep reclaims the orphaned files
+    Sources.commitVersion(ordersBase.limit(5), t, overwrite = true)
+    Sources.vacuumVersions(t, 1)
+  }
+
+  test("refs refuse pending equality deletes on both fork and publish") {
+    val t = freshTable("ref-eq")
+    Sources.commitVersion(ordersBase, t)
+    val k = ordersBase.select("o_orderkey").orderBy("o_orderkey")
+      .limit(1).collect().head.getLong(0)
+    import spark.implicits._
+    val ch = Seq(k).toDF("o_orderkey").withColumn("op", lit("delete"))
+      .withColumn("o_custkey", lit(null).cast("long"))
+      .withColumn("o_totalprice", lit(null).cast("double"))
+      .withColumn("o_orderpriority", lit(null).cast("string"))
+    Sources.mergeVersionEq(spark, t, ch, Seq("o_orderkey"))
+    val ex = intercept[IllegalArgumentException] {
+      Refs.createBranch(t, "nope")
+    }
+    assert(ex.getMessage.contains("purge_eq"))
+    // a branch that accumulates eq entries refuses publish
+    val t2 = freshTable("ref-eq2")
+    Sources.commitVersion(ordersBase, t2)
+    val bd = Refs.createBranch(t2, "dev")
+    Sources.mergeVersionEq(spark, bd, ch, Seq("o_orderkey"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Refs.publishBranch(t2, "dev")
+    }
+    assert(ex2.getMessage.contains("purge_eq"))
+    Sources.purgeEq(spark, bd)
+    val v = Refs.publishBranch(t2, "dev")
+    assert(Sources.readVersion(spark, t2, v)
+      .filter(col("o_orderkey") === k).count() === 0L)
+  }
+}

@@ -1,0 +1,281 @@
+package graft
+
+import graft.sources.{ManifestFileIndex, Sources}
+import org.apache.spark.sql.functions._
+
+/** Equality deletes ([[Sources.mergeVersionEq]]): the O(keys) CDC
+  * upsert commit — retired keys land as a scoped sidecar entry with NO
+  * base-file scan at write time (input-metrics-witnessed), every read
+  * stack anti-joins them out, appends carry them, last-writer-wins
+  * composes across commits, [[Sources.purgeEq]] absorbs them, vacuum
+  * retains their scope manifests. */
+class EqualityDeleteSpec extends SparkTestBase {
+
+  private def freshTable(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.resolve("t").toString
+  }
+
+  private def ordersBase = Tables.orders(spark, sf)
+    .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+  private def manifestFiles(table: String, v: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(table, s"v$v.manifest")).asScala.toSeq
+      .filter(_.nonEmpty)
+  }
+
+  /** Task-level records read across everything `body` runs — the
+    * write-cost witness: an eq merge must never scan base files. */
+  private def recordsReadDuring(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    acc.get()
+  }
+
+  private def changes(upserts: Seq[(Long, Long, Double, String)],
+      deletes: Seq[Long]) = {
+    import spark.implicits._
+    upserts.toDF("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderpriority").withColumn("op", lit("upsert"))
+      .unionByName(deletes.toDF("o_orderkey")
+        .withColumn("o_custkey", lit(null).cast("long"))
+        .withColumn("o_totalprice", lit(null).cast("double"))
+        .withColumn("o_orderpriority", lit(null).cast("string"))
+        .withColumn("op", lit("delete")))
+  }
+
+  test("eq merge = LWW upsert semantics with ZERO base-file reads; " +
+    "manifest grows only by the upsert batch") {
+    val t = freshTable("eq-basic")
+    val v1 = Sources.commitVersion(
+      ordersBase.repartitionByRange(6, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), t)
+    val base = ordersBase.collect()
+    val total = base.length.toLong
+    val k1 = base.head.getLong(0)
+    val k2 = base(1).getLong(0)
+    val kDel = base(2).getLong(0)
+    val ch = changes(
+      Seq((k1, 999L, 1.0, "X-UPD"), (k2, 998L, 2.0, "X-UPD")),
+      Seq(kDel)).cache()
+    ch.count()
+    val filesBefore = manifestFiles(t, v1)
+    var v2 = -1; var nKeys = -1L
+    val read = recordsReadDuring {
+      val r = Sources.mergeVersionEq(spark, t, ch,
+        Seq("o_orderkey"))
+      v2 = r._1; nKeys = r._2
+    }
+    assert(nKeys === 3L)
+    // THE O(keys) claim: the commit never opened a base file — the only
+    // task input is the just-written key parquet's count-back (3 rows)
+    // and the cached change set
+    assert(read <= 16L,
+      s"eq merge read $read records — it must not scan base files " +
+        s"(base table has $total rows)")
+    val after = manifestFiles(t, v2)
+    assert(after.take(filesBefore.length) === filesBefore,
+      "base files must carry byte-identical")
+    assert(after.length > filesBefore.length, "upsert batch appended")
+    // semantics: LWW head state
+    val head = Sources.readVersion(spark, t).collect()
+    assert(head.length === total - 1, "one key deleted, two replaced")
+    val k1row = head.filter(_.getLong(0) == k1)
+    assert(k1row.length === 1 && k1row.head.getString(3) === "X-UPD")
+    assert(!head.exists(_.getLong(0) == kDel))
+    // time travel: v1 still serves the pre-merge state
+    assert(Sources.readVersion(spark, t, v1).count() === total)
+    ch.unpersist()
+  }
+
+  test("LWW composes across eq commits; appends carry entries; " +
+    "indexed + DataSource read stacks agree") {
+    val t = freshTable("eq-compose")
+    Sources.commitVersion(ordersBase, t)
+    val keys = ordersBase.select("o_orderkey").orderBy("o_orderkey")
+      .limit(3).collect().map(_.getLong(0))
+    val total = ordersBase.count()
+    // commit 1: retire keys(0), keys(1) with generation-A rows
+    Sources.mergeVersionEq(spark, t,
+      changes(Seq((keys(0), 1L, 10.0, "GEN-A"), (keys(1), 1L, 10.0, "GEN-A")),
+        Nil), Seq("o_orderkey"))
+    // commit 2: re-upsert keys(0) (GEN-B must shadow GEN-A), delete keys(2)
+    Sources.mergeVersionEq(spark, t,
+      changes(Seq((keys(0), 2L, 20.0, "GEN-B")), Seq(keys(2))),
+      Seq("o_orderkey"))
+    // unrelated append: entries must carry — no resurrection
+    val v4 = Sources.commitVersion(
+      ordersBase.limit(0), t) // empty append still re-publishes sidecars
+    assert(Sources.eqOf(t, v4).length === 2, "append carries eq entries")
+    val head = Sources.readVersion(spark, t).collect()
+    assert(head.length === total - 1)
+    val g0 = head.filter(_.getLong(0) == keys(0))
+    assert(g0.length === 1 && g0.head.getString(3) === "GEN-B",
+      "second upsert must shadow the first (LWW)")
+    val g1 = head.filter(_.getLong(0) == keys(1))
+    assert(g1.length === 1 && g1.head.getString(3) === "GEN-A")
+    assert(!head.exists(_.getLong(0) == keys(2)))
+    // every read stack serves the same state
+    val indexed = ManifestFileIndex.readVersionIndexed(spark, t)
+      .orderBy("o_orderkey").collect()
+    assert(indexed.toSeq === head.sortBy(_.getLong(0)).toSeq)
+  }
+
+  test("purgeEq rewrites ONLY in-scope files, drops the sidecar, " +
+    "and preserves the exact state; stale DVs on rewritten files absorb") {
+    val t = freshTable("eq-purge")
+    Sources.commitVersion(
+      ordersBase.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), t)
+    val keys = ordersBase.select("o_orderkey").orderBy("o_orderkey")
+      .limit(2).collect().map(_.getLong(0))
+    // a DV delete first, then an eq merge on top — purge must absorb both
+    Sources.deleteWhereDv(spark, t, col("o_orderkey") === keys(1))
+    val (v3, _) = Sources.mergeVersionEq(spark, t,
+      changes(Seq((keys(0), 7L, 70.0, "PURGED-UPD")), Nil),
+      Seq("o_orderkey"))
+    val before = Sources.readVersion(spark, t).orderBy("o_orderkey").collect()
+    val scopeFiles = manifestFiles(t, v3 - 1).length
+    val batchFiles = manifestFiles(t, v3).length - scopeFiles
+    val (v4, rewritten) = Sources.purgeEq(spark, t)
+    assert(rewritten === scopeFiles,
+      "exactly the in-scope (pre-merge) files rewrite; the upsert batch carries")
+    assert(Sources.eqOf(t, v4).isEmpty, "purge drops the eq sidecar")
+    assert(Sources.dvOf(t, v4).isEmpty,
+      "rewritten files' DV entries are absorbed with them")
+    val after = Sources.readVersion(spark, t).orderBy("o_orderkey").collect()
+    assert(after.toSeq === before.toSeq, "purge must not change the state")
+    // carried upsert-batch files stay byte-identical
+    assert(manifestFiles(t, v4).count(
+      manifestFiles(t, v3).contains) === batchFiles)
+  }
+
+  test("readChanges emits an eq commit as key-join deletes + batch " +
+    "inserts; the streaming CDF refuses the range loudly") {
+    val t = freshTable("eq-cdf")
+    val v1 = Sources.commitVersion(ordersBase, t)
+    val keys = ordersBase.select("o_orderkey").orderBy("o_orderkey")
+      .limit(2).collect().map(_.getLong(0))
+    val (v2, _) = Sources.mergeVersionEq(spark, t,
+      changes(Seq((keys(0), 5L, 50.0, "CDF-UPD")), Seq(keys(1))),
+      Seq("o_orderkey"))
+    val delta = Sources.readChanges(spark, t, v1, v2)
+      .select("o_orderkey", "o_orderpriority", "_change_type").collect()
+    val dels = delta.filter(_.getString(2) == "delete")
+    val ins = delta.filter(_.getString(2) == "insert")
+    assert(dels.map(_.getLong(0)).sorted.toSeq === keys.sorted.toSeq,
+      "both retired keys' stored rows emit as deletes")
+    assert(ins.map(_.getLong(0)).toSeq === Seq(keys(0)),
+      "the upsert batch emits as the insert")
+    assert(ins.head.getString(1) === "CDF-UPD")
+    // a departing in-scope file later (purge) must NOT re-emit the
+    // eq-dead rows as deletes
+    val (v3, _) = Sources.purgeEq(spark, t)
+    val purgeDelta = Sources.readChanges(spark, t, v2, v3)
+      .filter(col("_change_type") === "delete")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(!purgeDelta.contains(keys(1)),
+      "eq-dead rows were already emitted — departure must not re-delete")
+    // the streaming CDF cannot express the key-join delta: loud refusal
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft-cdf")
+        .option("path", t).option("startingVersion", v1.toString)
+        .load().writeStream.format("memory").queryName("eq_cdf_refuse")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    def chain(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ chain(e.getCause)
+    assert(chain(ex).exists(_.contains("equality-delete")),
+      s"expected the loud eq refusal, got: $ex")
+  }
+
+  test("vacuum retains eq scope manifests and pinned key parquets; " +
+    "rollback restores the pre-merge state") {
+    val t = freshTable("eq-vacuum")
+    val v1 = Sources.commitVersion(ordersBase, t)
+    val k = ordersBase.select("o_orderkey").orderBy("o_orderkey")
+      .limit(1).collect().head.getLong(0)
+    val (v2, _) = Sources.mergeVersionEq(spark, t,
+      changes(Nil, Seq(k)), Seq("o_orderkey"))
+    // bury the eq commit under appends (rows NOT keyed k — an appended
+    // k-row would be out of scope and correctly visible), then vacuum
+    val filler = ordersBase.filter(col("o_orderkey") =!= k).limit(1)
+    Sources.commitVersion(filler, t)
+    val v4 = Sources.commitVersion(filler, t)
+    Sources.vacuumVersions(t, 2)
+    // v1 (the entry's scope) must survive the sweep: the head read
+    // still resolves the scope and keeps k deleted
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, s"v$v1.manifest")),
+      "the pinned scope manifest survives vacuum")
+    assert(Sources.readVersion(spark, t)
+      .filter(col("o_orderkey") === k).count() === 0L,
+      "the eq delete still applies after vacuum")
+    // rollback to the pre-merge version drops the delete
+    val t2 = freshTable("eq-rollback")
+    val w1 = Sources.commitVersion(ordersBase, t2)
+    Sources.mergeVersionEq(spark, t2, changes(Nil, Seq(k)),
+      Seq("o_orderkey"))
+    val w3 = Sources.rollbackTo(t2, w1)
+    assert(Sources.readVersion(spark, t2, w3)
+      .filter(col("o_orderkey") === k).count() === 1L,
+      "rollback restores the pre-merge delete state")
+  }
+
+  test("catalog SQL reads apply eq deletes; row-level DML refuses " +
+    "until purge_eq; the $eq gauge reports the pending entries") {
+    val wh = java.nio.file.Files.createTempDirectory("eq-cat").toString
+    spark.conf.set("spark.sql.catalog.eqcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.eqcat.warehouse", wh)
+    ordersBase.createOrReplaceTempView("eq_orders_src")
+    spark.sql("CREATE TABLE eqcat.t (o_orderkey BIGINT, o_custkey BIGINT," +
+      " o_totalprice DOUBLE, o_orderpriority STRING)")
+    spark.sql("INSERT INTO eqcat.t SELECT * FROM eq_orders_src")
+    val table = s"$wh/t"
+    val keys = ordersBase.select("o_orderkey").orderBy("o_orderkey")
+      .limit(2).collect().map(_.getLong(0))
+    Sources.mergeVersionEq(spark, table,
+      changes(Seq((keys(0), 3L, 30.0, "SQL-UPD")), Seq(keys(1))),
+      Seq("o_orderkey"))
+    val row = spark.sql(
+      s"SELECT o_orderpriority FROM eqcat.t WHERE o_orderkey = ${keys(0)}")
+      .collect()
+    assert(row.length === 1 && row.head.getString(0) === "SQL-UPD",
+      "the SQL read stack must serve the eq-merged state")
+    assert(spark.sql(
+      s"SELECT * FROM eqcat.t WHERE o_orderkey = ${keys(1)}").count() === 0L)
+    val gauge = spark.sql("SELECT key_columns, n_keys FROM eqcat.`t$eq`")
+      .collect()
+    assert(gauge.length === 1 && gauge.head.getString(0) === "o_orderkey"
+      && gauge.head.getLong(1) === 2L)
+    val ex = intercept[Exception] {
+      spark.sql(s"DELETE FROM eqcat.t WHERE o_orderkey = ${keys(0)} " +
+        s"AND o_custkey = 3")
+    }
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    assert(msgs(ex).exists(_.contains("purge_eq")),
+      s"row-level DML must refuse with the purge_eq pointer, got: $ex")
+    spark.sql("CALL eqcat.system.purge_eq('t')")
+    assert(Sources.eqOf(table, Sources.latestVersion(table)).isEmpty)
+    spark.sql(s"DELETE FROM eqcat.t WHERE o_orderkey = ${keys(0)} " +
+      s"AND o_custkey = 3")
+    assert(spark.sql(
+      s"SELECT * FROM eqcat.t WHERE o_orderkey = ${keys(0)}").count() === 0L)
+    spark.sql("DROP TABLE eqcat.t")
+  }
+}
