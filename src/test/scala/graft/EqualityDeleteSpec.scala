@@ -236,6 +236,47 @@ class EqualityDeleteSpec extends SparkTestBase {
       "rollback restores the pre-merge delete state")
   }
 
+  test("eq merges compose with identity-partitioned and hash-bucketed " +
+    "layouts: upsert batches land laid out, reads stay correct") {
+    // identity-partitioned: the upsert batch must land hive-laid and
+    // the partition-aware read must serve the LWW state
+    val pt = freshTable("eq-part")
+    Sources.writeTableProperties(pt,
+      Map("partition.columns" -> "o_orderpriority"))
+    Sources.commitVersion(ordersBase, pt)
+    val k = ordersBase.select("o_orderkey").orderBy("o_orderkey")
+      .limit(1).collect().head.getLong(0)
+    Sources.mergeVersionEq(spark, pt,
+      changes(Seq((k, 11L, 110.0, "1-URGENT")), Nil), Seq("o_orderkey"))
+    val row = Sources.readVersion(spark, pt)
+      .filter(col("o_orderkey") === k).collect()
+    assert(row.length === 1 && row.head.getString(3) === "1-URGENT")
+    assert(Sources.readVersion(spark, pt).count() === ordersBase.count())
+    // the appended batch is hive-laid under its partition dir
+    val latest = Sources.eqOf(pt, Sources.latestVersion(pt))
+    assert(latest.length === 1)
+    import scala.jdk.CollectionConverters._
+    val laid = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(pt, "data")).iterator().asScala
+      .exists(_.toString.contains("o_orderpriority=1-URGENT"))
+    assert(laid, "the eq upsert batch must land hive-partitioned")
+    // hash-bucketed: the batch re-buckets; purge restores SPJ layout
+    val bt = freshTable("eq-bucket")
+    Sources.writeTableProperties(bt,
+      Map("bucket.column" -> "o_orderkey", "bucket.count" -> "4"))
+    Sources.commitVersion(ordersBase, bt)
+    Sources.mergeVersionEq(spark, bt,
+      changes(Seq((k, 12L, 120.0, "B-UPD")), Nil), Seq("o_orderkey"))
+    val brow = Sources.readVersion(spark, bt)
+      .filter(col("o_orderkey") === k).collect()
+    assert(brow.length === 1 && brow.head.getString(3) === "B-UPD")
+    val (_, rewritten) = Sources.purgeEq(spark, bt)
+    assert(rewritten > 0)
+    assert(Sources.readVersion(spark, bt)
+      .filter(col("o_orderkey") === k).head().getString(3) === "B-UPD")
+    assert(Sources.readVersion(spark, bt).count() === ordersBase.count())
+  }
+
   test("catalog SQL reads apply eq deletes; row-level DML refuses " +
     "until purge_eq; the $eq gauge reports the pending entries") {
     val wh = java.nio.file.Files.createTempDirectory("eq-cat").toString
