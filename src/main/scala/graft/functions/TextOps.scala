@@ -2203,8 +2203,128 @@ object TextOps {
            |ORDER BY a3.doc_id""".stripMargin)
   )
 
+  /** Q222 — DSIR-shaped data selection: hashed n-gram importance
+    * weighting (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling") restated exactly. The pipeline's
+    * structure is DSIR verbatim: (1) featurize every document as
+    * hashed unigram+bigram counts over B=64 buckets (md5-derived — the
+    * engine's one cross-engine hash, q126's device); (2) estimate the
+    * TARGET distribution (here: the `lang='en'` sub-corpus, the
+    * fixture's stand-in for "looks like the high-quality target") and
+    * the RAW distribution (the whole corpus) as smoothed per-bucket
+    * probabilities; (3) score every document by its feature counts
+    * against the per-bucket contrast; (4) keep the top-K as the
+    * selected training subset.
+    *
+    * One deliberate restatement for CROSS-ENGINE EXACTNESS: the paper
+    * scores with Σ n_b·log(p̂_t(b)/p̂_r(b)); a libm log would make the
+    * hash gate flaky, so the per-bucket weight is the SMOOTHED
+    * PROBABILITY CONTRAST cross-multiplied to one exact BIGINT —
+    * Δ_b = (n_t(b)+1)·(N_r+B) − (n_r(b)+1)·(N_t+B), i.e.
+    * (p̂_t(b) − p̂_r(b)) scaled by the positive constant
+    * (N_t+B)(N_r+B) — a monotone-in-p̂ linear discriminant of the same
+    * bucket-contrast shape (the q215 integer-cross-multiplication
+    * device). Magnitudes stay far under 2^63 at any tested SF
+    * (Σ_b n_doc(b)·|Δ_b| ≤ grams/doc · (N_t+1)·(N_r+B) ≈ 10^15 at
+    * sf0.1).
+    *
+    * Scale shape: featurize is map-side explode; the two distribution
+    * estimates are B-row aggregates (broadcast back); per-doc scoring
+    * is one (doc_id, bucket)-combinable sum + a broadcast join with
+    * the 64-row weight table; selection is TakeOrderedAndProject
+    * (top-K never sorts the corpus) with the rank window over the
+    * already-cut K rows. Nothing shuffles wider than doc_id. */
+  val q222 = Query(
+    "q222_dsir_importance",
+    (s, dir) => {
+      val B = 64
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
+            .as("ws"))
+      val grams = toks.select(col("doc_id"), col("lang"),
+          explode(concat(col("ws"), expr(
+            """CASE WHEN size(ws) >= 2 THEN
+              |  transform(sequence(1, size(ws) - 1),
+              |    i -> concat(element_at(ws, i), '_', element_at(ws, i + 1)))
+              |ELSE array() END""".stripMargin))).as("g"))
+        .withColumn("b",
+          graft.Canon.md5Residue(concat(lit("d#"), col("g")), B))
+      // BOTH distributions in one combinable pass (raw = every gram,
+      // target = the en sub-corpus via a conditional count), then the
+      // 64-row weight table: smoothed-contrast Δ_b as exact BIGINT
+      val dist = grams.groupBy("b").agg(
+        count(lit(1)).as("n_r"),
+        count_if(col("lang") === "en").as("n_t"))
+      val totals = dist.agg(sum(col("n_r")).as("tot_r"),
+        sum(col("n_t")).as("tot_t"))
+      val delta = dist.crossJoin(broadcast(totals))
+        .select(col("b"),
+          ((col("n_t") + 1) * (col("tot_r") + B) -
+            (col("n_r") + 1) * (col("tot_t") + B)).as("w_b"))
+      val scored = grams.groupBy("doc_id", "b")
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(delta), Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum(col("n") * col("w_b")).as("score"))
+      val top = scored
+        .join(Tables.documents(s, dir)
+          .select("doc_id", "lang", "source"), Seq("doc_id"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("lang"), col("source"), col("score"))
+        .orderBy("rank")
+    },
+    Some("""WITH ws AS (
+           |  SELECT doc_id, lang, source,
+           |         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+           |                     x -> x <> '') AS ws
+           |  FROM documents),
+           |toks AS (
+           |  SELECT doc_id, lang, u.w, u.i
+           |  FROM ws,
+           |  LATERAL (SELECT unnest(ws) AS w,
+           |                  unnest(range(1, len(ws) + 1)) AS i) u),
+           |grams AS (
+           |  SELECT doc_id, lang, w AS g FROM toks
+           |  UNION ALL
+           |  SELECT doc_id, lang,
+           |         concat(w, '_', lead(w) OVER (PARTITION BY doc_id ORDER BY i)) AS g
+           |  FROM toks
+           |  QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+           |hashed AS (
+           |  SELECT doc_id, lang,
+           |         CAST(concat('0x', substr(md5(concat('d#', g)), 1, 15))
+           |              AS BIGINT) % 64 AS b
+           |  FROM grams),
+           |rawc AS (SELECT b, COUNT(*) AS n_r FROM hashed GROUP BY b),
+           |tgtc AS (SELECT b, COUNT(*) AS n_t FROM hashed
+           |         WHERE lang = 'en' GROUP BY b),
+           |tot AS (SELECT (SELECT COUNT(*) FROM hashed) AS tot_r,
+           |               (SELECT COUNT(*) FROM hashed WHERE lang = 'en') AS tot_t),
+           |delta AS (
+           |  SELECT rawc.b,
+           |         (COALESCE(n_t, 0) + 1) * (tot_r + 64)
+           |           - (n_r + 1) * (tot_t + 64) AS w_b
+           |  FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b CROSS JOIN tot),
+           |scored AS (
+           |  SELECT h.doc_id, CAST(SUM(n * w_b) AS BIGINT) AS score
+           |  FROM (SELECT doc_id, b, COUNT(*) AS n FROM hashed
+           |        GROUP BY doc_id, b) h
+           |  JOIN delta ON h.b = delta.b
+           |  GROUP BY h.doc_id)
+           |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, s.doc_id)
+           |            AS BIGINT) AS rank,
+           |       s.doc_id, d.lang, d.source, score
+           |FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+           |ORDER BY score DESC, s.doc_id
+           |LIMIT 50""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
-      q154, q155, q163, q168, q171, q174, q176, q187, q188, q205, q215)
+      q154, q155, q163, q168, q171, q174, q176, q187, q188, q205, q215, q222)
 }
