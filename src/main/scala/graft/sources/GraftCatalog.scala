@@ -112,6 +112,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // metadata tables, Trino/Iceberg style: SELECT * FROM g.`t$history`
     // (one row per version) / g.`t$files` (the pinned file inventory)
     ident.name().split("\\$", 2) match {
+      case Array(base, meta) if meta.startsWith("branch$") =>
+        // the branch as a WRITABLE table: INSERT INTO g.`t$branch$dev`,
+        // MERGE/UPDATE/DELETE — full SQL DML on the staging chain, so
+        // WAP runs end-to-end in SQL (create_branch → DML on
+        // t$branch$dev → audit VERSION AS OF 'dev' → publish_branch)
+        val baseIdent = Identifier.of(ident.namespace(), base)
+        if (!tableExists(baseIdent)) throw new NoSuchTableException(ident)
+        val bd = Refs.branchDir(tableDir(baseIdent),
+          meta.stripPrefix("branch$"))
+        if (Sources.latestVersion(bd) == 0) throw new NoSuchTableException(ident)
+        new GraftTable(spark, bd, -1)
       case Array(base, meta) if meta.nonEmpty =>
         val baseIdent = Identifier.of(ident.namespace(), base)
         if (!tableExists(baseIdent)) throw new NoSuchTableException(ident)

@@ -153,19 +153,30 @@ class BranchTagSpec extends SparkTestBase {
     val n = ordersBase.count()
     spark.sql("CALL refcat.system.tag('t', 'baseline')")
     spark.sql("CALL refcat.system.create_branch('t', 'wap')")
-    // stage a change on the branch through the API (branch dir IS a table)
-    val bd = Refs.branchDir(s"$wh/t", "wap")
-    Sources.commitVersion(ordersBase.limit(2)
-      .withColumn("o_orderpriority", lit("B-WAP")), bd)
+    // stage changes on the branch in PURE SQL: the branch is writable
+    // as g.`t$branch$<name>` — an INSERT and a row-level DELETE both
+    // land on the staging chain
+    spark.sql("INSERT INTO refcat.`t$branch$wap` " +
+      "SELECT o_orderkey, o_custkey, o_totalprice, 'B-WAP' " +
+      "FROM ref_orders_src LIMIT 2")
+    val delKey = ordersBase.select("o_orderkey").orderBy("o_orderkey")
+      .limit(1).collect().head.getLong(0)
+    spark.sql(s"DELETE FROM refcat.`t$$branch$$wap` " +
+      s"WHERE o_orderkey = $delKey AND o_orderpriority <> 'B-WAP'")
     // audit both refs in SQL
     assert(spark.sql(
       "SELECT * FROM refcat.t VERSION AS OF 'baseline'").count() === n)
     assert(spark.sql(
       "SELECT * FROM refcat.t VERSION AS OF 'wap' " +
         "WHERE o_orderpriority = 'B-WAP'").count() === 2L)
+    assert(spark.sql("SELECT * FROM refcat.t VERSION AS OF 'wap' " +
+      s"WHERE o_orderkey = $delKey AND o_orderpriority <> 'B-WAP'")
+      .count() === 0L, "the branch DELETE must land on the branch")
     assert(spark.sql("SELECT * FROM refcat.t " +
       "WHERE o_orderpriority = 'B-WAP'").count() === 0L,
       "main must not see the staged rows")
+    assert(spark.sql(s"SELECT * FROM refcat.t WHERE o_orderkey = $delKey")
+      .count() === 1L, "main must not see the staged delete")
     val refs = spark.sql("SELECT kind, name FROM refcat.`t$refs`")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(refs === Set(("tag", "baseline"), ("branch", "wap")))

@@ -132,6 +132,15 @@ class EqualityDeleteSpec extends SparkTestBase {
     val indexed = ManifestFileIndex.readVersionIndexed(spark, t)
       .orderBy("o_orderkey").collect()
     assert(indexed.toSeq === head.sortBy(_.getLong(0)).toSeq)
+    // the read tax is a broadcast HASH anti-join per entry — the key
+    // equality must reach the join as its hash key (the scope probe
+    // rides as an extra condition), never degrade to a nested loop
+    val plan = Sources.readVersion(spark, t)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), s"expected broadcast anti-joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "an eq entry must never plan as a nested loop")
   }
 
   test("purgeEq rewrites ONLY in-scope files, drops the sidecar, " +
