@@ -528,6 +528,33 @@ object StreamingPipeline {
 
   def replicateTable(spark: SparkSession, srcTable: String,
       dstTable: String, key: String, checkpoint: String): StreamingQuery =
+    replicateWith(spark, srcTable, dstTable, key, checkpoint,
+      (s, dst, changes) =>
+        graft.sources.Sources.mergeVersion(s, dst, changes, key))
+
+  /** O(keys) streaming replication: the [[replicateTable]] contract
+    * with each micro-batch landing as an EQUALITY-DELETE merge
+    * ([[graft.sources.Sources.mergeVersionEq]]) — the commit writes
+    * the batch's retired keys as a scoped sidecar entry plus the
+    * upsert rows and NEVER opens a replica base file, so per-batch
+    * write cost is O(change keys) REGARDLESS of replica size. This is
+    * the 100 TB CDC-fan-in shape: a thousand micro-batches a day cost
+    * a thousand key sidecars, not a thousand candidate-file scans.
+    * The deferred position work accrues as one read-side anti-join
+    * per pending entry; run [[graft.sources.Sources.purgeEq]] on
+    * maintenance cadence to absorb them (EqualityDeleteSpec proves
+    * stream-replicated-then-purged ≡ the CoW replica exactly). */
+  def replicateTableEq(spark: SparkSession, srcTable: String,
+      dstTable: String, key: String, checkpoint: String): StreamingQuery =
+    replicateWith(spark, srcTable, dstTable, key, checkpoint,
+      (s, dst, changes) => {
+        graft.sources.Sources.mergeVersionEq(s, dst, changes, Seq(key))
+        ()
+      })
+
+  private def replicateWith(spark: SparkSession, srcTable: String,
+      dstTable: String, key: String, checkpoint: String,
+      merge: (SparkSession, String, DataFrame) => Unit): StreamingQuery =
     spark.readStream.format("graft-cdf").option("path", srcTable).load()
       .writeStream
       .outputMode("append")
@@ -567,7 +594,7 @@ object StreamingPipeline {
               graft.sources.Sources.createEmptyTable(dstTable,
                 org.apache.spark.sql.types.StructType(
                   changes.schema.fields.filterNot(_.name == "op")))
-            graft.sources.Sources.mergeVersion(spark, dstTable, changes, key)
+            merge(spark, dstTable, changes)
             java.nio.file.Files.createDirectories(marker.getParent)
             java.nio.file.Files.write(marker, Array.emptyByteArray)
             ()

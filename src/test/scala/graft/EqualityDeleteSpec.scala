@@ -286,6 +286,49 @@ class EqualityDeleteSpec extends SparkTestBase {
     assert(Sources.readVersion(spark, bt).count() === ordersBase.count())
   }
 
+  test("replicateTableEq: streaming CDC replication lands every batch " +
+    "as an O(keys) eq merge; purged replica == CoW replica == source") {
+    val root = java.nio.file.Files.createTempDirectory("eq-repl")
+    root.toFile.deleteOnExit()
+    val src = root.resolve("src").toString
+    val dstEq = root.resolve("dst_eq").toString
+    val dstCow = root.resolve("dst_cow").toString
+    import spark.implicits._
+    def drain(dst: String, ckpt: String,
+        f: (org.apache.spark.sql.SparkSession, String, String, String,
+          String) => org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      f(spark, src, dst, "k", ckpt).awaitTermination()
+    // three source commits: base, keyed CoW merge (upsert+delete), append
+    Sources.commitVersion(
+      (1L to 40L).map(i => (i, s"v1-$i")).toDF("k", "payload"), src)
+    drain(dstEq, root.resolve("ck1").toString,
+      graft.streaming.StreamingPipeline.replicateTableEq)
+    drain(dstCow, root.resolve("ck2").toString,
+      graft.streaming.StreamingPipeline.replicateTable)
+    val changes = (1L to 10L).map(i => (i, s"v2-$i", "upsert"))
+      .toDF("k", "payload", "op")
+      .unionByName(Seq((39L, null: String, "delete"), (40L, null: String, "delete"))
+        .toDF("k", "payload", "op"))
+    Sources.mergeVersion(spark, src, changes, "k")
+    Sources.commitVersion(
+      (41L to 45L).map(i => (i, s"v3-$i")).toDF("k", "payload"), src)
+    drain(dstEq, root.resolve("ck1").toString,
+      graft.streaming.StreamingPipeline.replicateTableEq)
+    drain(dstCow, root.resolve("ck2").toString,
+      graft.streaming.StreamingPipeline.replicateTable)
+    // the eq replica accrued pending entries; absorb and compare all three
+    assert(Sources.eqOf(dstEq, Sources.latestVersion(dstEq)).nonEmpty,
+      "eq replication must land entries, not rewrites")
+    Sources.purgeEq(spark, dstEq)
+    val srcState = Sources.readVersion(spark, src)
+      .orderBy("k").collect().toSeq
+    assert(Sources.readVersion(spark, dstEq).orderBy("k").collect().toSeq
+      === srcState, "purged eq replica must equal the source")
+    assert(Sources.readVersion(spark, dstCow).orderBy("k").collect().toSeq
+      === srcState, "CoW replica must equal the source")
+    assert(srcState.length === 43) // 40 - 2 deleted + 5 appended
+  }
+
   test("catalog SQL reads apply eq deletes; row-level DML refuses " +
     "until purge_eq; the $eq gauge reports the pending entries") {
     val wh = java.nio.file.Files.createTempDirectory("eq-cat").toString
