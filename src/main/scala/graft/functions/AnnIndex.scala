@@ -268,6 +268,84 @@ object AnnIndex {
       .orderBy("a_id")
   }
 
+  /** MARGIN-BASED BITEXT MINING against the persisted index — the
+    * ratio-margin criterion of Artetxe & Schwenk 2019 ("Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings"),
+    * the standard way multilingual LLM pipelines mine parallel pairs:
+    * raw cosine over-selects hubs (vectors close to EVERYTHING), so a
+    * candidate pair (x, y) is scored by its cosine NORMALIZED by the
+    * two endpoints' neighborhood density,
+    * `margin = sim(x,y) / ((avgK(x) + avgK(y)) / 2)`, and a pair is
+    * mined iff it is margin-MUTUAL-best and its margin clears the
+    * threshold (margin > 1 ⇔ the pair is tighter than its endpoints'
+    * average neighborhoods).
+    *
+    * Composed with the index exactly like [[mutualKnnFromIndex]]:
+    * sides A (`sideA` predicate) and B (its complement) generate
+    * candidates from shared probed cells (posting-list equi-join,
+    * symmetrized), never a cross product; avgK is the mean
+    * side-crossing top-K cosine among candidates — the approximation
+    * the AnnIndexSpec recall gate measures against the exact form.
+    * Everything downstream of the candidate join is per-endpoint
+    * windows over candidate edges, shuffle-keyed by vector id. */
+  def marginMineFromIndex(spark: SparkSession, emb: DataFrame,
+      indexTable: String, sideA: Column, k: Int = 4, nprobe: Int = 4,
+      threshold: Double = 1.0): DataFrame = {
+    val m = loadModel(indexTable)
+    val index = Sources.readVersion(spark, indexTable)
+      .select("b_id", "cell")
+    val sided = emb.withColumn("side",
+      when(sideA, lit("A")).otherwise(lit("B")))
+    val probeCells = sided.select(col("vec_id").as("a_id"),
+        slice(reverse(array_sort(array(m.cents.toSeq.zipWithIndex.map {
+          case (c, i) => struct(cellScore(c).as("s"), lit(i.toLong).as("cell"))
+        }: _*))), 1, nprobe).getField("cell").as("probed"))
+      .select(col("a_id"), explode(col("probed")).as("cell"))
+    val edges0 = probeCells.join(index, Seq("cell")).select("a_id", "b_id")
+    val edges = edges0.union(
+      edges0.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .distinct()
+    val aSide = sided.select(col("vec_id").as("a_id"),
+      col("side").as("a_side"), col("embedding").as("ea"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("na"))
+    val bSide = sided.select(col("vec_id").as("b_id"),
+      col("side").as("b_side"), col("embedding").as("eb"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("nb"))
+    // side-crossing candidate sims, ORIENTED a ∈ A, b ∈ B (one row per
+    // unordered pair — both normalizations join back onto it)
+    val sims = edges.join(aSide, "a_id").join(bSide, "b_id")
+      .filter(col("a_side") === "A" && col("b_side") === "B")
+      .select(col("a_id"), col("b_id"),
+        (dotNative(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .as("sim"))
+    // per-endpoint neighborhood density: mean of the top-K candidate
+    // cosines (windows keyed by the endpoint id — never global)
+    val wa = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    val avgA = sims.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= k).groupBy("a_id")
+      .agg(avg(col("sim")).as("avg_a"))
+    val wb = Window.partitionBy("b_id").orderBy(col("sim").desc, col("a_id").asc)
+    val avgB = sims.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= k).groupBy("b_id")
+      .agg(avg(col("sim")).as("avg_b"))
+    val margins = sims.join(avgA, "a_id").join(avgB, "b_id")
+      .select(col("a_id"), col("b_id"), col("sim"),
+        (col("sim") / ((col("avg_a") + col("avg_b")) / 2)).as("margin"))
+    val fwd = margins.withColumn("rn", row_number().over(
+        Window.partitionBy("a_id")
+          .orderBy(col("margin").desc, col("b_id").asc)))
+      .filter(col("rn") === 1).drop("rn")
+    val bwd = margins.withColumn("rn", row_number().over(
+        Window.partitionBy("b_id")
+          .orderBy(col("margin").desc, col("a_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("a_id").as("fa"), col("b_id").as("fb"))
+    fwd.join(bwd, col("a_id") === col("fa") && col("b_id") === col("fb"))
+      .filter(col("margin") > threshold)
+      .select("a_id", "b_id", "sim", "margin")
+      .orderBy("a_id")
+  }
+
   /** IVFADC search AGAINST THE PERSISTED INDEX: probes compute their
     * nprobe nearest cells + ADC table from the pinned model; candidates
     * come from the index table's probed posting lists (equi-join on

@@ -724,6 +724,41 @@ object SimilarityOps {
     None
   )
 
+  /** Q223 — margin-based parallel-pair mining against the persisted
+    * index ([[AnnIndex.marginMineFromIndex]], the Artetxe & Schwenk
+    * ratio margin): sides from vec_id parity (the fixture's stand-in
+    * for two languages), candidates from shared probed IVF cells,
+    * margin-mutual-best pairs above threshold. Approximate by design
+    * (avgK over candidates, not the full side) → rows-only;
+    * AnnIndexSpec gates precision/recall vs the exact fixture-scale
+    * form and plan-asserts no cross product anywhere. */
+  val q223 = Query(
+    "q223_margin_mine",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-margin-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val src = root.resolve("emb_t").toString
+      val idx = root.resolve("emb_idx").toString
+      val emb = Tables.embeddings(s, dir)
+      graft.sources.Sources.commitVersion(emb, src)
+      AnnIndex.init(s, src, idx)
+      AnnIndex.maintainQuery(s, src, idx, s"$root/ckpt").awaitTermination()
+      AnnIndex.marginMineFromIndex(s, emb, idx,
+        sideA = pmod(col("vec_id"), lit(2)) === 0)
+    },
+    None
+  )
+
   val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65, q98, q140,
-    q140b, q173, q203)
+    q140b, q173, q203, q223)
 }

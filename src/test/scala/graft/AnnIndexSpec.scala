@@ -133,4 +133,61 @@ class AnnIndexSpec extends SparkTestBase {
         "fixture scale — if this starts failing, the contrast gate " +
         "needs a new witness")
   }
+
+  test("q223 margin mining: precision+recall >= 0.85 vs the exact " +
+    "ratio-margin form, every mined pair margin-mutual above 1.0, " +
+    "and no cross product plans") {
+    val df = SparkEntry.queries("q223_margin_mine")(spark, sf)
+    val mined = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(mined.nonEmpty, "the miner must find pairs on the fixture")
+    assert(mined.forall(_._3 > 1.0),
+      "every mined pair must clear the margin threshold")
+    assert(crossProducts(df) === 0,
+      "q223 must plan no BroadcastNestedLoopJoin/CartesianProduct")
+    // exact reference: brute-force ratio margins over ALL side-crossing
+    // pairs (500 fixture vectors — driver-side is the honest oracle)
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / math.sqrt(nx * ny)
+    }
+    val aIds = vecs.keys.filter(_ % 2 == 0).toSeq.sorted
+    val bIds = vecs.keys.filter(_ % 2 == 1).toSeq.sorted
+    val sims = (for (a <- aIds; b <- bIds)
+      yield ((a, b), cos(vecs(a), vecs(b)))).toMap
+    def avgTopK(center: Long, others: Seq[Long],
+        simOf: Long => Double): Double = {
+      val top = others.map(o => (simOf(o), o))
+        .sortBy { case (s2, o) => (-s2, o) }.take(4).map(_._1)
+      top.sum / top.length
+    }
+    val avgA = aIds.map(a => a -> avgTopK(a, bIds, b => sims((a, b)))).toMap
+    val avgB = bIds.map(b => b -> avgTopK(b, aIds, a => sims((a, b)))).toMap
+    def margin(a: Long, b: Long): Double =
+      sims((a, b)) / ((avgA(a) + avgB(b)) / 2)
+    val fwd = aIds.map(a =>
+      a -> bIds.map(b => (margin(a, b), b)).max(Ordering.Tuple2(
+        Ordering.Double.TotalOrdering, Ordering.Long.reverse))._2).toMap
+    val bwd = bIds.map(b =>
+      b -> aIds.map(a => (margin(a, b), a)).max(Ordering.Tuple2(
+        Ordering.Double.TotalOrdering, Ordering.Long.reverse))._2).toMap
+    val exact = aIds.flatMap { a =>
+      val b = fwd(a)
+      if (bwd(b) == a && margin(a, b) > 1.0) Some((a, b)) else None
+    }.toSet
+    assert(exact.nonEmpty)
+    val minedPairs = mined.map(p => (p._1, p._2)).toSet
+    val recall = (exact intersect minedPairs).size.toDouble / exact.size
+    val precision =
+      (exact intersect minedPairs).size.toDouble / minedPairs.size
+    assert(recall >= 0.85 && precision >= 0.85,
+      s"margin mining recall=$recall precision=$precision below the " +
+        s"0.85 gate (exact=${exact.size}, mined=${minedPairs.size})")
+  }
 }
