@@ -60,13 +60,21 @@ private[sources] object GraftProcedures {
         case (Seq("system"), "optimize") => Some(new Proc(
           "optimize",
           Seq(("table", StringType, None),
-            ("target_records", LongType, Some("1000000"))),
+            ("target_records", LongType, Some("1000000")),
+            // optional scope: only files whose path contains this
+            // substring (a hive partition dir like 'month=2024-02')
+            // rewrite — OPTIMIZE ... WHERE for the hot partition
+            ("scope", StringType, Some("''"))),
           StructType(Seq(StructField("version", IntegerType),
             StructField("files_before", IntegerType),
             StructField("files_after", IntegerType))),
           (spark, in) => {
-            val (v, before, after) = Sources.compactVersion(
-              spark, table(in, 0), in.getLong(1))
+            val scope = in.getUTF8String(2).toString
+            val (v, before, after) =
+              if (scope.isEmpty)
+                Sources.compactVersion(spark, table(in, 0), in.getLong(1))
+              else Sources.compactVersionWhere(spark, table(in, 0),
+                in.getLong(1), _.contains(scope))
             Seq(v, before, after)
           }))
         case (Seq("system"), "vacuum") => Some(new Proc(

@@ -2480,6 +2480,81 @@ object Sources {
     // and rewrites every file — the new version is clean by definition
     (next, before, filesOf(table, next).length)
   }
+
+  /** SCOPED compaction — `OPTIMIZE ... WHERE` for the manifest format:
+    * rewrite only the files `fileMayMatch` selects (typically one
+    * partition's directory, or "files under N bytes") into
+    * ~`targetRecordsPerFile` files; everything else carries forward
+    * byte-identical with its stats/bloom/DV/eq sidecars. At 100 TB
+    * whole-table [[compactVersion]] is a scheduled luxury; the
+    * operational loop compacts the ONE hot partition the last hour of
+    * micro-batches fragmented — cost bounded by scope bytes, never
+    * table bytes. Scoped files absorb their DV marks and any pending
+    * eq deletes (the rewrite reads through both); carried files keep
+    * theirs. Returns (version, files before in scope, files after). */
+  def compactVersionWhere(spark: SparkSession, table: String,
+      targetRecordsPerFile: Long,
+      fileMayMatch: String => Boolean): (Int, Int, Int) = {
+    val v = latestVersion(table)
+    require(v > 0, s"$table has no committed versions")
+    val files = filesOf(table, v)
+    val (affected, carried) = files.partition(fileMayMatch)
+    if (affected.isEmpty) return (v, 0, 0)
+    val dv = dvOf(table, v)
+    val scoped = applyEq(spark,
+      applyDv(readFileSubset(spark, table, v, affected), dv), table, v)
+    val rows = scoped.count()
+    val nFiles = math.max(1,
+      math.ceil(rows.toDouble / targetRecordsPerFile).toInt)
+    // same layout discipline as the full pass: declared clusterings
+    // re-cluster the scope; bucketed tables re-bucket in the batch
+    // writer; plain tables coalesce
+    val toRelease = scala.collection.mutable.Buffer.empty[DataFrame]
+    val compacted = {
+      val props = tableProperties(table)
+      if (props.contains("layout.range") || props.contains("layout.zorder")) {
+        val withCount = props + ("layout.files" ->
+          props.getOrElse("layout.files", nFiles.toString))
+        clusterByLayoutProps(scoped, withCount, toRelease)
+      } else if (bucketSpecOf(table).isDefined) scoped
+      else if (partitionColumnsOf(table).nonEmpty)
+        // one exchange keyed by the partition columns so each hive dir
+        // lands as ~1 file per target-size unit, not one per input task
+        scoped.repartition(nFiles,
+          partitionColumnsOf(table).map(col): _*)
+      else if (partTransformOf(table).isDefined) {
+        val t = partTransformOf(table).get
+        scoped.repartition(nFiles,
+          transformColumn(t, col(t.column), scoped.schema(t.column).dataType))
+      } else scoped.repartition(nFiles)
+    }
+    val batch = java.nio.file.Paths.get(table, "data",
+      s"batch-opt-${java.util.UUID.randomUUID().toString.take(8)}")
+    val newFiles =
+      try {
+        writePartitionedBatch(compacted, table, batch.toString)
+        batchParquetFiles(batch)
+      } finally toRelease.foreach(_.unpersist(false))
+    val next =
+      try publishIfLatest(table, v, carried ++ newFiles, "scoped compaction")
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          deleteBatchDir(batch); throw e
+      }
+    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    val stattedCols = statsOf(table, v).keys.map(_._2).toSeq.distinct ++
+      statsOfString(table, v).keys.map(_._2).toSeq.distinct
+    if (stattedCols.nonEmpty && (carried ++ newFiles).nonEmpty)
+      commitStats(spark, table, next, stattedCols.distinct, carryFrom = v)
+    val bloomCols = bloomsOf(table, v).keys.map(_._2).toSeq.distinct
+    if (bloomCols.nonEmpty && (carried ++ newFiles).nonEmpty)
+      commitBlooms(spark, table, next, bloomCols, carryFrom = v)
+    // scoped files' DV marks are applied and absorbed; carried keep
+    publishDv(table, next,
+      dv.filter { case (f, _) => !affected.contains(f) })
+    carryEq(table, v, next, carried)
+    (next, affected.length, newFiles.length)
+  }
 }
 
 /** Executor-side deletion-vector probe: ships the serialized bitsets

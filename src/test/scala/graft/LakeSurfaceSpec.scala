@@ -809,4 +809,49 @@ class LakeSurfaceSpec extends SparkTestBase {
     assert(dataDirs.length === 1,
       s"expected 1 surviving batch dir, got ${dataDirs.map(_.getName).toSeq}")
   }
+
+  test("scoped compaction (OPTIMIZE ... WHERE): only the hot partition's " +
+    "files rewrite, the cold partition carries byte-identical, DV marks " +
+    "in scope absorb, and the SQL procedure drives it") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("opt-scope").toString
+    spark.conf.set("spark.sql.catalog.optcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.optcat.warehouse", wh)
+    spark.sql("CREATE TABLE optcat.t (k BIGINT, v BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    // five tiny commits per partition — the micro-batch fragmentation
+    // scoped compaction exists to repair
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, i.toLong, "hot"), (100L + i, i.toLong, "cold"))
+        .toDF("k", "v", "p").createOrReplaceTempView("opt_batch")
+      spark.sql("INSERT INTO optcat.t SELECT * FROM opt_batch")
+    }
+    val t = s"$wh/t"
+    // a DV point delete inside the scope: the rewrite must absorb it
+    Sources.deleteWhereDv(spark, t, col("k") === 3L)
+    val v0 = Sources.latestVersion(t)
+    val before = spark.sql("SELECT * FROM optcat.t ORDER BY k").collect()
+    def manifest(v: Int): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(t, s"v$v.manifest")).asScala.toSeq
+        .filter(_.nonEmpty)
+    }
+    val coldBefore = manifest(v0).filter(_.contains("p=cold")).sorted
+    val hotBefore = manifest(v0).count(_.contains("p=hot"))
+    assert(hotBefore === 5)
+    val res = spark.sql(
+      "CALL optcat.system.optimize('t', 1000000, 'p=hot')").collect().head
+    val vNew = res.getInt(0)
+    assert(res.getInt(1) === 5, "all five hot files were in scope")
+    assert(res.getInt(2) === 1, "the hot partition compacts to one file")
+    assert(manifest(vNew).filter(_.contains("p=cold")).sorted === coldBefore,
+      "cold-partition files must carry byte-identical")
+    assert(Sources.dvOf(t, vNew).isEmpty,
+      "the in-scope DV mark is absorbed by the rewrite")
+    val after = spark.sql("SELECT * FROM optcat.t ORDER BY k").collect()
+    assert(after.toSeq === before.toSeq,
+      "scoped compaction must not change the state")
+    spark.sql("DROP TABLE optcat.t")
+  }
 }
