@@ -1258,6 +1258,13 @@ object Sources {
     val declared =
       if (prevV == 0) df.schema
       else evolveSchema(schemaOf(df.sparkSession, table, prevV), df.schema, renames)
+    // same guard as alterSchema: an evolution must not rename a pending
+    // eq entry's key column out from under its read-time anti-join
+    val pendingKeys = eqOf(table, prevV).flatMap(_.keyCols).toSet
+    val lost = pendingKeys -- declared.fieldNames.toSet
+    require(lost.isEmpty,
+      s"evolving commit on $table would rename pending equality-delete " +
+        s"key column(s) ${lost.mkString(", ")} — purge_eq first")
     val v = publishNextVersion(table, writeBatch(df, table), overwrite = false)
     publishSchema(table, v, declared)
     v
@@ -1958,6 +1965,15 @@ object Sources {
   def alterSchema(table: String, schema: StructType): Int = {
     val v = latestVersion(table)
     require(v > 0, s"$table has no committed versions")
+    // a pending equality-delete entry keys on COLUMN NAMES — an ALTER
+    // that renames or drops one would silently skip the entry at read
+    // time (missing column ⇒ NULL key ⇒ no match) and resurrect the
+    // deleted rows. Refuse before publishing anything.
+    val pendingKeys = eqOf(table, v).flatMap(_.keyCols).toSet
+    val lost = pendingKeys -- schema.fieldNames.toSet
+    require(lost.isEmpty,
+      s"ALTER on $table would rename/drop pending equality-delete key " +
+        s"column(s) ${lost.mkString(", ")} — purge_eq first")
     val next = publishIfLatest(table, v, filesOf(table, v), "alter")
     publishSchema(table, next, schema)
     copyStatsSidecar(table, v, next)

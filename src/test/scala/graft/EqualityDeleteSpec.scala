@@ -363,6 +363,23 @@ class EqualityDeleteSpec extends SparkTestBase {
       if (e == null) Nil else Option(e.getMessage).toSeq ++ msgs(e.getCause)
     assert(msgs(ex).exists(_.contains("purge_eq")),
       s"row-level DML must refuse with the purge_eq pointer, got: $ex")
+    // renaming/dropping the pending entry's KEY column would skip the
+    // anti-join at read time and resurrect the deleted rows — refused
+    // on both schema-change paths (SQL DROP COLUMN and the evolving
+    // commit's rename); a NON-key change stays allowed
+    val exAlter = intercept[Exception] {
+      spark.sql("ALTER TABLE eqcat.t DROP COLUMN o_orderkey")
+    }
+    assert(msgs(exAlter).exists(_.contains("purge_eq")),
+      s"key-column drop must refuse while entries are pending: $exAlter")
+    val exEvolve = intercept[IllegalArgumentException] {
+      Sources.commitVersionEvolving(
+        Sources.readVersion(spark, table).limit(0)
+          .withColumnRenamed("o_orderkey", "okey"),
+        table, renames = Map("o_orderkey" -> "okey"))
+    }
+    assert(exEvolve.getMessage.contains("purge_eq"))
+    spark.sql("ALTER TABLE eqcat.t DROP COLUMN o_totalprice") // non-key: fine
     spark.sql("CALL eqcat.system.purge_eq('t')")
     assert(Sources.eqOf(table, Sources.latestVersion(table)).isEmpty)
     spark.sql(s"DELETE FROM eqcat.t WHERE o_orderkey = ${keys(0)} " +
