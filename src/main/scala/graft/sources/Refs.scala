@@ -237,8 +237,22 @@ object Refs {
             text.replace(branchData, mainData).getBytes("UTF-8"))
         }
       }
-      // mark published: the branch chain now references moved paths and
-      // is read-only history; drop_branch reclaims it
+      // keep the branch HEAD readable post-publish: re-point its
+      // manifest and path-keyed sidecars at the moved locations (the
+      // one sanctioned manifest rewrite — same version, same files,
+      // new paths; intermediate branch versions become history-only).
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(bd, s"v$bh.manifest"),
+        head.map(mapPath).mkString("\n").getBytes("UTF-8"))
+      Seq("stats", "bloom", "dv").foreach { kind =>
+        val p = java.nio.file.Paths.get(bd, s"v$bh.$kind")
+        if (java.nio.file.Files.exists(p)) {
+          val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          java.nio.file.Files.write(p,
+            text.replace(branchData, mainData).getBytes("UTF-8"))
+        }
+      }
+      // mark published; drop_branch reclaims the chain
       java.nio.file.Files.write(
         java.nio.file.Paths.get(bd, "published.as"),
         next.toString.getBytes("UTF-8"))

@@ -111,6 +111,11 @@ class BranchTagSpec extends SparkTestBase {
     val mainNow = Sources.readVersion(spark, t).collect()
     assert(mainNow.sortBy(_.getLong(0)).toSeq ===
       audited.sortBy(_.getLong(0)).toSeq)
+    // the branch HEAD stays readable post-publish (re-pointed at the
+    // moved paths) — a dashboard pinned on the audit ref doesn't break
+    assert(Sources.readVersion(spark, bd).collect().sortBy(_.getLong(0))
+      .toSeq === audited.sortBy(_.getLong(0)).toSeq,
+      "the published branch head must keep serving its state")
     // the branch dir is reclaimable; main keeps serving the state
     Refs.dropBranch(t, "staging")
     assert(Sources.readVersion(spark, t).count() === mainNow.length.toLong)
