@@ -212,6 +212,32 @@ class EqualityDeleteSpec extends SparkTestBase {
       s"expected the loud eq refusal, got: $ex")
   }
 
+  test("readChanges over a range with TWO eq commits: the first " +
+    "batch's re-retired upsert never surfaces; deletes emit once") {
+    val t = freshTable("eq-cdf2")
+    val v1 = Sources.commitVersion(ordersBase, t)
+    val keys = ordersBase.select("o_orderkey").orderBy("o_orderkey")
+      .limit(2).collect().map(_.getLong(0))
+    // entry 1 upserts k0; entry 2 re-upserts k0 (LWW) and deletes k1
+    Sources.mergeVersionEq(spark, t,
+      changes(Seq((keys(0), 1L, 10.0, "GEN-A")), Nil), Seq("o_orderkey"))
+    val (v3, _) = Sources.mergeVersionEq(spark, t,
+      changes(Seq((keys(0), 2L, 20.0, "GEN-B")), Seq(keys(1))),
+      Seq("o_orderkey"))
+    val delta = Sources.readChanges(spark, t, v1, v3)
+      .select("o_orderkey", "o_orderpriority", "_change_type").collect()
+    val dels = delta.filter(_.getString(2) == "delete")
+    val ins = delta.filter(_.getString(2) == "insert")
+    // deletes: each retired key's ORIGINAL row exactly once
+    assert(dels.map(_.getLong(0)).sorted.toSeq === keys.sorted.toSeq,
+      s"expected one delete per retired key, got ${dels.toSeq}")
+    // inserts: ONLY the surviving GEN-B row — GEN-A was born and
+    // retired inside the range and must never surface
+    assert(ins.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((keys(0), "GEN-B")),
+      s"expected only the LWW survivor as insert, got ${ins.toSeq}")
+  }
+
   test("vacuum retains eq scope manifests and pinned key parquets; " +
     "rollback restores the pre-merge state") {
     val t = freshTable("eq-vacuum")
