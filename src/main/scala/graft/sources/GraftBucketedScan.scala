@@ -143,7 +143,16 @@ private[sources] class GraftBucketedScan(spark: SparkSession,
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(parts.map(_.bytes).sum)
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    // exact live rows + HLL-union NDV for EXACTLY the pruned file
+    // subset this scan will read (sidecar metadata, never a scan)
+    override def numRows(): OptionalLong =
+      Sources.rowsForFiles(table, version, parts.map(_.path).toSeq)
+        .map(OptionalLong.of).getOrElse(OptionalLong.empty())
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      GraftTable.columnStatsForFiles(table, version,
+        parts.map(_.path).toSeq)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -271,7 +280,16 @@ private[sources] class GraftDvBatchScan(spark: SparkSession,
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(parts.map(_.bytes).sum)
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    // exact live rows + HLL-union NDV for EXACTLY the pruned file
+    // subset this scan will read (sidecar metadata, never a scan)
+    override def numRows(): OptionalLong =
+      Sources.rowsForFiles(table, version, parts.map(_.path).toSeq)
+        .map(OptionalLong.of).getOrElse(OptionalLong.empty())
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      GraftTable.columnStatsForFiles(table, version,
+        parts.map(_.path).toSeq)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -706,6 +706,48 @@ object GraftTable {
     * row-level-operation scan. */
   private[sources] val metaColumnNames: Set[String] = Set("_gfile", "_gpos")
 
+  /** The planner-facing statistics every graft scan reports, all from
+    * sidecar metadata (never a scan): manifest bytes, exact live row
+    * count (per-file counts minus DV cardinalities — pending eq rows
+    * stay counted, a conservative upper bound), and per-column NDV
+    * from unioning the commit-time HLL sketches. Real cardinalities
+    * reach join reordering and broadcast decisions BEFORE AQE runs. */
+  private[sources] def graftStatistics(table: String, version: Int)
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(Sources.versionBytes(table, version))
+      override def numRows(): java.util.OptionalLong =
+        Sources.versionRows(table, version)
+          .map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        GraftTable.columnStatsForFiles(table, version,
+          Sources.filesOf(table, version))
+    }
+
+  /** The `columnStats` map for a (possibly pruned) file subset —
+    * HLL-union NDV per fully-covered column. */
+  private[sources] def columnStatsForFiles(table: String, version: Int,
+      fs: Seq[String]): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val m = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    Sources.ndvStatsForFiles(table, version, fs).foreach { case (c, n) =>
+      m.put(org.apache.spark.sql.connector.expressions
+          .Expressions.column(c),
+        new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+          override def distinctCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(n)
+        })
+    }
+    m
+  }
+
   /** Append `_gfile`/`_gpos` to a parquet-backed frame of this table
     * from the scan's own `_metadata` probe — file_path normalized to
     * the manifest path so values match the DV sidecar key space and
@@ -735,12 +777,7 @@ object GraftTable {
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
       override def estimateStatistics()
           : org.apache.spark.sql.connector.read.Statistics =
-        new org.apache.spark.sql.connector.read.Statistics {
-          override def sizeInBytes(): java.util.OptionalLong =
-            java.util.OptionalLong.of(Sources.versionBytes(table, version))
-          override def numRows(): java.util.OptionalLong =
-            java.util.OptionalLong.empty()
-        }
+        GraftTable.graftStatistics(table, version)
       override def readSchema(): StructType = required
       override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
           with org.apache.spark.sql.sources.TableScan](
@@ -894,12 +931,7 @@ private[sources] class GraftDvScanBuilder(spark: SparkSession,
       // wrap would otherwise report the huge V1 default)
       override def estimateStatistics()
           : org.apache.spark.sql.connector.read.Statistics =
-        new org.apache.spark.sql.connector.read.Statistics {
-          override def sizeInBytes(): java.util.OptionalLong =
-            java.util.OptionalLong.of(Sources.versionBytes(table, version))
-          override def numRows(): java.util.OptionalLong =
-            java.util.OptionalLong.empty()
-        }
+        GraftTable.graftStatistics(table, version)
       override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
           with org.apache.spark.sql.sources.TableScan](
           context: org.apache.spark.sql.SQLContext): T =

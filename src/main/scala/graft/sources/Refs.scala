@@ -157,7 +157,7 @@ object Refs {
     // branch infers from footers exactly like its parent)
     Sources.declaredSchema(table, v)
       .foreach(Sources.publishSchema(bd, 1, _))
-    Seq("stats", "bloom", "dv").foreach { kind =>
+    Seq("stats", "bloom", "dv", "ndv").foreach { kind =>
       val src = java.nio.file.Paths.get(table, s"v$v.$kind")
       if (java.nio.file.Files.exists(src))
         java.nio.file.Files.copy(src,
@@ -227,7 +227,7 @@ object Refs {
       // formats all key lines by absolute file path)
       Sources.declaredSchema(bd, bh)
         .foreach(Sources.publishSchema(table, next, _))
-      Seq("stats", "bloom", "dv").foreach { kind =>
+      Seq("stats", "bloom", "dv", "ndv").foreach { kind =>
         val src = java.nio.file.Paths.get(bd, s"v$bh.$kind")
         if (java.nio.file.Files.exists(src)) {
           val text = new String(
@@ -244,7 +244,7 @@ object Refs {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(bd, s"v$bh.manifest"),
         head.map(mapPath).mkString("\n").getBytes("UTF-8"))
-      Seq("stats", "bloom", "dv").foreach { kind =>
+      Seq("stats", "bloom", "dv", "ndv").foreach { kind =>
         val p = java.nio.file.Paths.get(bd, s"v$bh.$kind")
         if (java.nio.file.Files.exists(p)) {
           val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")

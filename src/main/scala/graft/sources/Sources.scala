@@ -1338,7 +1338,8 @@ object Sources {
     val (have, need) = files.partition(f =>
       cols.forall(c => carried.contains((f, c)) ||
         carriedStr.contains((f, c))))
-    val computed = if (need.isEmpty) Seq.empty[String] else {
+    val computed =
+      if (need.isEmpty) (Seq.empty[String], Seq.empty[String]) else {
       val df = spark.read.parquet(need: _*)
       // partition columns live in paths, not data files — a declared
       // stats column absent from the files is skipped (its pruning is
@@ -1368,14 +1369,27 @@ object Sources {
           .cast("string").as(s"min_$c"),
         org.apache.spark.sql.functions.max(col(c))
           .cast("string").as(s"max_$c")))
+      // CBO harvest riding the SAME job: per-file row counts + one
+      // mergeable HLL sketch per column (Datasketches — union across
+      // files at read time gives the version's NDV without rescanning;
+      // cast-to-string is injective per column type, so NDV survives).
+      // These feed the DSv2 Statistics the planner sees (numRows +
+      // columnStats.distinctCount) — join reordering and broadcast
+      // decisions get real cardinalities before AQE ever runs.
+      val ndvAggs =
+        Seq(org.apache.spark.sql.functions.count(lit(1)).as("__nrows")) ++
+          presentCols.map(c => org.apache.spark.sql.functions
+            .hll_sketch_agg(col(c).cast("string"), 12).as(s"__hll_$c"))
       def asciiOk(s: String) = s.forall(_ < 128) && s.length <= 256
       def b64(s: String) = java.util.Base64.getEncoder
         .encodeToString(s.getBytes("UTF-8"))
-      if (aggs.isEmpty) Seq.empty[String]
-      else df.groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect().toSeq
-        .flatMap { r =>
+      if (aggs.isEmpty) (Seq.empty[String], Seq.empty[String])
+      else {
+        val rows = df
+          .groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
+          .agg((aggs ++ ndvAggs).head, (aggs ++ ndvAggs).tail: _*)
+          .collect().toSeq
+        val statLines = rows.flatMap { r =>
           val file = r.getString(0).stripPrefix("file://")
           presentCols.zipWithIndex.flatMap { case (c, i) =>
             (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))) match {
@@ -1391,7 +1405,20 @@ object Sources {
             }
           }
         }
+        val base = 1 + 2 * presentCols.length
+        val ndvLines = rows.flatMap { r =>
+          val file = r.getString(0).stripPrefix("file://")
+          val enc = java.util.Base64.getEncoder
+          Seq(s"R\t$file\t${r.getLong(base)}") ++
+            presentCols.zipWithIndex.flatMap { case (c, j) =>
+              Option(r.getAs[Array[Byte]](base + 1 + j))
+                .map(sk => s"H\t$file\t$c\t${enc.encodeToString(sk)}")
+            }
+        }
+        (statLines, ndvLines)
+      }
     }
+    val (computedStats, computedNdv) = computed
     val carriedLines = have.flatMap(f => cols.flatMap { c =>
       carried.get((f, c)).map { case (lo, hi) => s"$f\t$c\t$lo\t$hi" }
         .orElse(carriedStr.get((f, c)).map { case (lo, hi) =>
@@ -1400,13 +1427,110 @@ object Sources {
             s"\tS:${enc.encodeToString(hi.getBytes("UTF-8"))}"
         })
     })
-    val lines = (carriedLines ++ computed).sorted
+    val lines = (carriedLines ++ computedStats).sorted
     val dir = java.nio.file.Paths.get(table)
     val tmp = java.nio.file.Files.createTempFile(dir, s".s$version", ".tmp")
     java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, dir.resolve(s"v$version.stats"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // the NDV/rowcount sidecar, same carry discipline: covered files'
+    // entries copy forward untouched
+    val (ndvRowsC, ndvSketchC) =
+      if (carryFrom > 0) ndvOf(table, carryFrom)
+      else (Map.empty[String, Long], Map.empty[(String, String), Array[Byte]])
+    val enc = java.util.Base64.getEncoder
+    val ndvCarried = have.flatMap { f =>
+      ndvRowsC.get(f).map(n => s"R\t$f\t$n").toSeq ++
+        cols.flatMap(c => ndvSketchC.get((f, c))
+          .map(sk => s"H\t$f\t$c\t${enc.encodeToString(sk)}"))
+    }
+    val ndvAll = (ndvCarried ++ computedNdv).sorted
+    if (ndvAll.nonEmpty) {
+      val tmpN = java.nio.file.Files.createTempFile(dir, s".n$version", ".tmp")
+      java.nio.file.Files.write(tmpN, ndvAll.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmpN, dir.resolve(s"v$version.ndv"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
   }
+
+  /** The `v<N>.ndv` sidecar: per-file row counts and per-(file, col)
+    * serialized HLL sketches. Absent/malformed lines degrade to
+    * "unknown" — the planner then simply gets no estimate. */
+  def ndvOf(table: String,
+      version: Int): (Map[String, Long], Map[(String, String), Array[Byte]]) = {
+    val p = java.nio.file.Paths.get(table, s"v$version.ndv")
+    if (!java.nio.file.Files.exists(p)) (Map.empty, Map.empty)
+    else {
+      val dec = java.util.Base64.getDecoder
+      val ls = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.filter(_.nonEmpty)
+      val rows = ls.flatMap { l =>
+        scala.util.Try {
+          val Array("R", f, n) = l.split("\t", 3); f -> n.toLong
+        }.toOption
+      }.toMap
+      val sketches = ls.flatMap { l =>
+        scala.util.Try {
+          val Array("H", f, c, b) = l.split("\t", 4)
+          (f, c) -> dec.decode(b)
+        }.toOption
+      }.toMap
+      (rows, sketches)
+    }
+  }
+
+  /** Exact live row count of a version FROM METADATA alone (sidecar
+    * row counts minus DV'd positions), or None when any file lacks
+    * coverage — the planner's numRows source. Rows shadowed by pending
+    * eq entries are NOT subtracted (unknowable without a scan): the
+    * count stays a conservative upper bound, which is the safe side
+    * for broadcast decisions. */
+  def versionRows(table: String, version: Int): Option[Long] =
+    rowsForFiles(table, version, filesOf(table, version))
+
+  /** [[versionRows]] for an arbitrary FILE SUBSET — what a pruned scan
+    * (bucket/stats skipping) reports for exactly the files it will
+    * read; per-file DV cardinalities subtract per file. */
+  def rowsForFiles(table: String, version: Int,
+      fs: Seq[String]): Option[Long] = {
+    if (fs.isEmpty) return Some(0L)
+    val (rows, _) = ndvOf(table, version)
+    if (!fs.forall(f => rows.contains(normalizePath(f)))) None
+    else {
+      val dv = dvOf(table, version)
+      Some(math.max(0L, fs.map { f0 =>
+        val f = normalizePath(f0)
+        rows(f) - dv.get(f).map(_.cardinality().toLong).getOrElse(0L)
+      }.sum))
+    }
+  }
+
+  /** col -> NDV estimate for an arbitrary FILE SUBSET by unioning the
+    * per-file HLL sketches (no scan) — only columns every subset file
+    * carries a sketch for appear. What a (possibly pruned) scan hands
+    * the planner as `columnStats`. */
+  def ndvStatsForFiles(table: String, version: Int,
+      fs: Seq[String]): Map[String, Long] = {
+    if (fs.isEmpty) return Map.empty
+    val (_, sk) = ndvOf(table, version)
+    val norm = fs.map(normalizePath)
+    sk.keys.map(_._2).toSeq.distinct.flatMap { c =>
+      val sks = norm.flatMap(f => sk.get((f, c)))
+      if (sks.length != norm.length) None
+      else scala.util.Try {
+        val u = new org.apache.datasketches.hll.Union(12)
+        sks.foreach(b => u.update(
+          org.apache.datasketches.hll.HllSketch.heapify(b)))
+        c -> math.round(u.getEstimate)
+      }.toOption
+    }.toMap
+  }
+
+  /** Version-level NDV for `column` (union over ALL files). */
+  def versionNdv(table: String, version: Int,
+      column: String): Option[Long] =
+    ndvStatsForFiles(table, version, filesOf(table, version)).get(column)
 
   /** Per-file BLOOM FILTER sidecar (`v<N>.bloom`) — the skipping device
     * min/max stats cannot be: a POINT predicate (`k = X`, `k IN (…)`)
@@ -1986,7 +2110,7 @@ object Sources {
     // identical file set, so all four stay valid verbatim (rollback
     // restores the target version's own DVs/eq entries with its files;
     // eq scopes are version-pinned manifests, unaffected by the copy)
-    Seq("stats", "bloom", "dv", "eq").foreach { kind =>
+    Seq("stats", "bloom", "dv", "eq", "ndv").foreach { kind =>
       val src = java.nio.file.Paths.get(table, s"v$from.$kind")
       if (java.nio.file.Files.exists(src))
         java.nio.file.Files.copy(src,
@@ -2431,6 +2555,8 @@ object Sources {
         java.nio.file.Paths.get(table, s"v$v.schema"))
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(table, s"v$v.dv"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(table, s"v$v.ndv"))
       // an expired version's eq sidecar goes; its key parquets go too
       // unless a kept version still lists them
       eqOf(table, v).map(e => normalizePath(e.dataPath)).distinct

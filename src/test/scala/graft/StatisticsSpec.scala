@@ -118,4 +118,43 @@ class StatisticsSpec extends SparkTestBase {
         s"DV'd dim must report manifest bytes, got ${dimStats.sizeInBytes}")
     }
   }
+
+  test("numRows and per-column NDV reach the planner from the sidecar " +
+    "alone: exact live rows after a DV delete, HLL-union NDV within " +
+    "2% on a stats.columns table, no scan at estimate time") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.n (k BIGINT, grp BIGINT, s STRING) " +
+      "TBLPROPERTIES ('stats.columns' = 'k,grp')")
+    (1L to 3000L).map(i => (i, i % 97, s"s$i")).toDF("k", "grp", "s")
+      .createOrReplaceTempView("ndv_src")
+    spark.sql(s"INSERT INTO $cat.n SELECT * FROM ndv_src")
+    // second commit: the first batch's sketches must CARRY, not rescan
+    (3001L to 4000L).map(i => (i, i % 97, s"s$i")).toDF("k", "grp", "s")
+      .createOrReplaceTempView("ndv_src2")
+    spark.sql(s"INSERT INTO $cat.n SELECT * FROM ndv_src2")
+    val t = s"$wh/n"
+    // DV-delete 50 rows: numRows must fall exactly, from metadata
+    Sources.deleteWhereDv(spark, t, col("k") <= 50L)
+    val v = Sources.latestVersion(t)
+    assert(Sources.versionRows(t, v) === Some(3950L),
+      s"sidecar numRows must be exact live rows, got " +
+        s"${Sources.versionRows(t, v)}")
+    val ndvK = Sources.versionNdv(t, v, "k").get.toDouble
+    assert(math.abs(ndvK - 4000) / 4000 < 0.02,
+      s"HLL-union NDV(k) $ndvK outside 2% of 4000")
+    val ndvG = Sources.versionNdv(t, v, "grp").get.toDouble
+    assert(math.abs(ndvG - 97) / 97 < 0.02,
+      s"HLL-union NDV(grp) $ndvG outside 2% of 97")
+    // the planner sees them through the scan's reported statistics
+    val stats = spark.sql(s"SELECT * FROM $cat.n")
+      .queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(3950)),
+      s"planner rowCount must come from the sidecar, got ${stats.rowCount}")
+    assert(stats.attributeStats.exists { case (a, st) =>
+      a.name == "grp" && st.distinctCount.exists(d =>
+        math.abs(d.toDouble - 97) / 97 < 0.02) },
+      s"planner must see NDV(grp)~97, got ${stats.attributeStats}")
+    spark.sql(s"DROP TABLE $cat.n")
+  }
 }
