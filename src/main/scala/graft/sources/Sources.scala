@@ -1985,9 +1985,13 @@ object Sources {
       readVersion(spark, table, v)
         .filter(org.apache.spark.sql.functions.lit(false))
     } else {
-      val df = applyDv(declaredSchema(table, v)
-        .fold(spark.read)(sc => spark.read.schema(sc))
-        .parquet(kept: _*), dvOf(table, v))
+      // the pruned read serves the same delete state as readVersion:
+      // DV positions AND pending eq entries both filter (the scope
+      // intersection handles the file subset)
+      val df = applyEq(spark,
+        applyDv(declaredSchema(table, v)
+          .fold(spark.read)(sc => spark.read.schema(sc))
+          .parquet(kept: _*), dvOf(table, v)), table, v)
       // bounds cast to the COLUMN's type on the literal side, so the
       // residual range predicate still pushes down to the parquet scan
       val dt = df.schema(column).dataType
