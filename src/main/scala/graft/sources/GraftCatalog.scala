@@ -152,6 +152,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             Sources.dvOf(dir, v).toSeq.sortBy(_._1)
               .map { case (f, b) => (f, b.cardinality().toLong) }
               .toDF("file", "dv_rows")
+          case "ndv" =>
+            // the planner-statistics gauge: per-column HLL-union NDV
+            // plus the version's exact live row count — what
+            // estimateStatistics serves, made SELECTable
+            val s = spark
+            import s.implicits._
+            val v = Sources.latestVersion(dir)
+            val rows = Sources.versionRows(dir, v).getOrElse(-1L)
+            Sources.ndvStatsForFiles(dir, v, Sources.filesOf(dir, v))
+              .toSeq.sortBy(_._1)
+              .map { case (c, n) => (c, n, rows) }
+              .toDF("column", "ndv", "live_rows")
           case "refs" =>
             // tags + branches in one audit surface: kind, name, the
             // version a tag pins / a branch forked from, and a

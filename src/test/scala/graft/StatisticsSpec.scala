@@ -155,6 +155,54 @@ class StatisticsSpec extends SparkTestBase {
       a.name == "grp" && st.distinctCount.exists(d =>
         math.abs(d.toDouble - 97) / 97 < 0.02) },
       s"planner must see NDV(grp)~97, got ${stats.attributeStats}")
+    // the $ndv gauge serves the same numbers in SQL
+    val gauge = spark.sql(
+      s"SELECT column, ndv, live_rows FROM $cat.`n$$ndv` ORDER BY column")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(gauge.map(_._1).toSeq === Seq("grp", "k"))
+    assert(gauge.forall(_._3 == 3950L))
     spark.sql(s"DROP TABLE $cat.n")
+  }
+
+  test("concurrent eq merges: exactly one wins per version, the loser " +
+    "fails loudly and cleans up, a retry lands — no silent loss") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("eq-race")
+    d.toFile.deleteOnExit()
+    val t = d.resolve("t").toString
+    Sources.commitVersion(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "s"), t)
+    def change(key: Long, tag: String) =
+      Seq((key, s"$tag-$key")).toDF("k", "s")
+        .withColumn("op", lit("upsert"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = (1 to 4).map { i =>
+      Future(scala.util.Try(
+        Sources.mergeVersionEq(spark, t, change(i.toLong, "race"),
+          Seq("k"))))
+    }
+    val done = Await.result(Future.sequence(attempts), 5.minutes)
+    val (wins, losses) = done.partition(_.isSuccess)
+    assert(wins.nonEmpty, "at least one racer must land")
+    assert(losses.forall(_.failed.get
+      .isInstanceOf[java.util.ConcurrentModificationException]),
+      s"losers must fail loudly with the conflict type, got $losses")
+    // every loser retries cleanly; the final state carries ALL updates
+    done.zipWithIndex.foreach { case (r, idx) =>
+      if (r.isFailure)
+        Sources.mergeVersionEq(spark, t,
+          change((idx + 1).toLong, "race"), Seq("k"))
+    }
+    val state = Sources.readVersion(spark, t).orderBy("k").collect()
+    assert(state.length === 100)
+    (1 to 4).foreach { i =>
+      assert(state(i - 1).getString(1) === s"race-$i",
+        s"update $i must survive the race + retry")
+    }
+    // no stranded batch/eqdel dirs beyond the published ones
+    val entries = Sources.eqOf(t, Sources.latestVersion(t))
+    assert(entries.length === 4)
   }
 }
