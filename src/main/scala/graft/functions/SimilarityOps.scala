@@ -422,7 +422,9 @@ object SimilarityOps {
           .as("csim"))
       .withColumn("rn", row_number().over(wc))
       .filter(col("rn") === 1)
-      .select("vec_id", "embedding", "nrm", "cell")
+      // csim (the assignment cosine) rides along: q224's
+      // prototypicality rank needs distance-to-own-seed
+      .select("vec_id", "embedding", "nrm", "cell", "csim")
   }
 
   /** q98's full SemDeDup pass at granularity `k` and cosine threshold
@@ -724,6 +726,87 @@ object SimilarityOps {
     None
   )
 
+  /** Q224 — D4-shaped diversity pruning (Tirumala et al. 2023, "D4:
+    * Improving LLM Pretraining via Document De-Duplication and
+    * Diversification"): SemDeDup first (within-cell near-dups drop,
+    * q98's rule unchanged), then SSL-PROTOTYPES on the survivors —
+    * within each cell, the TOP-20% most prototypical documents (the
+    * ones closest to their cell seed: least informative, most
+    * cluster-redundant) are pruned too, keeping the diverse tail.
+    * Every vector gets a verdict: `dup` (semantic duplicate), `proto`
+    * (prototype-pruned), `keep`.
+    *
+    * Cross-engine exactness: assignment and prototypicality both use
+    * the q24 cosine device; the 20% cut is the integer
+    * cross-multiplication `rn * 5 <= n_live` (no float fraction); all
+    * ranks tiebreak on vec_id.
+    *
+    * Scale shape: assignment = broadcast k seeds, map-side; the dup
+    * pair join is within-cell (q98's documented shape — cells bound
+    * the pairs); the prototype rank is a per-cell window. Nothing is
+    * global, nothing is quadratic across cells. */
+  val q224 = Query(
+    "q224_d4_diversify",
+    (s, dir) => {
+      val cells = semdedupCells(s, dir, k = 8)
+      val a = cells.select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = cells.select(col("cell"), col("vec_id").as("b_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val dupDropped = a.join(b, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .filter((dotNative(col("ea"), col("eb")) / (col("na") * col("nb")))
+          > 0.4)
+        .select(col("cell"), col("b_id").as("vec_id")).distinct()
+      val live = cells.join(dupDropped, Seq("cell", "vec_id"), "left_anti")
+      val wcell = Window.partitionBy("cell")
+        .orderBy(col("csim").desc, col("vec_id").asc)
+      val ranked = live
+        .withColumn("rn", row_number().over(wcell))
+        .withColumn("n_live",
+          count(lit(1)).over(Window.partitionBy("cell")))
+      val verdicts = dupDropped.withColumn("stage", lit("dup"))
+        .select("vec_id", "cell", "stage")
+        .unionByName(ranked.select(col("vec_id"), col("cell"),
+          when(col("rn") * 5 <= col("n_live"), lit("proto"))
+            .otherwise(lit("keep")).as("stage")))
+      verdicts.orderBy("vec_id")
+    },
+    Some(s"""WITH seeds AS (
+            |  SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+            |cells AS (
+            |  SELECT e.vec_id, e.embedding, s.cell,
+            |         ${cosineSql("e.embedding", "s.ce")} AS csim
+            |  FROM embeddings e CROSS JOIN seeds s
+            |  QUALIFY row_number() OVER (
+            |    PARTITION BY e.vec_id
+            |    ORDER BY ${cosineSql("e.embedding", "s.ce")} DESC, s.cell ASC) = 1),
+            |dropped AS (
+            |  SELECT DISTINCT b.cell, b.vec_id
+            |  FROM cells a JOIN cells b
+            |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+            |  WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.4),
+            |live AS (
+            |  SELECT c.vec_id, c.cell, c.csim
+            |  FROM cells c LEFT JOIN dropped d
+            |    ON c.cell = d.cell AND c.vec_id = d.vec_id
+            |  WHERE d.vec_id IS NULL),
+            |ranked AS (
+            |  SELECT vec_id, cell,
+            |         row_number() OVER (PARTITION BY cell
+            |           ORDER BY csim DESC, vec_id ASC) AS rn,
+            |         count(*) OVER (PARTITION BY cell) AS n_live
+            |  FROM live)
+            |SELECT vec_id, cell, stage FROM (
+            |  SELECT vec_id, cell, 'dup' AS stage FROM dropped
+            |  UNION ALL
+            |  SELECT vec_id, cell,
+            |         CASE WHEN rn * 5 <= n_live THEN 'proto'
+            |              ELSE 'keep' END AS stage
+            |  FROM ranked)
+            |ORDER BY vec_id""".stripMargin)
+  )
+
   /** Q223 — margin-based parallel-pair mining against the persisted
     * index ([[AnnIndex.marginMineFromIndex]], the Artetxe & Schwenk
     * ratio margin): sides from vec_id parity (the fixture's stand-in
@@ -760,5 +843,5 @@ object SimilarityOps {
   )
 
   val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65, q98, q140,
-    q140b, q173, q203, q223)
+    q140b, q173, q203, q223, q224)
 }
