@@ -213,6 +213,41 @@ class BranchTagSpec extends SparkTestBase {
     Sources.vacuumVersions(t, 1)
   }
 
+  test("WAP composes with PARTITIONED layouts: branch writes land " +
+    "hive-laid (the fork carries table.properties), publish moves the " +
+    "nested batch trees, partition pruning works on the published head") {
+    val wh = java.nio.file.Files.createTempDirectory("ref-part").toString
+    spark.conf.set("spark.sql.catalog.rpcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rpcat.warehouse", wh)
+    spark.sql("CREATE TABLE rpcat.t (k BIGINT, v BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    import spark.implicits._
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "p")
+      .createOrReplaceTempView("rp_src")
+    spark.sql("INSERT INTO rpcat.t SELECT * FROM rp_src")
+    val t = s"$wh/t"
+    val bd = Refs.createBranch(t, "stage")
+    // the branch write must respect the PARENT's partition layout
+    // (table.properties copied at fork)
+    Sources.commitVersion(
+      Seq((3L, 30L, "a"), (4L, 40L, "c")).toDF("k", "v", "p"), bd)
+    import scala.jdk.CollectionConverters._
+    val branchLaid = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(bd, "data")).iterator().asScala
+      .exists(_.toString.contains("p=c"))
+    assert(branchLaid, "branch batches must land hive-partitioned")
+    Refs.publishBranch(t, "stage")
+    // the published head serves all four rows with partition values
+    // reattached, and a partition predicate prunes on the main chain
+    val out = spark.sql("SELECT k, v, p FROM rpcat.t ORDER BY k").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_.getString(2)).toSeq === Seq("a", "b", "a", "c"))
+    assert(spark.sql("SELECT * FROM rpcat.t WHERE p = 'c'").count() === 1L)
+    Refs.dropBranch(t, "stage")
+    assert(spark.sql("SELECT * FROM rpcat.t").count() === 4L)
+    spark.sql("DROP TABLE rpcat.t")
+  }
+
   test("refs refuse pending equality deletes on both fork and publish") {
     val t = freshTable("ref-eq")
     Sources.commitVersion(ordersBase, t)
