@@ -64,17 +64,28 @@ private[sources] object GraftProcedures {
             // optional scope: only files whose path contains this
             // substring (a hive partition dir like 'month=2024-02')
             // rewrite — OPTIMIZE ... WHERE for the hot partition
-            ("scope", StringType, Some("''"))),
+            ("scope", StringType, Some("''")),
+            // optional small-file targeting: only files UNDER this many
+            // bytes rewrite (0 = off) — repairs micro-batch
+            // fragmentation without touching the already-right-sized
+            // bulk; composes with scope (AND)
+            ("small_files_under", LongType, Some("0"))),
           StructType(Seq(StructField("version", IntegerType),
             StructField("files_before", IntegerType),
             StructField("files_after", IntegerType))),
           (spark, in) => {
             val scope = in.getUTF8String(2).toString
+            val maxBytes = in.getLong(3)
             val (v, before, after) =
-              if (scope.isEmpty)
+              if (scope.isEmpty && maxBytes <= 0)
                 Sources.compactVersion(spark, table(in, 0), in.getLong(1))
               else Sources.compactVersionWhere(spark, table(in, 0),
-                in.getLong(1), _.contains(scope))
+                in.getLong(1), f =>
+                  (scope.isEmpty || f.contains(scope)) &&
+                    (maxBytes <= 0 || scala.util.Try(
+                      java.nio.file.Files.size(
+                        java.nio.file.Paths.get(f))).getOrElse(Long.MaxValue)
+                      < maxBytes))
             Seq(v, before, after)
           }))
         case (Seq("system"), "vacuum") => Some(new Proc(

@@ -852,6 +852,16 @@ class LakeSurfaceSpec extends SparkTestBase {
     val after = spark.sql("SELECT * FROM optcat.t ORDER BY k").collect()
     assert(after.toSeq === before.toSeq,
       "scoped compaction must not change the state")
+    // small-file targeting: the freshly compacted (larger) hot file is
+    // NOT in scope of a tiny-threshold pass; the cold partition's five
+    // fragments are — exactly the micro-batch repair semantics
+    val res2 = spark.sql(
+      "CALL optcat.system.optimize('t', 1000000, '', 2048)").collect().head
+    assert(res2.getInt(1) >= 5,
+      s"the cold fragments must be in the small-file scope, got $res2")
+    val after2 = spark.sql("SELECT * FROM optcat.t ORDER BY k").collect()
+    assert(after2.toSeq === before.toSeq,
+      "small-file compaction must not change the state")
     spark.sql("DROP TABLE optcat.t")
   }
 }
