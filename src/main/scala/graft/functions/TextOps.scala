@@ -2234,22 +2234,34 @@ object TextOps {
     * the 64-row weight table; selection is TakeOrderedAndProject
     * (top-K never sorts the corpus) with the rank window over the
     * already-cut K rows. Nothing shuffles wider than doc_id. */
+  /** The DSIR featurizer shared by [[q222]] and the streaming
+    * distribution store ([[q225]] /
+    * [[graft.streaming.StreamingPipeline.maintainDsirQuery]]): hashed
+    * unigram+bigram buckets over `text`, one row per gram, with
+    * `passthrough` columns riding along (the stream needs the CDF's
+    * change sign). */
+  private[graft] def dsirBuckets(df: org.apache.spark.sql.DataFrame,
+      b: Int = 64,
+      passthrough: Seq[String] = Seq("lang")): org.apache.spark.sql.DataFrame = {
+    val keep = passthrough.map(col)
+    df.select(keep :+
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
+          .as("ws"): _*)
+      .select(keep :+ explode(concat(col("ws"), expr(
+        """CASE WHEN size(ws) >= 2 THEN
+          |  transform(sequence(1, size(ws) - 1),
+          |    i -> concat(element_at(ws, i), '_', element_at(ws, i + 1)))
+          |ELSE array() END""".stripMargin))).as("g"): _*)
+      .withColumn("b",
+        graft.Canon.md5Residue(concat(lit("d#"), col("g")), b))
+  }
+
   val q222 = Query(
     "q222_dsir_importance",
     (s, dir) => {
       val B = 64
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("source"),
-          expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
-            .as("ws"))
-      val grams = toks.select(col("doc_id"), col("lang"),
-          explode(concat(col("ws"), expr(
-            """CASE WHEN size(ws) >= 2 THEN
-              |  transform(sequence(1, size(ws) - 1),
-              |    i -> concat(element_at(ws, i), '_', element_at(ws, i + 1)))
-              |ELSE array() END""".stripMargin))).as("g"))
-        .withColumn("b",
-          graft.Canon.md5Residue(concat(lit("d#"), col("g")), B))
+      val grams = dsirBuckets(Tables.documents(s, dir), B,
+        passthrough = Seq("doc_id", "lang"))
       // BOTH distributions in one combinable pass (raw = every gram,
       // target = the en sub-corpus via a conditional count), then the
       // 64-row weight table: smoothed-contrast Δ_b as exact BIGINT
@@ -2323,8 +2335,92 @@ object TextOps {
            |LIMIT 50""".stripMargin)
   )
 
+  /** Q225 — the STREAMING-MAINTAINED DSIR distribution store
+    * ([[graft.streaming.StreamingPipeline.maintainDsirQuery]]),
+    * oracle-gated end-to-end: the documents corpus lands in three
+    * commits plus one merge-on-read DV delete; the change-feed
+    * maintenance adds inserted grams' buckets and SUBTRACTS the
+    * deleted docs'; the final store (+ the q222 contrast weights
+    * derived from it in O(64)) hash-matches DuckDB's full-corpus
+    * recompute — the bitwise incremental ≡ batch proof, because
+    * bucket counts are additive. This is how a growing crawl keeps
+    * data-selection scores live without ever rescanning history. */
+  val q225 = Query(
+    "q225_dsir_stream_store",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-dsirst-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val src = root.resolve("docs_t").toString
+      val store = root.resolve("dsir_store").toString
+      val ckpt = root.resolve("ckpt").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
+      import graft.sources.Sources
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
+      graft.streaming.StreamingPipeline
+        .maintainDsirQuery(s, src, store, ckpt).awaitTermination()
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 2), src)
+      // a GDPR-style erasure mid-stream: the store must SUBTRACT
+      Sources.deleteWhereDv(s, src, pmod(col("doc_id"), lit(97)) === 0)
+      graft.streaming.StreamingPipeline
+        .maintainDsirQuery(s, src, store, ckpt).awaitTermination()
+      val st = Sources.readVersion(s, store)
+      val tot = st.agg(sum(col("n_r")).as("tot_r"),
+        sum(col("n_t")).as("tot_t"))
+      st.crossJoin(broadcast(tot))
+        .select(col("b"), col("n_r"), col("n_t"),
+          ((col("n_t") + 1) * (col("tot_r") + 64) -
+            (col("n_r") + 1) * (col("tot_t") + 64)).as("w_b"))
+        .orderBy("b")
+    },
+    Some("""WITH ws AS (
+           |  SELECT doc_id, lang,
+           |         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+           |                     x -> x <> '') AS ws
+           |  FROM documents WHERE doc_id % 97 <> 0),
+           |toks AS (
+           |  SELECT doc_id, lang, u.w, u.i
+           |  FROM ws,
+           |  LATERAL (SELECT unnest(ws) AS w,
+           |                  unnest(range(1, len(ws) + 1)) AS i) u),
+           |grams AS (
+           |  SELECT doc_id, lang, w AS g FROM toks
+           |  UNION ALL
+           |  SELECT doc_id, lang,
+           |         concat(w, '_', lead(w) OVER (PARTITION BY doc_id ORDER BY i)) AS g
+           |  FROM toks
+           |  QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+           |hashed AS (
+           |  SELECT lang,
+           |         CAST(concat('0x', substr(md5(concat('d#', g)), 1, 15))
+           |              AS BIGINT) % 64 AS b
+           |  FROM grams),
+           |rawc AS (
+           |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_r,
+           |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS n_t
+           |  FROM hashed GROUP BY b),
+           |tot AS (SELECT SUM(n_r) AS tot_r, SUM(n_t) AS tot_t FROM rawc)
+           |SELECT b, n_r, n_t,
+           |       CAST((n_t + 1) * (tot_r + 64) - (n_r + 1) * (tot_t + 64)
+           |            AS BIGINT) AS w_b
+           |FROM rawc CROSS JOIN tot
+           |ORDER BY b""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
-      q154, q155, q163, q168, q171, q174, q176, q187, q188, q205, q215, q222)
+      q154, q155, q163, q168, q171, q174, q176, q187, q188, q205, q215, q222,
+      q225)
 }

@@ -552,6 +552,67 @@ object StreamingPipeline {
         ()
       })
 
+  /** Streaming-maintained DSIR distribution store: tail a documents
+    * table's change feed and keep the hashed-n-gram bucket counts
+    * (raw corpus + `lang='en'` target) exactly current in `storeTable`
+    * — inserts add their grams' buckets, deletes subtract (counts are
+    * ADDITIVE, so the incremental store is bitwise the full-corpus
+    * recompute — the q225 DuckDB gate IS that proof). The importance
+    * weights [[graft.functions.TextOps.q222]] derives are then O(64)
+    * to refresh after every corpus commit instead of a corpus rescan —
+    * how a growing 100 TB crawl keeps its data-selection scores live.
+    * Effectively-once via the query-id-keyed batch ledger shared with
+    * the replication loops. */
+  def maintainDsirQuery(spark: SparkSession, docsTable: String,
+      storeTable: String, checkpoint: String): StreamingQuery = {
+    if (graft.sources.Sources.latestVersion(storeTable) == 0)
+      graft.sources.Sources.createEmptyTable(storeTable,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_r",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_t",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    spark.readStream.format("graft-cdf").option("path", docsTable).load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = java.nio.file.Paths.get(storeTable, "_dsir",
+          checkpointQueryId(checkpoint), s"batch-$batchId.done")
+        if (!java.nio.file.Files.exists(marker) && !batch.isEmpty) {
+          val signed = batch.withColumn("__sign",
+            when(col("_change_type") === "insert", lit(1L))
+              .otherwise(lit(-1L)))
+          val delta = graft.functions.TextOps
+            .dsirBuckets(signed, passthrough = Seq("lang", "__sign"))
+            .groupBy("b")
+            .agg(sum(col("__sign")).as("dn_r"),
+              sum(when(col("lang") === "en", col("__sign"))
+                .otherwise(lit(0L))).as("dn_t"))
+          if (!delta.isEmpty) {
+            // touched buckets only (≤64 rows) keyed-merge into the store
+            val cur = graft.sources.Sources.readVersion(spark, storeTable)
+            val merged = delta.join(cur, Seq("b"), "left")
+              .select(col("b"),
+                (coalesce(col("n_r"), lit(0L)) + col("dn_r")).as("n_r"),
+                (coalesce(col("n_t"), lit(0L)) + col("dn_t")).as("n_t"))
+            val changes = merged.withColumn("op",
+              when(col("n_r") > 0, "upsert").otherwise("delete"))
+            graft.sources.Sources.mergeVersion(spark, storeTable,
+              changes, "b")
+            ()
+          }
+          java.nio.file.Files.createDirectories(marker.getParent)
+          java.nio.file.Files.write(marker, Array.emptyByteArray)
+          ()
+        }
+      }
+      .start()
+  }
+
   private def replicateWith(spark: SparkSession, srcTable: String,
       dstTable: String, key: String, checkpoint: String,
       merge: (SparkSession, String, DataFrame) => Unit): StreamingQuery =
