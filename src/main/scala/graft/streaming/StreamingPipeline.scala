@@ -561,8 +561,18 @@ object StreamingPipeline {
     * weights [[graft.functions.TextOps.q222]] derives are then O(64)
     * to refresh after every corpus commit instead of a corpus rescan —
     * how a growing 100 TB crawl keeps its data-selection scores live.
-    * Effectively-once via the query-id-keyed batch ledger shared with
-    * the replication loops. */
+    *
+    * EXACTLY-ONCE, not effectively-once: an additive merge cannot
+    * tolerate the marker-file protocol's residual window (a replayed
+    * add DOUBLE-COUNTS, where the replication loops' keyed LWW merge
+    * is naturally idempotent), and a fresh checkpoint replays the
+    * whole feed. So the ledger here is IN-BAND: one sentinel row per
+    * applied SOURCE VERSION (`b = -(1000000 + v)` — disjoint from the
+    * real bucket key space) rides the SAME atomic store commit as its
+    * delta. Every batch first drops rows of already-applied source
+    * versions, so any replay — duplicate batch, crash window, fresh
+    * checkpoint, different batching — is a provable no-op
+    * (DsirStoreSpec). Consumers read buckets as `b >= 0`. */
   def maintainDsirQuery(spark: SparkSession, docsTable: String,
       storeTable: String, checkpoint: String): StreamingQuery = {
     if (graft.sources.Sources.latestVersion(storeTable) == 0)
@@ -580,34 +590,50 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = java.nio.file.Paths.get(storeTable, "_dsir",
-          checkpointQueryId(checkpoint), s"batch-$batchId.done")
-        if (!java.nio.file.Files.exists(marker) && !batch.isEmpty) {
-          val signed = batch.withColumn("__sign",
-            when(col("_change_type") === "insert", lit(1L))
-              .otherwise(lit(-1L)))
-          val delta = graft.functions.TextOps
-            .dsirBuckets(signed, passthrough = Seq("lang", "__sign"))
-            .groupBy("b")
-            .agg(sum(col("__sign")).as("dn_r"),
-              sum(when(col("lang") === "en", col("__sign"))
-                .otherwise(lit(0L))).as("dn_t"))
-          if (!delta.isEmpty) {
-            // touched buckets only (≤64 rows) keyed-merge into the store
+        if (!batch.isEmpty) {
+          // the in-band ledger: source versions already folded in
+          // (bounded — one sentinel per source commit)
+          val applied = graft.sources.Sources
+            .readVersion(spark, storeTable)
+            .filter(col("b") < 0L)
+            .select((-col("b") - 1000000L).as("v"))
+            .collect().map(_.getLong(0)).toSet
+          val fresh =
+            if (applied.isEmpty) batch
+            else batch.filter(!col("_commit_version").cast("long")
+              .isin(applied.toSeq: _*))
+          if (!fresh.isEmpty) {
+            val newVs = fresh.select(
+                col("_commit_version").cast("long").as("v"))
+              .distinct().collect().map(_.getLong(0))
+            val signed = fresh.withColumn("__sign",
+              when(col("_change_type") === "insert", lit(1L))
+                .otherwise(lit(-1L)))
+            val delta = graft.functions.TextOps
+              .dsirBuckets(signed, passthrough = Seq("lang", "__sign"))
+              .groupBy("b")
+              .agg(sum(col("__sign")).as("dn_r"),
+                sum(when(col("lang") === "en", col("__sign"))
+                  .otherwise(lit(0L))).as("dn_t"))
+            // touched buckets (≤64 rows) + this batch's ledger rows
+            // keyed-merge into the store in ONE atomic commit
             val cur = graft.sources.Sources.readVersion(spark, storeTable)
+              .filter(col("b") >= 0L)
             val merged = delta.join(cur, Seq("b"), "left")
               .select(col("b"),
                 (coalesce(col("n_r"), lit(0L)) + col("dn_r")).as("n_r"),
                 (coalesce(col("n_t"), lit(0L)) + col("dn_t")).as("n_t"))
-            val changes = merged.withColumn("op",
-              when(col("n_r") > 0, "upsert").otherwise("delete"))
+              .withColumn("op",
+                when(col("n_r") > 0, "upsert").otherwise("delete"))
+            val s2 = spark
+            import s2.implicits._
+            val ledger = newVs.toSeq.map(v => (-(1000000L + v), -1L, -1L))
+              .toDF("b", "n_r", "n_t")
+              .withColumn("op", lit("upsert"))
             graft.sources.Sources.mergeVersion(spark, storeTable,
-              changes, "b")
+              merged.unionByName(ledger), "b")
             ()
           }
-          java.nio.file.Files.createDirectories(marker.getParent)
-          java.nio.file.Files.write(marker, Array.emptyByteArray)
-          ()
         }
       }
       .start()
