@@ -1086,7 +1086,8 @@ object LakeOps {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.readAllLines(
           java.nio.file.Paths.get(table, s"v$v.manifest")).asScala.toSeq
-          .filter(_.nonEmpty)
+          // data files only — `#sidecar` trailers are commit metadata
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
       }
       val orders = Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")

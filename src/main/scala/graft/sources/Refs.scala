@@ -195,6 +195,7 @@ object Refs {
     require(Sources.eqOf(bd, bh).isEmpty,
       s"branch '$name' carries pending equality deletes — purge_eq on " +
         "the branch before publishing")
+    repairPublish(table, bd) // un-move a crashed earlier attempt first
     val mainHead = Sources.latestVersion(table)
     if (mainHead != forkBase)
       throw new java.util.ConcurrentModificationException(
@@ -203,6 +204,9 @@ object Refs {
           "and re-apply the branch's changes")
     val branchData = s"$bd/data/"
     val mainData = s"$table/data/"
+    // force any crash-pending staged sidecar of the branch head to its
+    // canonical name before the text-copy below looks for it
+    Sources.dvOf(bd, bh)
     val head = Sources.filesOf(bd, bh)
     // branch-local files group into immutable batch dirs (UUID-named:
     // no collision in the parent pool); carried parent files pass through
@@ -212,58 +216,113 @@ object Refs {
       if (p.startsWith(branchData)) mainData + p.stripPrefix(branchData)
       else p
     val moved = scala.collection.mutable.Buffer.empty[(java.nio.file.Path, java.nio.file.Path)]
-    try {
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(table, "data"))
-      localBatches.foreach { b =>
-        val from = java.nio.file.Paths.get(bd, "data", b)
-        val to = java.nio.file.Paths.get(table, "data", b)
-        java.nio.file.Files.move(from, to)
-        moved += ((from, to))
-      }
-      val next = Sources.publishIfLatest(table, forkBase,
-        head.map(mapPath), "branch publish")
-      // branch-head sidecars carry with their paths mapped (text
-      // formats all key lines by absolute file path)
-      Sources.declaredSchema(bd, bh)
-        .foreach(Sources.publishSchema(table, next, _))
-      Seq("stats", "bloom", "dv", "ndv").foreach { kind =>
-        val src = java.nio.file.Paths.get(bd, s"v$bh.$kind")
-        if (java.nio.file.Files.exists(src)) {
-          val text = new String(
+    // journal the move list BEFORE touching anything: a crash mid-move
+    // leaves a record [[repairPublish]] uses to un-move on next entry
+    val journal = java.nio.file.Paths.get(bd, "publish.moves")
+    java.nio.file.Files.write(journal,
+      localBatches.mkString("\n").getBytes("UTF-8"))
+    val next =
+      try {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(table, "data"))
+        localBatches.foreach { b =>
+          val from = java.nio.file.Paths.get(bd, "data", b)
+          val to = java.nio.file.Paths.get(table, "data", b)
+          java.nio.file.Files.move(from, to)
+          moved += ((from, to))
+        }
+        // the branch head's DV sidecar (paths mapped into the parent
+        // pool) rides the claim atomically — a racing committer's carry
+        // pass can never see the published version without its deletes
+        val dvBytes: Map[String, Array[Byte]] = {
+          val src = java.nio.file.Paths.get(bd, s"v$bh.dv")
+          if (!java.nio.file.Files.exists(src)) Map.empty
+          else Map("dv" -> new String(
             java.nio.file.Files.readAllBytes(src), "UTF-8")
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(table, s"v$next.$kind"),
-            text.replace(branchData, mainData).getBytes("UTF-8"))
+            .replace(branchData, mainData).getBytes("UTF-8"))
         }
+        Sources.publishIfLatestStaged(table, forkBase,
+          head.map(mapPath), "branch publish", dvBytes)
+      } catch {
+        case e: Throwable =>
+          // ANY pre-publish failure (lost race, IO error, collision):
+          // un-move what moved so the branch chain stays exactly valid,
+          // then surface the original failure
+          moved.reverseIterator.foreach { case (from, to) =>
+            scala.util.Try(java.nio.file.Files.move(to, from)) }
+          java.nio.file.Files.deleteIfExists(journal)
+          throw e
       }
-      // keep the branch HEAD readable post-publish: re-point its
-      // manifest and path-keyed sidecars at the moved locations (the
-      // one sanctioned manifest rewrite — same version, same files,
-      // new paths; intermediate branch versions become history-only).
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(bd, s"v$bh.manifest"),
-        head.map(mapPath).mkString("\n").getBytes("UTF-8"))
-      Seq("stats", "bloom", "dv", "ndv").foreach { kind =>
-        val p = java.nio.file.Paths.get(bd, s"v$bh.$kind")
-        if (java.nio.file.Files.exists(p)) {
-          val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          java.nio.file.Files.write(p,
-            text.replace(branchData, mainData).getBytes("UTF-8"))
-        }
+    // publish succeeded — everything below is branch-local bookkeeping;
+    // a failure here must NOT un-move (main already references the
+    // moved files)
+    java.nio.file.Files.deleteIfExists(journal)
+    // branch-head sidecars carry with their paths mapped (text formats
+    // all key lines by absolute file path; dv rode the claim above)
+    Sources.declaredSchema(bd, bh)
+      .foreach(Sources.publishSchema(table, next, _))
+    Seq("stats", "bloom", "ndv").foreach { kind =>
+      val src = java.nio.file.Paths.get(bd, s"v$bh.$kind")
+      if (java.nio.file.Files.exists(src)) {
+        val text = new String(
+          java.nio.file.Files.readAllBytes(src), "UTF-8")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(table, s"v$next.$kind"),
+          text.replace(branchData, mainData).getBytes("UTF-8"))
       }
-      // mark published; drop_branch reclaims the chain
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(bd, "published.as"),
-        next.toString.getBytes("UTF-8"))
-      next
-    } catch {
-      case e: java.util.ConcurrentModificationException =>
-        // lost the publish race: un-move the batch dirs so the branch
-        // chain stays exactly valid, then surface the conflict
-        moved.reverseIterator.foreach { case (from, to) =>
-          java.nio.file.Files.move(to, from) }
-        throw e
+    }
+    // keep the branch HEAD readable post-publish: re-point its
+    // manifest and path-keyed sidecars at the moved locations (the
+    // one sanctioned manifest rewrite — same version, same files,
+    // new paths; intermediate branch versions become history-only).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bd, s"v$bh.manifest"),
+      head.map(mapPath).mkString("\n").getBytes("UTF-8"))
+    Seq("stats", "bloom", "dv", "ndv").foreach { kind =>
+      val p = java.nio.file.Paths.get(bd, s"v$bh.$kind")
+      if (java.nio.file.Files.exists(p)) {
+        val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        java.nio.file.Files.write(p,
+          text.replace(branchData, mainData).getBytes("UTF-8"))
+      }
+    }
+    // mark published; drop_branch reclaims the chain
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bd, "published.as"),
+      next.toString.getBytes("UTF-8"))
+    next
+  }
+
+  /** Repair a crashed [[publishBranch]]: if the move journal survives
+    * without a publish marker and main never claimed the fork-base+1
+    * manifest referencing the moved batches, un-move them back into the
+    * branch pool. Idempotent; called on the next publish attempt. */
+  private def repairPublish(table: String, bd: String): Unit = {
+    val journal = java.nio.file.Paths.get(bd, "publish.moves")
+    if (!java.nio.file.Files.exists(journal) ||
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(bd, "published.as"))) return
+    val batches = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(journal)).asScala
+      .filter(_.nonEmpty).toSeq
+    // did the crashed run publish? If main's next version references a
+    // journaled batch under the parent pool, the move must STAND (main
+    // owns the files now) — only the published.as marker is missing
+    val forkBase = forkBaseOf(table,
+      java.nio.file.Paths.get(bd).getFileName.toString)
+    val published =
+      scala.util.Try(Sources.filesOf(table, forkBase + 1)).toOption
+        .exists(_.exists(f =>
+          batches.exists(b => f.startsWith(s"$table/data/$b/"))))
+    if (!published) {
+      batches.foreach { b =>
+        val to = java.nio.file.Paths.get(table, "data", b)
+        val from = java.nio.file.Paths.get(bd, "data", b)
+        if (java.nio.file.Files.exists(to) &&
+            !java.nio.file.Files.exists(from))
+          scala.util.Try(java.nio.file.Files.move(to, from))
+      }
+      java.nio.file.Files.deleteIfExists(journal)
     }
   }
 

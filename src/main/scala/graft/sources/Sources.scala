@@ -299,7 +299,10 @@ object Sources {
   private[sources] def filesOf(table: String, version: Int): Seq[String] = {
     val p = java.nio.file.Paths.get(table, s"v$version.manifest")
     scala.jdk.CollectionConverters.ListHasAsScala(
-      java.nio.file.Files.readAllLines(p)).asScala.toSeq.filter(_.nonEmpty)
+      java.nio.file.Files.readAllLines(p)).asScala.toSeq
+      // `#`-prefixed lines are metadata trailers (staged-sidecar
+      // pointers), not data files
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
   /** Latest committed version of `table`, or 0 if none. */
@@ -408,19 +411,29 @@ object Sources {
         else batchSchema.flatMap(bs =>
           declaredSchema(table, prev).map(ds =>
             evolveSchema(ds, bs, Map.empty)))
+      // DV + eq carry: an APPEND keeps the previous files in the
+      // manifest, so their deleted rows must stay deleted in the new
+      // version; an overwrite replaces the file set and starts clean.
+      // STAGED before the claim (recomputed per attempt against the
+      // re-read latest) so a concurrent carry pass can never observe
+      // the claimed manifest without its delete state.
+      val dv = if (overwrite || prev == 0) Map.empty[String, java.util.BitSet]
+        else carriedDv(table, prev, carried)
+      val eq = if (overwrite || prev == 0) Nil
+        else carriedEq(table, prev, carried)
+      val staged =
+        (if (dv.nonEmpty) Map("dv" -> stageSidecar(table, "dv",
+          dvText(dv).getBytes("UTF-8"))) else Map.empty[String, String]) ++
+          (if (eq.nonEmpty) Map("eq" -> stageSidecar(table, "eq",
+            eqText(eq).getBytes("UTF-8"))) else Map.empty[String, String])
       try {
-        publishManifest(table, next, carried ++ newFiles)
+        publishManifest(table, next, carried ++ newFiles, staged)
+        promoteStaged(table, next, staged)
         declaredNext.foreach(publishSchema(table, next, _))
-        // DV + eq carry: an APPEND keeps the previous files in the
-        // manifest, so their deleted rows must stay deleted in the new
-        // version; an overwrite replaces the file set and starts clean
-        if (!overwrite && prev > 0) {
-          carryDv(table, prev, next, carried)
-          carryEq(table, prev, next, carried)
-        }
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
+          discardStaged(table, staged)
           attempt += 1
           require(attempt < 64,
             s"publishNextVersion: lost the publish race $attempt times on $table")
@@ -455,8 +468,12 @@ object Sources {
     * commit lands while rolling back, the rollback FAILS (restoring
     * over an unseen commit would silently discard it). */
   def rollbackTo(table: String, version: Int): Int = {
-    val next = publishIfLatest(table, latestVersion(table),
-      filesOf(table, version), "rollback")
+    // the restored version's DV + eq state rides the claim (staged) —
+    // a racing committer's carry pass must never see the rolled-back
+    // manifest without its delete sidecars
+    val next = publishIfLatestWith(table, latestVersion(table),
+      filesOf(table, version), "rollback",
+      dv = dvOf(table, version), eq = eqOf(table, version))
     // a rollback restores the old SCHEMA contract too, or readers of
     // the restored file set would see a later declared schema — and
     // the old stats sidecar (identical file set, identical stats)
@@ -478,15 +495,135 @@ object Sources {
     * committers could both pass the check and the second rename would
     * silently OVERWRITE the first manifest, losing a commit. */
   private[sources] def publishManifest(table: String, version: Int,
-      files: Seq[String]): Unit = {
+      files: Seq[String], sidecars: Map[String, String] = Map.empty): Unit = {
     val dir = java.nio.file.Paths.get(table)
     java.nio.file.Files.createDirectories(dir)
     val tmp = java.nio.file.Files.createTempFile(dir, s".v$version", ".tmp")
+    // trailer lines point at PRE-STAGED sidecar files (see
+    // [[stageSidecar]]) so a reader that can see this manifest can
+    // always resolve complete DV/eq state — the claim and its
+    // correctness-bearing sidecars publish as one atomic unit
+    val lines = files ++ sidecars.toSeq.sortBy(_._1)
+      .map { case (ext, name) => s"#sidecar\t$ext\t$name" }
     java.nio.file.Files.write(tmp,
-      files.mkString("\n").getBytes("UTF-8"))
+      lines.mkString("\n").getBytes("UTF-8"))
     try java.nio.file.Files.createLink(dir.resolve(s"v$version.manifest"), tmp)
     finally java.nio.file.Files.deleteIfExists(tmp)
   }
+
+  // ---- staged sidecars: closing the claim→sidecar publish window -----
+  //
+  // A committer that writes its DV/eq sidecars AFTER claiming the
+  // manifest leaves a window in which a racing committer's carry pass
+  // reads the claimed version WITHOUT its sidecars — the brand-new
+  // delete entries silently drop out of every later version and the
+  // retired rows resurrect (the classic sidecar TOCTOU). Closed here
+  // by inverting the order: sidecar CONTENT is written to a
+  // uniquely-named staged file BEFORE the claim, the manifest carries a
+  // `#sidecar <ext> <name>` trailer naming it, and the atomic manifest
+  // link publishes both at once. After a successful claim the staged
+  // file is renamed to the canonical `v<N>.<ext>`; if the committer
+  // dies in between, any reader repairs the rename on first resolve.
+
+  /** Write sidecar bytes under a unique staged name (returns it). */
+  private def stageSidecar(table: String, ext: String,
+      bytes: Array[Byte]): String = {
+    val name = s".staged-${java.util.UUID.randomUUID().toString.take(12)}.$ext"
+    val dir = java.nio.file.Paths.get(table)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".stage", ".tmp")
+    java.nio.file.Files.write(tmp, bytes)
+    java.nio.file.Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    name
+  }
+
+  /** ext -> staged-file name for a version's manifest trailers. */
+  private[sources] def sidecarPointersOf(table: String,
+      version: Int): Map[String, String] = {
+    val p = java.nio.file.Paths.get(table, s"v$version.manifest")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala
+      .filter(_.startsWith("#sidecar\t"))
+      .flatMap { l =>
+        scala.util.Try {
+          val Array(_, ext, name) = l.split("\t", 3)
+          ext -> name
+        }.toOption
+      }.toMap
+  }
+
+  /** Resolve a version's sidecar file: the canonical `v<N>.<ext>` if
+    * present, else the manifest's staged pointer (repair-renaming it to
+    * canonical opportunistically — racing the committer's own rename is
+    * benign, ATOMIC_MOVE of the same source lets exactly one win). */
+  private def resolveSidecar(table: String, version: Int,
+      ext: String): Option[java.nio.file.Path] = {
+    val canonical = java.nio.file.Paths.get(table, s"v$version.$ext")
+    if (java.nio.file.Files.exists(canonical)) Some(canonical)
+    else sidecarPointersOf(table, version).get(ext).flatMap { name =>
+      val staged = java.nio.file.Paths.get(table, name)
+      if (java.nio.file.Files.exists(staged)) {
+        scala.util.Try(java.nio.file.Files.move(staged, canonical,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE))
+        if (java.nio.file.Files.exists(canonical)) Some(canonical)
+        else if (java.nio.file.Files.exists(staged)) Some(staged)
+        else None
+      } else if (java.nio.file.Files.exists(canonical)) Some(canonical)
+      else None
+    }
+  }
+
+  private def promoteStaged(table: String, version: Int,
+      staged: Map[String, String]): Unit =
+    staged.foreach { case (ext, name) =>
+      scala.util.Try(java.nio.file.Files.move(
+        java.nio.file.Paths.get(table, name),
+        java.nio.file.Paths.get(table, s"v$version.$ext"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE))
+    }
+
+  private def discardStaged(table: String, staged: Map[String, String]): Unit =
+    staged.foreach { case (_, name) =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(table, name))
+    }
+
+  /** [[publishIfLatest]] with sidecar content published atomically with
+    * the claim (ext -> serialized bytes). On a lost race the staged
+    * files are deleted before the conflict surfaces. */
+  private[sources] def publishIfLatestStaged(table: String, basedOn: Int,
+      files: Seq[String], op: String,
+      sidecarBytes: Map[String, Array[Byte]]): Int = {
+    val staged = sidecarBytes.map { case (ext, bytes) =>
+      ext -> stageSidecar(table, ext, bytes) }
+    val next = basedOn + 1
+    try {
+      publishManifest(table, next, files, staged)
+      promoteStaged(table, next, staged)
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        discardStaged(table, staged)
+        throw new java.util.ConcurrentModificationException(
+          s"$op on $table was based on v$basedOn but another commit " +
+            s"claimed v$next first; re-read the table and retry the $op")
+    }
+  }
+
+  /** The common conflict-detecting publish with DV + eq entries riding
+    * the claim — every row-delete-bearing commit path routes here. */
+  private[sources] def publishIfLatestWith(table: String, basedOn: Int,
+      files: Seq[String], op: String,
+      dv: Map[String, java.util.BitSet] = Map.empty,
+      eq: Seq[EqEntry] = Nil): Int =
+    publishIfLatestStaged(table, basedOn, files, op,
+      (if (dv.nonEmpty) Map("dv" -> dvText(dv).getBytes("UTF-8"))
+       else Map.empty[String, Array[Byte]]) ++
+        (if (eq.nonEmpty) Map("eq" -> eqText(eq).getBytes("UTF-8"))
+         else Map.empty[String, Array[Byte]]))
 
   /** Read `table` at `version` (default: latest) by its pinned file
     * list. An empty table (version 0) is an error by design — there is
@@ -552,20 +689,20 @@ object Sources {
     * file — that file's rows all read as live, which is the only safe
     * default (a dropped DELETE is recoverable by re-running it; rows
     * silently vanishing to a parse bug are not). */
-  def dvOf(table: String, version: Int): Map[String, java.util.BitSet] = {
-    val p = java.nio.file.Paths.get(table, s"v$version.dv")
-    if (!java.nio.file.Files.exists(p)) Map.empty
-    else scala.jdk.CollectionConverters.ListHasAsScala(
-      java.nio.file.Files.readAllLines(p)).asScala
-      .filter(_.nonEmpty)
-      .flatMap { line =>
-        scala.util.Try {
-          val Array(f, b64) = line.split("\t", 2)
-          f -> java.util.BitSet.valueOf(
-            java.util.Base64.getDecoder.decode(b64))
-        }.toOption
-      }.toMap
-  }
+  def dvOf(table: String, version: Int): Map[String, java.util.BitSet] =
+    resolveSidecar(table, version, "dv") match {
+      case None => Map.empty
+      case Some(p) => scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala
+        .filter(_.nonEmpty)
+        .flatMap { line =>
+          scala.util.Try {
+            val Array(f, b64) = line.split("\t", 2)
+            f -> java.util.BitSet.valueOf(
+              java.util.Base64.getDecoder.decode(b64))
+          }.toOption
+        }.toMap
+    }
 
   /** Total deleted positions recorded for a version — the DV pressure
     * gauge a table owner reads before scheduling [[purgeDv]]. */
@@ -575,19 +712,14 @@ object Sources {
   /** Publish `dv` as the version's DV sidecar (atomic move, same
     * protocol as stats). An empty map publishes nothing — absence IS
     * the clean state. */
-  private[sources] def publishDv(table: String, version: Int,
-      dv: Map[String, java.util.BitSet]): Unit =
-    if (dv.nonEmpty) {
-      val lines = dv.toSeq.sortBy(_._1).map { case (f, bits) =>
-        s"$f\t${java.util.Base64.getEncoder.encodeToString(bits.toByteArray)}"
-      }
-      val dir = java.nio.file.Paths.get(table)
-      val tmp = java.nio.file.Files.createTempFile(dir, s".dv$version", ".tmp")
-      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, dir.resolve(s"v$version.dv"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
+  private[sources] def dvText(dv: Map[String, java.util.BitSet]): String =
+    dv.toSeq.sortBy(_._1).map { case (f, bits) =>
+      s"$f\t${java.util.Base64.getEncoder.encodeToString(bits.toByteArray)}"
+    }.mkString("\n")
+
+  // (DV sidecars are no longer written post-claim — content is staged
+  // before the manifest claim and published atomically with it via
+  // [[publishIfLatestWith]]/[[publishNextVersion]].)
 
   /** `file:`-scheme scan paths normalized to the absolute form
     * manifests store (`_metadata.file_path` renders `file:///x`,
@@ -634,14 +766,8 @@ object Sources {
         .select(cols.map(col).toSeq: _*)
     }
 
-  /** Carry the previous version's DV entries forward for the files
-    * still present in the new manifest — the append-path invariant that
-    * keeps deleted rows deleted under unrelated commits. */
-  private def carryDv(table: String, from: Int, to: Int,
-      keptFiles: Seq[String]): Unit = {
-    val kept = keptFiles.toSet
-    publishDv(table, to, dvOf(table, from).filter { case (f, _) => kept(f) })
-  }
+  // (DV carry for append paths is computed by [[carriedDv]] and staged
+  // WITH the manifest claim — see the staged-sidecar protocol above.)
 
   /** Merge-on-read DELETE: rows matching `cond` are MARKED in the DV
     * sidecar of a new version whose manifest is byte-identical to the
@@ -691,10 +817,11 @@ object Sources {
       merged.getOrElseUpdate(f, new java.util.BitSet()).set(i.toInt)
     }
     // same file list, new version: the whole commit is sidecar metadata
-    val next = publishIfLatest(table, v, files, "dv-delete")
+    // (merged DV + carried eq ride the claim atomically)
+    val next = publishIfLatestWith(table, v, files, "dv-delete",
+      dv = merged.toMap, eq = eqOf(table, v))
     declaredSchema(table, v).foreach(publishSchema(table, next, _))
     copyStatsSidecar(table, v, next) // identical files: stats/bloom hold
-    publishDv(table, next, merged.toMap) // overwrite the copied DV
     (next, matched.length.toLong, true)
   }
 
@@ -810,8 +937,10 @@ object Sources {
         case None => merged(f) = b
       }
     }
-    val next = publishIfLatest(table, basedOn, files ++ newFiles,
-      "delta-write")
+    // merged DV + carried eq ride the claim (base files all carry)
+    val next = publishIfLatestWith(table, basedOn, files ++ newFiles,
+      "delta-write", dv = merged.toMap,
+      eq = carriedEq(table, basedOn, files))
     declaredSchema(table, basedOn).foreach(publishSchema(table, next, _))
     val schemaCols = schemaOf(spark, table, basedOn).fieldNames.toSet
     val statCols = statsColumnsOf(table).filter(schemaCols.contains)
@@ -820,8 +949,6 @@ object Sources {
     val bloomCols = bloomColumnsOf(table).filter(schemaCols.contains)
     if (bloomCols.nonEmpty)
       commitBlooms(spark, table, next, bloomCols, carryFrom = basedOn)
-    publishDv(table, next, merged.toMap)
-    carryEq(table, basedOn, next, files) // base files all carry
     next
   }
 
@@ -841,7 +968,7 @@ object Sources {
     val carried = files.filterNot(dv.contains)
     // eq-deleted rows of a rewritten file must not resurrect (the new
     // files fall outside every entry's scope) — apply pending eq sets
-    // here; carried files keep their entries via carryEq below
+    // here; carried files keep their entries (staged with the claim)
     val survivors = applyEq(spark,
       applyDv(readFileSubset(spark, table, v, affected), dv), table, v)
     val batch = java.nio.file.Paths.get(table, "data",
@@ -849,7 +976,9 @@ object Sources {
     writePartitionedBatch(survivors, table, batch.toString)
     val newFiles = batchParquetFiles(batch)
     val next =
-      try publishIfLatest(table, v, carried ++ newFiles, "dv-purge")
+      // pending eq entries of the untouched files ride the claim
+      try publishIfLatestWith(table, v, carried ++ newFiles, "dv-purge",
+        eq = carriedEq(table, v, carried))
       catch {
         case e: java.util.ConcurrentModificationException =>
           deleteBatchDir(batch); throw e
@@ -864,8 +993,8 @@ object Sources {
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
     // no DV publish: every DV'd file was rewritten — the new version is
     // clean and reads on the untouched vectorized fast path again
-    // (pending eq entries DO carry for the untouched files)
-    carryEq(table, v, next, carried)
+    // (pending eq entries DID carry for the untouched files — staged
+    // with the claim above)
     (next, affected.length)
   }
 
@@ -905,19 +1034,19 @@ object Sources {
     * Malformed lines degrade to "no entry" — same recoverable-loud
     * default as [[dvOf]] (a dropped delete is re-runnable; rows
     * silently vanishing to a parse bug would not be). */
-  def eqOf(table: String, version: Int): Seq[EqEntry] = {
-    val p = java.nio.file.Paths.get(table, s"v$version.eq")
-    if (!java.nio.file.Files.exists(p)) Nil
-    else scala.jdk.CollectionConverters.ListHasAsScala(
-      java.nio.file.Files.readAllLines(p)).asScala.toSeq
-      .filter(_.nonEmpty)
-      .flatMap { line =>
-        scala.util.Try {
-          val Array(k, d, b) = line.split("\t", 3)
-          EqEntry(k.split(",").toSeq, d, b.toInt)
-        }.toOption
-      }
-  }
+  def eqOf(table: String, version: Int): Seq[EqEntry] =
+    resolveSidecar(table, version, "eq") match {
+      case None => Nil
+      case Some(p) => scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.toSeq
+        .filter(_.nonEmpty)
+        .flatMap { line =>
+          scala.util.Try {
+            val Array(k, d, b) = line.split("\t", 3)
+            EqEntry(k.split(",").toSeq, d, b.toInt)
+          }.toOption
+        }
+    }
 
   /** Total pending equality-delete keys for a version — the pressure
     * gauge a table owner reads before scheduling [[purgeEq]], computed
@@ -926,18 +1055,13 @@ object Sources {
     eqOf(table, version).map(e =>
       scala.util.Try(spark.read.parquet(e.dataPath).count()).getOrElse(0L)).sum
 
-  private[sources] def publishEq(table: String, version: Int,
-      entries: Seq[EqEntry]): Unit =
-    if (entries.nonEmpty) {
-      val lines = entries.map(e =>
-        s"${e.keyCols.mkString(",")}\t${e.dataPath}\t${e.basedOn}")
-      val dir = java.nio.file.Paths.get(table)
-      val tmp = java.nio.file.Files.createTempFile(dir, s".eq$version", ".tmp")
-      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, dir.resolve(s"v$version.eq"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
+  private[sources] def eqText(entries: Seq[EqEntry]): String =
+    entries.map(e =>
+      s"${e.keyCols.mkString(",")}\t${e.dataPath}\t${e.basedOn}")
+      .mkString("\n")
+
+  // (eq sidecars likewise publish atomically with the manifest claim —
+  // see the staged-sidecar protocol.)
 
   /** An entry's file scope: `basedOn`'s manifest, normalized; a
     * vacuumed (or otherwise unreadable) scope manifest degrades to the
@@ -947,15 +1071,22 @@ object Sources {
     scala.util.Try(filesOf(table, e.basedOn)).getOrElse(Nil)
       .map(normalizePath).toSet
 
-  /** Carry the pending eq entries whose scope still intersects the new
-    * version's kept files — the append-path invariant (mirrors
-    * [[carryDv]]); entries whose every in-scope file was rewritten or
-    * dropped are absorbed and disappear. */
-  private def carryEq(table: String, from: Int, to: Int,
-      keptFiles: Seq[String]): Unit = {
+  /** The pending eq entries that survive into a version keeping exactly
+    * `keptFiles` — computed BEFORE the claim by every staged-sidecar
+    * commit path. */
+  private[sources] def carriedEq(table: String, from: Int,
+      keptFiles: Seq[String]): Seq[EqEntry] = {
     val kept = keptFiles.map(normalizePath).toSet
-    publishEq(table, to,
-      eqOf(table, from).filter(e => (eqScope(table, e) & kept).nonEmpty))
+    eqOf(table, from).filter(e => (eqScope(table, e) & kept).nonEmpty)
+  }
+
+  /** The DV entries that survive into a version keeping exactly
+    * `keptFiles` (manifest-path keyed, no normalization — DV keys are
+    * manifest paths already). */
+  private[sources] def carriedDv(table: String, from: Int,
+      keptFiles: Seq[String]): Map[String, java.util.BitSet] = {
+    val kept = keptFiles.toSet
+    dvOf(table, from).filter { case (f, _) => kept(f) }
   }
 
   /** Drop rows of in-scope files whose key tuple appears in a pending
@@ -1008,7 +1139,12 @@ object Sources {
       entries.zipWithIndex.foldLeft((tagged, Seq.empty[String])) {
         case ((acc, ns), (e, i)) =>
           val scope = eqScope(table, e) & currentFiles
-          if (scope.isEmpty) (acc, ns)
+          // mirror eqFilterEntries' per-generation skip: a frame whose
+          // footer schema predates a later-added key column serves it
+          // as NULL (matches nothing) — skipping the entry IS the
+          // declared semantic, and joining on the absent column would
+          // throw AnalysisException instead
+          if (scope.isEmpty || !e.keyCols.forall(cols.contains)) (acc, ns)
           else {
             val inScope = udf((p: String) => scope.contains(normalizePath(p)))
             val hit = s"__eq_hit_$i"
@@ -1078,8 +1214,15 @@ object Sources {
           table, batch.toString)
         batchParquetFiles(batch)
       }
+    // the new eq entry (and carried DV + prior entries) ride the CLAIM
+    // itself: a concurrent committer that loses the race on v+1 and
+    // retries its carry pass against this version can never read the
+    // manifest without the brand-new entry — the silent-resurrection
+    // TOCTOU the post-claim publishEq form had
     val next =
-      try publishIfLatest(table, v, files ++ newFiles, "eq-merge")
+      try publishIfLatestWith(table, v, files ++ newFiles, "eq-merge",
+        dv = dvOf(table, v),
+        eq = eqOf(table, v) :+ EqEntry(keyCols, eqDir.toString, v))
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (hasUpserts) deleteBatchDir(batch)
@@ -1102,9 +1245,6 @@ object Sources {
     val bloomCols = bloomColumnsOf(table).filter(schemaCols.contains)
     if (bloomCols.nonEmpty)
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
-    carryDv(table, v, next, files)
-    publishEq(table, next,
-      eqOf(table, v) :+ EqEntry(keyCols, eqDir.toString, v))
     (next, nKeys)
   }
 
@@ -1126,13 +1266,12 @@ object Sources {
     val (affected, carried) =
       current.partition(f => inScope.contains(normalizePath(f)))
     if (affected.isEmpty) { // stale entries: absorb as metadata only
-      val next = publishIfLatest(table, v, current, "eq-purge")
+      // DVs carry (identical files); NO eq rides the claim — absorbing
+      // the dead entries is this branch's whole point
+      val next = publishIfLatestWith(table, v, current, "eq-purge",
+        dv = dvOf(table, v))
       declaredSchema(table, v).foreach(publishSchema(table, next, _))
       copyStatsSidecar(table, v, next)
-      // copyStatsSidecar copied the stale eq sidecar verbatim — drop
-      // it; absorbing the dead entries is this branch's whole point
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(table, s"v$next.eq"))
       return (next, 0)
     }
     val dv = dvOf(table, v)
@@ -1143,8 +1282,12 @@ object Sources {
       s"batch-eqpurge-${java.util.UUID.randomUUID().toString.take(8)}")
     writePartitionedBatch(survivors, table, batch.toString)
     val newFiles = batchParquetFiles(batch)
+    // rewritten files' DVs are absorbed with their eq entries; carried
+    // (out-of-scope) files keep theirs — staged with the claim; no eq
+    // rides: every in-scope file was rewritten, the version is clean
     val next =
-      try publishIfLatest(table, v, carried ++ newFiles, "eq-purge")
+      try publishIfLatestWith(table, v, carried ++ newFiles, "eq-purge",
+        dv = dv.filter { case (f, _) => !inScope.contains(f) })
       catch {
         case e: java.util.ConcurrentModificationException =>
           deleteBatchDir(batch); throw e
@@ -1157,11 +1300,6 @@ object Sources {
     val bloomCols = bloomsOf(table, v).keys.map(_._2).toSeq.distinct
     if (bloomCols.nonEmpty && (carried ++ newFiles).nonEmpty)
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
-    // rewritten files' DVs are absorbed with their eq entries; carried
-    // (out-of-scope) files keep theirs
-    val keptDv = dv.filter { case (f, _) => !inScope.contains(f) }
-    publishDv(table, next, keptDv)
-    // no eq publish: every in-scope file was rewritten — clean version
     (next, affected.length)
   }
 
@@ -1788,7 +1926,10 @@ object Sources {
     // deleted first: no manifest references it, and a retried merge
     // writes a fresh batch, so leaving it would strand disk forever.
     val next =
-      try publishIfLatest(table, v, untouched ++ newFiles, "merge")
+      // untouched files' DVs + pending eq entries ride the claim
+      try publishIfLatestWith(table, v, untouched ++ newFiles, "merge",
+        dv = carriedDv(table, v, untouched),
+        eq = carriedEq(table, v, untouched))
       catch {
         case e: java.util.ConcurrentModificationException =>
           deleteBatchDir(batch); throw e
@@ -1807,8 +1948,6 @@ object Sources {
     if (bloomCols.nonEmpty)
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
     declaredSchema(table, v).foreach(publishSchema(table, next, _))
-    carryDv(table, v, next, untouched)
-    carryEq(table, v, next, untouched)
     (next, affected.length, untouched.length)
   }
 
@@ -1897,7 +2036,10 @@ object Sources {
         batchParquetFiles(batch)
       }
     val next =
-      try publishIfLatest(table, v, files ++ newFiles, "dv-merge")
+      // merged DV + carried eq entries ride the claim (every base
+      // file carries)
+      try publishIfLatestWith(table, v, files ++ newFiles, "dv-merge",
+        dv = merged.toMap, eq = carriedEq(table, v, files))
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (hasUpserts) deleteBatchDir(batch); throw e
@@ -1913,8 +2055,6 @@ object Sources {
     val bloomCols = bloomColumnsOf(table).filter(schemaCols.contains)
     if (bloomCols.nonEmpty)
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
-    publishDv(table, next, merged.toMap)
-    carryEq(table, v, next, files) // every base file carries
     (next, matched.length.toLong, true)
   }
 
@@ -2102,7 +2242,8 @@ object Sources {
     require(lost.isEmpty,
       s"ALTER on $table would rename/drop pending equality-delete key " +
         s"column(s) ${lost.mkString(", ")} — purge_eq first")
-    val next = publishIfLatest(table, v, filesOf(table, v), "alter")
+    val next = publishIfLatestWith(table, v, filesOf(table, v), "alter",
+      dv = dvOf(table, v), eq = eqOf(table, v))
     publishSchema(table, next, schema)
     copyStatsSidecar(table, v, next)
     next
@@ -2110,11 +2251,12 @@ object Sources {
 
   private[sources] def copyStatsSidecar(table: String, from: Int,
       to: Int): Unit = {
-    // bloom, DV and eq sidecars travel with stats — every caller has an
-    // identical file set, so all four stay valid verbatim (rollback
-    // restores the target version's own DVs/eq entries with its files;
-    // eq scopes are version-pinned manifests, unaffected by the copy)
-    Seq("stats", "bloom", "dv", "eq", "ndv").foreach { kind =>
+    // bloom + ndv sidecars travel with stats — every caller has an
+    // identical file set, so all stay valid verbatim. DV and eq are
+    // NOT copied here: they are correctness-bearing and ride each
+    // commit's atomic staged-sidecar claim instead (a post-claim copy
+    // re-opens the carry-pass TOCTOU this protocol closes).
+    Seq("stats", "bloom", "ndv").foreach { kind =>
       val src = java.nio.file.Paths.get(table, s"v$from.$kind")
       if (java.nio.file.Files.exists(src))
         java.nio.file.Files.copy(src,
@@ -2371,7 +2513,10 @@ object Sources {
     writePartitionedBatch(survivors, table, batch.toString)
     val newFiles = batchParquetFiles(batch)
     val next =
-      try publishIfLatest(table, v, carried ++ newFiles, "delete")
+      // rewritten files' DVs/eq absorb; carried files' ride the claim
+      try publishIfLatestWith(table, v, carried ++ newFiles, "delete",
+        dv = carriedDv(table, v, carried),
+        eq = carriedEq(table, v, carried))
       catch {
         case e: java.util.ConcurrentModificationException =>
           deleteBatchDir(batch); throw e
@@ -2390,8 +2535,6 @@ object Sources {
     val bloomCols = bloomsOf(table, v).keys.map(_._2).toSeq.distinct
     if (bloomCols.nonEmpty && (carried ++ newFiles).nonEmpty)
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
-    carryDv(table, v, next, carried) // rewritten files' DVs are absorbed
-    carryEq(table, v, next, carried) // ... and their eq entries with them
     (next, affected.length, carried.length)
   }
 
@@ -2568,7 +2711,23 @@ object Sources {
         .foreach(d => deleteTree(java.nio.file.Paths.get(d)))
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(table, s"v$v.eq"))
+      // un-promoted staged sidecars this version pointed at go with it
+      sidecarPointersOf(table, v).values.foreach(n =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(table, n)))
     }
+    // stranded staged sidecars: a crashed or raced commit leaves
+    // `.staged-*` files no kept manifest points to. Sweep the provably
+    // dead ones — unreferenced AND past the in-flight grace window (a
+    // commit stages milliseconds before its claim; 15 min is paranoid)
+    val pointed = kept.flatMap(v =>
+      sidecarPointersOf(table, v).values).toSet
+    val cutoff = System.currentTimeMillis() - 15L * 60 * 1000
+    val dir = manifestDir(table)
+    if (dir.exists()) dir.listFiles().toSeq
+      .filter(f => f.getName.startsWith(".staged-") &&
+        !pointed.contains(f.getName) && f.lastModified() < cutoff)
+      .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
     (expired.length, deadFiles.size)
   }
 
@@ -2682,7 +2841,12 @@ object Sources {
         batchParquetFiles(batch)
       } finally toRelease.foreach(_.unpersist(false))
     val next =
-      try publishIfLatest(table, v, carried ++ newFiles, "scoped compaction")
+      // scoped files' DV marks are applied and absorbed; carried files
+      // keep theirs (and their pending eq entries) — staged at claim
+      try publishIfLatestWith(table, v, carried ++ newFiles,
+        "scoped compaction",
+        dv = dv.filter { case (f, _) => !affected.contains(f) },
+        eq = carriedEq(table, v, carried))
       catch {
         case e: java.util.ConcurrentModificationException =>
           deleteBatchDir(batch); throw e
@@ -2695,10 +2859,6 @@ object Sources {
     val bloomCols = bloomsOf(table, v).keys.map(_._2).toSeq.distinct
     if (bloomCols.nonEmpty && (carried ++ newFiles).nonEmpty)
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
-    // scoped files' DV marks are applied and absorbed; carried keep
-    publishDv(table, next,
-      dv.filter { case (f, _) => !affected.contains(f) })
-    carryEq(table, v, next, carried)
     (next, affected.length, newFiles.length)
   }
 }

@@ -24,7 +24,7 @@ class DeletionVectorSpec extends SparkTestBase {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(table, s"v$v.manifest")).asScala.toSeq
-      .filter(_.nonEmpty)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
   private def dataFilesOnDisk(table: String): Set[String] = {

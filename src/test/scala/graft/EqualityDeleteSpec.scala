@@ -24,7 +24,7 @@ class EqualityDeleteSpec extends SparkTestBase {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(table, s"v$v.manifest")).asScala.toSeq
-      .filter(_.nonEmpty)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
   /** Task-level records read across everything `body` runs — the

@@ -757,7 +757,8 @@ class LakeSurfaceSpec extends SparkTestBase {
     val p = java.nio.file.Paths.get(table, s"v$v.manifest")
     if (!java.nio.file.Files.exists(p)) Nil
     else scala.jdk.CollectionConverters.ListHasAsScala(
-      java.nio.file.Files.readAllLines(p)).asScala.toSeq.filter(_.nonEmpty)
+      java.nio.file.Files.readAllLines(p)).asScala.toSeq
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
   test("write surface: df.write.format(graft) commits versions with stats; " +
@@ -835,7 +836,7 @@ class LakeSurfaceSpec extends SparkTestBase {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get(t, s"v$v.manifest")).asScala.toSeq
-        .filter(_.nonEmpty)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
     }
     val coldBefore = manifest(v0).filter(_.contains("p=cold")).sorted
     val hotBefore = manifest(v0).count(_.contains("p=hot"))

@@ -29,7 +29,7 @@ class MetadataColumnSpec extends SparkTestBase {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(table, s"v$v.manifest")).asScala
-      .filter(_.nonEmpty).toSet
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
   }
 
   private def orders = Tables.orders(spark, sf)

@@ -25,7 +25,7 @@ class MorMergeSpec extends SparkTestBase {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(table, s"v$v.manifest")).asScala.toSeq
-      .filter(_.nonEmpty)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
   private def mkTable(name: String): (String, Int) = {

@@ -837,7 +837,8 @@ class StreamingSpec extends SparkTestBase {
     def manifestFiles(v: Int): Seq[String] = {
       val p = java.nio.file.Paths.get(dir, s"v$v.manifest")
       scala.jdk.CollectionConverters.ListHasAsScala(
-        java.nio.file.Files.readAllLines(p)).asScala.toSeq.filter(_.nonEmpty)
+        java.nio.file.Files.readAllLines(p)).asScala.toSeq
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
     }
     assert(manifestFiles(vC + 1).contains(orphan),
       "recovery should publish the ORIGINAL epoch's recorded files")
