@@ -1160,6 +1160,151 @@ object LakeOps {
            |ORDER BY o_orderpriority""".stripMargin)
   )
 
+  /** Q226 — SQL row-level DML on an EQ-PENDING table, oracle-gated:
+    * the gap q220 left open. A CDC-fed table carries pending equality
+    * deletes most of the time, and until this round MERGE/UPDATE/DELETE
+    * refused on it until `purge_eq`. Now the delta scan resolves the
+    * pending key sets into per-file skip bitsets at planning time
+    * ([[graft.sources.GraftDeltaScan]] + `Sources.eqRetiredPositions` —
+    * key columns + row index of each entry's in-scope files, one
+    * broadcast key join), so eq-retired rows are never match
+    * candidates. The lifecycle: eq-merge (API, O(keys)) → SQL MERGE on
+    * the PENDING table (updates the LIVE upserted generation, never
+    * the retired one; re-inserts an eq-deleted key as NOT MATCHED) →
+    * SQL row-level DELETE (modulo predicate: untranslatable, so it
+    * exercises the delta path, landing as pure DV marks) → purge →
+    * final state. Witnesses: `eq_pending` pins that the DML commits
+    * CARRIED the entries, `files_carried` that the MERGE rewrote no
+    * base file, `eq_clean` that purge absorbed everything. A 'GHOST'
+    * group would appear in the output if a dead row ever matched —
+    * the hash gate makes that impossible to miss.
+    *
+    * Scale shape: the DML read tax on a pending table is one bounded
+    * key-probe job (entry scopes, key columns only) — the deferred
+    * position work the O(keys) commit skipped, paid exactly where
+    * Iceberg pays it (position-resolving equality deletes at read),
+    * reclaimed by the scheduled purge. */
+  val q226 = Query(
+    "q226_eq_pending_dml",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-eqdml-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val cat = s"geq_${math.abs(dir.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root.toString)
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .createOrReplaceTempView("eqdml_orders_src")
+      s.sql(s"""CREATE TABLE $cat.t (
+               |  o_orderkey BIGINT, o_custkey BIGINT,
+               |  o_totalprice DOUBLE, o_orderpriority STRING)""".stripMargin)
+      s.sql(s"INSERT INTO $cat.t SELECT * FROM eqdml_orders_src")
+      val t = root.resolve("t").toString
+      val vBase = Sources.latestVersion(t)
+      // CDC batch through the O(keys) eq path: %101 keys upserted,
+      // %103 (and not %101) keys deleted
+      val src = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val k = col("o_orderkey")
+      val eqBatch = src.filter(pmod(k, lit(101)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0d)
+        .withColumn("o_orderpriority", lit("E-CDC"))
+        .withColumn("op", lit("upsert"))
+        .unionByName(src
+          .filter(pmod(k, lit(103)) === 0 && pmod(k, lit(101)) =!= 0)
+          .withColumn("op", lit("delete")))
+      Sources.mergeVersionEq(s, t, eqBatch, Seq("o_orderkey"))
+      // SQL MERGE on the PENDING table: 'u' rows hit the live upserted
+      // generation; 'r' rows are eq-deleted keys — MATCHED would mark
+      // them GHOST (and fail the hash gate), NOT MATCHED re-inserts
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW eqdml_batch AS
+          |SELECT o_orderkey AS mk, o_custkey, o_totalprice, 'u' AS op
+          |FROM eqdml_orders_src
+          |WHERE o_orderkey % 101 = 0 AND o_orderkey % 202 <> 0
+          |UNION ALL
+          |SELECT o_orderkey, o_custkey, o_totalprice, 'r'
+          |FROM eqdml_orders_src
+          |WHERE o_orderkey % 103 = 0 AND o_orderkey % 101 <> 0""".stripMargin)
+      s.sql(s"""MERGE INTO $cat.t t USING eqdml_batch s
+               |ON t.o_orderkey = s.mk
+               |WHEN MATCHED AND s.op = 'u' THEN UPDATE SET
+               |  o_totalprice = t.o_totalprice + 2.0,
+               |  o_orderpriority = 'S-DML'
+               |WHEN MATCHED AND s.op = 'r' THEN UPDATE SET
+               |  o_orderpriority = 'GHOST'
+               |WHEN NOT MATCHED AND s.op = 'r' THEN INSERT
+               |  (o_orderkey, o_custkey, o_totalprice, o_orderpriority)
+               |  VALUES (s.mk, s.o_custkey, s.o_totalprice, 'R-BORN')
+               |""".stripMargin)
+      val vMerge = Sources.latestVersion(t)
+      def manifest(v: Int): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(t, s"v$v.manifest")).asScala.toSet
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+      }
+      val carried =
+        if (manifest(vBase).subsetOf(manifest(vMerge))) 1L else 0L
+      // SQL row-level DELETE on the still-pending table (the modulo
+      // predicate is untranslatable — routes the delta path, DV marks)
+      s.sql(s"DELETE FROM $cat.t WHERE o_orderkey % 107 = 0 " +
+        s"AND o_orderpriority <> 'R-BORN'")
+      val pending =
+        if (Sources.eqOf(t, Sources.latestVersion(t)).nonEmpty) 1L else 0L
+      Sources.purgeEq(s, t)
+      val clean =
+        if (Sources.eqOf(t, Sources.latestVersion(t)).isEmpty) 1L else 0L
+      s.sql(s"SELECT o_orderpriority, o_totalprice FROM $cat.t")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("files_carried", lit(carried))
+        .withColumn("eq_pending", lit(pending))
+        .withColumn("eq_clean", lit(clean))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH s1 AS (
+           |  SELECT o_orderkey AS k, o_totalprice AS price,
+           |         o_orderpriority AS prio FROM orders
+           |  WHERE o_orderkey % 101 <> 0
+           |    AND NOT (o_orderkey % 103 = 0 AND o_orderkey % 101 <> 0)
+           |  UNION ALL
+           |  SELECT o_orderkey, o_totalprice + 1.0, 'E-CDC' FROM orders
+           |  WHERE o_orderkey % 101 = 0),
+           |s2 AS (
+           |  SELECT k,
+           |         CASE WHEN k % 101 = 0 AND k % 202 <> 0
+           |              THEN price + 2.0 ELSE price END AS price,
+           |         CASE WHEN k % 101 = 0 AND k % 202 <> 0
+           |              THEN 'S-DML' ELSE prio END AS prio
+           |  FROM s1
+           |  UNION ALL
+           |  SELECT o_orderkey, o_totalprice, 'R-BORN' FROM orders
+           |  WHERE o_orderkey % 103 = 0 AND o_orderkey % 101 <> 0),
+           |s3 AS (
+           |  SELECT * FROM s2
+           |  WHERE NOT (k % 107 = 0 AND prio <> 'R-BORN'))
+           |SELECT prio AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(CAST(round(SUM(CAST(price AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |       CAST(1 AS BIGINT) AS files_carried,
+           |       CAST(1 AS BIGINT) AS eq_pending,
+           |       CAST(1 AS BIGINT) AS eq_clean
+           |FROM s3
+           |GROUP BY prio
+           |ORDER BY prio""".stripMargin)
+  )
+
   /** Q221 — WRITE-AUDIT-PUBLISH end-to-end, oracle-gated: tag the
     * baseline, fork a branch ([[graft.sources.Refs.createBranch]] —
     * one manifest write, zero data movement), land a keyed
@@ -1258,5 +1403,5 @@ object LakeOps {
 
   val all: Seq[Query] =
     Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218,
-      q219, q220, q221)
+      q219, q220, q221, q226)
 }

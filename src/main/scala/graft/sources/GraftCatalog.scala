@@ -642,19 +642,13 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
   // — on ANY layout, DV-carrying versions included.
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    // PLANNING-time guard: the delta scan serves rows by (file, pos)
-    // with per-partition DV bitsets — it cannot compose the pending
-    // equality-delete anti-joins, so a MERGE/UPDATE/DELETE here would
-    // treat eq-retired rows as matchable. Refuse before any work runs.
-    if (Sources.eqOf(path, pinned).nonEmpty)
-      throw new UnsupportedOperationException(
-        s"$path carries pending equality deletes — run " +
-          "CALL <catalog>.system.purge_eq('<table>') (or the " +
-          "Sources.purgeEq API) before SQL row-level DML; the keyed " +
-          "mergeVersionEq/mergeVersionDv APIs remain available")
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    // pending equality deletes are no bar: the delta scan resolves
+    // them into per-file skip bitsets at planning time
+    // ([[GraftDeltaScan.planInputPartitions]]), so eq-retired rows are
+    // never match candidates — a CDC-fed table stays DML-able between
+    // purge_eq runs
     () => new GraftDeltaOperation(spark, path, this, info.command())
-  }
 
   /** The row identity the delta operations key on — Iceberg's
     * `_file`/`_pos` contract: manifest path + physical parquet row

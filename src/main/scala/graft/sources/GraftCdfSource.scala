@@ -141,27 +141,32 @@ private[sources] class GraftCdfStream(spark: SparkSession, table: String,
     GraftCdfOffset(json.trim.toInt)
 
   /** One partition per changed file of every version in
-    * `(start, end]` — manifest + DV sidecar walking only, no data IO.
-    * Mirrors [[Sources.readChanges]]: file diffs carry inserts/deletes
-    * (filtered by the relevant side's DV), and a CARRIED file whose DV
-    * GREW — a merge-on-read DELETE/MERGE/UPDATE commit — contributes
-    * exactly the newly-marked positions as deletes. */
+    * `(start, end]` — manifest + DV sidecar walking only, plus (only on
+    * eq-bearing versions) a bounded key-probe job that turns equality
+    * deletes into position bitsets. Mirrors [[Sources.readChanges]]
+    * exactly:
+    *
+    *  - file diffs carry inserts/deletes, each side filtered by ITS
+    *    version's full delete state — DV bitset OR'd with the eq-retired
+    *    positions of that side's pending entries (a departing file's
+    *    eq-dead rows were emitted as deletes when their entry arrived;
+    *    re-emitting them on departure would double-delete downstream);
+    *  - a CARRIED file whose DV GREW — a merge-on-read
+    *    DELETE/MERGE/UPDATE commit — contributes exactly the
+    *    newly-marked positions as deletes;
+    *  - an eq-MERGE commit (entries ADDED at `v`) contributes the
+    *    still-live rows its new key sets retire from their in-scope
+    *    carried files, as `onlyDv` delete partitions — the deferred
+    *    position lookup the eq commit skipped, resolved here by
+    *    [[Sources.eqRetiredPositions]] (key columns + row-index only,
+    *    broadcast key join, bounded by in-scope files, never O(table)).
+    *
+    * Versions without eq entries keep the pure-metadata planning path:
+    * the key probe never runs. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftCdfOffset].version
     val e = end.asInstanceOf[GraftCdfOffset].version
     (s + 1 to e).flatMap { v =>
-      // the stream's unit is a (file, position-bitset) partition; an
-      // equality-delete commit's delta is a KEY JOIN against in-scope
-      // files, which no per-file partition can carry — refuse loudly
-      // rather than silently drop the deletes (batch readChanges IS
-      // eq-aware; purge_eq re-enables the stream)
-      val eqPrev = (if (v <= 1) Nil else Sources.eqOf(table, v - 1))
-        .map(_.dataPath).toSet
-      if (Sources.eqOf(table, v).exists(en => !eqPrev.contains(en.dataPath)))
-        throw new UnsupportedOperationException(
-          s"$table v$v adds equality-delete entries; the streaming CDF " +
-            "cannot emit key-join deltas — consume this range with " +
-            "Sources.readChanges, or purge_eq before streaming")
       val before =
         if (v <= 1) Set.empty[String]
         else Sources.filesOf(table, v - 1).toSet
@@ -169,9 +174,33 @@ private[sources] class GraftCdfStream(spark: SparkSession, table: String,
       val dvFrom = if (v <= 1) Map.empty[String, java.util.BitSet]
         else Sources.dvOf(table, v - 1)
       val dvTo = Sources.dvOf(table, v)
+      val eqPrev = if (v <= 1) Nil else Sources.eqOf(table, v - 1)
+      val eqCur = Sources.eqOf(table, v)
+      val prevPaths = eqPrev.map(_.dataPath).toSet
+      val (eqOld, eqNew) =
+        eqCur.partition(en => prevPaths.contains(en.dataPath))
       def size(f: String): Long =
         java.nio.file.Files.size(java.nio.file.Paths.get(f))
-      val grown = (before & after).toSeq.sorted.flatMap { f =>
+      val goneFiles = (before -- after).toSeq.sorted
+      val addedFiles = (after -- before).toSeq.sorted
+      val carried = (before & after).toSeq.sorted
+      // positions retired by the FROM state's entries in departing
+      // files, and by the TO state's entries in arriving files — the
+      // per-side eq filter batch readChanges applies relationally
+      val retiredGone =
+        Sources.eqRetiredPositions(spark, table, goneFiles, eqPrev)
+      val retiredAdded =
+        Sources.eqRetiredPositions(spark, table, addedFiles, eqCur)
+      def orBits(a: Option[java.util.BitSet],
+          b: Option[java.util.BitSet]): Option[Array[Byte]] =
+        (a, b) match {
+          case (None, None) => None
+          case (x, y) =>
+            val m = new java.util.BitSet()
+            x.foreach(m.or); y.foreach(m.or)
+            Some(m.toByteArray)
+        }
+      val grown = carried.flatMap { f =>
         val g = dvTo.getOrElse(f, new java.util.BitSet())
           .clone().asInstanceOf[java.util.BitSet]
         dvFrom.get(f).foreach(g.andNot)
@@ -179,13 +208,36 @@ private[sources] class GraftCdfStream(spark: SparkSession, table: String,
         else Some(GraftCdfPartition(f, size(f), "delete", v,
           onlyDv = Some(g.toByteArray)))
       }
-      (after -- before).toSeq.sorted.map(f =>
+      // eq-merge delete emission: new entries retire the STILL-LIVE
+      // rows of their scoped carried files — live under the to-version
+      // DV (the grown delta above already emitted dvTo-marked rows)
+      // and under the old entries (their rows were emitted when THOSE
+      // entries arrived)
+      val eqDeletes =
+        if (eqNew.isEmpty) Nil
+        else {
+          val retiredNew =
+            Sources.eqRetiredPositions(spark, table, carried, eqNew)
+          val retiredOld =
+            if (retiredNew.isEmpty) Map.empty[String, java.util.BitSet]
+            else Sources.eqRetiredPositions(spark, table,
+              retiredNew.keys.toSeq.sorted, eqOld)
+          retiredNew.toSeq.sortBy(_._1).flatMap { case (f, bits) =>
+            val b = bits.clone().asInstanceOf[java.util.BitSet]
+            dvTo.get(f).foreach(b.andNot)
+            retiredOld.get(f).foreach(b.andNot)
+            if (b.isEmpty) None
+            else Some(GraftCdfPartition(f, size(f), "delete", v,
+              onlyDv = Some(b.toByteArray)))
+          }
+        }
+      addedFiles.map(f =>
         GraftCdfPartition(f, size(f), "insert", v,
-          skipDv = dvTo.get(f).map(_.toByteArray))) ++
-        (before -- after).toSeq.sorted.map(f =>
+          skipDv = orBits(dvTo.get(f), retiredAdded.get(f)))) ++
+        goneFiles.map(f =>
           GraftCdfPartition(f, size(f), "delete", v,
-            skipDv = dvFrom.get(f).map(_.toByteArray))) ++
-        grown
+            skipDv = orBits(dvFrom.get(f), retiredGone.get(f)))) ++
+        grown ++ eqDeletes
     }.toArray
   }
 

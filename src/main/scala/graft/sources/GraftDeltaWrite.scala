@@ -123,10 +123,25 @@ private[sources] class GraftDeltaScan(spark: SparkSession, table: String,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dv = Sources.dvOf(table, version)
-    Sources.filesOf(table, version).sorted.map { f =>
+    val files = Sources.filesOf(table, version).sorted
+    // pending EQUALITY deletes fold into the same position space: one
+    // bounded key-probe job at planning time (key columns + row index
+    // of each entry's in-scope files, broadcast key join) turns the
+    // deferred key deletes into per-file skip bitsets, so eq-retired
+    // rows are never match candidates — SQL MERGE/UPDATE/DELETE work
+    // on an eq-pending table instead of refusing until purge_eq
+    val eqSkip = Sources.eqRetiredPositions(spark, table, files,
+      Sources.eqOf(table, version))
+    files.map { f =>
+      val bits = (dv.get(f), eqSkip.get(f)) match {
+        case (None, None) => None
+        case (a, b) =>
+          val m = new java.util.BitSet()
+          a.foreach(m.or); b.foreach(m.or)
+          Some(m.toByteArray)
+      }
       GraftDeltaPartition(f,
-        java.nio.file.Files.size(java.nio.file.Paths.get(f)),
-        dv.get(f).map(_.toByteArray))
+        java.nio.file.Files.size(java.nio.file.Paths.get(f)), bits)
     }.toArray
   }
 

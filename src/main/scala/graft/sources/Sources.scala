@@ -1164,6 +1164,56 @@ object Sources {
       .select(cols.map(col).toSeq: _*)
   }
 
+  /** Physical row positions retired by eq `entries` within exactly
+    * `files` — the POSITION form of [[eqRetired]], for consumers whose
+    * unit is a (file, bitset) partition (the streaming CDF). One
+    * bounded Spark job per entry: the entry's scoped files read with
+    * ONLY its key columns + the scan's row-index metadata, one
+    * broadcast semi-join against the key parquet, positions collected
+    * as bitsets (same driver footprint as the DV sidecars themselves).
+    * Per-generation safe: files whose footer schema predates a key
+    * column are skipped for that entry — the declared NULL-key-matches-
+    * nothing semantic, mirroring [[eqFilterEntries]]. Keys of the
+    * returned map are manifest paths. */
+  private[sources] def eqRetiredPositions(spark: SparkSession,
+      table: String, files: Seq[String],
+      entries: Seq[EqEntry]): Map[String, java.util.BitSet] = {
+    if (files.isEmpty || entries.isEmpty)
+      return Map.empty
+    val byPath = files.map(f => normalizePath(f) -> f).toMap
+    val out = scala.collection.mutable.Map.empty[String, java.util.BitSet]
+    entries.foreach { e =>
+      val scoped = eqScope(table, e)
+      val target = files.filter(f => scoped.contains(normalizePath(f)))
+      if (target.nonEmpty) {
+        // generation split: only files whose footer carries every key
+        // column participate (schema probe is driver-side metadata IO)
+        val usable = target.filter(f =>
+          e.keyCols.forall(
+            spark.read.parquet(f).schema.fieldNames.contains))
+        if (usable.nonEmpty) {
+          val keys = spark.read.parquet(e.dataPath)
+          val probe = spark.read.parquet(usable: _*)
+            .select((e.keyCols.map(col) :+
+              col("_metadata.file_path").as("__p") :+
+              col("_metadata.row_index").as("__i")): _*)
+          val keyCond = e.keyCols.map(k => probe(k) === keys(k))
+            .reduce(_ && _)
+          probe.join(broadcast(keys), keyCond, "left_semi")
+            .select("__p", "__i").collect().foreach { r =>
+              val f = byPath.getOrElse(normalizePath(r.getString(0)),
+                r.getString(0))
+              val i = r.getLong(1)
+              require(i <= Int.MaxValue,
+                s"row index $i overflows the eq position bitset")
+              out.getOrElseUpdate(f, new java.util.BitSet()).set(i.toInt)
+            }
+        }
+      }
+    }
+    out.toMap
+  }
+
   /** Equality-delete MERGE: the O(keys) CDC upsert commit. Semantics
     * equal [[mergeVersionDv]]/[[mergeVersion]] — for each change key
     * the stored rows disappear, each `upsert` row appears exactly once,

@@ -173,7 +173,7 @@ class EqualityDeleteSpec extends SparkTestBase {
   }
 
   test("readChanges emits an eq commit as key-join deletes + batch " +
-    "inserts; the streaming CDF refuses the range loudly") {
+    "inserts; the streaming CDF emits the same delta as positions") {
     val t = freshTable("eq-cdf")
     val v1 = Sources.commitVersion(ordersBase, t)
     val keys = ordersBase.select("o_orderkey").orderBy("o_orderkey")
@@ -198,18 +198,127 @@ class EqualityDeleteSpec extends SparkTestBase {
       .select("o_orderkey").collect().map(_.getLong(0))
     assert(!purgeDelta.contains(keys(1)),
       "eq-dead rows were already emitted — departure must not re-delete")
-    // the streaming CDF cannot express the key-join delta: loud refusal
-    val ex = intercept[Exception] {
-      spark.readStream.format("graft-cdf")
-        .option("path", t).option("startingVersion", v1.toString)
-        .load().writeStream.format("memory").queryName("eq_cdf_refuse")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
-    }
-    def chain(e: Throwable): Seq[String] =
-      if (e == null) Nil else Option(e.getMessage).toSeq ++ chain(e.getCause)
-    assert(chain(ex).exists(_.contains("equality-delete")),
-      s"expected the loud eq refusal, got: $ex")
+    // the streaming CDF turns the key-join delta into per-file position
+    // partitions at planning time: the v1→v2 slice of the stream must
+    // equal batch readChanges row-for-row (eq-merge commits included),
+    // and the v2→v3 purge slice must reduce to a keyed no-op
+    spark.readStream.format("graft-cdf")
+      .option("path", t) // from version 0: the whole history replays
+      .load().writeStream.format("memory").queryName("eq_cdf_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val streamed = spark.sql("SELECT * FROM eq_cdf_stream")
+    val sliceV2 = streamed.filter(col("_commit_version") === v2)
+      .select("o_orderkey", "o_orderpriority", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(x => (x._1, x._3))
+    val batchV2 = Sources.readChanges(spark, t, v1, v2)
+      .select("o_orderkey", "o_orderpriority", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(x => (x._1, x._3))
+    assert(sliceV2.toSeq === batchV2.toSeq,
+      "streamed eq-merge delta must equal batch readChanges")
+    // keyed LWW reduction of the WHOLE feed ≡ the table head: the
+    // replica-equivalence property every generic consumer relies on
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderkey")
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val replica = streamed
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1 && col("_change_type") === "insert")
+      .select("o_orderkey", "o_orderpriority")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val head = Sources.readVersion(spark, t)
+      .select("o_orderkey", "o_orderpriority")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(replica.toSeq === head.toSeq,
+      "keyed LWW reduction of the streamed feed must equal the head")
+  }
+
+  test("streaming CDF across a purge with PENDING entries: departing " +
+    "files' eq-dead rows never re-emit as deletes (no replica data loss)") {
+    val t = freshTable("eq-cdf-purge")
+    Sources.commitVersion(ordersBase, t)
+    val keys = ordersBase.select("o_orderkey").orderBy("o_orderkey")
+      .limit(2).collect().map(_.getLong(0))
+    // k0 upserted (old row eq-retired, new row lives out-of-scope in
+    // the upsert batch), k1 deleted
+    val (v2, _) = Sources.mergeVersionEq(spark, t,
+      changes(Seq((keys(0), 5L, 50.0, "LIVE-UPD")), Seq(keys(1))),
+      Seq("o_orderkey"))
+    // the consumer starts AFTER the eq commit — entries merely pending
+    val (v3, _) = Sources.purgeEq(spark, t)
+    assert(v3 > v2)
+    spark.readStream.format("graft-cdf")
+      .option("path", t).option("startingVersion", v2.toString)
+      .load().writeStream.format("memory").queryName("eq_cdf_purge")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val feed = spark.sql("SELECT * FROM eq_cdf_purge")
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    // the purge's departing files contain k0's OLD row and k1's row —
+    // both eq-dead at v2; emitting either as a delete would remove a
+    // key from a keyed replica (k0's live upsert row is carried, not
+    // re-inserted at v3, so a spurious delete of k0 wins the LWW)
+    assert(!dels.contains(keys(0)),
+      "eq-retired old row of an upserted key must not re-emit on purge")
+    assert(!dels.contains(keys(1)),
+      "eq-deleted key must not re-emit on purge")
+    // applying the feed keyed-LWW on top of the v2 snapshot ≡ head
+    val snapshot = Sources.readVersion(spark, t, v2)
+      .select("o_orderkey", "o_orderpriority")
+      .withColumn("_commit_version", lit(v2.toLong))
+      .withColumn("_change_type", lit("insert"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderkey")
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val replica = snapshot.unionByName(
+        feed.select("o_orderkey", "o_orderpriority",
+          "_commit_version", "_change_type"))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1 && col("_change_type") === "insert")
+      .select("o_orderkey", "o_orderpriority")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val head = Sources.readVersion(spark, t)
+      .select("o_orderkey", "o_orderpriority")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(replica.toSeq === head.toSeq,
+      "snapshot + streamed purge slice must reconstruct the head exactly")
+  }
+
+  test("generic replicateTable tracks an eq-MAINTAINED source: LWW " +
+    "replica equals the source head after eq merges and a purge") {
+    val t = freshTable("eq-cdf-repl-src")
+    val dst = freshTable("eq-cdf-repl-dst")
+    val ckpt = java.nio.file.Files.createTempDirectory("eq-repl-ckpt")
+    Sources.commitVersion(ordersBase, t)
+    val keys = ordersBase.select("o_orderkey").orderBy("o_orderkey")
+      .limit(3).collect().map(_.getLong(0))
+    Sources.mergeVersionEq(spark, t,
+      changes(Seq((keys(0), 5L, 50.0, "R1-UPD")), Seq(keys(1))),
+      Seq("o_orderkey"))
+    graft.streaming.StreamingPipeline.replicateTable(
+      spark, t, dst, "o_orderkey", ckpt.toString).awaitTermination()
+    // second eq batch + purge, then resume the SAME checkpoint
+    Sources.mergeVersionEq(spark, t,
+      changes(Seq((keys(2), 6L, 60.0, "R2-UPD")), Nil),
+      Seq("o_orderkey"))
+    Sources.purgeEq(spark, t)
+    graft.streaming.StreamingPipeline.replicateTable(
+      spark, t, dst, "o_orderkey", ckpt.toString).awaitTermination()
+    val got = Sources.readVersion(spark, dst)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val want = Sources.readVersion(spark, t)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === want.toSeq,
+      "generic replication over an eq-maintained source must converge")
   }
 
   test("readChanges over a range with TWO eq commits: the first " +
@@ -355,8 +464,9 @@ class EqualityDeleteSpec extends SparkTestBase {
     assert(srcState.length === 43) // 40 - 2 deleted + 5 appended
   }
 
-  test("catalog SQL reads apply eq deletes; row-level DML refuses " +
-    "until purge_eq; the $eq gauge reports the pending entries") {
+  test("catalog SQL reads apply eq deletes; row-level DML works WITH " +
+    "pending entries (eq-retired rows are never match candidates); " +
+    "the $eq gauge reports the pending entries") {
     val wh = java.nio.file.Files.createTempDirectory("eq-cat").toString
     spark.conf.set("spark.sql.catalog.eqcat", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.eqcat.warehouse", wh)
@@ -381,14 +491,33 @@ class EqualityDeleteSpec extends SparkTestBase {
       .collect()
     assert(gauge.length === 1 && gauge.head.getString(0) === "o_orderkey"
       && gauge.head.getLong(1) === 2L)
-    val ex = intercept[Exception] {
-      spark.sql(s"DELETE FROM eqcat.t WHERE o_orderkey = ${keys(0)} " +
-        s"AND o_custkey = 3")
-    }
     def msgs(e: Throwable): Seq[String] =
       if (e == null) Nil else Option(e.getMessage).toSeq ++ msgs(e.getCause)
-    assert(msgs(ex).exists(_.contains("purge_eq")),
-      s"row-level DML must refuse with the purge_eq pointer, got: $ex")
+    // row-level DML on the eq-PENDING table: the delta scan folds the
+    // eq-retired positions into its skip bitsets, so (a) UPDATE hits
+    // only the live upserted generation of keys(0), never the retired
+    // original, and (b) MERGE sees the eq-deleted keys(1) as NOT
+    // MATCHED and re-inserts it
+    spark.sql(s"UPDATE eqcat.t SET o_orderpriority = 'SQL-UPD2' " +
+      s"WHERE o_orderkey = ${keys(0)}")
+    val upd2 = spark.sql(
+      s"SELECT o_orderpriority FROM eqcat.t WHERE o_orderkey = ${keys(0)}")
+      .collect()
+    assert(upd2.length === 1 && upd2.head.getString(0) === "SQL-UPD2",
+      "UPDATE with pending entries must hit exactly the live row")
+    spark.sql(s"MERGE INTO eqcat.t t USING (SELECT ${keys(1)}L AS k) s " +
+      "ON t.o_orderkey = s.k " +
+      "WHEN MATCHED THEN UPDATE SET o_orderpriority = 'SQL-GHOST' " +
+      "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, " +
+      "o_totalprice, o_orderpriority) VALUES (s.k, 9L, 99.0, 'SQL-MERGED')")
+    val merged = spark.sql(
+      s"SELECT o_orderpriority FROM eqcat.t WHERE o_orderkey = ${keys(1)}")
+      .collect()
+    assert(merged.length === 1 && merged.head.getString(0) === "SQL-MERGED",
+      "the eq-deleted key must be NOT MATCHED — its dead row is no " +
+        "match candidate")
+    assert(Sources.eqOf(table, Sources.latestVersion(table)).nonEmpty,
+      "the DML commits must CARRY the pending entries")
     // renaming/dropping the pending entry's KEY column would skip the
     // anti-join at read time and resurrect the deleted rows — refused
     // on both schema-change paths (SQL DROP COLUMN and the evolving

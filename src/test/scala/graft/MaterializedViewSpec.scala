@@ -165,6 +165,22 @@ class MaterializedViewSpec extends SparkTestBase {
     drain(); assertEq("after DV-only delete commit")
     assert(viewNow().filter(col("prio") === "X-MOVED").count() === 0,
       "the zeroed group must LEAVE the view")
+    // commit 4: an EQUALITY-delete merge (O(keys), zero base-file IO) —
+    // the stream resolves the key-join delta into position deletes at
+    // planning time; the view must keep tracking the recompute
+    val eqUpd = Sources.readVersion(spark, base)
+      .filter(pmod(k, lit(13)) === 0).limit(10)
+      .withColumn("prio", lit("Y-EQMOVED"))
+      .withColumn("op", lit("upsert"))
+    val (_, nKeys) = Sources.mergeVersionEq(spark, base, eqUpd,
+      Seq("o_orderkey"))
+    assert(nKeys > 0, "the eq batch must retire keys")
+    drain(); assertEq("after equality-delete merge commit")
+    assert(viewNow().filter(col("prio") === "Y-EQMOVED").count() === 1,
+      "the eq-moved group must ENTER the view")
+    // commit 5: the purge rewrite — delete+insert pairs must net out
+    Sources.purgeEq(spark, base)
+    drain(); assertEq("after purge_eq commit")
     // replay absorption: a fresh run with the same checkpoint is a no-op
     val vPre = Sources.latestVersion(view)
     drain()
