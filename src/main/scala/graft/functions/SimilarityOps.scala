@@ -409,6 +409,19 @@ object SimilarityOps {
     * Σ c_i²) stays fixed; `TextDedupSpec` asserts the bound executes
     * (doubling k shrinks both the max cell and Σ c_i² on the fixture)
     * rather than living in a comment. */
+  /** The occupancy rule for semantic-dedup cells: k = ⌈n / target⌉, so
+    * the EXPECTED cell size stays `targetOccupancy` as the corpus
+    * grows — the within-cell pair join's Σc² cost is then O(n · occ)
+    * instead of O(n²/k_fixed), which is the difference between a knob
+    * someone forgot to turn at 100× scale and a bound that holds by
+    * construction. Both gated callers (q98/q224) and their DuckDB
+    * oracles derive k this way, so the hash gate rides the same rule. */
+  def derivedK(s: SparkSession, dir: String,
+      targetOccupancy: Int = 64): Int = {
+    val n = Tables.embeddings(s, dir).count()
+    math.max(1, math.ceil(n.toDouble / targetOccupancy).toInt)
+  }
+
   def semdedupCells(s: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = withNorm(Tables.embeddings(s, dir))
     val seeds = broadcast(emb.filter(col("vec_id") < k)
@@ -425,6 +438,82 @@ object SimilarityOps {
       // csim (the assignment cosine) rides along: q224's
       // prototypicality rank needs distance-to-own-seed
       .select("vec_id", "embedding", "nrm", "cell", "csim")
+  }
+
+  /** OCCUPANCY-BOUNDED cell assignment — the hard per-cell guarantee
+    * the derived-k rule alone cannot give on a SKEWED corpus (derived k
+    * fixes the MEAN occupancy; a dense near-duplicate cluster still
+    * lands one giant cell). Three deterministic stages:
+    *
+    *  1. nearest-seed assignment at k = ⌈n/cap⌉ (the [[derivedK]]
+    *     rule; seeds = first k vec_ids, argmax cosine, ties low);
+    *  2. SEMANTIC SPLIT: each over-full cell re-assigns its members to
+    *     ⌈c/cap⌉ sub-seeds (its first vec_ids) — one recursive
+    *     quantization pass, pair cost Σ c·⌈c/cap⌉ ≈ n, never n²;
+    *  3. HARD CHUNK: a still-over-full sub-cell (all-identical vectors
+    *     defeat any seed split) chunks by prototypicality rank into
+    *     ⌈c/cap⌉ runs of ≤ cap — rank-adjacent vectors are the most
+    *     similar ones, so near-dup pairs mostly stay co-chunked; the
+    *     residual recall loss is the price of the compute bound, the
+    *     standard trade every capped-occupancy dedup makes.
+    *
+    * Output: (vec_id, embedding, nrm, cell_id, csim2) with STRING
+    * `cell_id = cell.sub#chunk`; every final cell has ≤ cap members,
+    * so any downstream within-cell pair join is ≤ cells·cap² by
+    * construction (TextDedupSpec pins this on a deliberately skewed
+    * corpus). Fully SQL-expressible — q227 hash-gates the whole
+    * pipeline against DuckDB. */
+  def boundedCells(emb0: DataFrame, cap: Int): DataFrame = {
+    val emb = withNorm(emb0)
+    val n = emb.count()
+    val k1 = math.max(1L, math.ceil(n.toDouble / cap).toLong)
+    val seeds = broadcast(emb.filter(col("vec_id") < k1)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"),
+        col("nrm").as("cn")))
+    val wc = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val a1 = emb.crossJoin(seeds)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        (dotNative(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+          .as("csim"))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "nrm", "cell", "csim")
+    val big = a1.groupBy("cell").agg(count(lit(1)).as("c"))
+      .filter(col("c") > cap)
+      .select(col("cell"),
+        ceil(col("c") / lit(cap.toDouble)).cast("long").as("m"))
+    val wSeed = Window.partitionBy("cell").orderBy(col("vec_id").asc)
+    val subseeds = a1.join(broadcast(big), Seq("cell"))
+      .withColumn("srn", row_number().over(wSeed))
+      .filter(col("srn") <= col("m"))
+      .select(col("cell"), col("vec_id").as("sub"),
+        col("embedding").as("se"), col("nrm").as("sn"))
+    val bigCells = broadcast(big.select("cell"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim2").desc, col("sub").asc)
+    val reassigned = a1.join(bigCells, Seq("cell"))
+      .join(broadcast(subseeds), Seq("cell"))
+      .withColumn("csim2",
+        dotNative(col("embedding"), col("se")) / (col("nrm") * col("sn")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        col("sub"), col("csim2"))
+    val small = a1.join(bigCells, Seq("cell"), "left_anti")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        lit(-1L).as("sub"), col("csim").as("csim2"))
+    val a2 = reassigned.unionByName(small)
+    val wChunk = Window.partitionBy("cell", "sub")
+      .orderBy(col("csim2").desc, col("vec_id").asc)
+    a2.withColumn("chunk",
+        floor((row_number().over(wChunk) - lit(1)) / lit(cap.toDouble))
+          .cast("long"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        concat(col("cell").cast("string"), lit("."),
+          col("sub").cast("string"), lit("#"),
+          col("chunk").cast("string")).as("cell_id"),
+        col("csim2"))
   }
 
   /** q98's full SemDeDup pass at granularity `k` and cosine threshold
@@ -450,9 +539,14 @@ object SimilarityOps {
 
   val q98 = Query(
     "q98_semdedup",
-    (s, dir) => semdedup(s, dir, k = 8),
+    // k derived from the corpus by the occupancy rule (⌈n/64⌉ — 8 on
+    // the 500-vector fixtures, 32 at the sf0.1 bench), the oracle
+    // derives it identically
+    (s, dir) => semdedup(s, dir, k = derivedK(s, dir)),
     Some(s"""WITH seeds AS (
-            |  SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+            |  SELECT vec_id AS cell, embedding AS ce FROM embeddings
+            |  WHERE vec_id < (SELECT CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)
+            |                  FROM embeddings)),
             |cells AS (
             |  SELECT e.vec_id, e.embedding, s.cell
             |  FROM embeddings e CROSS JOIN seeds s
@@ -748,7 +842,7 @@ object SimilarityOps {
   val q224 = Query(
     "q224_d4_diversify",
     (s, dir) => {
-      val cells = semdedupCells(s, dir, k = 8)
+      val cells = semdedupCells(s, dir, k = derivedK(s, dir))
       val a = cells.select(col("cell"), col("vec_id").as("a_id"),
         col("embedding").as("ea"), col("nrm").as("na"))
       val b = cells.select(col("cell"), col("vec_id").as("b_id"),
@@ -773,7 +867,9 @@ object SimilarityOps {
       verdicts.orderBy("vec_id")
     },
     Some(s"""WITH seeds AS (
-            |  SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+            |  SELECT vec_id AS cell, embedding AS ce FROM embeddings
+            |  WHERE vec_id < (SELECT CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)
+            |                  FROM embeddings)),
             |cells AS (
             |  SELECT e.vec_id, e.embedding, s.cell,
             |         ${cosineSql("e.embedding", "s.ce")} AS csim
@@ -842,6 +938,74 @@ object SimilarityOps {
     None
   )
 
+  /** Q227 — the occupancy-BOUNDED cell assignment end-to-end
+    * ([[boundedCells]]), hash-gated: derived-k nearest-seed
+    * quantization, recursive sub-seed split of over-full cells, hard
+    * prototypicality-rank chunking — every final cell ≤ 64 members by
+    * construction, so the downstream pair join is ≤ cells·64² whatever
+    * the corpus skew (TextDedupSpec pins the bound on a deliberately
+    * pathological corpus; this gate pins the exact assignment).
+    * Cross-engine exactness: all three stages ride the q24 cosine
+    * device; every window tiebreaks on vec_id/seed id. */
+  val q227 = Query(
+    "q227_semdedup_bounded",
+    (s, dir) => boundedCells(Tables.embeddings(s, dir), cap = 64)
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("vec_id")).as("first_vec"),
+        max(col("vec_id")).as("last_vec"))
+      .orderBy("cell_id"),
+    Some(s"""WITH kk AS (
+            |  SELECT CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS k
+            |  FROM embeddings),
+            |seeds AS (
+            |  SELECT vec_id AS cell, embedding AS ce FROM embeddings
+            |  WHERE vec_id < (SELECT k FROM kk)),
+            |a1 AS (
+            |  SELECT e.vec_id, e.embedding, s.cell,
+            |         ${cosineSql("e.embedding", "s.ce")} AS csim
+            |  FROM embeddings e CROSS JOIN seeds s
+            |  QUALIFY row_number() OVER (
+            |    PARTITION BY e.vec_id
+            |    ORDER BY ${cosineSql("e.embedding", "s.ce")} DESC,
+            |             s.cell ASC) = 1),
+            |big AS (
+            |  SELECT cell, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS m
+            |  FROM a1 GROUP BY cell HAVING COUNT(*) > 64),
+            |subseeds AS (
+            |  SELECT a.cell, a.vec_id AS sub, a.embedding AS se
+            |  FROM a1 a JOIN big b ON a.cell = b.cell
+            |  QUALIFY row_number() OVER (
+            |    PARTITION BY a.cell ORDER BY a.vec_id ASC) <= b.m),
+            |reassigned AS (
+            |  SELECT a.vec_id, a.cell, ss.sub,
+            |         ${cosineSql("a.embedding", "ss.se")} AS csim2
+            |  FROM a1 a JOIN subseeds ss ON a.cell = ss.cell
+            |  QUALIFY row_number() OVER (
+            |    PARTITION BY a.vec_id
+            |    ORDER BY ${cosineSql("a.embedding", "ss.se")} DESC,
+            |             ss.sub ASC) = 1),
+            |a2 AS (
+            |  SELECT vec_id, cell, sub, csim2 FROM reassigned
+            |  UNION ALL
+            |  SELECT a.vec_id, a.cell, CAST(-1 AS BIGINT), a.csim
+            |  FROM a1 a WHERE a.cell NOT IN (SELECT cell FROM big)),
+            |a3 AS (
+            |  SELECT vec_id, cell, sub,
+            |         CAST(FLOOR((row_number() OVER (
+            |           PARTITION BY cell, sub
+            |           ORDER BY csim2 DESC, vec_id ASC) - 1) / 64.0)
+            |           AS BIGINT) AS chunk
+            |  FROM a2)
+            |SELECT CAST(cell AS VARCHAR) || '.' || CAST(sub AS VARCHAR)
+            |         || '#' || CAST(chunk AS VARCHAR) AS cell_id,
+            |       CAST(COUNT(*) AS BIGINT) AS n_members,
+            |       MIN(vec_id) AS first_vec,
+            |       MAX(vec_id) AS last_vec
+            |FROM a3
+            |GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65, q98, q140,
-    q140b, q173, q203, q223, q224)
+    q140b, q173, q203, q223, q224, q227)
 }

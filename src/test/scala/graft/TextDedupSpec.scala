@@ -460,6 +460,54 @@ class TextDedupSpec extends SparkTestBase {
       .foreach(r => assert(r.getBoolean(2), s"seed ${r.getLong(0)} dropped"))
   }
 
+  test("q227 boundedCells: a deliberately skewed corpus (70% near-identical) " +
+    "still yields max occupancy <= cap and pair work <= cells * cap^2") {
+    import spark.implicits._
+    val cap = 16
+    val n = 500
+    // 350 vectors share one dominant direction (tiny deterministic
+    // perturbations keep them distinct but cosine-~1 — the worst case
+    // for seed quantization: no seed choice separates them); 150 spread
+    // over 8 one-hot directions
+    val rows = (0 until n).map { i =>
+      val e = Array.fill(8)(0.0f)
+      if (i < 350) {
+        e(0) = 1.0f
+        e(1 + i % 7) = 0.001f * (1 + i % 13)
+      } else {
+        e(i % 8) = 1.0f + 0.01f * (i % 5)
+        e((i + 3) % 8) = 0.05f * (i % 3)
+      }
+      (i.toLong, e.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cells = SimilarityOps.boundedCells(emb, cap)
+      .select("vec_id", "cell_id").cache()
+    try {
+      // total partition: every vector lands in exactly one final cell
+      assert(cells.count() === n.toLong)
+      assert(cells.select("vec_id").distinct().count() === n.toLong)
+      val sizes = cells.groupBy("cell_id").count()
+        .collect().map(_.getLong(1))
+      val nCells = sizes.length.toLong
+      // the HARD bound the fixed-k form cannot give: no final cell
+      // exceeds the cap, so the within-cell pair join is bounded by
+      // cells*cap^2 BY CONSTRUCTION, whatever the skew
+      assert(sizes.max <= cap.toLong,
+        s"occupancy bound violated: max cell ${sizes.max} > cap $cap")
+      assert(sizes.map(c => c * c).sum <= nCells * cap.toLong * cap,
+        "candidate-pair bound violated")
+      // the pathological path actually executed: the dominant cluster
+      // forced sub-seed splits (sub >= 0) and rank chunking (chunk > 0)
+      val ids = cells.select("cell_id").distinct()
+        .collect().map(_.getString(0))
+      assert(ids.exists(id => !id.contains(".-1#")),
+        "no cell was sub-seed split — the corpus was not skewed enough")
+      assert(ids.exists(id => id.split("#")(1).toLong > 0),
+        "no cell was rank-chunked — the hard bound was never exercised")
+    } finally cells.unpersist()
+  }
+
   test("q125 bm25: 50 ranked hits, scores descending, hits contain a query term") {
     val df = TextOps.q125.build(spark, sf).cache()
     assert(df.count() === 50)
