@@ -1305,6 +1305,126 @@ object LakeOps {
            |ORDER BY prio""".stripMargin)
   )
 
+  /** Q228 — PARTITION-SPEC EVOLUTION lifecycle, oracle-gated: the
+    * events table starts `PARTITIONED BY (days(ets))`, grows, and is
+    * re-declared `hours(ets)` via `CALL system.set_partitioning` —
+    * Iceberg's spec-evolution move, restated with the per-file spec id
+    * ENCODED IN THE `_pt` VALUE'S SHAPE (`yyyy-MM-dd` vs
+    * `yyyy-MM-dd-HH` are unambiguous), so old day-laid files keep
+    * their layout AND their pruning window with zero rewrite and zero
+    * bookkeeping ([[graft.sources.ManifestFileIndex]]'s shape-inferred
+    * `windowOf`). Witnesses: `layout_mixed` pins that one manifest
+    * really serves both generations (a day-shaped and an hour-shaped
+    * `_pt` segment present simultaneously); `files_pruned` pins that a
+    * raw-timestamp predicate prunes across BOTH generations on the
+    * executed plan (the q212/q219 device). TransformPartitionSpec
+    * covers the sharper per-generation window assertions and the
+    * convergence path (OPTIMIZE rewrites old files under the new
+    * spec). The oracle restates the final state relationally.
+    *
+    * Scale shape: an events table's natural life — days(ts) while
+    * small, hours(ts) once a day's partition outgrows a task — now
+    * costs one property write instead of a full rewrite; the table
+    * converges to the new layout at its normal compaction cadence. */
+  val q228 = Query(
+    "q228_spec_evolution",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-specev-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val cat = s"gpe_${math.abs(dir.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root.toString)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          (timestamp_micros((col("ts") / 1000L).cast("long")) +
+            make_interval(lit(0), (col("event_id") % 3).cast("int")))
+            .as("ets"))
+        .createOrReplaceTempView("specev_events_src")
+      s.sql(s"""CREATE TABLE $cat.ev (
+               |  event_id BIGINT, user_id BIGINT, value DOUBLE,
+               |  ets TIMESTAMP)
+               |PARTITIONED BY (days(ets))""".stripMargin)
+      // generation 1 under days(ets)
+      s.sql(s"INSERT INTO $cat.ev SELECT * FROM specev_events_src " +
+        "WHERE event_id % 3 < 2")
+      // evolve the spec; generation 2 lands under hours(ets)
+      s.sql(s"CALL $cat.system.set_partitioning('ev', 'hours(ets)')")
+      s.sql(s"INSERT INTO $cat.ev SELECT * FROM specev_events_src " +
+        "WHERE event_id % 3 = 2")
+      val t = root.resolve("ev").toString
+      // mixed-layout witness: the head manifest carries BOTH shapes
+      def ptLens: Set[Int] = {
+        import scala.jdk.CollectionConverters._
+        val v = graft.sources.Sources.latestVersion(t)
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(t, s"v$v.manifest")).asScala
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .flatMap(_.split('/').find(_.startsWith("_pt=")))
+          .map(_.length - 4).toSet
+      }
+      val mixed = if (ptLens == Set(10, 13)) 1L else 0L
+      // pruning witness on the executed plan: the raw-ts predicate
+      // must prune generation-1 day files AND touch generation-2 —
+      // strictly fewer files than the table holds, more than zero
+      val probe = s.sql(
+        s"""SELECT ets, user_id, value FROM $cat.ev
+           |WHERE ets >= TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)
+      probe.queryExecution.toRdd.count()
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: (p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => nodes(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => nodes(q.plan)
+          case o => o.children.flatMap(nodes)
+        })
+      val scanned = nodes(probe.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.listFiles(f.partitionFilters, f.dataFilters)
+                .map(_.files.length.toLong).sum
+            case _ => 0L
+          }
+      }.sum
+      val totalFiles = s.sql(s"SELECT COUNT(*) FROM $cat.`ev$$files`")
+        .head().getLong(0)
+      val pruned = if (scanned > 0 && scanned < totalFiles) 1L else 0L
+      s.sql(s"SELECT ets, user_id, value FROM $cat.ev")
+        .groupBy(date_format(col("ets"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value"))
+        .withColumn("layout_mixed", lit(mixed))
+        .withColumn("files_pruned", lit(pruned))
+        .orderBy("month")
+    },
+    Some("""WITH src AS (
+           |  SELECT event_id, user_id, value,
+           |         ts + CAST(event_id % 3 AS INT) * INTERVAL 1 MONTH AS ets
+           |  FROM events)
+           |SELECT strftime(ets, '%Y-%m') AS month,
+           |       CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           |       CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_value,
+           |       CAST(1 AS BIGINT) AS layout_mixed,
+           |       CAST(1 AS BIGINT) AS files_pruned
+           |FROM src
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
   /** Q221 — WRITE-AUDIT-PUBLISH end-to-end, oracle-gated: tag the
     * baseline, fork a branch ([[graft.sources.Refs.createBranch]] —
     * one manifest write, zero data movement), land a keyed
@@ -1403,5 +1523,5 @@ object LakeOps {
 
   val all: Seq[Query] =
     Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218,
-      q219, q220, q221, q226)
+      q219, q220, q221, q226, q228)
 }

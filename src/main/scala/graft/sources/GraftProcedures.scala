@@ -130,6 +130,26 @@ private[sources] object GraftProcedures {
             Sources.commitStats(spark, t, v, cols)
             Seq(v, cols.length)
           }))
+        case (Seq("system"), "set_partitioning") => Some(new Proc(
+          "set_partitioning",
+          // transform as 'kind(column)' — e.g. 'hours(ets)'; temporal
+          // kinds only, same source column (see Sources.setPartTransform)
+          Seq(("table", StringType, None),
+            ("transform", StringType, None)),
+          StructType(Seq(StructField("kind", StringType),
+            StructField("column", StringType))),
+          (_, in) => {
+            val spec = in.getUTF8String(1).toString.trim
+            val m = "([A-Za-z]+)\\s*\\(\\s*([A-Za-z0-9_]+)\\s*\\)".r
+            spec match {
+              case m(kind, column) =>
+                Sources.setPartTransform(table(in, 0),
+                  Sources.PartTransform(kind.toLowerCase, column, 0))
+                Seq(kind.toLowerCase, column)
+              case _ => throw new IllegalArgumentException(
+                s"set_partitioning: expected 'kind(column)', got '$spec'")
+            }
+          }))
         case (Seq("system"), "rollback") => Some(new Proc(
           "rollback",
           Seq(("table", StringType, None),
@@ -174,13 +194,14 @@ private[sources] object GraftProcedures {
     proc.getOrElse(throw new RuntimeException(
       s"graft has no procedure ${ident.namespace().mkString(".")}." +
         ident.name() + " — see system.{optimize,vacuum,purge_dv," +
-        "purge_eq,analyze,rollback,tag,drop_tag,create_branch," +
+        "purge_eq,analyze,set_partitioning,rollback,tag,drop_tag," +
+        "create_branch," +
         "publish_branch,drop_branch}"))
   }
 
   val all: Array[Identifier] =
     Array("optimize", "vacuum", "purge_dv", "purge_eq", "analyze",
-        "rollback", "tag", "drop_tag", "create_branch", "publish_branch",
-        "drop_branch")
+        "set_partitioning", "rollback", "tag", "drop_tag", "create_branch",
+        "publish_branch", "drop_branch")
       .map(Identifier.of(Array("system"), _))
 }

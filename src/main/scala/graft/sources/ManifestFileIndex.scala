@@ -436,7 +436,7 @@ class ManifestFileIndex(spark: SparkSession, table: String,
           val (lo, hi) = pickBounds(t.column, dataFilters, toLong)
           if (lo.isEmpty && hi.isEmpty) _ => true
           else f => ptValueOf(f).forall { p =>
-            windowOf(t.kind, p, zone, dt).forall { case (ws, we) =>
+            windowOf(p, zone, dt).forall { case (ws, we) =>
               lo.forall(_ < we) && hi.forall(_ >= ws)
             }
           }
@@ -446,10 +446,26 @@ class ManifestFileIndex(spark: SparkSession, table: String,
 
   /** [start, end) of a `_pt` dir value in the comparable space (epoch
     * days for DATE sources, epoch/wall-clock micros for timestamps);
-    * None keeps the file (null partition, unparsable value). */
-  private def windowOf(kind: String, p: String, zone: java.time.ZoneId,
+    * None keeps the file (null partition, unparsable value).
+    *
+    * The GRANULARITY IS INFERRED FROM THE VALUE'S SHAPE — `yyyy` /
+    * `yyyy-MM` / `yyyy-MM-dd` / `yyyy-MM-dd-HH` are mutually
+    * unambiguous — not from the table's currently declared kind. That
+    * one property IS per-file partition-spec evolution (Iceberg's
+    * spec-id, shape-encoded): after `SET PARTITIONING days(ts) ->
+    * hours(ts)` old day-laid files keep pruning under their own
+    * day-wide window while new files prune hour-wide, no rewrite, no
+    * per-file spec bookkeeping. */
+  private def windowOf(p: String, zone: java.time.ZoneId,
       dt: org.apache.spark.sql.types.DataType): Option[(Long, Long)] =
     scala.util.Try {
+      val kind = p.length match {
+        case 4 => "years"
+        case 7 => "months"
+        case 10 => "days"
+        case 13 => "hours"
+        case _ => throw new IllegalArgumentException(s"not temporal: $p")
+      }
       if (kind == "hours") {
         val h = java.time.LocalDateTime.parse(p,
           java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH"))

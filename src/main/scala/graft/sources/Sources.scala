@@ -2420,6 +2420,47 @@ object Sources {
       props.get("ptransform.width").map(_.trim.toInt).getOrElse(0))
   }
 
+  /** PARTITION-SPEC EVOLUTION for temporal transforms: re-declare the
+    * table's hidden transform (`days(ts)` → `hours(ts)` as an events
+    * table grows, or back down as it cools). Old files keep their
+    * layout — their `_pt` dir values stay day-shaped — and KEEP
+    * PRUNING correctly, because the pruning window is inferred from
+    * each value's shape, not from the declaration
+    * ([[ManifestFileIndex]]'s `windowOf`): Iceberg's per-file spec-id
+    * semantics with the spec id encoded in the value itself. New
+    * commits (and any rewrite: compaction, purge, merge survivors) lay
+    * out under the NEW transform, so the table converges to the new
+    * spec at its natural rewrite cadence, never via a forced rewrite.
+    *
+    * Constraints (refused loudly): both old and new transform must be
+    * temporal kinds on the SAME source column — predicates on that
+    * column are what both generations' windows answer; a column or
+    * family change would make old `_pt` values semantically dangling.
+    * Tables without a transform (identity/bucket/flat) cannot acquire
+    * one here: their existing files carry no `_pt` segment at all. */
+  def setPartTransform(table: String, t: PartTransform): Unit = {
+    val temporal = Set("years", "months", "days", "hours")
+    require(temporal.contains(t.kind),
+      s"SET PARTITIONING: '${t.kind}' is not a temporal transform — " +
+        "only years/months/days/hours evolve in place")
+    val cur = partTransformOf(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has no hidden partition transform to evolve — " +
+          "existing files carry no _pt layout; CREATE a transform table " +
+          "or rewrite into one"))
+    require(temporal.contains(cur.kind),
+      s"SET PARTITIONING: current transform '${cur.kind}' is not " +
+        "temporal and cannot evolve in place")
+    require(cur.column == t.column,
+      s"SET PARTITIONING must keep the source column: table partitions " +
+        s"on ${cur.column}(…), requested ${t.column}(…) — old _pt values " +
+        "would answer predicates on the wrong column")
+    writeTableProperties(table, tableProperties(table) ++ Map(
+      "ptransform.kind" -> t.kind,
+      "ptransform.column" -> t.column,
+      "ptransform.width" -> t.width.toString))
+  }
+
   /** The writer-side derived partition value — codegen'd expressions.
     * Temporal kinds format in the session time zone for TIMESTAMP (the
     * engine standardizes on UTC), wall-clock for TIMESTAMP_NTZ, and

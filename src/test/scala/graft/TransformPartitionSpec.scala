@@ -243,4 +243,110 @@ class TransformPartitionSpec extends SparkTestBase {
                |PARTITIONED BY (days(t))""".stripMargin,
       "reserved")
   }
+
+  test("spec evolution days(ets) -> hours(ets): one manifest serves both " +
+    "generations, each pruning under its OWN window; DML lands on the " +
+    "mixed table and OPTIMIZE converges the layout") {
+    val (cat, wh) = freshCatalog()
+    events.createOrReplaceTempView("xf_evolve_src")
+    spark.sql(s"""CREATE TABLE $cat.ev (
+                 |  event_id BIGINT, user_id BIGINT, value DOUBLE,
+                 |  ets TIMESTAMP)
+                 |PARTITIONED BY (days(ets))""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM xf_evolve_src " +
+      "WHERE event_id % 3 < 2")
+    val t = s"$wh/ev"
+    val gen1 = dataFiles(t).toSet
+    assert(gen1.nonEmpty && gen1.forall(
+      _.matches(""".*/_pt=\d{4}-\d{2}-\d{2}/[^/]+$""")))
+    spark.sql(s"CALL $cat.system.set_partitioning('ev', 'hours(ets)')")
+    assert(Sources.partTransformOf(t)
+      === Some(Sources.PartTransform("hours", "ets", 0)))
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM xf_evolve_src " +
+      "WHERE event_id % 3 = 2")
+    val gen2 = dataFiles(t).toSet -- gen1
+    assert(gen2.nonEmpty && gen2.forall(
+      _.matches(""".*/_pt=\d{4}-\d{2}-\d{2}-\d{2}/[^/]+$""")),
+      s"generation 2 must be hour-laid, got ${gen2.take(3)}")
+    // correctness across mixed generations
+    val n = events.count()
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ev").head().getLong(0) === n)
+    // per-generation windows: inside one gen-2 day with several hour
+    // dirs, an hour-narrow predicate scans strictly fewer files than
+    // the day-wide one (gen-1 files covering that day cost BOTH the
+    // same — their day window is indivisible by design)
+    val hourDirs = gen2.toSeq.map(
+      _.split('/').find(_.startsWith("_pt=")).get.stripPrefix("_pt="))
+      .distinct
+    val (day2, hrs) = hourDirs.groupBy(_.take(10)).maxBy(_._2.length)
+    assert(hrs.length >= 2, "fixture too small: need a day with 2+ hours")
+    val hr = hrs.sorted.head // yyyy-MM-dd-HH
+    def scanOf(pred: String): (Long, Long) = {
+      val df = spark.sql(s"SELECT event_id FROM $cat.ev WHERE $pred")
+      val rows = df.collect().length.toLong
+      (scannedFiles(df), rows)
+    }
+    val dayPred = s"ets >= TIMESTAMP '$day2 00:00:00' AND " +
+      s"ets < TIMESTAMP '$day2 00:00:00' + INTERVAL 1 DAY"
+    val hourStart = s"${hr.take(10)} ${hr.substring(11)}:00:00"
+    val hourPred = s"ets >= TIMESTAMP '$hourStart' AND " +
+      s"ets < TIMESTAMP '$hourStart' + INTERVAL 1 HOUR"
+    val (dayScan, dayRows) = scanOf(dayPred)
+    val (hourScan, hourRows) = scanOf(hourPred)
+    assert(hourScan < dayScan,
+      s"hour window must prune within the day: $hourScan vs $dayScan")
+    // pruning never changes results — both predicates vs the source
+    assert(dayRows === spark.sql(
+      s"SELECT COUNT(*) FROM xf_evolve_src WHERE $dayPred").head().getLong(0))
+    assert(hourRows === spark.sql(
+      s"SELECT COUNT(*) FROM xf_evolve_src WHERE $hourPred").head().getLong(0))
+    // gen-1 day windows still prune: a whole-table scan touches every
+    // file, the day predicate must touch strictly fewer
+    val all = spark.sql(s"SELECT event_id FROM $cat.ev")
+    all.collect()
+    assert(dayScan < scannedFiles(all),
+      "day predicate must prune gen-1 days on the mixed table")
+    // DML on the mixed table: a point DELETE (merge-on-read) lands
+    val victims = spark.sql(s"SELECT event_id FROM $cat.ev LIMIT 2")
+      .collect().map(_.getLong(0))
+    spark.sql(s"DELETE FROM $cat.ev WHERE event_id IN " +
+      s"(${victims.mkString(", ")})")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ev").head().getLong(0)
+      === n - 2)
+    // evolution guards: non-temporal target, column change, and a
+    // transform-less table all refuse loudly
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.set_partitioning('ev', 'truncate(ets)')")
+    }
+    assert(msgs(e1).exists(_.contains("temporal")))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.set_partitioning('ev', 'hours(value)')")
+    }
+    assert(msgs(e2).exists(_.contains("source column")))
+    spark.sql(s"CREATE TABLE $cat.flat (x BIGINT, ts TIMESTAMP)")
+    spark.sql(s"INSERT INTO $cat.flat VALUES (1, TIMESTAMP '2024-01-01')")
+    val e3 = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.set_partitioning('flat', 'days(ts)')")
+    }
+    assert(msgs(e3).exists(_.contains("no hidden partition transform")))
+    // convergence: whole-table OPTIMIZE rewrites every file under the
+    // NEW spec (the natural rewrite cadence, never a forced migration)
+    spark.sql(s"CALL $cat.system.optimize('ev', 1000000)")
+    val after = dataFiles(t).toSet -- gen1 -- gen2
+    val vHead = Sources.latestVersion(t)
+    val headFiles = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(t, s"v$vHead.manifest")).asScala
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+    }
+    assert(headFiles.nonEmpty && headFiles.forall(
+      _.matches(""".*/_pt=\d{4}-\d{2}-\d{2}-\d{2}/[^/]+$""")),
+      "OPTIMIZE must converge the whole table to the evolved spec")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ev").head().getLong(0)
+      === n - 2, "compaction must preserve the DML'd state")
+    assert(after.nonEmpty)
+  }
 }
