@@ -1425,6 +1425,100 @@ object LakeOps {
            |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
+  /** Q229 — CDC MERGE SCHEMA EVOLUTION, oracle-gated (Delta's
+    * `mergeSchema` restated on the manifest format): with the
+    * `spark.graft.mergeSchema=true` session opt-in, an O(keys) eq
+    * merge whose change batch carries a NEW column
+    * ([[Sources.mergeVersionEq]]) auto-evolves the declared schema —
+    * the new column appends, pre-evolution rows read as typed NULLs,
+    * and the PRE-evolution version stays pinned to its own schema
+    * (time travel never sees the new column). Without the flag the
+    * column is dropped at alignment — an unannounced CDC schema change
+    * is usually an upstream bug, so opt-in is the contract, exactly
+    * Delta's. Witnesses: `old_pinned` pins that v1's schema still has
+    * exactly the original columns; `flag_scoped` pins that the same
+    * merge WITHOUT the flag did not evolve (its version's schema is
+    * unchanged). The oracle restates the final state with the NULL
+    * group explicit. */
+  val q229 = Query(
+    "q229_merge_schema_evolution",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-mse-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = root.resolve("orders_mse").toString
+      val src = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val k = col("o_orderkey")
+      val v1 = Sources.commitVersion(src, t)
+      val batch = src.filter(pmod(k, lit(101)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0d)
+        .withColumn("o_channel",
+          when(pmod(k, lit(2)) === 0, lit("WEB")).otherwise(lit("APP")))
+        .withColumn("op", lit("upsert"))
+        .unionByName(src
+          .filter(pmod(k, lit(103)) === 0 && pmod(k, lit(101)) =!= 0)
+          .withColumn("o_channel", lit(null).cast("string"))
+          .withColumn("op", lit("delete")))
+      // WITHOUT the flag: same batch, new column silently dropped —
+      // the schema contract must be untouched
+      val prev = s.conf.getOption("spark.graft.mergeSchema")
+      s.conf.unset("spark.graft.mergeSchema")
+      val (v2, _) = Sources.mergeVersionEq(s, t, batch, Seq("o_orderkey"))
+      val flagScoped =
+        if (!Sources.schemaOf(s, t, v2).fieldNames.contains("o_channel")) 1L
+        else 0L
+      // WITH the flag: the merge EVOLVES — rollback the unevolved
+      // merge first so both runs apply to the same base state
+      Sources.rollbackTo(t, v1)
+      s.conf.set("spark.graft.mergeSchema", "true")
+      try Sources.mergeVersionEq(s, t, batch, Seq("o_orderkey"))
+      finally {
+        prev match {
+          case Some(x) => s.conf.set("spark.graft.mergeSchema", x)
+          case None => s.conf.unset("spark.graft.mergeSchema")
+        }
+      }
+      val oldPinned =
+        if (Sources.schemaOf(s, t, v1).fieldNames.toSeq ==
+          Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
+          1L
+        else 0L
+      Sources.readVersion(s, t)
+        .groupBy("o_channel")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("old_pinned", lit(oldPinned))
+        .withColumn("flag_scoped", lit(flagScoped))
+        .orderBy(col("o_channel").asc_nulls_first)
+    },
+    Some("""WITH state AS (
+           |  SELECT o_totalprice AS price, CAST(NULL AS VARCHAR) AS ch
+           |  FROM orders
+           |  WHERE o_orderkey % 101 <> 0
+           |    AND NOT (o_orderkey % 103 = 0 AND o_orderkey % 101 <> 0)
+           |  UNION ALL
+           |  SELECT o_totalprice + 1.0,
+           |         CASE WHEN o_orderkey % 2 = 0 THEN 'WEB' ELSE 'APP' END
+           |  FROM orders WHERE o_orderkey % 101 = 0)
+           |SELECT ch AS o_channel, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(CAST(round(SUM(CAST(price AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |       CAST(1 AS BIGINT) AS old_pinned,
+           |       CAST(1 AS BIGINT) AS flag_scoped
+           |FROM state
+           |GROUP BY ch
+           |ORDER BY ch NULLS FIRST""".stripMargin)
+  )
+
   /** Q221 — WRITE-AUDIT-PUBLISH end-to-end, oracle-gated: tag the
     * baseline, fork a branch ([[graft.sources.Refs.createBranch]] —
     * one manifest write, zero data movement), land a keyed
@@ -1523,5 +1617,5 @@ object LakeOps {
 
   val all: Seq[Query] =
     Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218,
-      q219, q220, q221, q226, q228)
+      q219, q220, q221, q226, q228, q229)
 }

@@ -130,6 +130,26 @@ private[sources] object GraftProcedures {
             Sources.commitStats(spark, t, v, cols)
             Seq(v, cols.length)
           }))
+        case (Seq("system"), "expire") => Some(new Proc(
+          "expire",
+          // per-ref retention: bound a BRANCH's history to keep_last
+          // versions (branch-local files only — carried parent files
+          // are the parent vacuum's to judge); tags are one version by
+          // construction — drop_tag releases them
+          Seq(("table", StringType, None), ("ref", StringType, None),
+            ("keep_last", IntegerType, Some("1"))),
+          StructType(Seq(StructField("manifests_removed", IntegerType),
+            StructField("local_files_deleted", IntegerType))),
+          (_, in) => {
+            val t = table(in, 0)
+            val ref = in.getUTF8String(1).toString
+            if (Refs.tagsOf(t).contains(ref))
+              throw new IllegalArgumentException(
+                s"'$ref' is a tag — a tag pins exactly one version; " +
+                  "CALL system.drop_tag to release it")
+            val (m, f) = Refs.expireBranch(t, ref, in.getInt(2))
+            Seq(m, f)
+          }))
         case (Seq("system"), "set_partitioning") => Some(new Proc(
           "set_partitioning",
           // transform as 'kind(column)' — e.g. 'hours(ets)'; temporal
@@ -194,14 +214,14 @@ private[sources] object GraftProcedures {
     proc.getOrElse(throw new RuntimeException(
       s"graft has no procedure ${ident.namespace().mkString(".")}." +
         ident.name() + " — see system.{optimize,vacuum,purge_dv," +
-        "purge_eq,analyze,set_partitioning,rollback,tag,drop_tag," +
+        "purge_eq,analyze,set_partitioning,expire,rollback,tag,drop_tag," +
         "create_branch," +
         "publish_branch,drop_branch}"))
   }
 
   val all: Array[Identifier] =
     Array("optimize", "vacuum", "purge_dv", "purge_eq", "analyze",
-        "set_partitioning", "rollback", "tag", "drop_tag", "create_branch",
-        "publish_branch", "drop_branch")
+        "set_partitioning", "expire", "rollback", "tag", "drop_tag",
+        "create_branch", "publish_branch", "drop_branch")
       .map(Identifier.of(Array("system"), _))
 }

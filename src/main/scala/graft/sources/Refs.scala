@@ -326,6 +326,43 @@ object Refs {
     }
   }
 
+  /** PER-REF RETENTION — `CALL system.expire('t', ref, keep_last)`:
+    * bound a BRANCH's own history without waiting for (or risking) a
+    * parent vacuum. [[Sources.vacuumVersions]] on the parent pins every
+    * file ANY branch version references, so a long-lived dev branch
+    * would otherwise pin the parent's entire fork-time history forever;
+    * expiring the branch's old manifests releases those pins — the
+    * parent's next vacuum reclaims what only they referenced.
+    *
+    * Deletion is restricted to branch-LOCAL data (paths under the
+    * branch's own pool): a branch manifest also lists carried PARENT
+    * files, whose liveness only the parent's vacuum may judge —
+    * deleting one here could cut the ground from under main. The
+    * branch head (and every kept version) stays fully readable.
+    * Returns (manifests removed, branch-local files deleted). */
+  def expireBranch(table: String, name: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the branch head")
+    val bd = branchDir(table, name)
+    require(java.nio.file.Files.exists(forkFile(bd)),
+      s"$table has no branch '$name'")
+    val versions = Sources.versionsOf(bd)
+    val (expired, kept) =
+      versions.splitAt(math.max(0, versions.length - keepLast))
+    val keepFiles = kept.flatMap(v => Sources.filesOf(bd, v)).toSet
+    val localPool = s"$bd/data/"
+    val dead = expired.flatMap(v => Sources.filesOf(bd, v)).toSet
+      .diff(keepFiles)
+      .filter(_.startsWith(localPool))
+    dead.foreach(f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    expired.foreach { v =>
+      Seq("manifest", "stats", "bloom", "schema", "dv", "ndv", "eq")
+        .foreach(kind => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(bd, s"v$v.$kind")))
+    }
+    (expired.length, dead.size)
+  }
+
   /** Delete a branch. Unpublished: the whole tree (its local data was
     * never visible to main). Published: the manifest chain only is
     * reclaimed — its local batches were MOVED into the parent pool at

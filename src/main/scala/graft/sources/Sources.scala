@@ -1249,11 +1249,17 @@ object Sources {
     // appended rows align to the version's effective schema — the
     // partition-aware subset reader's shape, so a partitioned table's
     // batch keeps its partition column and lands hive-laid. Schema
-    // only: a footer probe, never a data scan.
-    val targetSchema =
+    // only: a footer probe, never a data scan. With the mergeSchema
+    // session opt-in, a batch carrying NEW columns evolves the target
+    // instead of silently dropping them.
+    val targetSchema0 =
       if (files.nonEmpty)
         readFileSubset(spark, table, v, Seq(files.head)).schema
       else schemaOf(spark, table, v)
+    val evolved = mergeEvolution(spark, table, v,
+      StructType(changes.drop(opCol).schema.fields), targetSchema0)
+    val targetSchema = evolved.fold(targetSchema0)(_ =>
+      evolveSchema(targetSchema0, changes.drop(opCol).schema, Map.empty))
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-eqmerge-${java.util.UUID.randomUUID().toString.take(8)}")
     val newFiles =
@@ -1279,7 +1285,13 @@ object Sources {
           deleteTree(eqDir)
           throw e
       }
-    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    evolved match {
+      // evolution PINS the new declared schema (old versions keep
+      // theirs — time travel reads the pre-evolution shape forever)
+      case Some(e) => publishSchema(table, next, e)
+      case None =>
+        declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    }
     // stats/blooms: carried files carry; ONLY the appended batch is
     // scanned, and only when the table already keeps skipping sidecars
     // — a bare table's eq merge touches zero data files beyond its own
@@ -1431,6 +1443,34 @@ object Sources {
       .map(f => StructField(f.name, f.dataType, nullable = true, f.metadata))
     StructType(kept ++ added)
   }
+
+  /** Write-side schema evolution opt-in (Delta's `mergeSchema`): with
+    * `spark.graft.mergeSchema=true` in the session, the keyed CDC
+    * merge paths ([[mergeVersionEq]]/[[mergeVersionDv]]) auto-EVOLVE
+    * the declared schema by the change batch's — new columns append
+    * (old rows read as typed nulls), types widen losslessly — instead
+    * of silently dropping the new columns at alignment. Off by
+    * default: an unannounced schema change in a CDC feed is usually a
+    * bug upstream, and opt-in is the Delta contract too. */
+  private[sources] def mergeSchemaOn(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.mergeSchema")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** The CDC-merge evolution decision: Some(evolved declared schema)
+    * when the session opted in AND the incoming batch actually extends
+    * or widens the table; None leaves the schema contract untouched.
+    * `effective` is the version's full logical shape INCLUDING
+    * partition columns (the footer-based schemaOf misses those on a
+    * hive-laid table — losing them from the declared schema would be
+    * an evolution bug, not an evolution). */
+  private def mergeEvolution(spark: SparkSession, table: String, v: Int,
+      incoming: StructType, effective: StructType): Option[StructType] =
+    if (!mergeSchemaOn(spark)) None
+    else {
+      val cur = declaredSchema(table, v).getOrElse(effective)
+      val e = evolveSchema(cur, incoming, Map.empty)
+      if (e == cur) None else Some(e)
+    }
 
   /** Append-commit `df` under SCHEMA EVOLUTION: the new version's
     * declared schema is the previous declared schema evolved by `df`'s
@@ -2070,11 +2110,17 @@ object Sources {
     // On a PARTITIONED table the footer-derived schemaOf misses the
     // partition columns (they live in paths) — take the target schema
     // from the partition-aware subset reader instead, so the batch
-    // keeps the partition column and lands hive-laid.
-    val targetSchema =
+    // keeps the partition column and lands hive-laid. With the
+    // mergeSchema session opt-in, a batch carrying NEW columns evolves
+    // the target instead of silently dropping them.
+    val targetSchema0 =
       if (files.nonEmpty)
         readFileSubset(spark, table, v, Seq(files.head)).schema
       else schemaOf(spark, table, v)
+    val evolved = mergeEvolution(spark, table, v,
+      StructType(changes.drop(opCol).schema.fields), targetSchema0)
+    val targetSchema = evolved.fold(targetSchema0)(_ =>
+      evolveSchema(targetSchema0, changes.drop(opCol).schema, Map.empty))
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-dvmerge-${java.util.UUID.randomUUID().toString.take(8)}")
     val newFiles =
@@ -2094,7 +2140,12 @@ object Sources {
         case e: java.util.ConcurrentModificationException =>
           if (hasUpserts) deleteBatchDir(batch); throw e
       }
-    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    evolved match {
+      // evolution PINS the new declared schema; old versions keep theirs
+      case Some(e) => publishSchema(table, next, e)
+      case None =>
+        declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    }
     // carried files carry their stats/blooms; only the appended batch
     // is scanned (a DV'd file's interval stays conservative — it may
     // cover deleted rows, which can only keep extra files, never lose)
@@ -2781,7 +2832,14 @@ object Sources {
     val pinnedScopes = keptEq.map(_.basedOn).toSet
     val pinnedEqData = keptEq.map(e => normalizePath(e.dataPath)).toSet
     expired.foreach { v =>
-      if (!pinnedScopes.contains(v))
+      // an expired version whose files a live BRANCH still pins keeps
+      // its manifest as the sweep ledger: deleting it now would orphan
+      // those files forever once the branch expires or drops (no
+      // manifest would reference them, so no later vacuum could judge
+      // them dead)
+      val branchPinned =
+        filesOf(table, v).exists(branchFiles.contains)
+      if (!pinnedScopes.contains(v) && !branchPinned)
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(table, s"v$v.manifest"))
       // sidecars travel with their manifest

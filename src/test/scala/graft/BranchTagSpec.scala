@@ -213,6 +213,55 @@ class BranchTagSpec extends SparkTestBase {
     Sources.vacuumVersions(t, 1)
   }
 
+  test("per-ref retention: expire bounds a branch's history — dead " +
+    "branch-local files reclaim, the head stays readable, and the " +
+    "parent's vacuum regains files only expired branch versions pinned") {
+    val t = freshTable("ref-expire")
+    Sources.commitVersion(ordersBase, t) // fork-time files B
+    val bd = Refs.createBranch(t, "dev")
+    val n = ordersBase.count()
+    // branch life: an append (local batch L), then a compaction that
+    // rewrites EVERYTHING branch-local — the pre-compaction manifests
+    // are the only references to L and to the carried parent files
+    Sources.commitVersion(ordersBase.limit(7), bd) // bv2: B + L
+    Sources.compactVersion(spark, bd, 1000000) // bv3: all-local C
+    val headBefore = Sources.readVersion(spark, bd)
+      .orderBy("o_orderkey").collect()
+    assert(headBefore.length === n + 7)
+    val localBefore = parquetOnDisk(s"$bd/data")
+    // main moves on: the fork files B leave every kept main manifest
+    Sources.commitVersion(ordersBase.limit(5), t, overwrite = true)
+    // BEFORE expire, the parent's vacuum must pin B (branch history
+    // references them) — count survivors in the parent pool
+    Sources.vacuumVersions(t, 1)
+    val parentPoolBefore = parquetOnDisk(s"$t/data")
+    assert(Sources.readVersion(spark, bd, 1).count() === n,
+      "pre-expire: the branch's fork version must still read (B pinned)")
+    // EXPIRE to the head: old branch manifests go; only branch-LOCAL
+    // dead files delete (L died at compaction) — carried parent files
+    // are never touched here
+    val (manifests, localDeleted) = Refs.expireBranch(t, "dev", 1)
+    assert(manifests === 2 && localDeleted > 0)
+    assert(parquetOnDisk(s"$bd/data").size
+      === localBefore.size - localDeleted)
+    val headAfter = Sources.readVersion(spark, bd)
+      .orderBy("o_orderkey").collect()
+    assert(headAfter.toSeq === headBefore.toSeq,
+      "the branch head must read identically after expire")
+    // the parent's NEXT vacuum reclaims B: nothing references the fork
+    // files any more (branch head is all-local after the compaction)
+    Sources.commitVersion(ordersBase.limit(5), t, overwrite = true)
+    Sources.vacuumVersions(t, 1)
+    val parentPoolAfter = parquetOnDisk(s"$t/data")
+    assert(parentPoolAfter.size < parentPoolBefore.size,
+      s"expire must release the parent-file pins: " +
+        s"${parentPoolAfter.size} vs ${parentPoolBefore.size}")
+    assert(Sources.readVersion(spark, bd).count() === n + 7,
+      "the branch head survives the parent vacuum after expire")
+    // guards: keep_last >= 1; a tag is not expirable
+    intercept[IllegalArgumentException](Refs.expireBranch(t, "dev", 0))
+  }
+
   test("WAP composes with PARTITIONED layouts: branch writes land " +
     "hive-laid (the fork carries table.properties), publish moves the " +
     "nested batch trees, partition pruning works on the published head") {

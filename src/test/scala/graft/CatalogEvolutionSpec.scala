@@ -118,4 +118,65 @@ class CatalogEvolutionSpec extends SparkTestBase {
         .head().getLong(0))
     spark.sql(s"DROP TABLE $cat.m")
   }
+
+  test("mergeSchema opt-in: a DV merge carrying a new column + a type " +
+    "widening evolves the declared schema; partitioned tables keep " +
+    "their partition column; the flag off drops the column silently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mse-dv")
+    dir.toFile.deleteOnExit()
+    val t = s"$dir/t"
+    val tp = s"$dir/tp"
+    val base = Seq((1L, 10, "a"), (2L, 20, "b"), (3L, 30, "a"))
+      .toDF("k", "cnt", "g")
+    val v1 = Sources.commitVersion(base, t)
+    // cnt arrives widened (INT -> BIGINT) and a new column rides along
+    val changes = Seq((2L, 200L, "b", "x", "upsert"),
+      (4L, 400L, "c", "y", "upsert"))
+      .toDF("k", "cnt", "g", "extra", "op")
+    spark.conf.set("spark.graft.mergeSchema", "true")
+    try {
+      val (_, marked, usedDv) = Sources.mergeVersionDv(spark, t, changes, "k")
+      assert(usedDv && marked === 1L)
+      val head = Sources.readVersion(spark, t).orderBy("k")
+      assert(head.schema("cnt").dataType ===
+        org.apache.spark.sql.types.LongType, "cnt must widen to BIGINT")
+      assert(head.columns.contains("extra"))
+      val rows = head.select("k", "cnt", "extra")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getString(2)).getOrElse("-")))
+      assert(rows.toSeq === Seq((1L, 10L, "-"), (2L, 200L, "x"),
+        (3L, 30L, "-"), (4L, 400L, "y")),
+        "old rows null-fill the new column; upserts carry it")
+      // pre-evolution version pinned: no extra column, INT cnt
+      val pinned = Sources.readVersion(spark, t, v1)
+      assert(!pinned.columns.contains("extra"))
+      assert(pinned.schema("cnt").dataType ===
+        org.apache.spark.sql.types.IntegerType)
+      // partitioned table: evolution must keep the partition column
+      Sources.writeTableProperties(tp, Map("partition.columns" -> "g"))
+      Sources.commitVersion(base, tp)
+      val (_, _, ok2) = Sources.mergeVersionDv(spark, tp, changes, "k")
+      assert(ok2)
+      val headP = Sources.readVersion(spark, tp)
+      assert(headP.columns.toSet === Set("k", "cnt", "g", "extra"))
+      assert(headP.filter(col("g").isNull).count() === 0,
+        "partition column must survive evolution")
+      assert(headP.filter(col("extra") === "y").count() === 1)
+    } finally spark.conf.unset("spark.graft.mergeSchema")
+    // flag OFF: an unknown column drops silently (alignment selects
+    // the table's shape), and a WIDENED type still fails loudly —
+    // silent truncation is never on the table
+    val t2 = s"$dir/t2"
+    Sources.commitVersion(base, t2)
+    val sameTyped = Seq((2L, 200, "b", "x", "upsert"))
+      .toDF("k", "cnt", "g", "extra", "op")
+    Sources.mergeVersionDv(spark, t2, sameTyped, "k")
+    assert(!Sources.readVersion(spark, t2).columns.contains("extra"))
+    val e = intercept[IllegalArgumentException] {
+      Sources.mergeVersionDv(spark, t2, changes, "k") // cnt LONG vs INT
+    }
+    assert(e.getMessage.contains("widen"),
+      s"narrowing without the flag must fail loudly, got: $e")
+  }
 }
