@@ -119,8 +119,33 @@ object Bench {
     val okTimes = results.collect {
       case (_, br) if br._1 >= 0 => totalOf(br) }.sorted
     val p50out = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
+    // PINNED headline set, fixed round-over-round: a 20-query slice
+    // spanning joins/aggs, dedup, ANN, text, analytics, and the
+    // lakehouse READ paths. Inventory growth shifts the full run's mix
+    // every round; the pinned numbers are the comparable series. READ
+    // phase only — a lifecycle gate's build cost (commits, training)
+    // must never mask read-path drift here.
+    val pinnedNames = Seq(
+      "q01_scan_project", "q03_hyperjoin", "q04_star_join",
+      "q11_groupby_agg", "q13a_rollup", "q24_cosine_topk",
+      "q28_dedup_minhash", "q31b_knn_lsh", "q66_dedup_clusters",
+      "q80_quality_verdict", "q98_semdedup", "q125_bm25",
+      "q137_setsim_prefix", "q149_weighted_sample", "q180_basket_triples",
+      "q203_ivfadc", "q212_bucketed_spj", "q219_transform_partition",
+      "q224_d4_diversify", "q227_semdedup_bounded")
+    val byName = results.toMap
+    val pinnedReads = pinnedNames.flatMap(n =>
+      byName.get(n).collect { case (b, r) if b >= 0 => n -> r })
+    val pinnedTotal = pinnedReads.map(_._2).sum
+    val pinnedSorted = pinnedReads.map(_._2).sorted
+    val pinnedP50 =
+      if (pinnedSorted.isEmpty) 0.0 else pinnedSorted(pinnedSorted.size / 2)
+    val pinnedJson = pinnedReads.map { case (k, r) =>
+      "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+    val pinned =
+      f""""pinned":{"read_total":$pinnedTotal%.2f,"read_p50":$pinnedP50%.2f,"n":${pinnedReads.size},"queries":$pinnedJson}"""
     val short =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"p50":$p50out%.2f,"queries":$slowest,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"p50":$p50out%.2f,$pinned,"queries":$slowest,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     // Both BENCH rounds so far came back `parsed: null` driver-side —
     // sbt's trailing "[success]" lines can displace even the short line
     // from a tail capture. Persist the summary to a FIXED file too, so
