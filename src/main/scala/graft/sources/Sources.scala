@@ -2560,9 +2560,15 @@ object Sources {
         // hidden transform layout: the derived value lives in `_pt=<v>`
         // DIR NAMES only (recomputed from the source column on every
         // write, so rewrites can never desynchronize it) — data files
-        // keep the full declared schema including the source column
+        // keep the full declared schema including the source column.
+        // Pre-shuffle on the derived value (the bucket branch's move):
+        // without it every task writes every _pt dir it sees — an
+        // hours(ts) commit from 32 tasks over a month fragments into
+        // tasks × dirs small files; with it one exchange yields ~one
+        // file per partition dir per commit (Delta's optimized write)
         df.withColumn("_pt",
             transformColumn(t, col(t.column), df.schema(t.column).dataType))
+          .repartition(col("_pt"))
           .write.mode(SaveMode.ErrorIfExists).partitionBy("_pt")
           .parquet(batchPath)
       case None =>

@@ -606,6 +606,76 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("staged-sidecar protocol: a crashed committer's un-promoted DV/eq " +
+    "state resolves through the manifest pointer, carries into the next " +
+    "commit, and repairs to canonical; vacuum sweeps true strays only") {
+    val spk = spark
+    import spk.implicits._
+    import scala.jdk.CollectionConverters._
+    val table = tmp("graft-staged").toString
+    Sources.commitVersion(
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "w"), table)
+    // an eq merge + a DV delete land their sidecars atomically with the
+    // claims
+    Sources.mergeVersionEq(spk, table,
+      Seq((3L, "u3", "upsert"), (4L, "", "delete")).toDF("k", "w", "op"),
+      Seq("k"))
+    Sources.deleteWhereDv(spk, table, col("k") === 7L)
+    val v = Sources.latestVersion(table)
+    val dvBefore = Sources.dvOf(table, v)
+    val eqBefore = Sources.eqOf(table, v)
+    assert(dvBefore.nonEmpty && eqBefore.nonEmpty)
+    // SIMULATE THE CRASH WINDOW: un-promote the canonical sidecars back
+    // to the staged names the manifest trailer records — exactly the
+    // state a committer dying between claim and rename leaves behind
+    val pointers = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(table, s"v$v.manifest")).asScala
+      .filter(_.startsWith("#sidecar\t"))
+      .map { l => val Array(_, ext, name) = l.split("\t", 3); ext -> name }
+      .toMap
+    assert(pointers.keySet === Set("dv", "eq"),
+      s"both sidecars must ride the claim, got $pointers")
+    pointers.foreach { case (ext, name) =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(table, s"v$v.$ext"),
+        java.nio.file.Paths.get(table, name))
+    }
+    // a reader in the window resolves complete delete state via the
+    // pointer (this is what a racing committer's carry pass reads —
+    // the TOCTOU the protocol closes) and repairs the rename
+    assert(Sources.eqOf(table, v).toSet === eqBefore.toSet,
+      "eq state must resolve through the staged pointer")
+    assert(Sources.dvOf(table, v).keySet === dvBefore.keySet)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, s"v$v.eq")),
+      "resolution must repair the staged file to its canonical name")
+    // and the delete state is carried by the NEXT commit: nothing
+    // resurrects, the new entry is not dropped
+    Sources.commitVersion(Seq((99L, "new")).toDF("k", "w"), table)
+    val head = Sources.readVersion(spk, table).orderBy("k")
+      .select("k", "w").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(!head.exists(_._1 == 4L), "eq-deleted row must stay deleted")
+    assert(!head.exists(_._1 == 7L), "DV-deleted row must stay deleted")
+    assert(head.count(_._1 == 3L) === 1 && head.exists(_ == (3L, "u3")),
+      "the eq upsert must survive the carry")
+    // stranded-stage hygiene: an unreferenced old staged file sweeps
+    // only once it is provably dead (past the grace window); a fresh
+    // one survives
+    val fresh = java.nio.file.Paths.get(table, ".staged-freshfresh.dv")
+    java.nio.file.Files.write(fresh, "x".getBytes)
+    val stale = java.nio.file.Paths.get(table, ".staged-stalestale.dv")
+    java.nio.file.Files.write(stale, "x".getBytes)
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60L * 60 * 1000))
+    Sources.vacuumVersions(table, 2)
+    assert(java.nio.file.Files.exists(fresh),
+      "a possibly-in-flight stage must survive the sweep")
+    assert(!java.nio.file.Files.exists(stale),
+      "a provably dead stage must be swept")
+    java.nio.file.Files.deleteIfExists(fresh)
+  }
+
   test("backfill rewrites only its months: other partitions byte-identical, replay idempotent") {
     val out = tmp("wh-backfill")
     val fact = graft.sources.Warehouse.build(spark, sf, out)
