@@ -2418,9 +2418,149 @@ object TextOps {
            |ORDER BY b""".stripMargin)
   )
 
+  /** Q230 — the TRAINING-DATA PIPELINE END-TO-END, one gated query:
+    * language-ID (q32's marker argmax) → quality screen (q80's
+    * Gopher-rule composite) → exact dedup (q27's lowest-id-per-digest
+    * rule) → sequence packing (q78's 512-token cumulative-sum
+    * assignment), each stage feeding the next, with per-stage survivor
+    * counts as witness columns. The individual gates prove each
+    * operator; THIS gate proves they compose — the actual shape a
+    * FineWeb/Gopher-style corpus build runs nightly at 100 TB.
+    *
+    * Scale shape: stage 1-2 are explode → combinable aggregates keyed
+    * on doc_id; stage 3 is one hash aggregate on the digest; stage 4
+    * is a per-shard running sum (shards are the parallelism unit — no
+    * global order anywhere). Nothing is pairwise, nothing is
+    * collected; the composition adds NO shuffle beyond the stages'
+    * own. Cross-engine exactness: every device is one an upstream gate
+    * already hash-proved. */
+  val q230 = Query(
+    "q230_pipeline_e2e",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val nInput = docs.count()
+      // stage 1: language-ID, keep predicted-English docs
+      val m = broadcast(markers.toDF("tok", "cand"))
+      val wBest = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cand").asc)
+      val en = tokensWithPos(docs).join(m, "tok")
+        .groupBy("doc_id", "cand").agg(count(lit(1)).as("score"))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1 && col("cand") === "en")
+        .select("doc_id")
+      val s1 = docs.join(en, Seq("doc_id"), "left_semi")
+      val nLang = s1.count()
+      // stage 2: quality screen (the q80 composite, as a filter)
+      val base = s1.select(col("doc_id"), col("text"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "\\s", ""))
+          .cast("long").as("n_glyphs"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|and|of|to|a|in)\\b"), lit(0)))
+          .cast("long").as("n_stop"))
+      val distincts = tokensWithPos(s1).groupBy("doc_id")
+        .agg(countDistinct(col("tok")).as("n_distinct"))
+      val s2 = base.join(distincts, Seq("doc_id"), "left")
+        .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
+        .withColumn("mean_tok_len", col("n_glyphs").cast("double") /
+          nullif(col("n_tokens"), lit(0)).cast("double"))
+        .withColumn("distinct_ratio", col("n_distinct").cast("double") /
+          nullif(col("n_tokens"), lit(0)).cast("double"))
+        .filter(col("n_tokens") >= 10 && col("n_tokens") <= 100000 &&
+          col("mean_tok_len") >= 2.0 && col("mean_tok_len") <= 12.0 &&
+          col("n_stop") >= 1 && col("distinct_ratio") >= 0.1)
+        .select("doc_id", "text", "n_tokens")
+      val nQuality = s2.count()
+      // stage 3: exact dedup — lowest doc_id per normalized digest
+      val keepers = s2.groupBy(
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+            .as("digest"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val s3 = s2.join(keepers, Seq("doc_id"), "left_semi")
+      val nUnique = s3.count()
+      // stage 4: pack survivors into 512-token sequences per shard
+      val budget = 512L
+      val wPack = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s3.withColumn("shard",
+          graft.Canon.md5Residue(col("doc_id").cast("string"), 8))
+        .withColumn("end_tok", sum(col("n_tokens")).over(wPack))
+        .withColumn("seq_id", expr(s"(end_tok - n_tokens) div $budget"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          (max(col("seq_id")) + 1).as("n_seqs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("n_input", lit(nInput))
+        .withColumn("n_lang_kept", lit(nLang))
+        .withColumn("n_quality_kept", lit(nQuality))
+        .withColumn("n_unique", lit(nUnique))
+        .orderBy("shard")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            |  FROM documents),
+            |m(tok, cand) AS (VALUES $markerValuesSql),
+            |scores AS (
+            |  SELECT doc_id, cand, COUNT(*) AS score
+            |  FROM toks JOIN m USING (tok) GROUP BY doc_id, cand),
+            |en AS (
+            |  SELECT doc_id FROM scores
+            |  QUALIFY row_number() OVER (PARTITION BY doc_id
+            |    ORDER BY score DESC, cand ASC) = 1 AND cand = 'en'),
+            |s1 AS (SELECT d.* FROM documents d JOIN en USING (doc_id)),
+            |base AS (
+            |  SELECT doc_id, text,
+            |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+            |         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_glyphs,
+            |         CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in)\\b')) AS BIGINT) AS n_stop
+            |  FROM s1),
+            |toks1 AS (
+            |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            |  FROM s1),
+            |dst AS (
+            |  SELECT doc_id, COUNT(DISTINCT tok) AS n_distinct
+            |  FROM toks1 WHERE tok <> '' GROUP BY doc_id),
+            |s2 AS (
+            |  SELECT b.doc_id, b.text, b.n_tokens
+            |  FROM base b LEFT JOIN dst USING (doc_id)
+            |  WHERE b.n_tokens BETWEEN 10 AND 100000
+            |    AND CAST(b.n_glyphs AS DOUBLE) / CAST(NULLIF(b.n_tokens, 0) AS DOUBLE)
+            |        BETWEEN 2.0 AND 12.0
+            |    AND b.n_stop >= 1
+            |    AND CAST(COALESCE(dst.n_distinct, 0) AS DOUBLE)
+            |        / CAST(NULLIF(b.n_tokens, 0) AS DOUBLE) >= 0.1),
+            |keepers AS (
+            |  SELECT MIN(doc_id) AS doc_id FROM s2
+            |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+            |s3 AS (SELECT s2.* FROM s2 JOIN keepers USING (doc_id)),
+            |p AS (
+            |  SELECT doc_id, n_tokens,
+            |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+            |  FROM s3),
+            |o AS (
+            |  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            |               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+            |  FROM p),
+            |agg AS (
+            |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |         CAST(MAX(start_tok // 512) + 1 AS BIGINT) AS n_seqs,
+            |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+            |  FROM o GROUP BY shard),
+            |w AS (
+            |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input,
+            |         (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_lang_kept,
+            |         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_quality_kept,
+            |         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_unique)
+            |SELECT shard, n_docs, n_seqs, n_tokens,
+            |       n_input, n_lang_kept, n_quality_kept, n_unique
+            |FROM agg, w ORDER BY shard""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
       q154, q155, q163, q168, q171, q174, q176, q187, q188, q205, q215, q222,
-      q225)
+      q225, q230)
 }
