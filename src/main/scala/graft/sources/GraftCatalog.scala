@@ -164,6 +164,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               .toSeq.sortBy(_._1)
               .map { case (c, n) => (c, n, rows) }
               .toDF("column", "ndv", "live_rows")
+          case "partitions" =>
+            // per-partition inventory (Iceberg's $partitions): the
+            // partition key from each file's hive segments (identity
+            // `c=v` dirs, the hidden `_pt=` transform value, the `_b=`
+            // bucket id), with file count, bytes, DV-marked rows, and
+            // live rows where the ndv sidecar covers the file (-1
+            // where unknown — never a scan). The skew/small-file gauge
+            // read before a scoped OPTIMIZE.
+            val s = spark
+            import s.implicits._
+            val v = Sources.latestVersion(dir)
+            val dv = Sources.dvOf(dir, v)
+            val (rowCounts, _) = Sources.ndvOf(dir, v)
+            def keyOf(f: String): String = {
+              val segs = f.split('/').dropRight(1).filter(seg =>
+                seg.contains("=") && !seg.startsWith("batch-"))
+              if (segs.isEmpty) "<unpartitioned>"
+              else segs.map(org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.unescapePathName).mkString("/")
+            }
+            Sources.filesOf(dir, v)
+              .map { f =>
+                val marked =
+                  dv.get(f).map(_.cardinality().toLong).getOrElse(0L)
+                (keyOf(f), 1L,
+                  java.nio.file.Files.size(java.nio.file.Paths.get(f)),
+                  rowCounts.get(Sources.normalizePath(f))
+                    .map(_ - marked), marked)
+              }
+              .groupBy(_._1).toSeq.sortBy(_._1)
+              .map { case (k, fs) =>
+                (k, fs.map(_._2).sum, fs.map(_._3).sum,
+                  if (fs.forall(_._4.isDefined)) fs.flatMap(_._4).sum
+                  else -1L,
+                  fs.map(_._5).sum)
+              }
+              .toDF("partition", "n_files", "bytes", "live_rows",
+                "dv_rows")
           case "refs" =>
             // tags + branches in one audit surface: kind, name, the
             // version a tag pins / a branch forked from, and a

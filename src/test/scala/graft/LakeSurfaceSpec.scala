@@ -502,7 +502,28 @@ class LakeSurfaceSpec extends SparkTestBase {
       .head().getLong(0) === 1L)
     assert(spark.sql("SELECT SUM(dv_rows) FROM gmt.`t$files`")
       .head().getLong(0) === 1L)
+    // g.`t$partitions`: the skew/small-file gauge — an unpartitioned
+    // table rolls up under one key; live rows come from the ndv
+    // sidecar minus DV marks, never a scan
+    val parts = spark.sql(
+      "SELECT partition, n_files, live_rows, dv_rows FROM gmt.`t$partitions`")
+      .collect()
+    assert(parts.length === 1 && parts.head.getString(0) === "<unpartitioned>")
+    assert(parts.head.getLong(1) === files.length.toLong)
+    assert(parts.head.getLong(2) === 149L, // 150 rows - 1 DV-marked
+      s"live_rows must be metadata-exact, got ${parts.head.getLong(2)}")
+    assert(parts.head.getLong(3) === 1L)
     spark.sql("DROP TABLE gmt.t")
+    // partitioned: one row per hive dir, per-partition file counts
+    spark.sql("CREATE TABLE gmt.p (k BIGINT, g STRING) PARTITIONED BY (g)")
+    spark.sql("INSERT INTO gmt.p SELECT id, CASE WHEN id % 2 = 0 " +
+      "THEN 'a' ELSE 'b' END FROM range(0, 10)")
+    val pparts = spark.sql(
+      "SELECT partition, n_files FROM gmt.`p$partitions` ORDER BY partition")
+      .collect()
+    assert(pparts.map(_.getString(0)).toSeq === Seq("g=a", "g=b"))
+    assert(pparts.forall(_.getLong(1) >= 1L))
+    spark.sql("DROP TABLE gmt.p")
   }
 
   test("property: SQL DELETE == full-filter semantics for random " +
