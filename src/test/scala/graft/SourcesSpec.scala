@@ -606,6 +606,56 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("racing eq-merge vs concurrent appends: the entry survives " +
+    "whatever the interleaving — no lost carry, no resurrection") {
+    val spk = spark
+    import spk.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val table = tmp("graft-eq-race").toString
+    Sources.commitVersion(
+      (1L to 30L).map(k => (k, s"base$k")).toDF("k", "w"), table)
+    // writer A: an eq merge retiring k=5 and upserting k=6, retried on
+    // a lost race (the caller contract); writers B: plain appends whose
+    // carry pass is exactly where the pre-fix TOCTOU dropped entries
+    val merger = Future {
+      var done = false
+      while (!done) {
+        try {
+          Sources.mergeVersionEq(spk, table,
+            Seq((6L, "u6", "upsert"), (5L, "", "delete"))
+              .toDF("k", "w", "op"), Seq("k"))
+          done = true
+        } catch { case _: java.util.ConcurrentModificationException => () }
+      }
+    }
+    val appenders = (1 to 5).map { i =>
+      Future(Sources.commitVersion(
+        Seq((100L + i, s"app$i")).toDF("k", "w"), table))
+    }
+    Await.result(Future.sequence(appenders :+ merger.map(_ => 0)),
+      120.seconds)
+    // every append landed, the eq entry is pending at head, and the
+    // retired row is invisible while the upsert shows exactly once
+    val head = Sources.readVersion(spk, table)
+      .select("k", "w").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(Sources.eqOf(table, Sources.latestVersion(table)).nonEmpty,
+      "the eq entry must survive every interleaving of carries")
+    assert(!head.exists(_._1 == 5L), "the eq-deleted row resurrected")
+    assert(head.count(_._1 == 6L) === 1 && head.contains((6L, "u6")),
+      "the upsert must show exactly once")
+    (1 to 5).foreach(i => assert(head.contains((100L + i, s"app$i")),
+      s"append $i was lost"))
+    // purge absorbs; state identical
+    val before = head.toSet
+    Sources.purgeEq(spk, table)
+    val after = Sources.readVersion(spk, table)
+      .select("k", "w").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after.toSet === before && Sources.eqOf(table,
+      Sources.latestVersion(table)).isEmpty)
+  }
+
   test("staged-sidecar protocol: a crashed committer's un-promoted DV/eq " +
     "state resolves through the manifest pointer, carries into the next " +
     "commit, and repairs to canonical; vacuum sweeps true strays only") {
