@@ -483,17 +483,25 @@ object SimilarityOps {
       .filter(col("c") > cap)
       .select(col("cell"),
         ceil(col("c") / lit(cap.toDouble)).cast("long").as("m"))
+    // NO broadcast hints below: the over-full cell list and its
+    // sub-seed set are corpus-size-BOUNDED only in expectation — a
+    // pathologically skewed corpus can push Σ⌈c/cap⌉ toward n/cap,
+    // past any broadcast threshold. The joins are all equi-joins on
+    // `cell`, so the planner (with the manifest statistics + AQE)
+    // broadcasts exactly when the side really is small and falls back
+    // to a keyed shuffle when it isn't — the shape stays
+    // Σ c·⌈c/cap⌉ ≈ n either way.
     val wSeed = Window.partitionBy("cell").orderBy(col("vec_id").asc)
-    val subseeds = a1.join(broadcast(big), Seq("cell"))
+    val subseeds = a1.join(big, Seq("cell"))
       .withColumn("srn", row_number().over(wSeed))
       .filter(col("srn") <= col("m"))
       .select(col("cell"), col("vec_id").as("sub"),
         col("embedding").as("se"), col("nrm").as("sn"))
-    val bigCells = broadcast(big.select("cell"))
+    val bigCells = big.select("cell")
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("csim2").desc, col("sub").asc)
     val reassigned = a1.join(bigCells, Seq("cell"))
-      .join(broadcast(subseeds), Seq("cell"))
+      .join(subseeds, Seq("cell"))
       .withColumn("csim2",
         dotNative(col("embedding"), col("se")) / (col("nrm") * col("sn")))
       .withColumn("arn", row_number().over(wAssign))
