@@ -2558,9 +2558,60 @@ object TextOps {
             |FROM agg, w ORDER BY shard""".stripMargin)
   )
 
+  /** Q231 — PER-SOURCE FREQUENCY CAPPING (domain capping, the
+    * Gopher/CommonCrawl diversity rule): no single source may
+    * contribute more than `max(10, ⌈n/50⌉)` documents (an absolute
+    * floor + a 2%-of-corpus share), keep order = lowest doc_id first.
+    * Output: per-source totals, kept counts, and the derived cap as a
+    * witness column.
+    *
+    * Scale shape — the part worth gating: counting is one combinable
+    * aggregate; the RANK (the expensive per-source window) is paid
+    * ONLY by sources already proven over the cap (a left-semi join
+    * against the over-cap set), so a 100 TB corpus with a million
+    * under-cap domains and a handful of mega-domains ranks just the
+    * mega-domains. The cap derives from the corpus by the same
+    * integer-exact rule in both engines. */
+  val q231 = Query(
+    "q231_source_cap",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val cap = math.max(10L, math.ceil(n / 50.0).toLong)
+      val counts = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      val over = counts.filter(col("n_docs") > cap).select("source")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val keptOver = docs.join(over, Seq("source"), "left_semi")
+        .select("doc_id", "source")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("kept_over"))
+      counts.join(keptOver, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("kept_over"), col("n_docs")).as("n_kept"))
+        .withColumn("cap", lit(cap))
+        .orderBy("source")
+    },
+    Some("""WITH c AS (
+           |  SELECT GREATEST(10, CAST(CEIL(COUNT(*) / 50.0) AS BIGINT)) AS cap
+           |  FROM documents),
+           |r AS (
+           |  SELECT source,
+           |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           |  FROM documents)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       CAST(SUM(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_kept,
+           |       cap
+           |FROM r, c
+           |GROUP BY source, cap
+           |ORDER BY source""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
       q154, q155, q163, q168, q171, q174, q176, q187, q188, q205, q215, q222,
-      q225, q230)
+      q225, q230, q231)
 }

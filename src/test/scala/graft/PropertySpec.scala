@@ -249,4 +249,45 @@ class PropertySpec extends SparkTestBase {
         .intValue(), s"seed=$s n=$n: null bucket drifted")
     }
   }
+
+  test("property: boundedCells totally partitions ANY corpus with every " +
+    "final cell under the cap — random duplication factors and skews") {
+    import spark.implicits._
+    // corpora drawn with a random number of dense duplicate clusters
+    // (the seed-split-defeating shape) mixed with spread vectors
+    val corpusGen = for {
+      n <- Gen.choose(40, 160)
+      nClusters <- Gen.choose(1, 4)
+      clusterMass <- Gen.choose(30, 90) // percent of docs in clusters
+      jitter <- Gen.choose(1, 9)
+    } yield (0 until n).map { i =>
+      val e = Array.fill(6)(0.0f)
+      if (i * 100 < n * clusterMass) {
+        val c = i % nClusters
+        e(c) = 1.0f
+        e(nClusters % 6) = 0.001f * jitter * (1 + i % 11)
+      } else {
+        e(i % 6) = 1.0f + 0.01f * (i % 7)
+        e((i + 2) % 6) = 0.03f * (i % 5)
+      }
+      (i.toLong, e.toSeq)
+    }
+    seeds.foreach { s =>
+      val rows = sample(corpusGen, s)
+      val cap = 8
+      val cells = functions.SimilarityOps
+        .boundedCells(rows.toDF("vec_id", "embedding"), cap)
+        .select("vec_id", "cell_id").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      // total partition: every vector exactly once
+      assert(cells.length === rows.length, s"seed=$s: row count drifted")
+      assert(cells.map(_._1).distinct.length === rows.length,
+        s"seed=$s: a vector landed in two cells")
+      // the hard bound, whatever the duplication structure
+      val occ = cells.groupBy(_._2).view.mapValues(_.length)
+      val worst = occ.maxBy(_._2)
+      assert(worst._2 <= cap,
+        s"seed=$s: cell ${worst._1} holds ${worst._2} > cap $cap")
+    }
+  }
 }
