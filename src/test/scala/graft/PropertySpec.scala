@@ -250,6 +250,70 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: eq-merge LWW composes over RANDOM change-batch " +
+    "sequences — stored state == a driver fold, before and after purge") {
+    import spark.implicits._
+    import graft.sources.Sources
+    // a batch: per touched key an op; upserts carry a payload derived
+    // from (batch, key) so last-writer-wins is observable
+    val batchGen = Gen.listOfN(6, for {
+      k <- Gen.choose(1L, 12L)
+      isUpsert <- Gen.oneOf(true, false)
+    } yield (k, isUpsert))
+    val seqGen = Gen.listOfN(4, batchGen)
+    seeds.foreach { s =>
+      val batches = sample(seqGen, s)
+      val dir = java.nio.file.Files.createTempDirectory(s"eq-prop-$s")
+      dir.toFile.deleteOnExit()
+      val t = s"$dir/t"
+      Sources.commitVersion(
+        (1L to 12L).map(k => (k, s"base$k")).toDF("k", "w"), t)
+      var expected: Map[Long, String] =
+        (1L to 12L).map(k => k -> s"base$k").toMap
+      batches.zipWithIndex.foreach { case (b, i) =>
+        // a key may appear twice in one generated batch — keep the
+        // FIRST op per key (distinct change keys is the API contract)
+        val perKey = b.groupBy(_._1).view.mapValues(_.head._2).toSeq
+        val changes = perKey.map { case (k, up) =>
+          (k, s"b$i-$k", if (up) "upsert" else "delete")
+        }.toDF("k", "w", "op")
+        Sources.mergeVersionEq(spark, t, changes, Seq("k"))
+        perKey.foreach { case (k, up) =>
+          expected = if (up) expected + (k -> s"b$i-$k") else expected - k
+        }
+        val got = Sources.readVersion(spark, t)
+          .select("k", "w").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got === expected,
+          s"seed=$s after batch $i: stored state diverged from the fold")
+      }
+      // the deferred position work reclaims losslessly
+      Sources.purgeEq(spark, t)
+      val afterPurge = Sources.readVersion(spark, t)
+        .select("k", "w").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(afterPurge === expected, s"seed=$s: purge changed the state")
+      assert(Sources.eqOf(t, Sources.latestVersion(t)).isEmpty)
+      // and the whole history replays through batch CDF: LWW-reducing
+      // readChanges(0 -> head) over the base snapshot == the fold
+      val head = Sources.latestVersion(t)
+      val feed = Sources.readChanges(spark, t, 1, head)
+        .select("k", "w", "_change_type").collect()
+      // readChanges collapses the range: deletes name retired rows,
+      // inserts the surviving ones — apply deletes then inserts
+      val dels = feed.filter(_.getString(2) == "delete")
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val ins = feed.filter(_.getString(2) == "insert")
+        .map(r => (r.getLong(0), r.getString(1)))
+      val base = (1L to 12L).map(k => k -> s"base$k")
+        .filterNot { case (k, w) => dels.contains((k, w)) }.toMap
+      val fromCdf = ins.foldLeft(base) { case (acc, (k, w)) =>
+        acc + (k -> w) }
+      assert(fromCdf === expected,
+        s"seed=$s: CDF range replay diverged from the fold")
+    }
+  }
+
   test("property: boundedCells totally partitions ANY corpus with every " +
     "final cell under the cap — random duplication factors and skews") {
     import spark.implicits._
