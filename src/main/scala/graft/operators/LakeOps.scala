@@ -1354,13 +1354,22 @@ object LakeOps {
                |  event_id BIGINT, user_id BIGINT, value DOUBLE,
                |  ets TIMESTAMP)
                |PARTITIONED BY (days(ets))""".stripMargin)
+      // generation 2 is a bounded HOT WINDOW (three March days), not a
+      // whole month of hours: hours(ts) exists to split the partitions
+      // the table is currently ingesting, and partitioning three months
+      // of history by hour would mint ~2k near-empty files — the exact
+      // small-file pathology OPTIMIZE exists to undo. Gen-1 takes the
+      // complement, so the two inserts still partition every source row
+      // and the oracle restates the whole table.
+      val hot = "event_id % 3 = 2 AND ets >= TIMESTAMP '2024-03-10' " +
+        "AND ets < TIMESTAMP '2024-03-13'"
       // generation 1 under days(ets)
       s.sql(s"INSERT INTO $cat.ev SELECT * FROM specev_events_src " +
-        "WHERE event_id % 3 < 2")
+        s"WHERE NOT ($hot)")
       // evolve the spec; generation 2 lands under hours(ets)
       s.sql(s"CALL $cat.system.set_partitioning('ev', 'hours(ets)')")
       s.sql(s"INSERT INTO $cat.ev SELECT * FROM specev_events_src " +
-        "WHERE event_id % 3 = 2")
+        s"WHERE $hot")
       val t = root.resolve("ev").toString
       // mixed-layout witness: the head manifest carries BOTH shapes
       def ptLens: Set[Int] = {
@@ -1615,7 +1624,195 @@ object LakeOps {
            |ORDER BY o_orderpriority""".stripMargin)
   )
 
+  /** Q232 — METADATA-ONLY AGGREGATES lifecycle, oracle-gated: the
+    * one-line queries every table owner runs first (`COUNT(*)`,
+    * `MIN`/`MAX` of keys, prices, priorities) answered from the
+    * manifest sidecars with ZERO files opened
+    * ([[graft.sources.MetadataOnlyAggregates]] — the Iceberg/Delta
+    * manifest-count move; the reference re-counts its warehouse after
+    * every load, HyperJoin.java:62-75, by full scan). Witnesses, all
+    * computed on the OPTIMIZED plan of the very DataFrames whose
+    * values the oracle checks: `meta_clean` — the clean-version
+    * 6-aggregate query planned as a LocalRelation with no table
+    * relation at all; `meta_after_dv` — COUNT(*) stays metadata-only
+    * after a merge-on-read DELETE (per-file DV cardinalities subtract
+    * exactly); `scan_for_min` — MIN after that DELETE correctly
+    * REFUSES the metadata answer (the DV may have deleted the extremal
+    * row) and plans a real scan. The oracle restates every value
+    * relationally over the raw fixture.
+    *
+    * Scale shape: at 100 TB the clean-path queries cost one driver
+    * sidecar read instead of a full table scan; the guards mean a
+    * wrong instant answer is structurally impossible — any coverage
+    * gap falls back to the scan. */
+  val q232 = Query(
+    "q232_metadata_agg",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-mago-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      graft.plans.GraftRules.install(s)
+      val cat = s"gma_${math.abs(dir.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root.toString)
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .createOrReplaceTempView("mago_src")
+      s.sql(s"""CREATE TABLE $cat.mago (
+               |  o_orderkey BIGINT, o_totalprice DOUBLE,
+               |  o_orderpriority STRING)
+               |TBLPROPERTIES ('stats.columns' =
+               |  'o_orderkey,o_totalprice,o_orderpriority')""".stripMargin)
+      s.sql(s"INSERT INTO $cat.mago SELECT * FROM mago_src")
+      // a metadata answer = the optimized plan degenerated to a local
+      // relation and references NO table relation anywhere
+      def metadataOnly(df: org.apache.spark.sql.DataFrame): Boolean = {
+        val opt = df.queryExecution.optimizedPlan
+        val local = opt.collect {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        }.nonEmpty
+        val scans = opt.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        }.nonEmpty
+        local && !scans
+      }
+      val clean = s.sql(
+        s"""SELECT count(*) AS n0,
+           |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           |  min(o_orderpriority) AS min_prio,
+           |  max(o_orderpriority) AS max_prio,
+           |  max(o_totalprice) AS max_price
+           |FROM $cat.mago""".stripMargin)
+      val metaClean = if (metadataOnly(clean)) 1L else 0L
+      val c = clean.head()
+      // merge-on-read DELETE: the modulo predicate is untranslatable →
+      // pure DV marks, zero files rewritten
+      s.sql(s"DELETE FROM $cat.mago WHERE o_orderkey % 7 = 3")
+      val cnt = s.sql(s"SELECT count(*) AS n1 FROM $cat.mago")
+      val metaAfterDv = if (metadataOnly(cnt)) 1L else 0L
+      val n1 = cnt.head().getLong(0)
+      val mn = s.sql(
+        s"SELECT min(o_orderkey) AS min_key_live FROM $cat.mago")
+      val scanForMin = if (!metadataOnly(mn)) 1L else 0L
+      val minKeyLive = mn.head().getLong(0)
+      import s.implicits._
+      Seq((c.getLong(0), c.getLong(1), c.getLong(2), c.getString(3),
+        c.getString(4), c.getDouble(5), n1, minKeyLive,
+        metaClean, metaAfterDv, scanForMin))
+        .toDF("n0", "min_key", "max_key", "min_prio", "max_prio",
+          "max_price", "n1", "min_key_live", "meta_clean",
+          "meta_after_dv", "scan_for_min")
+    },
+    Some("""SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n0,
+           |  (SELECT min(o_orderkey) FROM orders) AS min_key,
+           |  (SELECT max(o_orderkey) FROM orders) AS max_key,
+           |  (SELECT min(o_orderpriority) FROM orders) AS min_prio,
+           |  (SELECT max(o_orderpriority) FROM orders) AS max_prio,
+           |  CAST((SELECT max(o_totalprice) FROM orders) AS DOUBLE)
+           |    AS max_price,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+           |   WHERE NOT (o_orderkey % 7 = 3)) AS n1,
+           |  (SELECT min(o_orderkey) FROM orders
+           |   WHERE NOT (o_orderkey % 7 = 3)) AS min_key_live,
+           |  CAST(1 AS BIGINT) AS meta_clean,
+           |  CAST(1 AS BIGINT) AS meta_after_dv,
+           |  CAST(1 AS BIGINT) AS scan_for_min""".stripMargin)
+  )
+
+  /** Q233 — RUNTIME (DPP-style) PRUNING on the bucketed fact scan,
+    * oracle-gated: the dimension's selective filter is only knowable
+    * at execution (it rides the join), yet the fact side reads a
+    * FRACTION of its files — [[graft.sources.GraftBucketedScan]]'s
+    * `SupportsRuntimeFiltering` hashes the collected key in-set to
+    * bucket ids and drops whole `_b=<id>` slices before any task
+    * launches (Spark's DPP handshake; what Iceberg does for its
+    * bucket transform, and the v2 restatement of hive's DPP).
+    * Witnesses on the EXECUTED plan
+    * ([[graft.sources.RuntimeScanWitness]]): `dpp_planned` — the
+    * planner attached a runtime filter to the fact scan; `files_pruned`
+    * — the scan read strictly fewer files than the table holds. The
+    * oracle restates the join relationally.
+    *
+    * Scale shape: a 100 TB fact bucketed 1024 ways joined to a
+    * dimension filtered to a handful of keys reads ~keys/1024 of its
+    * files — the difference between a dashboard query and a cluster
+    * burn. RuntimeFilterSpec covers the unbucketed variant (runtime
+    * keys probing bloom sidecars — dynamic file pruning) and the
+    * SPJ composition. */
+  val q233 = Query(
+    "q233_runtime_pruning",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-dpp-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val cat = s"gdp_${math.abs(dir.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root.toString)
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority")
+        .createOrReplaceTempView("dpp_orders_src")
+      s.sql(s"""CREATE TABLE $cat.fact (
+               |  o_orderkey BIGINT, o_custkey BIGINT,
+               |  o_totalprice DOUBLE, o_orderpriority STRING)
+               |PARTITIONED BY (bucket(16, o_custkey))""".stripMargin)
+      s.sql(s"INSERT INTO $cat.fact SELECT * FROM dpp_orders_src")
+      val totalFiles = s.sql(
+        s"SELECT count(*) FROM $cat.`fact$$files`").head().getLong(0)
+      Tables.customer(s, dir)
+        .filter(pmod(col("c_custkey"), lit(500)) === 1)
+        .select("c_custkey", "c_mktsegment")
+        .createOrReplaceTempView("dpp_dim")
+      val q = s.sql(
+        s"""SELECT f.o_orderpriority, count(*) AS n,
+           |       sum(CAST(f.o_totalprice AS DECIMAL(18,4))) AS s
+           |FROM $cat.fact f JOIN dpp_dim d
+           |  ON f.o_custkey = d.c_custkey
+           |GROUP BY 1""".stripMargin)
+      q.queryExecution.toRdd.count() // execute: runtime filters resolve
+      val w = graft.sources.RuntimeScanWitness.of(
+        q.queryExecution.executedPlan)
+      val dpp = if (w.nonEmpty && w.head.runtimeFiltered) 1L else 0L
+      val pruned =
+        if (w.nonEmpty && w.head.files > 0 && w.head.files < totalFiles) 1L
+        else 0L
+      q.select(col("o_orderpriority"), col("n"),
+          col("s").cast("decimal(18,4)").cast("double").as("sum_price"))
+        .withColumn("dpp_planned", lit(dpp))
+        .withColumn("files_pruned", lit(pruned))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |       CAST(1 AS BIGINT) AS dpp_planned,
+           |       CAST(1 AS BIGINT) AS files_pruned
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |WHERE c_custkey % 500 = 1
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218,
-      q219, q220, q221, q226, q228, q229)
+      q219, q220, q221, q226, q228, q229, q232, q233)
 }

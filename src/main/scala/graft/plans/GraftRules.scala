@@ -125,6 +125,10 @@ object GraftRules {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations = cur :+ RewriteDotProduct
+    val cur2 = spark.experimental.extraOptimizations
+    if (!cur2.contains(graft.sources.MetadataOnlyAggregates))
+      spark.experimental.extraOptimizations =
+        cur2 :+ graft.sources.MetadataOnlyAggregates
     sqlFunctions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
@@ -141,6 +145,10 @@ object GraftRules {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteDotProduct)
+    // fires in the operator-optimization batch, BEFORE V2 scan
+    // pushdown — the one point where the catalog relation is still a
+    // bare DataSourceV2Relation and "no filters" is visible in the plan
+    e.injectOptimizerRule(_ => graft.sources.MetadataOnlyAggregates)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => TopKStrategy)
     GraftRules.sqlFunctions.foreach { case (name, builder) =>

@@ -62,25 +62,9 @@ private[sources] class GraftBucketedScanBuilder(spark: SparkSession,
     required = requiredSchema
 
   /** Buckets that can hold rows passing ALL pushed conjuncts — None
-    * means no bucket-column point predicate, scan all. Each conjunct
-    * must hold for every surviving row, so intersecting per-conjunct
-    * bucket sets is lossless. */
-  private def prunedBuckets: Option[Set[Int]] = {
-    def bucketsOf(f: Filter): Option[Set[Int]] = f match {
-      case EqualTo(c, v) if c == bucketCol && v != null =>
-        Some(Set(GraftBucketFunction.bucketOf(v, dt, numBuckets)))
-      case In(c, vs) if c == bucketCol =>
-        Some(vs.filter(_ != null)
-          .map(GraftBucketFunction.bucketOf(_, dt, numBuckets)).toSet)
-      case IsNull(c) if c == bucketCol =>
-        // the writer hashes NULL to the seed, so every null-keyed row
-        // sits in one known bucket
-        Some(Set(GraftBucketFunction.bucketOf(null, dt, numBuckets)))
-      case _ => None
-    }
-    val sets = pushed.toSeq.flatMap(bucketsOf(_))
-    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
-  }
+    * means no bucket-column point predicate, scan all. */
+  private def prunedBuckets: Option[Set[Int]] =
+    GraftBucketedScan.bucketsFor(pushed.toSeq, bucketCol, dt, numBuckets)
 
   private def dt = schema(bucketCol).dataType
 
@@ -101,14 +85,45 @@ private[sources] class GraftBucketedScan(spark: SparkSession,
     required: StructType, filters: Seq[Filter],
     bucketCol: String, numBuckets: Int, buckets: Option[Set[Int]])
   extends Scan with Batch
-  with SupportsReportPartitioning with SupportsReportStatistics {
+  with SupportsReportPartitioning with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** No pushed conjuncts and no bucket pruning — the whole-version
+    * read [[MetadataOnlyAggregates]] may answer from sidecars. */
+  private[sources] def filterFree: Boolean =
+    filters.isEmpty && buckets.isEmpty
+
   override def description(): String =
     s"graft-bucketed:$table@v$version bucket($numBuckets, $bucketCol)" +
       buckets.fold("")(b => s" buckets=${b.toSeq.sorted.mkString(",")}")
+
+  // ---- RUNTIME filtering (dynamic partition/file pruning) -----------
+  //
+  // The DPP handshake: at plan time the optimizer sees the join key in
+  // `filterAttributes`; at execution, after the dimension side has
+  // materialized (typically as the reused broadcast), BatchScanExec
+  // hands the collected key set back as an `In` conjunct. Two tiers of
+  // driver-side pruning re-run with it: the key set hashes to a BUCKET
+  // id set (whole 1/n slices of a 100 TB fact drop before any task
+  // launches), and the per-file stats/bloom sidecars drop files inside
+  // the kept buckets. Strictly conservative — both tiers only ever
+  // DROP files proven row-free for the keys.
+  private var runtime: Seq[Filter] = Nil
+  private var partsCache: Array[GraftBucketPartition] = _
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (bucketCol +: (Sources.statsColumnsOf(table) ++
+      Sources.bloomColumnsOf(table))).distinct
+      .map(Expressions.column).toArray
+
+  override def filter(fs: Array[Filter]): Unit = {
+    runtime = fs.toSeq
+    partsCache = null
+  }
 
   // one input partition per (bucket, file): full per-file parallelism
   // on plain scans, grouped to one task per bucket when SPJ engages;
@@ -116,21 +131,32 @@ private[sources] class GraftBucketedScan(spark: SparkSession,
   // bucket column, then per-file stats/bloom sidecars on everything else
   private lazy val dv = Sources.dvOf(table, version)
 
-  private lazy val parts: Array[GraftBucketPartition] = {
-    val statsKeep = Sources.filterKeeper(table, version, filters)
-    val all = Sources.filesOf(table, version).filter(statsKeep).map { f =>
-      val b = GraftBucketedScan.bucketIdOf(f).getOrElse(
-        throw new IllegalStateException(
-          s"bucketed table $table: data file outside a _b=<id> dir: $f " +
-            "(the table has non-bucketed batches — it was written " +
-            "outside the catalog commit path)"))
-      GraftBucketPartition(f,
-        java.nio.file.Files.size(java.nio.file.Paths.get(f)), b,
-        dv.get(f).map(_.toByteArray))
+  private def parts: Array[GraftBucketPartition] = {
+    if (partsCache == null) partsCache = {
+      val statsKeep =
+        Sources.filterKeeper(table, version, filters ++ runtime)
+      val all = Sources.filesOf(table, version).filter(statsKeep).map { f =>
+        val b = GraftBucketedScan.bucketIdOf(f).getOrElse(
+          throw new IllegalStateException(
+            s"bucketed table $table: data file outside a _b=<id> dir: $f " +
+              "(the table has non-bucketed batches — it was written " +
+              "outside the catalog commit path)"))
+        GraftBucketPartition(f,
+          java.nio.file.Files.size(java.nio.file.Paths.get(f)), b,
+          dv.get(f).map(_.toByteArray))
+      }
+      val keep = Seq(buckets,
+        GraftBucketedScan.bucketsFor(runtime, bucketCol,
+          dataSchema(bucketCol).dataType, numBuckets))
+        .flatten.reduceOption(_ intersect _)
+      keep.fold(all)(ks => all.filter(p => ks.contains(p.bucketId)))
+        .sortBy(p => (p.bucketId, p.path)).toArray
     }
-    buckets.fold(all)(keep => all.filter(p => keep.contains(p.bucketId)))
-      .sortBy(p => (p.bucketId, p.path)).toArray
+    partsCache
   }
+
+  /** Post-runtime-filter planned file count — the spec/gate witness. */
+  private[graft] def plannedFileCount: Int = parts.length
 
   override def planInputPartitions(): Array[InputPartition] =
     parts.toArray[InputPartition]
@@ -162,6 +188,31 @@ private[sources] class GraftBucketedScan(spark: SparkSession,
 
 private[sources] object GraftBucketedScan {
   private val BucketDir = ".*/_b=(\\d+)/[^/]+$".r
+
+  /** Buckets that can hold rows passing ALL the given conjuncts — None
+    * means no bucket-column point predicate, scan all. Each conjunct
+    * must hold for every surviving row, so intersecting per-conjunct
+    * bucket sets is lossless. Shared by the builder (pushed filters)
+    * and the scan's RUNTIME filtering (DPP in-sets from a joined
+    * dimension). */
+  def bucketsFor(filters: Seq[Filter], bucketCol: String,
+      dt: org.apache.spark.sql.types.DataType,
+      numBuckets: Int): Option[Set[Int]] = {
+    def bucketsOf(f: Filter): Option[Set[Int]] = f match {
+      case EqualTo(c, v) if c == bucketCol && v != null =>
+        Some(Set(GraftBucketFunction.bucketOf(v, dt, numBuckets)))
+      case In(c, vs) if c == bucketCol =>
+        Some(vs.filter(_ != null)
+          .map(GraftBucketFunction.bucketOf(_, dt, numBuckets)).toSet)
+      case IsNull(c) if c == bucketCol =>
+        // the writer hashes NULL to the seed, so every null-keyed row
+        // sits in one known bucket
+        Some(Set(GraftBucketFunction.bucketOf(null, dt, numBuckets)))
+      case _ => None
+    }
+    val sets = filters.flatMap(bucketsOf(_))
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
 
   /** The bucket id a data file was routed to, parsed from its `_b=`
     * directory (the writer's hive layout). */
@@ -257,22 +308,49 @@ private[sources] class GraftDvBatchScanBuilder(spark: SparkSession,
 private[sources] class GraftDvBatchScan(spark: SparkSession,
     table: String, version: Int, dataSchema: StructType,
     required: StructType, filters: Seq[Filter])
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"graft-dv:$table@v$version"
 
+  /** No pushed conjuncts — the whole-version read
+    * [[MetadataOnlyAggregates]] may answer from sidecars. */
+  private[sources] def filterFree: Boolean = filters.isEmpty
+
+  // runtime (DPP) file pruning: the join-key in-set collected at
+  // execution probes the same stats/bloom sidecars the pushed filters
+  // did — Databricks' "dynamic file pruning", from metadata alone
+  private var runtime: Seq[Filter] = Nil
+  private var partsCache: Array[GraftBucketPartition] = _
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (Sources.statsColumnsOf(table) ++ Sources.bloomColumnsOf(table))
+      .distinct.map(Expressions.column).toArray
+
+  override def filter(fs: Array[Filter]): Unit = {
+    runtime = fs.toSeq
+    partsCache = null
+  }
+
   private lazy val dv = Sources.dvOf(table, version)
 
-  private lazy val parts: Array[GraftBucketPartition] = {
-    val keep = Sources.filterKeeper(table, version, filters)
-    Sources.filesOf(table, version).filter(keep).sorted.map { f =>
-      GraftBucketPartition(f,
-        java.nio.file.Files.size(java.nio.file.Paths.get(f)), 0,
-        dv.get(f).map(_.toByteArray))
-    }.toArray
+  private def parts: Array[GraftBucketPartition] = {
+    if (partsCache == null) partsCache = {
+      val keep = Sources.filterKeeper(table, version, filters ++ runtime)
+      Sources.filesOf(table, version).filter(keep).sorted.map { f =>
+        GraftBucketPartition(f,
+          java.nio.file.Files.size(java.nio.file.Paths.get(f)), 0,
+          dv.get(f).map(_.toByteArray))
+      }.toArray
+    }
+    partsCache
   }
+
+  /** Post-runtime-filter planned file count — the spec/gate witness. */
+  private[graft] def plannedFileCount: Int = parts.length
 
   override def planInputPartitions(): Array[InputPartition] =
     parts.toArray[InputPartition]

@@ -570,6 +570,10 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
   private[sources] val pinned =
     if (version < 0) Sources.latestVersion(path) else version
 
+  /** The on-disk table root — [[MetadataOnlyAggregates]]' handle into
+    * the version's sidecars. */
+  private[sources] def tablePath: String = path
+
   override def name(): String =
     s"graft:$path" + (if (version > 0) s"@v$version" else "")
 

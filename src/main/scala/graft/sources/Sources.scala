@@ -1618,7 +1618,11 @@ object Sources {
           .agg((aggs ++ ndvAggs).head, (aggs ++ ndvAggs).tail: _*)
           .collect().toSeq
         val statLines = rows.flatMap { r =>
-          val file = r.getString(0).stripPrefix("file://")
+          // normalizePath, not a bare scheme strip: hive partition
+          // values with spaces render percent-encoded from
+          // input_file_name() while manifests store the raw form — an
+          // encoded sidecar key would silently miss every lookup
+          val file = normalizePath(r.getString(0))
           presentCols.zipWithIndex.flatMap { case (c, i) =>
             (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))) match {
               case (Some(lo), Some(hi)) if strCols.contains(c) =>
@@ -1635,7 +1639,7 @@ object Sources {
         }
         val base = 1 + 2 * presentCols.length
         val ndvLines = rows.flatMap { r =>
-          val file = r.getString(0).stripPrefix("file://")
+          val file = normalizePath(r.getString(0))
           val enc = java.util.Base64.getEncoder
           Seq(s"R\t$file\t${r.getLong(base)}") ++
             presentCols.zipWithIndex.flatMap { case (c, j) =>
@@ -1795,7 +1799,9 @@ object Sources {
           df.select(org.apache.spark.sql.functions.input_file_name().as("f"),
               col(c).cast("string").as("v"))
             .filter(col("v").isNotNull)
-            .rdd.map(r => (r.getString(0).stripPrefix("file://"), r.getString(1)))
+            // normalizePath (not a scheme strip): percent-encoded hive
+            // partition dirs must land under the manifest's raw key
+            .rdd.map(r => (normalizePath(r.getString(0)), r.getString(1)))
             .aggregateByKey(
               BloomFilter.create(expectedPerFile, fpp))(
               (b, v) => { b.putString(v); b },
