@@ -2609,9 +2609,162 @@ object TextOps {
            |ORDER BY source""".stripMargin)
   )
 
+  /** Q234 — TRAINED QUALITY CLASSIFIER (hashed Naive Bayes),
+    * oracle-gated end to end INCLUDING the training pass: the
+    * GPT-3/CCNet-style quality filter — learn a linear model over
+    * hashed token features from labeled examples, score the held-out
+    * corpus, keep what scores well. Gold labels come from a
+    * deterministic keyword rule (the stand-in for "human-curated
+    * reference pages"); an 80/20 md5 split separates train from test;
+    * the model is per-bucket Laplace-smoothed class log-odds over
+    * B=64 hashed unigram buckets ([[graft.Canon.md5Residue]], q126's
+    * hashing trick — no fitted vocabulary to ship, the hash IS the
+    * schema); scoring is score(d) = log prior-odds + Σ_b n_b·w_b.
+    *
+    * Cross-engine exactness (the q125 libm device): each per-bucket
+    * weight is round(ln(exact-BIGINT-ratio), 6) clamped to
+    * DECIMAL(12,6) — ONE log per (bucket), never per row — and the
+    * per-doc score is an order-free DECIMAL sum, so train AND
+    * inference hash-match DuckDB bit for bit. The 64-bucket weight
+    * grid is built over range(64), so buckets unseen in training get
+    * their smoothed prior weight instead of silently dropping.
+    * NbClassifierSpec gates held-out accuracy well above the class
+    * prior — the model genuinely recovers the labeling rule through
+    * the hash.
+    *
+    * Scale shape: training is ONE combinable groupBy(bucket) over the
+    * labeled grams (map-side partial aggregation; the model is 64
+    * rows); inference is a (doc_id, bucket) combinable count joined to
+    * the BROADCAST weight table — at 100 TB neither pass shuffles
+    * anything wider than doc_id, and the fitted model ships to
+    * executors as one broadcast, exactly how a fastText-style filter
+    * deploys. */
+  val q234 = Query(
+    "q234_nb_quality",
+    (s, dir) => {
+      val B = 64
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(expr(
+            "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
+            .as("tok"))
+      val hashed = toks.withColumn("b",
+        graft.Canon.md5Residue(concat(lit("nb#"), col("tok")), B))
+      val gold = hashed.groupBy("doc_id").agg(
+        (count_if(col("tok").isin("hash", "join", "merge", "table")) >=
+          count_if(col("tok").isin("slow", "small", "filter", "row")))
+          .cast("long").as("g"))
+      val split = gold.select(col("doc_id"), col("g"),
+        (graft.Canon.md5Residue(
+          concat(lit("nbsplit#"), col("doc_id")), 5) < 4).as("train"))
+      // ---- train: one combinable pass over the labeled grams --------
+      val tb = hashed
+        .join(split.filter(col("train")).select("doc_id", "g"), "doc_id")
+        .groupBy("b").agg(
+          count_if(col("g") === 1).as("cp"),
+          count_if(col("g") === 0).as("cn"))
+      val tot = tb.agg(
+        coalesce(sum("cp"), lit(0L)).as("np"),
+        coalesce(sum("cn"), lit(0L)).as("nn"))
+      val w = s.range(B).toDF("b").crossJoin(broadcast(tot))
+        .join(tb, Seq("b"), "left")
+        .select(col("b"),
+          round(log(
+            ((coalesce(col("cp"), lit(0L)) + 1) * (col("nn") + B))
+              .cast("double") /
+            ((coalesce(col("cn"), lit(0L)) + 1) * (col("np") + B))
+              .cast("double")), 6)
+            .cast("decimal(12,6)").as("wb"))
+      val prior = split.filter(col("train")).agg(
+        round(log(
+          (count_if(col("g") === 1) + 1).cast("double") /
+            (count_if(col("g") === 0) + 1).cast("double")), 6)
+          .cast("decimal(12,6)").as("p0"))
+      // ---- inference on the held-out split --------------------------
+      val test = split.filter(!col("train")).select("doc_id", "g")
+      val docb = hashed.join(test.select("doc_id"), "doc_id")
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      val sums = docb.join(broadcast(w), Seq("b"))
+        .groupBy("doc_id").agg(sum(col("n") * col("wb")).as("sw"))
+      test.join(sums, Seq("doc_id"), "left")
+        .crossJoin(broadcast(prior))
+        .select(col("doc_id"), col("g").as("gold"),
+          (coalesce(col("sw"), lit(0).cast("decimal(12,6)")) + col("p0"))
+            .as("score_dec"))
+        .select(col("doc_id"), col("gold"),
+          (col("score_dec") >= 0).cast("long").as("pred"),
+          col("score_dec").cast("decimal(18,6)").cast("double")
+            .as("score"),
+          ((col("score_dec") >= 0).cast("long") === col("gold"))
+            .cast("long").as("correct"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |         unnest(list_filter(
+           |           string_split_regex(lower(text), '[^a-z]+'),
+           |           x -> x <> '')) AS tok
+           |  FROM documents),
+           |hashed AS (
+           |  SELECT doc_id, tok,
+           |         CAST(concat('0x', substr(md5(concat('nb#', tok)), 1, 15))
+           |              AS BIGINT) % 64 AS b
+           |  FROM toks),
+           |gold AS (
+           |  SELECT doc_id,
+           |         CAST(COUNT(*) FILTER (WHERE tok IN
+           |                ('hash','join','merge','table'))
+           |              >= COUNT(*) FILTER (WHERE tok IN
+           |                ('slow','small','filter','row')) AS BIGINT) AS g
+           |  FROM hashed GROUP BY 1),
+           |split AS (
+           |  SELECT doc_id, g,
+           |         CAST(concat('0x', substr(md5(concat('nbsplit#', doc_id)),
+           |              1, 15)) AS BIGINT) % 5 < 4 AS train
+           |  FROM gold),
+           |tb AS (
+           |  SELECT b, COUNT(*) FILTER (WHERE g = 1) AS cp,
+           |         COUNT(*) FILTER (WHERE g = 0) AS cn
+           |  FROM hashed JOIN split USING (doc_id) WHERE train GROUP BY 1),
+           |tot AS (SELECT COALESCE(SUM(cp), 0) AS np,
+           |               COALESCE(SUM(cn), 0) AS nn FROM tb),
+           |w AS (
+           |  SELECT r.b,
+           |         CAST(round(ln(
+           |           ((COALESCE(cp, 0) + 1) * (nn + 64))::DOUBLE
+           |             / ((COALESCE(cn, 0) + 1) * (np + 64))::DOUBLE), 6)
+           |           AS DECIMAL(12,6)) AS wb
+           |  FROM (SELECT unnest(range(64)) AS b) r
+           |  CROSS JOIN tot LEFT JOIN tb ON r.b = tb.b),
+           |p0 AS (
+           |  SELECT CAST(round(ln(
+           |           (COUNT(*) FILTER (WHERE g = 1) + 1)::DOUBLE
+           |             / (COUNT(*) FILTER (WHERE g = 0) + 1)::DOUBLE), 6)
+           |           AS DECIMAL(12,6)) AS p0
+           |  FROM split WHERE train),
+           |docb AS (
+           |  SELECT doc_id, b, COUNT(*) AS n
+           |  FROM hashed JOIN split USING (doc_id)
+           |  WHERE NOT train GROUP BY 1, 2),
+           |sums AS (
+           |  SELECT doc_id, SUM(n * wb) AS sw
+           |  FROM docb JOIN w USING (b) GROUP BY 1),
+           |outq AS (
+           |  SELECT s.doc_id, s.g AS gold,
+           |         COALESCE(sw, CAST(0 AS DECIMAL(12,6)))
+           |           + (SELECT p0 FROM p0) AS score_dec
+           |  FROM split s LEFT JOIN sums USING (doc_id)
+           |  WHERE NOT s.train)
+           |SELECT doc_id, gold,
+           |       CAST(score_dec >= 0 AS BIGINT) AS pred,
+           |       CAST(CAST(score_dec AS DECIMAL(18,6)) AS DOUBLE) AS score,
+           |       CAST((score_dec >= 0) = (gold = 1) AS BIGINT) AS correct
+           |FROM outq ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
       q154, q155, q163, q168, q171, q174, q176, q187, q188, q205, q215, q222,
-      q225, q230, q231)
+      q225, q230, q231, q234)
 }
