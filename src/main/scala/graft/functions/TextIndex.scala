@@ -1,0 +1,323 @@
+package graft.functions
+
+import graft.sources.Sources
+import graft.{Query, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ArrayType => _, _}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The PERSISTED INVERTED TEXT INDEX: postings + document lengths +
+  * corpus term totals materialized as first-class graft tables and
+  * MAINTAINED off the source documents table's change feed — the piece
+  * that turns q125's query-time side effect (re-tokenize the corpus on
+  * every search) into a real index, the text-side sibling of
+  * [[AnnIndex]].
+  *
+  * Layout (three versioned graft tables under one index root):
+  *  - `postings` `(doc_id, term, tf)` — one row per (document, term)
+  *    with the EXACT term frequency. Maintained by O(keys)
+  *    equality-delete merges keyed on `doc_id` (a changed document
+  *    retires all its postings as ONE eq entry — no base file opened).
+  *    Each appended batch is range-laid and sorted by `term`, and the
+  *    table declares `stats.columns`/`bloom.columns` on `term`, so a
+  *    query-term fetch prunes to the files that can hold those
+  *    posting lists.
+  *  - `docstore` `(doc_id, dl)` — exact token count per document
+  *    (only documents with ≥1 token, the BM25 length-normalization
+  *    denominator population). Same eq-merge maintenance.
+  *  - `termstats` `(tk, term, cnt)` — corpus-wide occurrence totals
+  *    per term, maintained by ADDITIVE keyed merges (the
+  *    [[graft.streaming.StreamingPipeline.maintainDsirQuery]] device):
+  *    inserts add their token counts, deletes subtract. Additive
+  *    arithmetic cannot tolerate replays, so an IN-BAND LEDGER row per
+  *    applied source version (`tk = "v:<version>"`, `term` NULL) rides
+  *    the SAME atomic commit as its delta; the merge key is the
+  *    CONSTRUCTED `tk` (`"t:" + term` for term rows), so ledger keys
+  *    can never collide with token-derived keys whatever bytes the
+  *    corpus contains.
+  *
+  * Crash/replay contract (spec-pinned in TextIndexSpec): postings and
+  * docstore merges are IDEMPOTENT by construction — an eq merge
+  * retires the change keys' stored rows (including a previous replay's
+  * appends, which the entry's pre-commit scope covers) and re-appends
+  * the same rows, so re-running a batch is a state no-op. The additive
+  * termstats commit is EXACTLY-once via its ledger and runs LAST, so
+  * every crash window replays either idempotent work or
+  * ledger-filtered work; a fresh-checkpoint full-feed replay is a
+  * bitwise no-op on all three tables.
+  *
+  * 100 TB shape: per source commit the maintenance work is O(changed
+  * documents) tokenize + O(affected index files) merge — the corpus is
+  * never re-read. A search reads the 3-row term-totals top-k, the
+  * probed terms' posting lists (file-pruned by the term stats + bloom
+  * sidecars), and the slim 2-column docstore — never the document
+  * text. Ranking math is bit-identical to q125's order-free decimal
+  * AST, so index-served search is gated by the SAME DuckDB oracle as
+  * the full-scan form: exact, not recall-bounded.
+  *
+  * Reference anchor: the reference has no text index at all (its
+  * documents never leave MySQL rows, `createDW.sql:43`); this is the
+  * "switch to the library and keep your queries" surface extended the
+  * way its ETL users would need at crawl scale.
+  */
+object TextIndex {
+
+  /** `(doc_id, term)` token stream — q125's tokenizer verbatim
+    * (lowercase, split on whitespace runs, empties dropped), with the
+    * caller's extra columns carried through. */
+  private def toks(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docs
+      .select((Seq(col("doc_id")) ++ carry.map(col) :+
+        explode(split(lower(col("text")), "\\s+")).as("term")): _*)
+      .filter(col("term") =!= "")
+
+  private def postingsT(root: String) = s"$root/postings"
+  private def docstoreT(root: String) = s"$root/docstore"
+  private def termstatsT(root: String) = s"$root/termstats"
+
+  /** Create the three empty index tables (v1 declared schemas) and pin
+    * their skipping metadata. Metadata-only — content arrives through
+    * [[maintainQuery]], so creation costs nothing over a huge source. */
+  def init(indexRoot: String): Unit = {
+    Sources.createEmptyTable(postingsT(indexRoot), StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("term", StringType),
+      StructField("tf", LongType))))
+    Sources.writeTableProperties(postingsT(indexRoot),
+      Map("stats.columns" -> "term,doc_id", "bloom.columns" -> "term"))
+    Sources.createEmptyTable(docstoreT(indexRoot), StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dl", LongType))))
+    Sources.writeTableProperties(docstoreT(indexRoot),
+      Map("stats.columns" -> "doc_id"))
+    Sources.createEmptyTable(termstatsT(indexRoot), StructType(Seq(
+      StructField("tk", StringType),
+      StructField("term", StringType),
+      StructField("cnt", LongType))))
+    Sources.writeTableProperties(termstatsT(indexRoot),
+      Map("stats.columns" -> "tk"))
+  }
+
+  /** Tail the SOURCE documents table's change feed and keep the index
+    * current. Per micro-batch: versions already in the termstats
+    * ledger are dropped (replay filter); each remaining document's
+    * outcome is its LAST change; postings/docstore land as O(keys)
+    * eq merges; the signed term-count delta + this batch's ledger rows
+    * land as ONE additive keyed merge, last. */
+  def maintainQuery(spark: SparkSession, srcTable: String,
+      indexRoot: String, checkpoint: String): StreamingQuery = {
+    spark.readStream.format("graft-cdf").option("path", srcTable).load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val ts = termstatsT(indexRoot)
+          val applied = Sources.readVersion(spark, ts)
+            .filter(col("term").isNull)
+            .select(col("cnt")).collect().map(_.getLong(0)).toSet
+          val fresh =
+            if (applied.isEmpty) batch
+            else batch.filter(!col("_commit_version").cast("long")
+              .isin(applied.toSeq: _*))
+          if (!fresh.isEmpty) {
+            val pinned = fresh.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val newVs = pinned
+                .select(col("_commit_version").cast("long").as("v"))
+                .distinct().collect().map(_.getLong(0))
+              // last-change-wins per document (the replicateTable rule)
+              val w = Window.partitionBy("doc_id")
+                .orderBy(col("_commit_version").desc,
+                  when(col("_change_type") === "insert", 1)
+                    .otherwise(0).desc)
+              val last = pinned
+                .withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1)
+              val newPosts = toks(
+                last.filter(col("_change_type") === "insert"))
+                .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+              // every changed doc retires (one eq key); new content
+              // re-appends. Batches land sorted by term so the term
+              // stats/bloom sidecars stay selective.
+              val retire = last.select(col("doc_id"),
+                lit(null).cast("string").as("term"),
+                lit(null).cast("long").as("tf"), lit("delete").as("op"))
+              Sources.mergeVersionEq(spark, postingsT(indexRoot),
+                newPosts.withColumn("op", lit("upsert"))
+                  .repartitionByRange(col("term"))
+                  .sortWithinPartitions("term", "doc_id")
+                  .unionByName(retire), Seq("doc_id"))
+              Sources.mergeVersionEq(spark, docstoreT(indexRoot),
+                newPosts.groupBy("doc_id").agg(sum("tf").as("dl"))
+                  .withColumn("op", lit("upsert"))
+                  .unionByName(retire.drop("term", "tf")
+                    .select(col("doc_id"),
+                      lit(null).cast("long").as("dl"), col("op"))),
+                Seq("doc_id"))
+              // additive term totals: +inserted tokens, -deleted
+              // tokens, over ALL fresh change rows (an update's
+              // delete half carries the old text, so its counts
+              // subtract without reading the index)
+              val delta = toks(pinned.withColumn("__s",
+                  when(col("_change_type") === "insert", lit(1L))
+                    .otherwise(lit(-1L))), carry = Seq("__s"))
+                .groupBy("term").agg(sum(col("__s")).as("dc"))
+                .filter(col("dc") =!= 0L)
+                .withColumn("tk", concat(lit("t:"), col("term")))
+              val cur = Sources.readVersion(spark, ts)
+                .filter(col("term").isNotNull)
+                .select(col("tk"), col("cnt").as("cur"))
+              val merged = delta.join(cur, Seq("tk"), "left")
+                .select(col("tk"), col("term"),
+                  (coalesce(col("cur"), lit(0L)) + col("dc")).as("cnt"))
+                .withColumn("op",
+                  when(col("cnt") > 0L, "upsert").otherwise("delete"))
+              val s2 = spark
+              import s2.implicits._
+              val ledger = newVs.toSeq.map(v => (s"v:$v", v))
+                .toDF("tk", "cnt")
+                .withColumn("term", lit(null).cast("string"))
+                .withColumn("op", lit("upsert"))
+              Sources.mergeVersion(spark, ts,
+                merged.unionByName(ledger.select(
+                  col("tk"), col("term"), col("cnt"), col("op"))), "tk")
+              ()
+            } finally { pinned.unpersist(); () }
+          }
+        }
+      }
+      .start()
+  }
+
+  /** BM25 top-`k` served ENTIRELY from the index tables — the q125
+    * plan with every corpus-scan input replaced by its materialized
+    * form: query terms from the 3-row term-totals top-k, tf from the
+    * pruned posting fetch, df counted on the fetched lists, dl/N/avgdl
+    * from the slim docstore. The scoring AST is q125's bit-for-bit
+    * (libm-rounded idf, per-term DECIMAL(18,6) clamp, order-free
+    * decimal sum), so the result is hash-identical to the full scan. */
+  def searchFromIndex(spark: SparkSession, indexRoot: String,
+      k: Int = 50): DataFrame = {
+    val qterms = Sources.readVersion(spark, termstatsT(indexRoot))
+      .filter(col("term").isNotNull)
+      .orderBy(col("cnt").desc, col("term").asc).limit(3)
+      .select("term")
+    val posts = Sources.readVersion(spark, postingsT(indexRoot))
+      .join(broadcast(qterms), "term")
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = Sources.readVersion(spark, docstoreT(indexRoot))
+    val nAvg = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val scored = posts.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nAvg))
+      .withColumn("idf",
+        round(log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5))), 6))
+      .withColumn("contrib",
+        col("idf") * ((col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl"))))))
+      .groupBy("doc_id")
+      .agg(sum(round(col("contrib"), 6).cast("decimal(18,6)"))
+        .cast("decimal(18,6)").as("score_dec"))
+    graft.plans.TopKOps.rankedTopK(scored,
+        Seq(col("score_dec").desc, col("doc_id").asc), k)
+      .select(col("rank"), col("doc_id"),
+        col("score_dec").cast("double").as("score"))
+      .orderBy("rank")
+  }
+
+  /** Q235 — the index-backed BM25 lifecycle gate: build the documents
+    * table in two commits, create the index, and maintain it through
+    * three change-feed drains that cover an in-place UPDATE (perturbed
+    * text, then restored), a DV DELETE, and a re-insert — the final
+    * corpus equals the fixture, so the index-served search is gated by
+    * q125's EXACT DuckDB oracle. Build work is the lifecycle; the
+    * returned plan is the pure index read. */
+  val q235 = Query(
+    "q235_bm25_indexed",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-textidx-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val src = root.resolve("docs_t").toString
+      val idx = root.resolve("index").toString
+      val ckpt = root.resolve("ckpt").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), src)
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
+      init(idx)
+      maintainQuery(s, src, idx, ckpt).awaitTermination()
+      // an in-place edit + a hard delete land on the live index …
+      val touched = pmod(col("doc_id"), lit(31)) === 0
+      Sources.mergeVersionEq(s, src,
+        docs.filter(touched)
+          .withColumn("text", concat(lit("edited "), col("text")))
+          .withColumn("op", lit("upsert")), Seq("doc_id"))
+      Sources.deleteWhereDv(s, src, pmod(col("doc_id"), lit(97)) === 3)
+      maintainQuery(s, src, idx, ckpt).awaitTermination()
+      // … and are reverted/refilled, so the oracle is the fixture corpus
+      Sources.mergeVersionEq(s, src,
+        docs.filter(touched).withColumn("op", lit("upsert")), Seq("doc_id"))
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(97)) === 3
+        && pmod(col("doc_id"), lit(31)) =!= 0), src)
+      maintainQuery(s, src, idx, ckpt).awaitTermination()
+      searchFromIndex(s, idx)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, tok
+           |  FROM (SELECT doc_id,
+           |               unnest(string_split_regex(lower(text), '\s+')) AS tok
+           |        FROM documents)
+           |  WHERE tok <> ''),
+           |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+           |navg AS (
+           |  SELECT COUNT(*) AS n_docs,
+           |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           |  FROM dl),
+           |qterms AS (
+           |  SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
+           |  QUALIFY row_number() OVER (ORDER BY cnt DESC, tok ASC) <= 3),
+           |dfreq AS (
+           |  SELECT tok, COUNT(DISTINCT doc_id) AS df
+           |  FROM toks SEMI JOIN qterms USING (tok) GROUP BY 1),
+           |tf AS (
+           |  SELECT doc_id, tok, COUNT(*) AS tf
+           |  FROM toks SEMI JOIN qterms USING (tok) GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT t.doc_id,
+           |         CAST(SUM(CAST(round(
+           |           round(ln(1.0 + (CAST(n.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+           |                          / (CAST(f.df AS DOUBLE) + 0.5)), 6)
+           |           * ((CAST(t.tf AS DOUBLE) * 2.2)
+           |              / (CAST(t.tf AS DOUBLE)
+           |                 + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / n.avgdl)))), 6)
+           |           AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS score_dec
+           |  FROM tf t JOIN dl d USING (doc_id) JOIN dfreq f USING (tok), navg n
+           |  GROUP BY 1)
+           |SELECT CAST(row_number() OVER (ORDER BY score_dec DESC, doc_id ASC)
+           |            AS BIGINT) AS rank,
+           |       doc_id, CAST(score_dec AS DOUBLE) AS score
+           |FROM scored
+           |QUALIFY row_number() OVER (ORDER BY score_dec DESC, doc_id ASC) <= 50
+           |ORDER BY rank""".stripMargin)
+  )
+}

@@ -2766,5 +2766,5 @@ object TextOps {
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
       q154, q155, q163, q168, q171, q174, q176, q187, q188, q205, q215, q222,
-      q225, q230, q231, q234)
+      q225, q230, q231, q234, TextIndex.q235)
 }

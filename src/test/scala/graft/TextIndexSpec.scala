@@ -1,0 +1,125 @@
+package graft
+
+import graft.functions.{TextIndex, TextOps}
+import graft.sources.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted inverted text index ([[TextIndex]]): CDF-maintained
+  * postings/docstore/termstats ≡ full recompute across inserts,
+  * in-place updates, and deletes; fresh-checkpoint replay is a bitwise
+  * no-op; index-served BM25 equals the full-scan q125 exactly. */
+class TextIndexSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  private def dump(t: String, cols: String*): Set[Seq[Any]] =
+    Sources.readVersion(spark, t).select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+
+  /** Expected index content recomputed from scratch on `docs`. */
+  private def expected(docs: DataFrame):
+      (Set[Seq[Any]], Set[Seq[Any]], Set[Seq[Any]]) = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val posts = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    (posts.collect().map(_.toSeq).toSet,
+      posts.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .collect().map(_.toSeq).toSet,
+      toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .collect().map(_.toSeq).toSet)
+  }
+
+  private def assertIndexEquals(idx: String, docs: DataFrame): Unit = {
+    val (p, d, t) = expected(docs)
+    assert(dump(s"$idx/postings", "doc_id", "term", "tf") === p,
+      "postings must equal the from-scratch tokenization")
+    assert(dump(s"$idx/docstore", "doc_id", "dl") === d,
+      "docstore must equal the from-scratch per-doc lengths")
+    assert(Sources.readVersion(spark, s"$idx/termstats")
+      .filter(col("term").isNotNull).select("term", "cnt")
+      .collect().map(_.toSeq).toSet === t,
+      "termstats must equal the from-scratch per-term totals")
+  }
+
+  test("incrementally maintained index tracks inserts, an in-place " +
+    "update, and a delete; equals the full recompute at every step") {
+    val root = tmp("text-idx")
+    val src = s"$root/docs"
+    val idx = s"$root/idx"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    Sources.commitVersion(docs.filter(col("doc_id") < 100), src)
+    TextIndex.init(idx)
+    def drain(ckpt: String = s"$root/ckpt"): Unit =
+      TextIndex.maintainQuery(spark, src, idx, ckpt).awaitTermination()
+    drain()
+    assertIndexEquals(idx, docs.filter(col("doc_id") < 100))
+    // second insert batch + an in-place rewrite of 10 docs in ONE drain
+    Sources.commitVersion(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), src)
+    val edited = docs.filter(col("doc_id") < 10)
+      .withColumn("text", concat(lit("zz rewrite "), col("text")))
+    Sources.mergeVersionEq(spark, src,
+      edited.withColumn("op", lit("upsert")), Seq("doc_id"))
+    drain()
+    assertIndexEquals(idx,
+      docs.filter(col("doc_id") >= 10 && col("doc_id") < 200)
+        .unionByName(edited))
+    // a hard delete (DV path) subtracts everywhere
+    Sources.deleteWhereDv(spark, src, col("doc_id") < 5)
+    drain()
+    assertIndexEquals(idx,
+      docs.filter(col("doc_id") >= 10 && col("doc_id") < 200)
+        .unionByName(edited.filter(col("doc_id") >= 5)))
+  }
+
+  test("a fresh-checkpoint full-feed replay is a bitwise no-op on all " +
+    "three tables (eq merges idempotent, additive merge ledger-gated)") {
+    val root = tmp("text-idx-replay")
+    val src = s"$root/docs"
+    val idx = s"$root/idx"
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").filter(col("doc_id") < 120)
+    Sources.commitVersion(docs.filter(col("doc_id") < 60), src)
+    Sources.commitVersion(docs.filter(col("doc_id") >= 60), src)
+    Sources.deleteWhereDv(spark, src, col("doc_id") === 7)
+    TextIndex.init(idx)
+    TextIndex.maintainQuery(spark, src, idx, s"$root/ckpt1")
+      .awaitTermination()
+    val before = Seq("postings", "docstore", "termstats")
+      .map(t => Sources.readVersion(spark, s"$idx/$t")
+        .collect().map(_.toSeq).toSet)
+    // brand-new checkpoint: the whole change feed replays from v1
+    TextIndex.maintainQuery(spark, src, idx, s"$root/ckpt2")
+      .awaitTermination()
+    val after = Seq("postings", "docstore", "termstats")
+      .map(t => Sources.readVersion(spark, s"$idx/$t")
+        .collect().map(_.toSeq).toSet)
+    assert(before === after,
+      "full replay must not change any index table")
+    assertIndexEquals(idx, docs.filter(col("doc_id") =!= 7))
+  }
+
+  test("index-served BM25 equals the full-scan q125 ranking exactly") {
+    val root = tmp("text-idx-bm25")
+    val src = s"$root/docs"
+    val idx = s"$root/idx"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    Sources.commitVersion(docs, src)
+    TextIndex.init(idx)
+    TextIndex.maintainQuery(spark, src, idx, s"$root/ckpt")
+      .awaitTermination()
+    val served = TextIndex.searchFromIndex(spark, idx)
+      .collect().map(_.toSeq).toSeq
+    val scanned = TextOps.q125.build(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served === scanned,
+      "the index-served ranking must be bit-identical to the full scan")
+  }
+}
