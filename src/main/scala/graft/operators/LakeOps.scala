@@ -1812,7 +1812,85 @@ object LakeOps {
            |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
+  /** Q236 — ROW LINEAGE as a gated lifecycle: three sorted
+    * single-file commits assign every row a stable `_row_id` (file
+    * position ids, so the assignment is STATABLE RELATIONALLY as a
+    * per-slice `row_number` with slice-count offsets), then the table
+    * goes through a merge-on-read DELETE, its DV purge, whole-table
+    * compaction, and a copy-on-write DELETE — four layout rewrites —
+    * and the final `(o_orderkey, row_id)` map must STILL equal the
+    * original assignment minus the deleted keys. The oracle never sees
+    * the machinery: a hash match proves ids assign once and survive
+    * every rewrite ([[graft.sources.RowIds]], Iceberg v3's row-lineage
+    * contract). Fresh-id behavior for upserts and the rollback/repair
+    * paths are RowLineageSpec's. */
+  val q236 = Query(
+    "q236_row_lineage",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-rid-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val table = root.resolve("orders_rid").toString
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(table))
+      graft.sources.RowIds.enableRowIds(table)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      def slice(r: Int) =
+        o.filter(pmod(col("o_orderkey"), lit(3)) === r)
+          .repartition(1).sortWithinPartitions("o_orderkey")
+      Sources.commitVersion(slice(0), table)
+      Sources.commitVersion(slice(1), table)
+      Sources.commitVersion(slice(2), table)
+      // four layout rewrites; zero identity changes
+      Sources.deleteWhereDv(s, table,
+        pmod(col("o_orderkey"), lit(7)) === 0)
+      Sources.purgeDv(s, table)
+      Sources.compactVersion(s, table, 4096L)
+      Sources.deleteWhere(s, table,
+        pmod(col("o_orderkey"), lit(13)) === 0)
+      graft.sources.RowIds.readVersionWithRowIds(s, table)
+        .select(col("o_orderkey"),
+          col(graft.sources.RowIds.COL).as("row_id"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH o1 AS (
+           |  SELECT o_orderkey,
+           |         CAST(row_number() OVER (ORDER BY o_orderkey) - 1
+           |              AS BIGINT) AS rid
+           |  FROM orders WHERE o_orderkey % 3 = 0),
+           |o2 AS (
+           |  SELECT o_orderkey,
+           |         (SELECT COUNT(*) FROM o1)
+           |           + CAST(row_number() OVER (ORDER BY o_orderkey) - 1
+           |                  AS BIGINT) AS rid
+           |  FROM orders WHERE o_orderkey % 3 = 1),
+           |o3 AS (
+           |  SELECT o_orderkey,
+           |         (SELECT COUNT(*) FROM o1) + (SELECT COUNT(*) FROM o2)
+           |           + CAST(row_number() OVER (ORDER BY o_orderkey) - 1
+           |                  AS BIGINT) AS rid
+           |  FROM orders WHERE o_orderkey % 3 = 2),
+           |ids AS (
+           |  SELECT * FROM o1
+           |  UNION ALL SELECT * FROM o2
+           |  UNION ALL SELECT * FROM o3)
+           |SELECT o_orderkey, rid AS row_id
+           |FROM ids
+           |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218,
-      q219, q220, q221, q226, q228, q229, q232, q233)
+      q219, q220, q221, q226, q228, q229, q232, q233, q236)
 }

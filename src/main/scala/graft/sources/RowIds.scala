@@ -1,0 +1,226 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ROW LINEAGE: a stable `_row_id` for every row, assigned at the
+  * row's first commit and PRESERVED through every layout change —
+  * compaction, DV purge, eq purge, copy-on-write DELETE/MERGE
+  * survivors — so downstream consumers (incremental audits, diff
+  * tools, feature stores) can track row identity across rewrites
+  * instead of re-keying on business columns. Iceberg v3's row-lineage
+  * design restated on the graft manifest format:
+  *
+  *  - every data file carries a `first_row_id` in the `v<N>.rid`
+  *    sidecar; a row's id is `coalesce(materialized _row_id column,
+  *    first_row_id + parquet row position)`. Fresh files have no
+  *    materialized column, so their rows draw ids from the file's
+  *    range lazily — ASSIGNMENT IS METADATA-ONLY, commits never
+  *    rewrite a byte for lineage.
+  *  - rewrite paths read survivors WITH their ids and write them as a
+  *    physical `_row_id` column, so a row's id survives the file it
+  *    was born in. Rows that are genuinely new in a rewritten file
+  *    (merge upserts) carry NULL and draw from the new file's range —
+  *    the same coalesce rule covers clean, mixed, and materialized
+  *    files with no per-file special case.
+  *  - the sidecar is a DETERMINISTIC PURE FUNCTION of the manifest
+  *    chain: per version, carried files keep their entries verbatim,
+  *    new files are assigned in path-sorted order from the previous
+  *    version's `#next` counter, each advancing it by the file's
+  *    parquet-footer row count (a footer read, never a data scan). A
+  *    missing sidecar (crashed committer) is therefore REPAIRED by
+  *    re-derivation, not a correctness hole; files re-entering a
+  *    manifest (rollback) reuse the entry any existing sidecar
+  *    recorded for them, so ids survive rollback too.
+  *
+  * Scope (refused loudly): opt-in per table
+  * (`rowids.enabled = true`), flat layouts only in this revision —
+  * identity-partitioned / bucketed / transform-partitioned tables
+  * route reads through [[ManifestFileIndex]], which does not yet
+  * surface the lineage column.
+  *
+  * 100 TB shape: assignment is O(new files) footer reads per commit on
+  * the driver — the same cost class as the stats sidecar harvest; the
+  * read-side lookup is one broadcast (file -> first_row_id) map probe
+  * per row, exactly the DV bitset probe's shape; rewrites pay one
+  * extra int64 column on files they were rewriting anyway. */
+object RowIds {
+
+  val COL = "_row_id"
+
+  def enabled(table: String): Boolean =
+    Sources.tableProperties(table).get("rowids.enabled").contains("true")
+
+  /** Opt a table into row lineage: guards the supported envelope,
+    * flips the property, and derives + persists the sidecar chain for
+    * every live version NOW — history expired later can no longer
+    * change what ids the early versions assigned. */
+  def enableRowIds(table: String): Unit = {
+    require(Sources.partitionColumnsOf(table).isEmpty &&
+      Sources.bucketSpecOf(table).isEmpty &&
+      Sources.partTransformOf(table).isEmpty,
+      s"rowids.enabled supports flat tables only; $table declares a " +
+        "partition/bucket/transform layout")
+    Sources.writeTableProperties(table,
+      Sources.tableProperties(table) + ("rowids.enabled" -> "true"))
+    ensure(table, Sources.latestVersion(table))
+  }
+
+  // ---- sidecar: `#next\t<counter>` + one `<file>\t<first>` per file --
+
+  private def ridPath(table: String, v: Int) =
+    java.nio.file.Paths.get(table, s"v$v.rid")
+
+  private def parseRid(p: java.nio.file.Path): (Map[String, Long], Long) = {
+    var next = 0L
+    val m = Map.newBuilder[String, Long]
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala
+      .filter(_.nonEmpty).foreach { line =>
+        line.split("\t") match {
+          case Array("#next", n) => next = n.toLong
+          case Array(f, first) => m += f -> first.toLong
+          case other => throw new IllegalStateException(
+            s"unparsable rid line in $p: ${other.mkString("\t")}")
+        }
+      }
+    (m.result(), next)
+  }
+
+  private def writeRid(table: String, v: Int,
+      rid: Map[String, Long], next: Long): Unit = {
+    val dir = java.nio.file.Paths.get(table)
+    val body = (rid.toSeq.sortBy(_._1).map { case (f, first) =>
+      s"$f\t$first" } :+ s"#next\t$next").mkString("\n")
+    val tmp = java.nio.file.Files.createTempFile(dir, s".v$v-rid", ".tmp")
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, ridPath(table, v),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Parquet footer record count — a metadata read (file footer), not
+    * a data scan; the per-new-file cost of id assignment. */
+  private def footerRowCount(file: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Union of every persisted sidecar's entries — the rollback reuse
+    * map. Consistent by construction: a file's entry never changes
+    * while it lives, so any sidecar that lists it agrees. */
+  private def everAssigned(table: String): Map[String, Long] = {
+    val d = new java.io.File(table)
+    if (!d.exists()) Map.empty
+    else d.listFiles().toSeq.map(_.getName)
+      .collect { case s if s.matches("v\\d+\\.rid") =>
+        s.stripPrefix("v").stripSuffix(".rid").toInt }
+      .sorted.foldLeft(Map.empty[String, Long]) { (acc, v) =>
+        acc ++ parseRid(ridPath(table, v))._1
+      }
+  }
+
+  /** `(file -> first_row_id, next counter)` for a version, deriving
+    * and persisting any missing sidecars from the newest persisted one
+    * forward (each step is a manifest diff + footer reads of the new
+    * files). Deterministic: re-derivation after a crashed committer
+    * reproduces the same assignment bit for bit. */
+  def ridOf(table: String, version: Int): (Map[String, Long], Long) = {
+    if (version <= 0) return (Map.empty, 0L)
+    val p = ridPath(table, version)
+    if (java.nio.file.Files.exists(p)) return parseRid(p)
+    val (prevMap, prevNext) = ridOf(table, version - 1)
+    val files = Sources.filesOf(table, version)
+    val carried = prevMap.filter { case (f, _) => files.contains(f) }
+    val incoming = files.filterNot(prevMap.contains).sorted
+    val reuse =
+      if (incoming.isEmpty) Map.empty[String, Long]
+      else everAssigned(table)
+    var next = prevNext
+    val assigned = incoming.map { f =>
+      reuse.get(f) match {
+        case Some(first) => f -> first // re-entering file (rollback)
+        case None =>
+          val first = next
+          next += footerRowCount(f)
+          f -> first
+      }
+    }
+    val rid = carried ++ assigned
+    writeRid(table, version, rid, next)
+    (rid, next)
+  }
+
+  /** Derive + persist through `version`; failures are swallowed (the
+    * sidecar is a deterministic cache — the next reader repairs). */
+  def ensure(table: String, version: Int): Unit =
+    try { ridOf(table, version); () } catch { case _: Exception => () }
+
+  // ---- read-side attachment ------------------------------------------
+
+  /** The declared/inferred read schema widened with a nullable
+    * `_row_id` (files that never materialized it read as NULLs —
+    * parquet's missing-column contract — which the coalesce rule then
+    * fills from the file range). */
+  private[sources] def schemaWithRowId(base: StructType): StructType =
+    StructType(base.fields.filterNot(_.name == COL) :+
+      StructField(COL, LongType, nullable = true))
+
+  /** `coalesce(materialized, first_row_id(file) + row position)` —
+    * the one rule that serves clean, mixed, and fully-materialized
+    * files alike. Call on a scan whose schema included [[COL]]. */
+  private[sources] def fill(df: DataFrame,
+      rid: Map[String, Long]): DataFrame = {
+    val holder = new RidHolder(rid)
+    val firstOf = udf((p: String) => holder.first(p))
+    df.withColumn(COL, coalesce(col(COL),
+      firstOf(col("_metadata.file_path")) + col("_metadata.row_index")))
+  }
+
+  /** Read a version WITH its `_row_id` column — [[Sources.readVersion]]
+    * semantics (declared schema, DV filter, pending eq filter) plus
+    * lineage. */
+  def readVersionWithRowIds(spark: SparkSession, table: String,
+      version: Int = -1): DataFrame = {
+    require(enabled(table), s"$table does not declare rowids.enabled")
+    val v = if (version < 0) Sources.latestVersion(table) else version
+    require(v > 0, s"$table has no committed versions")
+    val files = Sources.filesOf(table, v)
+    val base = Sources.declaredSchema(table, v)
+      .getOrElse(Sources.schemaOf(spark, table, v))
+    val schema = schemaWithRowId(base)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val (rid, _) = ridOf(table, v)
+    val filled = fill(spark.read.schema(schema).parquet(files: _*), rid)
+    Sources.applyEq(spark,
+      Sources.applyDv(filled, Sources.dvOf(table, v)), table, v)
+  }
+
+  /** Rewrite-path survivor read: the file subset under the declared
+    * schema PLUS each row's id (materialized column or file range) —
+    * what every copy-on-write rewrite of a lineage table must feed its
+    * writer so survivors keep their identity. Flat tables only (the
+    * [[enableRowIds]] envelope). */
+  private[sources] def readFileSubsetWithRowIds(spark: SparkSession,
+      table: String, version: Int, files: Seq[String]): DataFrame = {
+    val base = Sources.declaredSchema(table, version)
+      .getOrElse(Sources.schemaOf(spark, table, version))
+    val (rid, _) = ridOf(table, version)
+    fill(spark.read.schema(schemaWithRowId(base)).parquet(files: _*), rid)
+  }
+}
+
+/** Broadcast-friendly (file -> first_row_id) probe, the
+  * [[DvHolder]] shape: normalized-path lookup, null on unknown files
+  * (their rows keep a NULL id rather than inventing one). */
+private[graft] final class RidHolder(m: Map[String, Long])
+  extends Serializable {
+  def first(path: String): java.lang.Long =
+    m.get(Sources.normalizePath(path)).map(java.lang.Long.valueOf).orNull
+}

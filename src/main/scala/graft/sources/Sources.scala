@@ -509,6 +509,11 @@ object Sources {
       lines.mkString("\n").getBytes("UTF-8"))
     try java.nio.file.Files.createLink(dir.resolve(s"v$version.manifest"), tmp)
     finally java.nio.file.Files.deleteIfExists(tmp)
+    // row-lineage tables persist the version's id assignment eagerly
+    // (deterministic derivation makes this a best-effort cache write —
+    // a crash here self-heals on the next read); disabled tables pay
+    // one properties-file probe
+    if (RowIds.enabled(table)) RowIds.ensure(table, version)
   }
 
   // ---- staged sidecars: closing the claim→sidecar publish window -----
@@ -970,7 +975,8 @@ object Sources {
     // files fall outside every entry's scope) — apply pending eq sets
     // here; carried files keep their entries (staged with the claim)
     val survivors = applyEq(spark,
-      applyDv(readFileSubset(spark, table, v, affected), dv), table, v)
+      applyDv(readFileSubsetForRewrite(spark, table, v, affected), dv),
+      table, v)
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-purge-${java.util.UUID.randomUUID().toString.take(8)}")
     writePartitionedBatch(survivors, table, batch.toString)
@@ -983,7 +989,7 @@ object Sources {
         case e: java.util.ConcurrentModificationException =>
           deleteBatchDir(batch); throw e
       }
-    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    rewriteSchemaCarry(spark, table, v, next)
     val stattedCols = statsOf(table, v).keys.map(_._2).toSeq.distinct ++
       statsOfString(table, v).keys.map(_._2).toSeq.distinct
     if (stattedCols.nonEmpty && (carried ++ newFiles).nonEmpty)
@@ -1338,7 +1344,7 @@ object Sources {
     }
     val dv = dvOf(table, v)
     val survivors = applyEq(spark,
-      applyDv(readFileSubset(spark, table, v, affected), dv),
+      applyDv(readFileSubsetForRewrite(spark, table, v, affected), dv),
       table, v)
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-eqpurge-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1354,7 +1360,7 @@ object Sources {
         case e: java.util.ConcurrentModificationException =>
           deleteBatchDir(batch); throw e
       }
-    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    rewriteSchemaCarry(spark, table, v, next)
     val stattedCols = statsOf(table, v).keys.map(_._2).toSeq.distinct ++
       statsOfString(table, v).keys.map(_._2).toSeq.distinct
     if (stattedCols.nonEmpty && (carried ++ newFiles).nonEmpty)
@@ -1996,7 +2002,8 @@ object Sources {
         // them for good (untouched files keep their entries via
         // carryDv/carryEq)
         applyEq(spark,
-          applyDv(readFileSubset(spark, table, v, affected), dvOf(table, v)),
+          applyDv(readFileSubsetForRewrite(spark, table, v, affected),
+            dvOf(table, v)),
           table, v)
       else if (files.nonEmpty)
         readFileSubset(spark, table, v, Seq(files.head))
@@ -2007,9 +2014,17 @@ object Sources {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schemaOf(spark, table, v))
-    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+    val upserts0 = changes.filter(col(opCol) === "upsert").drop(opCol)
     val survivors = base.join(
       changes.select(col(key)).distinct(), Seq(key), "left_anti")
+    // lineage: survivors carry their materialized ids; brand-new upsert
+    // rows carry NULL and draw from the new file's range at read time
+    val upserts =
+      if (survivors.columns.contains(RowIds.COL) &&
+          !upserts0.columns.contains(RowIds.COL))
+        upserts0.withColumn(RowIds.COL,
+          lit(null).cast(org.apache.spark.sql.types.LongType))
+      else upserts0
     val rewritten = survivors.unionByName(upserts)
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-merge-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -2043,7 +2058,7 @@ object Sources {
     val bloomCols = bloomColumnsOf(table).filter(schemaCols.contains)
     if (bloomCols.nonEmpty)
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
-    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    rewriteSchemaCarry(spark, table, v, next)
     (next, affected.length, untouched.length)
   }
 
@@ -2618,6 +2633,31 @@ object Sources {
       ManifestFileIndex.frameForFiles(spark, table, version,
         Some(files.toSet))
 
+  /** The subset read every copy-on-write REWRITE must use: lineage
+    * tables ([[RowIds.enabled]]) read survivors WITH their row ids so
+    * the rewrite materializes them into the new files; everything
+    * else takes the plain declared-schema subset read. */
+  private[sources] def readFileSubsetForRewrite(spark: SparkSession,
+      table: String, version: Int, files: Seq[String]): DataFrame =
+    if (RowIds.enabled(table))
+      RowIds.readFileSubsetWithRowIds(spark, table, version, files)
+    else readFileSubset(spark, table, version, files)
+
+  /** Schema carry for a rewrite commit: the declared schema where one
+    * exists; on a lineage table WITHOUT one, pin the pre-rewrite
+    * effective schema (minus the internal `_row_id` column) — the
+    * materialized column must never leak into footer-inferred reads. */
+  private def rewriteSchemaCarry(spark: SparkSession, table: String,
+      v: Int, next: Int): Unit =
+    declaredSchema(table, v) match {
+      case Some(s) => publishSchema(table, next, s)
+      case None if RowIds.enabled(table) =>
+        publishSchema(table, next, StructType(
+          schemaOf(spark, table, v).fields
+            .filterNot(_.name == RowIds.COL)))
+      case None => ()
+    }
+
   /** Create an empty table: version 1 is an empty file set whose
     * declared schema is the DDL schema — what `CREATE TABLE g.t (...)`
     * through [[GraftCatalog]] publishes. Readers of v1 see an empty
@@ -2659,7 +2699,8 @@ object Sources {
     // their DV/eq entries); partition-aware subset read, or a
     // partitioned rewrite would persist NULL partition columns
     val survivors = applyEq(spark,
-        applyDv(readFileSubset(spark, table, v, affected), dvOf(table, v)),
+        applyDv(readFileSubsetForRewrite(spark, table, v, affected),
+          dvOf(table, v)),
         table, v)
       .filter(!coalesce(cond, lit(false)))
     val batch = java.nio.file.Paths.get(table, "data",
@@ -2679,9 +2720,11 @@ object Sources {
       // delete-all on a sidecar-less version: pin the pre-delete
       // effective schema or the empty version has NO schema source at
       // all and every later read/insert dies resolving it
-      publishSchema(table, next, schemaOf(spark, table, v))
+      publishSchema(table, next, StructType(
+        schemaOf(spark, table, v).fields
+          .filterNot(_.name == RowIds.COL)))
     else
-      declaredSchema(table, v).foreach(publishSchema(table, next, _))
+      rewriteSchemaCarry(spark, table, v, next)
     val stattedCols = statsOf(table, v).keys.map(_._2).toSeq.distinct ++
       statsOfString(table, v).keys.map(_._2).toSeq.distinct
     if (stattedCols.nonEmpty)
@@ -2903,7 +2946,9 @@ object Sources {
       targetRecordsPerFile: Long): (Int, Int, Int) = {
     val v = latestVersion(table)
     val before = filesOf(table, v).length
-    val df = readVersion(spark, table, v)
+    val df =
+      if (RowIds.enabled(table)) RowIds.readVersionWithRowIds(spark, table, v)
+      else readVersion(spark, table, v)
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRecordsPerFile).toInt)
     // conflict-DETECTING publish: the compacted content was read at v —
@@ -2941,7 +2986,7 @@ object Sources {
             java.nio.file.Paths.get(f).getParent))
           throw e
       }
-    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    rewriteSchemaCarry(spark, table, v, next)
     // no DV carry: compaction reads through readVersion (DVs applied)
     // and rewrites every file — the new version is clean by definition
     (next, before, filesOf(table, next).length)
@@ -2968,7 +3013,8 @@ object Sources {
     if (affected.isEmpty) return (v, 0, 0)
     val dv = dvOf(table, v)
     val scoped = applyEq(spark,
-      applyDv(readFileSubset(spark, table, v, affected), dv), table, v)
+      applyDv(readFileSubsetForRewrite(spark, table, v, affected), dv),
+      table, v)
     val rows = scoped.count()
     val nFiles = math.max(1,
       math.ceil(rows.toDouble / targetRecordsPerFile).toInt)
@@ -3012,7 +3058,7 @@ object Sources {
         case e: java.util.ConcurrentModificationException =>
           deleteBatchDir(batch); throw e
       }
-    declaredSchema(table, v).foreach(publishSchema(table, next, _))
+    rewriteSchemaCarry(spark, table, v, next)
     val stattedCols = statsOf(table, v).keys.map(_._2).toSeq.distinct ++
       statsOfString(table, v).keys.map(_._2).toSeq.distinct
     if (stattedCols.nonEmpty && (carried ++ newFiles).nonEmpty)
