@@ -1890,7 +1890,83 @@ object LakeOps {
            |ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** Q237 — the NET CHANGE FEED with update pre/post-images
+    * ([[graft.sources.RowIds.readChangesLineage]]), gated relationally:
+    * from a two-slice baseline the table goes through a compaction
+    * (pure noise the lineage join must CANCEL), an append, an
+    * id-preserving [[Sources.updateWhere]], a merge-on-read delete +
+    * its purge, and a copy-on-write delete — and the feed between the
+    * baseline and the head must emit EXACTLY the relational endpoint
+    * diff: `delete`s carrying from-version images, paired
+    * `update_preimage`/`update_postimage` rows for the in-place
+    * update, `insert`s for the surviving appends, and NOTHING for the
+    * compaction's rewritten bytes (Delta CDF's update contract +
+    * Iceberg's net-changes changelog, derived from row lineage). */
+  val q237 = Query(
+    "q237_cdc_lineage",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-cdcl-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val table = root.resolve("orders_cdcl").toString
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(table))
+      graft.sources.RowIds.enableRowIds(table)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      Sources.commitVersion(
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 0), table)
+      Sources.commitVersion(
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 1), table)
+      val from = Sources.latestVersion(table)
+      Sources.compactVersion(s, table, 4096L) // must net to nothing
+      Sources.commitVersion(
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 2), table)
+      Sources.updateWhere(s, table,
+        pmod(col("o_orderkey"), lit(5)) === 0,
+        Map("o_totalprice" -> (col("o_totalprice") + lit(10.0d))))
+      Sources.deleteWhereDv(s, table,
+        pmod(col("o_orderkey"), lit(11)) === 0)
+      Sources.purgeDv(s, table)
+      Sources.deleteWhere(s, table,
+        pmod(col("o_orderkey"), lit(17)) === 0)
+      graft.sources.RowIds
+        .readChangesLineage(s, table, from, Sources.latestVersion(table))
+        .orderBy("o_orderkey", "_change_type")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p
+           |  FROM orders),
+           |old AS (SELECT * FROM base WHERE k % 3 < 2),
+           |del AS (
+           |  SELECT 'delete' AS ct, k, c, p FROM old
+           |  WHERE k % 11 = 0 OR k % 17 = 0),
+           |upd AS (
+           |  SELECT * FROM old
+           |  WHERE k % 11 <> 0 AND k % 17 <> 0 AND k % 5 = 0),
+           |ev AS (
+           |  SELECT * FROM del
+           |  UNION ALL SELECT 'update_preimage', k, c, p FROM upd
+           |  UNION ALL SELECT 'update_postimage', k, c, p + 10.0 FROM upd
+           |  UNION ALL SELECT 'insert', k, c,
+           |                   CASE WHEN k % 5 = 0 THEN p + 10.0 ELSE p END
+           |            FROM base
+           |            WHERE k % 3 = 2 AND k % 11 <> 0 AND k % 17 <> 0)
+           |SELECT k AS o_orderkey, c AS o_custkey, p AS o_totalprice,
+           |       ct AS _change_type
+           |FROM ev ORDER BY o_orderkey, _change_type""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218,
-      q219, q220, q221, q226, q228, q229, q232, q233, q236)
+      q219, q220, q221, q226, q228, q229, q232, q233, q236, q237)
 }

@@ -214,6 +214,132 @@ object RowIds {
     val (rid, _) = ridOf(table, version)
     fill(spark.read.schema(schemaWithRowId(base)).parquet(files: _*), rid)
   }
+
+  /** The NET change feed between two versions of a lineage table —
+    * what [[Sources.readChanges]]'s file-granular contract cannot say:
+    * candidate departing rows (gone files, grown DVs, new eq entries)
+    * and candidate arriving rows (added files) are each tagged with
+    * their `_row_id` and FULL-OUTER-JOINED on it, so
+    *
+    *  - a row a rewrite merely MOVED (compaction, purge, another row's
+    *    CoW delete/update/merge) matches itself with identical content
+    *    and DROPS OUT — layout changes produce an EMPTY feed instead
+    *    of delete+insert noise the size of the rewritten bytes;
+    *  - a row [[Sources.updateWhere]] changed IN PLACE matches itself
+    *    with different content and emits a paired
+    *    `update_preimage`/`update_postimage` (Delta CDF's update
+    *    contract) carrying the from-/to-version images;
+    *  - unmatched departures are `delete`s, unmatched arrivals are
+    *    `insert`s — exactly the file-granular feed's semantics for
+    *    genuinely new/gone rows.
+    *
+    * Cost is O(changed files between the versions) + one equi-join on
+    * the id — never O(table) beyond what the rewrites themselves
+    * touched. Departing content reads at `fromVersion`'s delete state,
+    * arriving at `toVersion`'s, both aligned to the `toVersion` schema
+    * (evolution-safe). */
+  def readChangesLineage(spark: SparkSession, table: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(enabled(table), s"$table does not declare rowids.enabled")
+    val before = Sources.filesOf(table, fromVersion).toSet
+    val after = Sources.filesOf(table, toVersion).toSet
+    val gone = (before -- after).toSeq.sorted
+    val added = (after -- before).toSeq.sorted
+    val dvFrom = Sources.dvOf(table, fromVersion)
+    val dvTo = Sources.dvOf(table, toVersion)
+    val ridFrom = ridOf(table, fromVersion)._1
+    val ridTo = ridOf(table, toVersion)._1
+    val baseTo = Sources.declaredSchema(table, toVersion)
+      .getOrElse(Sources.schemaOf(spark, table, toVersion))
+    def baseAt(v: Int) = Sources.declaredSchema(table, v)
+      .getOrElse(Sources.schemaOf(spark, table, v))
+    def readIds(fs: Seq[String], rid: Map[String, Long], v: Int) =
+      fill(spark.read.schema(schemaWithRowId(baseAt(v)))
+        .parquet(fs: _*), rid)
+    // departures: rows of gone files live at `from` …
+    val depGone =
+      if (gone.isEmpty) None
+      else Some(Sources.eqFilterEntries(spark,
+        Sources.applyDv(readIds(gone, ridFrom, fromVersion), dvFrom),
+        table, fromVersion, Sources.eqOf(table, fromVersion)))
+    // … plus carried files' newly-marked DV positions …
+    val dvDelta: Map[String, java.util.BitSet] =
+      (before & after).toSeq.flatMap { f =>
+        val grown = dvTo.getOrElse(f, new java.util.BitSet())
+          .clone().asInstanceOf[java.util.BitSet]
+        dvFrom.get(f).foreach(grown.andNot)
+        if (grown.isEmpty) None else Some(f -> grown)
+      }.toMap
+    val depDv =
+      if (dvDelta.isEmpty) None
+      else Some(Sources.dvFilter(
+        readIds(dvDelta.keys.toSeq.sorted, ridTo, toVersion),
+        dvDelta, keepDeleted = true))
+    // … plus rows new eq entries retired from carried in-scope files
+    val eqFromPaths = Sources.eqOf(table, fromVersion).map(_.dataPath).toSet
+    val (eqOld, eqNew) = Sources.eqOf(table, toVersion)
+      .partition(e => eqFromPaths.contains(e.dataPath))
+    val depEq =
+      if (eqNew.isEmpty) None
+      else {
+        val afterNorm = after.map(Sources.normalizePath)
+        val scoped = eqNew.map(e => Sources.eqScope(table, e))
+          .reduce(_ | _) & afterNorm & before.map(Sources.normalizePath)
+        if (scoped.isEmpty) None
+        else {
+          val scopedFiles = after.toSeq.filter(f =>
+            scoped.contains(Sources.normalizePath(f))).sorted
+          val live = Sources.eqFilterEntries(spark,
+            Sources.applyDv(readIds(scopedFiles, ridTo, toVersion), dvTo),
+            table, toVersion, eqOld)
+          Some(Sources.eqRetired(spark, live, table, afterNorm, eqNew))
+        }
+      }
+    val arr =
+      if (added.isEmpty) None
+      else Some(Sources.eqFilterEntries(spark,
+        Sources.applyDv(readIds(added, ridTo, toVersion), dvTo),
+        table, toVersion, Sources.eqOf(table, toVersion)))
+    val dataCols = baseTo.fieldNames.filterNot(_ == COL).toSeq
+    def shaped(df: DataFrame, tag: String) =
+      Sources.alignToSchema(df, schemaWithRowId(baseTo), Map.empty)
+        .select(struct(dataCols.map(col): _*).as(tag), col(COL))
+    val depAll = Seq(depGone, depDv, depEq).flatten
+      .map(shaped(_, "pre")).reduceOption(_ unionByName _)
+    val arrAll = arr.map(shaped(_, "post"))
+    val empty = {
+      val fields = org.apache.spark.sql.types.StructType(
+        baseTo.fields.filterNot(_.name == COL) :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fields)
+    }
+    (depAll, arrAll) match {
+      case (None, None) => empty
+      case (dOpt, aOpt) =>
+        val d = dOpt.getOrElse(
+          aOpt.get.select(col("post").as("pre"), col(COL))
+            .filter(lit(false)))
+        val a = aOpt.getOrElse(
+          dOpt.get.select(col("pre").as("post"), col(COL))
+            .filter(lit(false)))
+        val joined = d.join(a.withColumnRenamed(COL, "__rid2"),
+          d(COL) === col("__rid2"), "full_outer")
+        def img(side: String, ct: String) =
+          (dataCols.map(c => col(s"$side.$c").as(c)) :+
+            lit(ct).as("_change_type"))
+        val dels = joined.filter(col("__rid2").isNull)
+          .select(img("pre", "delete"): _*)
+        val ins = joined.filter(col(COL).isNull)
+          .select(img("post", "insert"): _*)
+        val upd = joined.filter(col(COL).isNotNull &&
+          col("__rid2").isNotNull && !(col("pre") <=> col("post")))
+        dels.unionByName(ins)
+          .unionByName(upd.select(img("pre", "update_preimage"): _*))
+          .unionByName(upd.select(img("post", "update_postimage"): _*))
+    }
+  }
 }
 
 /** Broadcast-friendly (file -> first_row_id) probe, the

@@ -756,7 +756,7 @@ object Sources {
   /** The shared DV row filter: `keepDeleted = false` keeps live rows
     * (every read path), `true` keeps exactly the marked rows (the CDF's
     * delete emission for a grown DV). */
-  private def dvFilter(df: DataFrame, dv: Map[String, java.util.BitSet],
+  private[sources] def dvFilter(df: DataFrame, dv: Map[String, java.util.BitSet],
       keepDeleted: Boolean): DataFrame =
     if (dv.isEmpty) df
     else {
@@ -1073,7 +1073,7 @@ object Sources {
     * vacuumed (or otherwise unreadable) scope manifest degrades to the
     * empty scope — [[vacuumVersions]] retains pinned manifests, so
     * this is strictly a belt-and-braces default. */
-  private def eqScope(table: String, e: EqEntry): Set[String] =
+  private[sources] def eqScope(table: String, e: EqEntry): Set[String] =
     scala.util.Try(filesOf(table, e.basedOn)).getOrElse(Nil)
       .map(normalizePath).toSet
 
@@ -1108,7 +1108,7 @@ object Sources {
 
   /** [[applyEq]]'s core over an explicit entry list — [[readChanges]]
     * needs to apply the from-time subset against the to-time frame. */
-  private def eqFilterEntries(spark: SparkSession, df: DataFrame,
+  private[sources] def eqFilterEntries(spark: SparkSession, df: DataFrame,
       table: String, version: Int, entries: Seq[EqEntry]): DataFrame = {
     if (entries.isEmpty) df
     else {
@@ -1137,7 +1137,7 @@ object Sources {
     * CDF's delete-emission helper ([[readChanges]]): marker left-outer
     * joins instead of anti (a row matching several entries must still
     * appear once, with its original multiplicity). */
-  private def eqRetired(spark: SparkSession, df: DataFrame, table: String,
+  private[sources] def eqRetired(spark: SparkSession, df: DataFrame, table: String,
       currentFiles: Set[String], entries: Seq[EqEntry]): DataFrame = {
     val cols = df.columns
     val tagged = df.withColumn("__eq_path", col("_metadata.file_path"))
@@ -2733,6 +2733,72 @@ object Sources {
     if (bloomCols.nonEmpty && (carried ++ newFiles).nonEmpty)
       commitBlooms(spark, table, next, bloomCols, carryFrom = v)
     (next, affected.length, carried.length)
+  }
+
+  /** Copy-on-write UPDATE: rows matching `cond` get each `sets` column
+    * replaced by its expression; everything else — including the
+    * matched rows' OTHER columns and, on a lineage table, every row's
+    * `_row_id` ([[RowIds]]) — carries byte-for-byte. Identity
+    * preservation is the operator's reason to exist next to
+    * delete+reinsert: an id-preserving update is what lets the lineage
+    * change feed ([[RowIds.readChangesLineage]]) pair the row's before
+    * and after images as `update_preimage`/`update_postimage` instead
+    * of an unrelated delete+insert. SQL semantics: NULL-predicate rows
+    * are untouched. `fileMayMatch` prunes the rewrite set exactly as
+    * in [[deleteWhere]] — at 100 TB a keyed update with range/Z-order
+    * clustering rewrites a few files, never the table. Returns
+    * (new version, rows updated, files rewritten, files carried). */
+  def updateWhere(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column, sets: Map[String, Column],
+      fileMayMatch: String => Boolean = _ => true): (Int, Long, Int, Int) = {
+    val v = latestVersion(table)
+    require(v > 0, s"$table has no committed versions")
+    require(sets.nonEmpty, "updateWhere needs at least one assignment")
+    require(!sets.contains(RowIds.COL),
+      s"${RowIds.COL} is the lineage identity — it cannot be assigned")
+    val files = filesOf(table, v)
+    val (affected, carried) = files.partition(fileMayMatch)
+    if (affected.isEmpty) return (v, 0L, 0, carried.length)
+    val base = applyEq(spark,
+      applyDv(readFileSubsetForRewrite(spark, table, v, affected),
+        dvOf(table, v)),
+      table, v)
+    sets.keys.foreach(c => require(base.columns.contains(c),
+      s"updateWhere: $table has no column $c"))
+    val hit = coalesce(cond, lit(false))
+    val obs = new org.apache.spark.sql.Observation()
+    val rewritten0 = base.observe(obs,
+      sum(when(hit, 1L).otherwise(0L)).as("updated"))
+    val rewritten = sets.foldLeft(rewritten0) { case (df, (c, e)) =>
+      df.withColumn(c, when(hit, e.cast(df.schema(c).dataType))
+        .otherwise(col(c)))
+    }
+    val batch = java.nio.file.Paths.get(table, "data",
+      s"batch-update-${java.util.UUID.randomUUID().toString.take(8)}")
+    writePartitionedBatch(rewritten, table, batch.toString)
+    val newFiles = batchParquetFiles(batch)
+    val next =
+      // rewritten files' DVs/eq absorb; carried files' ride the claim
+      try publishIfLatestWith(table, v, carried ++ newFiles, "update",
+        dv = carriedDv(table, v, carried),
+        eq = carriedEq(table, v, carried))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          deleteBatchDir(batch); throw e
+      }
+    rewriteSchemaCarry(spark, table, v, next)
+    val stattedCols = statsOf(table, v).keys.map(_._2).toSeq.distinct ++
+      statsOfString(table, v).keys.map(_._2).toSeq.distinct
+    if (stattedCols.nonEmpty)
+      commitStats(spark, table, next, stattedCols.distinct, carryFrom = v)
+    val bloomCols = bloomsOf(table, v).keys.map(_._2).toSeq.distinct
+    if (bloomCols.nonEmpty && (carried ++ newFiles).nonEmpty)
+      commitBlooms(spark, table, next, bloomCols, carryFrom = v)
+    val updated = Option(obs.get.getOrElse("updated", null)) match {
+      case Some(n: Number) => n.longValue()
+      case _ => 0L
+    }
+    (next, updated, affected.length, carried.length)
   }
 
   /** Change data feed between two versions — what a downstream consumer

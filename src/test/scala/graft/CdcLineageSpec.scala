@@ -1,0 +1,132 @@
+package graft
+
+import graft.sources.{RowIds, Sources}
+import org.apache.spark.sql.functions._
+
+/** [[Sources.updateWhere]] (id-preserving copy-on-write UPDATE) and
+  * [[RowIds.readChangesLineage]] (the net change feed): rewrites net
+  * to an empty feed, in-place updates pair as pre/postimages, and the
+  * feed applied to the from-snapshot reproduces the to-snapshot. */
+class CdcLineageSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  private def freshTable(name: String): String = {
+    val t = tmp(name) + "/t"
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .filter(col("o_orderkey") <= 600)
+    Sources.commitVersion(o.filter(col("o_orderkey") <= 300), t)
+    RowIds.enableRowIds(t)
+    Sources.commitVersion(o.filter(col("o_orderkey") > 300), t)
+    t
+  }
+
+  private def feed(t: String, from: Int, to: Int) =
+    RowIds.readChangesLineage(spark, t, from, to)
+
+  test("updateWhere rewrites exactly the matched rows' set columns, " +
+    "preserves every row id, and works without lineage too") {
+    val t = freshTable("upd")
+    val before = RowIds.readVersionWithRowIds(spark, t)
+      .select("o_orderkey", "o_totalprice", RowIds.COL)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    val (_, n, _, _) = Sources.updateWhere(spark, t,
+      col("o_orderkey") % 10 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + lit(5.0d))))
+    assert(n === before.keys.count(_ % 10 == 0))
+    val after = RowIds.readVersionWithRowIds(spark, t)
+      .select("o_orderkey", "o_totalprice", RowIds.COL)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(after.keys.toSet === before.keys.toSet)
+    before.foreach { case (k, (p, id)) =>
+      assert(after(k)._2 === id, s"key $k must keep its row id")
+      assert(after(k)._1 === (if (k % 10 == 0) p + 5.0d else p)) }
+    // plain (non-lineage) tables take the same operator
+    val t2 = tmp("upd-plain") + "/t"
+    Sources.commitVersion(Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+      .filter(col("o_orderkey") <= 100), t2)
+    val (_, n2, _, _) = Sources.updateWhere(spark, t2,
+      col("o_orderkey") <= 50,
+      Map("o_totalprice" -> lit(1.0d)))
+    assert(n2 === Sources.readVersion(spark, t2)
+      .filter(col("o_totalprice") === 1.0d).count())
+  }
+
+  test("a pure layout rewrite (compaction + purge) nets to an EMPTY " +
+    "feed; an in-place update pairs pre/postimages") {
+    val t = freshTable("net")
+    val v0 = Sources.latestVersion(t)
+    Sources.compactVersion(spark, t, 64L)
+    assert(feed(t, v0, Sources.latestVersion(t)).count() === 0L,
+      "compaction must be invisible to the net feed")
+    val v1 = Sources.latestVersion(t)
+    Sources.updateWhere(spark, t, col("o_orderkey") % 10 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + lit(5.0d))))
+    val f = feed(t, v1, Sources.latestVersion(t))
+      .select("_change_type", "o_orderkey", "o_totalprice").collect()
+    val byType = f.groupBy(_.getString(0))
+    val keys10 = RowIds.readVersionWithRowIds(spark, t)
+      .filter(col("o_orderkey") % 10 === 0).count()
+    assert(byType("update_preimage").length === keys10)
+    assert(byType("update_postimage").length === keys10)
+    assert(!byType.contains("insert") && !byType.contains("delete"))
+    f.filter(_.getString(0) == "update_postimage").foreach { r =>
+      val pre = f.find(x => x.getString(0) == "update_preimage" &&
+        x.getLong(1) == r.getLong(1)).get
+      assert(r.getDouble(2) === pre.getDouble(2) + 5.0d) }
+  }
+
+  test("the net feed applied to the from-snapshot reproduces the " +
+    "to-snapshot across a mixed lifecycle (dv delete + purge + eq " +
+    "merge + update + CoW delete + append)") {
+    val t = freshTable("apply")
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val from = Sources.latestVersion(t)
+    val snapFrom = Sources.readVersion(spark, t).collect().map(_.toSeq)
+    Sources.deleteWhereDv(spark, t, col("o_orderkey") % 7 === 0)
+    Sources.purgeDv(spark, t)
+    Sources.mergeVersionEq(spark, t,
+      o.filter(col("o_orderkey") === 3)
+        .withColumn("o_totalprice", lit(9.0d))
+        .withColumn("op", lit("upsert")), Seq("o_orderkey"))
+    Sources.updateWhere(spark, t, col("o_orderkey") % 10 === 1,
+      Map("o_totalprice" -> (col("o_totalprice") * 2)))
+    Sources.deleteWhere(spark, t, col("o_orderkey") % 13 === 0)
+    Sources.commitVersion(
+      o.filter(col("o_orderkey") > 600 && col("o_orderkey") <= 700), t)
+    val to = Sources.latestVersion(t)
+    val events = feed(t, from, to)
+      .select("_change_type", "o_orderkey", "o_custkey", "o_totalprice")
+      .collect()
+    // apply keyed by (custkey, orderkey, price)-identity: start from
+    // the from-snapshot, remove deletes + preimages, add inserts +
+    // postimages — multiset equality against the to-snapshot
+    def key(s: Seq[Any]) = s.map(String.valueOf(_)).mkString("|")
+    val minus = events.filter(e => e.getString(0) == "delete" ||
+      e.getString(0) == "update_preimage").map(e => key(e.toSeq.tail))
+    val plus = events.filter(e => e.getString(0) == "insert" ||
+      e.getString(0) == "update_postimage").map(e => key(e.toSeq.tail))
+    def count(xs: Seq[String]) = xs.groupBy(identity).map {
+      case (k, v) => k -> v.size }
+    val applied = count(snapFrom.map(key) ++ plus)
+      .map { case (k, n) => k -> (n - count(minus.toSeq).getOrElse(k, 0)) }
+      .filter(_._2 > 0)
+    val snapTo = count(Sources.readVersion(spark, t)
+      .collect().map(r => key(r.toSeq)).toSeq)
+    assert(applied === snapTo,
+      "from-snapshot + net feed must equal the to-snapshot")
+    // and the eq-upserted key surfaced as pre/post or delete+insert
+    // with the right final image
+    assert(events.exists(e => e.getLong(1) === 3L &&
+      (e.getString(0) == "insert" || e.getString(0) == "update_postimage")
+      && e.getDouble(3) === 9.0d))
+  }
+}
