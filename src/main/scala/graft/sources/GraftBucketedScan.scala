@@ -232,40 +232,64 @@ private[sources] object GraftBucketedScan {
     * silently otherwise. DV'd positions drop inline via the indexed
     * reader function (positions exact under row-group pruning). */
   def readerFactory(spark: SparkSession, dataSchema: StructType,
-      required: StructType, filters: Seq[Filter], haveDv: Boolean)
-      : PartitionReaderFactory = {
-    val hasMeta = required.fieldNames.exists(GraftTable.metaColumnNames)
-    val dataFields = required.fields.filterNot(
-      f => GraftTable.metaColumnNames(f.name))
+      required: StructType, filters: Seq[Filter], haveDv: Boolean,
+      rid: Option[Map[String, Long]] = None): PartitionReaderFactory = {
+    // lineage tables additionally synthesize `_row_id`: the physical
+    // column where a rewrite materialized it, the file range otherwise
+    val needRid = rid.isDefined &&
+      required.fieldNames.contains(RowIds.COL)
+    def isMeta(n: String): Boolean =
+      GraftTable.metaColumnNames(n) || (needRid && n == RowIds.COL)
+    val hasMeta = required.fieldNames.exists(isMeta)
+    val dataFields = required.fields.filterNot(f => isMeta(f.name))
     val dataStruct = StructType(dataFields)
+    // never push an id predicate into the parquet reader: files that
+    // predate materialization hold NULLs in the physical column, and a
+    // row-group prune on those would drop rows whose SYNTHESIZED id
+    // matches (Spark re-evaluates all conjuncts above the scan)
+    val safeFilters =
+      if (!needRid) filters
+      else filters.filterNot(_.references.contains(RowIds.COL))
+    val fileSchema =
+      if (!needRid) dataSchema
+      else StructType(dataSchema.fields.filterNot(_.name == RowIds.COL) :+
+        org.apache.spark.sql.types.StructField(RowIds.COL,
+          org.apache.spark.sql.types.LongType, nullable = true))
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, dataSchema, StructType(Nil), dataStruct, filters,
+      spark, fileSchema, StructType(Nil), dataStruct, safeFilters,
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
+    val ridPos = if (needRid) dataFields.length else -1
     val readFuncIdx =
       if (!haveDv && !hasMeta) readFunc
       else new ParquetFileFormat().buildReaderWithPartitionValues(
-        spark, dataSchema, StructType(Nil),
-        StructType(dataFields :+
+        spark, fileSchema, StructType(Nil),
+        StructType(dataFields ++
+          (if (needRid) Seq(org.apache.spark.sql.types.StructField(
+            RowIds.COL, org.apache.spark.sql.types.LongType,
+            nullable = true)) else Nil) :+
           org.apache.spark.sql.types.StructField(
             ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
             org.apache.spark.sql.types.LongType, nullable = true)),
-        filters,
+        safeFilters,
         Map(org.apache.spark.sql.execution.datasources.FileFormat
           .OPTION_RETURNING_BATCH -> "false"),
         spark.sessionState.newHadoopConf())
     // per-output-field extraction plan: data ordinal, or a metadata tag
-    // (-1 = row index, -2 = file path) — the delta scan's shape
+    // (-1 = row index, -2 = file path, -3 = lineage id) — the delta
+    // scan's shape
     val dataIdx = dataFields.map(_.name).zipWithIndex.toMap
     val fields = required.fields.map { f =>
       f.name match {
         case "_gpos" => (-1, f.dataType)
         case "_gfile" => (-2, f.dataType)
+        case n if needRid && n == RowIds.COL => (-3, f.dataType)
         case n => (dataIdx(n), f.dataType)
       }
     }
-    new GraftBucketedReaderFactory(readFunc, readFuncIdx, fields, hasMeta)
+    new GraftBucketedReaderFactory(readFunc, readFuncIdx, fields, hasMeta,
+      ridPos, rid.getOrElse(Map.empty))
   }
 }
 
@@ -372,14 +396,18 @@ private[sources] class GraftDvBatchScan(spark: SparkSession,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftBucketedScan.readerFactory(spark, dataSchema, required, filters,
-      haveDv = dv.nonEmpty)
+      haveDv = dv.nonEmpty,
+      rid = if (RowIds.enabled(table)) Some(RowIds.ridOf(table, version)._1)
+        else None)
 }
 
 private[sources] class GraftBucketedReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     readFuncIdx: PartitionedFile => Iterator[InternalRow],
     fields: Array[(Int, org.apache.spark.sql.types.DataType)],
-    hasMeta: Boolean)
+    hasMeta: Boolean,
+    ridPos: Int = -1,
+    ridMap: Map[String, Long] = Map.empty)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -400,12 +428,14 @@ private[sources] class GraftBucketedReaderFactory(
       }
     else {
       // merge-on-read / metadata path: the indexed function appends the
-      // row-index generator column (riding last, after the data
-      // fields); DV'd positions drop inline, the extraction plan maps
-      // data ordinals through and fills -1/-2 with index/path
+      // row-index generator column (riding last, after the data fields
+      // and the optional physical lineage column); DV'd positions drop
+      // inline, the extraction plan maps data ordinals through and
+      // fills -1/-2/-3 with index/path/lineage id
       val bits = gp.dv.map(java.util.BitSet.valueOf)
       val pathU = UTF8String.fromString(gp.path)
-      val rowIdxPos = fields.count(_._1 >= 0)
+      val ridBase: Option[Long] = ridMap.get(gp.path)
+      val rowIdxPos = fields.count(_._1 >= 0) + (if (ridPos >= 0) 1 else 0)
       new PartitionReader[InternalRow] {
         private val it = readFuncIdx(pf)
         private var cur: InternalRow = _
@@ -431,6 +461,14 @@ private[sources] class GraftBucketedReaderFactory(
             fields(i) match {
               case (-1, _) => out.update(i, cur.getLong(rowIdxPos))
               case (-2, _) => out.update(i, pathU)
+              case (-3, _) => out.update(i,
+                if (ridPos >= 0 && !cur.isNullAt(ridPos))
+                  java.lang.Long.valueOf(cur.getLong(ridPos))
+                else ridBase match {
+                  case Some(b) =>
+                    java.lang.Long.valueOf(b + cur.getLong(rowIdxPos))
+                  case None => null
+                })
               case (j, dt) => out.update(i,
                 if (cur.isNullAt(j)) null else cur.get(j, dt))
             }

@@ -214,6 +214,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               .map { case (n, (base, head)) => ("branch", n, base, head) }
             (tags ++ branches)
               .toDF("kind", "name", "version", "head")
+          case "rid" =>
+            // row-lineage inventory: each file's first_row_id range +
+            // whether a rewrite materialized the ids physically, and
+            // the table's next id (the `#next` counter) on every row
+            val s = spark
+            import s.implicits._
+            require(RowIds.enabled(dir),
+              s"$base does not declare rowids.enabled")
+            val v = Sources.latestVersion(dir)
+            val (rid, next) = RowIds.ridOf(dir, v)
+            val (rowCounts, _) = Sources.ndvOf(dir, v)
+            rid.toSeq.sortBy(_._1).map { case (f, first) =>
+              val materialized = scala.util.Try(
+                s.read.parquet(f).schema.fieldNames
+                  .contains(RowIds.COL)).getOrElse(false)
+              (f, first,
+                rowCounts.get(Sources.normalizePath(f)).getOrElse(-1L),
+                materialized, next)
+            }.toDF("file", "first_row_id", "rows", "materialized",
+              "next_row_id")
           case "eq" =>
             // pending equality-delete entries for the HEAD version: key
             // columns, retired-key count, and scope width — the gauge
@@ -661,7 +681,7 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
         // references _gfile/_gpos — which ParquetScanBuilder would
         // otherwise null-fill silently
         new org.apache.spark.sql.graftbridge.MetaRoutingScanBuilder(
-          plain, GraftTable.metaColumnNames,
+          plain, GraftTable.metaNamesFor(path),
           (req, exprs) => GraftTable.metaColumnScan(spark, path, pinned,
             req, exprs))
     }
@@ -716,7 +736,20 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
           org.apache.spark.sql.types.LongType
         override def isNullable: Boolean = false
         override def comment(): String = "physical row index within the file"
-      })
+      }) ++ (if (!RowIds.enabled(path)) Array.empty[
+        org.apache.spark.sql.connector.catalog.MetadataColumn]
+      else Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
+        // row lineage: the stable id (materialized column or file
+        // range — [[RowIds]]), SQL-visible on every read stack a flat
+        // lineage table can take
+        new org.apache.spark.sql.connector.catalog.MetadataColumn {
+          override def name(): String = RowIds.COL
+          override def dataType(): org.apache.spark.sql.types.DataType =
+            org.apache.spark.sql.types.LongType
+          override def isNullable: Boolean = true
+          override def comment(): String =
+            "stable row id, preserved across rewrites"
+        }))
 
   // ---- DELETE FROM g.t WHERE ... ------------------------------------
 
@@ -753,6 +786,12 @@ object GraftTable {
     * contract restated): every read stack serves them, not only the
     * row-level-operation scan. */
   private[sources] val metaColumnNames: Set[String] = Set("_gfile", "_gpos")
+
+  /** This table's metadata-column names — the static pair plus
+    * `_row_id` on lineage tables. */
+  private[sources] def metaNamesFor(table: String): Set[String] =
+    if (RowIds.enabled(table)) metaColumnNames + RowIds.COL
+    else metaColumnNames
 
   /** The planner-facing statistics every graft scan reports, all from
     * sidecar metadata (never a scan): manifest bytes, exact live row
@@ -836,8 +875,11 @@ object GraftTable {
           override def schema: StructType = required
           override def buildScan()
               : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-            var df = withMetaColumns(
-              ManifestFileIndex.readVersionIndexed(spark, table, version))
+            var df =
+              if (RowIds.enabled(table))
+                RowIds.indexedWithMeta(spark, table, version)
+              else withMetaColumns(
+                ManifestFileIndex.readVersionIndexed(spark, table, version))
             filters.foreach { e =>
               val byName = e.transform {
                 case a: org.apache.spark.sql.catalyst.expressions
@@ -991,13 +1033,20 @@ private[sources] class GraftDvScanBuilder(spark: SparkSession,
             Sources.versionBytes(table, version)
           override def buildScan()
               : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-            var df = ManifestFileIndex.readVersionIndexed(
-              spark, table, version)
+            val needMeta =
+              required.fieldNames.exists(GraftTable.metaNamesFor(table))
+            var df =
+              if (needMeta && RowIds.enabled(table))
+                // lineage: ids must fill from the physical column +
+                // file ranges BEFORE the DV/eq filters run
+                RowIds.indexedWithMeta(spark, table, version)
+              else ManifestFileIndex.readVersionIndexed(
+                spark, table, version)
             // a plain SELECT may request the table's _gfile/_gpos
             // metadata columns: serve them from the scan's own
             // _metadata probe (file_path normalized to the manifest
             // path — the same value the delta scan's rowId carries)
-            if (required.fieldNames.exists(GraftTable.metaColumnNames))
+            if (needMeta && !RowIds.enabled(table))
               df = GraftTable.withMetaColumns(df)
             pushed.flatMap(GraftTable.filterToColumn)
               .foreach(c => df = df.filter(c))

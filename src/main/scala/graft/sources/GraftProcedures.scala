@@ -98,6 +98,23 @@ private[sources] object GraftProcedures {
             val (m, f) = Sources.vacuumVersions(table(in, 0), in.getInt(1))
             Seq(m, f)
           }))
+        case (Seq("system"), "enable_rowids") => Some(new Proc(
+          "enable_rowids",
+          // opt a FLAT table into row lineage: derives + persists the
+          // id assignment for every live version now, then every
+          // commit maintains it ([[graft.sources.RowIds]]); the
+          // `_row_id` metadata column and `` t$rid `` appear
+          Seq(("table", StringType, None)),
+          StructType(Seq(StructField("version", IntegerType),
+            StructField("next_row_id", LongType))),
+          (_, in) => {
+            val t = table(in, 0)
+            RowIds.enableRowIds(t)
+            val v = Sources.latestVersion(t)
+            // Seq[Any]: Seq(Int, Long) would numerically WIDEN the
+            // version to Long and break the IntegerType slot
+            Seq[Any](v, RowIds.ridOf(t, v)._2)
+          }))
         case (Seq("system"), "purge_dv") => Some(new Proc(
           "purge_dv",
           Seq(("table", StringType, None)),

@@ -215,6 +215,34 @@ object RowIds {
     fill(spark.read.schema(schemaWithRowId(base)).parquet(files: _*), rid)
   }
 
+  /** The SQL read stacks' lineage frame: the version's files under the
+    * declared schema + physical `_row_id`, with `_gfile`/`_gpos`
+    * attached and the id filled BEFORE the DV/eq filters run (metadata
+    * columns stop resolving after the eq anti-joins). Flat tables only
+    * (the [[enableRowIds]] envelope), so a plain multi-file read is the
+    * partition-correct read. */
+  private[sources] def indexedWithMeta(spark: SparkSession, table: String,
+      version: Int): DataFrame = {
+    val v = if (version < 0) Sources.latestVersion(table) else version
+    val files = Sources.filesOf(table, v)
+    val base = Sources.declaredSchema(table, v)
+      .getOrElse(Sources.schemaOf(spark, table, v))
+    val full = StructType(schemaWithRowId(base).fields ++ Seq(
+      StructField("_gfile", org.apache.spark.sql.types.StringType),
+      StructField("_gpos", LongType)))
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    val (rid, _) = ridOf(table, v)
+    val norm = udf((p: String) => Sources.normalizePath(p))
+    val tagged = spark.read.schema(schemaWithRowId(base)).parquet(files: _*)
+      .withColumn("_gfile", norm(col("_metadata.file_path")))
+      .withColumn("_gpos", col("_metadata.row_index"))
+    Sources.applyEq(spark,
+      Sources.applyDv(fill(tagged, rid), Sources.dvOf(table, v)),
+      table, v)
+  }
+
   /** The NET change feed between two versions of a lineage table —
     * what [[Sources.readChanges]]'s file-granular contract cannot say:
     * candidate departing rows (gone files, grown DVs, new eq entries)
