@@ -746,7 +746,10 @@ class GraftTable(spark: SparkSession, path: String, version: Int)
           override def name(): String = RowIds.COL
           override def dataType(): org.apache.spark.sql.types.DataType =
             org.apache.spark.sql.types.LongType
-          override def isNullable: Boolean = true
+          // non-nullable: every served row has an id (physical column
+          // or file range), and Spark REFUSES nullable row-id
+          // attributes for delta operations (NULLABLE_ROW_ID_ATTRIBUTES)
+          override def isNullable: Boolean = false
           override def comment(): String =
             "stable row id, preserved across rewrites"
         }))

@@ -52,7 +52,16 @@ private[sources] class GraftDeltaOperation(spark: SparkSession,
   override def command(): RowLevelOperation.Command = cmd
 
   override def rowId(): Array[NamedReference] =
-    Array(Expressions.column("_gfile"), Expressions.column("_gpos"))
+    // lineage tables carry the stable id THROUGH the operation: the
+    // scan serves it per row, the writer materializes it into the
+    // reinserted row — SQL UPDATE/MERGE-matched rows keep their
+    // identity (Iceberg v3's carry-over contract), so the lineage
+    // change feed pairs them as update pre/post images
+    if (RowIds.enabled(table))
+      Array(Expressions.column("_gfile"), Expressions.column("_gpos"),
+        Expressions.column(RowIds.COL))
+    else
+      Array(Expressions.column("_gfile"), Expressions.column("_gpos"))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftDeltaScanBuilder(spark, table, basedOn, graftTable.schema)
@@ -73,7 +82,8 @@ private[sources] class GraftDeltaOperation(spark: SparkSession,
           "(layout-aware keyed merge-on-read) or DELETE + INSERT")
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftDeltaWrite(spark, table, info.schema(), basedOn)
+        new GraftDeltaWrite(spark, table, info.schema(), basedOn,
+          lineage = RowIds.enabled(table))
     }
   }
 
@@ -146,30 +156,46 @@ private[sources] class GraftDeltaScan(spark: SparkSession, table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val meta = Set("_gfile", "_gpos")
+    val needRid = RowIds.enabled(table) &&
+      required.fieldNames.contains(RowIds.COL)
+    val meta = Set("_gfile", "_gpos") ++
+      (if (needRid) Set(RowIds.COL) else Set.empty)
     val dataFields = required.fields.filter(f => !meta.contains(f.name))
-    // the reader's schema: requested data columns + Spark's own
-    // row-index generator column (filled by the parquet reader with the
-    // row's PHYSICAL position — the same value `_metadata.row_index`
-    // serves, i.e. the DV sidecar's position space)
+    // the reader's schema: requested data columns + (on a lineage
+    // table) the physical `_row_id` a rewrite may have materialized +
+    // Spark's own row-index generator column (filled by the parquet
+    // reader with the row's PHYSICAL position — the same value
+    // `_metadata.row_index` serves, i.e. the DV sidecar's position
+    // space)
     // NULLABLE: the reader's missing-column check treats a required
     // absent field as an error before the row-index generator sees it
-    val readerSchema = StructType(dataFields :+ StructField(
+    val readerSchema = StructType(dataFields ++
+      (if (needRid) Seq(StructField(RowIds.COL, LongType,
+        nullable = true)) else Nil) :+ StructField(
       ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType,
       nullable = true))
+    val fileSchema =
+      if (!needRid) tableSchema
+      else StructType(tableSchema.fields
+        .filterNot(_.name == RowIds.COL) :+
+        StructField(RowIds.COL, LongType, nullable = true))
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, tableSchema, StructType(Nil), readerSchema, filters,
+      spark, fileSchema, StructType(Nil), readerSchema, filters,
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
     new GraftDeltaReaderFactory(readFunc, required,
-      dataFields.map(_.name))
+      dataFields.map(_.name),
+      ridPos = if (needRid) dataFields.length else -1,
+      ridMap =
+        if (needRid) RowIds.ridOf(table, version)._1 else Map.empty)
   }
 }
 
 private[sources] class GraftDeltaReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
-    required: StructType, dataNames: Array[String])
+    required: StructType, dataNames: Array[String],
+    ridPos: Int = -1, ridMap: Map[String, Long] = Map.empty)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -181,13 +207,16 @@ private[sources] class GraftDeltaReaderFactory(
       Map.empty[String, Any])
     val bits = gp.dv.map(java.util.BitSet.valueOf)
     val pathU = UTF8String.fromString(gp.path)
-    val rowIdxPos = dataNames.length
+    val ridBase: Option[Long] = ridMap.get(gp.path)
+    val rowIdxPos = dataNames.length + (if (ridPos >= 0) 1 else 0)
     // per-output-field extraction plan: data ordinal, or a metadata tag
+    // (-1 = row index, -2 = file path, -3 = lineage id)
     val dataIdx = dataNames.zipWithIndex.toMap
     val fields = required.fields.map { f =>
       f.name match {
         case "_gpos" => (-1, f.dataType)
         case "_gfile" => (-2, f.dataType)
+        case n if ridPos >= 0 && n == RowIds.COL => (-3, f.dataType)
         case n => (dataIdx(n), f.dataType)
       }
     }
@@ -216,6 +245,14 @@ private[sources] class GraftDeltaReaderFactory(
           fields(i) match {
             case (-1, _) => out.update(i, cur.getLong(rowIdxPos))
             case (-2, _) => out.update(i, pathU)
+            case (-3, _) => out.update(i,
+              if (ridPos >= 0 && !cur.isNullAt(ridPos))
+                java.lang.Long.valueOf(cur.getLong(ridPos))
+              else ridBase match {
+                case Some(b) =>
+                  java.lang.Long.valueOf(b + cur.getLong(rowIdxPos))
+                case None => null
+              })
             case (j, dt) => out.update(i,
               if (cur.isNullAt(j)) null else cur.get(j, dt))
           }
@@ -231,16 +268,18 @@ private[sources] class GraftDeltaReaderFactory(
 // ---- the delta write: DV marks + appended batch, one OCC publish ----
 
 private[sources] class GraftDeltaWrite(spark: SparkSession, table: String,
-    rowSchema: StructType, basedOn: Int) extends DeltaWrite {
+    rowSchema: StructType, basedOn: Int,
+    lineage: Boolean = false) extends DeltaWrite {
   override def toBatch: DeltaBatchWrite =
-    new GraftDeltaBatchWrite(spark, table, rowSchema, basedOn)
+    new GraftDeltaBatchWrite(spark, table, rowSchema, basedOn, lineage)
 }
 
 private[sources] case class GraftDeltaMessage(files: Seq[String],
     dv: Map[String, Array[Byte]]) extends WriterCommitMessage
 
 private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
-    table: String, rowSchema: StructType, basedOn: Int)
+    table: String, rowSchema: StructType, basedOn: Int,
+    lineage: Boolean = false)
   extends DeltaBatchWrite {
 
   private val batchDir = java.nio.file.Paths.get(table, "data",
@@ -252,17 +291,24 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
     // parquet writer machinery is prepared and no batch dir appears
     val inner = if (rowSchema.fields.nonEmpty) {
       java.nio.file.Files.createDirectories(batchDir)
+      // lineage: the written file carries a physical `_row_id` —
+      // UPDATE-reinserted rows keep the id the scan served, brand-new
+      // inserts carry NULL and draw from the file's range at read time
+      val writeSchema =
+        if (!lineage) rowSchema
+        else StructType(rowSchema.fields :+
+          StructField(RowIds.COL, LongType, nullable = true))
       val job = org.apache.hadoop.mapreduce.Job.getInstance(
         spark.sessionState.newHadoopConf())
       job.setOutputKeyClass(classOf[Void])
       job.setOutputValueClass(classOf[InternalRow])
       val owf = new ParquetFileFormat()
-        .prepareWrite(spark, job, Map.empty, rowSchema)
+        .prepareWrite(spark, job, Map.empty, writeSchema)
       Some(new GraftDataWriterFactory(owf,
         new SerializableConf(job.getConfiguration), batchDir.toString,
-        rowSchema))
+        writeSchema))
     } else None
-    new GraftDeltaWriterFactory(inner)
+    new GraftDeltaWriterFactory(inner, lineage)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -307,12 +353,13 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
 }
 
 private[sources] class GraftDeltaWriterFactory(
-    inner: Option[GraftDataWriterFactory]) extends DeltaWriterFactory {
+    inner: Option[GraftDataWriterFactory],
+    lineage: Boolean = false) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriterImpl(
-      inner.map(_.createWriter(partitionId, taskId)))
+      inner.map(_.createWriter(partitionId, taskId)), lineage)
 }
 
 /** Per-task delta writer: DELETEs accumulate (file -> position bitset),
@@ -320,7 +367,8 @@ private[sources] class GraftDeltaWriterFactory(
   * are both. The bitsets ride home in the commit message — positions
   * are metadata-sized (a million marks is ~125 KB), never rows. */
 private[sources] class GraftDeltaWriterImpl(
-    inner: Option[org.apache.spark.sql.connector.write.DataWriter[InternalRow]])
+    inner: Option[org.apache.spark.sql.connector.write.DataWriter[InternalRow]],
+    lineage: Boolean = false)
   extends DeltaWriter[InternalRow] {
 
   private val dv = scala.collection.mutable.Map.empty[String, java.util.BitSet]
@@ -332,15 +380,25 @@ private[sources] class GraftDeltaWriterImpl(
     dv.getOrElseUpdate(f, new java.util.BitSet()).set(pos.toInt)
   }
 
-  override def insert(row: InternalRow): Unit =
-    inner.getOrElse(throw new IllegalStateException(
+  private def writeRow(row: InternalRow, rid: Any): Unit = {
+    val w = inner.getOrElse(throw new IllegalStateException(
       "delta write planned no insert schema but received an insert"))
-      .write(row)
+    if (!lineage) w.write(row)
+    else w.write(new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+      row, new GenericInternalRow(Array[Any](rid))))
+  }
+
+  override def insert(row: InternalRow): Unit = writeRow(row, null)
 
   override def update(meta: InternalRow, id: InternalRow,
       row: InternalRow): Unit = {
     delete(meta, id)
-    insert(row)
+    // the reinserted row KEEPS the scan-served id (rowId col 2) — the
+    // update is identity-preserving on a lineage table
+    writeRow(row,
+      if (lineage && id.numFields > 2 && !id.isNullAt(2))
+        java.lang.Long.valueOf(id.getLong(2))
+      else null)
   }
 
   override def commit(): WriterCommitMessage = {

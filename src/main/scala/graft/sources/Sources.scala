@@ -2926,6 +2926,11 @@ object Sources {
     * Returns (manifests removed, data files deleted). */
   def vacuumVersions(table: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the latest version")
+    // lineage: persist every live version's id assignment BEFORE any
+    // manifest leaves — derivation walks the manifest chain, so a kept
+    // version without its sidecar must never outlive its predecessors
+    if (RowIds.enabled(table))
+      RowIds.ensure(table, latestVersion(table))
     val versions = versionsOf(table)
     // a TAGGED version is pinned: its manifest, sidecars, and files
     // all survive the sweep regardless of age (drop_tag releases it)
@@ -2974,6 +2979,8 @@ object Sources {
         java.nio.file.Paths.get(table, s"v$v.dv"))
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(table, s"v$v.ndv"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(table, s"v$v.rid"))
       // an expired version's eq sidecar goes; its key parquets go too
       // unless a kept version still lists them
       eqOf(table, v).map(e => normalizePath(e.dataPath)).distinct

@@ -122,6 +122,29 @@ class RowLineageSpec extends SparkTestBase {
     assert(idsOf(t) === atV2)
   }
 
+  test("vacuum persists the live chain's sidecars before sweeping " +
+    "expired manifests + their .rid files; ids survive the sweep") {
+    val t = tmp("rowids-vac") + "/t"
+    val o = orders100
+    Sources.commitVersion(o.filter(col("o_orderkey") <= 300), t)
+    RowIds.enableRowIds(t)
+    Sources.commitVersion(o.filter(col("o_orderkey") > 300), t)
+    Sources.deleteWhereDv(spark, t, col("o_orderkey") % 5 === 0)
+    Sources.purgeDv(spark, t)
+    val before = idsOf(t)
+    // strip the persisted sidecars so vacuum's pre-sweep ensure is
+    // what must save the live chain
+    new java.io.File(t).listFiles()
+      .filter(_.getName.matches("v\\d+\\.rid")).foreach(_.delete())
+    Sources.vacuumVersions(t, 1)
+    assert(idsOf(t) === before, "ids must survive history expiry")
+    val rids = new java.io.File(t).listFiles()
+      .filter(_.getName.matches("v\\d+\\.rid")).map(_.getName).toSet
+    val live = Sources.latestVersion(t)
+    assert(rids.contains(s"v$live.rid"))
+    assert(!rids.contains("v1.rid"), "expired sidecars sweep")
+  }
+
   test("the envelope guards: layouts refuse enable, disabled tables " +
     "refuse the lineage read") {
     val t = tmp("rowids-guard") + "/t"

@@ -63,6 +63,44 @@ class SqlLineageSpec extends SparkTestBase {
     assert(hit.map(_.getLong(0)).toSeq === Seq(11L))
   }
 
+  test("SQL UPDATE and MERGE-matched rows keep their row ids (the " +
+    "delta write materializes the scan-served id); inserts draw fresh") {
+    val (cat, wh) = freshCat("sql-rid-dml")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('v', id) " +
+      "FROM range(0, 100)")
+    spark.sql(s"CALL $cat.system.enable_rowids('t')")
+    def ids(): Map[Long, Long] =
+      spark.sql(s"SELECT k, _row_id FROM $cat.t").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m0 = ids()
+    spark.sql(s"UPDATE $cat.t SET v = 'edited' WHERE k % 9 = 0")
+    val m1 = ids()
+    assert(m1 === m0, "an in-place SQL UPDATE must not move ANY id")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t " +
+      "WHERE v = 'edited'").head.getLong(0) === m0.keys.count(_ % 9 == 0))
+    // the lineage feed pairs the SQL update as pre/post images
+    val from = Sources.latestVersion(s"$wh/t") - 1
+    val f = RowIds.readChangesLineage(spark, s"$wh/t",
+      from, from + 1).select("_change_type", "k").collect()
+    assert(f.count(_.getString(0) == "update_postimage") ===
+      m0.keys.count(_ % 9 == 0))
+    assert(!f.exists(r => r.getString(0) == "insert" ||
+      r.getString(0) == "delete"))
+    // MERGE: matched updates keep ids, not-matched inserts draw fresh
+    val s2 = spark
+    import s2.implicits._
+    Seq((5L, "m5"), (500L, "m500")).toDF("k", "v")
+      .createOrReplaceTempView("chg")
+    spark.sql(s"""MERGE INTO $cat.t USING chg ON t.k = chg.k
+      WHEN MATCHED THEN UPDATE SET v = chg.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (chg.k, chg.v)""")
+    val m2 = ids()
+    assert(m2(5L) === m0(5L), "MERGE-matched row must keep its id")
+    assert(m2(500L) > m0.values.max, "MERGE-inserted row draws fresh")
+    m0.foreach { case (k, id) => assert(m2(k) === id) }
+  }
+
   test("t$rid inventories ranges + materialization; layouts refuse") {
     val (cat, wh) = freshCat("sql-rid-meta")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
