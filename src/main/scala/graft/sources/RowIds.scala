@@ -127,32 +127,43 @@ object RowIds {
   /** `(file -> first_row_id, next counter)` for a version, deriving
     * and persisting any missing sidecars from the newest persisted one
     * forward (each step is a manifest diff + footer reads of the new
-    * files). Deterministic: re-derivation after a crashed committer
-    * reproduces the same assignment bit for bit. */
+    * files; the rollback-reuse map loads ONCE for the whole walk, so a
+    * first-enable over a long history is O(versions), not O(versions²)).
+    * Deterministic: re-derivation after a crashed committer reproduces
+    * the same assignment bit for bit. */
   def ridOf(table: String, version: Int): (Map[String, Long], Long) = {
     if (version <= 0) return (Map.empty, 0L)
     val p = ridPath(table, version)
     if (java.nio.file.Files.exists(p)) return parseRid(p)
-    val (prevMap, prevNext) = ridOf(table, version - 1)
-    val files = Sources.filesOf(table, version)
-    val carried = prevMap.filter { case (f, _) => files.contains(f) }
-    val incoming = files.filterNot(prevMap.contains).sorted
-    val reuse =
-      if (incoming.isEmpty) Map.empty[String, Long]
-      else everAssigned(table)
-    var next = prevNext
-    val assigned = incoming.map { f =>
-      reuse.get(f) match {
-        case Some(first) => f -> first // re-entering file (rollback)
-        case None =>
-          val first = next
-          next += footerRowCount(f)
-          f -> first
+    var start = version - 1
+    while (start > 0 &&
+      !java.nio.file.Files.exists(ridPath(table, start))) start -= 1
+    var (cur, next) =
+      if (start == 0) (Map.empty[String, Long], 0L)
+      else parseRid(ridPath(table, start))
+    // union of every assignment ever persisted + this walk's own —
+    // files re-entering a manifest (rollback) reuse their original id
+    var ever: Map[String, Long] = null
+    for (v <- (start + 1) to version) {
+      val files = Sources.filesOf(table, v)
+      val carried = cur.filter { case (f, _) => files.contains(f) }
+      val incoming = files.filterNot(cur.contains).sorted
+      if (incoming.nonEmpty && ever == null)
+        ever = everAssigned(table) ++ cur
+      val assigned = incoming.map { f =>
+        ever.get(f) match {
+          case Some(first) => f -> first // re-entering file (rollback)
+          case None =>
+            val first = next
+            next += footerRowCount(f)
+            f -> first
+        }
       }
+      if (ever != null) ever = ever ++ assigned
+      cur = carried ++ assigned
+      writeRid(table, v, cur, next)
     }
-    val rid = carried ++ assigned
-    writeRid(table, version, rid, next)
-    (rid, next)
+    (cur, next)
   }
 
   /** Derive + persist through `version`; failures are swallowed (the
