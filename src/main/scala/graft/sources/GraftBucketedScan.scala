@@ -397,8 +397,12 @@ private[sources] class GraftDvBatchScan(spark: SparkSession,
   override def createReaderFactory(): PartitionReaderFactory =
     GraftBucketedScan.readerFactory(spark, dataSchema, required, filters,
       haveDv = dv.nonEmpty,
-      rid = if (RowIds.enabled(table)) Some(RowIds.ridOf(table, version)._1)
-        else None)
+      // resolve the rid map ONLY when the query asked for the id — a
+      // plain scan must not pay (or depend on) sidecar derivation
+      rid = if (required.fieldNames.contains(RowIds.COL) &&
+          RowIds.enabled(table))
+        Some(RowIds.ridOf(table, version)._1)
+      else None)
 }
 
 private[sources] class GraftBucketedReaderFactory(

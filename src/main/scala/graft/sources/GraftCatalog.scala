@@ -226,9 +226,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             val (rid, next) = RowIds.ridOf(dir, v)
             val (rowCounts, _) = Sources.ndvOf(dir, v)
             rid.toSeq.sortBy(_._1).map { case (f, first) =>
+              // footer probe, not a DataFrameReader per file
               val materialized = scala.util.Try(
-                s.read.parquet(f).schema.fieldNames
-                  .contains(RowIds.COL)).getOrElse(false)
+                RowIds.footerFields(f).contains(RowIds.COL))
+                .getOrElse(false)
               (f, first,
                 rowCounts.get(Sources.normalizePath(f)).getOrElse(-1L),
                 materialized, next)
@@ -878,8 +879,12 @@ object GraftTable {
           override def schema: StructType = required
           override def buildScan()
               : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            // the lineage frame (rid resolution + per-row fill) only
+            // when the query asked for the id; _gfile/_gpos alone take
+            // the plain probe
             var df =
-              if (RowIds.enabled(table))
+              if (required.fieldNames.contains(RowIds.COL) &&
+                  RowIds.enabled(table))
                 RowIds.indexedWithMeta(spark, table, version)
               else withMetaColumns(
                 ManifestFileIndex.readVersionIndexed(spark, table, version))
@@ -1038,8 +1043,11 @@ private[sources] class GraftDvScanBuilder(spark: SparkSession,
               : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
             val needMeta =
               required.fieldNames.exists(GraftTable.metaNamesFor(table))
+            val needRid =
+              required.fieldNames.contains(RowIds.COL) &&
+                RowIds.enabled(table)
             var df =
-              if (needMeta && RowIds.enabled(table))
+              if (needRid)
                 // lineage: ids must fill from the physical column +
                 // file ranges BEFORE the DV/eq filters run
                 RowIds.indexedWithMeta(spark, table, version)
@@ -1049,7 +1057,7 @@ private[sources] class GraftDvScanBuilder(spark: SparkSession,
             // metadata columns: serve them from the scan's own
             // _metadata probe (file_path normalized to the manifest
             // path — the same value the delta scan's rowId carries)
-            if (needMeta && !RowIds.enabled(table))
+            if (needMeta && !needRid)
               df = GraftTable.withMetaColumns(df)
             pushed.flatMap(GraftTable.filterToColumn)
               .foreach(c => df = df.filter(c))

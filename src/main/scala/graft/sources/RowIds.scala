@@ -62,9 +62,21 @@ object RowIds {
       Sources.partTransformOf(table).isEmpty,
       s"rowids.enabled supports flat tables only; $table declares a " +
         "partition/bucket/transform layout")
+    // a pre-existing DATA column named _row_id would be silently
+    // shadowed (and retyped) by the lineage fill — refuse instead
+    val v0 = Sources.latestVersion(table)
+    if (v0 > 0) {
+      val names = Sources.declaredSchema(table, v0).map(_.fieldNames.toSeq)
+        .orElse(Sources.filesOf(table, v0).headOption.map(footerFields))
+        .getOrElse(Seq.empty)
+      require(!names.contains(COL),
+        s"$table already has a data column named $COL — row lineage " +
+          "reserves that name")
+    }
     Sources.writeTableProperties(table,
       Sources.tableProperties(table) + ("rowids.enabled" -> "true"))
-    ensure(table, Sources.latestVersion(table))
+    ridOf(table, Sources.latestVersion(table))
+    ()
   }
 
   // ---- sidecar: `#next\t<counter>` + one `<file>\t<first>` per file --
@@ -110,6 +122,20 @@ object RowIds {
     try r.getRecordCount finally r.close()
   }
 
+  /** Top-level field names from the parquet footer — the cheap schema
+    * probe (no DataFrameReader machinery), for the `t$rid`
+    * materialization flag and the enable-time name guard. */
+  private[sources] def footerFields(file: String): Seq[String] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+    } finally r.close()
+  }
+
   /** Union of every persisted sidecar's entries — the rollback reuse
     * map. Consistent by construction: a file's entry never changes
     * while it lives, so any sidecar that lists it agrees. */
@@ -146,13 +172,20 @@ object RowIds {
     var ever: Map[String, Long] = null
     for (v <- (start + 1) to version) {
       val files = Sources.filesOf(table, v)
-      val carried = cur.filter { case (f, _) => files.contains(f) }
+      val fileSet = files.toSet
+      val carried = cur.filter { case (f, _) => fileSet.contains(f) }
       val incoming = files.filterNot(cur.contains).sorted
       if (incoming.nonEmpty && ever == null)
         ever = everAssigned(table) ++ cur
       val assigned = incoming.map { f =>
         ever.get(f) match {
-          case Some(first) => f -> first // re-entering file (rollback)
+          case Some(first) =>
+            // re-entering file (rollback): reuse its recorded range —
+            // and keep the counter PAST it, or a walk whose
+            // intermediate sidecars were lost could hand a later file
+            // the same range (duplicate ids)
+            next = math.max(next, first + footerRowCount(f))
+            f -> first
           case None =>
             val first = next
             next += footerRowCount(f)

@@ -2926,12 +2926,18 @@ object Sources {
     * Returns (manifests removed, data files deleted). */
   def vacuumVersions(table: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the latest version")
-    // lineage: persist every live version's id assignment BEFORE any
-    // manifest leaves — derivation walks the manifest chain, so a kept
-    // version without its sidecar must never outlive its predecessors
-    if (RowIds.enabled(table))
-      RowIds.ensure(table, latestVersion(table))
     val versions = versionsOf(table)
+    // lineage: persist every KEPT version's id assignment BEFORE any
+    // manifest leaves — derivation walks the manifest chain, so a kept
+    // (or tag-pinned) version without its sidecar must never outlive
+    // its predecessors. A derivation FAILURE aborts the vacuum: a
+    // swallowed error here would let the sweep delete the only
+    // manifests the ids can still be derived from.
+    if (RowIds.enabled(table)) {
+      val pinned = Refs.tagsOf(table).values.toSet
+      (versions.takeRight(keepLast) ++ versions.filter(pinned.contains))
+        .distinct.sorted.foreach(v => RowIds.ridOf(table, v))
+    }
     // a TAGGED version is pinned: its manifest, sidecars, and files
     // all survive the sweep regardless of age (drop_tag releases it)
     val tagged = Refs.tagsOf(table).values.toSet

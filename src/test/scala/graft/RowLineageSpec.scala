@@ -145,6 +145,29 @@ class RowLineageSpec extends SparkTestBase {
     assert(!rids.contains("v1.rid"), "expired sidecars sweep")
   }
 
+  test("re-derivation with partially lost sidecars reuses recorded " +
+    "ranges AND advances the counter past them (no duplicate ids)") {
+    val t = tmp("rowids-lost") + "/t"
+    val o = orders100
+    Sources.commitVersion(o.filter(col("o_orderkey") <= 300)
+      .repartition(1), t)
+    RowIds.enableRowIds(t)
+    Sources.commitVersion(o.filter(col("o_orderkey") > 300)
+      .repartition(1), t, overwrite = true)
+    Sources.rollbackTo(t, 1)
+    val v2Original = RowIds.ridOf(t, 2)
+    // lose v1/v2's sidecars; v3 (the rollback, listing v1's file at
+    // its ORIGINAL range) survives as the only reuse source
+    Seq(1, 2).foreach(v => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t, s"v$v.rid")))
+    assert(RowIds.ridOf(t, 2) === v2Original,
+      "the re-derived v2 assignment must reuse v1's recorded range " +
+        "and keep v2's file past it")
+    val all = RowIds.ridOf(t, 2)._1.values.toSeq ++
+      RowIds.ridOf(t, 1)._1.values.toSeq
+    assert(all.distinct.size === all.size, "ranges must never collide")
+  }
+
   test("the envelope guards: layouts refuse enable, disabled tables " +
     "refuse the lineage read") {
     val t = tmp("rowids-guard") + "/t"
@@ -156,5 +179,14 @@ class RowLineageSpec extends SparkTestBase {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tp))
     Sources.writeTableProperties(tp, Map("partition.columns" -> "o_custkey"))
     intercept[IllegalArgumentException] { RowIds.enableRowIds(tp) }
+    // a pre-existing DATA column named _row_id refuses too (the fill
+    // would silently shadow and retype it)
+    val tc = tmp("rowids-guard-c") + "/tc"
+    Sources.commitVersion(orders100
+      .withColumn(RowIds.COL, lit("user-data")), tc)
+    val e = intercept[IllegalArgumentException] {
+      RowIds.enableRowIds(tc)
+    }
+    assert(e.getMessage.contains("reserves that name"))
   }
 }
