@@ -313,11 +313,17 @@ object RowIds {
   def readChangesLineage(spark: SparkSession, table: String,
       fromVersion: Int, toVersion: Int): DataFrame = {
     require(enabled(table), s"$table does not declare rowids.enabled")
-    val before = Sources.filesOf(table, fromVersion).toSet
+    // fromVersion 0 = "since before the table existed": everything at
+    // `toVersion` is an insert (the stream-bootstrap shape)
+    val before =
+      if (fromVersion <= 0) Set.empty[String]
+      else Sources.filesOf(table, fromVersion).toSet
     val after = Sources.filesOf(table, toVersion).toSet
     val gone = (before -- after).toSeq.sorted
     val added = (after -- before).toSeq.sorted
-    val dvFrom = Sources.dvOf(table, fromVersion)
+    val dvFrom =
+      if (fromVersion <= 0) Map.empty[String, java.util.BitSet]
+      else Sources.dvOf(table, fromVersion)
     val dvTo = Sources.dvOf(table, toVersion)
     val ridFrom = ridOf(table, fromVersion)._1
     val ridTo = ridOf(table, toVersion)._1
@@ -348,7 +354,9 @@ object RowIds {
         readIds(dvDelta.keys.toSeq.sorted, ridTo, toVersion),
         dvDelta, keepDeleted = true))
     // … plus rows new eq entries retired from carried in-scope files
-    val eqFromPaths = Sources.eqOf(table, fromVersion).map(_.dataPath).toSet
+    val eqFromPaths =
+      (if (fromVersion <= 0) Seq.empty
+       else Sources.eqOf(table, fromVersion)).map(_.dataPath).toSet
     val (eqOld, eqNew) = Sources.eqOf(table, toVersion)
       .partition(e => eqFromPaths.contains(e.dataPath))
     val depEq =

@@ -552,6 +552,63 @@ object StreamingPipeline {
         ()
       })
 
+  /** NET replication off a LINEAGE source
+    * ([[graft.sources.RowIds.readChangesLineage]]): the stream is used
+    * for version-range offsets only; each micro-batch applies the NET
+    * endpoint diff of its range as one O(keys) equality-delete merge.
+    * The payoff over [[replicateTableEq]] is rewrite transparency — a
+    * source compaction/purge batch nets to ZERO changes and commits
+    * NOTHING on the replica (spec-witnessed: the replica version does
+    * not advance), where the file-granular feed would push the whole
+    * rewritten byte volume through the merge. At 100 TB that is the
+    * difference between nightly OPTIMIZE being free for downstream
+    * replicas and costing every replica a full re-merge. In-place
+    * updates apply as their postimage (the upsert retires the key);
+    * replay is safe (marker + idempotent eq merge). */
+  def replicateTableNet(spark: SparkSession, srcTable: String,
+      dstTable: String, key: String, checkpoint: String): StreamingQuery =
+    spark.readStream.format("graft-cdf").option("path", srcTable).load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = java.nio.file.Paths.get(dstTable, "_replication",
+          checkpointQueryId(checkpoint), s"net-batch-$batchId.done")
+        if (!java.nio.file.Files.exists(marker) && !batch.isEmpty) {
+          val vs = batch.agg(
+            min(col("_commit_version").cast("long")),
+            max(col("_commit_version").cast("long"))).head
+          val net = graft.sources.RowIds.readChangesLineage(spark,
+              srcTable, (vs.getLong(0) - 1L).toInt, vs.getLong(1).toInt)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            require(net.filter(col(key).isNull).isEmpty,
+              s"replicateTableNet: null $key in the net feed — a keyed " +
+                "replica of null-keyed rows is not well-defined")
+            val ups = net.filter(col("_change_type")
+                .isin("insert", "update_postimage"))
+              .drop("_change_type").withColumn("op", lit("upsert"))
+            val dels = net.filter(col("_change_type") === "delete")
+              .drop("_change_type").withColumn("op", lit("delete"))
+            val changes = ups.unionByName(dels)
+            // a pure-rewrite range nets to nothing: NO replica commit
+            if (!changes.isEmpty) {
+              if (graft.sources.Sources.latestVersion(dstTable) == 0)
+                graft.sources.Sources.createEmptyTable(dstTable,
+                  changes.drop("op").schema)
+              graft.sources.Sources.mergeVersionEq(spark, dstTable,
+                changes, Seq(key))
+              ()
+            }
+          } finally { net.unpersist(); () }
+          java.nio.file.Files.createDirectories(marker.getParent)
+          java.nio.file.Files.write(marker, Array.emptyByteArray)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming-maintained DSIR distribution store: tail a documents
     * table's change feed and keep the hashed-n-gram bucket counts
     * (raw corpus + `lang='en'` target) exactly current in `storeTable`

@@ -83,6 +83,41 @@ class CdcLineageSpec extends SparkTestBase {
       assert(r.getDouble(2) === pre.getDouble(2) + 5.0d) }
   }
 
+  test("net replication: a source compaction/purge drain commits " +
+    "NOTHING on the replica; updates and deletes track exactly") {
+    val root = tmp("net-repl")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    val ckpt = s"$root/ckpt"
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .filter(col("o_orderkey") <= 600)
+    Sources.commitVersion(o.filter(col("o_orderkey") <= 300), src)
+    RowIds.enableRowIds(src)
+    Sources.commitVersion(o.filter(col("o_orderkey") > 300), src)
+    def drain(): Unit = graft.streaming.StreamingPipeline
+      .replicateTableNet(spark, src, dst, "o_orderkey", ckpt)
+      .awaitTermination()
+    def snap(t: String) = Sources.readVersion(spark, t)
+      .collect().map(_.toSeq).toSet
+    drain()
+    assert(snap(dst) === snap(src))
+    // pure layout work: the replica must not even commit
+    Sources.compactVersion(spark, src, 64L)
+    val dstV = Sources.latestVersion(dst)
+    drain()
+    assert(Sources.latestVersion(dst) === dstV,
+      "a compaction drain must be a zero-commit no-op on the replica")
+    assert(snap(dst) === snap(src))
+    // real changes still flow: update + delete + purge in one drain
+    Sources.updateWhere(spark, src, col("o_orderkey") % 10 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + lit(1.0d))))
+    Sources.deleteWhereDv(spark, src, col("o_orderkey") % 13 === 0)
+    Sources.purgeDv(spark, src)
+    drain()
+    assert(snap(dst) === snap(src))
+  }
+
   test("the net feed applied to the from-snapshot reproduces the " +
     "to-snapshot across a mixed lifecycle (dv delete + purge + eq " +
     "merge + update + CoW delete + append)") {
