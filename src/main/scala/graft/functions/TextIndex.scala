@@ -86,7 +86,11 @@ object TextIndex {
       StructField("term", StringType),
       StructField("tf", LongType))))
     Sources.writeTableProperties(postingsT(indexRoot),
-      Map("stats.columns" -> "term,doc_id", "bloom.columns" -> "term"))
+      Map("stats.columns" -> "term,doc_id", "bloom.columns" -> "term",
+        // OPTIMIZE re-clusters the postings globally by term, so each
+        // file holds one tight term run and the stats/bloom sidecars
+        // skip everything a query's terms can't live in
+        "layout.range" -> "term"))
     Sources.createEmptyTable(docstoreT(indexRoot), StructType(Seq(
       StructField("doc_id", LongType),
       StructField("dl", LongType))))
@@ -206,9 +210,22 @@ object TextIndex {
     val qterms = Sources.readVersion(spark, termstatsT(indexRoot))
       .filter(col("term").isNotNull)
       .orderBy(col("cnt").desc, col("term").asc).limit(3)
-      .select("term")
-    val posts = Sources.readVersion(spark, postingsT(indexRoot))
-      .join(broadcast(qterms), "term")
+      .select("term").collect().map(_.getString(0)).toSeq
+    search(spark, indexRoot, qterms, k)
+  }
+
+  /** BM25 top-`k` for EXPLICIT query `terms` — the real search API
+    * (the gate's corpus-derived terms are [[searchFromIndex]]'s
+    * fixture device). The posting fetch goes through
+    * [[Sources.readVersionForKeys]]: files whose term stats/bloom
+    * sidecars cannot hold any query term are never opened, and the
+    * residual IN pushes into the parquet reader for row-group pruning
+    * — at 100 TB a 3-term query opens the 3 posting-list runs, not the
+    * index (TextIndexSpec witnesses the skip). */
+  def search(spark: SparkSession, indexRoot: String,
+      terms: Seq[String], k: Int = 50): DataFrame = {
+    val (posts, _, _) = Sources.readVersionForKeys(spark,
+      postingsT(indexRoot), "term", terms)
     val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = Sources.readVersion(spark, docstoreT(indexRoot))
     val nAvg = dl.agg(count(lit(1)).as("n_docs"),

@@ -2263,6 +2263,33 @@ object Sources {
     }
   }
 
+  /** Point/IN-pruned read: only the files whose stats interval / bloom
+    * sidecar can hold one of `values` for `column` are opened (sidecar
+    * metadata, never a scan), then the residual IN predicate applies —
+    * and pushes into the parquet reader for row-group pruning. The
+    * point-lookup sibling of [[readVersionPruned]]'s range form; the
+    * index-posting-fetch shape. Returns (frame, files read, files in
+    * the version) so callers can witness the skip. */
+  def readVersionForKeys(spark: SparkSession, table: String,
+      column: String, values: Seq[Any],
+      version: Int = -1): (DataFrame, Int, Int) = {
+    val v = if (version < 0) latestVersion(table) else version
+    require(v > 0, s"$table has no committed versions")
+    val files = filesOf(table, v)
+    val keep = filterKeeper(table, v, Seq(
+      org.apache.spark.sql.sources.In(column, values.toArray)))
+    val kept = files.filter(keep)
+    val df =
+      if (kept.isEmpty)
+        readVersion(spark, table, v)
+          .filter(org.apache.spark.sql.functions.lit(false))
+      else applyEq(spark,
+        applyDv(declaredSchema(table, v)
+          .fold(spark.read)(sc => spark.read.schema(sc))
+          .parquet(kept: _*), dvOf(table, v)), table, v)
+    (df.filter(col(column).isin(values: _*)), kept.length, files.length)
+  }
+
   /** Write with an inline data-quality audit, metrics harvested from
     * the WRITE's own scan via the `Observation` API — row count, per-key
     * null count, and an exact decimal sum ride along with the job, so
@@ -3068,6 +3095,20 @@ object Sources {
     rewriteSchemaCarry(spark, table, v, next)
     // no DV carry: compaction reads through readVersion (DVs applied)
     // and rewrites every file — the new version is clean by definition
+    //
+    // RE-HARVEST skipping sidecars: every file is new, so "carry" has
+    // nothing to carry — without this a whole-table OPTIMIZE would
+    // silently drop stats/bloom file skipping until the next ANALYZE
+    // (the scoped form already re-stats; this one must too)
+    val stattedCols = (statsOf(table, v).keys.map(_._2).toSeq ++
+      statsOfString(table, v).keys.map(_._2).toSeq ++
+      statsColumnsOf(table)).distinct
+    if (stattedCols.nonEmpty && newFiles.nonEmpty)
+      commitStats(spark, table, next, stattedCols, carryFrom = v)
+    val bloomCols = (bloomsOf(table, v).keys.map(_._2).toSeq ++
+      bloomColumnsOf(table)).distinct
+    if (bloomCols.nonEmpty && newFiles.nonEmpty)
+      commitBlooms(spark, table, next, bloomCols, carryFrom = v)
     (next, before, filesOf(table, next).length)
   }
 

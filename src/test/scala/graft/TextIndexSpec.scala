@@ -106,6 +106,31 @@ class TextIndexSpec extends SparkTestBase {
     assertIndexEquals(idx, docs.filter(col("doc_id") =!= 7))
   }
 
+  test("a term-keyed posting fetch opens only the files whose term " +
+    "stats can hold it, and returns exactly the unpruned rows") {
+    val root = tmp("text-idx-prune")
+    val src = s"$root/docs"
+    val idx = s"$root/idx"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    Sources.commitVersion(docs, src)
+    TextIndex.init(idx)
+    TextIndex.maintainQuery(spark, src, idx, s"$root/ckpt")
+      .awaitTermination()
+    val postings = s"$idx/postings"
+    // OPTIMIZE re-clusters by term (layout.range): disjoint term runs
+    val rows = Sources.readVersion(spark, postings).count()
+    Sources.compactVersion(spark, postings, math.max(1L, rows / 4))
+    val all = Sources.readVersion(spark, postings)
+    val probe = all.agg(max("term")).head.getString(0)
+    val (pruned, kept, total) = Sources.readVersionForKeys(spark,
+      postings, "term", Seq(probe))
+    assert(total > 1, "the re-clustered index must span >1 file")
+    assert(kept < total,
+      s"a single-term fetch must skip files ($kept of $total read)")
+    assert(pruned.collect().map(_.toSeq).toSet ===
+      all.filter(col("term") === probe).collect().map(_.toSeq).toSet)
+  }
+
   test("index-served BM25 equals the full-scan q125 ranking exactly") {
     val root = tmp("text-idx-bm25")
     val src = s"$root/docs"
