@@ -131,6 +131,49 @@ class TextIndexSpec extends SparkTestBase {
       all.filter(col("term") === probe).collect().map(_.toSeq).toSet)
   }
 
+  test("net maintenance off a lineage source: source OPTIMIZE commits " +
+    "NOTHING on any index table; updates/deletes still track exactly") {
+    val root = tmp("text-idx-net")
+    val src = s"$root/docs"
+    val idx = s"$root/idx"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    Sources.commitVersion(docs.filter(col("doc_id") < 150), src)
+    graft.sources.RowIds.enableRowIds(src)
+    Sources.commitVersion(docs.filter(col("doc_id") >= 150), src)
+    TextIndex.init(idx)
+    def drain(ckpt: String = s"$root/ckpt"): Unit =
+      TextIndex.maintainNetQuery(spark, src, idx, ckpt).awaitTermination()
+    drain()
+    assertIndexEquals(idx, docs)
+    // pure layout work on the source: zero index commits
+    Sources.compactVersion(spark, src, 64L)
+    val vs0 = Seq("postings", "docstore", "termstats")
+      .map(t => Sources.latestVersion(s"$idx/$t"))
+    drain()
+    assert(Seq("postings", "docstore", "termstats")
+      .map(t => Sources.latestVersion(s"$idx/$t")) === vs0,
+      "a source compaction drain must not commit on any index table")
+    assertIndexEquals(idx, docs)
+    // an id-preserving update + a delete still flow (as update pairs)
+    Sources.updateWhere(spark, src, col("doc_id") % 17 === 0,
+      Map("text" -> concat(lit("zz netedit "), col("text"))))
+    Sources.deleteWhereDv(spark, src, col("doc_id") % 41 === 0)
+    drain()
+    val expectedDocs = docs.filter(col("doc_id") % 41 =!= 0)
+      .withColumn("text", when(col("doc_id") % 17 === 0,
+        concat(lit("zz netedit "), col("text"))).otherwise(col("text")))
+    assertIndexEquals(idx, expectedDocs)
+    // fresh-checkpoint full replay: the ledger high-water mark makes
+    // the re-netted range empty — bitwise no-op
+    val before = Seq("postings", "docstore", "termstats")
+      .map(t => Sources.readVersion(spark, s"$idx/$t")
+        .collect().map(_.toSeq).toSet)
+    drain(s"$root/ckpt2")
+    assert(Seq("postings", "docstore", "termstats")
+      .map(t => Sources.readVersion(spark, s"$idx/$t")
+        .collect().map(_.toSeq).toSet) === before)
+  }
+
   test("index-served BM25 equals the full-scan q125 ranking exactly") {
     val root = tmp("text-idx-bm25")
     val src = s"$root/docs"
