@@ -119,8 +119,7 @@ object TextIndex {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val ts = termstatsT(indexRoot)
-          val applied = Sources.readVersion(spark, ts)
+          val applied = Sources.readVersion(spark, termstatsT(indexRoot))
             .filter(col("term").isNull)
             .select(col("cnt")).collect().map(_.getLong(0)).toSet
           val fresh =
@@ -133,7 +132,7 @@ object TextIndex {
             try {
               val newVs = pinned
                 .select(col("_commit_version").cast("long").as("v"))
-                .distinct().collect().map(_.getLong(0))
+                .distinct().collect().map(_.getLong(0)).toSeq
               // last-change-wins per document (the replicateTable rule)
               val w = Window.partitionBy("doc_id")
                 .orderBy(col("_commit_version").desc,
@@ -142,55 +141,13 @@ object TextIndex {
               val last = pinned
                 .withColumn("__rn", row_number().over(w))
                 .filter(col("__rn") === 1)
-              val newPosts = toks(
-                last.filter(col("_change_type") === "insert"))
-                .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-              // every changed doc retires (one eq key); new content
-              // re-appends. Batches land sorted by term so the term
-              // stats/bloom sidecars stay selective.
-              val retire = last.select(col("doc_id"),
-                lit(null).cast("string").as("term"),
-                lit(null).cast("long").as("tf"), lit("delete").as("op"))
-              Sources.mergeVersionEq(spark, postingsT(indexRoot),
-                newPosts.withColumn("op", lit("upsert"))
-                  .repartitionByRange(col("term"))
-                  .sortWithinPartitions("term", "doc_id")
-                  .unionByName(retire), Seq("doc_id"))
-              Sources.mergeVersionEq(spark, docstoreT(indexRoot),
-                newPosts.groupBy("doc_id").agg(sum("tf").as("dl"))
-                  .withColumn("op", lit("upsert"))
-                  .unionByName(retire.drop("term", "tf")
-                    .select(col("doc_id"),
-                      lit(null).cast("long").as("dl"), col("op"))),
-                Seq("doc_id"))
-              // additive term totals: +inserted tokens, -deleted
-              // tokens, over ALL fresh change rows (an update's
-              // delete half carries the old text, so its counts
-              // subtract without reading the index)
-              val delta = toks(pinned.withColumn("__s",
+              applyIndexChanges(spark, indexRoot,
+                newDocs = last.filter(col("_change_type") === "insert"),
+                changedDocIds = last.select("doc_id"),
+                signed = pinned.withColumn("__s",
                   when(col("_change_type") === "insert", lit(1L))
-                    .otherwise(lit(-1L))), carry = Seq("__s"))
-                .groupBy("term").agg(sum(col("__s")).as("dc"))
-                .filter(col("dc") =!= 0L)
-                .withColumn("tk", concat(lit("t:"), col("term")))
-              val cur = Sources.readVersion(spark, ts)
-                .filter(col("term").isNotNull)
-                .select(col("tk"), col("cnt").as("cur"))
-              val merged = delta.join(cur, Seq("tk"), "left")
-                .select(col("tk"), col("term"),
-                  (coalesce(col("cur"), lit(0L)) + col("dc")).as("cnt"))
-                .withColumn("op",
-                  when(col("cnt") > 0L, "upsert").otherwise("delete"))
-              val s2 = spark
-              import s2.implicits._
-              val ledger = newVs.toSeq.map(v => (s"v:$v", v))
-                .toDF("tk", "cnt")
-                .withColumn("term", lit(null).cast("string"))
-                .withColumn("op", lit("upsert"))
-              Sources.mergeVersion(spark, ts,
-                merged.unionByName(ledger.select(
-                  col("tk"), col("term"), col("cnt"), col("op"))), "tk")
-              ()
+                    .otherwise(lit(-1L))),
+                ledgerVs = newVs)
             } finally { pinned.unpersist(); () }
           }
         }
@@ -198,19 +155,82 @@ object TextIndex {
       .start()
   }
 
+  /** The shared merge pass of both maintainers: changed docs retire as
+    * ONE eq key each, their final postings/lengths re-append (batches
+    * land term-sorted so the stats/bloom sidecars stay selective), and
+    * the signed token delta + the range's ledger rows land as ONE
+    * atomic additive commit, LAST — so every crash window replays
+    * either idempotent eq merges or ledger-gated additive work. Runs
+    * the termstats commit even when the data delta is empty: the
+    * ledger row is the range's high-water bookmark. */
+  private def applyIndexChanges(spark: SparkSession, indexRoot: String,
+      newDocs: DataFrame, changedDocIds: DataFrame,
+      signed: DataFrame, ledgerVs: Seq[Long]): Unit = {
+    val ts = termstatsT(indexRoot)
+    val newPosts = toks(newDocs)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val retire = changedDocIds.select(col("doc_id"),
+      lit(null).cast("string").as("term"),
+      lit(null).cast("long").as("tf"), lit("delete").as("op"))
+    Sources.mergeVersionEq(spark, postingsT(indexRoot),
+      newPosts.withColumn("op", lit("upsert"))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .unionByName(retire), Seq("doc_id"))
+    Sources.mergeVersionEq(spark, docstoreT(indexRoot),
+      newPosts.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .withColumn("op", lit("upsert"))
+        .unionByName(retire.drop("term", "tf")
+          .select(col("doc_id"),
+            lit(null).cast("long").as("dl"), col("op"))),
+      Seq("doc_id"))
+    // additive term totals: +new tokens, -old tokens (a change's old
+    // half carries the old text, so counts subtract without reading
+    // the index)
+    val delta = toks(signed, carry = Seq("__s"))
+      .groupBy("term").agg(sum(col("__s")).as("dc"))
+      .filter(col("dc") =!= 0L)
+      .withColumn("tk", concat(lit("t:"), col("term")))
+    val cur = Sources.readVersion(spark, ts)
+      .filter(col("term").isNotNull)
+      .select(col("tk"), col("cnt").as("cur"))
+    val merged = delta.join(cur, Seq("tk"), "left")
+      .select(col("tk"), col("term"),
+        (coalesce(col("cur"), lit(0L)) + col("dc")).as("cnt"))
+      .withColumn("op",
+        when(col("cnt") > 0L, "upsert").otherwise("delete"))
+    val s2 = spark
+    import s2.implicits._
+    val ledger = ledgerVs.map(v => (s"v:$v", v))
+      .toDF("tk", "cnt")
+      .withColumn("term", lit(null).cast("string"))
+      .withColumn("op", lit("upsert"))
+    Sources.mergeVersion(spark, ts,
+      merged.unionByName(ledger.select(
+        col("tk"), col("term"), col("cnt"), col("op"))), "tk")
+    ()
+  }
+
   /** NET maintenance off a LINEAGE source
     * ([[graft.sources.RowIds.readChangesLineage]]): the stream supplies
     * version offsets; each batch applies the net endpoint diff of the
     * not-yet-applied range. The payoff over [[maintainQuery]] is
     * rewrite transparency — a source compaction/purge drain nets to
-    * ZERO changes and commits NOTHING on any index table
-    * (spec-witnessed), where the file-granular feed would re-tokenize
-    * and re-merge the whole rewritten byte volume. At 100 TB: nightly
-    * OPTIMIZE on the corpus is free for the index. Exactly-once for
-    * the additive term totals via the same in-band ledger — the ledger
-    * high-water mark IS the net range's from-version, so replays
-    * (including fresh checkpoints) re-net an already-applied range
-    * into an empty diff. */
+    * ZERO data changes and commits NOTHING on postings/docstore (one
+    * ledger-row bookmark lands on the stats table so the next drain
+    * never re-diffs the rewritten range), where the file-granular feed
+    * would re-tokenize and re-merge the whole rewritten byte volume.
+    * At 100 TB: nightly OPTIMIZE on the corpus is free for the index.
+    *
+    * Crash/replay contract: a net range is PINNED in an intent journal
+    * BEFORE its merges run — a crashed half-applied range replays
+    * verbatim (the net over a fixed range is deterministic, the eq
+    * merges idempotent, the additive commit ledger-gated) instead of
+    * being silently re-netted into a WIDER range whose endpoint diff
+    * could cancel the half-applied changes and strand them. The ledger
+    * high-water mark is the journal's stale test, so fresh-checkpoint
+    * replays are no-ops. Use ONE maintainer per index (this or
+    * [[maintainQuery]]) — they share the ledger keyspace. */
   def maintainNetQuery(spark: SparkSession, srcTable: String,
       indexRoot: String, checkpoint: String): StreamingQuery = {
     spark.readStream.format("graft-cdf").option("path", srcTable).load()
@@ -221,73 +241,60 @@ object TextIndex {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val ts = termstatsT(indexRoot)
-          val applied = Sources.readVersion(spark, ts)
-            .filter(col("term").isNull)
-            .select(col("cnt")).collect().map(_.getLong(0))
-          val from = if (applied.isEmpty) 0L else applied.max
-          val hi = batch.agg(max(col("_commit_version").cast("long")))
-            .head.getLong(0)
-          if (hi > from) {
+          def ledgerMax(): Long = {
+            val vs = Sources.readVersion(spark, ts)
+              .filter(col("term").isNull)
+              .select(col("cnt")).collect().map(_.getLong(0))
+            if (vs.isEmpty) 0L else vs.max
+          }
+          val intentDir = java.nio.file.Paths.get(indexRoot, "_netmaintain")
+          java.nio.file.Files.createDirectories(intentDir)
+          def applyRange(from: Long, hi: Long): Unit = {
+            val intent = intentDir.resolve(s"range-$from-$hi.intent")
+            if (!java.nio.file.Files.exists(intent))
+              java.nio.file.Files.write(intent, Array.emptyByteArray)
             val net = graft.sources.RowIds.readChangesLineage(spark,
                 srcTable, from.toInt, hi.toInt)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
-              if (!net.isEmpty) {
-                val newDocs = net.filter(col("_change_type")
-                  .isin("insert", "update_postimage"))
-                val newPosts = toks(newDocs)
-                  .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-                // every doc the net feed mentions retires once; final
-                // content re-appends (the feed is already per-doc net)
-                val retire = net.select(col("doc_id")).distinct()
-                  .select(col("doc_id"),
-                    lit(null).cast("string").as("term"),
-                    lit(null).cast("long").as("tf"),
-                    lit("delete").as("op"))
-                Sources.mergeVersionEq(spark, postingsT(indexRoot),
-                  newPosts.withColumn("op", lit("upsert"))
-                    .repartitionByRange(col("term"))
-                    .sortWithinPartitions("term", "doc_id")
-                    .unionByName(retire), Seq("doc_id"))
-                Sources.mergeVersionEq(spark, docstoreT(indexRoot),
-                  newPosts.groupBy("doc_id").agg(sum("tf").as("dl"))
-                    .withColumn("op", lit("upsert"))
-                    .unionByName(retire.drop("term", "tf")
-                      .select(col("doc_id"),
-                        lit(null).cast("long").as("dl"), col("op"))),
-                  Seq("doc_id"))
-                val delta = toks(net.withColumn("__s",
-                    when(col("_change_type")
-                      .isin("insert", "update_postimage"), lit(1L))
-                      .otherwise(lit(-1L))), carry = Seq("__s"))
-                  .groupBy("term").agg(sum(col("__s")).as("dc"))
-                  .filter(col("dc") =!= 0L)
-                  .withColumn("tk", concat(lit("t:"), col("term")))
-                val cur = Sources.readVersion(spark, ts)
-                  .filter(col("term").isNotNull)
-                  .select(col("tk"), col("cnt").as("cur"))
-                val merged = delta.join(cur, Seq("tk"), "left")
-                  .select(col("tk"), col("term"),
-                    (coalesce(col("cur"), lit(0L)) + col("dc")).as("cnt"))
-                  .withColumn("op",
-                    when(col("cnt") > 0L, "upsert").otherwise("delete"))
-                val s2 = spark
-                import s2.implicits._
-                // the whole netted range rides the ledger — versions
-                // with zero net contribution are folded by definition
-                val ledger = ((from + 1) to hi).map(v => (s"v:$v", v))
-                  .toDF("tk", "cnt")
-                  .withColumn("term", lit(null).cast("string"))
-                  .withColumn("op", lit("upsert"))
-                Sources.mergeVersion(spark, ts,
-                  merged.unionByName(ledger.select(
-                    col("tk"), col("term"), col("cnt"), col("op"))), "tk")
-                ()
-              }
-              // an EMPTY net (pure rewrites): no commit anywhere — the
-              // next batch simply re-nets from the same high-water mark
+              applyIndexChanges(spark, indexRoot,
+                newDocs = net.filter(col("_change_type")
+                  .isin("insert", "update_postimage")),
+                // the feed is already per-doc net: each mentioned doc
+                // retires once, its final content re-appends
+                changedDocIds = net.select("doc_id").distinct(),
+                signed = net.withColumn("__s",
+                  when(col("_change_type")
+                    .isin("insert", "update_postimage"), lit(1L))
+                    .otherwise(lit(-1L))),
+                ledgerVs = ((from + 1) to hi))
             } finally { net.unpersist(); () }
+            java.nio.file.Files.deleteIfExists(intent)
+            ()
           }
+          // replay an unfinished PINNED range first; sweep stale pins
+          var lm = ledgerMax()
+          val pat = "range-(\\d+)-(\\d+)\\.intent".r
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(intentDir).iterator().asScala.toSeq
+            .sortBy(_.getFileName.toString).foreach { p =>
+              p.getFileName.toString match {
+                case pat(f, h) =>
+                  val (iFrom, iHi) = (f.toLong, h.toLong)
+                  if (iHi <= lm) { // applied through: the commit landed
+                    java.nio.file.Files.deleteIfExists(p); ()
+                  } else if (iFrom == lm) {
+                    applyRange(iFrom, iHi)
+                    lm = ledgerMax()
+                  } else { // orphaned (ledger moved past its from)
+                    java.nio.file.Files.deleteIfExists(p); ()
+                  }
+                case _ => ()
+              }
+            }
+          val hi = batch.agg(max(col("_commit_version").cast("long")))
+            .head.getLong(0)
+          if (hi > lm) applyRange(lm, hi)
         }
       }
       .start()

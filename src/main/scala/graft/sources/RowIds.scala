@@ -63,12 +63,14 @@ object RowIds {
       s"rowids.enabled supports flat tables only; $table declares a " +
         "partition/bucket/transform layout")
     // a pre-existing DATA column named _row_id would be silently
-    // shadowed (and retyped) by the lineage fill — refuse instead
+    // shadowed (and retyped) by the lineage fill — refuse instead.
+    // Without a declared schema, EVERY live file's footer is probed
+    // (enable is one-time; a heterogeneous-footer table could hide
+    // the column in any generation)
     val v0 = Sources.latestVersion(table)
     if (v0 > 0) {
       val names = Sources.declaredSchema(table, v0).map(_.fieldNames.toSeq)
-        .orElse(Sources.filesOf(table, v0).headOption.map(footerFields))
-        .getOrElse(Seq.empty)
+        .getOrElse(Sources.filesOf(table, v0).flatMap(footerFields))
       require(!names.contains(COL),
         s"$table already has a data column named $COL — row lineage " +
           "reserves that name")

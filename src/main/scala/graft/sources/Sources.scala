@@ -2276,6 +2276,11 @@ object Sources {
     val v = if (version < 0) latestVersion(table) else version
     require(v > 0, s"$table has no committed versions")
     val files = filesOf(table, v)
+    if (values.isEmpty)
+      // an empty key set matches nothing — never open a file for it
+      return (readVersion(spark, table, v)
+        .filter(org.apache.spark.sql.functions.lit(false)),
+        0, files.length)
     val keep = filterKeeper(table, v, Seq(
       org.apache.spark.sql.sources.In(column, values.toArray)))
     val kept = files.filter(keep)
@@ -2283,10 +2288,14 @@ object Sources {
       if (kept.isEmpty)
         readVersion(spark, table, v)
           .filter(org.apache.spark.sql.functions.lit(false))
-      else applyEq(spark,
-        applyDv(declaredSchema(table, v)
-          .fold(spark.read)(sc => spark.read.schema(sc))
-          .parquet(kept: _*), dvOf(table, v)), table, v)
+      else
+        // the partition-aware subset reader: hive-laid tables get
+        // their partition columns reattached from the paths (a flat
+        // read would null them and the residual IN would silently
+        // drop every row)
+        applyEq(spark,
+          applyDv(readFileSubset(spark, table, v, kept),
+            dvOf(table, v)), table, v)
     (df.filter(col(column).isin(values: _*)), kept.length, files.length)
   }
 
@@ -2960,14 +2969,12 @@ object Sources {
     // its predecessors. A derivation FAILURE aborts the vacuum: a
     // swallowed error here would let the sweep delete the only
     // manifests the ids can still be derived from.
-    if (RowIds.enabled(table)) {
-      val pinned = Refs.tagsOf(table).values.toSet
-      (versions.takeRight(keepLast) ++ versions.filter(pinned.contains))
-        .distinct.sorted.foreach(v => RowIds.ridOf(table, v))
-    }
     // a TAGGED version is pinned: its manifest, sidecars, and files
     // all survive the sweep regardless of age (drop_tag releases it)
     val tagged = Refs.tagsOf(table).values.toSet
+    if (RowIds.enabled(table))
+      (versions.takeRight(keepLast) ++ versions.filter(tagged.contains))
+        .distinct.sorted.foreach(v => RowIds.ridOf(table, v))
     val (expired0, kept0) = versions.splitAt(math.max(0, versions.length - keepLast))
     val (keptTagged, expired) = expired0.partition(tagged.contains)
     val kept = keptTagged ++ kept0

@@ -583,13 +583,21 @@ object StreamingPipeline {
               srcTable, (vs.getLong(0) - 1L).toInt, vs.getLong(1).toInt)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
+            require(!net.schema.fieldNames.contains("op"),
+              "replicateTableNet: the source schema reserves no 'op' " +
+                "column")
             require(net.filter(col(key).isNull).isEmpty,
               s"replicateTableNet: null $key in the net feed — a keyed " +
                 "replica of null-keyed rows is not well-defined")
             val ups = net.filter(col("_change_type")
                 .isin("insert", "update_postimage"))
               .drop("_change_type").withColumn("op", lit("upsert"))
-            val dels = net.filter(col("_change_type") === "delete")
+            // preimages retire too: an update that CHANGES the key
+            // column must delete the old key, or the stale row lives
+            // on the replica forever (the upsert only retires the NEW
+            // key; same-key updates just retire-then-append)
+            val dels = net.filter(col("_change_type")
+                .isin("delete", "update_preimage"))
               .drop("_change_type").withColumn("op", lit("delete"))
             val changes = ups.unionByName(dels)
             // a pure-rewrite range nets to nothing: NO replica commit

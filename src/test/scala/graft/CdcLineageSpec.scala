@@ -116,6 +116,17 @@ class CdcLineageSpec extends SparkTestBase {
     Sources.purgeDv(spark, src)
     drain()
     assert(snap(dst) === snap(src))
+    // an update that CHANGES THE KEY must retire the old key on the
+    // replica (the preimage's delete), not just upsert the new one
+    val probe = Sources.readVersion(spark, src)
+      .agg(min("o_orderkey")).head.getLong(0)
+    Sources.updateWhere(spark, src, col("o_orderkey") === probe,
+      Map("o_orderkey" -> lit(1000001L)))
+    drain()
+    assert(snap(dst) === snap(src))
+    assert(Sources.readVersion(spark, dst)
+      .filter(col("o_orderkey") === probe).isEmpty,
+      "the pre-update key must be gone from the replica")
   }
 
   test("the net feed applied to the from-snapshot reproduces the " +

@@ -145,14 +145,20 @@ class TextIndexSpec extends SparkTestBase {
       TextIndex.maintainNetQuery(spark, src, idx, ckpt).awaitTermination()
     drain()
     assertIndexEquals(idx, docs)
-    // pure layout work on the source: zero index commits
+    // pure layout work on the source: zero DATA commits — postings
+    // and docstore untouched, termstats gains only its ledger bookmark
     Sources.compactVersion(spark, src, 64L)
-    val vs0 = Seq("postings", "docstore", "termstats")
+    val vs0 = Seq("postings", "docstore")
       .map(t => Sources.latestVersion(s"$idx/$t"))
+    val terms0 = Sources.readVersion(spark, s"$idx/termstats")
+      .filter(col("term").isNotNull).collect().map(_.toSeq).toSet
     drain()
-    assert(Seq("postings", "docstore", "termstats")
+    assert(Seq("postings", "docstore")
       .map(t => Sources.latestVersion(s"$idx/$t")) === vs0,
-      "a source compaction drain must not commit on any index table")
+      "a source compaction drain must not commit on postings/docstore")
+    assert(Sources.readVersion(spark, s"$idx/termstats")
+      .filter(col("term").isNotNull).collect().map(_.toSeq).toSet
+      === terms0, "…and must not change a single term total")
     assertIndexEquals(idx, docs)
     // an id-preserving update + a delete still flow (as update pairs)
     Sources.updateWhere(spark, src, col("doc_id") % 17 === 0,
