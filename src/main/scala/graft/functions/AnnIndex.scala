@@ -198,6 +198,71 @@ object AnnIndex {
       .start()
   }
 
+  /** NET maintenance off a LINEAGE source
+    * ([[graft.sources.RowIds.readChangesLineage]]) — [[maintainQuery]]'s
+    * rewrite-transparent sibling: each micro-batch applies the net
+    * endpoint diff of the not-yet-applied version range, so a source
+    * compaction/purge drain re-encodes NOTHING (an empty net lands
+    * only a ledger bookmark), where the file-granular feed would
+    * re-encode the whole rewritten byte volume. Unlike the text
+    * index's three tables, the ANN index is ONE table — the range's
+    * upserts, deletes, and its in-band ledger sentinels (`b_id =
+    * -(1000000+v)`, `cell = -1`, never probed by any search) ride ONE
+    * atomic keyed merge, so there is no partial-application crash
+    * window and no intent journal: a crashed range replays whole, an
+    * applied range is ledger-skipped. Use ONE maintainer per index. */
+  def maintainNetQuery(spark: SparkSession, srcTable: String,
+      indexTable: String, checkpoint: String): StreamingQuery = {
+    val model = loadModel(indexTable)
+    spark.readStream.format("graft-cdf").option("path", srcTable).load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val applied = Sources.readVersion(spark, indexTable)
+            .filter(col("b_id") < 0L)
+            .select((-col("b_id") - 1000000L).as("v"))
+            .collect().map(_.getLong(0))
+          val from = if (applied.isEmpty) 0L else applied.max
+          val hi = batch.agg(max(col("_commit_version").cast("long")))
+            .head.getLong(0)
+          if (hi > from) {
+            val net = graft.sources.RowIds.readChangesLineage(spark,
+                srcTable, from.toInt, hi.toInt)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val ups = encode(net.filter(col("_change_type")
+                  .isin("insert", "update_postimage")), model)
+                .withColumn("op", lit("upsert"))
+              // preimages retire too: a vec_id-changing update must
+              // drop the old key, not just upsert the new one
+              val dels = net.filter(col("_change_type")
+                  .isin("delete", "update_preimage"))
+                .select(col("vec_id").as("b_id"),
+                  lit(null).cast("long").as("cell"),
+                  lit(null).cast("array<int>").as("codes"),
+                  lit("delete").as("op"))
+              val s2 = spark
+              import s2.implicits._
+              val ledger = ((from + 1) to hi)
+                .map(v => (-(1000000L + v), -1L))
+                .toDF("b_id", "cell")
+                .withColumn("codes", lit(null).cast("array<int>"))
+                .withColumn("op", lit("upsert"))
+              Sources.mergeVersion(spark, indexTable,
+                ups.unionByName(dels).unionByName(ledger.select(
+                  col("b_id"), col("cell"), col("codes"), col("op"))),
+                "b_id")
+              ()
+            } finally { net.unpersist(); () }
+          }
+        }
+      }
+      .start()
+  }
+
   /** Cross-label MUTUAL-kNN against the persisted index — the q140
     * semantics (pairs from different labels that are each other's
     * cross-label cosine top-1) restated without the cross product:

@@ -190,4 +190,50 @@ class AnnIndexSpec extends SparkTestBase {
       s"margin mining recall=$recall precision=$precision below the " +
         s"0.85 gate (exact=${exact.size}, mined=${minedPairs.size})")
   }
+
+  test("net maintenance off a lineage source: a source compaction " +
+    "drain re-encodes nothing; re-embeds/deletes track; replay no-op") {
+    val root = tmp("ann-idx-net")
+    val src = s"$root/emb"
+    val idx = s"$root/idx"
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+    Sources.commitVersion(emb.filter(col("vec_id") < 100), src)
+    graft.sources.RowIds.enableRowIds(src)
+    Sources.commitVersion(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 200), src)
+    AnnIndex.init(spark, src, idx)
+    val model = AnnIndex.loadModel(idx)
+    def drain(ckpt: String = s"$root/ckpt"): Unit =
+      AnnIndex.maintainNetQuery(spark, src, idx, ckpt).awaitTermination()
+    def content(): Set[(Long, Long, Seq[Int])] =
+      Sources.readVersion(spark, idx).filter(col("b_id") >= 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Int](2))).toSet
+    def rebuild(df: org.apache.spark.sql.DataFrame) =
+      AnnIndex.encode(df, model).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    drain()
+    assert(content() === rebuild(emb.filter(col("vec_id") < 200)))
+    // pure layout work: only the ledger bookmark lands — no data row
+    // of the index changes
+    Sources.compactVersion(spark, src, 64L)
+    val data0 = content()
+    drain()
+    assert(content() === data0,
+      "a source compaction drain must not change one index row")
+    // a re-embed (id-preserving update) and a delete still track
+    Sources.updateWhere(spark, src, col("vec_id") === 7,
+      Map("embedding" -> reverse(col("embedding"))))
+    Sources.deleteWhereDv(spark, src, col("vec_id") === 9)
+    drain()
+    val expected = rebuild(
+      emb.filter(col("vec_id") < 200 && col("vec_id") =!= 9)
+        .withColumn("embedding", when(col("vec_id") === 7,
+          reverse(col("embedding"))).otherwise(col("embedding"))))
+    assert(content() === expected)
+    // fresh checkpoint: the in-band ledger makes the replay a no-op
+    drain(s"$root/ckpt2")
+    assert(content() === expected)
+  }
 }
