@@ -130,8 +130,32 @@ object AnnIndex {
   /** Map-side encode of `(vec_id, embedding)` rows to index rows
     * `(b_id, cell, codes)` under the pinned model — embarrassingly
     * parallel, the only per-vector work maintenance ever does. */
+  /** The index shares its `b_id` keyspace with the net-maintenance
+    * ledger, which owns the NEGATIVE ids (the [[LedgerKey]] sentinel) —
+    * a negative source vec_id would be misparsed as a ledger row
+    * (skewing the applied-version high-water mark) or collide with a
+    * sentinel outright. Fail loudly, executor-side, at encode/retire
+    * time rather than corrupting silently. */
+  /** The net-maintenance ledger's single reserved key: one sentinel row
+    * far outside the valid (non-negative, [[guardedVecId]]-enforced)
+    * data keyspace; `codes(0)` carries the highest applied source
+    * version, `cell` stays -1 so probed-cell joins never see it. */
+  private[graft] val LedgerKey = -999999L
+
+  /** TEST ONLY — crash injection for ExactlyOnceFaultSpec, fired just
+    * before the net maintainer's single atomic merge. No-op in
+    * production. */
+  private[graft] var preMergeCrashHook: () => Unit = () => ()
+
+  private def guardedVecId: Column =
+    when(col("vec_id") < 0L, raise_error(concat(
+      lit("ANN index maintenance requires vec_id >= 0 (the in-band " +
+        "ledger owns the negative keyspace); got "),
+      col("vec_id").cast("string"))))
+      .otherwise(col("vec_id"))
+
   def encode(df: DataFrame, m: Model): DataFrame =
-    df.select(col("vec_id").as("b_id"), nearestCellCol(m).as("cell"),
+    df.select(guardedVecId.as("b_id"), nearestCellCol(m).as("cell"),
       codesCol(m).as("codes"))
 
   /** Create the index: train the model from the source table's current
@@ -184,7 +208,7 @@ object AnnIndex {
             last.filter(col("_change_type") === "insert"), model)
             .withColumn("op", lit("upsert"))
           val dels = last.filter(col("_change_type") =!= "insert")
-            .select(col("vec_id").as("b_id"),
+            .select(guardedVecId.as("b_id"),
               lit(null).cast("long").as("cell"),
               lit(null).cast("array<int>").as("codes"),
               lit("delete").as("op"))
@@ -206,11 +230,13 @@ object AnnIndex {
     * only a ledger bookmark), where the file-granular feed would
     * re-encode the whole rewritten byte volume. Unlike the text
     * index's three tables, the ANN index is ONE table — the range's
-    * upserts, deletes, and its in-band ledger sentinels (`b_id =
-    * -(1000000+v)`, `cell = -1`, never probed by any search) ride ONE
-    * atomic keyed merge, so there is no partial-application crash
-    * window and no intent journal: a crashed range replays whole, an
-    * applied range is ledger-skipped. Use ONE maintainer per index. */
+    * upserts, deletes, and its single in-band ledger sentinel
+    * ([[LedgerKey]], `cell = -1` so no probed-cell join ever sees it,
+    * `codes(0)` = the applied high-water version) ride ONE atomic
+    * keyed merge, so there is no partial-application crash window and
+    * no intent journal: a crashed range replays whole
+    * (ExactlyOnceFaultSpec injects exactly that crash), an applied
+    * range is ledger-skipped. Use ONE maintainer per index. */
   def maintainNetQuery(spark: SparkSession, srcTable: String,
       indexTable: String, checkpoint: String): StreamingQuery = {
     val model = loadModel(indexTable)
@@ -221,11 +247,12 @@ object AnnIndex {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val applied = Sources.readVersion(spark, indexTable)
-            .filter(col("b_id") < 0L)
-            .select((-col("b_id") - 1000000L).as("v"))
-            .collect().map(_.getLong(0))
-          val from = if (applied.isEmpty) 0L else applied.max
+          val hwRow = Sources.readVersion(spark, indexTable)
+            .filter(col("b_id") === LedgerKey)
+            .select(element_at(col("codes"), 1)).collect()
+          val from =
+            if (hwRow.isEmpty || hwRow.head.isNullAt(0)) 0L
+            else hwRow.head.getInt(0).toLong
           val hi = batch.agg(max(col("_commit_version").cast("long")))
             .head.getLong(0)
           if (hi > from) {
@@ -240,17 +267,27 @@ object AnnIndex {
               // drop the old key, not just upsert the new one
               val dels = net.filter(col("_change_type")
                   .isin("delete", "update_preimage"))
-                .select(col("vec_id").as("b_id"),
+                .select(guardedVecId.as("b_id"),
                   lit(null).cast("long").as("cell"),
                   lit(null).cast("array<int>").as("codes"),
                   lit("delete").as("op"))
               val s2 = spark
               import s2.implicits._
-              val ledger = ((from + 1) to hi)
-                .map(v => (-(1000000L + v), -1L))
+              // ONE compacted ledger sentinel, upserted in place —
+              // ranges apply strictly in order, so the high-water mark
+              // carries the full replay guarantee without growing a
+              // sentinel per version forever (the TextIndex ledger's
+              // rule); cell stays -1 so no probed-cell join ever sees
+              // it, and the hw rides codes(0)
+              val ledger = Seq((LedgerKey, -1L))
                 .toDF("b_id", "cell")
-                .withColumn("codes", lit(null).cast("array<int>"))
+                .withColumn("codes",
+                  array(lit(hi.toInt)).cast("array<int>"))
                 .withColumn("op", lit("upsert"))
+              // TEST-ONLY crash injection (ExactlyOnceFaultSpec): the
+              // window before the single atomic merge — a crash here
+              // must replay the whole range on the next drain
+              preMergeCrashHook()
               Sources.mergeVersion(spark, indexTable,
                 ups.unionByName(dels).unionByName(ledger.select(
                   col("b_id"), col("cell"), col("codes"), col("op"))),

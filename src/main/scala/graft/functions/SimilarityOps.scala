@@ -384,22 +384,32 @@ object SimilarityOps {
     * text dedup; clustering first is what makes it tractable — pairwise
     * comparison happens only WITHIN a cluster, never globally.
     *
-    * Clustering here is nearest-seed coarse quantization (seeds =
-    * vec_id 0..7, deterministic; argmax cosine, ties to the lower
-    * cell), i.e. the assignment step of the IVF/k-means family — the
-    * trained-centroid variant lives in q31d; this one stays exactly
-    * SQL-expressible, so the whole pipeline hash-checks against the
-    * oracle (the cosine kernel is the bit-identical native DotProduct).
+    * Clustering is TWO-LEVEL nearest-seed quantization (the
+    * hierarchical IVF assignment shape): kc = ⌈√k⌉ COARSE seeds
+    * (vec_id < kc) route each of the k FINE seeds (vec_id < k) to a
+    * coarse cell, then every vector finds its coarse cell (kc dot
+    * products) and its fine cell among only that coarse cell's fine
+    * seeds (expected √k dot products). Assignment cost is n·2√k —
+    * with the occupancy rule k = ⌈n/64⌉ that is O(n^1.5/8), not the
+    * O(n²/64) a single dense n×k pass would cost, which is the
+    * difference between feasible and impossible at 10⁹ vectors. Every
+    * step is deterministic (argmax cosine, ties to the lower id;
+    * coarse seeds self-route so no coarse cell is ever fine-seedless)
+    * and exactly SQL-expressible, so the whole pipeline hash-checks
+    * against the oracle (the cosine kernel is the bit-identical
+    * native DotProduct). The trained-centroid variant lives in q31d.
     *
     * The drop rule is the non-recursive form (similar to ANY earlier
     * same-cell vector ⇒ drop), declared semantics — the chain-aware
     * variant needs the q66 iterative machinery.
     *
-    * Scale shape: seed set is fixed-size broadcast state; assignment
-    * is map-side; the pair join is an equi-join on cell (per-cell
-    * quadratic bounded by cluster granularity — the k knob); verdict
-    * is one anti-join keyed (cell, vec_id). No global all-pairs stage
-    * anywhere.
+    * Scale shape: the only dense (nested-loop) joins are against the
+    * kc = O(√k) coarse-seed relation, broadcast; the fine stage is an
+    * equi-join on the coarse cell; the dup pair join is an equi-join
+    * on cell (per-cell quadratic bounded by the k knob); verdict is
+    * one anti-join keyed (cell, vec_id). No corpus-proportional
+    * relation ever sits on the dense side of a join
+    * (PlanShapeSpec asserts this on the physical plan).
     */
   /** q98's nearest-seed cell assignment with the cluster-granularity
     * knob `k` EXPOSED: seeds are the first k vec_ids (deterministic),
@@ -422,31 +432,118 @@ object SimilarityOps {
     math.max(1, math.ceil(n.toDouble / targetOccupancy).toInt)
   }
 
-  def semdedupCells(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val emb = withNorm(Tables.embeddings(s, dir))
-    val seeds = broadcast(emb.filter(col("vec_id") < k)
+  /** kc = ⌈√k⌉ — the coarse-seed count of the two-level assignment.
+    * Both engines derive it identically (IEEE sqrt is correctly
+    * rounded, so perfect squares are exact in both). */
+  private[graft] def coarseCount(k: Long): Long =
+    math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong)
+
+  def semdedupCells(s: SparkSession, dir: String, k: Int): DataFrame =
+    twoLevelCells(withNorm(Tables.embeddings(s, dir)), k.toLong)
+
+  /** The two-level hierarchical nearest-seed assignment (shared by
+    * q98/q224 and [[boundedCells]]'s first stage — see the q98
+    * Scaladoc for the cost argument). Input must carry `nrm`; output
+    * is (vec_id, embedding, nrm, cell, csim) with `csim` = cosine to
+    * the OWN fine seed — q224's prototypicality rank needs
+    * distance-to-own-seed.
+    *
+    * Determinism inventory: coarse argmax ties → lower coarse id;
+    * coarse seeds (vec_id < kc) route to THEMSELVES (so a coarse cell
+    * can never receive vectors while owning zero fine seeds, even
+    * under duplicate-vector tie pathologies); fine argmax ties →
+    * lower fine id. Only the kc-row coarse relation is broadcast
+    * dense state; the `routed` fine-seed relation is k rows — corpus-
+    * proportional under the occupancy rule — so its join is a keyed
+    * equi-join on the coarse cell with NO broadcast hint (planner +
+    * AQE decide). */
+  private[graft] def twoLevelCells(emb: DataFrame, k: Long): DataFrame = {
+    val kc = coarseCount(k)
+    val coarse = broadcast(emb.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("ccell0"), col("embedding").as("cce"),
+        col("nrm").as("ccn")))
+    val fine = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("embedding").as("ce"),
-        col("nrm").as("cn")))
-    val wc = Window.partitionBy("vec_id")
+        col("nrm").as("cn"))
+    val wr = Window.partitionBy("cell")
+      .orderBy(col("rsim").desc, col("ccell0").asc)
+    val routed = fine.crossJoin(coarse)
+      .select(col("cell"), col("ce"), col("cn"), col("ccell0"),
+        (dotNative(col("ce"), col("cce")) / (col("cn") * col("ccn")))
+          .as("rsim"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(
+        when(col("cell") < kc, col("cell")).otherwise(col("ccell0"))
+          .as("ccell"),
+        col("cell"), col("ce"), col("cn"))
+    val wv = Window.partitionBy("vec_id")
+      .orderBy(col("vsim").desc, col("ccell0").asc)
+    val vc = emb.crossJoin(coarse)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("ccell0"),
+        (dotNative(col("embedding"), col("cce")) / (col("nrm") * col("ccn")))
+          .as("vsim"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("ccell0").as("ccell"))
+    val wf = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cell").asc)
-    emb.crossJoin(seeds)
+    vc.join(routed, Seq("ccell"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
         (dotNative(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
           .as("csim"))
-      .withColumn("rn", row_number().over(wc))
+      .withColumn("rn", row_number().over(wf))
       .filter(col("rn") === 1)
-      // csim (the assignment cosine) rides along: q224's
-      // prototypicality rank needs distance-to-own-seed
       .select("vec_id", "embedding", "nrm", "cell", "csim")
   }
+
+  /** The DuckDB statement of [[twoLevelCells]] as a CTE chain ending
+    * in `cells(vec_id, embedding, cell, csim)` — shared verbatim by
+    * the q98/q224/q227 oracles so the hash gates ride the exact
+    * two-level rule the engine runs. `kExpr` is an aggregate over
+    * `embeddings` yielding the fine-seed count k. */
+  private def twoLevelCellsCtes(kExpr: String): String =
+    s"""params AS (
+       |  SELECT $kExpr AS k,
+       |         CAST(CEIL(SQRT($kExpr)) AS BIGINT) AS kc
+       |  FROM embeddings),
+       |coarse AS (
+       |  SELECT vec_id AS ccell, embedding AS cce FROM embeddings
+       |  WHERE vec_id < (SELECT kc FROM params)),
+       |fine AS (
+       |  SELECT vec_id AS cell, embedding AS ce FROM embeddings
+       |  WHERE vec_id < (SELECT k FROM params)),
+       |routed AS (
+       |  SELECT CASE WHEN f.cell < (SELECT kc FROM params) THEN f.cell
+       |              ELSE c.ccell END AS ccell,
+       |         f.cell, f.ce
+       |  FROM fine f CROSS JOIN coarse c
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY f.cell
+       |    ORDER BY ${cosineSql("f.ce", "c.cce")} DESC, c.ccell ASC) = 1),
+       |vc AS (
+       |  SELECT e.vec_id, e.embedding, c.ccell
+       |  FROM embeddings e CROSS JOIN coarse c
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY e.vec_id
+       |    ORDER BY ${cosineSql("e.embedding", "c.cce")} DESC, c.ccell ASC) = 1),
+       |cells AS (
+       |  SELECT v.vec_id, v.embedding, r.cell,
+       |         ${cosineSql("v.embedding", "r.ce")} AS csim
+       |  FROM vc v JOIN routed r ON v.ccell = r.ccell
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY v.vec_id
+       |    ORDER BY ${cosineSql("v.embedding", "r.ce")} DESC, r.cell ASC) = 1)""".stripMargin
 
   /** OCCUPANCY-BOUNDED cell assignment — the hard per-cell guarantee
     * the derived-k rule alone cannot give on a SKEWED corpus (derived k
     * fixes the MEAN occupancy; a dense near-duplicate cluster still
     * lands one giant cell). Three deterministic stages:
     *
-    *  1. nearest-seed assignment at k = ⌈n/cap⌉ (the [[derivedK]]
-    *     rule; seeds = first k vec_ids, argmax cosine, ties low);
+    *  1. two-level nearest-seed assignment at k = ⌈n/cap⌉ (the
+    *     [[derivedK]] rule, via [[twoLevelCells]] — n·2√k dots, the
+    *     q98 assignment shape);
     *  2. SEMANTIC SPLIT: each over-full cell re-assigns its members to
     *     ⌈c/cap⌉ sub-seeds (its first vec_ids) — one recursive
     *     quantization pass, pair cost Σ c·⌈c/cap⌉ ≈ n, never n²;
@@ -467,18 +564,9 @@ object SimilarityOps {
     val emb = withNorm(emb0)
     val n = emb.count()
     val k1 = math.max(1L, math.ceil(n.toDouble / cap).toLong)
-    val seeds = broadcast(emb.filter(col("vec_id") < k1)
-      .select(col("vec_id").as("cell"), col("embedding").as("ce"),
-        col("nrm").as("cn")))
-    val wc = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cell").asc)
-    val a1 = emb.crossJoin(seeds)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
-        (dotNative(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
-          .as("csim"))
-      .withColumn("rn", row_number().over(wc))
-      .filter(col("rn") === 1)
-      .select("vec_id", "embedding", "nrm", "cell", "csim")
+    // stage 1 is the shared two-level assignment — n·2√k1 dots, never
+    // the dense n×k1 pass (see the q98 Scaladoc for the cost argument)
+    val a1 = twoLevelCells(emb, k1)
     val big = a1.groupBy("cell").agg(count(lit(1)).as("c"))
       .filter(col("c") > cap)
       .select(col("cell"),
@@ -551,16 +639,7 @@ object SimilarityOps {
     // the 500-vector fixtures, 32 at the sf0.1 bench), the oracle
     // derives it identically
     (s, dir) => semdedup(s, dir, k = derivedK(s, dir)),
-    Some(s"""WITH seeds AS (
-            |  SELECT vec_id AS cell, embedding AS ce FROM embeddings
-            |  WHERE vec_id < (SELECT CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)
-            |                  FROM embeddings)),
-            |cells AS (
-            |  SELECT e.vec_id, e.embedding, s.cell
-            |  FROM embeddings e CROSS JOIN seeds s
-            |  QUALIFY row_number() OVER (
-            |    PARTITION BY e.vec_id
-            |    ORDER BY ${cosineSql("e.embedding", "s.ce")} DESC, s.cell ASC) = 1),
+    Some(s"""WITH ${twoLevelCellsCtes("CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)")},
             |dropped AS (
             |  SELECT DISTINCT b.cell, b.vec_id
             |  FROM cells a JOIN cells b
@@ -874,17 +953,7 @@ object SimilarityOps {
             .otherwise(lit("keep")).as("stage")))
       verdicts.orderBy("vec_id")
     },
-    Some(s"""WITH seeds AS (
-            |  SELECT vec_id AS cell, embedding AS ce FROM embeddings
-            |  WHERE vec_id < (SELECT CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)
-            |                  FROM embeddings)),
-            |cells AS (
-            |  SELECT e.vec_id, e.embedding, s.cell,
-            |         ${cosineSql("e.embedding", "s.ce")} AS csim
-            |  FROM embeddings e CROSS JOIN seeds s
-            |  QUALIFY row_number() OVER (
-            |    PARTITION BY e.vec_id
-            |    ORDER BY ${cosineSql("e.embedding", "s.ce")} DESC, s.cell ASC) = 1),
+    Some(s"""WITH ${twoLevelCellsCtes("CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)")},
             |dropped AS (
             |  SELECT DISTINCT b.cell, b.vec_id
             |  FROM cells a JOIN cells b
@@ -947,7 +1016,7 @@ object SimilarityOps {
   )
 
   /** Q227 — the occupancy-BOUNDED cell assignment end-to-end
-    * ([[boundedCells]]), hash-gated: derived-k nearest-seed
+    * ([[boundedCells]]), hash-gated: two-level derived-k nearest-seed
     * quantization, recursive sub-seed split of over-full cells, hard
     * prototypicality-rank chunking — every final cell ≤ 64 members by
     * construction, so the downstream pair join is ≤ cells·64² whatever
@@ -963,20 +1032,9 @@ object SimilarityOps {
         min(col("vec_id")).as("first_vec"),
         max(col("vec_id")).as("last_vec"))
       .orderBy("cell_id"),
-    Some(s"""WITH kk AS (
-            |  SELECT CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS k
-            |  FROM embeddings),
-            |seeds AS (
-            |  SELECT vec_id AS cell, embedding AS ce FROM embeddings
-            |  WHERE vec_id < (SELECT k FROM kk)),
+    Some(s"""WITH ${twoLevelCellsCtes("CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)")},
             |a1 AS (
-            |  SELECT e.vec_id, e.embedding, s.cell,
-            |         ${cosineSql("e.embedding", "s.ce")} AS csim
-            |  FROM embeddings e CROSS JOIN seeds s
-            |  QUALIFY row_number() OVER (
-            |    PARTITION BY e.vec_id
-            |    ORDER BY ${cosineSql("e.embedding", "s.ce")} DESC,
-            |             s.cell ASC) = 1),
+            |  SELECT vec_id, embedding, cell, csim FROM cells),
             |big AS (
             |  SELECT cell, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS m
             |  FROM a1 GROUP BY cell HAVING COUNT(*) > 64),

@@ -31,12 +31,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    per term, maintained by ADDITIVE keyed merges (the
   *    [[graft.streaming.StreamingPipeline.maintainDsirQuery]] device):
   *    inserts add their token counts, deletes subtract. Additive
-  *    arithmetic cannot tolerate replays, so an IN-BAND LEDGER row per
-  *    applied source version (`tk = "v:<version>"`, `term` NULL) rides
-  *    the SAME atomic commit as its delta; the merge key is the
-  *    CONSTRUCTED `tk` (`"t:" + term` for term rows), so ledger keys
-  *    can never collide with token-derived keys whatever bytes the
-  *    corpus contains.
+  *    arithmetic cannot tolerate replays, so ONE IN-BAND LEDGER row
+  *    (`tk = "v:hw"`, `term` NULL, `cnt` = highest applied source
+  *    version) rides the SAME atomic commit as each delta — versions
+  *    apply strictly in order, so a single high-water mark carries the
+  *    full replay guarantee without growing a row per version forever;
+  *    the merge key is the CONSTRUCTED `tk` (`"t:" + term` for term
+  *    rows), so the ledger key can never collide with token-derived
+  *    keys whatever bytes the corpus contains.
   *
   * Crash/replay contract (spec-pinned in TextIndexSpec): postings and
   * docstore merges are IDEMPOTENT by construction — an eq merge
@@ -119,20 +121,24 @@ object TextIndex {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val applied = Sources.readVersion(spark, termstatsT(indexRoot))
+          // replay filter against the ledger HIGH-WATER MARK: versions
+          // apply strictly in order (the ledger row commits last,
+          // atomically with its range), so the applied set is always a
+          // contiguous prefix — one max, not an ever-growing version
+          // set collected to the driver each micro-batch
+          val hwRow = Sources.readVersion(spark, termstatsT(indexRoot))
             .filter(col("term").isNull)
-            .select(col("cnt")).collect().map(_.getLong(0)).toSet
+            .agg(max(col("cnt"))).head
+          val hw = if (hwRow.isNullAt(0)) 0L else hwRow.getLong(0)
           val fresh =
-            if (applied.isEmpty) batch
-            else batch.filter(!col("_commit_version").cast("long")
-              .isin(applied.toSeq: _*))
+            batch.filter(col("_commit_version").cast("long") > hw)
           if (!fresh.isEmpty) {
             val pinned = fresh.persist(
               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
-              val newVs = pinned
-                .select(col("_commit_version").cast("long").as("v"))
-                .distinct().collect().map(_.getLong(0)).toSeq
+              val newHw = pinned
+                .agg(max(col("_commit_version").cast("long")))
+                .head.getLong(0)
               // last-change-wins per document (the replicateTable rule)
               val w = Window.partitionBy("doc_id")
                 .orderBy(col("_commit_version").desc,
@@ -147,7 +153,7 @@ object TextIndex {
                 signed = pinned.withColumn("__s",
                   when(col("_change_type") === "insert", lit(1L))
                     .otherwise(lit(-1L))),
-                ledgerVs = newVs)
+                ledgerHw = newHw)
             } finally { pinned.unpersist(); () }
           }
         }
@@ -163,9 +169,12 @@ object TextIndex {
     * either idempotent eq merges or ledger-gated additive work. Runs
     * the termstats commit even when the data delta is empty: the
     * ledger row is the range's high-water bookmark. */
+  /** TEST ONLY — see the call site in [[applyIndexChanges]]. */
+  private[graft] var midApplyCrashHook: () => Unit = () => ()
+
   private def applyIndexChanges(spark: SparkSession, indexRoot: String,
       newDocs: DataFrame, changedDocIds: DataFrame,
-      signed: DataFrame, ledgerVs: Seq[Long]): Unit = {
+      signed: DataFrame, ledgerHw: Long): Unit = {
     val ts = termstatsT(indexRoot)
     val newPosts = toks(newDocs)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -199,9 +208,19 @@ object TextIndex {
         (coalesce(col("cur"), lit(0L)) + col("dc")).as("cnt"))
       .withColumn("op",
         when(col("cnt") > 0L, "upsert").otherwise("delete"))
+    // TEST-ONLY crash injection (ExactlyOnceFaultSpec): fires in the
+    // exact window the replay contract reasons about — the idempotent
+    // eq merges have landed, the atomic termstats+ledger commit has
+    // NOT. A no-op in production.
+    midApplyCrashHook()
     val s2 = spark
     import s2.implicits._
-    val ledger = ledgerVs.map(v => (s"v:$v", v))
+    // ONE high-water-mark row, upserted in place — versions apply
+    // strictly in order (this additive commit lands LAST, atomically
+    // with its range), so the prefix property makes a single max row
+    // carry the same replay guarantee a per-version row set did,
+    // without growing by one row per applied version forever
+    val ledger = Seq(("v:hw", ledgerHw))
       .toDF("tk", "cnt")
       .withColumn("term", lit(null).cast("string"))
       .withColumn("op", lit("upsert"))
@@ -267,7 +286,7 @@ object TextIndex {
                   when(col("_change_type")
                     .isin("insert", "update_postimage"), lit(1L))
                     .otherwise(lit(-1L))),
-                ledgerVs = ((from + 1) to hi))
+                ledgerHw = hi)
             } finally { net.unpersist(); () }
             java.nio.file.Files.deleteIfExists(intent)
             ()

@@ -837,10 +837,67 @@ object TextOps {
     learned.toSeq
   }
 
+  /** The DuckDB restatement of one [[learnBpeMerges]] round: from
+    * token state `s<i>` (doc_id, lang, pos, tok), derive the per-lang
+    * argmax merge `m<i>` and the post-application state `s<i+1>`.
+    * The greedy non-overlapping left-to-right application (mergeOnce's
+    * skip-by-two scan) is the gaps-and-islands PARITY trick:
+    * candidates at consecutive positions can only chain when a = b
+    * (overlap needs tok[p+1] = a AND = b), and within a chain exactly
+    * the odd-ranked candidates fire. Everything is exact string/count
+    * arithmetic — no floats anywhere — so the whole loop hash-gates. */
+  private def bpeStepSql(i: Int): String =
+    s"""p$i AS (
+       |  SELECT doc_id, lang, pos, tok,
+       |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM s$i),
+       |cnt$i AS (
+       |  SELECT lang, tok AS a, nxt AS b, COUNT(*) AS cnt
+       |  FROM p$i WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+       |m$i AS (
+       |  SELECT lang, a, b, cnt FROM cnt$i
+       |  QUALIFY row_number() OVER (PARTITION BY lang
+       |    ORDER BY cnt DESC, a ASC, b ASC) = 1),
+       |cand$i AS (
+       |  SELECT p.doc_id, p.pos
+       |  FROM p$i p JOIN m$i m
+       |    ON p.lang = m.lang AND p.tok = m.a AND p.nxt = m.b),
+       |appl$i AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |           row_number() OVER (PARTITION BY doc_id, isl
+       |             ORDER BY pos) AS ri
+       |    FROM (
+       |      SELECT doc_id, pos,
+       |             pos - row_number() OVER (PARTITION BY doc_id
+       |               ORDER BY pos) AS isl
+       |      FROM cand$i) c) r
+       |  WHERE ri % 2 = 1),
+       |s${i + 1} AS (
+       |  SELECT t.doc_id, t.lang,
+       |         row_number() OVER (PARTITION BY t.doc_id
+       |           ORDER BY t.pos) AS pos,
+       |         CASE WHEN a.pos IS NOT NULL THEN t.tok || ' ' || t.nxt
+       |              ELSE t.tok END AS tok
+       |  FROM p$i t
+       |  LEFT JOIN appl$i a ON a.doc_id = t.doc_id AND a.pos = t.pos
+       |  LEFT JOIN appl$i g ON g.doc_id = t.doc_id AND g.pos = t.pos - 1
+       |  WHERE g.pos IS NULL)""".stripMargin
+
+  private val bpeS1Sql =
+    """s1 AS (
+      |  SELECT doc_id, lang, CAST(u.i AS BIGINT) AS pos,
+      |         t.toks[u.i] AS tok
+      |  FROM (SELECT doc_id, lang,
+      |               regexp_extract_all(lower(text), '\S+') AS toks
+      |        FROM documents) t,
+      |       unnest(range(1, len(t.toks) + 1)) u(i))""".stripMargin
+
   /** Q93 — the learned BPE merge table: 3 rounds of the iterative
-    * pair-count → argmax → map-side-apply loop per language. Rows-only
-    * by design (greedy non-overlapping application is imperative — no
-    * SQL restatement); `TextDedupSpec` verifies the loop against a
+    * pair-count → argmax → map-side-apply loop per language. The loop
+    * is deterministic given the corpus, so it hash-gates against a
+    * DuckDB restatement with the rounds unrolled ([[bpeStepSql]]);
+    * `TextDedupSpec` additionally verifies the loop against a
     * hand-computed fixture and holds the shrinkage invariant. */
   val q93 = Query(
     "q93_bpe_learn",
@@ -849,7 +906,17 @@ object TextOps {
       s.createDataFrame(merges).toDF("lang", "step", "t1", "t2", "freq")
         .orderBy("lang", "step")
     },
-    None
+    Some(s"""WITH $bpeS1Sql,
+            |${bpeStepSql(1)},
+            |${bpeStepSql(2)},
+            |${bpeStepSql(3)}
+            |SELECT lang, step, t1, t2, freq FROM (
+            |  SELECT lang, 1 AS step, a AS t1, b AS t2, cnt AS freq FROM m1
+            |  UNION ALL
+            |  SELECT lang, 2 AS step, a AS t1, b AS t2, cnt AS freq FROM m2
+            |  UNION ALL
+            |  SELECT lang, 3 AS step, a AS t1, b AS t2, cnt AS freq FROM m3) u
+            |ORDER BY lang, step""".stripMargin)
   )
 
   /** Q95 — bigram language-model quality scoring (the CCNet-style
@@ -943,8 +1010,9 @@ object TextOps {
     *
     * Scale shape: the merge table is bounded model state (steps ×
     * languages) broadcast to executors; encoding is pure map-side over
-    * the document stream — the ideal 100 TB shape. Rows-only by design
-    * (greedy merge application is imperative, like q93).
+    * the document stream — the ideal 100 TB shape. Hash-gated like
+    * q93: the oracle unrolls the learner rounds and reads the final
+    * corpus state as the encoding (the two are the same computation).
     */
   val q106 = Query(
     "q106_bpe_encode",
@@ -964,8 +1032,12 @@ object TextOps {
         .map { case (id, lang, toks) =>
           val encoded = bc.value.getOrElse(lang, Nil)
             .foldLeft(toks.toIndexedSeq) { case (ts, (a, b)) => mergeOnce(ts, a, b) }
+          // "\n" separator: tokens are \S+ runs (merged units join
+          // with ' '), so newline can never appear inside a unit - and
+          // unlike NUL it round-trips through the DuckDB oracle's
+          // string_agg(chr(10)) for the hash gate
           val digest = java.security.MessageDigest.getInstance("MD5")
-            .digest(encoded.mkString("\u0000").getBytes("UTF-8"))
+            .digest(encoded.mkString("\n").getBytes("UTF-8"))
             .map("%02x".format(_)).mkString
           (id, lang, toks.length.toLong, encoded.length.toLong,
             if (toks.isEmpty) 1.0 else encoded.length.toDouble / toks.length,
@@ -974,7 +1046,30 @@ object TextOps {
         .toDF("doc_id", "lang", "n_raw", "n_encoded", "ratio", "digest")
         .orderBy("doc_id")
     },
-    None
+    // the corpus state after the 3 unrolled learner rounds IS the
+    // encoded corpus (the learner applies each merge globally), so the
+    // oracle reuses the q93 CTE chain and aggregates s4 per document
+    Some(s"""WITH $bpeS1Sql,
+            |${bpeStepSql(1)},
+            |${bpeStepSql(2)},
+            |${bpeStepSql(3)},
+            |enc AS (
+            |  SELECT doc_id, COUNT(*) AS n_encoded,
+            |         md5(string_agg(tok, chr(10) ORDER BY pos)) AS digest
+            |  FROM s4 GROUP BY doc_id),
+            |raw AS (
+            |  SELECT doc_id, lang,
+            |         CAST(len(regexp_extract_all(lower(text), '\\S+'))
+            |           AS BIGINT) AS n_raw
+            |  FROM documents)
+            |SELECT r.doc_id, r.lang, r.n_raw,
+            |       CAST(COALESCE(e.n_encoded, 0) AS BIGINT) AS n_encoded,
+            |       CASE WHEN r.n_raw = 0 THEN CAST(1 AS DOUBLE)
+            |            ELSE CAST(COALESCE(e.n_encoded, 0) AS DOUBLE)
+            |                   / CAST(r.n_raw AS DOUBLE) END AS ratio,
+            |       COALESCE(e.digest, md5('')) AS digest
+            |FROM raw r LEFT JOIN enc e USING (doc_id)
+            |ORDER BY r.doc_id""".stripMargin)
   )
 
   /** Q125 — BM25 retrieval scoring: score every document against the

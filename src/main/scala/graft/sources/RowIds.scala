@@ -64,16 +64,23 @@ object RowIds {
         "partition/bucket/transform layout")
     // a pre-existing DATA column named _row_id would be silently
     // shadowed (and retyped) by the lineage fill — refuse instead.
-    // Without a declared schema, EVERY live file's footer is probed
-    // (enable is one-time; a heterogeneous-footer table could hide
-    // the column in any generation)
-    val v0 = Sources.latestVersion(table)
-    if (v0 > 0) {
-      val names = Sources.declaredSchema(table, v0).map(_.fieldNames.toSeq)
-        .getOrElse(Sources.filesOf(table, v0).flatMap(footerFields))
+    // EVERY live version is checked, not just the latest:
+    // readVersionWithRowIds/t$rid accept ANY version, so a _row_id
+    // data column present only in an earlier generation's files would
+    // be silently reinterpreted as materialized lineage ids on
+    // historical reads. Per version: the declared-schema sidecar if
+    // pinned, else the files' footers (enable is one-time; footers
+    // for a version's files are probed at most once — the earlier
+    // versions' file sets mostly overlap the later ones')
+    val probed = scala.collection.mutable.Set.empty[String]
+    Sources.versionsOf(table).foreach { v =>
+      val names = Sources.declaredSchema(table, v).map(_.fieldNames.toSeq)
+        .getOrElse(Sources.filesOf(table, v)
+          .filter(probed.add) // each distinct file once across versions
+          .flatMap(footerFields))
       require(!names.contains(COL),
-        s"$table already has a data column named $COL — row lineage " +
-          "reserves that name")
+        s"$table already has a data column named $COL (version $v) — " +
+          "row lineage reserves that name")
     }
     Sources.writeTableProperties(table,
       Sources.tableProperties(table) + ("rowids.enabled" -> "true"))

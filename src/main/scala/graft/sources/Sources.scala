@@ -285,6 +285,101 @@ object Sources {
   // scale to thousands of commits; directory listing is the anti-pattern
   // it replaces. The manifest write is temp-file + atomic rename.
 
+  // ---- writer-recorded per-file footer schemas (`_COLS` sidecars) --------
+  // Read paths that need a PER-FILE schema (the eq-delete generation
+  // split, the evolved-read generation grouping) used to open O(files)
+  // parquet footers driver-side — serial metadata IO that stalls the
+  // driver on a wide CDF range (round-9 verdict). The WRITER knows the
+  // footer shape at commit time, so every batch write now records it:
+  // a `_COLS` sidecar at the batch root (`*\t<schemaJson>` — applies to
+  // every parquet file below) or, for pre-written streaming epoch
+  // files, appended per-file lines (`<basename>\t<schemaJson>`). The
+  // underscore prefix keeps it invisible to Spark's file index.
+  // Resolution falls back to a footer open ONLY for pre-sidecar files —
+  // counted in [[footerProbes]] so EqualityDeleteSpec can witness the
+  // zero-open path.
+
+  private[graft] val footerProbes =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  // file -> footer schema; entries are immutable once written (batch
+  // dirs are uuid-named and never rewritten), so a process-wide cache
+  // is safe and collapses repeated CDF ranges to zero metadata IO
+  private val fileSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def recordBatchCols(batchPath: String, footer: StructType): Unit = {
+    val p = java.nio.file.Paths.get(batchPath, "_COLS")
+    // a 0-partition write creates no dir — nothing to describe
+    if (java.nio.file.Files.exists(p.getParent))
+      java.nio.file.Files.write(p, s"*\t${footer.json}\n".getBytes("UTF-8"))
+  }
+
+  /** Append per-file footer-schema lines next to pre-written files (the
+    * streaming-epoch commit path, where many epochs share one dir).
+    * Epoch commits are serialized per query; a torn line from a crash
+    * mid-append is skipped by the defensive parse and that file simply
+    * falls back to a footer probe. */
+  private[sources] def recordFileCols(files: Seq[String],
+      footer: StructType): Unit =
+    files.groupBy(f => java.nio.file.Paths.get(f).getParent).foreach {
+      case (dir, fs) if dir != null && java.nio.file.Files.exists(dir) =>
+        val lines = fs.map(f =>
+          s"${java.nio.file.Paths.get(f).getFileName}\t${footer.json}\n")
+          .mkString
+        java.nio.file.Files.write(dir.resolve("_COLS"),
+          lines.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      case _ => ()
+    }
+
+  private def parseColsLines(p: java.nio.file.Path): Seq[(String, StructType)] =
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala.toSeq.flatMap { l =>
+      l.split("\t", 2) match {
+        case Array(n, j) =>
+          try Some(n -> org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType])
+          catch { case _: Exception => None } // torn/foreign line: skip
+        case _ => None
+      }
+    }
+
+  /** Footer schema of one committed parquet file, resolved from the
+    * writer-recorded `_COLS` sidecar (exact-name line in the file's own
+    * dir, else the nearest ancestor's `*` line), with a counted footer
+    * open only for pre-sidecar files. */
+  private[sources] def fileSchemaOf(spark: SparkSession,
+      file: String): StructType = {
+    val cached = fileSchemaCache.get(file)
+    if (cached != null) return cached
+    val fp = java.nio.file.Paths.get(file)
+    val base = fp.getFileName.toString
+    @annotation.tailrec
+    def lookup(dir: java.nio.file.Path, depth: Int): Option[StructType] =
+      if (dir == null || depth > 8) None
+      else {
+        val c = dir.resolve("_COLS")
+        val hit =
+          if (!java.nio.file.Files.exists(c)) None
+          else {
+            val lines = parseColsLines(c)
+            lines.collectFirst { case (n, s) if n == base => s }
+              .orElse(lines.collectFirst { case ("*", s) => s })
+          }
+        hit match {
+          case some @ Some(_) => some
+          case None => lookup(dir.getParent, depth + 1)
+        }
+      }
+    val resolved = lookup(fp.getParent, 0).getOrElse {
+      footerProbes.incrementAndGet()
+      spark.read.parquet(file).schema
+    }
+    fileSchemaCache.put(file, resolved)
+    resolved
+  }
+
   private def manifestDir(table: String) = new java.io.File(table)
 
   private[sources] def versionsOf(table: String): Seq[Int] = {
@@ -323,8 +418,24 @@ object Sources {
     * needs (Delta/Iceberg do the same dance against the log store);
     * a bounded attempt count turns pathological contention into a loud
     * failure instead of livelock. */
+  /** On a lineage table, a caller batch must never supply the reserved
+    * `_row_id` column: the read-side coalesce PREFERS a materialized
+    * column, so forged or duplicated ids would silently corrupt row
+    * identity (and multiply matches in the lineage feed's full-outer
+    * join). Mirrors the enable-time guard; the internal rewrite paths
+    * that legitimately materialize ids (CoW survivors, the SQL delta
+    * write) publish directly and never pass through here. */
+  private def requireNoForgedRowIds(table: String, schema: StructType,
+      op: String): Unit =
+    require(!(schema.fieldNames.contains(RowIds.COL) &&
+        RowIds.enabled(table)),
+      s"$op on $table: the batch carries ${RowIds.COL}, the reserved " +
+        "lineage identity column — ids are table-assigned, never " +
+        "caller-supplied")
+
   def commitVersion(df: DataFrame, table: String,
       overwrite: Boolean = false): Int = {
+    requireNoForgedRowIds(table, df.schema, "commitVersion")
     val files = writeBatch(df, table)
     try publishNextVersion(table, files, overwrite,
       batchSchema = Some(df.schema))
@@ -343,9 +454,15 @@ object Sources {
     * [[commitVersion]] for writers that already landed their parquet
     * through the executor-side writer machinery. */
   def commitVersionFiles(table: String, files: Seq[String],
-      batchSchema: Option[StructType] = None): Int =
+      batchSchema: Option[StructType] = None): Int = {
+    batchSchema.foreach(s =>
+      requireNoForgedRowIds(table, s, "commitVersionFiles"))
+    // pre-written epoch files share dirs across epochs — record their
+    // footer shape per file so CDF readers never re-open the footers
+    batchSchema.foreach(recordFileCols(files, _))
     publishNextVersion(table, files, overwrite = false,
       batchSchema = batchSchema)
+  }
 
   /** Write `df` as an immutable, uniquely-named batch directory under
     * the table and return its file list — the data half of every
@@ -1193,10 +1310,12 @@ object Sources {
       val target = files.filter(f => scoped.contains(normalizePath(f)))
       if (target.nonEmpty) {
         // generation split: only files whose footer carries every key
-        // column participate (schema probe is driver-side metadata IO)
+        // column participate — resolved from the writer-recorded
+        // `_COLS` sidecars, so a wide CDF range costs zero driver-side
+        // footer opens ([[fileSchemaOf]])
         val usable = target.filter(f =>
           e.keyCols.forall(
-            spark.read.parquet(f).schema.fieldNames.contains))
+            fileSchemaOf(spark, f).fieldNames.contains))
         if (usable.nonEmpty) {
           val keys = spark.read.parquet(e.dataPath)
           val probe = spark.read.parquet(usable: _*)
@@ -1234,6 +1353,7 @@ object Sources {
       changes: DataFrame, keyCols: Seq[String],
       opCol: String = "op"): (Int, Long) = {
     require(keyCols.nonEmpty, "mergeVersionEq needs at least one key column")
+    requireNoForgedRowIds(table, changes.schema, "mergeVersionEq")
     val v = latestVersion(table)
     require(v > 0, s"$table has no committed versions")
     val files = filesOf(table, v)
@@ -1488,6 +1608,7 @@ object Sources {
     * through the OCC loop). */
   def commitVersionEvolving(df: DataFrame, table: String,
       renames: Map[String, String] = Map.empty): Int = {
+    requireNoForgedRowIds(table, df.schema, "commitVersionEvolving")
     val prevV = latestVersion(table)
     val declared =
       if (prevV == 0) df.schema
@@ -1509,9 +1630,10 @@ object Sources {
     * renamed columns mapped via the recorded [[RenamedFrom]] metadata,
     * columns a generation predates arriving as typed nulls. A
     * generation = the files sharing one footer schema — bounded by the
-    * number of evolutions, never the file count (the footer probe is
-    * one driver-side read per file here; a catalog-scale format pins a
-    * file -> schema-id instead, same alignment). */
+    * number of evolutions, never the file count; the per-file schema
+    * comes from the writer-recorded `_COLS` sidecar ([[fileSchemaOf]],
+    * the file -> schema-id pin a catalog-scale format keeps), not a
+    * footer open per file. */
   def readVersionEvolved(spark: SparkSession, table: String,
       version: Int = -1): DataFrame = {
     val v = if (version < 0) latestVersion(table) else version
@@ -1524,7 +1646,11 @@ object Sources {
     }.toMap
     val dv = dvOf(table, v)
     filesOf(table, v)
-      .groupBy(f => spark.read.parquet(f).schema)
+      // generation key from the writer-recorded sidecar, not a footer
+      // open per file; a recorded/probed nullability drift can only
+      // SPLIT a generation (each split is aligned independently and
+      // unioned — correct either way), never merge two
+      .groupBy(f => fileSchemaOf(spark, f))
       .values.toSeq
       // DV/eq filters BEFORE alignment: the probes need the file
       // scan's own _metadata columns, which the aligning select drops
@@ -1876,6 +2002,7 @@ object Sources {
   def mergeVersion(spark: SparkSession, table: String, changes: DataFrame,
       key: String, opCol: String = "op",
       keyProbeLimit: Int = 100000): (Int, Int, Int) = {
+    requireNoForgedRowIds(table, changes.schema, "mergeVersion")
     val v = latestVersion(table)
     require(v > 0, s"$table has no committed versions")
     val files = filesOf(table, v)
@@ -2090,6 +2217,7 @@ object Sources {
       changes: DataFrame, key: String, opCol: String = "op",
       maxDvRows: Int = 1 << 20,
       keyProbeLimit: Int = 100000): (Int, Long, Boolean) = {
+    requireNoForgedRowIds(table, changes.schema, "mergeVersionDv")
     val v = latestVersion(table)
     require(v > 0, s"$table has no committed versions")
     val files = filesOf(table, v)
@@ -2342,6 +2470,7 @@ object Sources {
       checks: Seq[(String, org.apache.spark.sql.Column)],
       overwrite: Boolean = false): Either[Map[String, Long], Int] = {
     require(checks.nonEmpty, "commitVersionChecked needs at least one check")
+    requireNoForgedRowIds(table, df.schema, "commitVersionChecked")
     val spark = df.sparkSession
     val obs = org.apache.spark.sql.Observation()
     val aggs = checks.map { case (name, pred) =>
@@ -2609,6 +2738,7 @@ object Sources {
         .repartition(n, col("_b"))
         .write.mode(SaveMode.ErrorIfExists).partitionBy("_b")
         .parquet(batchPath)
+      recordBatchCols(batchPath, df.schema) // _b lives in dir names only
     case None => partTransformOf(table) match {
       case Some(t) =>
         require(df.schema.fieldNames.contains(t.column),
@@ -2628,12 +2758,16 @@ object Sources {
           .repartition(col("_pt"))
           .write.mode(SaveMode.ErrorIfExists).partitionBy("_pt")
           .parquet(batchPath)
+        recordBatchCols(batchPath, df.schema) // _pt in dir names only
       case None =>
         val parts = partitionColumnsOf(table)
           .filter(df.schema.fieldNames.contains(_))
         val w = df.write.mode(SaveMode.ErrorIfExists)
         (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
           .parquet(batchPath)
+        // hive layout moves the partition columns out of data files
+        recordBatchCols(batchPath, StructType(
+          df.schema.filterNot(f => parts.contains(f.name))))
     }
   }
 
@@ -2805,10 +2939,19 @@ object Sources {
     val obs = new org.apache.spark.sql.Observation()
     val rewritten0 = base.observe(obs,
       sum(when(hit, 1L).otherwise(0L)).as("updated"))
-    val rewritten = sets.foldLeft(rewritten0) { case (df, (c, e)) =>
-      df.withColumn(c, when(hit, e.cast(df.schema(c).dataType))
-        .otherwise(col(c)))
-    }
+    // ONE simultaneous projection — SQL UPDATE evaluates the predicate
+    // and every RHS against the PRE-update row. A sequential
+    // withColumn fold would let later assignments (and a predicate
+    // referencing a set column) observe already-updated values, making
+    // the result depend on Map iteration order (sets=Map(a->b, b->a)
+    // must swap, not copy).
+    val rewritten = rewritten0.select(base.columns.map { c =>
+      sets.get(c) match {
+        case Some(e) =>
+          when(hit, e.cast(base.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toSeq: _*)
     val batch = java.nio.file.Paths.get(table, "data",
       s"batch-update-${java.util.UUID.randomUUID().toString.take(8)}")
     writePartitionedBatch(rewritten, table, batch.toString)

@@ -236,4 +236,30 @@ class AnnIndexSpec extends SparkTestBase {
     drain(s"$root/ckpt2")
     assert(content() === expected)
   }
+
+  test("a negative vec_id fails maintenance loudly — the in-band " +
+    "ledger owns the negative b_id keyspace") {
+    val root = tmp("ann-neg")
+    val src = s"$root/emb"
+    val idx = s"$root/idx"
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+    Sources.commitVersion(emb.filter(col("vec_id") < 100), src)
+    AnnIndex.init(spark, src, idx)
+    val model = AnnIndex.loadModel(idx)
+    val e = intercept[Exception] {
+      AnnIndex.encode(
+        emb.filter(col("vec_id") < 3)
+          .withColumn("vec_id", col("vec_id") - 10L), model)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("vec_id >= 0")),
+      s"expected the keyspace guard, got $e")
+    // non-negative ids encode unchanged
+    assert(AnnIndex.encode(emb.filter(col("vec_id") < 3), model)
+      .count() === 3L)
+  }
 }

@@ -59,6 +59,35 @@ class CdcLineageSpec extends SparkTestBase {
       .filter(col("o_totalprice") === 1.0d).count())
   }
 
+  test("updateWhere evaluates ALL assignments and the predicate " +
+    "against the PRE-update row (SQL UPDATE's simultaneous semantics)") {
+    import spark.implicits._
+    // a=b, b=a must SWAP (a sequential fold would copy one into both,
+    // with the outcome depending on Map iteration order)
+    val t = tmp("upd-swap") + "/t"
+    Sources.commitVersion(
+      Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("k", "a", "b"), t)
+    Sources.updateWhere(spark, t, col("k") === 1L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val rows = Sources.readVersion(spark, t).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((1L, 20L, 10L), (2L, 30L, 40L)),
+      s"sets must swap simultaneously, got ${rows.toSeq}")
+    // a predicate referencing a SET column must keep matching while
+    // the remaining assignments apply: every matched row gets BOTH
+    // updates, computed from pre-update values
+    val t2 = tmp("upd-pred") + "/t"
+    Sources.commitVersion(
+      Seq((1L, 5L, 0L), (2L, 99L, 0L)).toDF("k", "a", "b"), t2)
+    val (_, nUpd, _, _) = Sources.updateWhere(spark, t2, col("a") === 5L,
+      Map("a" -> lit(6L), "b" -> (col("a") + 100L)))
+    assert(nUpd === 1L)
+    val r2 = Sources.readVersion(spark, t2).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(r2.toSeq === Seq((1L, 6L, 105L), (2L, 99L, 0L)),
+      s"predicate and RHS must see pre-update values, got ${r2.toSeq}")
+  }
+
   test("a pure layout rewrite (compaction + purge) nets to an EMPTY " +
     "feed; an in-place update pairs pre/postimages") {
     val t = freshTable("net")

@@ -543,4 +543,55 @@ class EqualityDeleteSpec extends SparkTestBase {
       s"SELECT * FROM eqcat.t WHERE o_orderkey = ${keys(0)}").count() === 0L)
     spark.sql("DROP TABLE eqcat.t")
   }
+
+  test("wide eq CDF range with MIXED file generations plans with ZERO " +
+    "driver-side parquet footer opens (writer-recorded _COLS sidecars)") {
+    import spark.implicits._
+    val t = freshTable("eq-cdf-nofooter")
+    val v1 = Sources.commitVersion(ordersBase, t)
+    val keys = ordersBase.select("o_orderkey").orderBy("o_orderkey")
+      .limit(4).collect().map(_.getLong(0))
+    // widen the range: appends interleaved with eq commits, plus an
+    // EVOLVING append (new column `gen2_tag`) and an eq entry KEYED on
+    // the new column — the generation split in eqRetiredPositions must
+    // resolve every file's footer columns (old files lack the key and
+    // are skipped) WITHOUT opening a single footer
+    Sources.mergeVersionEq(spark, t,
+      changes(Seq((keys(0), 1L, 10.0, "G-A")), Seq(keys(1))),
+      Seq("o_orderkey"))
+    Sources.commitVersion(ordersBase
+      .filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 90000000L), t)
+    Sources.commitVersionEvolving(
+      ordersBase.limit(20)
+        .withColumn("o_orderkey", col("o_orderkey") + 80000000L)
+        .withColumn("gen2_tag", concat(lit("t"),
+          col("o_orderkey").cast("string"))),
+      t)
+    val tagKeys = Seq("t" + (keys(2) + 80000000L))
+    val eqTag = tagKeys.toDF("gen2_tag").withColumn("op", lit("delete"))
+    Sources.mergeVersionEq(spark, t, eqTag, Seq("gen2_tag"))
+    val (vLast, _) = Sources.mergeVersionEq(spark, t,
+      changes(Seq((keys(3), 2L, 20.0, "G-B")), Nil), Seq("o_orderkey"))
+    assert(vLast > v1 + 3)
+    // fresh table, fresh uuid-named files: nothing can be pre-cached,
+    // so any footer open below must show up in the counter
+    val before = Sources.footerProbes.get()
+    spark.readStream.format("graft-cdf")
+      .option("path", t) // whole history: the widest range there is
+      .load().writeStream.format("memory").queryName("eq_cdf_nofooter")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val feed = spark.sql("SELECT * FROM eq_cdf_nofooter")
+    assert(feed.count() > 0)
+    // the semantic half: the gen2-keyed delete landed (only the new-
+    // generation file served that key) and old generations were skipped
+    // without resurrection
+    assert(feed.filter(col("_change_type") === "delete" &&
+      col("o_orderkey") === keys(2) + 80000000L).count() === 1L)
+    val after = Sources.footerProbes.get()
+    assert(after === before,
+      s"CDF range opened ${after - before} parquet footers driver-side " +
+        "— per-file schemas must come from the _COLS sidecars")
+  }
 }

@@ -259,4 +259,109 @@ class ExactlyOnceFaultSpec extends SparkTestBase {
       slots.map(_.stripPrefix("bid=").takeWhile(_ != '_')).size >= 2,
       s"expected slots from two distinct runs, got $slots")
   }
+
+  test("TextIndex net maintainer KILLED between the eq merges and the " +
+    "termstats commit: the intent-pinned range replays VERBATIM — no " +
+    "loss, no double counting") {
+    import graft.functions.TextIndex
+    val root = tmp("netfault-text")
+    val src = s"$root/docs"
+    val idx = s"$root/idx"
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").filter(col("doc_id") < 120)
+    Sources.commitVersion(docs.filter(col("doc_id") < 60), src)
+    graft.sources.RowIds.enableRowIds(src)
+    TextIndex.init(idx)
+    TextIndex.maintainNetQuery(spark, src, idx, s"$root/ckpt1")
+      .awaitTermination()
+    // the range that will crash mid-application: an insert + an
+    // in-place update (so the additive delta has BOTH signs in flight)
+    Sources.commitVersion(docs.filter(col("doc_id") >= 60), src)
+    Sources.updateWhere(spark, src, col("doc_id") % 13 === 0,
+      Map("text" -> concat(lit("zz faultword "), col("text"))))
+    TextIndex.midApplyCrashHook =
+      () => throw new RuntimeException("injected crash")
+    try intercept[Exception] {
+      TextIndex.maintainNetQuery(spark, src, idx, s"$root/ckpt2")
+        .awaitTermination()
+    } finally TextIndex.midApplyCrashHook = () => ()
+    // the crash landed AFTER the postings/docstore merges, BEFORE the
+    // termstats+ledger commit: the range must still be pinned
+    import scala.jdk.CollectionConverters._
+    val pins = java.nio.file.Files
+      .list(java.nio.file.Paths.get(idx, "_netmaintain"))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(pins.exists(_.endsWith(".intent")),
+      s"the crashed range must stay intent-pinned, got $pins")
+    // recovery drain from a FRESH checkpoint (the worst case): the
+    // pinned range replays verbatim, then the ledger advances
+    TextIndex.maintainNetQuery(spark, src, idx, s"$root/ckpt3")
+      .awaitTermination()
+    val expectedDocs = docs.withColumn("text",
+      when(col("doc_id") % 13 === 0,
+        concat(lit("zz faultword "), col("text"))).otherwise(col("text")))
+    val toks = expectedDocs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val posts = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    assert(Sources.readVersion(spark, s"$idx/postings")
+      .collect().map(_.toSeq).toSet ===
+      posts.collect().map(_.toSeq).toSet,
+      "postings after recovery must equal the from-scratch tokenization")
+    assert(Sources.readVersion(spark, s"$idx/termstats")
+      .filter(col("term").isNotNull).select("term", "cnt")
+      .collect().map(_.toSeq).toSet ===
+      toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .collect().map(_.toSeq).toSet,
+      "term totals after recovery must show no loss and no double count")
+    // and the pin is swept once its range is applied through
+    val pinsAfter = java.nio.file.Files
+      .list(java.nio.file.Paths.get(idx, "_netmaintain"))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(!pinsAfter.exists(_.endsWith(".intent")),
+      s"applied pins must be swept, got $pinsAfter")
+  }
+
+  test("AnnIndex net maintainer KILLED before its single atomic merge: " +
+    "the range replays whole on the next drain") {
+    import graft.functions.AnnIndex
+    val root = tmp("netfault-ann")
+    val src = s"$root/emb"
+    val idx = s"$root/idx"
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+    Sources.commitVersion(emb.filter(col("vec_id") < 100), src)
+    graft.sources.RowIds.enableRowIds(src)
+    AnnIndex.init(spark, src, idx)
+    val model = AnnIndex.loadModel(idx)
+    AnnIndex.maintainNetQuery(spark, src, idx, s"$root/ckpt1")
+      .awaitTermination()
+    Sources.commitVersion(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 160), src)
+    Sources.updateWhere(spark, src, col("vec_id") === 3,
+      Map("embedding" -> reverse(col("embedding"))))
+    AnnIndex.preMergeCrashHook =
+      () => throw new RuntimeException("injected crash")
+    try intercept[Exception] {
+      AnnIndex.maintainNetQuery(spark, src, idx, s"$root/ckpt2")
+        .awaitTermination()
+    } finally AnnIndex.preMergeCrashHook = () => ()
+    // nothing landed: the index is exactly the pre-crash state
+    def content(): Set[(Long, Long, Seq[Int])] =
+      Sources.readVersion(spark, idx).filter(col("b_id") >= 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Int](2))).toSet
+    def rebuild(df: org.apache.spark.sql.DataFrame) =
+      AnnIndex.encode(df, model).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    assert(content() === rebuild(emb.filter(col("vec_id") < 100)),
+      "a pre-merge crash must leave the index untouched (atomicity)")
+    // recovery drain: the whole range replays and lands once
+    AnnIndex.maintainNetQuery(spark, src, idx, s"$root/ckpt3")
+      .awaitTermination()
+    assert(content() === rebuild(
+      emb.filter(col("vec_id") < 160)
+        .withColumn("embedding", when(col("vec_id") === 3,
+          reverse(col("embedding"))).otherwise(col("embedding")))))
+  }
 }

@@ -188,5 +188,51 @@ class RowLineageSpec extends SparkTestBase {
       RowIds.enableRowIds(tc)
     }
     assert(e.getMessage.contains("reserves that name"))
+    // ...even when the conflicting column lives ONLY in an EARLIER
+    // generation: historical reads accept any version, so an old
+    // generation's _row_id data column would be silently reinterpreted
+    // as materialized lineage ids
+    val th = tmp("rowids-guard-h") + "/th"
+    Sources.commitVersion(orders100.limit(10)
+      .withColumn(RowIds.COL, lit("old-gen-data")), th)
+    Sources.commitVersion(orders100.limit(10), th, overwrite = true)
+    val eh = intercept[IllegalArgumentException] {
+      RowIds.enableRowIds(th)
+    }
+    assert(eh.getMessage.contains("reserves that name"),
+      "an earlier generation's _row_id column must refuse enable")
+  }
+
+  test("a caller batch supplying _row_id on a lineage table is refused " +
+    "on every commit path (ids are table-assigned, never forged)") {
+    import spark.implicits._
+    val t = tmp("rowids-forge") + "/t"
+    Sources.commitVersion(orders100.limit(20), t)
+    RowIds.enableRowIds(t)
+    val forged = orders100.limit(5)
+      .withColumn(RowIds.COL, col("o_orderkey") * 1000L)
+    val e1 = intercept[IllegalArgumentException] {
+      Sources.commitVersion(forged, t)
+    }
+    assert(e1.getMessage.contains("table-assigned"))
+    intercept[IllegalArgumentException] {
+      Sources.commitVersionEvolving(forged, t)
+    }
+    intercept[IllegalArgumentException] {
+      Sources.mergeVersionEq(spark, t,
+        forged.withColumn("op", lit("upsert")), Seq("o_orderkey"))
+    }
+    intercept[IllegalArgumentException] {
+      Sources.mergeVersion(spark, t,
+        forged.withColumn("op", lit("upsert")), "o_orderkey")
+    }
+    // a clean batch still commits, and the fresh rows draw table ids
+    val before = idsOf(t).values.toSet
+    Sources.commitVersion(orders100.limit(20)
+      .withColumn("o_orderkey", col("o_orderkey") + 700000L), t)
+    val after = idsOf(t)
+    assert(after.size === 40)
+    assert(after.values.toSet.size === 40, "fresh rows must draw new ids")
+    assert(before.subsetOf(after.values.toSet))
   }
 }

@@ -196,4 +196,39 @@ class TextIndexSpec extends SparkTestBase {
     assert(served === scanned,
       "the index-served ranking must be bit-identical to the full scan")
   }
+
+  test("the termstats ledger stays ONE compacted high-water row, " +
+    "however many source versions apply") {
+    val root = tmp("text-idx-ledger")
+    val src = s"$root/docs"
+    val idx = s"$root/idx"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    Sources.commitVersion(docs.filter(col("doc_id") < 100), src)
+    Sources.commitVersion(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), src)
+    Sources.commitVersion(docs.filter(col("doc_id") >= 200), src)
+    TextIndex.init(idx)
+    def ledger(): Seq[(String, Long)] =
+      Sources.readVersion(spark, s"$idx/termstats")
+        .filter(col("term").isNull)
+        .select("tk", "cnt").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    TextIndex.maintainQuery(spark, src, idx, s"$root/ckpt")
+      .awaitTermination()
+    assert(ledger() === Seq(("v:hw", Sources.latestVersion(src).toLong)),
+      s"expected one high-water row, got ${ledger()}")
+    // more commits + another drain: the SAME row advances in place
+    Sources.commitVersion(docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 500000L), src)
+    Sources.commitVersion(docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 600000L), src)
+    TextIndex.maintainQuery(spark, src, idx, s"$root/ckpt")
+      .awaitTermination()
+    assert(ledger() === Seq(("v:hw", Sources.latestVersion(src).toLong)),
+      s"the ledger must not grow with applied versions: ${ledger()}")
+    assertIndexEquals(idx, docs.unionByName(
+      docs.filter(col("doc_id") < 5).withColumn("doc_id", col("doc_id") + 500000L))
+      .unionByName(
+        docs.filter(col("doc_id") < 5).withColumn("doc_id", col("doc_id") + 600000L)))
+  }
 }
