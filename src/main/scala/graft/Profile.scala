@@ -37,7 +37,9 @@ object Profile {
       if (names.isEmpty) SparkEntry.inventory
       else SparkEntry.inventory.filter(q => names.exists(q.name.contains))
     picked.foreach { q =>
+      val tb = System.nanoTime()
       val df = q.build(spark, sfDir)
+      val build = (System.nanoTime() - tb) / 1e9
       if (explain) {
         println(s"===== ${q.name} =====")
         println(df.queryExecution.explainString(
@@ -45,7 +47,8 @@ object Profile {
       }
       val t0 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
-      println(f"[profile] ${q.name}%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val read = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] ${q.name}%-28s build $build%8.2f s  read $read%8.2f s")
     }
     spark.stop()
   }

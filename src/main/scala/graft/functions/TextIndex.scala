@@ -130,15 +130,17 @@ object TextIndex {
             .filter(col("term").isNull)
             .agg(max(col("cnt"))).head
           val hw = if (hwRow.isNullAt(0)) 0L else hwRow.getLong(0)
-          val fresh =
+          val pinned =
             batch.filter(col("_commit_version").cast("long") > hw)
-          if (!fresh.isEmpty) {
-            val pinned = fresh.persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try {
-              val newHw = pinned
-                .agg(max(col("_commit_version").cast("long")))
-                .head.getLong(0)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // one aggregate both materializes the pin and answers
+            // "anything fresh?" — a NULL max IS the emptiness probe, so
+            // no separate isEmpty job runs per micro-batch
+            val hwAgg = pinned
+              .agg(max(col("_commit_version").cast("long"))).head
+            if (!hwAgg.isNullAt(0)) {
+              val newHw = hwAgg.getLong(0)
               // last-change-wins per document (the replicateTable rule)
               val w = Window.partitionBy("doc_id")
                 .orderBy(col("_commit_version").desc,
@@ -154,8 +156,8 @@ object TextIndex {
                   when(col("_change_type") === "insert", lit(1L))
                     .otherwise(lit(-1L))),
                 ledgerHw = newHw)
-            } finally { pinned.unpersist(); () }
-          }
+            }
+          } finally { pinned.unpersist(); () }
         }
       }
       .start()
@@ -176,8 +178,20 @@ object TextIndex {
       newDocs: DataFrame, changedDocIds: DataFrame,
       signed: DataFrame, ledgerHw: Long): Unit = {
     val ts = termstatsT(indexRoot)
+    // tokenization is the drain's only data-proportional work, and the
+    // merges below consume its aggregates through SEVERAL actions each
+    // (key write, upsert write, stats harvest) — pin both aggregate
+    // relations so the text is tokenized once per drain, not once per
+    // downstream job
     val newPosts = toks(newDocs)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val delta = toks(signed, carry = Seq("__s"))
+      .groupBy("term").agg(sum(col("__s")).as("dc"))
+      .filter(col("dc") =!= 0L)
+      .withColumn("tk", concat(lit("t:"), col("term")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val retire = changedDocIds.select(col("doc_id"),
       lit(null).cast("string").as("term"),
       lit(null).cast("long").as("tf"), lit("delete").as("op"))
@@ -196,10 +210,6 @@ object TextIndex {
     // additive term totals: +new tokens, -old tokens (a change's old
     // half carries the old text, so counts subtract without reading
     // the index)
-    val delta = toks(signed, carry = Seq("__s"))
-      .groupBy("term").agg(sum(col("__s")).as("dc"))
-      .filter(col("dc") =!= 0L)
-      .withColumn("tk", concat(lit("t:"), col("term")))
     val cur = Sources.readVersion(spark, ts)
       .filter(col("term").isNotNull)
       .select(col("tk"), col("cnt").as("cur"))
@@ -228,6 +238,7 @@ object TextIndex {
       merged.unionByName(ledger.select(
         col("tk"), col("term"), col("cnt"), col("op"))), "tk")
     ()
+    } finally { newPosts.unpersist(); delta.unpersist(); () }
   }
 
   /** NET maintenance off a LINEAGE source

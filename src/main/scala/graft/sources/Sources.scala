@@ -1361,11 +1361,18 @@ object Sources {
       s"eq-${java.util.UUID.randomUUID().toString.take(12)}")
     // the retired-key set: upsert AND delete ops both retire the stored
     // row; NULL-keyed changes match nothing (dropped here, so the key
-    // parquet stays a pure equality set)
+    // parquet stays a pure equality set). The key count rides the
+    // write itself as an Observation — no second job re-reading the
+    // parquet just to count it.
+    val keyObs = new org.apache.spark.sql.Observation()
     changes.select(keyCols.map(col): _*).na.drop("any", keyCols)
       .distinct().coalesce(1)
+      .observe(keyObs, count(lit(1)).as("n"))
       .write.parquet(eqDir.toString)
-    val nKeys = spark.read.parquet(eqDir.toString).count()
+    val nKeys = Option(keyObs.get.getOrElse("n", null)) match {
+      case Some(n: Number) => n.longValue()
+      case _ => 0L
+    }
     val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
     val hasUpserts = !upserts.isEmpty
     if (nKeys == 0 && !hasUpserts) { // provable no-op: no commit
