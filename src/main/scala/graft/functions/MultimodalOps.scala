@@ -138,6 +138,80 @@ object MultimodalOps {
            |ORDER BY d.doc_id""".stripMargin)
   )
 
+  /** A resized thumbnail's exact content: dims, sample sum, and an
+    * md5 over the comma-joined row-major samples (a digest DuckDB can
+    * reproduce without touching a PNG byte). */
+  final case class ThumbMeta(
+      doc_id: Long, width: Long, height: Long, tw: Long, th: Long,
+      thumb_sum: Long, thumb_digest: String)
+
+  /** Q241 — IMAGE RESIZE over really-decoded rasters: each doc's PNG
+    * decodes through `javax.imageio`, then a nearest-neighbor 4×4
+    * thumbnail samples the DECODED raster (src = ⌊t·dim/4⌋ — the NN
+    * mapping every thumbnailer runs, hand-rolled so the rounding
+    * convention is pinned rather than inherited from a library's
+    * Graphics2D interpolation). Because the encoder's samples are
+    * closed-form ((x+y+id) mod 256) and 8-bit gray PNG is lossless,
+    * the thumbnail's exact bytes are PREDICTABLE relationally — the
+    * one shape of binary-codec operator that can be hash-gated, not
+    * just smoke-tested.
+    *
+    * Scale shape: synthesize→decode→resize runs entirely inside one
+    * mapPartitions over the id scan (executor-side, no driver bytes,
+    * no shuffle); output is one tiny row per image. At 100 TB this is
+    * the thumbnail/preprocess pass of an image-corpus pipeline —
+    * embarrassingly parallel, decoder inited once per partition. */
+  val q241 = Query(
+    "q241_image_resize",
+    (s, dir) => {
+      import s.implicits._
+      val tdim = 4
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val (w, h) = dimsOf(id)
+            val payload = ImageCodec.encodePng(w, h, id)
+            val img = Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload)))
+              .getOrElse(throw new IllegalStateException(
+                s"payload of doc $id did not decode"))
+            val r = img.getRaster
+            val samples = for {
+              ty <- 0 until tdim
+              tx <- 0 until tdim
+            } yield r.getSample(tx * img.getWidth / tdim,
+              ty * img.getHeight / tdim, 0)
+            val digest = java.security.MessageDigest.getInstance("MD5")
+              .digest(samples.mkString(",").getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            ThumbMeta(id, img.getWidth.toLong, img.getHeight.toLong,
+              tdim.toLong, tdim.toLong, samples.map(_.toLong).sum, digest)
+          }
+        }
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""WITH px AS (
+           |  SELECT d.doc_id,
+           |         d.doc_id % 24 + 4 AS w, d.doc_id % 16 + 4 AS h,
+           |         ty.ty, tx.tx,
+           |         ((tx.tx * (d.doc_id % 24 + 4)) // 4
+           |          + (ty.ty * (d.doc_id % 16 + 4)) // 4
+           |          + d.doc_id) % 256 AS s
+           |  FROM documents d,
+           |       LATERAL (SELECT unnest(range(0, 4)) AS ty) ty,
+           |       LATERAL (SELECT unnest(range(0, 4)) AS tx) tx)
+           |SELECT doc_id,
+           |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           |       CAST(4 AS BIGINT) AS tw, CAST(4 AS BIGINT) AS th,
+           |       CAST(SUM(s) AS BIGINT) AS thumb_sum,
+           |       md5(string_agg(s, ',' ORDER BY ty, tx)) AS thumb_digest
+           |FROM px
+           |GROUP BY doc_id, w, h
+           |ORDER BY doc_id""".stripMargin)
+  )
+
   /** Q36 — typed-metadata extraction over opaque binary payloads,
     * columnar formulation (binary cast + octet_length + sha2 + derived
     * synthetic dimensions), hash-checked against DuckDB. This is the
@@ -489,5 +563,5 @@ object MultimodalOps {
            |ORDER BY a.doc_id""".stripMargin)
   )
 
-  val all: Seq[Query] = Seq(q36, q63, q64, q82, q199, q209, q217)
+  val all: Seq[Query] = Seq(q36, q63, q64, q82, q199, q209, q217, q241)
 }

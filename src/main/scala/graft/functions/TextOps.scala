@@ -2857,9 +2857,90 @@ object TextOps {
            |FROM outq ORDER BY doc_id""".stripMargin)
   )
 
+  /** Q238 — BENCHMARK DECONTAMINATION: flag every training document
+    * sharing an exact n-token sequence with the held-out evaluation
+    * set — the GPT-3/Llama n-gram decontamination pass every serious
+    * pretraining pipeline runs before training (a benchmark answer
+    * leaking into the training set invalidates the eval). The
+    * "benchmark" here is the deterministic fixture slice
+    * `doc_id % 53 = 7` (~2% of docs, the bounded-eval-set shape);
+    * production uses 13-grams, this corpus's vocabulary makes 4 the
+    * smallest n with real cross-doc collisions — the dataflow is
+    * n-independent. Output: each contaminated training doc with its
+    * shared-gram count, total distinct grams, and contamination share.
+    *
+    * Scale shape: gram construction is a per-doc bounded window (no
+    * global sort); the eval set's gram relation is SMALL BY
+    * CONSTRUCTION (benchmarks are thousands of docs, the corpus is
+    * billions) → broadcast; the probe is one broadcast semi-shaped
+    * equi-join keyed on the gram + a combinable per-doc count. At
+    * 100 TB the join key would be a 64-bit gram hash (8 B/key instead
+    * of the string; the [[tokHash]] device) — the gate joins raw
+    * strings so the oracle match stays exact rather than
+    * collision-probabilistic. */
+  /** The decontamination core, n and the benchmark membership rule as
+    * knobs (TextDedupSpec drives it with planted overlaps at n = 13,
+    * the production setting). Returns one row per CONTAMINATED
+    * training doc: (doc_id, n_shared, n_grams, share). */
+  def decontaminate(docs: DataFrame, n: Int,
+      isBench: org.apache.spark.sql.Column): DataFrame = {
+    require(n >= 2, "decontaminate needs n >= 2")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
+    val parts = col("tok") +:
+      (1 until n).map(i => element_at(col("__ls"), i))
+    val grams = tokensWithPos(docs)
+      .withColumn("__ls", array(leads: _*))
+      .filter(element_at(col("__ls"), n - 1).isNotNull)
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"))
+      .distinct()
+    val bench = broadcast(grams.filter(isBench).select("g").distinct())
+    val train = grams.filter(!isBench)
+    val hits = train.join(bench, Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    hits.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        (col("n_shared").cast("double") / col("n_grams").cast("double"))
+          .as("share"))
+      .orderBy("doc_id")
+  }
+
+  val q238 = Query(
+    "q238_decontaminate",
+    (s, dir) => decontaminate(Tables.documents(s, dir), n = 4,
+      isBench = pmod(col("doc_id"), lit(53)) === 7),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, i AS pos, toks[i] AS tok FROM (
+           |    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           |    FROM documents) t, unnest(range(1, len(t.toks)+1)) u(i)),
+           |g4 AS (
+           |  SELECT doc_id,
+           |         tok || ' ' || lead(tok, 1) OVER w
+           |             || ' ' || lead(tok, 2) OVER w
+           |             || ' ' || lead(tok, 3) OVER w AS g,
+           |         lead(tok, 3) OVER w AS l3
+           |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+           |  QUALIFY l3 IS NOT NULL),
+           |grams AS (SELECT DISTINCT doc_id, g FROM g4),
+           |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 53 = 7),
+           |train AS (SELECT * FROM grams WHERE doc_id % 53 <> 7),
+           |hits AS (
+           |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+           |  FROM train t JOIN bench b USING (g) GROUP BY t.doc_id),
+           |totals AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+           |  FROM train GROUP BY doc_id)
+           |SELECT h.doc_id, h.n_shared, tt.n_grams,
+           |       CAST(h.n_shared AS DOUBLE) / CAST(tt.n_grams AS DOUBLE)
+           |         AS share
+           |FROM hits h JOIN totals tt USING (doc_id)
+           |ORDER BY h.doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
       q154, q155, q163, q168, q171, q174, q176, q187, q188, q205, q215, q222,
-      q225, q230, q231, q234, TextIndex.q235)
+      q225, q230, q231, q234, TextIndex.q235, q238)
 }

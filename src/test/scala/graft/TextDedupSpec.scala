@@ -934,4 +934,41 @@ class TextDedupSpec extends SparkTestBase {
     // majority of matches (false candidates lose on the balance delta)
     assert(trueMatch.toDouble / matched > 0.9)
   }
+
+  test("q238 decontamination core at production n=13: planted verbatim " +
+    "benchmark spans flag exactly the leaked docs, with exact counts") {
+    import spark.implicits._
+    val benchSpan = (1 to 13).map(i => s"ans$i").mkString(" ")
+    val innocent = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // the benchmark doc (membership rule: doc_id == 100)
+      (100L, s"preamble $benchSpan postamble", "en"),
+      // leaked: carries the full 13-gram verbatim, embedded mid-text
+      (1L, s"$innocent $benchSpan trailing words here", "en"),
+      // near miss: 12 of the 13 tokens (one dropped) — must NOT flag
+      (2L, s"$innocent ${(1 to 12).map(i => s"ans$i").mkString(" ")}", "en"),
+      // clean
+      (3L, innocent, "en"),
+      // leaked twice over two distinct benchmark windows (the doc also
+      // contains the preamble-anchored 13-gram) — n_shared counts
+      // DISTINCT shared grams
+      (4L, s"preamble $benchSpan postamble extra", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.decontaminate(docs, n = 13,
+        isBench = col("doc_id") === 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(1L, 4L),
+      s"exactly the leaked docs must flag, got ${out.keySet}")
+    // doc 1: the span sits mid-text -> exactly the 1 pure-span gram
+    // is shared (every other window mixes non-benchmark context)
+    assert(out(1L)._1 === 1L)
+    // doc 4 reproduces the benchmark's local context, so ALL 3 of the
+    // benchmark doc's windows ("preamble <span> postamble" has 15
+    // tokens -> 3 distinct 13-grams) match
+    assert(out(4L)._1 === 3L)
+    out.foreach { case (_, (shared, total, share)) =>
+      assert(shared <= total && share > 0.0 && share <= 1.0)
+    }
+  }
 }
