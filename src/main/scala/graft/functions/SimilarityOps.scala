@@ -457,6 +457,12 @@ object SimilarityOps {
     * proportional under the occupancy rule — so its join is a keyed
     * equi-join on the coarse cell with NO broadcast hint (planner +
     * AQE decide). */
+  // Argmax via row_number WINDOWS, deliberately: the max_by/first
+  // partial-aggregation form needs struct- and array-valued aggregate
+  // buffers, which Spark cannot hold in a codegen HashAggregate — the
+  // whole plan fell to SortAggregate (measured 2x slower at sf0.1 than
+  // one window sort per argmax). The windows partition by vec_id/cell,
+  // so no global sort exists at any scale.
   private[graft] def twoLevelCells(emb: DataFrame, k: Long): DataFrame = {
     val kc = coarseCount(k)
     val coarse = broadcast(emb.filter(col("vec_id") < kc)
@@ -465,46 +471,36 @@ object SimilarityOps {
     val fine = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("embedding").as("ce"),
         col("nrm").as("cn"))
-    // every argmax below is a max_by PARTIAL AGGREGATION, not a
-    // row_number window: the map side combines to one row per key
-    // before any shuffle and nothing ever sorts — the same argmax
-    // (tiebreak to the LOWER id via the negated id in the ordering
-    // struct), in the plan shape that scales. `first` over the carried
-    // payload columns is deterministic: every row of a key holds the
-    // identical embedding/nrm.
-    def argmax(df: DataFrame, key: String, simCol: Column, idCol: Column,
-        pick: Seq[Column], carry: Seq[String]): DataFrame =
-      df.groupBy(key)
-        .agg(max_by(struct(pick: _*), struct(simCol, -idCol)).as("__w"),
-          carry.map(c => first(col(c)).as(c)): _*)
-        .select((col(key) +: carry.map(col) :+ col("__w.*")): _*)
-    val routed = argmax(
-      fine.crossJoin(coarse)
-        .select(col("cell"), col("ce"), col("cn"), col("ccell0"),
-          (dotNative(col("ce"), col("cce")) / (col("cn") * col("ccn")))
-            .as("rsim")),
-      "cell", col("rsim"), col("ccell0"),
-      pick = Seq(col("ccell0")), carry = Seq("ce", "cn"))
+    val wr = Window.partitionBy("cell")
+      .orderBy(col("rsim").desc, col("ccell0").asc)
+    val routed = fine.crossJoin(coarse)
+      .select(col("cell"), col("ce"), col("cn"), col("ccell0"),
+        (dotNative(col("ce"), col("cce")) / (col("cn") * col("ccn")))
+          .as("rsim"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
       .select(
         when(col("cell") < kc, col("cell")).otherwise(col("ccell0"))
           .as("ccell"),
         col("cell"), col("ce"), col("cn"))
-    val vc = argmax(
-      emb.crossJoin(coarse)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("ccell0"),
-          (dotNative(col("embedding"), col("cce")) /
-            (col("nrm") * col("ccn"))).as("vsim")),
-      "vec_id", col("vsim"), col("ccell0"),
-      pick = Seq(col("ccell0").as("ccell")),
-      carry = Seq("embedding", "nrm"))
-    argmax(
-      vc.join(routed, Seq("ccell"))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
-          (dotNative(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
-            .as("csim")),
-      "vec_id", col("csim"), col("cell"),
-      pick = Seq(col("cell"), col("csim")),
-      carry = Seq("embedding", "nrm"))
+    val wv = Window.partitionBy("vec_id")
+      .orderBy(col("vsim").desc, col("ccell0").asc)
+    val vc = emb.crossJoin(coarse)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("ccell0"),
+        (dotNative(col("embedding"), col("cce")) / (col("nrm") * col("ccn")))
+          .as("vsim"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("ccell0").as("ccell"))
+    val wf = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    vc.join(routed, Seq("ccell"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        (dotNative(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+          .as("csim"))
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") === 1)
       .select("vec_id", "embedding", "nrm", "cell", "csim")
   }
 

@@ -2938,9 +2938,108 @@ object TextOps {
            |ORDER BY h.doc_id""".stripMargin)
   )
 
+  /** Q242 — PII SCRUBBING: redact emails / phone numbers / IPv4
+    * addresses with typed placeholder tokens and report per-doc
+    * redaction counts — the privacy pass every pretraining pipeline
+    * runs over crawled text (C4/FineWeb ship exactly this shape). The
+    * fixture corpus carries no PII, so the query PLANTS deterministic
+    * PII first (identically in both engines — the operator under test
+    * is the scrubber, the injector simulates the dirty crawl), scrubs
+    * it, and emits counts + the clean text's digest + a `residue`
+    * guard proving no pattern survives scrubbing.
+    *
+    * Regex parity: all three patterns are RE2-safe (no backrefs, no
+    * lookaround) and anchored by `\b`/charclass edges, so Java's NFA
+    * and DuckDB's RE2 produce identical spans — the hash gate rides
+    * that. Scrub order is fixed (email → phone → IP) in both engines.
+    *
+    * Scale shape: pure per-row regexp work inside WholeStageCodegen —
+    * no shuffle, no state; the 100 TB form is the identical plan. */
+  val q242 = Query(
+    "q242_pii_scrub",
+    (s, dir) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val dirty = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" contact agent"), col("doc_id").cast("string"),
+              lit("@mail.example.com now"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit(" call 555-"),
+              (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+              (col("doc_id") % 9000 + 1000).cast("string")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), (col("doc_id") % 250).cast("string"),
+              lit(" logged"))).otherwise(lit(""))).as("text"))
+      dirty
+        .withColumn("n_email",
+          size(regexp_extract_all(col("text"), lit(email), lit(0)))
+            .cast("long"))
+        .withColumn("n_phone",
+          size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+            .cast("long"))
+        .withColumn("n_ip",
+          size(regexp_extract_all(col("text"), lit(ip), lit(0)))
+            .cast("long"))
+        .withColumn("clean",
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>"))
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+          length(col("clean")).cast("long").as("clean_len"),
+          md5(col("clean")).as("clean_digest"),
+          (col("clean").rlike(email) || col("clean").rlike(phone) ||
+            col("clean").rlike(ip)).as("residue"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH dirty AS (
+           |  SELECT doc_id, text
+           |    || CASE WHEN doc_id % 7 = 0 THEN ' contact agent'
+           |         || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+           |       ELSE '' END
+           |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+           |         || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+           |         || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+           |       ELSE '' END
+           |    || CASE WHEN doc_id % 13 = 0 THEN ' from 10.'
+           |         || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+           |         || CAST(doc_id % 250 AS VARCHAR) || ' logged'
+           |       ELSE '' END AS text
+           |  FROM documents),
+           |scrubbed AS (
+           |  SELECT doc_id, text,
+           |         regexp_replace(regexp_replace(regexp_replace(text,
+           |           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           |           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+           |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+           |           AS clean
+           |  FROM dirty)
+           |SELECT doc_id,
+           |       CAST(len(regexp_extract_all(text,
+           |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+           |         AS n_email,
+           |       CAST(len(regexp_extract_all(text,
+           |         '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+           |       CAST(len(regexp_extract_all(text,
+           |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+           |         AS n_ip,
+           |       CAST(length(clean) AS BIGINT) AS clean_len,
+           |       md5(clean) AS clean_digest,
+           |       (regexp_matches(clean,
+           |          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')
+           |        OR regexp_matches(clean, '\b\d{3}-\d{3}-\d{4}\b')
+           |        OR regexp_matches(clean,
+           |          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS residue
+           |FROM scrubbed
+           |ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
       q154, q155, q163, q168, q171, q174, q176, q187, q188, q205, q215, q222,
-      q225, q230, q231, q234, TextIndex.q235, q238)
+      q225, q230, q231, q234, TextIndex.q235, q238, q242)
 }
