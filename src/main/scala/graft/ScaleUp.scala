@@ -25,6 +25,13 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // the caesar shift has 25 distinct non-identity values: replicas r
+    // and r+25 would share one, silently re-introducing the cross-
+    // replica near-duplication this generator exists to avoid — for a
+    // larger corpus, scale an already-scaled output again
+    require(factor <= 26,
+      s"factor $factor exceeds the 26 distinct text transforms; " +
+        "compose ScaleUp runs instead (e.g. sf0.1 -> sf1 -> sf10)")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",

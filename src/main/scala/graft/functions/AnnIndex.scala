@@ -247,12 +247,17 @@ object AnnIndex {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val hwRow = Sources.readVersion(spark, indexTable)
-            .filter(col("b_id") === LedgerKey)
-            .select(element_at(col("codes"), 1)).collect()
-          val from =
-            if (hwRow.isEmpty || hwRow.head.isNullAt(0)) 0L
-            else hwRow.head.getInt(0).toLong
+          // hw from the compacted sentinel; indexes written by the
+          // per-version sentinel format (b_id = -(1000000+v)) read
+          // through the otherwise branch, so a format migration never
+          // silently re-nets the whole source history from version 0
+          val hwRows = Sources.readVersion(spark, indexTable)
+            .filter(col("b_id") < 0L)
+            .select(when(col("b_id") === LedgerKey,
+              element_at(col("codes"), 1).cast("long"))
+              .otherwise(-col("b_id") - 1000000L).as("v"))
+            .collect().map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+          val from = if (hwRows.isEmpty) 0L else hwRows.max
           val hi = batch.agg(max(col("_commit_version").cast("long")))
             .head.getLong(0)
           if (hi > from) {

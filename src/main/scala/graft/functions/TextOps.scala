@@ -2870,14 +2870,16 @@ object TextOps {
     * shared-gram count, total distinct grams, and contamination share.
     *
     * Scale shape: gram construction is a per-doc bounded window (no
-    * global sort); the eval set's gram relation is SMALL BY
-    * CONSTRUCTION (benchmarks are thousands of docs, the corpus is
-    * billions) → broadcast; the probe is one broadcast semi-shaped
-    * equi-join keyed on the gram + a combinable per-doc count. At
-    * 100 TB the join key would be a 64-bit gram hash (8 B/key instead
-    * of the string; the [[tokHash]] device) — the gate joins raw
-    * strings so the oracle match stays exact rather than
-    * collision-probabilistic. */
+    * global sort); a real eval set's gram relation is small
+    * (benchmarks are thousands of docs, the corpus is billions) and
+    * the planner broadcasts it from size statistics — no hint, so the
+    * fixture's corpus-proportional membership rule degrades to a keyed
+    * shuffle join instead of a forced corpus-sized broadcast; the
+    * probe is one equi-join keyed on the gram + a combinable per-doc
+    * count. At 100 TB the join key would be a 64-bit gram hash
+    * (8 B/key instead of the string; the [[tokHash]] device) — the
+    * gate joins raw strings so the oracle match stays exact rather
+    * than collision-probabilistic. */
   /** The decontamination core, n and the benchmark membership rule as
     * knobs (TextDedupSpec drives it with planted overlaps at n = 13,
     * the production setting). Returns one row per CONTAMINATED
@@ -2894,7 +2896,13 @@ object TextOps {
       .filter(element_at(col("__ls"), n - 1).isNotNull)
       .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"))
       .distinct()
-    val bench = broadcast(grams.filter(isBench).select("g").distinct())
+    // NO broadcast hint: a REAL benchmark is bounded (thousands of
+    // docs) and the planner broadcasts it from size statistics; the
+    // fixture's modulus membership rule makes the bench side
+    // corpus-PROPORTIONAL (~2% of all grams), and a forced broadcast
+    // of a corpus-proportional relation is exactly the scale failure
+    // PlanShapeSpec exists to kill — let AQE pick per actual size
+    val bench = grams.filter(isBench).select("g").distinct()
     val train = grams.filter(!isBench)
     val hits = train.join(bench, Seq("g"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))

@@ -77,6 +77,12 @@ object RowIds {
       val names = Sources.declaredSchema(table, v).map(_.fieldNames.toSeq)
         .getOrElse(Sources.filesOf(table, v)
           .filter(probed.add) // each distinct file once across versions
+          // vacuum keeps EXPIRED manifests around for eq-scope/branch
+          // pins but sweeps their unshared data files — a vanished
+          // file belongs to a version that is no longer readable, so
+          // it cannot shadow anything and is skipped, not crashed on
+          .filter(f => java.nio.file.Files.exists(
+            java.nio.file.Paths.get(f)))
           .flatMap(footerFields))
       require(!names.contains(COL),
         s"$table already has a data column named $COL (version $v) — " +

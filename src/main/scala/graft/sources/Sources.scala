@@ -303,7 +303,13 @@ object Sources {
     new java.util.concurrent.atomic.AtomicLong(0)
   // file -> footer schema; entries are immutable once written (batch
   // dirs are uuid-named and never rewritten), so a process-wide cache
-  // is safe and collapses repeated CDF ranges to zero metadata IO
+  // is safe and collapses repeated CDF ranges to zero metadata IO.
+  // BOUNDED: an always-on maintainer driver resolves one entry per
+  // data file ever written across every table in the process —
+  // unbounded, that is a slow heap leak, so the cache resets once it
+  // crosses a generous ceiling (a reset only costs re-reading _COLS
+  // sidecar lines, never parquet footers, for files still referenced)
+  private val fileSchemaCacheMax = 1 << 16
   private val fileSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
@@ -376,6 +382,8 @@ object Sources {
       footerProbes.incrementAndGet()
       spark.read.parquet(file).schema
     }
+    if (fileSchemaCache.size() >= fileSchemaCacheMax)
+      fileSchemaCache.clear()
     fileSchemaCache.put(file, resolved)
     resolved
   }

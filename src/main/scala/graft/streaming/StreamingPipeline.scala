@@ -631,13 +631,17 @@ object StreamingPipeline {
     * tolerate the marker-file protocol's residual window (a replayed
     * add DOUBLE-COUNTS, where the replication loops' keyed LWW merge
     * is naturally idempotent), and a fresh checkpoint replays the
-    * whole feed. So the ledger here is IN-BAND: one sentinel row per
-    * applied SOURCE VERSION (`b = -(1000000 + v)` — disjoint from the
-    * real bucket key space) rides the SAME atomic store commit as its
-    * delta. Every batch first drops rows of already-applied source
-    * versions, so any replay — duplicate batch, crash window, fresh
-    * checkpoint, different batching — is a provable no-op
-    * (DsirStoreSpec). Consumers read buckets as `b >= 0`. */
+    * whole feed. So the ledger here is IN-BAND: ONE high-water
+    * sentinel row (`b = -999999`, `n_r` = highest applied source
+    * version — disjoint from the real bucket key space, upserted in
+    * place) rides the SAME atomic store commit as each delta; versions
+    * apply strictly in order, so the single max carries the full
+    * replay guarantee (the TextIndex ledger rule; legacy per-version
+    * `b = -(1000000+v)` sentinels read through the same max). Every
+    * batch first drops rows at or under the high-water mark, so any
+    * replay — duplicate batch, crash window, fresh checkpoint,
+    * different batching — is a provable no-op (DsirStoreSpec).
+    * Consumers read buckets as `b >= 0`. */
   def maintainDsirQuery(spark: SparkSession, docsTable: String,
       storeTable: String, checkpoint: String): StreamingQuery = {
     if (graft.sources.Sources.latestVersion(storeTable) == 0)
@@ -656,21 +660,26 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          // the in-band ledger: source versions already folded in
-          // (bounded — one sentinel per source commit)
-          val applied = graft.sources.Sources
+          // replay filter against the ledger HIGH-WATER MARK (the
+          // TextIndex rule): versions apply strictly in order — the
+          // sentinel commits atomically with its delta — so a single
+          // max carries the full replay guarantee instead of one
+          // sentinel per version growing forever and a full set
+          // collect per micro-batch. Legacy per-version sentinels
+          // (b = -(1000000+v)) read through the same max.
+          val hwRows = graft.sources.Sources
             .readVersion(spark, storeTable)
             .filter(col("b") < 0L)
-            .select((-col("b") - 1000000L).as("v"))
-            .collect().map(_.getLong(0)).toSet
+            .select(when(col("b") === -999999L, col("n_r"))
+              .otherwise(-col("b") - 1000000L).as("v"))
+            .agg(max(col("v"))).head
+          val hw = if (hwRows.isNullAt(0)) 0L else hwRows.getLong(0)
           val fresh =
-            if (applied.isEmpty) batch
-            else batch.filter(!col("_commit_version").cast("long")
-              .isin(applied.toSeq: _*))
+            batch.filter(col("_commit_version").cast("long") > hw)
           if (!fresh.isEmpty) {
-            val newVs = fresh.select(
-                col("_commit_version").cast("long").as("v"))
-              .distinct().collect().map(_.getLong(0))
+            val newHw = fresh
+              .agg(max(col("_commit_version").cast("long")))
+              .head.getLong(0)
             val signed = fresh.withColumn("__sign",
               when(col("_change_type") === "insert", lit(1L))
                 .otherwise(lit(-1L)))
@@ -692,7 +701,7 @@ object StreamingPipeline {
                 when(col("n_r") > 0, "upsert").otherwise("delete"))
             val s2 = spark
             import s2.implicits._
-            val ledger = newVs.toSeq.map(v => (-(1000000L + v), -1L, -1L))
+            val ledger = Seq((-999999L, newHw, -1L))
               .toDF("b", "n_r", "n_t")
               .withColumn("op", lit("upsert"))
             graft.sources.Sources.mergeVersion(spark, storeTable,

@@ -77,14 +77,15 @@ class PlanShapeSpec extends SparkTestBase {
 
   // q212/q219 witness their own plan shape inside the query (shuffle-
   // free SPJ, month-pruned scan) — running them here would only repeat
-  // their lifecycle build; the global invariants below cover the rest.
+  // their lifecycle build; the global invariants below cover the other
+  // 18 of the pinned 20, q203's IVFADC probe included.
   private val pinnedHere = Seq(
     "q01_scan_project", "q03_hyperjoin", "q04_star_join",
     "q11_groupby_agg", "q13a_rollup", "q24_cosine_topk",
     "q28_dedup_minhash", "q31b_knn_lsh", "q66_dedup_clusters",
     "q80_quality_verdict", "q98_semdedup", "q125_bm25",
     "q137_setsim_prefix", "q149_weighted_sample", "q180_basket_triples",
-    "q224_d4_diversify", "q227_semdedup_bounded")
+    "q203_ivfadc", "q224_d4_diversify", "q227_semdedup_bounded")
 
   test("pinned slice: no cartesian product anywhere; every broadcast " +
     "nested-loop join has a provably tiny build side") {
