@@ -36,7 +36,9 @@ object ScaleWitness {
       "q80_quality_verdict", "q98_semdedup", "q125_bm25",
       "q137_setsim_prefix", "q149_weighted_sample", "q180_basket_triples",
       "q203_ivfadc", "q212_bucketed_spj", "q219_transform_partition",
-      "q224_d4_diversify", "q227_semdedup_bounded", "q230_pipeline_e2e")
+      "q224_d4_diversify", "q227_semdedup_bounded", "q230_pipeline_e2e",
+      // round-10 additions: the gram-join, codec, and regex passes
+      "q238_decontaminate", "q241_image_resize", "q242_pii_scrub")
     val byName = SparkEntry.inventory.map(q => q.name -> q).toMap
     val results = names.flatMap(n => byName.get(n)).map { q =>
       val t0 = System.nanoTime()
