@@ -2963,6 +2963,101 @@ object TextOps {
     *
     * Scale shape: pure per-row regexp work inside WholeStageCodegen —
     * no shuffle, no state; the 100 TB form is the identical plan. */
+  /** Q243 — SPAN-LEVEL contamination REMOVAL, q238's surgical sibling:
+    * instead of dropping a contaminated document wholesale, remove
+    * exactly the tokens covered by any benchmark-matching n-gram
+    * window and keep the rest (the ablation-friendly variant — at
+    * pretraining scale whole-doc dropping over-deletes when the leak
+    * is one quoted sentence in a long document). Emits every training
+    * doc with before/removed/after token counts and an md5 of the
+    * kept token stream, so the gate pins the exact surviving text.
+    *
+    * Scale shape: gram windows are per-doc bounded; matched window
+    * STARTS expand to covered positions via a bounded explode
+    * (O(hits·n), hits are the rare case by construction); removal is
+    * one anti-join keyed (doc_id, pos); reconstruction is a per-doc
+    * sorted collect bounded by document length. Nothing global. */
+  val q243 = Query(
+    "q243_decontam_scrub",
+    (s, dir) => {
+      val n = 4
+      val isBench = pmod(col("doc_id"), lit(53)) === 7
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val toks = tokensWithPos(Tables.documents(s, dir))
+        .select("doc_id", "pos", "tok")
+      val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
+      val parts = col("tok") +:
+        (1 until n).map(i => element_at(col("__ls"), i))
+      val gramsPos = toks
+        .withColumn("__ls", array(leads: _*))
+        .filter(element_at(col("__ls"), n - 1).isNotNull)
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", parts: _*).as("g"))
+      val bench = gramsPos.filter(isBench).select("g").distinct()
+      val hitStarts = gramsPos.filter(!isBench)
+        .join(bench, Seq("g")).select("doc_id", "pos")
+      val covered = hitStarts
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+        .distinct()
+      val trainToks = toks.filter(!isBench)
+      val kept = trainToks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_after"),
+          array_sort(collect_list(struct(col("pos"), col("tok"))))
+            .as("ordered"))
+        .select(col("doc_id"), col("n_after"),
+          concat_ws(" ",
+            // ordered is sorted by pos; project the tokens
+            expr("transform(ordered, x -> x.tok)")).as("clean"))
+      val totals = trainToks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_before"))
+      totals.join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_before"),
+          (col("n_before") - coalesce(col("n_after"), lit(0L)))
+            .as("n_removed"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          md5(coalesce(col("clean"), lit(""))).as("clean_digest"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, i AS pos, toks[i] AS tok FROM (
+           |    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           |    FROM documents) t, unnest(range(1, len(t.toks)+1)) u(i)),
+           |gp AS (
+           |  SELECT doc_id, pos,
+           |         tok || ' ' || lead(tok, 1) OVER w
+           |             || ' ' || lead(tok, 2) OVER w
+           |             || ' ' || lead(tok, 3) OVER w AS g,
+           |         lead(tok, 3) OVER w AS l3
+           |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+           |  QUALIFY l3 IS NOT NULL),
+           |bench AS (SELECT DISTINCT g FROM gp WHERE doc_id % 53 = 7),
+           |hits AS (
+           |  SELECT t.doc_id, t.pos FROM gp t JOIN bench b USING (g)
+           |  WHERE t.doc_id % 53 <> 7),
+           |covered AS (
+           |  SELECT DISTINCT doc_id, pos + d AS pos
+           |  FROM hits, unnest(range(0, 4)) u(d)),
+           |traintoks AS (SELECT * FROM toks WHERE doc_id % 53 <> 7),
+           |kept AS (
+           |  SELECT t.* FROM traintoks t
+           |  ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+           |rebuilt AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+           |         string_agg(tok, ' ' ORDER BY pos) AS clean
+           |  FROM kept GROUP BY doc_id),
+           |totals AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_before
+           |  FROM traintoks GROUP BY doc_id)
+           |SELECT t.doc_id, t.n_before,
+           |       t.n_before - COALESCE(r.n_after, 0) AS n_removed,
+           |       COALESCE(r.n_after, 0) AS n_after,
+           |       md5(COALESCE(r.clean, '')) AS clean_digest
+           |FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin)
+  )
+
   val q242 = Query(
     "q242_pii_scrub",
     (s, dir) => {
@@ -3049,5 +3144,5 @@ object TextOps {
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
       q154, q155, q163, q168, q171, q174, q176, q187, q188, q205, q215, q222,
-      q225, q230, q231, q234, TextIndex.q235, q238, q242)
+      q225, q230, q231, q234, TextIndex.q235, q238, q242, q243)
 }

@@ -971,4 +971,61 @@ class TextDedupSpec extends SparkTestBase {
       assert(shared <= total && share > 0.0 && share <= 1.0)
     }
   }
+
+  test("q243 span removal composes with q238: exactly the flagged docs " +
+    "lose tokens, scrubbed docs carry no benchmark gram, clean docs " +
+    "survive byte-identical") {
+    val flagged = TextOps.q238.build(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val scrub = TextOps.q243.build(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val removedFrom = scrub.filter(_._2._2 > 0).keySet
+    assert(removedFrom === flagged,
+      s"span removal must hit exactly the q238 flags: $removedFrom vs $flagged")
+    scrub.foreach { case (id, (before, removed, after)) =>
+      assert(before === removed + after, s"doc $id token accounting")
+    }
+    // idempotence-shaped guarantee: re-running detection on the
+    // SCRUBBED corpus finds nothing (no kept window still matches a
+    // benchmark gram) — rebuild the kept text and re-detect
+    import spark.implicits._
+    val n = 4
+    val isBench = pmod(col("doc_id"), lit(53)) === 7
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = TextOps.tokensWithPos(Tables.documents(spark, sf))
+      .select("doc_id", "pos", "tok")
+    val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
+    val gramsPos = toks
+      .withColumn("__ls", array(leads: _*))
+      .filter(element_at(col("__ls"), n - 1).isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (col("tok") +:
+          (1 until n).map(i => element_at(col("__ls"), i))): _*).as("g"))
+    val bench = gramsPos.filter(isBench).select("g").distinct()
+    val covered = gramsPos.filter(!isBench).join(bench, Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val keptToks = toks.filter(!isBench)
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    // re-gram the kept stream on its own (re-numbered) positions: the
+    // removal may ABUT kept tokens into NEW adjacencies, but none of
+    // the planted single-window leaks can reconstitute a bench gram
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val renum = keptToks
+      .withColumn("p2", row_number().over(w2))
+    val leads2 = (1 until n).map(i => lead(col("tok"), i).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p2")))
+    val regrams = renum
+      .withColumn("__ls", array(leads2: _*))
+      .filter(element_at(col("__ls"), n - 1).isNotNull)
+      .select(concat_ws(" ", (col("tok") +:
+        (1 until n).map(i => element_at(col("__ls"), i))): _*).as("g"))
+    assert(regrams.join(bench, Seq("g")).count() === 0L,
+      "scrubbed corpus must re-detect clean")
+  }
 }
