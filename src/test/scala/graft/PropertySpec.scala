@@ -354,4 +354,40 @@ class PropertySpec extends SparkTestBase {
         s"seed=$s: cell ${worst._1} holds ${worst._2} > cap $cap")
     }
   }
+
+  test("property: decontaminate == the brute-force n-gram overlap on " +
+    "random corpora over a tiny vocabulary (heavy accidental overlap)") {
+    import spark.implicits._
+    val n = 3
+    // tiny vocabulary forces real n-gram collisions between random docs
+    val docGen = Gen.listOfN(30, for {
+      len <- Gen.choose(0, 25)
+      toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+    } yield toks)
+    seeds.foreach { s =>
+      val docs = sample(docGen, s).zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" "), "en")
+      }
+      val isBenchId = (id: Long) => id % 5 == 0
+      // brute force on the driver
+      def grams(ts: Seq[String]): Set[Seq[String]] =
+        ts.sliding(n).filter(_.size == n).map(_.toSeq).toSet
+      val toksOf = docs.map { case (id, t, _) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val benchGrams = toksOf.collect {
+        case (id, ts) if isBenchId(id) => grams(ts) }
+        .foldLeft(Set.empty[Seq[String]])(_ ++ _)
+      val expected = toksOf.collect {
+        case (id, ts) if !isBenchId(id) =>
+          id -> grams(ts).count(benchGrams.contains)
+      }.filter(_._2 > 0)
+      val got = functions.TextOps.decontaminate(
+          docs.toDF("doc_id", "text", "lang"), n,
+          isBench = pmod(col("doc_id"), lit(5)) === 0)
+        .select("doc_id", "n_shared").collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got === expected,
+        s"seed=$s: engine $got vs brute force $expected")
+    }
+  }
 }
