@@ -85,7 +85,11 @@ class PlanShapeSpec extends SparkTestBase {
     "q28_dedup_minhash", "q31b_knn_lsh", "q66_dedup_clusters",
     "q80_quality_verdict", "q98_semdedup", "q125_bm25",
     "q137_setsim_prefix", "q149_weighted_sample", "q180_basket_triples",
-    "q203_ivfadc", "q224_d4_diversify", "q227_semdedup_bounded")
+    "q203_ivfadc", "q224_d4_diversify", "q227_semdedup_bounded",
+    // beyond the bench slice: the round-10 operators ride the same
+    // global invariants (no cartesian, no un-tiny dense join)
+    "q238_decontaminate", "q241_image_resize", "q242_pii_scrub",
+    "q243_decontam_scrub")
 
   test("pinned slice: no cartesian product anywhere; every broadcast " +
     "nested-loop join has a provably tiny build side") {
