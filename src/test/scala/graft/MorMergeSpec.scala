@@ -274,4 +274,59 @@ class MorMergeSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $cat.t")
     spark.sql(s"DROP TABLE $cat.p")
   }
+
+  test("SQL MERGE: WHEN NOT MATCHED BY SOURCE completes the full-sync " +
+    "triad — after matched-update + unmatched-insert + " +
+    "unmatched-source-delete the table IS the source image") {
+    val wh = java.nio.file.Files.createTempDirectory("mor-sync")
+    wh.toFile.deleteOnExit()
+    val cat = s"sy${math.abs(wh.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    spark.sql(s"""CREATE TABLE $cat.t (
+                 |  o_orderkey BIGINT, o_custkey BIGINT,
+                 |  o_totalprice DOUBLE, o_orderpriority STRING)""".stripMargin)
+    ordersBase.createOrReplaceTempView("sync_base")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM sync_base")
+    // the source image: two thirds of the keys survive with doubled
+    // price, one third vanishes, and three brand-new keys appear
+    ordersBase.filter(col("o_orderkey") % 3 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(ordersBase.orderBy("o_orderkey").limit(3)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(7000000L)))
+      .createOrReplaceTempView("sync_src")
+    spark.sql(s"""MERGE INTO $cat.t t USING sync_src s
+                 |ON t.o_orderkey = s.o_orderkey
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  o_totalprice = s.o_totalprice,
+                 |  o_custkey = s.o_custkey,
+                 |  o_orderpriority = s.o_orderpriority
+                 |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+                 |  o_totalprice, o_orderpriority) VALUES (s.o_orderkey,
+                 |  s.o_custkey, s.o_totalprice, s.o_orderpriority)
+                 |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = spark.sql(s"SELECT * FROM $cat.t")
+    val want = spark.table("sync_src")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0 &&
+      want.exceptAll(got).count() === 0,
+      "full-sync MERGE must leave the table equal to the source image")
+    // a conditional NOT MATCHED BY SOURCE UPDATE arm: only flag, never
+    // delete — rows missing from the (now emptied) source keep their
+    // data with the sentinel priority
+    spark.sql("SELECT * FROM sync_src WHERE o_orderkey < 0")
+      .createOrReplaceTempView("sync_empty")
+    spark.sql(s"""MERGE INTO $cat.t t USING sync_empty s
+                 |ON t.o_orderkey = s.o_orderkey
+                 |WHEN MATCHED THEN UPDATE SET o_totalprice = 0.0
+                 |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 2 = 0
+                 |  THEN UPDATE SET o_orderpriority = 'STALE'""".stripMargin)
+    val after = spark.sql(s"SELECT * FROM $cat.t")
+    assert(after.count() === want.count(),
+      "an update-only NOT MATCHED BY SOURCE arm must delete nothing")
+    val evens = want.filter(col("o_orderkey") % 2 === 0).count()
+    assert(after.filter(col("o_orderpriority") === "STALE").count()
+      === evens, "exactly the even unmatched keys get flagged")
+    spark.sql(s"DROP TABLE $cat.t")
+  }
 }

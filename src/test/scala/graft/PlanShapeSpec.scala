@@ -89,7 +89,8 @@ class PlanShapeSpec extends SparkTestBase {
     // beyond the bench slice: the round-10 operators ride the same
     // global invariants (no cartesian, no un-tiny dense join)
     "q238_decontaminate", "q241_image_resize", "q242_pii_scrub",
-    "q243_decontam_scrub")
+    "q243_decontam_scrub", "q239_nfc_normalize", "q240_random_projection",
+    "q244_tokenizer_fertility")
 
   test("pinned slice: no cartesian product anywhere; every broadcast " +
     "nested-loop join has a provably tiny build side") {
