@@ -1323,7 +1323,72 @@ object DedupOps {
            |ORDER BY n.doc_id""".stripMargin)
   )
 
+  /** Q245 — the STREAMING-MAINTAINED EXACT-DEDUP STORE
+    * ([[graft.streaming.DedupStore]]), oracle-gated end-to-end: the
+    * corpus lands in three commits plus one merge-on-read DV erasure;
+    * change-feed maintenance keeps one canonical survivor (MIN live
+    * doc_id) per content digest, PROMOTING the next-lowest member when
+    * an erasure takes a group's survivor out — the non-invertible-
+    * aggregate sibling of q225's subtractable counts, maintained by
+    * re-aggregating ONLY the touched digest groups. The final store
+    * hash-matches DuckDB's full-corpus recompute (the incremental ≡
+    * batch proof). The fixture's texts are pairwise distinct, so the
+    * gate keys on [[graft.streaming.DedupStore.headDigest]] (12-char
+    * head fingerprint → 50 real duplicate groups, 8 of which lose
+    * their survivor to the erasure and must promote); the maintenance
+    * is key-agnostic.
+    *
+    * Scale shape: per drained version range the work is O(changed
+    * docs) + O(affected digests) — never a corpus rescan — and the
+    * whole batch (members + survivors + replay ledger) is ONE atomic
+    * keyed merge, so there is no partial-application crash window.
+    */
+  val q245 = Query(
+    "q245_dedup_store",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-dedupst-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val src = root.resolve("docs_t").toString
+      val store = root.resolve("dedup_store").toString
+      val ckpt = root.resolve("ckpt").toString
+      import graft.sources.Sources
+      import graft.streaming.DedupStore
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
+      DedupStore.maintainQuery(s, src, store, ckpt,
+        DedupStore.headDigest).awaitTermination()
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 2), src)
+      // a GDPR-style erasure that takes 8 groups' survivors with it
+      Sources.deleteWhereDv(s, src, pmod(col("doc_id"), lit(11)) === 0)
+      DedupStore.maintainQuery(s, src, store, ckpt,
+        DedupStore.headDigest).awaitTermination()
+      val nLive = DedupStore.members(s, store)
+        .groupBy("digest").agg(count(lit(1)).as("n_live"))
+      DedupStore.survivors(s, store)
+        .join(nLive, Seq("digest"))
+        .select(col("digest"), col("survivor_id"), col("n_live"))
+        .orderBy("digest")
+    },
+    Some("""WITH live AS (
+           |  SELECT doc_id, md5(substr(lower(text), 1, 12)) AS digest
+           |  FROM documents WHERE doc_id % 11 <> 0)
+           |SELECT digest, MIN(doc_id) AS survivor_id,
+           |       CAST(COUNT(*) AS BIGINT) AS n_live
+           |FROM live GROUP BY digest ORDER BY digest""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68, q74, q137, q164, q165,
-      q167, q175, q185, q213, q216)
+      q167, q175, q185, q213, q216, q245)
 }
