@@ -47,6 +47,12 @@ object DedupStore {
     * "m"/"s", and digests are hex). */
   val HwKey = "#hw"
 
+  /** Test seam: fires immediately before the single atomic merge, so
+    * fault specs can prove the no-partial-application contract (the
+    * AnnIndex pattern — one merge means a crash leaves the store
+    * bitwise untouched and the range replays whole). */
+  private[graft] var preMergeCrashHook: () => Unit = () => ()
+
   /** Full-text digest — the default content key. Gates over the
     * synthetic corpus (distinct texts by construction) use a coarser
     * head fingerprint to manufacture duplicate groups; the maintenance
@@ -154,6 +160,7 @@ object DedupStore {
       import s2.implicits._
       val ledger = Seq((HwKey, "", newHw)).toDF("k", "digest", "doc_id")
         .withColumn("op", lit("upsert"))
+      preMergeCrashHook()
       Sources.mergeVersionEq(spark, storeTable,
         memberRows.unionByName(survRows).unionByName(ledger)
           .sortWithinPartitions("k"),

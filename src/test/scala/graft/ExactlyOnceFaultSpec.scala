@@ -364,4 +364,45 @@ class ExactlyOnceFaultSpec extends SparkTestBase {
         .withColumn("embedding", when(col("vec_id") === 3,
           reverse(col("embedding"))).otherwise(col("embedding")))))
   }
+
+  test("DedupStore maintainer KILLED before its single atomic merge: " +
+    "the store is bitwise untouched and the range replays whole") {
+    import graft.streaming.DedupStore
+    val root = tmp("netfault-dedup")
+    val src = s"$root/docs"
+    val store = s"$root/store"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
+    DedupStore.maintainQuery(spark, src, store, s"$root/ck1",
+      DedupStore.headDigest).awaitTermination()
+    def content(): Set[(String, String, Long)] =
+      Sources.readVersion(spark, store).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val preCrash = content()
+    val vPre = Sources.latestVersion(store)
+    // a second range: new docs AND an erasure that takes survivors out
+    Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
+    Sources.deleteWhereDv(spark, src, pmod(col("doc_id"), lit(11)) === 0)
+    DedupStore.preMergeCrashHook =
+      () => throw new RuntimeException("injected crash")
+    try intercept[Exception] {
+      DedupStore.maintainQuery(spark, src, store, s"$root/ck2",
+        DedupStore.headDigest).awaitTermination()
+    } finally DedupStore.preMergeCrashHook = () => ()
+    assert(content() === preCrash && Sources.latestVersion(store) === vPre,
+      "a pre-merge crash must leave the store bitwise untouched")
+    // recovery on a THIRD checkpoint: the crashed range replays whole
+    DedupStore.maintainQuery(spark, src, store, s"$root/ck3",
+      DedupStore.headDigest).awaitTermination()
+    val live = Sources.readVersion(spark, src)
+    val want = live
+      .groupBy(DedupStore.headDigest(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("survivor_id"))
+      .orderBy("digest").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = DedupStore.survivors(spark, store).orderBy("digest")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want,
+      "the recovery drain must land the crashed range exactly once")
+  }
 }
