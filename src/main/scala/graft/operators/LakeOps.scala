@@ -1966,7 +1966,57 @@ object LakeOps {
            |FROM ev ORDER BY o_orderkey, _change_type""".stripMargin)
   )
 
+  /** Q246 — RESUMABLE CHUNKED BACKFILL ([[graft.sources.Backfill]]):
+    * the corpus-wide one-off pass (re-tokenize, re-score, re-embed)
+    * run as bounded id-range chunks, each committed with its
+    * chunk-ledger row in ONE atomic keyed merge, so a crash at hour N
+    * of M resumes at chunk N instead of zero (BackfillSpec kills a
+    * mid-run chunk and proves finished chunks never re-run). The gate
+    * backfills per-document token counts over the documents corpus in
+    * 100-id chunks; the assembled output hash-matches DuckDB's direct
+    * single-pass recompute — chunked ≡ one-shot.
+    *
+    * Scale shape: each chunk is a contiguous-id, file-pruned slice
+    * scan + one bounded eq merge; progress state is O(chunks); redoing
+    * a torn chunk is idempotent because the output is keyed.
+    */
+  val q246 = Query(
+    "q246_backfill",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-backfill-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val src = root.resolve("docs_t").toString
+      val out = root.resolve("tokcount").toString
+      Sources.commitVersion(
+        Tables.documents(s, dir).select("doc_id", "text")
+          .repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions("doc_id"), src)
+      graft.sources.Backfill.run(s, src, out, "doc_id", 100L, slice =>
+        slice.select(
+          concat(lit("r:"), col("doc_id")).as("k"), col("doc_id"),
+          size(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+            .cast("long").as("n_tokens")))
+      graft.sources.Backfill.result(s, out)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |       CAST(len(regexp_extract_all(lower(text), '\S+'))
+           |         AS BIGINT) AS n_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218,
-      q219, q220, q221, q226, q228, q229, q232, q233, q236, q237)
+      q219, q220, q221, q226, q228, q229, q232, q233, q236, q237, q246)
 }
