@@ -38,7 +38,12 @@ object ScaleWitness {
       "q203_ivfadc", "q212_bucketed_spj", "q219_transform_partition",
       "q224_d4_diversify", "q227_semdedup_bounded", "q230_pipeline_e2e",
       // round-10 additions: the gram-join, codec, and regex passes
-      "q238_decontaminate", "q241_image_resize", "q242_pii_scrub")
+      "q238_decontaminate", "q241_image_resize", "q242_pii_scrub",
+      // round-10 continuation: normalization (map-only), projection
+      // (map-only), the incremental dedup store and chunked backfill
+      // (lifecycle builds — streaming drains + ledgered merges at sf1)
+      "q239_nfc_normalize", "q240_random_projection", "q245_dedup_store",
+      "q246_backfill")
     val byName = SparkEntry.inventory.map(q => q.name -> q).toMap
     val results = names.flatMap(n => byName.get(n)).map { q =>
       val t0 = System.nanoTime()

@@ -1014,24 +1014,38 @@ object TextOps {
     * q93: the oracle unrolls the learner rounds and reads the final
     * corpus state as the encoding (the two are the same computation).
     */
+  /** Per-doc BPE apply off the freshly-learned merge table: raw \S+
+    * tokens and encoded units per (doc_id, lang) — the shared
+    * q106/q244 front half (learn → broadcast model → map-side greedy
+    * apply in step order). Factored so the merge-ordering and
+    * tokenizer rules cannot drift between the two gates that share
+    * the unrolled-round oracle chain. */
+  private def encodedDocs(s: SparkSession, docs: DataFrame, rounds: Int)
+      : org.apache.spark.sql.Dataset[(Long, String, Seq[String], Seq[String])] = {
+    import s.implicits._
+    val merges = learnBpeMerges(docs, rounds)
+    val byLang: Map[String, Seq[(String, String)]] =
+      merges.groupBy(_._1).map { case (l, ms) =>
+        l -> ms.sortBy(_._2).map(m => (m._3, m._4))
+      }
+    val bc = s.sparkContext.broadcast(byLang)
+    docs
+      .select(col("doc_id"), col("lang"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
+      .as[(Long, String, Seq[String])]
+      .map { case (id, lang, toks) =>
+        val encoded = bc.value.getOrElse(lang, Nil)
+          .foldLeft(toks.toIndexedSeq) { case (ts, (a, b)) => mergeOnce(ts, a, b) }
+        (id, lang, toks, encoded: Seq[String])
+      }
+  }
+
   val q106 = Query(
     "q106_bpe_encode",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val merges = learnBpeMerges(docs, 3)
-      val byLang: Map[String, Seq[(String, String)]] =
-        merges.groupBy(_._1).map { case (l, ms) =>
-          l -> ms.sortBy(_._2).map(m => (m._3, m._4))
-        }
-      val bc = s.sparkContext.broadcast(byLang)
-      docs
-        .select(col("doc_id"), col("lang"),
-          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
-        .as[(Long, String, Seq[String])]
-        .map { case (id, lang, toks) =>
-          val encoded = bc.value.getOrElse(lang, Nil)
-            .foldLeft(toks.toIndexedSeq) { case (ts, (a, b)) => mergeOnce(ts, a, b) }
+      encodedDocs(s, Tables.documents(s, dir), 3)
+        .map { case (id, lang, toks, encoded) =>
           // "\n" separator: tokens are \S+ runs (merged units join
           // with ' '), so newline can never appear inside a unit - and
           // unlike NUL it round-trips through the DuckDB oracle's
@@ -1096,21 +1110,12 @@ object TextOps {
     "q244_tokenizer_fertility",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val merges = learnBpeMerges(docs, 3)
-      val byLang: Map[String, Seq[(String, String)]] =
-        merges.groupBy(_._1).map { case (l, ms) =>
-          l -> ms.sortBy(_._2).map(m => (m._3, m._4))
-        }
-      val bc = s.sparkContext.broadcast(byLang)
-      docs
-        .select(col("doc_id"), col("lang"),
-          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
-        .as[(Long, String, Seq[String])]
-        .map { case (_, lang, toks) =>
-          val encoded = bc.value.getOrElse(lang, Nil)
-            .foldLeft(toks.toIndexedSeq) { case (ts, (a, b)) => mergeOnce(ts, a, b) }
-          (lang, toks.length.toLong, toks.map(_.length.toLong).sum,
+      encodedDocs(s, Tables.documents(s, dir), 3)
+        .map { case (_, lang, toks, encoded) =>
+          // CODEPOINTS, not UTF-16 code units: the oracle's len() counts
+          // codepoints, and an astral-plane char must not count twice
+          (lang, toks.length.toLong,
+            toks.map(t => t.codePointCount(0, t.length).toLong).sum,
             encoded.length.toLong)
         }
         .toDF("lang", "w", "c", "u")

@@ -1997,11 +1997,18 @@ object LakeOps {
       java.nio.file.Files.createDirectories(root)
       val src = root.resolve("docs_t").toString
       val out = root.resolve("tokcount").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
       Sources.commitVersion(
-        Tables.documents(s, dir).select("doc_id", "text")
-          .repartitionByRange(4, col("doc_id"))
+        docs.repartitionByRange(4, col("doc_id"))
           .sortWithinPartitions("doc_id"), src)
-      graft.sources.Backfill.run(s, src, out, "doc_id", 100L, slice =>
+      // chunk size tracks the id span (≈5 chunks at any sf): the gate
+      // exercises multi-chunk assembly without the per-chunk commit
+      // overhead scaling linearly into the bench at larger fixtures —
+      // the OUTPUT is chunking-independent by construction, which is
+      // exactly what the oracle proves
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val chunk = math.max(1L, (maxId + 5L) / 5L)
+      graft.sources.Backfill.run(s, src, out, "doc_id", chunk, slice =>
         slice.select(
           concat(lit("r:"), col("doc_id")).as("k"), col("doc_id"),
           size(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))

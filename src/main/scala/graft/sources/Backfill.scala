@@ -48,6 +48,7 @@ object Backfill {
       .filter(col("k").startsWith(ChunkKey))
       .select(substring(col("k"), ChunkKey.length + 1, 20)
         .cast("long").as("c"))
+      .na.drop() // a malformed ledger key must not NPE the resume scan
       .collect().map(_.getLong(0)).toSet
 
   /** The backfilled output: every non-ledger row. */
@@ -68,9 +69,12 @@ object Backfill {
     if (mm.isNullAt(0)) return 0
     val cLo = Math.floorDiv(mm.getLong(0), chunkSize)
     val cHi = Math.floorDiv(mm.getLong(1), chunkSize)
-    require(cHi - cLo < 1000000L,
-      s"$idCol spans ${cHi - cLo + 1} chunks of $chunkSize — the id " +
-        "space is too sparse for this chunk size; widen chunkSize")
+    // BigInt: cHi - cLo itself overflows for an id range spanning the
+    // whole long domain, which would slip past a plain long compare
+    require(BigInt(cHi) - BigInt(cLo) < 1000000,
+      s"$idCol spans ${BigInt(cHi) - BigInt(cLo) + 1} chunks of " +
+        s"$chunkSize — the id space is too sparse for this chunk " +
+        "size; widen chunkSize")
     val outSchema = {
       val s = work(src.limit(0)).schema
       require(s.fieldNames.contains("k") &&
@@ -88,10 +92,22 @@ object Backfill {
     var c = cLo
     while (c <= cHi) {
       if (!done.contains(c)) {
-        val slice = src.filter(
-          col(idCol).cast("long") >= c * chunkSize &&
-            col(idCol).cast("long") < (c + 1) * chunkSize)
+        // upper bound: for c < cHi, (c+1)*chunkSize <= cHi*chunkSize <=
+        // max id, so the multiply cannot overflow; the TOP chunk is
+        // closed on the observed max instead — (cHi+1)*chunkSize CAN
+        // wrap negative (ids near Long.MaxValue), which would silently
+        // select zero rows and still ledger the chunk as done
+        val slice =
+          if (c == cHi)
+            src.filter(col(idCol).cast("long") >= c * chunkSize &&
+              col(idCol).cast("long") <= mm.getLong(1))
+          else
+            src.filter(col(idCol).cast("long") >= c * chunkSize &&
+              col(idCol).cast("long") < (c + 1) * chunkSize)
         val out = work(slice).withColumn("op", lit("upsert"))
+        require(out.filter(col("k").startsWith(lit("#"))).isEmpty,
+          s"backfill work emitted a '#'-prefixed key — that prefix is " +
+            "reserved for the chunk ledger")
         val ledger = spark.range(1).select(
           lit(s"$ChunkKey$c").as("k") +:
             outSchema.fields.filter(_.name != "k").map(f =>

@@ -112,10 +112,35 @@ object DedupStore {
       .filter(col("k") === HwKey)
       .agg(max(col("doc_id"))).head
     val hw = if (hwRow.isNullAt(0)) 0L else hwRow.getLong(0)
+    // pin the replay-filtered range once: everything downstream (the
+    // emptiness probe, the high-water max, the dup guard, the netting
+    // window) reads this cache instead of re-scanning the CDF parquet
     val fresh = batch
       .filter(col("_commit_version").cast("long") > hw)
       .filter(col("text").isNotNull)
-    if (fresh.isEmpty) return
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyFresh(spark, storeTable, fresh, digestOf)
+    finally { fresh.unpersist(); () }
+  }
+
+  private def applyFresh(spark: SparkSession, storeTable: String,
+      fresh: DataFrame, digestOf: Column => Column): Unit = {
+    // one pass: row count, high water, and the doc_id-uniqueness guard
+    // (a doc_id committed TWICE in one version breaks the membership
+    // key — pair-keyed state cannot tell "second copy inserted" from
+    // "same copy replayed", so a later single-copy erasure would
+    // diverge from the batch recompute; fail at ingestion instead)
+    val agg = fresh
+      .filter(col("_change_type") === "insert")
+      .groupBy(col("_commit_version").cast("long").as("v"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("rows"), max(col("v")).as("hw"),
+        max(col("n")).as("dupes")).head
+    def anyDeletes = !fresh.filter(col("_change_type") =!= "insert").isEmpty
+    if (agg.getLong(0) == 0L && !anyDeletes) return
+    require(agg.isNullAt(2) || agg.getLong(2) == 1L,
+      "dedup store source committed the same doc_id twice in one " +
+        "version — live doc_ids must be unique")
     val newHw = fresh
       .agg(max(col("_commit_version").cast("long"))).head.getLong(0)
     // net outcome per (digest, doc_id) PAIR — not per doc: a text edit
