@@ -2023,7 +2023,97 @@ object LakeOps {
            |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
+  /** Q247 — incremental aggregate view with NON-INVERTIBLE aggregates
+    * ([[graft.streaming.MaterializedView.maintainAggFullQuery]]):
+    * q214's count/sum stay additive, MIN/MAX re-aggregate only the
+    * TOUCHED groups against the base head — the aggregates a signed
+    * delta cannot maintain (deleting a group's min row leaves nothing
+    * to subtract; the group must re-read). The lifecycle deliberately
+    * deletes min-carrier rows (the `%11` erasure hits each group's
+    * low orderkeys) and moves/retires whole groups; the endpoint view
+    * hash-matches DuckDB's full recompute — incremental ≡ batch for
+    * the non-invertible half too.
+    *
+    * Scale shape: per drained commit, counts/sums are O(Δbase) and
+    * min/max are one groupCol-semi-joined read of the touched groups
+    * (stats-pruned on a group-clustered base) — never a history
+    * rescan.
+    */
+  val q247 = Query(
+    "q247_mv_minmax",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-mmview-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val base = root.resolve("base").toString
+      val view = root.resolve("mmview").toString
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority").as("prio"),
+        col("o_totalprice"))
+      val k = col("o_orderkey")
+      Sources.commitVersion(orders.filter(pmod(k, lit(2)) === 0)
+        .repartitionByRange(4, k).sortWithinPartitions("o_orderkey"), base)
+      Sources.commitStats(s, base, 1, Seq("o_orderkey"))
+      graft.streaming.MaterializedView.initAggFull(
+        s, base, "prio", "o_totalprice", view)
+      def drain(): Unit =
+        graft.streaming.MaterializedView.maintainAggFullQuery(
+          s, base, "prio", "o_totalprice", view, s"$root/ckpt-mm")
+          .awaitTermination()
+      drain()
+      // the same CDC shapes as q214: group moves, deletes (min
+      // carriers among them), a brand-new group
+      val upd = orders.filter(pmod(k, lit(2)) === 0 && pmod(k, lit(7)) === 0)
+        .withColumn("prio", lit("X-MOVED")).withColumn("op", lit("upsert"))
+      val del = orders.filter(pmod(k, lit(2)) === 0 &&
+          pmod(k, lit(11)) === 0 && pmod(k, lit(7)) =!= 0)
+        .withColumn("op", lit("delete"))
+      val ins = orders.filter(pmod(k, lit(2)) === 1 && pmod(k, lit(9)) === 0)
+        .withColumn("prio", lit("Z-NEW")).withColumn("op", lit("upsert"))
+      Sources.mergeVersionDv(
+        s, base, upd.unionByName(del).unionByName(ins), "o_orderkey")
+      drain()
+      // DV-only commit: the X-MOVED group zeroes out and must LEAVE
+      Sources.deleteWhereDv(s, base, col("prio") === lit("X-MOVED"))
+      drain()
+      Sources.readVersion(s, view)
+        .select(col("prio"), col("n_rows"),
+          col("sum_val").cast("decimal(18,4)").cast("double")
+            .as("sum_price"),
+          col("min_val").cast("decimal(18,4)").cast("double")
+            .as("min_price"),
+          col("max_val").cast("decimal(18,4)").cast("double")
+            .as("max_price"))
+        .orderBy("prio")
+    },
+    Some("""WITH fin AS (
+           |  SELECT o_orderpriority AS prio, o_totalprice FROM orders
+           |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+           |    AND o_orderkey % 11 <> 0
+           |  UNION ALL
+           |  SELECT 'Z-NEW', o_totalprice FROM orders
+           |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0)
+           |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+           |         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |       CAST(MIN(CAST(o_totalprice AS DECIMAL(28,4)))
+           |         AS DOUBLE) AS min_price,
+           |       CAST(MAX(CAST(o_totalprice AS DECIMAL(28,4)))
+           |         AS DOUBLE) AS max_price
+           |FROM fin GROUP BY prio ORDER BY prio""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218,
-      q219, q220, q221, q226, q228, q229, q232, q233, q236, q237, q246)
+      q219, q220, q221, q226, q228, q229, q232, q233, q236, q237, q246,
+      q247)
 }

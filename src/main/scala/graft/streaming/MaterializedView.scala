@@ -206,4 +206,88 @@ object MaterializedView {
         }
       }
       .start()
+
+  // ---- incremental aggregate view with NON-INVERTIBLE aggregates -----
+
+  /** Like [[initAgg]] but the view also carries `min_val`/`max_val` —
+    * the aggregates an additive maintainer CANNOT keep: when the row
+    * holding a group's minimum leaves, nothing can be "subtracted",
+    * the group must be re-read. Values live as DECIMAL(28,4) (the
+    * per-row cast both engines agree on), so the view is oracle-exact
+    * like the additive one. */
+  def initAggFull(spark: SparkSession, baseTable: String, groupCol: String,
+      valueCol: String, viewTable: String): Unit = {
+    val base = Sources.readVersion(spark, baseTable)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 4)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      base.schema(groupCol),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sum_val", dec, nullable = true),
+      org.apache.spark.sql.types.StructField("min_val", dec, nullable = true),
+      org.apache.spark.sql.types.StructField("max_val", dec, nullable = true)))
+    Sources.createEmptyTable(viewTable, schema)
+    Sources.writeTableProperties(viewTable,
+      Map("stats.columns" -> groupCol,
+        "mv.base" -> baseTable, "mv.groupCol" -> groupCol,
+        "mv.valueCol" -> valueCol))
+    ()
+  }
+
+  /** [[maintainAggQuery]] extended with MIN/MAX maintenance: counts
+    * and sums stay additive off the feed's signed deltas, while
+    * min/max re-aggregate ONLY the touched groups against the base
+    * table's head — the touched-group re-read pattern
+    * ([[DedupStore]]'s survivor promotion, with the base table itself
+    * as the membership). Per drained commit that is O(touched groups'
+    * rows) read through a groupCol semi-join (stats/layout-prunable on
+    * a group-clustered base), never a history rescan: at 100 TB the
+    * difference between refreshing a rollup and recomputing it.
+    *
+    * Mid-drain, a group's min/max reflect the base HEAD while its
+    * count reflects the drained prefix — transient by construction
+    * (AvailableNow drains to head, and a group's last touching batch
+    * re-reads its final state), and the ENDPOINT is exact, which is
+    * what the q247 hash gate proves. */
+  def maintainAggFullQuery(spark: SparkSession, baseTable: String,
+      groupCol: String, valueCol: String, viewTable: String,
+      checkpoint: String): StreamingQuery =
+    spark.readStream.format("graft-cdf").option("path", baseTable).load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        claim(marker(viewTable, checkpoint, "aggfull", batchId)) {
+          val sign = when(col("_change_type") === "insert", lit(1L))
+            .otherwise(lit(-1L))
+          val dec = col(valueCol).cast("decimal(28,4)")
+          val delta = batch
+            .groupBy(groupCol)
+            .agg(sum(sign).as("dn"),
+              sum(sign * dec).cast("decimal(28,4)").as("ds"))
+          if (!delta.isEmpty) {
+            val cur = Sources.readVersion(spark, viewTable)
+            // the non-invertible half: touched groups re-read at head
+            val headMm = Sources.readVersion(spark, baseTable)
+              .join(delta.select(groupCol), Seq(groupCol), "left_semi")
+              .groupBy(groupCol)
+              .agg(min(dec).as("min_val"), max(dec).as("max_val"))
+            val merged = delta.join(cur, Seq(groupCol), "left")
+              .select(col(groupCol),
+                (coalesce(col("n_rows"), lit(0L)) + col("dn"))
+                  .as("n_rows"),
+                (coalesce(col("sum_val"), lit(BigDecimal(0))
+                  .cast("decimal(28,4)")) + coalesce(col("ds"),
+                  lit(BigDecimal(0)))).cast("decimal(28,4)")
+                  .as("sum_val"))
+              .join(headMm, Seq(groupCol), "left")
+            val changes = merged.withColumn("op",
+              when(col("n_rows") > 0, "upsert").otherwise("delete"))
+            Sources.mergeVersion(spark, viewTable, changes, groupCol)
+            ()
+          }
+        }
+      }
+      .start()
 }

@@ -186,4 +186,70 @@ class MaterializedViewSpec extends SparkTestBase {
     drain()
     assert(Sources.latestVersion(view) === vPre)
   }
+
+  test("MIN/MAX aggregate view: deleting a group's min-carrier row " +
+    "re-derives the minimum from the remaining rows (the touched-group " +
+    "re-read), and every lifecycle step equals the full recompute") {
+    val root = tmp("mv-mm")
+    val base = s"$root/base"
+    val view = s"$root/mmview"
+    val ckpt = s"$root/ckpt-mm"
+    val orders = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_orderpriority").as("prio"),
+      col("o_totalprice"))
+    val k = col("o_orderkey")
+    Sources.commitVersion(orders.filter(pmod(k, lit(2)) === 0)
+      .repartitionByRange(4, k).sortWithinPartitions("o_orderkey"), base)
+    Sources.commitStats(spark, base, 1, Seq("o_orderkey"))
+    MaterializedView.initAggFull(spark, base, "prio", "o_totalprice", view)
+    def drain(): Unit =
+      MaterializedView.maintainAggFullQuery(spark, base, "prio",
+        "o_totalprice", view, ckpt).awaitTermination()
+    def recompute() = Sources.readVersion(spark, base)
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(28,4)"))
+          .cast("decimal(28,4)").as("sum_val"),
+        min(col("o_totalprice").cast("decimal(28,4)")).as("min_val"),
+        max(col("o_totalprice").cast("decimal(28,4)")).as("max_val"))
+    def viewNow() = Sources.readVersion(spark, view)
+      .select("prio", "n_rows", "sum_val", "min_val", "max_val")
+    def assertEq(tag: String): Unit = {
+      val diff = viewNow().exceptAll(recompute()).count() +
+        recompute().exceptAll(viewNow()).count()
+      assert(diff === 0L, s"$tag: view != recompute")
+    }
+    drain(); assertEq("after insert commit")
+    // surgically delete EXACTLY the current min-carrier row of the
+    // largest group: the additive half cannot see the new minimum —
+    // only the touched-group re-read can
+    val g = viewNow().orderBy(col("n_rows").desc).head.getString(0)
+    val minRow = Sources.readVersion(spark, base)
+      .filter(col("prio") === g)
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      .head
+    Sources.deleteWhereDv(spark, base,
+      col("o_orderkey") === minRow.getLong(0))
+    drain(); assertEq("after deleting the min carrier")
+    val after = viewNow().filter(col("prio") === g).head
+    assert(after.getDecimal(3).doubleValue() >=
+      minRow.getDouble(2) - 1e-9,
+      s"group $g's re-derived minimum went BELOW the deleted carrier " +
+        s"(old ${minRow.getDouble(2)}, new ${after.getDecimal(3)})")
+    // a group-move + new-group CDC batch keeps tracking
+    val upd = orders.filter(pmod(k, lit(2)) === 0 && pmod(k, lit(7)) === 0)
+      .withColumn("prio", lit("X-MOVED")).withColumn("op", lit("upsert"))
+    val ins = orders.filter(pmod(k, lit(2)) === 1).limit(20)
+      .withColumn("prio", lit("Z-NEW")).withColumn("op", lit("upsert"))
+    Sources.mergeVersionDv(spark, base, upd.unionByName(ins), "o_orderkey")
+    drain(); assertEq("after merge-on-read commit")
+    // a zeroed group leaves min/max with it
+    Sources.deleteWhereDv(spark, base, col("prio") === lit("X-MOVED"))
+    drain(); assertEq("after DV-only delete commit")
+    assert(viewNow().filter(col("prio") === "X-MOVED").count() === 0)
+    // replay absorption
+    val vPre = Sources.latestVersion(view)
+    drain()
+    assert(Sources.latestVersion(view) === vPre)
+  }
 }
