@@ -3324,9 +3324,91 @@ object TextOps {
            |ORDER BY doc_id""".stripMargin)
   )
 
+  /** Q248 — the DERIVED REPLICA: an incrementally-maintained
+    * normalize + quality-screen table off the corpus's NET change feed
+    * ([[graft.streaming.StreamingPipeline.replicateTableNet]] with a
+    * transform). Every pipeline keeps such derived corpora (cleaned
+    * text, token counts, filter verdicts); recomputing them per
+    * refresh rescans the corpus — this maintains them as O(net changed
+    * docs) keyed merges, and a source compaction/purge drain commits
+    * NOTHING on the derived table (rewrite transparency survives the
+    * transform, spec-witnessed in CdcLineageSpec). The transform here
+    * is whitespace-normalize → token-count → keep docs ≥ 40 tokens →
+    * (doc_id, lang, n_tokens, clean_len, digest); a filtered-out doc
+    * never lands and its eventual delete retires nothing.
+    *
+    * The gate drives three commits + a DV erasure + a compaction
+    * through the maintainer; the endpoint hash-matches DuckDB's batch
+    * recompute over the live corpus — derived-incremental ≡ batch.
+    */
+  val q248 = Query(
+    "q248_derived_replica",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-derived-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val src = root.resolve("docs_t").toString
+      val dst = root.resolve("derived").toString
+      val ckpt = root.resolve("ckpt").toString
+      import graft.sources.Sources
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
+      graft.sources.RowIds.enableRowIds(src)
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
+      def drain(): Unit = graft.streaming.StreamingPipeline
+        .replicateTableNet(s, src, dst, "doc_id", ckpt, deriveClean)
+        .awaitTermination()
+      drain()
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 2), src)
+      Sources.deleteWhereDv(s, src, pmod(col("doc_id"), lit(11)) === 0)
+      // pure layout work mid-lifecycle: nets to nothing downstream
+      Sources.compactVersion(s, src, 64L)
+      drain()
+      Sources.readVersion(s, dst)
+        .select("doc_id", "lang", "n_tokens", "clean_len", "digest")
+        .orderBy("doc_id")
+    },
+    Some("""WITH live AS (
+           |  SELECT doc_id, lang,
+           |         trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+           |           AS clean
+           |  FROM documents WHERE doc_id % 11 <> 0)
+           |SELECT doc_id, lang,
+           |       CAST(len(regexp_extract_all(clean, '\S+')) AS BIGINT)
+           |         AS n_tokens,
+           |       CAST(length(clean) AS BIGINT) AS clean_len,
+           |       md5(clean) AS digest
+           |FROM live
+           |WHERE len(regexp_extract_all(clean, '\S+')) >= 40
+           |ORDER BY doc_id""".stripMargin)
+  )
+
+  /** q248's row-local derive: normalize whitespace, count tokens,
+    * screen short docs, slim to the derived columns. */
+  private[graft] val deriveClean: DataFrame => DataFrame = df => df
+    .withColumn("clean",
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    .withColumn("n_tokens",
+      size(regexp_extract_all(col("clean"), lit("\\S+"), lit(0)))
+        .cast("long"))
+    .filter(col("n_tokens") >= 40)
+    .select(col("doc_id"), col("lang"), col("n_tokens"),
+      length(col("clean")).cast("long").as("clean_len"),
+      md5(col("clean")).as("digest"))
+
   val all: Seq[Query] =
     Seq(q23, q32, q33, q34, q35, q51, q52, q53, q54, q67, q73, q77, q78, q79,
       q80, q81, q85, q86, q93, q95, q106, q125, q126, q132, q133, q138, q150,
       q154, q155, q163, q168, q171, q174, q176, q187, q188, q205, q215, q222,
-      q225, q230, q231, q234, TextIndex.q235, q238, q239, q242, q243, q244)
+      q225, q230, q231, q234, TextIndex.q235, q238, q239, q242, q243, q244,
+      q248)
 }

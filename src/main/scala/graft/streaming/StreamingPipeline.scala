@@ -565,8 +565,21 @@ object StreamingPipeline {
     * replicas and costing every replica a full re-merge. In-place
     * updates apply as their postimage (the upsert retires the key);
     * replay is safe (marker + idempotent eq merge). */
+  /** `transform` turns the replica into a DERIVED table: each net
+    * upsert's full row maps through it before the keyed merge (the
+    * incremental normalize / quality-screen / feature pass a corpus
+    * pipeline otherwise recomputes from scratch). Contract: the
+    * transform must be deterministic, ROW-LOCAL (no cross-row state),
+    * keep the `key` column, and emit 0 or 1 rows per input row — a
+    * filtered-out row simply never lands (its eventual delete retires
+    * nothing, harmlessly). Deletes carry only the key (padded to the
+    * transformed schema with nulls), so the transform never sees
+    * tombstones. Rewrite transparency is preserved: a compaction
+    * range still nets to zero rows, so the derived table commits
+    * NOTHING. */
   def replicateTableNet(spark: SparkSession, srcTable: String,
-      dstTable: String, key: String, checkpoint: String): StreamingQuery =
+      dstTable: String, key: String, checkpoint: String,
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
     spark.readStream.format("graft-cdf").option("path", srcTable).load()
       .writeStream
       .outputMode("append")
@@ -589,16 +602,25 @@ object StreamingPipeline {
             require(net.filter(col(key).isNull).isEmpty,
               s"replicateTableNet: null $key in the net feed — a keyed " +
                 "replica of null-keyed rows is not well-defined")
-            val ups = net.filter(col("_change_type")
+            val ups = transform(net.filter(col("_change_type")
                 .isin("insert", "update_postimage"))
-              .drop("_change_type").withColumn("op", lit("upsert"))
+              .drop("_change_type")).withColumn("op", lit("upsert"))
+            require(ups.schema.fieldNames.contains(key),
+              s"replicateTableNet: the transform dropped the key " +
+                s"column $key")
             // preimages retire too: an update that CHANGES the key
             // column must delete the old key, or the stale row lives
             // on the replica forever (the upsert only retires the NEW
-            // key; same-key updates just retire-then-append)
+            // key; same-key updates just retire-then-append). Deletes
+            // align to the TRANSFORMED schema (key + nulls): only the
+            // key matters to the eq retire set
+            val upSchema = ups.drop("op").schema
             val dels = net.filter(col("_change_type")
                 .isin("delete", "update_preimage"))
-              .drop("_change_type").withColumn("op", lit("delete"))
+              .select(upSchema.fields.map(f =>
+                if (f.name == key) col(key)
+                else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+              .withColumn("op", lit("delete"))
             val changes = ups.unionByName(dels)
             // a pure-rewrite range nets to nothing: NO replica commit
             if (!changes.isEmpty) {

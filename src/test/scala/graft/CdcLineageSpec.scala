@@ -204,4 +204,52 @@ class CdcLineageSpec extends SparkTestBase {
       (e.getString(0) == "insert" || e.getString(0) == "update_postimage")
       && e.getDouble(3) === 9.0d))
   }
+
+  test("DERIVED replica: a transform+filter maintained off the net " +
+    "feed tracks the batch recompute; compaction still commits " +
+    "nothing; an edit re-derives and can cross the filter") {
+    val root = tmp("derived-repl")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    val ckpt = s"$root/ckpt"
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(2)) === 0), src)
+    RowIds.enableRowIds(src)
+    Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(2)) === 1), src)
+    val derive = graft.functions.TextOps.deriveClean
+    def drain(): Unit = graft.streaming.StreamingPipeline
+      .replicateTableNet(spark, src, dst, "doc_id", ckpt, derive)
+      .awaitTermination()
+    def recompute() = derive(Sources.readVersion(spark, src))
+    def assertEq(tag: String): Unit = {
+      val v = Sources.readVersion(spark, dst)
+        .select("doc_id", "lang", "n_tokens", "clean_len", "digest")
+      val r = recompute()
+      assert(v.exceptAll(r).count() + r.exceptAll(v).count() === 0L,
+        s"$tag: derived replica != batch recompute")
+    }
+    drain(); assertEq("after initial commits")
+    // pure layout work: the DERIVED table must not even commit
+    Sources.compactVersion(spark, src, 64L)
+    val dstV = Sources.latestVersion(dst)
+    drain()
+    assert(Sources.latestVersion(dst) === dstV,
+      "a compaction drain must be a zero-commit no-op on the derived " +
+        "table")
+    assertEq("after compaction")
+    // an in-place edit re-derives; shrinking a doc BELOW the filter
+    // threshold must DROP it from the derived table (preimage retires,
+    // postimage is filtered out and never lands)
+    val victim = Sources.readVersion(spark, dst)
+      .agg(min("doc_id")).head.getLong(0)
+    Sources.updateWhere(spark, src, col("doc_id") === victim,
+      Map("text" -> lit("too short now")))
+    Sources.deleteWhereDv(spark, src, pmod(col("doc_id"), lit(13)) === 0)
+    drain()
+    assertEq("after edit + erasure")
+    assert(Sources.readVersion(spark, dst)
+      .filter(col("doc_id") === victim).isEmpty,
+      "a doc edited below the quality screen must leave the derived " +
+        "table")
+  }
 }
