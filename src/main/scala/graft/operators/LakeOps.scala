@@ -2112,8 +2112,88 @@ object LakeOps {
            |FROM fin GROUP BY prio ORDER BY prio""".stripMargin)
   )
 
+  /** Q249 — incremental TOP-K view
+    * ([[graft.streaming.MaterializedView.maintainTopKQuery]]): the
+    * per-group leaderboard (top-3 orders by price) maintained off the
+    * change feed. Ranks are q247's non-invertibility k-deep: evicting
+    * a group's #1 must promote #2 into its slot, and a shrinking
+    * group must shed stale rank slots — so touched groups re-rank
+    * against the base head and rewrite exactly their k slots. The
+    * lifecycle deletes top-carrier rows, moves groups, retires one;
+    * the endpoint hash-matches DuckDB's windowed recompute.
+    */
+  val q249 = Query(
+    "q249_mv_topk",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-topk-${math.abs(dir.hashCode).toString}")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(root)
+      java.nio.file.Files.createDirectories(root)
+      val base = root.resolve("base").toString
+      val view = root.resolve("topkview").toString
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority").as("prio"),
+        col("o_totalprice"))
+      val k = col("o_orderkey")
+      Sources.commitVersion(orders.filter(pmod(k, lit(2)) === 0)
+        .repartitionByRange(4, k).sortWithinPartitions("o_orderkey"), base)
+      Sources.commitStats(s, base, 1, Seq("o_orderkey"))
+      graft.streaming.MaterializedView.initTopK(
+        s, base, "prio", "o_totalprice", "o_orderkey", view)
+      def drain(): Unit =
+        graft.streaming.MaterializedView.maintainTopKQuery(
+          s, base, "prio", "o_totalprice", "o_orderkey", 3, view,
+          s"$root/ckpt-topk")
+          .awaitTermination()
+      drain()
+      val upd = orders.filter(pmod(k, lit(2)) === 0 && pmod(k, lit(7)) === 0)
+        .withColumn("prio", lit("X-MOVED")).withColumn("op", lit("upsert"))
+      val del = orders.filter(pmod(k, lit(2)) === 0 &&
+          pmod(k, lit(11)) === 0 && pmod(k, lit(7)) =!= 0)
+        .withColumn("op", lit("delete"))
+      val ins = orders.filter(pmod(k, lit(2)) === 1 && pmod(k, lit(9)) === 0)
+        .withColumn("prio", lit("Z-NEW")).withColumn("op", lit("upsert"))
+      Sources.mergeVersionDv(
+        s, base, upd.unionByName(del).unionByName(ins), "o_orderkey")
+      drain()
+      Sources.deleteWhereDv(s, base, col("prio") === lit("X-MOVED"))
+      drain()
+      Sources.readVersion(s, view)
+        .select(col("prio"), col("rank"), col("o_orderkey"),
+          col("val").cast("decimal(18,4)").cast("double").as("price"))
+        .orderBy("prio", "rank")
+    },
+    Some("""WITH fin AS (
+           |  SELECT o_orderkey, o_orderpriority AS prio, o_totalprice
+           |  FROM orders
+           |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+           |    AND o_orderkey % 11 <> 0
+           |  UNION ALL
+           |  SELECT o_orderkey, 'Z-NEW', o_totalprice FROM orders
+           |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0),
+           |ranked AS (
+           |  SELECT prio, o_orderkey,
+           |         CAST(o_totalprice AS DECIMAL(28,4)) AS val,
+           |         CAST(row_number() OVER (PARTITION BY prio
+           |           ORDER BY CAST(o_totalprice AS DECIMAL(28,4)) DESC,
+           |                    o_orderkey ASC) AS BIGINT) AS rank
+           |  FROM fin)
+           |SELECT prio, rank, o_orderkey,
+           |       CAST(CAST(val AS DECIMAL(18,4)) AS DOUBLE) AS price
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY prio, rank""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218,
       q219, q220, q221, q226, q228, q229, q232, q233, q236, q237, q246,
-      q247)
+      q247, q249)
 }

@@ -207,6 +207,87 @@ object MaterializedView {
       }
       .start()
 
+  // ---- incremental TOP-K view ----------------------------------------
+
+  /** Per-group top-k view: the k highest rows of `baseTable` by
+    * (`valueCol` desc, `keyCol` asc) per `groupCol` value, one view
+    * row per (group, rank) slot keyed by the composite `gk`. The
+    * k-deep generalization of [[initAggFull]]'s MIN/MAX: ranks are as
+    * non-invertible as an argmin — evicting the current #1 must
+    * promote #2 into its slot — so maintenance re-ranks the TOUCHED
+    * groups from the base head and rewrites exactly their k slots
+    * (absent ranks delete, so a shrinking group sheds stale slots). */
+  def initTopK(spark: SparkSession, baseTable: String, groupCol: String,
+      valueCol: String, keyCol: String, viewTable: String): Unit = {
+    val base = Sources.readVersion(spark, baseTable)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("gk",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      base.schema(groupCol),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      base.schema(keyCol),
+      org.apache.spark.sql.types.StructField("val",
+        org.apache.spark.sql.types.DecimalType(28, 4), nullable = true)))
+    Sources.createEmptyTable(viewTable, schema)
+    Sources.writeTableProperties(viewTable,
+      Map("stats.columns" -> "gk",
+        "mv.base" -> baseTable, "mv.groupCol" -> groupCol,
+        "mv.valueCol" -> valueCol, "mv.keyCol" -> keyCol))
+    ()
+  }
+
+  /** Maintain the top-k view off the base change feed: per drained
+    * commit, the touched groups re-rank against the base head (one
+    * group-keyed semi-join read) and exactly k slots per touched
+    * group merge — present ranks upsert, absent ranks delete. Work is
+    * O(touched groups' rows + k·touched groups), never a history
+    * rescan; untouched groups' slots ride the merge's carried files
+    * unread. */
+  def maintainTopKQuery(spark: SparkSession, baseTable: String,
+      groupCol: String, valueCol: String, keyCol: String, k: Int,
+      viewTable: String, checkpoint: String): StreamingQuery = {
+    require(k > 0, "top-k needs k > 0")
+    spark.readStream.format("graft-cdf").option("path", baseTable).load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        claim(marker(viewTable, checkpoint, "topk", batchId)) {
+          val touched = batch.select(groupCol).distinct()
+          if (!touched.isEmpty) {
+            val dec = col(valueCol).cast("decimal(28,4)")
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(groupCol)
+              .orderBy(dec.desc, col(keyCol).asc)
+            val ranked = Sources.readVersion(spark, baseTable)
+              .join(touched, Seq(groupCol), "left_semi")
+              .withColumn("rank", row_number().over(w).cast("long"))
+              .filter(col("rank") <= k)
+              .select(col(groupCol), col("rank"), col(keyCol),
+                dec.as("val"))
+            // every touched group rewrites ALL k slots: a rank the
+            // re-rank no longer fills (group shrank, or vanished
+            // entirely) must leave the view
+            val slots = touched.crossJoin(broadcast(
+              spark.range(1, k + 1).select(col("id").as("rank"))))
+            val changes = slots
+              .join(ranked, Seq(groupCol, "rank"), "left")
+              .select(
+                concat(col(groupCol).cast("string"), lit(":"),
+                  col("rank")).as("gk"),
+                col(groupCol), col("rank"), col(keyCol), col("val"),
+                when(col(keyCol).isNull, "delete").otherwise("upsert")
+                  .as("op"))
+            Sources.mergeVersion(spark, viewTable, changes, "gk")
+            ()
+          }
+        }
+      }
+      .start()
+  }
+
   // ---- incremental aggregate view with NON-INVERTIBLE aggregates -----
 
   /** Like [[initAgg]] but the view also carries `min_val`/`max_val` —

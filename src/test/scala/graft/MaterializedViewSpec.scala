@@ -252,4 +252,69 @@ class MaterializedViewSpec extends SparkTestBase {
     drain()
     assert(Sources.latestVersion(view) === vPre)
   }
+
+  test("TOP-K view: evicting a group's #1 promotes #2 into the slot, " +
+    "a shrinking group sheds stale slots, every step equals the " +
+    "windowed recompute") {
+    val root = tmp("mv-topk")
+    val base = s"$root/base"
+    val view = s"$root/topk"
+    val ckpt = s"$root/ckpt-topk"
+    val K = 3
+    val orders = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_orderpriority").as("prio"),
+      col("o_totalprice"))
+    val k = col("o_orderkey")
+    Sources.commitVersion(orders.filter(pmod(k, lit(2)) === 0)
+      .repartitionByRange(4, k).sortWithinPartitions("o_orderkey"), base)
+    Sources.commitStats(spark, base, 1, Seq("o_orderkey"))
+    MaterializedView.initTopK(
+      spark, base, "prio", "o_totalprice", "o_orderkey", view)
+    def drain(): Unit =
+      MaterializedView.maintainTopKQuery(spark, base, "prio",
+        "o_totalprice", "o_orderkey", K, view, ckpt).awaitTermination()
+    def recompute() = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("prio")
+        .orderBy(col("o_totalprice").cast("decimal(28,4)").desc,
+          col("o_orderkey").asc)
+      Sources.readVersion(spark, base)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("prio"), col("rank"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(28,4)").as("val"))
+    }
+    def viewNow() = Sources.readVersion(spark, view)
+      .select("prio", "rank", "o_orderkey", "val")
+    def assertEq(tag: String): Unit = {
+      val diff = viewNow().exceptAll(recompute()).count() +
+        recompute().exceptAll(viewNow()).count()
+      assert(diff === 0L, s"$tag: top-k view != windowed recompute")
+    }
+    drain(); assertEq("after insert commit")
+    // evict the current #1 of the largest group: #2 must take rank 1
+    val g = viewNow().groupBy("prio").count()
+      .orderBy(col("count").desc).head.getString(0)
+    val old = viewNow().filter(col("prio") === g).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq
+    Sources.deleteWhereDv(spark, base, col("o_orderkey") === old.head)
+    drain(); assertEq("after evicting the #1 carrier")
+    val now = viewNow().filter(col("prio") === g).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq
+    assert(now.head === old(1),
+      s"group $g: old #2 (${old(1)}) must hold rank 1, got ${now.head}")
+    // shrink a group below k: its stale slots must LEAVE the view
+    Sources.updateWhere(spark, base, col("o_orderkey") % 1000 === 2,
+      Map("prio" -> lit("SHRUNK")))
+    drain(); assertEq("after carving out a tiny group")
+    val shrunk = viewNow().filter(col("prio") === "SHRUNK").count()
+    val liveShrunk = Sources.readVersion(spark, base)
+      .filter(col("prio") === "SHRUNK").count()
+    assert(shrunk === math.min(liveShrunk, K.toLong),
+      "a group smaller than k must fill only its live ranks")
+    // replay absorption
+    val vPre = Sources.latestVersion(view)
+    drain()
+    assert(Sources.latestVersion(view) === vPre)
+  }
 }
