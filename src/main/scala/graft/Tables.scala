@@ -62,6 +62,25 @@ object Tables {
     spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** ONE deterministic scratch path per (gate, sf dir), wiped and
+    * recreated on entry — repeated bench/verify sweeps reuse (not
+    * leak) disk. The lifecycle gates share this; the long-abs avoids
+    * the `math.abs(Int.MinValue)` negative-path quirk the older
+    * inline copies carry. */
+  def scratchRoot(name: String, dir: String): java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-$name-${math.abs(dir.hashCode.toLong).toString}")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(root)
+    root
+  }
 }
 
 /** Shared numeric canonicalization for oracle-comparable results.

@@ -3344,18 +3344,7 @@ object TextOps {
   val q248 = Query(
     "q248_derived_replica",
     (s, dir) => {
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft-derived-${math.abs(dir.hashCode).toString}")
-      def wipe(p: java.nio.file.Path): Unit =
-        if (java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      wipe(root)
-      java.nio.file.Files.createDirectories(root)
+      val root = Tables.scratchRoot("derived", dir)
       val src = root.resolve("docs_t").toString
       val dst = root.resolve("derived").toString
       val ckpt = root.resolve("ckpt").toString

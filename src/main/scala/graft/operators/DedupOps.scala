@@ -1346,18 +1346,7 @@ object DedupOps {
   val q245 = Query(
     "q245_dedup_store",
     (s, dir) => {
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft-dedupst-${math.abs(dir.hashCode).toString}")
-      def wipe(p: java.nio.file.Path): Unit =
-        if (java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      wipe(root)
-      java.nio.file.Files.createDirectories(root)
+      val root = Tables.scratchRoot("dedupst", dir)
       val src = root.resolve("docs_t").toString
       val store = root.resolve("dedup_store").toString
       val ckpt = root.resolve("ckpt").toString

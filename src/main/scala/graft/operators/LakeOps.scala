@@ -1983,18 +1983,7 @@ object LakeOps {
   val q246 = Query(
     "q246_backfill",
     (s, dir) => {
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft-backfill-${math.abs(dir.hashCode).toString}")
-      def wipe(p: java.nio.file.Path): Unit =
-        if (java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      wipe(root)
-      java.nio.file.Files.createDirectories(root)
+      val root = Tables.scratchRoot("backfill", dir)
       val src = root.resolve("docs_t").toString
       val out = root.resolve("tokcount").toString
       val docs = Tables.documents(s, dir).select("doc_id", "text")
@@ -2042,18 +2031,7 @@ object LakeOps {
   val q247 = Query(
     "q247_mv_minmax",
     (s, dir) => {
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft-lake-mmview-${math.abs(dir.hashCode).toString}")
-      def wipe(p: java.nio.file.Path): Unit =
-        if (java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      wipe(root)
-      java.nio.file.Files.createDirectories(root)
+      val root = Tables.scratchRoot("lake-mmview", dir)
       val base = root.resolve("base").toString
       val view = root.resolve("mmview").toString
       val orders = Tables.orders(s, dir).select(
@@ -2125,18 +2103,7 @@ object LakeOps {
   val q249 = Query(
     "q249_mv_topk",
     (s, dir) => {
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft-lake-topk-${math.abs(dir.hashCode).toString}")
-      def wipe(p: java.nio.file.Path): Unit =
-        if (java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      wipe(root)
-      java.nio.file.Files.createDirectories(root)
+      val root = Tables.scratchRoot("lake-topk", dir)
       val base = root.resolve("base").toString
       val view = root.resolve("topkview").toString
       val orders = Tables.orders(s, dir).select(

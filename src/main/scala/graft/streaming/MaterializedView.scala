@@ -255,34 +255,54 @@ object MaterializedView {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         claim(marker(viewTable, checkpoint, "topk", batchId)) {
+          // pinned: the touched set drives the emptiness probe, the
+          // null guard, the semi-join, and the slot cross join
           val touched = batch.select(groupCol).distinct()
-          if (!touched.isEmpty) {
-            val dec = col(valueCol).cast("decimal(28,4)")
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(groupCol)
-              .orderBy(dec.desc, col(keyCol).asc)
-            val ranked = Sources.readVersion(spark, baseTable)
-              .join(touched, Seq(groupCol), "left_semi")
-              .withColumn("rank", row_number().over(w).cast("long"))
-              .filter(col("rank") <= k)
-              .select(col(groupCol), col("rank"), col(keyCol),
-                dec.as("val"))
-            // every touched group rewrites ALL k slots: a rank the
-            // re-rank no longer fills (group shrank, or vanished
-            // entirely) must leave the view
-            val slots = touched.crossJoin(broadcast(
-              spark.range(1, k + 1).select(col("id").as("rank"))))
-            val changes = slots
-              .join(ranked, Seq(groupCol, "rank"), "left")
-              .select(
-                concat(col(groupCol).cast("string"), lit(":"),
-                  col("rank")).as("gk"),
-                col(groupCol), col("rank"), col(keyCol), col("val"),
-                when(col(keyCol).isNull, "delete").otherwise("upsert")
-                  .as("op"))
-            Sources.mergeVersion(spark, viewTable, changes, "gk")
-            ()
-          }
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (!touched.isEmpty) {
+              // a null group would concat to a NULL gk, which
+              // mergeVersion can never retire — the view would
+              // accumulate one copy per touching batch
+              require(touched.filter(col(groupCol).isNull).isEmpty,
+                s"top-k view: null $groupCol in the change feed — a " +
+                  "keyed slot for the null group is not well-defined")
+              val dec = col(valueCol).cast("decimal(28,4)")
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(groupCol)
+                .orderBy(dec.desc, col(keyCol).asc)
+              val ranked = Sources.readVersion(spark, baseTable)
+                .join(touched, Seq(groupCol), "left_semi")
+                .withColumn("rank", row_number().over(w).cast("long"))
+                .filter(col("rank") <= k)
+                .select(col(groupCol), col("rank"), col(keyCol),
+                  dec.as("val"),
+                  // presence marker: a slot is live iff the re-rank
+                  // filled it — null-probing keyCol would misread a
+                  // ranked row whose KEY is legitimately null
+                  lit(true).as("__up"))
+              // every touched group rewrites ALL k slots: a rank the
+              // re-rank no longer fills (group shrank, or vanished
+              // entirely) must leave the view
+              val slots = touched.crossJoin(broadcast(
+                spark.range(1, k + 1).select(col("id").as("rank"))))
+              // pinned: mergeVersion's key probe and rewrite would
+              // otherwise re-run the head re-rank per action
+              val changes = slots
+                .join(ranked, Seq(groupCol, "rank"), "left")
+                .select(
+                  concat(col(groupCol).cast("string"), lit(":"),
+                    col("rank")).as("gk"),
+                  col(groupCol), col("rank"), col(keyCol), col("val"),
+                  when(col("__up").isNull, "delete").otherwise("upsert")
+                    .as("op"))
+                .persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try Sources.mergeVersion(spark, viewTable, changes, "gk")
+              finally { changes.unpersist(); () }
+              ()
+            }
+          } finally { touched.unpersist(); () }
         }
       }
       .start()
@@ -343,31 +363,45 @@ object MaterializedView {
           val sign = when(col("_change_type") === "insert", lit(1L))
             .otherwise(lit(-1L))
           val dec = col(valueCol).cast("decimal(28,4)")
+          // pinned: the delta feeds the emptiness probe, the null
+          // guard, the head semi-join, and the merge input
           val delta = batch
             .groupBy(groupCol)
             .agg(sum(sign).as("dn"),
               sum(sign * dec).cast("decimal(28,4)").as("ds"))
-          if (!delta.isEmpty) {
-            val cur = Sources.readVersion(spark, viewTable)
-            // the non-invertible half: touched groups re-read at head
-            val headMm = Sources.readVersion(spark, baseTable)
-              .join(delta.select(groupCol), Seq(groupCol), "left_semi")
-              .groupBy(groupCol)
-              .agg(min(dec).as("min_val"), max(dec).as("max_val"))
-            val merged = delta.join(cur, Seq(groupCol), "left")
-              .select(col(groupCol),
-                (coalesce(col("n_rows"), lit(0L)) + col("dn"))
-                  .as("n_rows"),
-                (coalesce(col("sum_val"), lit(BigDecimal(0))
-                  .cast("decimal(28,4)")) + coalesce(col("ds"),
-                  lit(BigDecimal(0)))).cast("decimal(28,4)")
-                  .as("sum_val"))
-              .join(headMm, Seq(groupCol), "left")
-            val changes = merged.withColumn("op",
-              when(col("n_rows") > 0, "upsert").otherwise("delete"))
-            Sources.mergeVersion(spark, viewTable, changes, groupCol)
-            ()
-          }
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (!delta.isEmpty) {
+              // a null group can never be retired by the keyed merge —
+              // it would accumulate one row per touching batch
+              require(delta.filter(col(groupCol).isNull).isEmpty,
+                s"aggregate view: null $groupCol in the change feed — " +
+                  "a keyed rollup row for the null group is not " +
+                  "well-defined")
+              val cur = Sources.readVersion(spark, viewTable)
+              // the non-invertible half: touched groups re-read at head
+              val headMm = Sources.readVersion(spark, baseTable)
+                .join(delta.select(groupCol), Seq(groupCol), "left_semi")
+                .groupBy(groupCol)
+                .agg(min(dec).as("min_val"), max(dec).as("max_val"))
+              val changes = delta.join(cur, Seq(groupCol), "left")
+                .select(col(groupCol),
+                  (coalesce(col("n_rows"), lit(0L)) + col("dn"))
+                    .as("n_rows"),
+                  (coalesce(col("sum_val"), lit(BigDecimal(0))
+                    .cast("decimal(28,4)")) + coalesce(col("ds"),
+                    lit(BigDecimal(0)))).cast("decimal(28,4)")
+                    .as("sum_val"))
+                .join(headMm, Seq(groupCol), "left")
+                .withColumn("op",
+                  when(col("n_rows") > 0, "upsert").otherwise("delete"))
+                .persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try Sources.mergeVersion(spark, viewTable, changes, groupCol)
+              finally { changes.unpersist(); () }
+              ()
+            }
+          } finally { delta.unpersist(); () }
         }
       }
       .start()

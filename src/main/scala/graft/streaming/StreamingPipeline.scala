@@ -564,8 +564,9 @@ object StreamingPipeline {
     * difference between nightly OPTIMIZE being free for downstream
     * replicas and costing every replica a full re-merge. In-place
     * updates apply as their postimage (the upsert retires the key);
-    * replay is safe (marker + idempotent eq merge). */
-  /** `transform` turns the replica into a DERIVED table: each net
+    * replay is safe (marker + idempotent eq merge).
+    *
+    * `transform` turns the replica into a DERIVED table: each net
     * upsert's full row maps through it before the keyed merge (the
     * incremental normalize / quality-screen / feature pass a corpus
     * pipeline otherwise recomputes from scratch). Contract: the
