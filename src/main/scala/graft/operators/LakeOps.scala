@@ -2159,8 +2159,71 @@ object LakeOps {
            |ORDER BY prio, rank""".stripMargin)
   )
 
+  /** Q250 — incremental exact COUNT(DISTINCT) view
+    * ([[graft.streaming.MaterializedView.maintainDistinctQuery]]):
+    * per-priority distinct customer counts maintained by REFERENCE
+    * COUNTING off the change feed. Completes the view family's
+    * non-invertibility spectrum: q214 is purely additive, q247/q249
+    * re-read touched groups, this one makes distinct-count additive
+    * again by keeping pair refcounts — a value's departure decrements
+    * the count only when its refcount crosses zero, detected from the
+    * view's own state, so the base is NEVER re-read: O(touched pairs)
+    * per drained commit, one atomic merge.
+    *
+    * The lifecycle's group-moves re-home customers between priorities
+    * and the erasures take last-occurrence values out; the endpoint
+    * hash-matches DuckDB's COUNT(DISTINCT) recompute.
+    */
+  val q250 = Query(
+    "q250_mv_distinct",
+    (s, dir) => {
+      val root = Tables.scratchRoot("lake-distinct", dir)
+      val base = root.resolve("base").toString
+      val view = root.resolve("dview").toString
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority").as("prio"),
+        col("o_custkey"))
+      val k = col("o_orderkey")
+      Sources.commitVersion(orders.filter(pmod(k, lit(2)) === 0)
+        .repartitionByRange(4, k).sortWithinPartitions("o_orderkey"), base)
+      Sources.commitStats(s, base, 1, Seq("o_orderkey"))
+      graft.streaming.MaterializedView.initDistinct(
+        s, base, "prio", "o_custkey", view)
+      def drain(): Unit =
+        graft.streaming.MaterializedView.maintainDistinctQuery(
+          s, base, "prio", "o_custkey", view, s"$root/ckpt-d")
+          .awaitTermination()
+      drain()
+      val upd = orders.filter(pmod(k, lit(2)) === 0 && pmod(k, lit(7)) === 0)
+        .withColumn("prio", lit("X-MOVED")).withColumn("op", lit("upsert"))
+      val del = orders.filter(pmod(k, lit(2)) === 0 &&
+          pmod(k, lit(11)) === 0 && pmod(k, lit(7)) =!= 0)
+        .withColumn("op", lit("delete"))
+      val ins = orders.filter(pmod(k, lit(2)) === 1 && pmod(k, lit(9)) === 0)
+        .withColumn("prio", lit("Z-NEW")).withColumn("op", lit("upsert"))
+      Sources.mergeVersionDv(
+        s, base, upd.unionByName(del).unionByName(ins), "o_orderkey")
+      drain()
+      Sources.deleteWhereDv(s, base, col("prio") === lit("X-MOVED"))
+      drain()
+      graft.streaming.MaterializedView.distinctCounts(s, view, "prio")
+        .select(col("prio"), col("n_distinct"))
+        .orderBy("prio")
+    },
+    Some("""WITH fin AS (
+           |  SELECT o_orderpriority AS prio, o_custkey FROM orders
+           |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+           |    AND o_orderkey % 11 <> 0
+           |  UNION ALL
+           |  SELECT 'Z-NEW', o_custkey FROM orders
+           |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0)
+           |SELECT prio,
+           |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+           |FROM fin GROUP BY prio ORDER BY prio""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218,
       q219, q220, q221, q226, q228, q229, q232, q233, q236, q237, q246,
-      q247, q249)
+      q247, q249, q250)
 }

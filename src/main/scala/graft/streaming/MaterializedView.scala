@@ -308,6 +308,127 @@ object MaterializedView {
       .start()
   }
 
+  // ---- incremental exact DISTINCT-COUNT view -------------------------
+
+  /** Per-group exact COUNT(DISTINCT value) view, maintained by
+    * REFERENCE COUNTING: the view holds a refcount row per live
+    * (group, value) pair (`p:` keys) and one distinct-count row per
+    * group (`g:` keys). Distinct count is non-invertible from row
+    * deltas alone (a value's departure only decrements the count if it
+    * was the LAST occurrence) — but with pair refcounts it becomes
+    * fully ADDITIVE: a batch's pair deltas reveal births (refcount
+    * 0 → positive) and deaths (positive → 0), and the group count
+    * adjusts by births − deaths. Unlike the MIN/MAX/top-k maintainers
+    * this never re-reads the base at all: per drained commit the work
+    * is O(touched pairs) against the view's own keyed state, one
+    * atomic merge. */
+  def initDistinct(spark: SparkSession, baseTable: String,
+      groupCol: String, valueCol: String, viewTable: String): Unit = {
+    val base = Sources.readVersion(spark, baseTable)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("gk",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      base.schema(groupCol),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    Sources.createEmptyTable(viewTable, schema)
+    Sources.writeTableProperties(viewTable,
+      Map("stats.columns" -> "gk",
+        "mv.base" -> baseTable, "mv.groupCol" -> groupCol,
+        "mv.valueCol" -> valueCol))
+    ()
+  }
+
+  /** The distinct-count rows of the view: (group, n_distinct). */
+  def distinctCounts(spark: SparkSession, viewTable: String,
+      groupCol: String): DataFrame =
+    Sources.readVersion(spark, viewTable)
+      .filter(col("gk").startsWith("g:"))
+      .select(col(groupCol), col("n").as("n_distinct"))
+
+  def maintainDistinctQuery(spark: SparkSession, baseTable: String,
+      groupCol: String, valueCol: String, viewTable: String,
+      checkpoint: String): StreamingQuery =
+    spark.readStream.format("graft-cdf").option("path", baseTable).load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        claim(marker(viewTable, checkpoint, "distinct", batchId)) {
+          val sign = when(col("_change_type") === "insert", lit(1L))
+            .otherwise(lit(-1L))
+          // pinned: pair deltas feed the probe, the guard, the state
+          // join, and the merge input
+          val delta = batch
+            .groupBy(col(groupCol), col(valueCol).cast("string").as("__v"))
+            .agg(sum(sign).as("dref"))
+            .filter(col("dref") =!= 0L)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (!delta.isEmpty) {
+              require(delta.filter(col(groupCol).isNull ||
+                  col("__v").isNull).isEmpty,
+                s"distinct view: null $groupCol/$valueCol in the " +
+                  "change feed — a refcount key for null is not " +
+                  "well-defined")
+              val pairKey = concat(lit("p:"),
+                col(groupCol).cast("string"), lit(":"), col("__v"))
+              val curPairs = Sources.readVersion(spark, viewTable)
+                .filter(col("gk").startsWith("p:"))
+                .select(col("gk"), col("n").as("cur"))
+              val pairs = delta
+                .withColumn("gk", pairKey)
+                .join(curPairs, Seq("gk"), "left")
+                .select(col("gk"), col(groupCol), col("__v"),
+                  (coalesce(col("cur"), lit(0L)) + col("dref")).as("n"))
+                .persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                // births/deaths: a pair's liveness (refcount > 0)
+                // crossing zero in either direction moves the group's
+                // distinct count by ±1
+                val groupDelta = pairs
+                  .withColumn("birth",
+                    when(col("n") > 0, 1L).otherwise(0L))
+                  .join(curPairs.select(col("gk"),
+                    when(col("cur") > 0, 1L).otherwise(0L)
+                      .as("was_alive")), Seq("gk"), "left")
+                  .withColumn("dd",
+                    col("birth") - coalesce(col("was_alive"), lit(0L)))
+                  .groupBy(groupCol)
+                  .agg(sum(col("dd")).as("dd"))
+                  // a group whose liveness balance nets to zero keeps
+                  // its row untouched (its pair rows still merge)
+                  .filter(col("dd") =!= 0L)
+                val curGroups = Sources.readVersion(spark, viewTable)
+                  .filter(col("gk").startsWith("g:"))
+                  .select(col(groupCol).as("__g"), col("n").as("curg"))
+                val groupRows = groupDelta
+                  .join(curGroups,
+                    col(groupCol) === col("__g"), "left")
+                  .select(
+                    concat(lit("g:"), col(groupCol).cast("string"))
+                      .as("gk"),
+                    col(groupCol),
+                    (coalesce(col("curg"), lit(0L)) + col("dd")).as("n"))
+                val pairRows = pairs.select(col("gk"), col(groupCol),
+                  col("n"))
+                val changes = pairRows.unionByName(groupRows)
+                  .withColumn("op",
+                    when(col("n") > 0, "upsert").otherwise("delete"))
+                  .persist(
+                    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                try Sources.mergeVersion(spark, viewTable, changes, "gk")
+                finally { changes.unpersist(); () }
+                ()
+              } finally { pairs.unpersist(); () }
+            }
+          } finally { delta.unpersist(); () }
+        }
+      }
+      .start()
+
   // ---- incremental aggregate view with NON-INVERTIBLE aggregates -----
 
   /** Like [[initAgg]] but the view also carries `min_val`/`max_val` —

@@ -317,4 +317,55 @@ class MaterializedViewSpec extends SparkTestBase {
     drain()
     assert(Sources.latestVersion(view) === vPre)
   }
+
+  test("DISTINCT-COUNT view: refcounts decrement the count only when " +
+    "the LAST occurrence leaves; every step equals COUNT(DISTINCT) " +
+    "recompute — and the base is never re-read") {
+    val root = tmp("mv-distinct")
+    val base = s"$root/base"
+    val view = s"$root/dview"
+    val ckpt = s"$root/ckpt-d"
+    import spark.implicits._
+    // hand-built groups: g1 holds value 100 TWICE (keys 1, 2) + 200
+    // (key 3); g2 holds 100 once (key 4)
+    Sources.commitVersion(Seq(
+      (1L, "g1", 100L), (2L, "g1", 100L), (3L, "g1", 200L),
+      (4L, "g2", 100L)).toDF("id", "grp", "v"), base)
+    MaterializedView.initDistinct(spark, base, "grp", "v", view)
+    def drain(): Unit =
+      MaterializedView.maintainDistinctQuery(spark, base, "grp", "v",
+        view, ckpt).awaitTermination()
+    def counts(): Map[String, Long] =
+      MaterializedView.distinctCounts(spark, view, "grp")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def recompute(): Map[String, Long] =
+      Sources.readVersion(spark, base).groupBy("grp")
+        .agg(countDistinct(col("v")).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    drain()
+    assert(counts() === Map("g1" -> 2L, "g2" -> 1L))
+    // delete ONE of g1's two copies of 100: the count must NOT move
+    Sources.deleteWhereDv(spark, base, col("id") === 1L)
+    drain()
+    assert(counts() === recompute() && counts()("g1") === 2L,
+      "removing a non-last occurrence must not decrement")
+    // delete the LAST copy: now it decrements
+    Sources.deleteWhereDv(spark, base, col("id") === 2L)
+    drain()
+    assert(counts() === recompute() && counts()("g1") === 1L,
+      "removing the last occurrence must decrement")
+    // empty a whole group: its count row leaves the view
+    Sources.deleteWhereDv(spark, base, col("id") === 4L)
+    drain()
+    assert(counts() === recompute() && !counts().contains("g2"))
+    // re-insert a retired value: the count returns
+    Sources.commitVersion(Seq((5L, "g1", 100L)).toDF("id", "grp", "v"),
+      base)
+    drain()
+    assert(counts() === recompute() && counts()("g1") === 2L)
+    // replay absorption
+    val vPre = Sources.latestVersion(view)
+    drain()
+    assert(Sources.latestVersion(view) === vPre)
+  }
 }
