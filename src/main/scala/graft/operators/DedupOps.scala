@@ -127,30 +127,35 @@ object DedupOps {
     * The only non-key-equi work is the final signature compare on the
     * (small) candidate set — exactly the plan that survives 100 TB.
     */
+  /** Banded candidate pairs + estimated Jaccard from signature rows —
+    * q28's whole derivation, shared with [[graft.streaming.NearDupStore]]'s
+    * spec so "incremental ≡ batch" compares against the ONE batch
+    * definition. */
+  private[graft] def minhashPairsOf(mh: DataFrame): DataFrame = {
+    val bands = bandsFromMinhashes(mh)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+      .distinct()
+    val sigs = mh.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
+    cand
+      .join(sigs.withColumnRenamed("doc_id", "a_doc").withColumnRenamed("sig", "sa"), "a_doc")
+      .join(sigs.withColumnRenamed("doc_id", "b_doc").withColumnRenamed("sig", "sb"), "b_doc")
+      .select(col("a_doc"), col("b_doc"),
+        (aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).cast("double") / NumHashes)
+          .as("est_jaccard"))
+  }
+
   val q28 = Query(
     "q28_dedup_minhash",
-    (s, dir) => {
-      val mh = minhashes(s, dir).cache()
-      val bands = bandsFromMinhashes(mh)
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
-        .distinct()
-      val sigs = mh.groupBy("doc_id")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh")).as("sig"))
-      cand
-        .join(sigs.withColumnRenamed("doc_id", "a_doc").withColumnRenamed("sig", "sa"), "a_doc")
-        .join(sigs.withColumnRenamed("doc_id", "b_doc").withColumnRenamed("sig", "sb"), "b_doc")
-        .select(col("a_doc"), col("b_doc"),
-          (aggregate(zip_with(col("sa"), col("sb"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-            lit(0L), (acc, x) => acc + x).cast("double") / NumHashes)
-            .as("est_jaccard"))
-        .orderBy("a_doc", "b_doc")
-    },
+    (s, dir) => minhashPairsOf(minhashes(s, dir).cache())
+      .orderBy("a_doc", "b_doc"),
     Some(s"""WITH $minhashesSql,
             |bands AS (
             |  SELECT doc_id, i // 4 AS band,
@@ -1377,7 +1382,168 @@ object DedupOps {
            |FROM live GROUP BY digest ORDER BY digest""".stripMargin)
   )
 
+  /** Q251 — the STREAMING-MAINTAINED NEAR-DUP INDEX
+    * ([[graft.streaming.NearDupStore]]), oracle-gated end-to-end: the
+    * corpus lands in three commits, a copy-on-write UPDATE re-texts
+    * every doc_id % 13 == 5 (its signature changes — the stale band
+    * rows strip off the STORED signature, its pairs recompute), and a
+    * merge-on-read DV erasure removes every doc_id % 11 == 0;
+    * change-feed maintenance keeps signatures, LSH band rows, and
+    * verified candidate pairs current. The final pair view
+    * hash-matches DuckDB's FULL-CORPUS q28 recompute over the post-
+    * update live corpus — the incremental ≡ batch proof for
+    * approximate near-dup detection.
+    *
+    * Scale shape: per drained version range the work is O(changed
+    * docs) minhashing + a band-key equi-join against the index +
+    * doc-keyed strips — never a corpus re-LSH — and the whole batch
+    * (signatures + bands + pairs + replay ledger) is ONE atomic keyed
+    * merge, so there is no partial-application crash window.
+    */
+  val q251 = Query(
+    "q251_neardup_store",
+    (s, dir) => {
+      val root = Tables.scratchRoot("neardupst", dir)
+      val src = root.resolve("docs_t").toString
+      val store = root.resolve("nd_store").toString
+      val ckpt = root.resolve("ckpt").toString
+      import graft.sources.Sources
+      import graft.streaming.NearDupStore
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
+      NearDupStore.maintainQuery(s, src, store, ckpt).awaitTermination()
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 2), src)
+      // re-text a slice (tokens appended => new shingles => new bands)
+      Sources.updateWhere(s, src, pmod(col("doc_id"), lit(13)) === 5,
+        Map("text" -> concat(col("text"), lit(" zq xv"),
+          pmod(col("doc_id"), lit(7)).cast("string"))))
+      // a GDPR-style erasure
+      Sources.deleteWhereDv(s, src, pmod(col("doc_id"), lit(11)) === 0)
+      NearDupStore.maintainQuery(s, src, store, ckpt).awaitTermination()
+      NearDupStore.pairs(s, store).orderBy("a_doc", "b_doc")
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id,
+            |         CASE WHEN doc_id % 13 = 5
+            |              THEN text || ' zq xv' || CAST(doc_id % 7 AS VARCHAR)
+            |              ELSE text END AS text
+            |  FROM documents WHERE doc_id % 11 <> 0),
+            |${shinglesSqlFrom("corpus")},
+            |th AS (
+            |  SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS tv
+            |  FROM sh),
+            |mh AS (
+            |  SELECT doc_id, i,
+            |         MIN((((2654435761 * (i+1)) % 2147483647) * tv
+            |              + ((40503 * (i+7)) % 2147483647)) % 2147483647) AS mh
+            |  FROM th, range(0, 16) r(i)
+            |  GROUP BY doc_id, i),
+            |bands AS (
+            |  SELECT doc_id, i // 4 AS band,
+            |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+            |  FROM mh GROUP BY doc_id, i // 4),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            |sigs AS (
+            |  SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id)
+            |SELECT c.a_doc, c.b_doc,
+            |  CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+            |       x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est_jaccard
+            |FROM cand c
+            |JOIN sigs sa ON c.a_doc = sa.doc_id
+            |JOIN sigs sb ON c.b_doc = sb.doc_id
+            |ORDER BY a_doc, b_doc""".stripMargin)
+  )
+
+  /** Q252 — the INCREMENTAL DUPLICATE-CLUSTER VIEW
+    * ([[graft.streaming.ClusterView]]): connected components over the
+    * ≥0.5-estimated near-dup graph, maintained off the near-dup
+    * store's OWN change feed — the full derived-of-derived chain
+    * (documents → LSH index → clusters) under q251's exact mutation
+    * sequence (three commits, a re-text update, a DV erasure). Edge
+    * deletions SPLIT components — the non-invertible case no per-edge
+    * bookkeeping survives — so the maintainer re-solves only the
+    * affected components' closed subgraph per drained range. The final
+    * view hash-matches DuckDB's recursive-CTE closure over the
+    * full-corpus recompute.
+    */
+  val q252 = Query(
+    "q252_cluster_view",
+    (s, dir) => {
+      val root = Tables.scratchRoot("clusterv", dir)
+      val src = root.resolve("docs_t").toString
+      val store = root.resolve("nd_store").toString
+      val view = root.resolve("cluster_view").toString
+      val ckptNd = root.resolve("ckpt_nd").toString
+      val ckptCv = root.resolve("ckpt_cv").toString
+      import graft.sources.Sources
+      import graft.streaming.{ClusterView, NearDupStore}
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
+      NearDupStore.maintainQuery(s, src, store, ckptNd).awaitTermination()
+      ClusterView.maintainQuery(s, store, view, ckptCv).awaitTermination()
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 2), src)
+      Sources.updateWhere(s, src, pmod(col("doc_id"), lit(13)) === 5,
+        Map("text" -> concat(col("text"), lit(" zq xv"),
+          pmod(col("doc_id"), lit(7)).cast("string"))))
+      Sources.deleteWhereDv(s, src, pmod(col("doc_id"), lit(11)) === 0)
+      NearDupStore.maintainQuery(s, src, store, ckptNd).awaitTermination()
+      ClusterView.maintainQuery(s, store, view, ckptCv).awaitTermination()
+      ClusterView.clusters(s, view).orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE corpus AS (
+            |  SELECT doc_id,
+            |         CASE WHEN doc_id % 13 = 5
+            |              THEN text || ' zq xv' || CAST(doc_id % 7 AS VARCHAR)
+            |              ELSE text END AS text
+            |  FROM documents WHERE doc_id % 11 <> 0),
+            |${shinglesSqlFrom("corpus")},
+            |th AS (
+            |  SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS tv
+            |  FROM sh),
+            |mh AS (
+            |  SELECT doc_id, i,
+            |         MIN((((2654435761 * (i+1)) % 2147483647) * tv
+            |              + ((40503 * (i+7)) % 2147483647)) % 2147483647) AS mh
+            |  FROM th, range(0, 16) r(i)
+            |  GROUP BY doc_id, i),
+            |bands AS (
+            |  SELECT doc_id, i // 4 AS band,
+            |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+            |  FROM mh GROUP BY doc_id, i // 4),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            |sigs AS (
+            |  SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+            |scored AS (
+            |  SELECT c.a_doc, c.b_doc,
+            |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+            |         x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est
+            |  FROM cand c
+            |  JOIN sigs sa ON c.a_doc = sa.doc_id
+            |  JOIN sigs sb ON c.b_doc = sb.doc_id),
+            |cc_pairs AS (SELECT a_doc, b_doc FROM scored WHERE est >= 0.5),
+            |edges AS (SELECT a_doc AS u, b_doc AS v FROM cc_pairs
+            |          UNION SELECT b_doc, a_doc FROM cc_pairs),
+            |nodes AS (SELECT DISTINCT u AS n FROM edges),
+            |walk(n, l) AS (
+            |  SELECT n, n FROM nodes
+            |  UNION
+            |  SELECT e.v, w.l FROM walk w JOIN edges e ON w.n = e.u WHERE w.l < e.v),
+            |labels AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n),
+            |csizes AS (SELECT cluster_id, COUNT(*) AS csize FROM labels GROUP BY cluster_id)
+            |SELECT l.doc_id, l.cluster_id, c.csize
+            |FROM labels l JOIN csizes c USING (cluster_id)
+            |ORDER BY l.doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68, q74, q137, q164, q165,
-      q167, q175, q185, q213, q216, q245)
+      q167, q175, q185, q213, q216, q245, q251, q252)
 }

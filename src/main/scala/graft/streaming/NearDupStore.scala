@@ -1,0 +1,280 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+  StructField, StructType}
+
+import graft.operators.DedupOps
+import graft.sources.Sources
+
+/** The STREAMING-MAINTAINED NEAR-DUP (MinHash-LSH) INDEX: the
+  * approximate sibling of [[DedupStore]], completing the persisted
+  * incremental-index family (exact dedup, inverted text, ANN). One
+  * derived table holds, per live document, its minhash signature and
+  * LSH band rows, plus every verified candidate pair — kept current off
+  * the source table's change feed, so near-dup detection over a growing
+  * corpus costs O(changed docs), never a corpus re-LSH.
+  *
+  * The batch semantics it maintains are EXACTLY q28's
+  * ([[DedupOps.q28]]): 16 minhashes over distinct 3-token shingles,
+  * 4 bands of 4, candidate pairs share a band signature, estimated
+  * Jaccard = matching-minhash fraction. The incremental invariant is
+  * the standard LSH one: two live docs collide iff the LATER arrival
+  * found the earlier one's band rows already indexed — so per batch
+  * only the arriving docs probe the index, and the pair set equals the
+  * batch recompute at every version (the q251 gate hash-proves it).
+  *
+  * Self-describing strip: a deleted or re-texted doc's OLD band keys
+  * are derived from its STORED signature row (the signature determines
+  * the bands), so removal never needs the departed text re-shingled;
+  * its pairs are found by a doc-keyed probe of the pair section. Both
+  * are bounded by the affected docs' index footprint.
+  *
+  * One table, one merge: signature rows (`g:<doc>`), band rows
+  * (`b:<band>:<sig>:<doc>`), pair rows (`p:<a>:<b>`), and the replay
+  * ledger (`#hw`, one high-water row) share the key space and land in
+  * a SINGLE atomic [[Sources.mergeVersionEq]] per fresh version range
+  * — no partial-application crash window (the [[DedupStore]]
+  * contract; the fault spec kills before the merge and proves the
+  * store bitwise untouched + verbatim replay).
+  *
+  * 100 TB shape: per batch the work is O(changed docs) shingling +
+  * minhashing, a band-key equi-join against the indexed band rows
+  * (key-grouped, never all-pairs), a signature join on the bounded
+  * candidate set, and doc-keyed semi-joins for the strip. `layout.range`
+  * on `k` keeps each section (g/b/p) in disjoint file ranges so the
+  * prefix-filtered reads prune to their section's files.
+  */
+object NearDupStore {
+
+  /** Ledger key — sorts before every data prefix ("#" < "b"/"g"/"p"). */
+  val HwKey = "#hw"
+
+  private val RowsPerBand = DedupOps.NumHashes / DedupOps.NumBands
+
+  /** Test seam: fires immediately before the single atomic merge. */
+  private[graft] var preMergeCrashHook: () => Unit = () => ()
+
+  def init(storeTable: String): Unit =
+    if (Sources.latestVersion(storeTable) == 0) {
+      Sources.createEmptyTable(storeTable, StructType(Seq(
+        StructField("k", StringType, nullable = false),
+        StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false),
+        StructField("v", StringType, nullable = false),
+        StructField("e", DoubleType, nullable = true))))
+      Sources.writeTableProperties(storeTable, Map(
+        "stats.columns" -> "k,a,b",
+        "bloom.columns" -> "a,b",
+        "layout.range" -> "k"))
+      ()
+    }
+
+  /** Live signatures: (doc_id, sig array<long> ordered by hash index). */
+  def sigs(spark: SparkSession, storeTable: String): DataFrame =
+    Sources.readVersion(spark, storeTable)
+      .filter(col("k").startsWith("g:"))
+      .select(col("a").as("doc_id"),
+        transform(split(col("v"), ","), x => x.cast("long")).as("sig"))
+
+  /** The product view: every live near-dup candidate pair with its
+    * estimated Jaccard — q28's exact output, served from the index. */
+  def pairs(spark: SparkSession, storeTable: String): DataFrame =
+    Sources.readVersion(spark, storeTable)
+      .filter(col("k").startsWith("p:"))
+      .select(col("a").as("a_doc"), col("b").as("b_doc"),
+        col("e").as("est_jaccard"))
+
+  /** Indexed band rows: (band, sig, doc_id). */
+  private def bandRows(spark: SparkSession, storeTable: String): DataFrame =
+    Sources.readVersion(spark, storeTable)
+      .filter(col("k").startsWith("b:"))
+      .select(col("b").as("band"), col("v").as("sig"), col("a").as("doc_id"))
+
+  /** Tail the source table's change feed and keep the index current. */
+  def maintainQuery(spark: SparkSession, docsTable: String,
+      storeTable: String, checkpoint: String): StreamingQuery = {
+    init(storeTable)
+    spark.readStream.format("graft-cdf").option("path", docsTable).load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) applyBatch(spark, storeTable, batch)
+      }
+      .start()
+  }
+
+  private def applyBatch(spark: SparkSession, storeTable: String,
+      batch: DataFrame): Unit = {
+    val hwRow = Sources.readVersion(spark, storeTable)
+      .filter(col("k") === HwKey)
+      .agg(max(col("a"))).head
+    val hw = if (hwRow.isNullAt(0)) 0L else hwRow.getLong(0)
+    // null-text inserts carry no indexable content; deletes are kept
+    // regardless (the strip works off the stored signature, not text)
+    val fresh = batch
+      .filter(col("_commit_version").cast("long") > hw)
+      .filter(col("_change_type") =!= "insert" || col("text").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyFresh(spark, storeTable, fresh)
+    finally { fresh.unpersist(); () }
+  }
+
+  private def applyFresh(spark: SparkSession, storeTable: String,
+      fresh: DataFrame): Unit = {
+    // one pass: row count, high water, and the doc_id-uniqueness guard
+    // (same contract as DedupStore — a doc_id committed twice in one
+    // version is ambiguous under replay; fail at ingestion)
+    val agg = fresh
+      .filter(col("_change_type") === "insert")
+      .groupBy(col("_commit_version").cast("long").as("cv"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("rows"), max(col("n")).as("dupes")).head
+    def anyDeletes = !fresh.filter(col("_change_type") =!= "insert").isEmpty
+    if (agg.getLong(0) == 0L && !anyDeletes) return
+    require(agg.isNullAt(1) || agg.getLong(1) == 1L,
+      "near-dup store source committed the same doc_id twice in one " +
+        "version — live doc_ids must be unique")
+    val newHw = fresh
+      .agg(max(col("_commit_version").cast("long"))).head.getLong(0)
+    // net outcome per doc: LAST change wins, insert preferred within a
+    // version (a rewrite emits delete+insert of the same doc in one
+    // version — it must net to an idempotent re-upsert). Old state is
+    // stripped from the STORE, so the delete image's text is unused.
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("_commit_version").cast("long").desc,
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val net = fresh
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("text"),
+        when(col("_change_type") === "insert", "upsert")
+          .otherwise("delete").as("op"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyNet(spark, storeTable, net, newHw)
+    finally { net.unpersist(); () }
+  }
+
+  private def applyNet(spark: SparkSession, storeTable: String,
+      net: DataFrame, newHw: Long): Unit = {
+    val affected = net.select(col("doc_id")).distinct()
+    // ---- strip: old state of every affected doc, derived from the
+    // store itself (signature → band keys; doc-keyed pair probe)
+    val oldSigs = sigs(spark, storeTable)
+      .join(affected, Seq("doc_id"), "left_semi")
+    val oldBandDeletes = oldSigs
+      .withColumn("band0", explode(sequence(lit(0),
+        lit(DedupOps.NumBands - 1))))
+      .withColumn("band", col("band0").cast("long"))
+      .withColumn("bsig", array_join(transform(
+        slice(col("sig"), col("band0") * RowsPerBand + 1,
+          lit(RowsPerBand)), x => x.cast("string")), ","))
+      .select(bandKey(col("band"), col("bsig"), col("doc_id")).as("k"),
+        col("doc_id").as("a"), col("band").as("b"), col("bsig").as("v"),
+        lit(null).cast("double").as("e"), lit("delete").as("op"))
+    val pRows = Sources.readVersion(spark, storeTable)
+      .filter(col("k").startsWith("p:"))
+    val oldPairDeletes = pRows
+      .join(affected.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+      .unionByName(pRows.join(
+        affected.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
+        .select(pRows.columns.map(col).toIndexedSeq: _*))
+      .select(col("k"), col("a"), col("b"), col("v"), col("e"))
+      .distinct()
+      .withColumn("op", lit("delete"))
+    // ---- new state: signatures + bands of the upserted docs (the
+    // identical pipeline q28 runs over the whole corpus)
+    // the shared shingle pipeline keys by (doc_id, lang, text); the
+    // store is language-agnostic, so a placeholder lang suffices
+    val ups = net.filter(col("op") === "upsert")
+      .select(col("doc_id"), lit("").as("lang"), col("text"))
+    val mh = DedupOps.minhashesOf(ups)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newSigs = mh.groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          x => x.getField("mh")).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // g rows: upsert with the new signature when one exists (>=1
+        // shingle), else delete — covers deletions AND docs whose new
+        // text dropped below shingle length
+        val gRows = affected
+          .join(newSigs, Seq("doc_id"), "left")
+          .select(concat(lit("g:"), col("doc_id")).as("k"),
+            col("doc_id").as("a"), lit(-1L).as("b"),
+            coalesce(array_join(transform(col("sig"),
+              x => x.cast("string")), ","), lit("")).as("v"),
+            lit(null).cast("double").as("e"),
+            when(col("sig").isNull, "delete").otherwise("upsert").as("op"))
+        val newBands = DedupOps.bandsFromMinhashes(mh)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val newBandRows = newBands
+            .select(bandKey(col("band"), col("sig"), col("doc_id")).as("k"),
+              col("doc_id").as("a"), col("band").cast("long").as("b"),
+              col("sig").as("v"), lit(null).cast("double").as("e"),
+              lit("upsert").as("op"))
+          // ---- candidates: arriving docs probe the indexed band rows
+          // (minus the affected docs' stale rows) + collide among
+          // themselves; verified pairs carry q28's estimated Jaccard
+          val indexed = bandRows(spark, storeTable)
+            .join(affected, Seq("doc_id"), "left_anti")
+          val candOldNew = newBands.as("n")
+            .join(indexed.as("o"),
+              col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
+            .select(least(col("n.doc_id"), col("o.doc_id")).as("pa"),
+              greatest(col("n.doc_id"), col("o.doc_id")).as("pb"))
+          val candNewNew = newBands.as("x")
+            .join(newBands.as("y"),
+              col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
+                && col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("pa"), col("y.doc_id").as("pb"))
+          val cands = candOldNew.unionByName(candNewNew).distinct()
+          val allSigs = newSigs.unionByName(
+            sigs(spark, storeTable).join(affected, Seq("doc_id"), "left_anti"))
+          val pairUpserts = cands
+            .join(allSigs.select(col("doc_id").as("pa"), col("sig").as("sa")),
+              Seq("pa"))
+            .join(allSigs.select(col("doc_id").as("pb"), col("sig").as("sb")),
+              Seq("pb"))
+            .select(concat(lit("p:"), col("pa"), lit(":"), col("pb")).as("k"),
+              col("pa").as("a"), col("pb").as("b"), lit("").as("v"),
+              (aggregate(zip_with(col("sa"), col("sb"),
+                (x, y) => when(x === y, 1L).otherwise(0L)),
+                lit(0L), (acc, x) => acc + x).cast("double")
+                / DedupOps.NumHashes).as("e"),
+              lit("upsert").as("op"))
+          val s2 = spark
+          import s2.implicits._
+          val ledger = Seq((HwKey, newHw, -1L, "")).toDF("k", "a", "b", "v")
+            .withColumn("e", lit(null).cast("double"))
+            .withColumn("op", lit("upsert"))
+          // per-key resolution: an upsert wins over a delete of the
+          // same key (sig-unchanged rewrites, re-created pairs); the
+          // producing stages each emit at most one upsert per key
+          val rw = Window.partitionBy("k")
+            .orderBy(when(col("op") === "upsert", 1).otherwise(0).desc)
+          val merged = oldBandDeletes
+            .unionByName(oldPairDeletes).unionByName(gRows)
+            .unionByName(newBandRows).unionByName(pairUpserts)
+            .unionByName(ledger)
+            .withColumn("__rn", row_number().over(rw))
+            .filter(col("__rn") === 1).drop("__rn")
+          preMergeCrashHook()
+          Sources.mergeVersionEq(spark, storeTable,
+            merged.sortWithinPartitions("k"), Seq("k"))
+          ()
+        } finally { newBands.unpersist(); () }
+      } finally { newSigs.unpersist(); () }
+    } finally { mh.unpersist(); () }
+  }
+
+  private def bandKey(band: Column, sig: Column, doc: Column): Column =
+    concat(lit("b:"), band, lit(":"), sig, lit(":"), doc)
+}
