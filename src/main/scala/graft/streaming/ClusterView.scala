@@ -114,9 +114,11 @@ object ClusterView {
       .filter(col("_commit_version").cast("long") > hw)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (fresh.isEmpty) return
-      val newHw = fresh
-        .agg(max(col("_commit_version").cast("long"))).head.getLong(0)
+      // one driver action: emptiness probe + high water
+      val a = fresh.agg(count(lit(1)).as("n"),
+        max(col("_commit_version").cast("long")).as("hw")).head
+      if (a.getLong(0) == 0L) return
+      val newHw = a.getLong(1)
       // net edge outcome per pair key: LAST change wins, insert
       // preferred within a version; a surviving pair below the
       // threshold is an edge DELETION, not an edge

@@ -127,21 +127,26 @@ object NearDupStore {
 
   private def applyFresh(spark: SparkSession, storeTable: String,
       fresh: DataFrame): Unit = {
-    // one pass: row count, high water, and the doc_id-uniqueness guard
-    // (same contract as DedupStore — a doc_id committed twice in one
-    // version is ambiguous under replay; fail at ingestion)
+    // ONE driver action for the emptiness probe, high water, and the
+    // doc_id-uniqueness guard (same contract as DedupStore — a doc_id
+    // committed twice in one version is ambiguous under replay; fail
+    // at ingestion). Driver actions are per-micro-batch fixed latency,
+    // so the probes fuse into a single job.
     val agg = fresh
-      .filter(col("_change_type") === "insert")
-      .groupBy(col("_commit_version").cast("long").as("cv"), col("doc_id"))
+      .groupBy(col("_commit_version").cast("long").as("v"), col("doc_id"),
+        (col("_change_type") === "insert").as("ins"))
       .agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)).as("rows"), max(col("n")).as("dupes")).head
-    def anyDeletes = !fresh.filter(col("_change_type") =!= "insert").isEmpty
-    if (agg.getLong(0) == 0L && !anyDeletes) return
-    require(agg.isNullAt(1) || agg.getLong(1) == 1L,
+      .agg(sum(when(col("ins"), col("n")).otherwise(0L)).as("insRows"),
+        sum(when(!col("ins"), col("n")).otherwise(0L)).as("delRows"),
+        max(when(col("ins"), col("n"))).as("dupes"),
+        max(col("v")).as("hw")).head
+    val insRows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    val delRows = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    if (insRows == 0L && delRows == 0L) return
+    require(agg.isNullAt(2) || agg.getLong(2) == 1L,
       "near-dup store source committed the same doc_id twice in one " +
         "version — live doc_ids must be unique")
-    val newHw = fresh
-      .agg(max(col("_commit_version").cast("long"))).head.getLong(0)
+    val newHw = agg.getLong(3)
     // net outcome per doc: LAST change wins, insert preferred within a
     // version (a rewrite emits delete+insert of the same doc in one
     // version — it must net to an idempotent re-upsert). Old state is
