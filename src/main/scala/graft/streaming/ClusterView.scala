@@ -114,11 +114,19 @@ object ClusterView {
       .filter(col("_commit_version").cast("long") > hw)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // one driver action: emptiness probe + high water
+      // one driver action: emptiness probe, high water, AND the
+      // pair-section probe (if the range carries no p: rows the netting
+      // shuffle is skipped outright — the ledger-only path)
       val a = fresh.agg(count(lit(1)).as("n"),
-        max(col("_commit_version").cast("long")).as("hw")).head
+        max(col("_commit_version").cast("long")).as("hw"),
+        sum(when(col("k").startsWith("p:"), 1L).otherwise(0L)).as("np"))
+        .head
       if (a.getLong(0) == 0L) return
       val newHw = a.getLong(1)
+      if (a.getLong(2) == 0L) {
+        commitLedgerOnly(spark, viewTable, newHw)
+        return
+      }
       // net edge outcome per pair key: LAST change wins, insert
       // preferred within a version; a surviving pair below the
       // threshold is an edge DELETION, not an edge
@@ -134,13 +142,8 @@ object ClusterView {
             col("e") >= EdgeThreshold, "upsert")
             .otherwise("delete").as("op"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        if (edgeDelta.isEmpty) {
-          commitLedgerOnly(spark, viewTable, newHw)
-          return
-        }
-        applyEdgeDelta(spark, storeTable, viewTable, edgeDelta, newHw)
-      } finally { edgeDelta.unpersist(); () }
+      try applyEdgeDelta(spark, storeTable, viewTable, edgeDelta, newHw)
+      finally { edgeDelta.unpersist(); () }
     } finally { fresh.unpersist(); () }
   }
 

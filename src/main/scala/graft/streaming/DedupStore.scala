@@ -125,28 +125,13 @@ object DedupStore {
 
   private def applyFresh(spark: SparkSession, storeTable: String,
       fresh: DataFrame, digestOf: Column => Column): Unit = {
-    // ONE driver action for the emptiness probe, high water, and the
-    // doc_id-uniqueness guard (a doc_id committed TWICE in one version
-    // breaks the membership key — pair-keyed state cannot tell "second
-    // copy inserted" from "same copy replayed", so a later single-copy
-    // erasure would diverge from the batch recompute; fail at
-    // ingestion instead). Every driver action is a full Spark job —
-    // per-micro-batch fixed latency at scale — so the probes fuse.
-    val agg = fresh
-      .groupBy(col("_commit_version").cast("long").as("v"), col("doc_id"),
-        (col("_change_type") === "insert").as("ins"))
-      .agg(count(lit(1)).as("n"))
-      .agg(sum(when(col("ins"), col("n")).otherwise(0L)).as("insRows"),
-        sum(when(!col("ins"), col("n")).otherwise(0L)).as("delRows"),
-        max(when(col("ins"), col("n"))).as("dupes"),
-        max(col("v")).as("hw")).head
-    val insRows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
-    val delRows = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-    if (insRows == 0L && delRows == 0L) return
-    require(agg.isNullAt(2) || agg.getLong(2) == 1L,
-      "dedup store source committed the same doc_id twice in one " +
-        "version — live doc_ids must be unique")
-    val newHw = agg.getLong(3)
+    // ONE driver action ([[FeedProbe]]) for the emptiness probe, high
+    // water, and the doc_id-uniqueness guard — every driver action is
+    // a full Spark job, per-micro-batch fixed latency at scale
+    val newHw = FeedProbe.probe(fresh, "dedup store") match {
+      case None => return
+      case Some(hw) => hw
+    }
     // net outcome per (digest, doc_id) PAIR — not per doc: a text edit
     // moves the doc between digest groups, and both the departure
     // (delete of the old pair, from the delete row's image) and the

@@ -127,26 +127,13 @@ object NearDupStore {
 
   private def applyFresh(spark: SparkSession, storeTable: String,
       fresh: DataFrame): Unit = {
-    // ONE driver action for the emptiness probe, high water, and the
-    // doc_id-uniqueness guard (same contract as DedupStore — a doc_id
-    // committed twice in one version is ambiguous under replay; fail
-    // at ingestion). Driver actions are per-micro-batch fixed latency,
-    // so the probes fuse into a single job.
-    val agg = fresh
-      .groupBy(col("_commit_version").cast("long").as("v"), col("doc_id"),
-        (col("_change_type") === "insert").as("ins"))
-      .agg(count(lit(1)).as("n"))
-      .agg(sum(when(col("ins"), col("n")).otherwise(0L)).as("insRows"),
-        sum(when(!col("ins"), col("n")).otherwise(0L)).as("delRows"),
-        max(when(col("ins"), col("n"))).as("dupes"),
-        max(col("v")).as("hw")).head
-    val insRows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
-    val delRows = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-    if (insRows == 0L && delRows == 0L) return
-    require(agg.isNullAt(2) || agg.getLong(2) == 1L,
-      "near-dup store source committed the same doc_id twice in one " +
-        "version — live doc_ids must be unique")
-    val newHw = agg.getLong(3)
+    // ONE driver action ([[FeedProbe]], the contract shared with
+    // DedupStore) for the emptiness probe, high water, and the
+    // doc_id-uniqueness guard
+    val newHw = FeedProbe.probe(fresh, "near-dup store") match {
+      case None => return
+      case Some(hw) => hw
+    }
     // net outcome per doc: LAST change wins, insert preferred within a
     // version (a rewrite emits delete+insert of the same doc in one
     // version — it must net to an idempotent re-upsert). Old state is
