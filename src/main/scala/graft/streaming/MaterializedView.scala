@@ -72,10 +72,14 @@ object MaterializedView {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         claim(marker(viewTable, checkpoint, "fact", batchId)) {
-          require(batch.filter(col("_change_type") =!= "insert").isEmpty,
+          // one driver action: emptiness probe + append-only guard
+          val pr = batch.agg(count(lit(1)).as("n"),
+            sum(when(col("_change_type") =!= "insert", 1L).otherwise(0L))
+              .as("bad")).head
+          require(pr.getLong(0) == 0L || pr.getLong(1) == 0L,
             "materialized view: the fact feed must be append-only")
           val delta = batch.drop("_change_type", "_commit_version")
-          if (!delta.isEmpty) {
+          if (pr.getLong(0) > 0L) {
             val dim = broadcast(Sources.readVersion(spark, dimTable))
             Sources.commitVersion(delta.join(dim, joinKey), viewTable)
             ()
@@ -105,7 +109,10 @@ object MaterializedView {
               when(col("_change_type") === "insert", 1).otherwise(0).desc)
           val last = batch.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
-          if (!last.isEmpty) {
+          // probe the pre-window batch: `last` keeps >=1 row per key
+          // whenever the batch is non-empty, and the raw count skips
+          // the netting shuffle on an empty (replayed) range
+          if (!batch.isEmpty) {
             val changedKeys = broadcast(
               last.select(joinKey).distinct())
             val upserted = broadcast(
@@ -260,11 +267,15 @@ object MaterializedView {
           val touched = batch.select(groupCol).distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            if (!touched.isEmpty) {
-              // a null group would concat to a NULL gk, which
-              // mergeVersion can never retire — the view would
-              // accumulate one copy per touching batch
-              require(touched.filter(col(groupCol).isNull).isEmpty,
+            // one driver action: emptiness probe + null-group guard (a
+            // null group would concat to a NULL gk, which mergeVersion
+            // can never retire — the view would accumulate one copy
+            // per touching batch)
+            val pr = touched.agg(count(lit(1)).as("n"),
+              sum(when(col(groupCol).isNull, 1L).otherwise(0L)).as("bad"))
+              .head
+            if (pr.getLong(0) > 0L) {
+              require(pr.getLong(1) == 0L,
                 s"top-k view: null $groupCol in the change feed — a " +
                   "keyed slot for the null group is not well-defined")
               val dec = col(valueCol).cast("decimal(28,4)")
@@ -366,9 +377,12 @@ object MaterializedView {
             .filter(col("dref") =!= 0L)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            if (!delta.isEmpty) {
-              require(delta.filter(col(groupCol).isNull ||
-                  col("__v").isNull).isEmpty,
+            // one driver action: emptiness probe + null-key guard
+            val pr = delta.agg(count(lit(1)).as("n"),
+              sum(when(col(groupCol).isNull || col("__v").isNull, 1L)
+                .otherwise(0L)).as("bad")).head
+            if (pr.getLong(0) > 0L) {
+              require(pr.getLong(1) == 0L,
                 s"distinct view: null $groupCol/$valueCol in the " +
                   "change feed — a refcount key for null is not " +
                   "well-defined")
@@ -492,10 +506,14 @@ object MaterializedView {
               sum(sign * dec).cast("decimal(28,4)").as("ds"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            if (!delta.isEmpty) {
-              // a null group can never be retired by the keyed merge —
-              // it would accumulate one row per touching batch
-              require(delta.filter(col(groupCol).isNull).isEmpty,
+            // one driver action: emptiness probe + null-group guard (a
+            // null group can never be retired by the keyed merge — it
+            // would accumulate one row per touching batch)
+            val pr = delta.agg(count(lit(1)).as("n"),
+              sum(when(col(groupCol).isNull, 1L).otherwise(0L)).as("bad"))
+              .head
+            if (pr.getLong(0) > 0L) {
+              require(pr.getLong(1) == 0L,
                 s"aggregate view: null $groupCol in the change feed — " +
                   "a keyed rollup row for the null group is not " +
                   "well-defined")

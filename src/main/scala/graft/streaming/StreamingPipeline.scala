@@ -589,12 +589,17 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val marker = java.nio.file.Paths.get(dstTable, "_replication",
           checkpointQueryId(checkpoint), s"net-batch-$batchId.done")
-        if (!java.nio.file.Files.exists(marker) && !batch.isEmpty) {
-          val vs = batch.agg(
+        // one driver action: emptiness probe + version range (a `return`
+        // here would be a non-local return out of the already-finished
+        // enclosing method — guard with the count instead)
+        val vs =
+          if (java.nio.file.Files.exists(marker)) null
+          else batch.agg(count(lit(1)),
             min(col("_commit_version").cast("long")),
             max(col("_commit_version").cast("long"))).head
+        if (vs != null && vs.getLong(0) > 0L) {
           val net = graft.sources.RowIds.readChangesLineage(spark,
-              srcTable, (vs.getLong(0) - 1L).toInt, vs.getLong(1).toInt)
+              srcTable, (vs.getLong(1) - 1L).toInt, vs.getLong(2).toInt)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             require(!net.schema.fieldNames.contains("op"),
