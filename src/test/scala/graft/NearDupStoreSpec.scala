@@ -129,6 +129,33 @@ class NearDupStoreSpec extends SparkTestBase {
     assert(storedPairs(store) == expectedPairs(docsDf(base)))
   }
 
+  test("the store survives its own maintenance: purging the pending eq " +
+    "entries and compacting mid-life changes nothing, and the next " +
+    "drains keep maintaining the purged layout") {
+    val root = freshRoot("ndstore-purge")
+    val src = root.resolve("docs").toString
+    val store = root.resolve("store").toString
+    val ck = root.resolve("ck").toString
+    Sources.commitVersion(docsDf(base.filter(_._1 <= 3)), src)
+    drain(src, store, ck)
+    Sources.commitVersion(docsDf(base.filter(_._1 > 3)), src)
+    drain(src, store, ck)
+    val before = storeRows(store)
+    // absorb the accumulated eq-merge debt, then re-pack the files —
+    // the operational pass a long-lived index table runs periodically
+    Sources.purgeEq(spark, store)
+    Sources.compactVersion(spark, store, targetRecordsPerFile = 10000L)
+    assert(storeRows(store) == before,
+      "purge+compact must preserve the store's content exactly")
+    // maintenance continues on the purged layout
+    Sources.updateWhere(spark, src, col("doc_id") === 2L,
+      Map("text" -> lit("omega psi chi phi upsilon tau sigma")))
+    drain(src, store, ck)
+    val head = Seq(1L -> base(0)._2, 2L -> "omega psi chi phi upsilon tau sigma",
+      3L -> base(2)._2, 4L -> base(3)._2, 5L -> base(4)._2)
+    assert(storedPairs(store) == expectedPairs(docsDf(head)))
+  }
+
   test("no partial application: a crash before the single merge leaves " +
     "the store bitwise untouched and the range replays verbatim") {
     val root = freshRoot("ndstore-crash")
