@@ -1543,7 +1543,101 @@ object DedupOps {
             |ORDER BY l.doc_id""".stripMargin)
   )
 
+  /** Q253 — the INCREMENTAL DEDUP-VERDICT VIEW
+    * ([[graft.streaming.VerdictView]]): q68's keep/drop rule (most
+    * tokens wins its cluster, min doc_id tie-break) maintained off the
+    * CLUSTER VIEW's change feed — the dedup chain's last link, fully
+    * incremental end to end: documents → LSH index → components →
+    * verdicts. Touched clusters re-pick their keeper against the
+    * source head (doc-keyed semi-join); a doc's move re-verdicts both
+    * its old and new cluster (delete rows carry the old assignment).
+    * Gate: q251's mutation sequence through all THREE maintainers; the
+    * final verdicts hash-match DuckDB's recursive-closure recompute
+    * with q68's window rule.
+    */
+  val q253 = Query(
+    "q253_verdict_view",
+    (s, dir) => {
+      val root = Tables.scratchRoot("verdictv", dir)
+      val src = root.resolve("docs_t").toString
+      val store = root.resolve("nd_store").toString
+      val view = root.resolve("cluster_view").toString
+      val vv = root.resolve("verdict_view").toString
+      import graft.sources.Sources
+      import graft.streaming.{ClusterView, NearDupStore, VerdictView}
+      def drainAll(): Unit = {
+        NearDupStore.maintainQuery(s, src, store,
+          root.resolve("ck_nd").toString).awaitTermination()
+        ClusterView.maintainQuery(s, store, view,
+          root.resolve("ck_cv").toString).awaitTermination()
+        VerdictView.maintainQuery(s, src, view, vv,
+          root.resolve("ck_vv").toString).awaitTermination()
+      }
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
+      drainAll()
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 2), src)
+      Sources.updateWhere(s, src, pmod(col("doc_id"), lit(13)) === 5,
+        Map("text" -> concat(col("text"), lit(" zq xv"),
+          pmod(col("doc_id"), lit(7)).cast("string"))))
+      Sources.deleteWhereDv(s, src, pmod(col("doc_id"), lit(11)) === 0)
+      drainAll()
+      VerdictView.verdicts(s, vv).orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE corpus AS (
+            |  SELECT doc_id,
+            |         CASE WHEN doc_id % 13 = 5
+            |              THEN text || ' zq xv' || CAST(doc_id % 7 AS VARCHAR)
+            |              ELSE text END AS text
+            |  FROM documents WHERE doc_id % 11 <> 0),
+            |${shinglesSqlFrom("corpus")},
+            |th AS (
+            |  SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS tv
+            |  FROM sh),
+            |mh AS (
+            |  SELECT doc_id, i,
+            |         MIN((((2654435761 * (i+1)) % 2147483647) * tv
+            |              + ((40503 * (i+7)) % 2147483647)) % 2147483647) AS mh
+            |  FROM th, range(0, 16) r(i)
+            |  GROUP BY doc_id, i),
+            |bands AS (
+            |  SELECT doc_id, i // 4 AS band,
+            |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+            |  FROM mh GROUP BY doc_id, i // 4),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            |sigs AS (
+            |  SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+            |scored AS (
+            |  SELECT c.a_doc, c.b_doc,
+            |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+            |         x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est
+            |  FROM cand c
+            |  JOIN sigs sa ON c.a_doc = sa.doc_id
+            |  JOIN sigs sb ON c.b_doc = sb.doc_id),
+            |cc_pairs AS (SELECT a_doc, b_doc FROM scored WHERE est >= 0.5),
+            |edges AS (SELECT a_doc AS u, b_doc AS v FROM cc_pairs
+            |          UNION SELECT b_doc, a_doc FROM cc_pairs),
+            |nodes AS (SELECT DISTINCT u AS n FROM edges),
+            |walk(n, l) AS (
+            |  SELECT n, n FROM nodes
+            |  UNION
+            |  SELECT e.v, w.l FROM walk w JOIN edges e ON w.n = e.u WHERE w.l < e.v),
+            |labels AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n),
+            |qual AS (
+            |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+            |  FROM corpus)
+            |SELECT l.doc_id, l.cluster_id, q.n_tokens,
+            |       row_number() OVER (PARTITION BY l.cluster_id
+            |                          ORDER BY q.n_tokens DESC, l.doc_id ASC) = 1 AS keep
+            |FROM labels l JOIN qual q USING (doc_id)
+            |ORDER BY l.doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q30, q50, q55, q56, q66, q68, q74, q137, q164, q165,
-      q167, q175, q185, q213, q216, q245, q251, q252)
+      q167, q175, q185, q213, q216, q245, q251, q252, q253)
 }
