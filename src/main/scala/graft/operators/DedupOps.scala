@@ -1382,17 +1382,94 @@ object DedupOps {
            |FROM live GROUP BY digest ORDER BY digest""".stripMargin)
   )
 
+  // ---- the incremental dedup chain's shared lifecycle + oracle ----------
+
+  /** The q251/q252/q253 mutation sequence — three commits, a CoW
+    * re-text UPDATE of every doc_id % 13 == 5 (tokens appended => new
+    * shingles => new bands), a merge-on-read DV erasure of every
+    * doc_id % 11 == 0 — with `drain()` invoked after the second commit
+    * and again at the end. ONE definition so the three chained gates
+    * can never run different sequences than their shared oracle
+    * corpus describes. */
+  private def chainLifecycle(s: SparkSession, dir: String, src: String)
+      (drain: () => Unit): Unit = {
+    import graft.sources.Sources
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+    Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
+    Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
+    drain()
+    Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 2), src)
+    Sources.updateWhere(s, src, pmod(col("doc_id"), lit(13)) === 5,
+      Map("text" -> concat(col("text"), lit(" zq xv"),
+        pmod(col("doc_id"), lit(7)).cast("string"))))
+    Sources.deleteWhereDv(s, src, pmod(col("doc_id"), lit(11)) === 0)
+    drain()
+  }
+
+  /** The lifecycle's final corpus, stated in SQL — the oracle twin of
+    * [[chainLifecycle]]. */
+  private val mutatedCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 13 = 5
+      |              THEN text || ' zq xv' || CAST(doc_id % 7 AS VARCHAR)
+      |              ELSE text END AS text
+      |  FROM documents WHERE doc_id % 11 <> 0)""".stripMargin
+
+  /** q28's whole LSH derivation over the mutated corpus (shingles →
+    * minhash → bands → banded candidates → signatures) — shared by all
+    * three chain oracles so the LSH constants live in ONE SQL text. */
+  private val lshPairsSql =
+    s"""${shinglesSqlFrom("corpus")},
+       |th AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS tv
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, i,
+       |         MIN((((2654435761 * (i+1)) % 2147483647) * tv
+       |              + ((40503 * (i+7)) % 2147483647)) % 2147483647) AS mh
+       |  FROM th, range(0, 16) r(i)
+       |  GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+       |  FROM mh GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sigs AS (
+       |  SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id)""".stripMargin
+
+  /** Thresholded pairs → recursive min-label closure (the ≥0.5 edge
+    * bar is [[graft.streaming.ClusterView.EdgeThreshold]]). */
+  private val lshClosureSql =
+    s"""$lshPairsSql,
+       |scored AS (
+       |  SELECT c.a_doc, c.b_doc,
+       |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |         x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est
+       |  FROM cand c
+       |  JOIN sigs sa ON c.a_doc = sa.doc_id
+       |  JOIN sigs sb ON c.b_doc = sb.doc_id),
+       |cc_pairs AS (SELECT a_doc, b_doc FROM scored WHERE est >= 0.5),
+       |edges AS (SELECT a_doc AS u, b_doc AS v FROM cc_pairs
+       |          UNION SELECT b_doc, a_doc FROM cc_pairs),
+       |nodes AS (SELECT DISTINCT u AS n FROM edges),
+       |walk(n, l) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT e.v, w.l FROM walk w JOIN edges e ON w.n = e.u WHERE w.l < e.v),
+       |labels AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n)""".stripMargin
+
   /** Q251 — the STREAMING-MAINTAINED NEAR-DUP INDEX
-    * ([[graft.streaming.NearDupStore]]), oracle-gated end-to-end: the
-    * corpus lands in three commits, a copy-on-write UPDATE re-texts
-    * every doc_id % 13 == 5 (its signature changes — the stale band
-    * rows strip off the STORED signature, its pairs recompute), and a
-    * merge-on-read DV erasure removes every doc_id % 11 == 0;
-    * change-feed maintenance keeps signatures, LSH band rows, and
-    * verified candidate pairs current. The final pair view
-    * hash-matches DuckDB's FULL-CORPUS q28 recompute over the post-
-    * update live corpus — the incremental ≡ batch proof for
-    * approximate near-dup detection.
+    * ([[graft.streaming.NearDupStore]]), oracle-gated end-to-end under
+    * [[chainLifecycle]]: change-feed maintenance keeps signatures, LSH
+    * band rows, and verified candidate pairs current; the re-texted
+    * docs' stale band rows strip off the STORED signature, their pairs
+    * recompute. The final pair view hash-matches DuckDB's FULL-CORPUS
+    * q28 recompute over the mutated live corpus — the incremental ≡
+    * batch proof for approximate near-dup detection.
     *
     * Scale shape: per drained version range the work is O(changed
     * docs) minhashing + a band-key equi-join against the index +
@@ -1407,48 +1484,14 @@ object DedupOps {
       val src = root.resolve("docs_t").toString
       val store = root.resolve("nd_store").toString
       val ckpt = root.resolve("ckpt").toString
-      import graft.sources.Sources
       import graft.streaming.NearDupStore
-      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
-      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
-      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
-      NearDupStore.maintainQuery(s, src, store, ckpt).awaitTermination()
-      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 2), src)
-      // re-text a slice (tokens appended => new shingles => new bands)
-      Sources.updateWhere(s, src, pmod(col("doc_id"), lit(13)) === 5,
-        Map("text" -> concat(col("text"), lit(" zq xv"),
-          pmod(col("doc_id"), lit(7)).cast("string"))))
-      // a GDPR-style erasure
-      Sources.deleteWhereDv(s, src, pmod(col("doc_id"), lit(11)) === 0)
-      NearDupStore.maintainQuery(s, src, store, ckpt).awaitTermination()
+      chainLifecycle(s, dir, src) { () =>
+        NearDupStore.maintainQuery(s, src, store, ckpt).awaitTermination()
+      }
       NearDupStore.pairs(s, store).orderBy("a_doc", "b_doc")
     },
-    Some(s"""WITH corpus AS (
-            |  SELECT doc_id,
-            |         CASE WHEN doc_id % 13 = 5
-            |              THEN text || ' zq xv' || CAST(doc_id % 7 AS VARCHAR)
-            |              ELSE text END AS text
-            |  FROM documents WHERE doc_id % 11 <> 0),
-            |${shinglesSqlFrom("corpus")},
-            |th AS (
-            |  SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS tv
-            |  FROM sh),
-            |mh AS (
-            |  SELECT doc_id, i,
-            |         MIN((((2654435761 * (i+1)) % 2147483647) * tv
-            |              + ((40503 * (i+7)) % 2147483647)) % 2147483647) AS mh
-            |  FROM th, range(0, 16) r(i)
-            |  GROUP BY doc_id, i),
-            |bands AS (
-            |  SELECT doc_id, i // 4 AS band,
-            |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
-            |  FROM mh GROUP BY doc_id, i // 4),
-            |cand AS (
-            |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
-            |  FROM bands a JOIN bands b
-            |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-            |sigs AS (
-            |  SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id)
+    Some(s"""WITH $mutatedCorpusSql,
+            |$lshPairsSql
             |SELECT c.a_doc, c.b_doc,
             |  CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
             |       x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est_jaccard
@@ -1461,13 +1504,12 @@ object DedupOps {
   /** Q252 — the INCREMENTAL DUPLICATE-CLUSTER VIEW
     * ([[graft.streaming.ClusterView]]): connected components over the
     * ≥0.5-estimated near-dup graph, maintained off the near-dup
-    * store's OWN change feed — the full derived-of-derived chain
-    * (documents → LSH index → clusters) under q251's exact mutation
-    * sequence (three commits, a re-text update, a DV erasure). Edge
-    * deletions SPLIT components — the non-invertible case no per-edge
-    * bookkeeping survives — so the maintainer re-solves only the
-    * affected components' closed subgraph per drained range. The final
-    * view hash-matches DuckDB's recursive-CTE closure over the
+    * store's OWN change feed — the derived-of-derived chain
+    * (documents → LSH index → clusters) under [[chainLifecycle]].
+    * Edge deletions SPLIT components — the non-invertible case no
+    * per-edge bookkeeping survives — so the maintainer re-solves only
+    * the affected components' closed subgraph per drained range. The
+    * final view hash-matches DuckDB's recursive-CTE closure over the
     * full-corpus recompute.
     */
   val q252 = Query(
@@ -1477,66 +1519,17 @@ object DedupOps {
       val src = root.resolve("docs_t").toString
       val store = root.resolve("nd_store").toString
       val view = root.resolve("cluster_view").toString
-      val ckptNd = root.resolve("ckpt_nd").toString
-      val ckptCv = root.resolve("ckpt_cv").toString
-      import graft.sources.Sources
       import graft.streaming.{ClusterView, NearDupStore}
-      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
-      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
-      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
-      NearDupStore.maintainQuery(s, src, store, ckptNd).awaitTermination()
-      ClusterView.maintainQuery(s, store, view, ckptCv).awaitTermination()
-      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 2), src)
-      Sources.updateWhere(s, src, pmod(col("doc_id"), lit(13)) === 5,
-        Map("text" -> concat(col("text"), lit(" zq xv"),
-          pmod(col("doc_id"), lit(7)).cast("string"))))
-      Sources.deleteWhereDv(s, src, pmod(col("doc_id"), lit(11)) === 0)
-      NearDupStore.maintainQuery(s, src, store, ckptNd).awaitTermination()
-      ClusterView.maintainQuery(s, store, view, ckptCv).awaitTermination()
+      chainLifecycle(s, dir, src) { () =>
+        NearDupStore.maintainQuery(s, src, store,
+          root.resolve("ckpt_nd").toString).awaitTermination()
+        ClusterView.maintainQuery(s, store, view,
+          root.resolve("ckpt_cv").toString).awaitTermination()
+      }
       ClusterView.clusters(s, view).orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE corpus AS (
-            |  SELECT doc_id,
-            |         CASE WHEN doc_id % 13 = 5
-            |              THEN text || ' zq xv' || CAST(doc_id % 7 AS VARCHAR)
-            |              ELSE text END AS text
-            |  FROM documents WHERE doc_id % 11 <> 0),
-            |${shinglesSqlFrom("corpus")},
-            |th AS (
-            |  SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS tv
-            |  FROM sh),
-            |mh AS (
-            |  SELECT doc_id, i,
-            |         MIN((((2654435761 * (i+1)) % 2147483647) * tv
-            |              + ((40503 * (i+7)) % 2147483647)) % 2147483647) AS mh
-            |  FROM th, range(0, 16) r(i)
-            |  GROUP BY doc_id, i),
-            |bands AS (
-            |  SELECT doc_id, i // 4 AS band,
-            |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
-            |  FROM mh GROUP BY doc_id, i // 4),
-            |cand AS (
-            |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
-            |  FROM bands a JOIN bands b
-            |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-            |sigs AS (
-            |  SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-            |scored AS (
-            |  SELECT c.a_doc, c.b_doc,
-            |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
-            |         x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est
-            |  FROM cand c
-            |  JOIN sigs sa ON c.a_doc = sa.doc_id
-            |  JOIN sigs sb ON c.b_doc = sb.doc_id),
-            |cc_pairs AS (SELECT a_doc, b_doc FROM scored WHERE est >= 0.5),
-            |edges AS (SELECT a_doc AS u, b_doc AS v FROM cc_pairs
-            |          UNION SELECT b_doc, a_doc FROM cc_pairs),
-            |nodes AS (SELECT DISTINCT u AS n FROM edges),
-            |walk(n, l) AS (
-            |  SELECT n, n FROM nodes
-            |  UNION
-            |  SELECT e.v, w.l FROM walk w JOIN edges e ON w.n = e.u WHERE w.l < e.v),
-            |labels AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n),
+    Some(s"""WITH RECURSIVE $mutatedCorpusSql,
+            |$lshClosureSql,
             |csizes AS (SELECT cluster_id, COUNT(*) AS csize FROM labels GROUP BY cluster_id)
             |SELECT l.doc_id, l.cluster_id, c.csize
             |FROM labels l JOIN csizes c USING (cluster_id)
@@ -1551,7 +1544,7 @@ object DedupOps {
     * verdicts. Touched clusters re-pick their keeper against the
     * source head (doc-keyed semi-join); a doc's move re-verdicts both
     * its old and new cluster (delete rows carry the old assignment).
-    * Gate: q251's mutation sequence through all THREE maintainers; the
+    * Gate: [[chainLifecycle]] through all THREE maintainers; the
     * final verdicts hash-match DuckDB's recursive-closure recompute
     * with q68's window rule.
     */
@@ -1563,9 +1556,8 @@ object DedupOps {
       val store = root.resolve("nd_store").toString
       val view = root.resolve("cluster_view").toString
       val vv = root.resolve("verdict_view").toString
-      import graft.sources.Sources
       import graft.streaming.{ClusterView, NearDupStore, VerdictView}
-      def drainAll(): Unit = {
+      chainLifecycle(s, dir, src) { () =>
         NearDupStore.maintainQuery(s, src, store,
           root.resolve("ck_nd").toString).awaitTermination()
         ClusterView.maintainQuery(s, store, view,
@@ -1573,60 +1565,10 @@ object DedupOps {
         VerdictView.maintainQuery(s, src, view, vv,
           root.resolve("ck_vv").toString).awaitTermination()
       }
-      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
-      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
-      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
-      drainAll()
-      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 2), src)
-      Sources.updateWhere(s, src, pmod(col("doc_id"), lit(13)) === 5,
-        Map("text" -> concat(col("text"), lit(" zq xv"),
-          pmod(col("doc_id"), lit(7)).cast("string"))))
-      Sources.deleteWhereDv(s, src, pmod(col("doc_id"), lit(11)) === 0)
-      drainAll()
       VerdictView.verdicts(s, vv).orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE corpus AS (
-            |  SELECT doc_id,
-            |         CASE WHEN doc_id % 13 = 5
-            |              THEN text || ' zq xv' || CAST(doc_id % 7 AS VARCHAR)
-            |              ELSE text END AS text
-            |  FROM documents WHERE doc_id % 11 <> 0),
-            |${shinglesSqlFrom("corpus")},
-            |th AS (
-            |  SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS tv
-            |  FROM sh),
-            |mh AS (
-            |  SELECT doc_id, i,
-            |         MIN((((2654435761 * (i+1)) % 2147483647) * tv
-            |              + ((40503 * (i+7)) % 2147483647)) % 2147483647) AS mh
-            |  FROM th, range(0, 16) r(i)
-            |  GROUP BY doc_id, i),
-            |bands AS (
-            |  SELECT doc_id, i // 4 AS band,
-            |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
-            |  FROM mh GROUP BY doc_id, i // 4),
-            |cand AS (
-            |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
-            |  FROM bands a JOIN bands b
-            |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-            |sigs AS (
-            |  SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-            |scored AS (
-            |  SELECT c.a_doc, c.b_doc,
-            |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
-            |         x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est
-            |  FROM cand c
-            |  JOIN sigs sa ON c.a_doc = sa.doc_id
-            |  JOIN sigs sb ON c.b_doc = sb.doc_id),
-            |cc_pairs AS (SELECT a_doc, b_doc FROM scored WHERE est >= 0.5),
-            |edges AS (SELECT a_doc AS u, b_doc AS v FROM cc_pairs
-            |          UNION SELECT b_doc, a_doc FROM cc_pairs),
-            |nodes AS (SELECT DISTINCT u AS n FROM edges),
-            |walk(n, l) AS (
-            |  SELECT n, n FROM nodes
-            |  UNION
-            |  SELECT e.v, w.l FROM walk w JOIN edges e ON w.n = e.u WHERE w.l < e.v),
-            |labels AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n),
+    Some(s"""WITH RECURSIVE $mutatedCorpusSql,
+            |$lshClosureSql,
             |qual AS (
             |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
             |  FROM corpus)

@@ -97,33 +97,29 @@ object ClusterView {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) applyBatch(spark, storeTable, viewTable, batch)
+        applyBatch(spark, storeTable, viewTable, batch)
       }
       .start()
   }
 
   private def applyBatch(spark: SparkSession, storeTable: String,
       viewTable: String, batch: DataFrame): Unit = {
-    val hwRow = Sources.readVersion(spark, viewTable)
-      .filter(col("k") === HwKey)
-      .agg(max(col("a"))).head
-    val hw = if (hwRow.isNullAt(0)) 0L else hwRow.getLong(0)
+    val hw = FeedProbe.appliedHw(spark, viewTable, HwKey)
     // only the pair section of the store feeds the graph; the store's
     // signature/band/ledger keys are not edges
     val fresh = batch
       .filter(col("_commit_version").cast("long") > hw)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // one driver action: emptiness probe, high water, AND the
-      // pair-section probe (if the range carries no p: rows the netting
-      // shuffle is skipped outright — the ledger-only path)
-      val a = fresh.agg(count(lit(1)).as("n"),
-        max(col("_commit_version").cast("long")).as("hw"),
-        sum(when(col("k").startsWith("p:"), 1L).otherwise(0L)).as("np"))
-        .head
-      if (a.getLong(0) == 0L) return
-      val newHw = a.getLong(1)
-      if (a.getLong(2) == 0L) {
+      // one driver action ([[FeedProbe.probeSection]], the contract
+      // shared with VerdictView): emptiness, high water, and the
+      // pair-section count (no p: rows -> the netting shuffle is
+      // skipped outright, the ledger-only path)
+      val (newHw, nPairs) = FeedProbe.probeSection(fresh, "p:") match {
+        case None => return
+        case Some(t) => t
+      }
+      if (nPairs == 0L) {
         commitLedgerOnly(spark, viewTable, newHw)
         return
       }

@@ -101,7 +101,7 @@ object DedupStore {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) applyBatch(spark, storeTable, batch, digestOf)
+        applyBatch(spark, storeTable, batch, digestOf)
       }
       .start()
   }

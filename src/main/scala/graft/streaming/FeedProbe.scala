@@ -13,6 +13,33 @@ import org.apache.spark.sql.functions._
   */
 private[streaming] object FeedProbe {
 
+  /** The derived-view replay contract shared by [[ClusterView]] and
+    * [[VerdictView]]: the applied high-water version lives in a
+    * single `#hw` ledger row (key `hwKey`, value in column `a`) of
+    * the view table itself. One definition so the two view
+    * maintainers' replay semantics cannot diverge. */
+  def appliedHw(spark: org.apache.spark.sql.SparkSession,
+      viewTable: String, hwKey: String): Long = {
+    val row = graft.sources.Sources.readVersion(spark, viewTable)
+      .filter(col("k") === hwKey)
+      .agg(max(col("a"))).head
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** ONE driver action over a replay-filtered view feed: total row
+    * count, new high water, and the count of rows in the maintainer's
+    * relevant key section. Returns None when the range is empty,
+    * otherwise Some((newHw, sectionRows)) — sectionRows == 0 is the
+    * ledger-only fast path. */
+  def probeSection(fresh: DataFrame,
+      sectionPrefix: String): Option[(Long, Long)] = {
+    val a = fresh.agg(count(lit(1)).as("n"),
+      max(col("_commit_version").cast("long")).as("hw"),
+      sum(when(col("k").startsWith(sectionPrefix), 1L).otherwise(0L))
+        .as("ns")).head
+    if (a.getLong(0) == 0L) None else Some((a.getLong(1), a.getLong(2)))
+  }
+
   /** Returns None when the range carries no changes; otherwise
     * Some(newHw). `who` names the store in the guard's error. */
   def probe(fresh: DataFrame, who: String): Option[Long] = {

@@ -104,7 +104,7 @@ object NearDupStore {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) applyBatch(spark, storeTable, batch)
+        applyBatch(spark, storeTable, batch)
       }
       .start()
   }

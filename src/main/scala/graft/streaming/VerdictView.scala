@@ -82,8 +82,7 @@ object VerdictView {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          applyBatch(spark, srcTable, clusterTable, verdictTable, batch)
+        applyBatch(spark, srcTable, clusterTable, verdictTable, batch)
       }
       .start()
   }
@@ -91,27 +90,24 @@ object VerdictView {
   private def applyBatch(spark: SparkSession, srcTable: String,
       clusterTable: String, verdictTable: String,
       batch: DataFrame): Unit = {
-    val hwRow = Sources.readVersion(spark, verdictTable)
-      .filter(col("k") === HwKey)
-      .agg(max(col("a"))).head
-    val hw = if (hwRow.isNullAt(0)) 0L else hwRow.getLong(0)
+    val hw = FeedProbe.appliedHw(spark, verdictTable, HwKey)
     val fresh = batch
       .filter(col("_commit_version").cast("long") > hw)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // one driver action: emptiness + high water + assignment probe
-      val a = fresh.agg(count(lit(1)).as("n"),
-        max(col("_commit_version").cast("long")).as("hw"),
-        sum(when(col("k").startsWith("c:"), 1L).otherwise(0L)).as("nc"))
-        .head
-      if (a.getLong(0) == 0L) return
-      val newHw = a.getLong(1)
+      // one driver action ([[FeedProbe.probeSection]], the contract
+      // shared with ClusterView): emptiness, high water, and the
+      // assignment-section count
+      val (newHw, nAsg) = FeedProbe.probeSection(fresh, "c:") match {
+        case None => return
+        case Some(t) => t
+      }
       val s2 = spark
       import s2.implicits._
       val ledger = Seq((HwKey, newHw, -1L, 0L, 0L))
         .toDF("k", "a", "b", "n", "kp")
         .withColumn("op", lit("upsert"))
-      if (a.getLong(2) == 0L) {
+      if (nAsg == 0L) {
         // ledger-only: the range carried no assignment changes
         preMergeCrashHook()
         Sources.mergeVersionEq(spark, verdictTable, ledger, Seq("k"))
