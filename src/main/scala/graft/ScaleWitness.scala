@@ -43,7 +43,11 @@ object ScaleWitness {
       // (map-only), the incremental dedup store and chunked backfill
       // (lifecycle builds — streaming drains + ledgered merges at sf1)
       "q239_nfc_normalize", "q240_random_projection", "q245_dedup_store",
-      "q246_backfill")
+      "q246_backfill",
+      // round-10 third block: the full incremental dedup chain
+      // (LSH index -> components -> verdicts) under the mutation
+      // lifecycle — the three-maintainer build at 10x
+      "q253_verdict_view")
     val byName = SparkEntry.inventory.map(q => q.name -> q).toMap
     val results = names.flatMap(n => byName.get(n)).map { q =>
       val t0 = System.nanoTime()

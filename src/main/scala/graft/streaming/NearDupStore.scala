@@ -47,6 +47,14 @@ import graft.sources.Sources
   * candidate set, and doc-keyed semi-joins for the strip. `layout.range`
   * on `k` keeps each section (g/b/p) in disjoint file ranges so the
   * prefix-filtered reads prune to their section's files.
+  *
+  * KNOWN HAZARD, by design: an exact-duplicate clique of size m makes
+  * its band buckets m-hot and its pair section m²/2 rows — inherent to
+  * materialized LSH pairs, not to this maintainer (the batch q28 pays
+  * the same). The production order of operations absorbs it: run the
+  * EXACT dedup pass ([[DedupStore]]) upstream and feed this index the
+  * survivors, so cliques collapse to size 1 before banding; residual
+  * hot (band, sig) join keys are runtime skew AQE splits.
   */
 object NearDupStore {
 
