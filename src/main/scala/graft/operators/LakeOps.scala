@@ -2222,8 +2222,67 @@ object LakeOps {
            |FROM fin GROUP BY prio ORDER BY prio""".stripMargin)
   )
 
+  /** Q254 — SHALLOW CLONE lifecycle ([[Sources.cloneTable]] /
+    * [[Sources.detachClone]]): fork a table zero-copy (the clone's
+    * first manifest lists the SOURCE's data files; only metadata and
+    * pending eq keys copy), diverge both sides with merge-on-read
+    * deletes and an append, vacuum the source — the clone pin keeps
+    * the shared bytes alive — then DETACH (localize + release) and
+    * vacuum the source again. The final read of BOTH tables
+    * hash-matches the divergence stated in SQL; the byte-level
+    * witnesses (zero data copied, pin survival, the vacuum ownership
+    * guard) live in CloneSpec.
+    */
+  val q254 = Query(
+    "q254_shallow_clone",
+    (s, dir) => {
+      val root = Tables.scratchRoot("clone", dir)
+      val src = root.resolve("src_t").toString
+      val dst = root.resolve("dst_t").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(2)) === 0), src)
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(2)) === 1), src)
+      // pending merge-on-read state at the cut must carry to the clone
+      Sources.deleteWhereDv(s, src, pmod(col("doc_id"), lit(13)) === 3)
+      Sources.cloneTable(s, src, dst)
+      // diverge: the source loses more rows, the clone loses a
+      // DIFFERENT slice and gains an appended one — all while still
+      // sharing the original data files
+      Sources.deleteWhereDv(s, src, pmod(col("doc_id"), lit(7)) === 0)
+      Sources.deleteWhereDv(s, dst, pmod(col("doc_id"), lit(5)) === 0)
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          concat(lit("copy "), col("text")).as("text")), dst)
+      // the clone pin keeps the shared bytes through a source vacuum
+      Sources.vacuumVersions(src, keepLast = 1)
+      // localize + release, then the source may sweep freely
+      Sources.detachClone(s, dst)
+      Sources.vacuumVersions(src, keepLast = 1)
+      Sources.readVersion(s, src)
+        .withColumn("side", lit("src"))
+        .unionByName(Sources.readVersion(s, dst)
+          .withColumn("side", lit("dst")))
+        .select("side", "doc_id", "text")
+        .orderBy("side", "doc_id")
+    },
+    Some("""WITH src AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 13 <> 3 AND doc_id % 7 <> 0),
+           |dst AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 13 <> 3 AND doc_id % 5 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, 'copy ' || text FROM documents
+           |  WHERE doc_id % 3 = 0)
+           |SELECT side, doc_id, text FROM (
+           |  SELECT 'src' AS side, * FROM src
+           |  UNION ALL
+           |  SELECT 'dst' AS side, * FROM dst)
+           |ORDER BY side, doc_id""".stripMargin)
+  )
+
   val all: Seq[Query] =
     Seq(q179, q196, q202, q206, q207, q208, q210, q211, q212, q214, q218,
       q219, q220, q221, q226, q228, q229, q232, q233, q236, q237, q246,
-      q247, q249, q250)
+      q247, q249, q250, q254)
 }

@@ -3128,8 +3128,12 @@ object Sources {
     // swallowed error here would let the sweep delete the only
     // manifests the ids can still be derived from.
     // a TAGGED version is pinned: its manifest, sidecars, and files
-    // all survive the sweep regardless of age (drop_tag releases it)
-    val tagged = Refs.tagsOf(table).values.toSet
+    // all survive the sweep regardless of age (drop_tag releases it).
+    // A version a live shallow CLONE was cut from is pinned the same
+    // way — the clone's manifests list THIS table's files, so sweeping
+    // them would corrupt the clone ([[cloneTable]] registers the pin,
+    // [[detachClone]] releases it).
+    val tagged = Refs.tagsOf(table).values.toSet ++ clonePins(table)
     if (RowIds.enabled(table))
       (versions.takeRight(keepLast) ++ versions.filter(tagged.contains))
         .distinct.sorted.foreach(v => RowIds.ridOf(table, v))
@@ -3145,8 +3149,17 @@ object Sources {
     }.toSet
     val keepFiles = kept.flatMap(v => filesOf(table, v)).toSet ++ branchFiles
     val deadFiles = expired.flatMap(v => filesOf(table, v)).toSet -- keepFiles
-    deadFiles.foreach(f =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    // ownership guard: a table only ever deletes files under its OWN
+    // root. A shallow clone's manifests list the source's files — the
+    // clone expiring its early versions must drop the references, not
+    // the source's data (the source's own vacuum, gated by the clone
+    // pin above, is the single authority over those bytes).
+    val root = java.nio.file.Paths.get(table).toAbsolutePath.normalize
+      .toString + java.io.File.separator
+    deadFiles.filter(f => java.nio.file.Paths.get(f).toAbsolutePath
+        .normalize.toString.startsWith(root))
+      .foreach(f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
     // a kept version's eq entries pin their scope MANIFESTS (the file
     // list is how the scope resolves at read time) and their key
     // parquets — both survive the sweep; the scope's DATA files follow
@@ -3204,6 +3217,122 @@ object Sources {
         !pointed.contains(f.getName) && f.lastModified() < cutoff)
       .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
     (expired.length, deadFiles.size)
+  }
+
+  // ---- shallow clone: zero-copy table fork ---------------------------
+
+  /** Versions of `table` some live shallow clone was cut from — each
+    * pins its manifest, files, and sidecars against [[vacuumVersions]]
+    * exactly like a tag. */
+  def clonePins(table: String): Set[Int] = {
+    val dir = java.nio.file.Paths.get(table, "_clones").toFile
+    if (!dir.exists()) Set.empty
+    else dir.listFiles().toSet.flatMap { (f: java.io.File) =>
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        "UTF-8").trim.split("\t")(1).toInt).toOption
+    }
+  }
+
+  /** SHALLOW CLONE: fork `srcTable`'s latest version into a brand-new
+    * independent table that shares the source's DATA FILES byte-for-
+    * byte — the commit copies only metadata (manifest, schema, DV,
+    * stats/bloom sidecars, table properties; pending equality-delete
+    * KEY parquets are copied into the clone's own tree so the source
+    * never owes the clone anything but data bytes). Writes to either
+    * table diverge freely afterwards: each side's commits reference
+    * its own new batches, and the vacuum ownership guard means the
+    * clone can never delete source bytes.
+    *
+    * Source-side safety: the cut version is registered under
+    * `<src>/_clones/` and [[vacuumVersions]] pins it like a tag, so
+    * the source's sweeps cannot strand the clone; [[detachClone]]
+    * releases the pin once the clone has localized its data. Lineage
+    * (row-id) sources are refused — their identity derivation walks
+    * the source's own manifest chain, which a fork cannot carry.
+    * Returns the pinned source version. */
+  def cloneTable(spark: SparkSession, srcTable: String,
+      dstTable: String): Int = {
+    val v = latestVersion(srcTable)
+    require(v > 0, s"$srcTable has no committed versions")
+    require(latestVersion(dstTable) == 0 &&
+        !java.nio.file.Paths.get(dstTable, "table.properties").toFile.exists(),
+      s"cloneTable: $dstTable already exists")
+    require(!RowIds.enabled(srcTable),
+      "cloneTable: row-lineage sources cannot be shallow-cloned — the " +
+        "id derivation walks the source's manifest chain; " +
+        "materialize a copy instead")
+    val files = filesOf(srcTable, v)
+    val dstDir = java.nio.file.Paths.get(dstTable)
+    java.nio.file.Files.createDirectories(dstDir)
+    // pending eq keys move into the clone's OWN tree (rebased to the
+    // clone's v1, whose file list is identical to the cut version's)
+    val eqEntries = eqOf(srcTable, v).map { e =>
+      val local = dstDir.resolve("eqdel").resolve(
+        s"eq-clone-${java.util.UUID.randomUUID().toString.take(12)}")
+      java.nio.file.Files.createDirectories(local.getParent)
+      copyTree(java.nio.file.Paths.get(e.dataPath), local)
+      EqEntry(e.keyCols, local.toString, 1)
+    }
+    val dv = dvOf(srcTable, v)
+    val staged =
+      (if (dv.nonEmpty) Map("dv" -> stageSidecar(dstTable, "dv",
+        dvText(dv).getBytes("UTF-8"))) else Map.empty[String, String]) ++
+        (if (eqEntries.nonEmpty) Map("eq" -> stageSidecar(dstTable, "eq",
+          eqText(eqEntries).getBytes("UTF-8")))
+        else Map.empty[String, String])
+    // register the pin BEFORE the clone becomes readable: a source
+    // vacuum racing the clone must already see it
+    val cloneId = java.util.UUID.randomUUID().toString.take(12)
+    val pinDir = java.nio.file.Paths.get(srcTable, "_clones")
+    java.nio.file.Files.createDirectories(pinDir)
+    java.nio.file.Files.write(pinDir.resolve(cloneId),
+      s"$dstTable\t$v".getBytes("UTF-8"))
+    publishManifest(dstTable, 1, files, staged)
+    promoteStaged(dstTable, 1, staged)
+    declaredSchema(srcTable, v).foreach(publishSchema(dstTable, 1, _))
+    // path-keyed skipping sidecars stay valid verbatim (shared paths)
+    Seq("stats", "bloom").foreach { ext =>
+      val s = java.nio.file.Paths.get(srcTable, s"v$v.$ext")
+      if (java.nio.file.Files.exists(s))
+        java.nio.file.Files.copy(s,
+          java.nio.file.Paths.get(dstTable, s"v1.$ext"))
+    }
+    writeTableProperties(dstTable, tableProperties(srcTable) ++
+      Map("clone.of" -> srcTable, "clone.id" -> cloneId))
+    v
+  }
+
+  /** Localize and release a shallow clone: compact the clone (every
+    * live row rewrites into clone-owned files), expire the foreign-
+    * referencing history, then release the source-side pin. After
+    * this the two tables share nothing and the source may vacuum
+    * freely. */
+  def detachClone(spark: SparkSession, dstTable: String,
+      targetRecordsPerFile: Long = 1 << 20): Unit = {
+    val props = tableProperties(dstTable)
+    val src = props.getOrElse("clone.of",
+      throw new IllegalArgumentException(
+        s"$dstTable is not a clone (no clone.of property)"))
+    val id = props("clone.id")
+    compactVersion(spark, dstTable, targetRecordsPerFile)
+    vacuumVersions(dstTable, keepLast = 1)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(src, "_clones", id))
+    writeTableProperties(dstTable, props - "clone.of" - "clone.id")
+  }
+
+  private def copyTree(from: java.nio.file.Path,
+      to: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(from).iterator().asScala.toSeq
+      .sortBy(_.getNameCount).foreach { p =>
+        val rel = from.relativize(p)
+        val t = to.resolve(rel.toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
   }
 
   /** Compaction as a COMMIT: rewrite the latest version's (typically
