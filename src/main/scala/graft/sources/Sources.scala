@@ -3156,10 +3156,11 @@ object Sources {
     // pin above, is the single authority over those bytes).
     val root = java.nio.file.Paths.get(table).toAbsolutePath.normalize
       .toString + java.io.File.separator
-    deadFiles.filter(f => java.nio.file.Paths.get(f).toAbsolutePath
+    val swept = deadFiles.filter(f =>
+      java.nio.file.Paths.get(f).toAbsolutePath
         .normalize.toString.startsWith(root))
-      .foreach(f =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    swept.foreach(f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
     // a kept version's eq entries pin their scope MANIFESTS (the file
     // list is how the scope resolves at read time) and their key
     // parquets — both survive the sweep; the scope's DATA files follow
@@ -3216,22 +3217,35 @@ object Sources {
       .filter(f => f.getName.startsWith(".staged-") &&
         !pointed.contains(f.getName) && f.lastModified() < cutoff)
       .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
-    (expired.length, deadFiles.size)
+    // count only what the ownership guard let this table DELETE —
+    // foreign (clone-shared) references merely expired
+    (expired.length, swept.size)
   }
 
   // ---- shallow clone: zero-copy table fork ---------------------------
 
+  /** Live clone registrations of `table`: (id, clone path, cut
+    * version). The operator's audit surface — a clone deleted without
+    * [[detachClone]] leaves its pin here; removing `_clones/<id>`
+    * releases it manually. */
+  def listClones(table: String): Seq[(String, String, Int)] = {
+    val dir = java.nio.file.Paths.get(table, "_clones").toFile
+    if (!dir.exists()) Seq.empty
+    else dir.listFiles().toSeq.flatMap { f =>
+      scala.util.Try {
+        val Array(dst, v) = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .trim.split("\t", 2)
+        (f.getName, dst, v.toInt)
+      }.toOption
+    }
+  }
+
   /** Versions of `table` some live shallow clone was cut from — each
     * pins its manifest, files, and sidecars against [[vacuumVersions]]
     * exactly like a tag. */
-  def clonePins(table: String): Set[Int] = {
-    val dir = java.nio.file.Paths.get(table, "_clones").toFile
-    if (!dir.exists()) Set.empty
-    else dir.listFiles().toSet.flatMap { (f: java.io.File) =>
-      scala.util.Try(new String(java.nio.file.Files.readAllBytes(f.toPath),
-        "UTF-8").trim.split("\t")(1).toInt).toOption
-    }
-  }
+  def clonePins(table: String): Set[Int] =
+    listClones(table).map(_._3).toSet
 
   /** SHALLOW CLONE: fork `srcTable`'s latest version into a brand-new
     * independent table that shares the source's DATA FILES byte-for-
@@ -3261,45 +3275,65 @@ object Sources {
       "cloneTable: row-lineage sources cannot be shallow-cloned — the " +
         "id derivation walks the source's manifest chain; " +
         "materialize a copy instead")
-    val files = filesOf(srcTable, v)
-    val dstDir = java.nio.file.Paths.get(dstTable)
-    java.nio.file.Files.createDirectories(dstDir)
-    // pending eq keys move into the clone's OWN tree (rebased to the
-    // clone's v1, whose file list is identical to the cut version's)
-    val eqEntries = eqOf(srcTable, v).map { e =>
-      val local = dstDir.resolve("eqdel").resolve(
-        s"eq-clone-${java.util.UUID.randomUUID().toString.take(12)}")
-      java.nio.file.Files.createDirectories(local.getParent)
-      copyTree(java.nio.file.Paths.get(e.dataPath), local)
-      EqEntry(e.keyCols, local.toString, 1)
-    }
-    val dv = dvOf(srcTable, v)
-    val staged =
-      (if (dv.nonEmpty) Map("dv" -> stageSidecar(dstTable, "dv",
-        dvText(dv).getBytes("UTF-8"))) else Map.empty[String, String]) ++
-        (if (eqEntries.nonEmpty) Map("eq" -> stageSidecar(dstTable, "eq",
-          eqText(eqEntries).getBytes("UTF-8")))
-        else Map.empty[String, String])
-    // register the pin BEFORE the clone becomes readable: a source
-    // vacuum racing the clone must already see it
+    // the pin lands FIRST, atomically (torn pins must be
+    // unrepresentable — a half-written pin read as "no pin" would let
+    // a racing source vacuum sweep the shared bytes), and only then is
+    // the cut manifest re-verified: if a sweep won the race the clone
+    // aborts loudly instead of publishing dangling references
     val cloneId = java.util.UUID.randomUUID().toString.take(12)
     val pinDir = java.nio.file.Paths.get(srcTable, "_clones")
     java.nio.file.Files.createDirectories(pinDir)
-    java.nio.file.Files.write(pinDir.resolve(cloneId),
-      s"$dstTable\t$v".getBytes("UTF-8"))
-    publishManifest(dstTable, 1, files, staged)
-    promoteStaged(dstTable, 1, staged)
-    declaredSchema(srcTable, v).foreach(publishSchema(dstTable, 1, _))
-    // path-keyed skipping sidecars stay valid verbatim (shared paths)
-    Seq("stats", "bloom").foreach { ext =>
-      val s = java.nio.file.Paths.get(srcTable, s"v$v.$ext")
-      if (java.nio.file.Files.exists(s))
-        java.nio.file.Files.copy(s,
-          java.nio.file.Paths.get(dstTable, s"v1.$ext"))
+    val tmp = java.nio.file.Files.createTempFile(pinDir, ".pin", ".tmp")
+    java.nio.file.Files.write(tmp, s"$dstTable\t$v".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, pinDir.resolve(cloneId),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(srcTable, s"v$v.manifest")),
+        s"cloneTable: version $v of $srcTable was vacuumed before the " +
+          "clone pin landed — retry against the new latest")
+      val files = filesOf(srcTable, v)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dstTable))
+      // delete state materializes EXACTLY: the cut version's DV marks
+      // OR the eq entries' scope-resolved retired positions. Carrying
+      // the entries themselves would rebase their scope onto the
+      // clone's v1 (ALL cut files) and wrongly delete rows the
+      // source's narrower per-entry scopes excluded — e.g. a key's
+      // own post-entry upsert batch.
+      val dv0 = dvOf(srcTable, v)
+      val eqPos = eqRetiredPositions(spark, srcTable, files,
+        eqOf(srcTable, v))
+      val dv = (dv0.keySet ++ eqPos.keySet).map { f =>
+        val b = new java.util.BitSet()
+        dv0.get(f).foreach(b.or)
+        eqPos.get(f).foreach(b.or)
+        f -> b
+      }.toMap
+      val staged =
+        if (dv.nonEmpty) Map("dv" -> stageSidecar(dstTable, "dv",
+          dvText(dv).getBytes("UTF-8")))
+        else Map.empty[String, String]
+      publishManifest(dstTable, 1, files, staged)
+      promoteStaged(dstTable, 1, staged)
+      declaredSchema(srcTable, v).foreach(publishSchema(dstTable, 1, _))
+      // path-keyed skipping sidecars stay valid verbatim (shared paths)
+      Seq("stats", "bloom", "ndv").foreach { ext =>
+        val s = java.nio.file.Paths.get(srcTable, s"v$v.$ext")
+        if (java.nio.file.Files.exists(s))
+          java.nio.file.Files.copy(s,
+            java.nio.file.Paths.get(dstTable, s"v1.$ext"))
+      }
+      writeTableProperties(dstTable, tableProperties(srcTable) ++
+        Map("clone.of" -> srcTable, "clone.id" -> cloneId))
+      v
+    } catch { case e: Throwable =>
+      // a failed clone must not leak its pin (it would block the
+      // source's vacuum forever) or a half-built clone tree
+      java.nio.file.Files.deleteIfExists(pinDir.resolve(cloneId))
+      deleteTree(java.nio.file.Paths.get(dstTable))
+      throw e
     }
-    writeTableProperties(dstTable, tableProperties(srcTable) ++
-      Map("clone.of" -> srcTable, "clone.id" -> cloneId))
-    v
   }
 
   /** Localize and release a shallow clone: compact the clone (every
@@ -3313,26 +3347,15 @@ object Sources {
     val src = props.getOrElse("clone.of",
       throw new IllegalArgumentException(
         s"$dstTable is not a clone (no clone.of property)"))
-    val id = props("clone.id")
+    val id = props.getOrElse("clone.id",
+      throw new IllegalArgumentException(
+        s"$dstTable carries clone.of=$src but no clone.id — release " +
+          s"the pin manually (${src}/_clones/) and drop clone.of"))
     compactVersion(spark, dstTable, targetRecordsPerFile)
     vacuumVersions(dstTable, keepLast = 1)
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(src, "_clones", id))
     writeTableProperties(dstTable, props - "clone.of" - "clone.id")
-  }
-
-  private def copyTree(from: java.nio.file.Path,
-      to: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(from).iterator().asScala.toSeq
-      .sortBy(_.getNameCount).foreach { p =>
-        val rel = from.relativize(p)
-        val t = to.resolve(rel.toString)
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(t)
-        else java.nio.file.Files.copy(p, t,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
   }
 
   /** Compaction as a COMMIT: rewrite the latest version's (typically

@@ -117,9 +117,19 @@ class CloneSpec extends SparkTestBase {
     val eqChanges = Seq((20L, "", "delete"), (21L, "", "delete"))
       .toDF("id", "text", "op")
     Sources.mergeVersionEq(spark, src, eqChanges, Seq("id")) // pending eq
+    // an eq UPSERT: the new-value batch is OUTSIDE the entry's scope —
+    // the clone must materialize the scope-resolved positions, not
+    // rebase the entry onto its whole file list (which would delete
+    // the upserted row too)
+    Sources.mergeVersionEq(spark, src,
+      Seq((30L, "replaced", "upsert")).toDF("id", "text", "op"), Seq("id"))
     val cutContent = content(src)
+    assert(cutContent.contains((30L, "replaced")))
     Sources.cloneTable(spark, src, dst)
-    assert(content(dst) == cutContent)
+    assert(content(dst) == cutContent,
+      "clone lost or resurrected rows under pending eq state")
+    assert(Sources.eqOf(dst, 1).isEmpty,
+      "the clone must carry materialized delete state, not eq entries")
     // the source absorbing ITS delete state must not disturb the clone
     Sources.purgeDv(spark, src)
     Sources.purgeEq(spark, src)
