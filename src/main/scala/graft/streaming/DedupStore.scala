@@ -174,12 +174,18 @@ object DedupStore {
       import s2.implicits._
       val ledger = Seq((HwKey, "", newHw)).toDF("k", "digest", "doc_id")
         .withColumn("op", lit("upsert"))
-      preMergeCrashHook()
-      Sources.mergeVersionEq(spark, storeTable,
-        memberRows.unionByName(survRows).unionByName(ledger)
-          .sortWithinPartitions("k"),
-        Seq("k"))
-      ()
+      // pinned: mergeVersionEq consumes its input three times (key
+      // write, upsert probe, batch write) — without the pin each action
+      // re-runs the touched-digest membership re-read and the survivor
+      // re-aggregation
+      val merged = memberRows.unionByName(survRows).unionByName(ledger)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        preMergeCrashHook()
+        Sources.mergeVersionEq(spark, storeTable,
+          merged.sortWithinPartitions("k"), Seq("k"))
+        ()
+      } finally { merged.unpersist(); () }
     } finally { net.unpersist(); () }
   }
 }

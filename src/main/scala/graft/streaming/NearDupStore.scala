@@ -260,16 +260,24 @@ object NearDupStore {
           // producing stages each emit at most one upsert per key
           val rw = Window.partitionBy("k")
             .orderBy(when(col("op") === "upsert", 1).otherwise(0).desc)
+          // pinned: mergeVersionEq consumes its input three times (the
+          // key write, the upsert probe, the batch write) — without the
+          // pin each action re-runs the whole 6-branch union, its
+          // netting window, and five store-section scans (measured:
+          // the three ~0.5 s recomputes dominated the drain)
           val merged = oldBandDeletes
             .unionByName(oldPairDeletes).unionByName(gRows)
             .unionByName(newBandRows).unionByName(pairUpserts)
             .unionByName(ledger)
             .withColumn("__rn", row_number().over(rw))
             .filter(col("__rn") === 1).drop("__rn")
-          preMergeCrashHook()
-          Sources.mergeVersionEq(spark, storeTable,
-            merged.sortWithinPartitions("k"), Seq("k"))
-          ()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            preMergeCrashHook()
+            Sources.mergeVersionEq(spark, storeTable,
+              merged.sortWithinPartitions("k"), Seq("k"))
+            ()
+          } finally { merged.unpersist(); () }
         } finally { newBands.unpersist(); () }
       } finally { newSigs.unpersist(); () }
     } finally { mh.unpersist(); () }
