@@ -120,45 +120,66 @@ object TextIndex {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // replay filter against the ledger HIGH-WATER MARK: versions
-          // apply strictly in order (the ledger row commits last,
-          // atomically with its range), so the applied set is always a
-          // contiguous prefix — one max, not an ever-growing version
-          // set collected to the driver each micro-batch
-          val hwRow = Sources.readVersion(spark, termstatsT(indexRoot))
-            .filter(col("term").isNull)
-            .agg(max(col("cnt"))).head
-          val hw = if (hwRow.isNullAt(0)) 0L else hwRow.getLong(0)
-          val pinned =
-            batch.filter(col("_commit_version").cast("long") > hw)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            // one aggregate both materializes the pin and answers
-            // "anything fresh?" — a NULL max IS the emptiness probe, so
-            // no separate isEmpty job runs per micro-batch
-            val hwAgg = pinned
-              .agg(max(col("_commit_version").cast("long"))).head
-            if (!hwAgg.isNullAt(0)) {
-              val newHw = hwAgg.getLong(0)
-              // last-change-wins per document (the replicateTable rule)
-              val w = Window.partitionBy("doc_id")
-                .orderBy(col("_commit_version").desc,
-                  when(col("_change_type") === "insert", 1)
-                    .otherwise(0).desc)
-              val last = pinned
-                .withColumn("__rn", row_number().over(w))
-                .filter(col("__rn") === 1)
-              applyIndexChanges(spark, indexRoot,
-                newDocs = last.filter(col("_change_type") === "insert"),
-                changedDocIds = last.select("doc_id"),
-                signed = pinned.withColumn("__s",
-                  when(col("_change_type") === "insert", lit(1L))
-                    .otherwise(lit(-1L))),
-                ledgerHw = newHw)
-            }
-          } finally { pinned.unpersist(); () }
-        }
+        // replay filter against the ledger HIGH-WATER MARK: versions
+        // apply strictly in order (the ledger row commits last,
+        // atomically with its range), so the applied set is always a
+        // contiguous prefix — one max, not an ever-growing version
+        // set collected to the driver each micro-batch. The termstats
+        // scan is 3 tiny rows; probing it FIRST lets the pin's hwAgg
+        // double as the batch-emptiness probe, so no separate
+        // `batch.isEmpty` job ever scans the feed.
+        val hwRow = Sources.readVersion(spark, termstatsT(indexRoot))
+          .filter(col("term").isNull)
+          .agg(max(col("cnt"))).head
+        val hw = if (hwRow.isNullAt(0)) 0L else hwRow.getLong(0)
+        val pinned =
+          batch.filter(col("_commit_version").cast("long") > hw)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // one aggregate both materializes the pin and answers
+          // "anything fresh?" — a NULL max IS the emptiness probe (it
+          // also covers an entirely-empty batch)
+          val hwAgg = pinned
+            .agg(max(col("_commit_version").cast("long"))).head
+          if (!hwAgg.isNullAt(0)) {
+            val newHw = hwAgg.getLong(0)
+            // last-change-wins per document (the replicateTable rule),
+            // decided over LIGHT columns only — the text itself never
+            // crosses the netting exchange (guide §8: decide with small
+            // rows); the winner rows join back by (doc, version, type)
+            val w = Window.partitionBy("doc_id")
+              .orderBy(col("_commit_version").desc,
+                when(col("_change_type") === "insert", 1)
+                  .otherwise(0).desc)
+            val winners = pinned
+              .select(col("doc_id"), col("_commit_version"),
+                col("_change_type"))
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1 &&
+                col("_change_type") === "insert")
+              .select(col("doc_id"), col("_commit_version"),
+                col("_change_type"), lit(true).as("__w"))
+            // ONE tokenize pass per drain: tokens aggregate map-side to
+            // (doc, version, type, term) counts; postings take the
+            // winner rows, the signed term delta takes them all
+            val tokAgg = toks(pinned,
+              carry = Seq("_commit_version", "_change_type"))
+              .groupBy(col("doc_id"), col("_commit_version"),
+                col("_change_type"), col("term"))
+              .agg(count(lit(1)).as("cnt"))
+            val tokCounts = tokAgg
+              .join(winners,
+                Seq("doc_id", "_commit_version", "_change_type"), "left")
+              .select(col("doc_id"), col("term"), col("cnt"),
+                when(col("_change_type") === "insert", lit(1L))
+                  .otherwise(lit(-1L)).as("__s"),
+                coalesce(col("__w"), lit(false)).as("__new"))
+            applyIndexChanges(spark, indexRoot,
+              tokCounts = tokCounts,
+              changedDocIds = pinned.select("doc_id").distinct(),
+              ledgerHw = newHw)
+          }
+        } finally { pinned.unpersist(); () }
       }
       .start()
   }
@@ -175,38 +196,49 @@ object TextIndex {
   private[graft] var midApplyCrashHook: () => Unit = () => ()
 
   private def applyIndexChanges(spark: SparkSession, indexRoot: String,
-      newDocs: DataFrame, changedDocIds: DataFrame,
-      signed: DataFrame, ledgerHw: Long): Unit = {
+      tokCounts: DataFrame, changedDocIds: DataFrame,
+      ledgerHw: Long): Unit = {
     val ts = termstatsT(indexRoot)
-    // tokenization is the drain's only data-proportional work, and the
-    // merges below consume its aggregates through SEVERAL actions each
-    // (key write, upsert write, stats harvest) — pin both aggregate
-    // relations so the text is tokenized once per drain, not once per
-    // downstream job
-    val newPosts = toks(newDocs)
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tokenization is the drain's only data-proportional work; callers
+    // hand it in as ONE aggregated (doc, term, cnt, __s, __new) pass —
+    // postings/docstore read the __new rows, the signed term delta
+    // reads them all. Pinned because the merges below consume these
+    // through SEVERAL actions each (key write, upsert write, stats
+    // harvest), so the text is tokenized once per drain, not once per
+    // downstream job.
+    val tokPinned = tokCounts
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val delta = toks(signed, carry = Seq("__s"))
-      .groupBy("term").agg(sum(col("__s")).as("dc"))
+    val newPosts = tokPinned.filter(col("__new"))
+      .select(col("doc_id"), col("term"), col("cnt").as("tf"))
+    val delta = tokPinned
+      .groupBy("term").agg(sum(col("__s") * col("cnt")).as("dc"))
       .filter(col("dc") =!= 0L)
       .withColumn("tk", concat(lit("t:"), col("term")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val retire = changedDocIds.select(col("doc_id"),
       lit(null).cast("string").as("term"),
       lit(null).cast("long").as("tf"), lit("delete").as("op"))
-    Sources.mergeVersionEq(spark, postingsT(indexRoot),
-      newPosts.withColumn("op", lit("upsert"))
-        .repartitionByRange(col("term"))
-        .sortWithinPartitions("term", "doc_id")
-        .unionByName(retire), Seq("doc_id"))
-    Sources.mergeVersionEq(spark, docstoreT(indexRoot),
-      newPosts.groupBy("doc_id").agg(sum("tf").as("dl"))
-        .withColumn("op", lit("upsert"))
-        .unionByName(retire.drop("term", "tf")
-          .select(col("doc_id"),
-            lit(null).cast("long").as("dl"), col("op"))),
+    // each ASSEMBLED merge input is pinned: mergeVersionEq consumes it
+    // through two actions (key write, batch write), and the postings
+    // input's repartitionByRange would otherwise re-run its sampling
+    // job + exchange per action
+    val postIn = newPosts.withColumn("op", lit("upsert"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .unionByName(retire)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Sources.mergeVersionEq(spark, postingsT(indexRoot), postIn,
       Seq("doc_id"))
+    finally { postIn.unpersist(); () }
+    val dlIn = newPosts.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .withColumn("op", lit("upsert"))
+      .unionByName(retire.drop("term", "tf")
+        .select(col("doc_id"),
+          lit(null).cast("long").as("dl"), col("op")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Sources.mergeVersionEq(spark, docstoreT(indexRoot), dlIn,
+      Seq("doc_id"))
+    finally { dlIn.unpersist(); () }
     // additive term totals: +new tokens, -old tokens (a change's old
     // half carries the old text, so counts subtract without reading
     // the index)
@@ -234,11 +266,13 @@ object TextIndex {
       .toDF("tk", "cnt")
       .withColumn("term", lit(null).cast("string"))
       .withColumn("op", lit("upsert"))
-    Sources.mergeVersion(spark, ts,
-      merged.unionByName(ledger.select(
-        col("tk"), col("term"), col("cnt"), col("op"))), "tk")
+    val tsIn = merged.unionByName(ledger.select(
+        col("tk"), col("term"), col("cnt"), col("op")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Sources.mergeVersion(spark, ts, tsIn, "tk")
+    finally { tsIn.unpersist(); () }
     ()
-    } finally { newPosts.unpersist(); delta.unpersist(); () }
+    } finally { tokPinned.unpersist(); () }
   }
 
   /** NET maintenance off a LINEAGE source
@@ -287,16 +321,20 @@ object TextIndex {
                 srcTable, from.toInt, hi.toInt)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
+              // the feed is already per-doc net (one pre + one post
+              // image at most), so the new-content rows are exactly the
+              // positive-signed ones — no winner join needed
+              val signed = net.withColumn("__s",
+                when(col("_change_type")
+                  .isin("insert", "update_postimage"), lit(1L))
+                  .otherwise(lit(-1L)))
               applyIndexChanges(spark, indexRoot,
-                newDocs = net.filter(col("_change_type")
-                  .isin("insert", "update_postimage")),
-                // the feed is already per-doc net: each mentioned doc
-                // retires once, its final content re-appends
+                tokCounts = toks(signed, carry = Seq("__s"))
+                  .groupBy(col("doc_id"), col("__s"), col("term"))
+                  .agg(count(lit(1)).as("cnt"))
+                  .select(col("doc_id"), col("term"), col("cnt"),
+                    col("__s"), (col("__s") === 1L).as("__new")),
                 changedDocIds = net.select("doc_id").distinct(),
-                signed = net.withColumn("__s",
-                  when(col("_change_type")
-                    .isin("insert", "update_postimage"), lit(1L))
-                    .otherwise(lit(-1L))),
                 ledgerHw = hi)
             } finally { net.unpersist(); () }
             java.nio.file.Files.deleteIfExists(intent)

@@ -1371,18 +1371,26 @@ object Sources {
     // row; NULL-keyed changes match nothing (dropped here, so the key
     // parquet stays a pure equality set). The key count rides the
     // write itself as an Observation — no second job re-reading the
-    // parquet just to count it.
+    // parquet just to count it — and a second Observation upstream of
+    // the key projection counts upsert ops in the SAME pass, replacing
+    // the separate `upserts.isEmpty` probe job.
     val keyObs = new org.apache.spark.sql.Observation()
-    changes.select(keyCols.map(col): _*).na.drop("any", keyCols)
+    val upObs = new org.apache.spark.sql.Observation()
+    changes
+      .observe(upObs,
+        count(when(col(opCol) === "upsert", lit(1))).as("nu"))
+      .select(keyCols.map(col): _*).na.drop("any", keyCols)
       .distinct().coalesce(1)
       .observe(keyObs, count(lit(1)).as("n"))
       .write.parquet(eqDir.toString)
-    val nKeys = Option(keyObs.get.getOrElse("n", null)) match {
-      case Some(n: Number) => n.longValue()
-      case _ => 0L
-    }
+    def obsLong(o: org.apache.spark.sql.Observation, k: String): Long =
+      Option(o.get.getOrElse(k, null)) match {
+        case Some(n: Number) => n.longValue()
+        case _ => 0L
+      }
+    val nKeys = obsLong(keyObs, "n")
     val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
-    val hasUpserts = !upserts.isEmpty
+    val hasUpserts = obsLong(upObs, "nu") > 0
     if (nKeys == 0 && !hasUpserts) { // provable no-op: no commit
       deleteTree(eqDir)
       return (v, 0L)

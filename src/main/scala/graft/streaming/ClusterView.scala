@@ -201,10 +201,17 @@ object ClusterView {
       import s2.implicits._
       val ledger = Seq((HwKey, newHw, -1L, "upsert"))
         .toDF("k", "a", "b", "op")
-      preMergeCrashHook()
-      Sources.mergeVersionEq(spark, viewTable,
-        rows.unionByName(ledger).sortWithinPartitions("k"), Seq("k"))
-      ()
+      // pinned: mergeVersionEq consumes its input per action (key
+      // write, batch write) — without the pin each one re-runs the
+      // view-assignment scan, the subgraph semi-joins, and (past the
+      // driver fast path's edge bound) the whole component re-solve
+      val merged = rows.unionByName(ledger).sortWithinPartitions("k")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        preMergeCrashHook()
+        Sources.mergeVersionEq(spark, viewTable, merged, Seq("k"))
+        ()
+      } finally { merged.unpersist(); () }
     } finally { members.unpersist(); () }
   }
 }

@@ -179,11 +179,11 @@ object DedupStore {
       // re-runs the touched-digest membership re-read and the survivor
       // re-aggregation
       val merged = memberRows.unionByName(survRows).unionByName(ledger)
+        .sortWithinPartitions("k")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         preMergeCrashHook()
-        Sources.mergeVersionEq(spark, storeTable,
-          merged.sortWithinPartitions("k"), Seq("k"))
+        Sources.mergeVersionEq(spark, storeTable, merged, Seq("k"))
         ()
       } finally { merged.unpersist(); () }
     } finally { net.unpersist(); () }

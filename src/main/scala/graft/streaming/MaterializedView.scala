@@ -103,41 +103,52 @@ object MaterializedView {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         claim(marker(viewTable, checkpoint, "dim", batchId)) {
-          // last change per dim key decides its outcome (CDF apply rule)
+          // last change per dim key decides its outcome (CDF apply
+          // rule) — pinned: the netted batch feeds the emptiness
+          // probe, both broadcast sides, and (through changes) the
+          // merge's key probe + rewrite
           val w = Window.partitionBy(joinKey)
             .orderBy(col("_commit_version").desc,
               when(col("_change_type") === "insert", 1).otherwise(0).desc)
           val last = batch.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
-          // probe the pre-window batch: `last` keeps >=1 row per key
-          // whenever the batch is non-empty, and the raw count skips
-          // the netting shuffle on an empty (replayed) range
-          if (!batch.isEmpty) {
-            val changedKeys = broadcast(
-              last.select(joinKey).distinct())
-            val upserted = broadcast(
-              last.filter(col("_change_type") === "insert")
-                .drop("_change_type", "_commit_version")
-                .withColumn("__up", lit(1)))
-            val view = Sources.readVersion(spark, viewTable)
-            // affected view rows, re-joined to the NEW dim rows: rows
-            // whose dim key was deleted find no match and become keyed
-            // deletes; the rest refresh their dim attributes
-            val dimValueCols = upserted.columns
-              .filterNot(c => c == joinKey || c == "__up")
-            val factCols = view.columns.filterNot(dimValueCols.contains)
-            val affected = view.join(changedKeys, joinKey)
-              .select(factCols.map(col).toIndexedSeq: _*)
-            val refreshed = affected.join(upserted, Seq(joinKey), "left")
-            val changes = refreshed
-              .withColumn("op",
-                when(col("__up").isNull, "delete").otherwise("upsert"))
-              .select((view.columns.map(col) :+ col("op")).toIndexedSeq: _*)
-            if (!changes.isEmpty) {
-              Sources.mergeVersion(spark, viewTable, changes, factKey)
-              ()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // one driver action: materializes the pin + emptiness probe
+            if (last.agg(count(lit(1))).head.getLong(0) > 0L) {
+              val changedKeys = broadcast(
+                last.select(joinKey).distinct())
+              val upserted = broadcast(
+                last.filter(col("_change_type") === "insert")
+                  .drop("_change_type", "_commit_version")
+                  .withColumn("__up", lit(1)))
+              val view = Sources.readVersion(spark, viewTable)
+              // affected view rows, re-joined to the NEW dim rows: rows
+              // whose dim key was deleted find no match and become keyed
+              // deletes; the rest refresh their dim attributes
+              val dimValueCols = upserted.columns
+                .filterNot(c => c == joinKey || c == "__up")
+              val factCols = view.columns.filterNot(dimValueCols.contains)
+              val affected = view.join(changedKeys, joinKey)
+                .select(factCols.map(col).toIndexedSeq: _*)
+              val refreshed = affected.join(upserted, Seq(joinKey), "left")
+              // pinned: the emptiness probe and the merge's actions
+              // would otherwise each re-run the view-side join
+              val changes = refreshed
+                .withColumn("op",
+                  when(col("__up").isNull, "delete").otherwise("upsert"))
+                .select((view.columns.map(col) :+ col("op"))
+                  .toIndexedSeq: _*)
+                .persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                if (changes.agg(count(lit(1))).head.getLong(0) > 0L) {
+                  Sources.mergeVersion(spark, viewTable, changes, factKey)
+                  ()
+                }
+              } finally { changes.unpersist(); () }
             }
-          }
+          } finally { last.unpersist(); () }
         }
       }
       .start()
@@ -189,27 +200,34 @@ object MaterializedView {
           val sign = when(col("_change_type") === "insert", lit(1L))
             .otherwise(lit(-1L))
           val dec = col(valueCol).cast("decimal(28,4)")
+          // pinned: the delta feeds the emptiness probe, the state
+          // join, and (through it) the merge's key probe + rewrite —
+          // without the pin each action re-reads the feed
           val delta = batch
             .groupBy(groupCol)
             .agg(sum(sign).as("dn"),
               sum(sign * dec).cast("decimal(28,4)").as("ds"))
-          if (!delta.isEmpty) {
-            // touched groups only — untouched view rows ride the merge's
-            // carried files unread
-            val cur = Sources.readVersion(spark, viewTable)
-            val merged = delta.join(cur, Seq(groupCol), "left")
-              .select(col(groupCol),
-                (coalesce(col("n_rows"), lit(0L)) + col("dn"))
-                  .as("n_rows"),
-                (coalesce(col("sum_val"), lit(BigDecimal(0))
-                  .cast("decimal(28,4)")) + coalesce(col("ds"),
-                  lit(BigDecimal(0)))).cast("decimal(28,4)")
-                  .as("sum_val"))
-            val changes = merged.withColumn("op",
-              when(col("n_rows") > 0, "upsert").otherwise("delete"))
-            Sources.mergeVersion(spark, viewTable, changes, groupCol)
-            ()
-          }
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // one driver action: the count is the emptiness probe
+            if (delta.agg(count(lit(1))).head.getLong(0) > 0L) {
+              // touched groups only — untouched view rows ride the
+              // merge's carried files unread
+              val cur = Sources.readVersion(spark, viewTable)
+              val merged = delta.join(cur, Seq(groupCol), "left")
+                .select(col(groupCol),
+                  (coalesce(col("n_rows"), lit(0L)) + col("dn"))
+                    .as("n_rows"),
+                  (coalesce(col("sum_val"), lit(BigDecimal(0))
+                    .cast("decimal(28,4)")) + coalesce(col("ds"),
+                    lit(BigDecimal(0)))).cast("decimal(28,4)")
+                    .as("sum_val"))
+              val changes = merged.withColumn("op",
+                when(col("n_rows") > 0, "upsert").otherwise("delete"))
+              Sources.mergeVersion(spark, viewTable, changes, groupCol)
+              ()
+            }
+          } finally { delta.unpersist(); () }
         }
       }
       .start()
@@ -395,7 +413,12 @@ object MaterializedView {
                 .withColumn("gk", pairKey)
                 .join(curPairs, Seq("gk"), "left")
                 .select(col("gk"), col(groupCol), col("__v"),
-                  (coalesce(col("cur"), lit(0L)) + col("dref")).as("n"))
+                  (coalesce(col("cur"), lit(0L)) + col("dref")).as("n"),
+                  // prior liveness rides the SAME state join — the
+                  // birth/death balance below needs no second pass
+                  // over the view's pair section
+                  when(coalesce(col("cur"), lit(0L)) > 0, 1L)
+                    .otherwise(0L).as("was_alive"))
                 .persist(
                   org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               try {
@@ -405,11 +428,8 @@ object MaterializedView {
                 val groupDelta = pairs
                   .withColumn("birth",
                     when(col("n") > 0, 1L).otherwise(0L))
-                  .join(curPairs.select(col("gk"),
-                    when(col("cur") > 0, 1L).otherwise(0L)
-                      .as("was_alive")), Seq("gk"), "left")
                   .withColumn("dd",
-                    col("birth") - coalesce(col("was_alive"), lit(0L)))
+                    col("birth") - col("was_alive"))
                   .groupBy(groupCol)
                   .agg(sum(col("dd")).as("dd"))
                   // a group whose liveness balance nets to zero keeps

@@ -271,11 +271,11 @@ object NearDupStore {
             .unionByName(ledger)
             .withColumn("__rn", row_number().over(rw))
             .filter(col("__rn") === 1).drop("__rn")
+            .sortWithinPartitions("k")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             preMergeCrashHook()
-            Sources.mergeVersionEq(spark, storeTable,
-              merged.sortWithinPartitions("k"), Seq("k"))
+            Sources.mergeVersionEq(spark, storeTable, merged, Seq("k"))
             ()
           } finally { merged.unpersist(); () }
         } finally { newBands.unpersist(); () }

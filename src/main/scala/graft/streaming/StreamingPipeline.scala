@@ -605,9 +605,16 @@ object StreamingPipeline {
             require(!net.schema.fieldNames.contains("op"),
               "replicateTableNet: the source schema reserves no 'op' " +
                 "column")
-            require(net.filter(col(key).isNull).isEmpty,
+            // one driver action materializes the pin AND carries the
+            // null-key guard + net emptiness (a pure-rewrite range
+            // nets to zero rows: NO replica commit)
+            val pr = net.agg(count(lit(1)).as("n"),
+              sum(when(col(key).isNull, 1L).otherwise(0L)).as("bad"))
+              .head
+            require(pr.isNullAt(1) || pr.getLong(1) == 0L,
               s"replicateTableNet: null $key in the net feed — a keyed " +
                 "replica of null-keyed rows is not well-defined")
+            val netNonEmpty = pr.getLong(0) > 0L
             val ups = transform(net.filter(col("_change_type")
                 .isin("insert", "update_postimage"))
               .drop("_change_type")).withColumn("op", lit("upsert"))
@@ -627,16 +634,22 @@ object StreamingPipeline {
                 if (f.name == key) col(key)
                 else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
               .withColumn("op", lit("delete"))
+            // pinned: the merge's key write and batch write would each
+            // re-run the (often regex-heavy) transform otherwise
             val changes = ups.unionByName(dels)
-            // a pure-rewrite range nets to nothing: NO replica commit
-            if (!changes.isEmpty) {
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // no separate changes.isEmpty probe: a non-empty net range
+            // goes straight to the merge, whose own key-write pass is
+            // the no-op check (an all-filtered batch provably commits
+            // nothing inside mergeVersionEq)
+            try if (netNonEmpty) {
               if (graft.sources.Sources.latestVersion(dstTable) == 0)
                 graft.sources.Sources.createEmptyTable(dstTable,
                   changes.drop("op").schema)
               graft.sources.Sources.mergeVersionEq(spark, dstTable,
                 changes, Seq(key))
               ()
-            }
+            } finally { changes.unpersist(); () }
           } finally { net.unpersist(); () }
           java.nio.file.Files.createDirectories(marker.getParent)
           java.nio.file.Files.write(marker, Array.emptyByteArray)
@@ -687,36 +700,45 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          // replay filter against the ledger HIGH-WATER MARK (the
-          // TextIndex rule): versions apply strictly in order — the
-          // sentinel commits atomically with its delta — so a single
-          // max carries the full replay guarantee instead of one
-          // sentinel per version growing forever and a full set
-          // collect per micro-batch. Legacy per-version sentinels
-          // (b = -(1000000+v)) read through the same max.
-          val hwRows = graft.sources.Sources
-            .readVersion(spark, storeTable)
-            .filter(col("b") < 0L)
-            .select(when(col("b") === -999999L, col("n_r"))
-              .otherwise(-col("b") - 1000000L).as("v"))
-            .agg(max(col("v"))).head
-          val hw = if (hwRows.isNullAt(0)) 0L else hwRows.getLong(0)
-          val fresh =
-            batch.filter(col("_commit_version").cast("long") > hw)
-          if (!fresh.isEmpty) {
-            val newHw = fresh
-              .agg(max(col("_commit_version").cast("long")))
-              .head.getLong(0)
-            val signed = fresh.withColumn("__sign",
-              when(col("_change_type") === "insert", lit(1L))
-                .otherwise(lit(-1L)))
-            val delta = graft.functions.TextOps
-              .dsirBuckets(signed, passthrough = Seq("lang", "__sign"))
-              .groupBy("b")
-              .agg(sum(col("__sign")).as("dn_r"),
-                sum(when(col("lang") === "en", col("__sign"))
-                  .otherwise(lit(0L))).as("dn_t"))
+        // replay filter against the ledger HIGH-WATER MARK (the
+        // TextIndex rule): versions apply strictly in order — the
+        // sentinel commits atomically with its delta — so a single
+        // max carries the full replay guarantee instead of one
+        // sentinel per version growing forever and a full set
+        // collect per micro-batch. Legacy per-version sentinels
+        // (b = -(1000000+v)) read through the same max. Probed FIRST
+        // (a tiny store scan) so the fresh pin's aggregate doubles as
+        // the batch-emptiness probe — no separate isEmpty jobs.
+        val hwRows = graft.sources.Sources
+          .readVersion(spark, storeTable)
+          .filter(col("b") < 0L)
+          .select(when(col("b") === -999999L, col("n_r"))
+            .otherwise(-col("b") - 1000000L).as("v"))
+          .agg(max(col("v"))).head
+        val hw = if (hwRows.isNullAt(0)) 0L else hwRows.getLong(0)
+        val signed = batch
+          .filter(col("_commit_version").cast("long") > hw)
+          .withColumn("__sign",
+            when(col("_change_type") === "insert", lit(1L))
+              .otherwise(lit(-1L)))
+        // pinned at the BUCKET-DELTA grain: the n-gram explode (the
+        // drain's only data-proportional work) runs once, and the
+        // merge's key probe + rewrite read the ≤64-row cache; the
+        // high-water max rides the same aggregate (NULL max IS the
+        // emptiness probe)
+        val delta = graft.functions.TextOps
+          .dsirBuckets(signed, passthrough = Seq("lang", "__sign",
+            "_commit_version"))
+          .groupBy("b")
+          .agg(sum(col("__sign")).as("dn_r"),
+            sum(when(col("lang") === "en", col("__sign"))
+              .otherwise(lit(0L))).as("dn_t"),
+            max(col("_commit_version").cast("long")).as("__hw"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val hwAgg = delta.agg(max(col("__hw"))).head
+          if (!hwAgg.isNullAt(0)) {
+            val newHw = hwAgg.getLong(0)
             // touched buckets (≤64 rows) + this batch's ledger rows
             // keyed-merge into the store in ONE atomic commit
             val cur = graft.sources.Sources.readVersion(spark, storeTable)
@@ -736,7 +758,7 @@ object StreamingPipeline {
               merged.unionByName(ledger), "b")
             ()
           }
-        }
+        } finally { delta.unpersist(); () }
       }
       .start()
   }
@@ -759,34 +781,42 @@ object StreamingPipeline {
         // the checkpoint is recreated, so each run keeps its own ledger.
         val marker = java.nio.file.Paths.get(dstTable, "_replication",
           checkpointQueryId(checkpoint), s"batch-$batchId.done")
-        if (!java.nio.file.Files.exists(marker) && !batch.isEmpty) {
+        if (!java.nio.file.Files.exists(marker)) {
           require(!batch.schema.fieldNames.contains("op"),
             "replicateTable: the source schema reserves no 'op' column")
-          // one pass feeds the null-check and the three merge actions
+          // one pass feeds the probes and the merge actions
           val pinned = batch.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            require(pinned.filter(col(key).isNull).isEmpty,
+            // one driver action: materializes the pin + emptiness
+            // probe + null-key guard
+            val pr = pinned.agg(count(lit(1)).as("n"),
+              sum(when(col(key).isNull, 1L).otherwise(0L)).as("bad"))
+              .head
+            require(pr.isNullAt(1) || pr.getLong(1) == 0L,
               s"replicateTable: null $key in the change feed — a keyed " +
                 "replica of null-keyed rows is not well-defined")
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(key)
-              .orderBy(col("_commit_version").desc,
-                when(col("_change_type") === "insert", 1).otherwise(0).desc)
-            val changes = pinned
-              .withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") === 1)
-              .withColumn("op", when(col("_change_type") === "insert",
-                "upsert").otherwise("delete"))
-              .drop("_change_type", "_commit_version", "__rn")
-            if (graft.sources.Sources.latestVersion(dstTable) == 0)
-              graft.sources.Sources.createEmptyTable(dstTable,
-                org.apache.spark.sql.types.StructType(
-                  changes.schema.fields.filterNot(_.name == "op")))
-            merge(spark, dstTable, changes)
-            java.nio.file.Files.createDirectories(marker.getParent)
-            java.nio.file.Files.write(marker, Array.emptyByteArray)
-            ()
+            if (pr.getLong(0) > 0L) {
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(key)
+                .orderBy(col("_commit_version").desc,
+                  when(col("_change_type") === "insert", 1)
+                    .otherwise(0).desc)
+              val changes = pinned
+                .withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1)
+                .withColumn("op", when(col("_change_type") === "insert",
+                  "upsert").otherwise("delete"))
+                .drop("_change_type", "_commit_version", "__rn")
+              if (graft.sources.Sources.latestVersion(dstTable) == 0)
+                graft.sources.Sources.createEmptyTable(dstTable,
+                  org.apache.spark.sql.types.StructType(
+                    changes.schema.fields.filterNot(_.name == "op")))
+              merge(spark, dstTable, changes)
+              java.nio.file.Files.createDirectories(marker.getParent)
+              java.nio.file.Files.write(marker, Array.emptyByteArray)
+              ()
+            }
           } finally pinned.unpersist(false)
         }
       }

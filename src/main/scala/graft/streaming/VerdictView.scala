@@ -144,12 +144,17 @@ object VerdictView {
           .join(fresh2.select("k"), Seq("k"), "left_anti")
           .select(col("k"), col("a"), col("b"), col("n"), col("kp"),
             lit("delete").as("op"))
-        preMergeCrashHook()
-        Sources.mergeVersionEq(spark, verdictTable,
-          fresh2.unionByName(stale).unionByName(ledger)
-            .sortWithinPartitions("k"),
-          Seq("k"))
-        ()
+        // pinned: mergeVersionEq consumes its input per action (key
+        // write, batch write) — without the pin each one re-runs the
+        // stale anti-join and the view scan behind it
+        val merged = fresh2.unionByName(stale).unionByName(ledger)
+          .sortWithinPartitions("k")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          preMergeCrashHook()
+          Sources.mergeVersionEq(spark, verdictTable, merged, Seq("k"))
+          ()
+        } finally { merged.unpersist(); () }
       } finally { fresh2.unpersist(); () }
     } finally { fresh.unpersist(); () }
   }
