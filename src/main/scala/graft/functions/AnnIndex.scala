@@ -197,7 +197,7 @@ object AnnIndex {
         val marker = java.nio.file.Paths.get(indexTable, "_annindex",
           graft.streaming.StreamingPipeline.checkpointQueryId(checkpoint),
           s"batch-$batchId.done")
-        if (!java.nio.file.Files.exists(marker) && !batch.isEmpty) {
+        if (!java.nio.file.Files.exists(marker)) {
           val w = Window.partitionBy("vec_id")
             .orderBy(col("_commit_version").desc,
               when(col("_change_type") === "insert", 1).otherwise(0).desc)
@@ -212,11 +212,21 @@ object AnnIndex {
               lit(null).cast("long").as("cell"),
               lit(null).cast("array<int>").as("codes"),
               lit("delete").as("op"))
-          Sources.mergeVersion(spark, indexTable,
-            ups.unionByName(dels), "b_id")
-          java.nio.file.Files.createDirectories(marker.getParent)
-          java.nio.file.Files.write(marker, Array.emptyByteArray)
-          ()
+          // pinned: the merge's key probe and rewrite would otherwise
+          // each re-run the netting window + the PQ encode; the pin's
+          // materializing count doubles as the batch-emptiness probe
+          // (no separate batch.isEmpty job scanning the feed)
+          val changes = ups.unionByName(dels)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (changes.agg(count(lit(1))).head.getLong(0) > 0L) {
+              Sources.mergeVersion(spark, indexTable, changes, "b_id")
+              ()
+            }
+            java.nio.file.Files.createDirectories(marker.getParent)
+            java.nio.file.Files.write(marker, Array.emptyByteArray)
+            ()
+          } finally { changes.unpersist(); () }
         }
       }
       .start()
@@ -246,7 +256,12 @@ object AnnIndex {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        // one feed job: the version-range max is the emptiness probe
+        // too (NULL max = empty batch, no separate isEmpty scan)
+        val hiRow = batch.agg(max(col("_commit_version").cast("long")))
+          .head
+        if (!hiRow.isNullAt(0)) {
+          val hi = hiRow.getLong(0)
           // hw from the compacted sentinel; indexes written by the
           // per-version sentinel format (b_id = -(1000000+v)) read
           // through the otherwise branch, so a format migration never
@@ -258,8 +273,6 @@ object AnnIndex {
               .otherwise(-col("b_id") - 1000000L).as("v"))
             .collect().map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
           val from = if (hwRows.isEmpty) 0L else hwRows.max
-          val hi = batch.agg(max(col("_commit_version").cast("long")))
-            .head.getLong(0)
           if (hi > from) {
             val net = graft.sources.RowIds.readChangesLineage(spark,
                 srcTable, from.toInt, hi.toInt)
@@ -289,15 +302,21 @@ object AnnIndex {
                 .withColumn("codes",
                   array(lit(hi.toInt)).cast("array<int>"))
                 .withColumn("op", lit("upsert"))
-              // TEST-ONLY crash injection (ExactlyOnceFaultSpec): the
-              // window before the single atomic merge — a crash here
-              // must replay the whole range on the next drain
-              preMergeCrashHook()
-              Sources.mergeVersion(spark, indexTable,
-                ups.unionByName(dels).unionByName(ledger.select(
-                  col("b_id"), col("cell"), col("codes"), col("op"))),
-                "b_id")
-              ()
+              // pinned: the merge's key probe and rewrite would
+              // otherwise each re-run the PQ encode over the net range
+              val changes = ups.unionByName(dels)
+                .unionByName(ledger.select(
+                  col("b_id"), col("cell"), col("codes"), col("op")))
+                .persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                // TEST-ONLY crash injection (ExactlyOnceFaultSpec): the
+                // window before the single atomic merge — a crash here
+                // must replay the whole range on the next drain
+                preMergeCrashHook()
+                Sources.mergeVersion(spark, indexTable, changes, "b_id")
+                ()
+              } finally { changes.unpersist(); () }
             } finally { net.unpersist(); () }
           }
         }

@@ -81,34 +81,49 @@ object DedupOps {
   val NumHashes = 16
   val NumBands = 4 // 4 rows per band
 
-  /** Per-doc minhash signature rows (doc_id, i, mh), i in [0, NumHashes),
-    * over the shingle sets of any documents-shaped DataFrame (needs
-    * doc_id, lang, text). Takes a DataFrame — not a table path — so the
-    * streaming incremental dedup can run the IDENTICAL signature
-    * pipeline per micro-batch. */
-  private[graft] def minhashesOf(docs: DataFrame): DataFrame =
-    graft.functions.TextOps.shinglesOf(docs, distinct = true)
+  /** Per-doc minhash SIGNATURE (doc_id, sig array<long> ordered by hash
+    * index) over the shingle sets of any documents-shaped DataFrame
+    * (needs doc_id, lang, text). Takes a DataFrame — not a table path —
+    * so the streaming incremental dedup can run the IDENTICAL signature
+    * pipeline per micro-batch.
+    *
+    * ONE exchange end to end (guide §2.3/§2.4): the 16 per-hash minima
+    * are 16 aggregates of ONE groupBy(doc_id) — not an explode×16 whose
+    * 16-fold row blowup crosses a (doc_id, i) shuffle — and the groupBy
+    * reuses the shingle window's hash(doc_id) partitioning, so no new
+    * exchange forms. The shingle `distinct` is dropped as provably
+    * irrelevant here: min over a multiset equals min over its set. */
+  private[graft] def sigsOf(docs: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map { i =>
+      val a = (2654435761L * (i + 1)) % P
+      val b = (40503L * (i + 7)) % P
+      min((lit(a) * col("tv") + lit(b)) % P).as(s"__m$i")
+    }
+    graft.functions.TextOps.shinglesOf(docs, distinct = false)
       .withColumn("tv", tokHash(col("sh")))
-      .withColumn("i", explode(sequence(lit(0), lit(NumHashes - 1))))
-      .withColumn("a", (lit(2654435761L) * (col("i") + 1)) % P)
-      .withColumn("b", (lit(40503L) * (col("i") + 7)) % P)
-      .groupBy("doc_id", "i")
-      .agg(min((col("a") * col("tv") + col("b")) % P).as("mh"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"__m$i")): _*).as("sig"))
+  }
 
-  /** LSH band rows (doc_id, band, sig) from minhash signature rows —
-    * THE collision key of the minhash dedup family. */
-  private[graft] def bandsFromMinhashes(mh: DataFrame): DataFrame =
-    mh
-      .withColumn("band", floor(col("i") / (NumHashes / NumBands)))
-      .groupBy("doc_id", "band")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        x => x.getField("mh").cast("string")), ",").as("sig"))
+  /** LSH band rows (doc_id, band, sig) from signatures — THE collision
+    * key of the minhash dedup family. Map-side (explode×NumBands +
+    * array slice), no aggregation: the signature already carries the
+    * band contents in order. */
+  private[graft] def bandsFromSigs(sigs: DataFrame): DataFrame = {
+    val rows = NumHashes / NumBands
+    sigs
+      .select(col("doc_id"), col("sig").as("__sig"),
+        explode(sequence(lit(0L), lit((NumBands - 1).toLong))).as("band"))
+      .select(col("doc_id"), col("band"),
+        array_join(transform(
+          slice(col("__sig"), (col("band") * rows + 1).cast("int"),
+            lit(rows)), x => x.cast("string")), ",").as("sig"))
+  }
 
   private[graft] def bandsOf(docs: DataFrame): DataFrame =
-    bandsFromMinhashes(minhashesOf(docs))
-
-  private def minhashes(s: SparkSession, dir: String): DataFrame =
-    minhashesOf(Tables.documents(s, dir))
+    bandsFromSigs(sigsOf(docs))
 
   private val minhashesSql =
     s"""$shinglesSql,
@@ -127,21 +142,18 @@ object DedupOps {
     * The only non-key-equi work is the final signature compare on the
     * (small) candidate set — exactly the plan that survives 100 TB.
     */
-  /** Banded candidate pairs + estimated Jaccard from signature rows —
+  /** Banded candidate pairs + estimated Jaccard from signatures —
     * q28's whole derivation, shared with [[graft.streaming.NearDupStore]]'s
     * spec so "incremental ≡ batch" compares against the ONE batch
     * definition. */
-  private[graft] def minhashPairsOf(mh: DataFrame): DataFrame = {
-    val bands = bandsFromMinhashes(mh)
+  private[graft] def minhashPairsOf(sigs: DataFrame): DataFrame = {
+    val bands = bandsFromSigs(sigs)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
       .distinct()
-    val sigs = mh.groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
     cand
       .join(sigs.withColumnRenamed("doc_id", "a_doc").withColumnRenamed("sig", "sa"), "a_doc")
       .join(sigs.withColumnRenamed("doc_id", "b_doc").withColumnRenamed("sig", "sb"), "b_doc")
@@ -154,7 +166,7 @@ object DedupOps {
 
   val q28 = Query(
     "q28_dedup_minhash",
-    (s, dir) => minhashPairsOf(minhashes(s, dir).cache())
+    (s, dir) => minhashPairsOf(sigsOf(Tables.documents(s, dir)).cache())
       .orderBy("a_doc", "b_doc"),
     Some(s"""WITH $minhashesSql,
             |bands AS (
@@ -802,7 +814,7 @@ object DedupOps {
   val q164 = Query(
     "q164_minhash_eval",
     (s, dir) => {
-      val bands = bandsFromMinhashes(minhashes(s, dir))
+      val bands = bandsOf(Tables.documents(s, dir))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -923,16 +935,20 @@ object DedupOps {
     (s, dir) => {
       val spark = s
       import spark.implicits._
-      val mh = minhashes(s, dir).localCheckpoint()
+      val sigs = sigsOf(Tables.documents(s, dir)).localCheckpoint()
       val truth = q30.build(s, dir).select("a_doc", "b_doc").localCheckpoint()
       val nt = truth.agg(count(lit(1)).as("n_truth"))
       val geoms = Seq(2, 4, 8).toDF("r")
-      val bands = mh.crossJoin(broadcast(geoms))
-        .withColumn("band", expr("i div r"))
-        .groupBy("r", "doc_id", "band")
-        .agg(concat_ws(",",
-          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-            x => x.getField("mh").cast("string"))).as("sig"))
+      // every geometry's band signatures slice out of the ONE signature
+      // array map-side — no per-geometry (doc, i, mh) fan-out shuffle
+      val bands = sigs.crossJoin(broadcast(geoms))
+        .select(col("r"), col("doc_id"), col("sig").as("__sig"),
+          explode(sequence(lit(0),
+            (lit(NumHashes) / col("r")).cast("int") - 1)).as("band"))
+        .select(col("r"), col("doc_id"), col("band"),
+          concat_ws(",", transform(
+            slice(col("__sig"), col("band") * col("r") + 1,
+              col("r")), x => x.cast("string"))).as("sig"))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.r") === col("b.r") && col("a.band") === col("b.band") &&

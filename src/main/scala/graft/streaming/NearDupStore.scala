@@ -193,14 +193,13 @@ object NearDupStore {
     // store is language-agnostic, so a placeholder lang suffices
     val ups = net.filter(col("op") === "upsert")
       .select(col("doc_id"), lit("").as("lang"), col("text"))
-    val mh = DedupOps.minhashesOf(ups)
+    // ONE pinned shuffle: sigsOf aggregates straight to the signature
+    // array (no (doc, i) row blowup), and the band rows derive from the
+    // cached signatures map-side — bandsFromSigs needs no persist of
+    // its own
+    val newSigs = DedupOps.sigsOf(ups)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val newSigs = mh.groupBy("doc_id")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh")).as("sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
         // g rows: upsert with the new signature when one exists (>=1
         // shingle), else delete — covers deletions AND docs whose new
         // text dropped below shingle length
@@ -212,10 +211,8 @@ object NearDupStore {
               x => x.cast("string")), ","), lit("")).as("v"),
             lit(null).cast("double").as("e"),
             when(col("sig").isNull, "delete").otherwise("upsert").as("op"))
-        val newBands = DedupOps.bandsFromMinhashes(mh)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val newBandRows = newBands
+        val newBands = DedupOps.bandsFromSigs(newSigs)
+        val newBandRows = newBands
             .select(bandKey(col("band"), col("sig"), col("doc_id")).as("k"),
               col("doc_id").as("a"), col("band").cast("long").as("b"),
               col("sig").as("v"), lit(null).cast("double").as("e"),
@@ -278,9 +275,7 @@ object NearDupStore {
             Sources.mergeVersionEq(spark, storeTable, merged, Seq("k"))
             ()
           } finally { merged.unpersist(); () }
-        } finally { newBands.unpersist(); () }
-      } finally { newSigs.unpersist(); () }
-    } finally { mh.unpersist(); () }
+    } finally { newSigs.unpersist(); () }
   }
 
   private def bandKey(band: Column, sig: Column, doc: Column): Column =

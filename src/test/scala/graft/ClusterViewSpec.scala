@@ -29,7 +29,7 @@ class ClusterViewSpec extends SparkTestBase {
 
   /** Batch truth: thresholded q28 pairs → pointer-jumping CC → sizes. */
   private def expected(corpus: DataFrame): Seq[(Long, Long, Long)] = {
-    val pairs = DedupOps.minhashPairsOf(DedupOps.minhashesOf(corpus))
+    val pairs = DedupOps.minhashPairsOf(DedupOps.sigsOf(corpus))
       .filter(col("est_jaccard") >= ClusterView.EdgeThreshold)
     if (pairs.isEmpty) return Seq.empty
     val labels = DedupOps.connectedComponents(pairs)

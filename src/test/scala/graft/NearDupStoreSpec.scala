@@ -29,7 +29,7 @@ class NearDupStoreSpec extends SparkTestBase {
       .select("doc_id", "lang", "text")
 
   private def expectedPairs(corpus: DataFrame): Seq[(Long, Long, Double)] =
-    DedupOps.minhashPairsOf(DedupOps.minhashesOf(corpus))
+    DedupOps.minhashPairsOf(DedupOps.sigsOf(corpus))
       .orderBy("a_doc", "b_doc").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
 

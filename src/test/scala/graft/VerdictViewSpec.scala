@@ -29,7 +29,7 @@ class VerdictViewSpec extends SparkTestBase {
 
   /** Batch truth: thresholded q28 pairs → CC → q68's keeper window. */
   private def expected(corpus: DataFrame): Seq[(Long, Long, Long, Boolean)] = {
-    val pairs = DedupOps.minhashPairsOf(DedupOps.minhashesOf(corpus))
+    val pairs = DedupOps.minhashPairsOf(DedupOps.sigsOf(corpus))
       .filter(col("est_jaccard") >= ClusterView.EdgeThreshold)
     if (pairs.isEmpty) return Seq.empty
     val labels = DedupOps.connectedComponents(pairs)
