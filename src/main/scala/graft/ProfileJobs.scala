@@ -32,8 +32,13 @@ object ProfileJobs {
     val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        val p = Option(js.properties)
+        // prefer the explicit description (setJobDescription) — the
+        // maintainers label their phases; fall back to the call site
+        val site = p.flatMap(x =>
+            Option(x.getProperty("spark.job.description")))
+          .orElse(p.flatMap(x => Option(x.getProperty("callSite.short"))))
+          .getOrElse("?")
         starts.put(js.jobId, (System.nanoTime(), site))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

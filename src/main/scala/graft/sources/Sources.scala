@@ -1376,6 +1376,7 @@ object Sources {
     // the separate `upserts.isEmpty` probe job.
     val keyObs = new org.apache.spark.sql.Observation()
     val upObs = new org.apache.spark.sql.Observation()
+    spark.sparkContext.setJobDescription(s"mergeEq:keywrite $table")
     changes
       .observe(upObs,
         count(when(col(opCol) === "upsert", lit(1))).as("nu"))
@@ -1383,6 +1384,7 @@ object Sources {
       .distinct().coalesce(1)
       .observe(keyObs, count(lit(1)).as("n"))
       .write.parquet(eqDir.toString)
+    spark.sparkContext.setJobDescription(null)
     def obsLong(o: org.apache.spark.sql.Observation, k: String): Long =
       Option(o.get.getOrElse(k, null)) match {
         case Some(n: Number) => n.longValue()
@@ -1768,10 +1770,12 @@ object Sources {
         .encodeToString(s.getBytes("UTF-8"))
       if (aggs.isEmpty) (Seq.empty[String], Seq.empty[String])
       else {
-        val rows = df
+        spark.sparkContext.setJobDescription(s"stats $table")
+        val rows = try df
           .groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
           .agg((aggs ++ ndvAggs).head, (aggs ++ ndvAggs).tail: _*)
           .collect().toSeq
+        finally spark.sparkContext.setJobDescription(null)
         val statLines = rows.flatMap { r =>
           // normalizePath, not a bare scheme strip: hive partition
           // values with spaces render percent-encoded from
@@ -1950,23 +1954,45 @@ object Sources {
         val df = declaredSchema(table, version)
           .fold(spark.read)(sc => spark.read.schema(sc)).parquet(need: _*)
         val present = cols.filter(df.schema.fieldNames.contains(_))
-        present.flatMap { c =>
-          df.select(org.apache.spark.sql.functions.input_file_name().as("f"),
-              col(c).cast("string").as("v"))
-            .filter(col("v").isNotNull)
+        if (present.isEmpty) Seq.empty
+        else {
+          // ONE job and ONE scan of the `need` files builds every
+          // column's filters together (this previously ran one
+          // RDD job + full re-scan PER column — 2 bloom columns on a
+          // store meant 2 extra jobs per merge, engine-wide)
+          spark.sparkContext.setJobDescription(s"blooms $table")
+          val perFile = try df
+            .select((org.apache.spark.sql.functions.input_file_name()
+              .as("f") +: present.map(c => col(c).cast("string").as(c)))
+              .toIndexedSeq: _*)
             // normalizePath (not a scheme strip): percent-encoded hive
             // partition dirs must land under the manifest's raw key
-            .rdd.map(r => (normalizePath(r.getString(0)), r.getString(1)))
+            .rdd.map(r => (normalizePath(r.getString(0)), r))
             .aggregateByKey(
-              BloomFilter.create(expectedPerFile, fpp))(
-              (b, v) => { b.putString(v); b },
-              (a, b) => { a.mergeInPlace(b); a })
+              Array.fill(present.size)(
+                BloomFilter.create(expectedPerFile, fpp)))(
+              (bs, r) => {
+                var i = 0
+                while (i < bs.length) {
+                  if (!r.isNullAt(i + 1)) bs(i).putString(r.getString(i + 1))
+                  i += 1
+                }
+                bs
+              },
+              (a, b) => {
+                var i = 0
+                while (i < a.length) { a(i).mergeInPlace(b(i)); i += 1 }
+                a
+              })
             .collect().toSeq
-            .map { case (f, b) =>
+          finally spark.sparkContext.setJobDescription(null)
+          perFile.flatMap { case (f, bs) =>
+            present.zipWithIndex.map { case (c, i) =>
               val bos = new java.io.ByteArrayOutputStream()
-              b.writeTo(bos)
+              bs(i).writeTo(bos)
               (f, c) -> bos.toByteArray
             }
+          }
         }
       }
     val lines = (have.flatMap(f => cols.flatMap(c =>
@@ -2749,6 +2775,15 @@ object Sources {
     * accumulate mixed flat/hive batches (which would make partition
     * inference throw on read). */
   private def writePartitionedBatch(df: DataFrame, table: String,
+      batchPath: String): Unit = {
+    // job label only (guide §1.5) — identifies batch-write jobs in the
+    // UI/profiler; cleared by the caller's next label or query end
+    df.sparkSession.sparkContext.setJobDescription(s"batchwrite $table")
+    try writePartitionedBatch0(df, table, batchPath)
+    finally df.sparkSession.sparkContext.setJobDescription(null)
+  }
+
+  private def writePartitionedBatch0(df: DataFrame, table: String,
       batchPath: String): Unit = bucketSpecOf(table) match {
     case Some((c, n)) =>
       require(df.schema.fieldNames.contains(c),
