@@ -448,7 +448,12 @@ object TextIndex {
       val src = root.resolve("docs_t").toString
       val idx = root.resolve("index").toString
       val ckpt = root.resolve("ckpt").toString
+      // pinned: the gate's lifecycle consumes the documents relation
+      // through SIX actions (three commits, two eq merges at two
+      // actions each) — one parquet scan serves them all (guide §5)
       val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), src)
       Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
       init(idx)
@@ -467,6 +472,7 @@ object TextIndex {
         docs.filter(touched).withColumn("op", lit("upsert")), Seq("doc_id"))
       Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(97)) === 3
         && pmod(col("doc_id"), lit(31)) =!= 0), src)
+      } finally { docs.unpersist(); () }
       maintainQuery(s, src, idx, ckpt).awaitTermination()
       searchFromIndex(s, idx)
     },

@@ -1435,12 +1435,16 @@ object DedupOps {
       val ckpt = root.resolve("ckpt").toString
       import graft.sources.Sources
       import graft.streaming.DedupStore
+      // pinned: three slice commits, one documents scan (guide §5)
       val docs = Tables.documents(s, dir).select("doc_id", "text")
-      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
-      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
-      DedupStore.maintainQuery(s, src, store, ckpt,
-        DedupStore.headDigest).awaitTermination()
-      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 2), src)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
+        Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
+        DedupStore.maintainQuery(s, src, store, ckpt,
+          DedupStore.headDigest).awaitTermination()
+        Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 2), src)
+      } finally { docs.unpersist(); () }
       // a GDPR-style erasure that takes 8 groups' survivors with it
       Sources.deleteWhereDv(s, src, pmod(col("doc_id"), lit(11)) === 0)
       DedupStore.maintainQuery(s, src, store, ckpt,
@@ -1472,11 +1476,16 @@ object DedupOps {
   private def chainLifecycle(s: SparkSession, dir: String, src: String)
       (drain: () => Unit): Unit = {
     import graft.sources.Sources
+    // pinned: the three slice commits would otherwise each re-scan the
+    // documents parquet (compute once, guide §5)
     val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
-    Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
-    Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
-    drain()
-    Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 2), src)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 0), src)
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 1), src)
+      drain()
+      Sources.commitVersion(docs.filter(pmod(col("doc_id"), lit(3)) === 2), src)
+    } finally { docs.unpersist(); () }
     Sources.updateWhere(s, src, pmod(col("doc_id"), lit(13)) === 5,
       Map("text" -> concat(col("text"), lit(" zq xv"),
         pmod(col("doc_id"), lit(7)).cast("string"))))

@@ -15,8 +15,12 @@ skip_verify = "--skip-verify" in rest
 only = [a for a in rest if not a.startswith("--")]
 
 if not skip_verify:
+    # forward the name filter to graft.Verify (it accepts substrings as
+    # args 3+), so a targeted re-check computes only the named queries
+    # instead of the whole inventory
+    sel = " " + " ".join(only) if only else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+        ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}{sel}'],
         cwd="/root/repo", capture_output=True, text=True)
     tail = "\n".join((r.stdout + r.stderr).splitlines()[-25:])
     if r.returncode != 0:
