@@ -2623,7 +2623,12 @@ object TextOps {
     "q230_pipeline_e2e",
     (s, dir) => {
       import s.implicits._
+      // each stage is pinned: the four stage counters and the final
+      // pack would otherwise re-run every upstream stage per action
+      // (the pipeline was computed ~3-4x over). ContextCleaner drops
+      // the caches when the query's plan is released.
       val docs = Tables.documents(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nInput = docs.count()
       // stage 1: language-ID, keep predicted-English docs
       val m = broadcast(markers.toDF("tok", "cand"))
@@ -2635,6 +2640,7 @@ object TextOps {
         .filter(col("rn") === 1 && col("cand") === "en")
         .select("doc_id")
       val s1 = docs.join(en, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nLang = s1.count()
       // stage 2: quality screen (the q80 composite, as a filter)
       val base = s1.select(col("doc_id"), col("text"),
@@ -2657,6 +2663,7 @@ object TextOps {
           col("mean_tok_len") >= 2.0 && col("mean_tok_len") <= 12.0 &&
           col("n_stop") >= 1 && col("distinct_ratio") >= 0.1)
         .select("doc_id", "text", "n_tokens")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nQuality = s2.count()
       // stage 3: exact dedup — lowest doc_id per normalized digest
       val keepers = s2.groupBy(
@@ -2664,6 +2671,7 @@ object TextOps {
             .as("digest"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
       val s3 = s2.join(keepers, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nUnique = s3.count()
       // stage 4: pack survivors into 512-token sequences per shard
       val budget = 512L
