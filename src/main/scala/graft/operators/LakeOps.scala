@@ -488,36 +488,43 @@ object LakeOps {
       val fact = root.resolve("fact").toString
       val dim = root.resolve("dim").toString
       val view = root.resolve("view").toString
+      // pinned: the two fact-slice commits share one orders scan, and
+      // customer feeds the dim commit plus the dim-change merge's
+      // actions (guide §5)
       val orders = Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_custkey").as("cust_key"),
         col("o_totalprice"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val customer = Tables.customer(s, dir).select(
         col("c_custkey").as("cust_key"), col("c_mktsegment"))
-      Sources.commitVersion(customer
-        .repartitionByRange(4, col("cust_key"))
-        .sortWithinPartitions("cust_key"), dim)
-      Sources.commitStats(s, dim, 1, Seq("cust_key"))
-      Sources.commitVersion(
-        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), fact)
-      graft.streaming.MaterializedView.init(
-        s, fact, dim, "cust_key", "o_orderkey", view)
-      def drainFact(): Unit =
-        graft.streaming.MaterializedView.maintainFactQuery(
-          s, fact, dim, "cust_key", view, s"$root/ckpt-fact")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        Sources.commitVersion(customer
+          .repartitionByRange(4, col("cust_key"))
+          .sortWithinPartitions("cust_key"), dim)
+        Sources.commitStats(s, dim, 1, Seq("cust_key"))
+        Sources.commitVersion(
+          orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), fact)
+        graft.streaming.MaterializedView.init(
+          s, fact, dim, "cust_key", "o_orderkey", view)
+        def drainFact(): Unit =
+          graft.streaming.MaterializedView.maintainFactQuery(
+            s, fact, dim, "cust_key", view, s"$root/ckpt-fact")
+            .awaitTermination()
+        drainFact()
+        Sources.commitVersion(
+          orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), fact)
+        drainFact()
+        // dim update: every BUILDING-segment customer reclassifies
+        val dimChanges = customer
+          .filter(col("c_mktsegment") === "BUILDING")
+          .withColumn("c_mktsegment", lit("RETAIL"))
+          .withColumn("op", lit("upsert"))
+        Sources.mergeVersion(s, dim, dimChanges, "cust_key")
+        graft.streaming.MaterializedView.maintainDimQuery(
+          s, dim, "cust_key", "o_orderkey", view, s"$root/ckpt-dim")
           .awaitTermination()
-      drainFact()
-      Sources.commitVersion(
-        orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), fact)
-      drainFact()
-      // dim update: every BUILDING-segment customer reclassifies
-      val dimChanges = customer
-        .filter(col("c_mktsegment") === "BUILDING")
-        .withColumn("c_mktsegment", lit("RETAIL"))
-        .withColumn("op", lit("upsert"))
-      Sources.mergeVersion(s, dim, dimChanges, "cust_key")
-      graft.streaming.MaterializedView.maintainDimQuery(
-        s, dim, "cust_key", "o_orderkey", view, s"$root/ckpt-dim")
-        .awaitTermination()
+      } finally { orders.unpersist(); customer.unpersist(); () }
       Sources.readVersion(s, view)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
@@ -789,9 +796,12 @@ object LakeOps {
       java.nio.file.Files.createDirectories(root)
       val base = root.resolve("base").toString
       val view = root.resolve("aggview").toString
+      // pinned: the slice commit and the three-slice CDC merge share
+      // one orders scan (guide §5); unpersisted before the view read
       val orders = Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_orderpriority").as("prio"),
         col("o_totalprice"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val k = col("o_orderkey")
       Sources.commitVersion(orders.filter(pmod(k, lit(2)) === 0)
         .repartitionByRange(4, k).sortWithinPartitions("o_orderkey"), base)
@@ -817,6 +827,7 @@ object LakeOps {
       // DV-only commit: the X-MOVED group zeroes out and must LEAVE
       Sources.deleteWhereDv(s, base, col("prio") === lit("X-MOVED"))
       drain()
+      orders.unpersist()
       Sources.readVersion(s, view)
         .select(col("prio"), col("n_rows"),
           col("sum_val").cast("decimal(18,4)").cast("double")
@@ -2034,9 +2045,12 @@ object LakeOps {
       val root = Tables.scratchRoot("lake-mmview", dir)
       val base = root.resolve("base").toString
       val view = root.resolve("mmview").toString
+      // pinned: the slice commit and the three-slice CDC merge share
+      // one orders scan (guide §5); unpersisted before the view read
       val orders = Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_orderpriority").as("prio"),
         col("o_totalprice"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val k = col("o_orderkey")
       Sources.commitVersion(orders.filter(pmod(k, lit(2)) === 0)
         .repartitionByRange(4, k).sortWithinPartitions("o_orderkey"), base)
@@ -2063,6 +2077,7 @@ object LakeOps {
       // DV-only commit: the X-MOVED group zeroes out and must LEAVE
       Sources.deleteWhereDv(s, base, col("prio") === lit("X-MOVED"))
       drain()
+      orders.unpersist()
       Sources.readVersion(s, view)
         .select(col("prio"), col("n_rows"),
           col("sum_val").cast("decimal(18,4)").cast("double")
@@ -2106,9 +2121,12 @@ object LakeOps {
       val root = Tables.scratchRoot("lake-topk", dir)
       val base = root.resolve("base").toString
       val view = root.resolve("topkview").toString
+      // pinned: the slice commit and the three-slice CDC merge share
+      // one orders scan (guide §5); unpersisted before the view read
       val orders = Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_orderpriority").as("prio"),
         col("o_totalprice"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val k = col("o_orderkey")
       Sources.commitVersion(orders.filter(pmod(k, lit(2)) === 0)
         .repartitionByRange(4, k).sortWithinPartitions("o_orderkey"), base)
@@ -2133,6 +2151,7 @@ object LakeOps {
       drain()
       Sources.deleteWhereDv(s, base, col("prio") === lit("X-MOVED"))
       drain()
+      orders.unpersist()
       Sources.readVersion(s, view)
         .select(col("prio"), col("rank"), col("o_orderkey"),
           col("val").cast("decimal(18,4)").cast("double").as("price"))
@@ -2180,9 +2199,12 @@ object LakeOps {
       val root = Tables.scratchRoot("lake-distinct", dir)
       val base = root.resolve("base").toString
       val view = root.resolve("dview").toString
+      // pinned: the slice commit and the three-slice CDC merge share
+      // one orders scan (guide §5); unpersisted before the view read
       val orders = Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_orderpriority").as("prio"),
         col("o_custkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val k = col("o_orderkey")
       Sources.commitVersion(orders.filter(pmod(k, lit(2)) === 0)
         .repartitionByRange(4, k).sortWithinPartitions("o_orderkey"), base)
@@ -2206,6 +2228,7 @@ object LakeOps {
       drain()
       Sources.deleteWhereDv(s, base, col("prio") === lit("X-MOVED"))
       drain()
+      orders.unpersist()
       graft.streaming.MaterializedView.distinctCounts(s, view, "prio")
         .select(col("prio"), col("n_distinct"))
         .orderBy("prio")
