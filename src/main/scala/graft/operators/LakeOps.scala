@@ -578,8 +578,10 @@ object LakeOps {
       java.nio.file.Files.createDirectories(root)
       val table = root.resolve("orders_mor").toString
       val k = col("o_orderkey")
+      // pinned: the base commit and the CDC slices share one scan
       val orders = Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val v1 = Sources.commitVersion(
         orders.repartitionByRange(8, col("o_orderkey"))
           .sortWithinPartitions("o_orderkey"), table)
@@ -611,6 +613,7 @@ object LakeOps {
       val dvRows = Sources.dvRowCount(table, vM2)
       // reclaim: purge rewrites only the DV'd files; content holds
       Sources.purgeDv(s, table)
+      orders.unpersist()
       ManifestFileIndex.readVersionIndexed(s, table)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
@@ -1854,14 +1857,17 @@ object LakeOps {
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(table))
       graft.sources.RowIds.enableRowIds(table)
+      // pinned: three slice commits, one orders scan (guide §5)
       val o = Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def slice(r: Int) =
         o.filter(pmod(col("o_orderkey"), lit(3)) === r)
           .repartition(1).sortWithinPartitions("o_orderkey")
       Sources.commitVersion(slice(0), table)
       Sources.commitVersion(slice(1), table)
       Sources.commitVersion(slice(2), table)
+      o.unpersist()
       // four layout rewrites; zero identity changes
       Sources.deleteWhereDv(s, table,
         pmod(col("o_orderkey"), lit(7)) === 0)
@@ -1932,8 +1938,10 @@ object LakeOps {
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(table))
       graft.sources.RowIds.enableRowIds(table)
+      // pinned: three slice commits, one orders scan (guide §5)
       val o = Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Sources.commitVersion(
         o.filter(pmod(col("o_orderkey"), lit(3)) === 0), table)
       Sources.commitVersion(
@@ -1942,6 +1950,7 @@ object LakeOps {
       Sources.compactVersion(s, table, 4096L) // must net to nothing
       Sources.commitVersion(
         o.filter(pmod(col("o_orderkey"), lit(3)) === 2), table)
+      o.unpersist()
       Sources.updateWhere(s, table,
         pmod(col("o_orderkey"), lit(5)) === 0,
         Map("o_totalprice" -> (col("o_totalprice") + lit(10.0d))))
@@ -1997,7 +2006,10 @@ object LakeOps {
       val root = Tables.scratchRoot("backfill", dir)
       val src = root.resolve("docs_t").toString
       val out = root.resolve("tokcount").toString
+      // pinned: the source commit and the chunk-span probe share one
+      // documents scan
       val docs = Tables.documents(s, dir).select("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Sources.commitVersion(
         docs.repartitionByRange(4, col("doc_id"))
           .sortWithinPartitions("doc_id"), src)
@@ -2007,6 +2019,7 @@ object LakeOps {
       // the OUTPUT is chunking-independent by construction, which is
       // exactly what the oracle proves
       val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      docs.unpersist()
       val chunk = math.max(1L, (maxId + 5L) / 5L)
       graft.sources.Backfill.run(s, src, out, "doc_id", chunk, slice =>
         slice.select(
