@@ -1103,8 +1103,11 @@ object LakeOps {
           // data files only — `#sidecar` trailers are commit metadata
           .filter(l => l.nonEmpty && !l.startsWith("#"))
       }
+      // pinned: the base commit, both CDC batches (two merge actions
+      // each), and the backfill append share one orders scan
       val orders = Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val v1 = Sources.commitVersion(
         orders.repartitionByRange(8, col("o_orderkey"))
           .sortWithinPartitions("o_orderkey"), table)
@@ -1134,6 +1137,7 @@ object LakeOps {
       Sources.commitVersion(
         orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
           .withColumn("o_orderpriority", lit("9-BACKFILL")), table)
+      orders.unpersist()
       val pending = Sources.eqOf(table, Sources.latestVersion(table))
         .length.toLong
       // reclaim: purge rewrites exactly the in-scope files; the head
